@@ -7,8 +7,10 @@ import org.apache.spark.sql.SparkSession
   * Mirrors the session configuration the reference sets up in
   * `airflow/src/silver/transformer.py:1201-1256` and
   * `airflow/src/gold_analytics.py:96-115` (AQE on, tuned shuffle
-  * partitions, UTC session time zone), minus the Iceberg/S3A catalog
-  * wiring — our tables are plain Parquet directories (SURVEY.md §1.1).
+  * partitions), minus the Iceberg/S3A catalog wiring — our tables are
+  * plain Parquet directories (SURVEY.md §1.1). The UTC session time
+  * zone is a graft-side determinism choice (stable oracle comparison),
+  * not mirrored from the reference, which runs on the JVM default TZ.
   *
   * Scale note: shuffle partitions default to the local core count for
   * the test harness; on a real cluster this is expected to be overridden
@@ -17,8 +19,10 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   def defaultParallelism: Int =
-    sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors().toString).toInt
+    sys.env.get("SPARK_GRAFT_CPUS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ > 0)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
 
   /** Build a local session with scale-sane defaults. */
   def local(appName: String = "graft", cores: Int = defaultParallelism): SparkSession = {
@@ -32,6 +36,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.mergeSchema", "false")
+      // events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects by
+      // default; read as long and let Tables.events rebuild the µs
+      // timestamp (ns→µs truncation).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{CdcQueries, CoreQueries, PipelineQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query registry = the operator batteries:
+  *  - [[graft.queries.CoreQueries]]     relational operators (SURVEY §2.2-2.8)
+  *  - [[graft.queries.CdcQueries]]      incremental/CDC + MERGE sinks (§2.9, §2.1)
+  *  - [[graft.queries.PipelineQueries]] LLM-pipeline ops (dedup / similarity /
+  *    text analysis / hybrid search / event-time windows)
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] =
+    CoreQueries.queries ++ CdcQueries.queries ++ PipelineQueries.queries
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The multi-way star join (J14) — the reference's headline gold shape. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("j14_star_join")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = all.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracles ++ CdcQueries.oracles ++ PipelineQueries.oracles
 }

@@ -1,0 +1,214 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TableMerge
+
+/** Incremental / change-data queries (SURVEY.md §2.9) and the MERGE-sink
+  * battery (§2.1 K1/K2/K5). The merge queries materialize real Parquet
+  * state under `target/graft-state/` via [[TableMerge]] and read it back,
+  * so the copy-on-write path itself is under the oracle: the DuckDB SQL
+  * recomputes the expected post-merge state relationally.
+  */
+object CdcQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def statePath(name: String): String = {
+    val dir = Paths.get(sys.props.getOrElse("graft.state.dir", "target/graft-state"))
+    Files.createDirectories(dir)
+    dir.resolve(name).toString
+  }
+
+  /** I2 — asset-level CDC: etag/size drift detection with coalesce
+    * defaults (transformer.py:1661-1690). "Assets" = part rows; the
+    * existing snapshot is missing keys %3==2 and has stale sizes for
+    * keys %11==0. */
+  private val i2AssetCdc: Q = (s, d) => {
+    val current = Tables.part(s, d).select(
+      col("p_partkey"), col("p_size"),
+      sha2(concat_ws("||", col("p_name"), col("p_brand")), 256).as("etag"))
+    val existing = Tables.part(s, d)
+      .filter(col("p_partkey") % 3 =!= 2)
+      .select(
+        col("p_partkey"),
+        (col("p_size") + when(col("p_partkey") % 11 === 0, 1).otherwise(0)).as("ex_size"),
+        sha2(concat_ws("||", col("p_name"), col("p_brand")), 256).as("ex_etag"))
+    current.join(existing, Seq("p_partkey"), "left")
+      .withColumn("state",
+        when(col("ex_etag").isNull, lit("new"))
+          .when(coalesce(col("p_size"), lit(-1)) =!= coalesce(col("ex_size"), lit(-1)) ||
+                coalesce(col("etag"), lit("")) =!= coalesce(col("ex_etag"), lit("")),
+            lit("changed"))
+          .otherwise(lit("unchanged")))
+      .groupBy("state").agg(count(lit(1)).as("n"))
+      .orderBy("state")
+  }
+
+  /** I3 — tombstoning: keys present in the existing snapshot but gone
+    * from the current batch (transformer.py:1692-1705). */
+  private val i3Tombstones: Q = (s, d) => {
+    val current = Tables.part(s, d).filter(col("p_partkey") % 3 =!= 2).select("p_partkey")
+    Tables.part(s, d).select("p_partkey", "p_brand")
+      .join(current, Seq("p_partkey"), "left_anti")
+      .groupBy("p_brand").agg(count(lit(1)).as("n_deleted"))
+      .orderBy("p_brand")
+  }
+
+  /** I4 — memoized bootstrap: latest state row wins, skip when hash
+    * unchanged (transformer.py:1310-1362). State table built inline;
+    * the "current payload hash" collides for exactly one key. */
+  private val i4StateMemo: Q = (s, d) => {
+    import s.implicits._
+    val state = Seq(
+      ("reference_v1", "hash_a", "2024-01-01 00:00:00"),
+      ("reference_v1", "hash_b", "2024-02-01 00:00:00"),
+      ("reference_v2", "hash_c", "2024-01-15 00:00:00"))
+      .toDF("state_key", "state_hash", "updated_at")
+      .withColumn("updated_at", col("updated_at").cast("timestamp"))
+    val latest = state.orderBy(col("updated_at").desc_nulls_last).limit(1)
+    latest.select(
+      col("state_key"), col("state_hash"),
+      (col("state_hash") === lit("hash_b")).as("skip_rebuild"))
+  }
+
+  /** I6 — index-incremental anti join: only not-yet-indexed docs flow to
+    * the sink (elasticsearch_sync.py:342-395). */
+  private val i6IndexIncremental: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val alreadyIndexed = docs.filter(col("doc_id") % 2 === 0).select("doc_id")
+    docs.join(alreadyIndexed, Seq("doc_id"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_to_index"))
+      .orderBy("source")
+  }
+
+  /** K1+K5 — copy-on-write MERGE upsert with schema evolution
+    * (transformer.py:2421-2458): baseline = even order keys; source =
+    * %3 keys with uplifted price, a new column, and 500 brand-new keys.
+    * Result is the re-read post-merge table, aggregated per status. */
+  private val k1MergeUpsert: Q = (s, d) => {
+    val path = statePath("k1_orders_merged")
+    val orders = Tables.orders(s, d)
+    val target0 = orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("price"))
+    val source = orders.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        round(col("o_totalprice") + 100.0, 2).as("price"),
+        lit("merged").as("merge_note"))
+    TableMerge.createOrReplace(target0, path)
+    TableMerge.upsert(s, path, source, Seq("o_orderkey"))
+    TableMerge.read(s, path)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("price"), 2).as("total_price"),
+        sum(when(col("merge_note").isNotNull, 1).otherwise(0)).as("n_noted"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** K2 — MERGE delete: drop keys %10==3 from a customer snapshot and
+    * re-read (transformer.py:2460-2484). */
+  private val k2MergeDelete: Q = (s, d) => {
+    val path = statePath("k2_customer_merged")
+    val customer = Tables.customer(s, d)
+    TableMerge.createOrReplace(
+      customer.select("c_custkey", "c_mktsegment", "c_acctbal"), path)
+    val deleteKeys = customer.filter(col("c_custkey") % 10 === 3).select("c_custkey")
+    TableMerge.delete(s, path, deleteKeys, Seq("c_custkey"))
+    TableMerge.read(s, path)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** K1 partition-scoped — merge keyed by (partition col, id): only
+    * touched `source` partitions are rewritten; untouched partition
+    * directories are carried over as files (SURVEY §7.3 "MERGE
+    * atomicity"). Oracle recomputes the same state relationally. */
+  private val k3PartitionedMerge: Q = (s, d) => {
+    val path = statePath("k3_events_partitioned")
+    val events = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("user_id"),
+        round(col("value"), 2).as("value_r"))
+    TableMerge.createOrReplace(events, path, partitionCols = Seq("event_type"))
+    // Source touches only the 'click' partition: value zeroed for user 1.
+    val source = events.filter(col("event_type") === "click" && col("user_id") === 1)
+      .withColumn("value_r", lit(0.0))
+    TableMerge.upsert(s, path, source, Seq("event_type", "event_id"),
+      partitionCols = Seq("event_type"))
+    TableMerge.read(s, path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value_r"), 2).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+    "i2_asset_cdc" -> i2AssetCdc,
+    "i3_tombstones" -> i3Tombstones,
+    "i4_state_memo" -> i4StateMemo,
+    "i6_index_incremental" -> i6IndexIncremental,
+    "k1_merge_upsert" -> k1MergeUpsert,
+    "k2_merge_delete" -> k2MergeDelete,
+    "k3_partitioned_merge" -> k3PartitionedMerge,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "i2_asset_cdc" ->
+      """WITH current AS (
+        |  SELECT p_partkey, p_size, sha256(concat_ws('||', p_name, p_brand)) AS etag
+        |  FROM part),
+        |existing AS (
+        |  SELECT p_partkey,
+        |    p_size + CASE WHEN p_partkey % 11 = 0 THEN 1 ELSE 0 END AS ex_size,
+        |    sha256(concat_ws('||', p_name, p_brand)) AS ex_etag
+        |  FROM part WHERE p_partkey % 3 <> 2),
+        |states AS (
+        |  SELECT CASE
+        |    WHEN e.ex_etag IS NULL THEN 'new'
+        |    WHEN coalesce(c.p_size, -1) <> coalesce(e.ex_size, -1)
+        |      OR coalesce(c.etag, '') <> coalesce(e.ex_etag, '') THEN 'changed'
+        |    ELSE 'unchanged' END AS state
+        |  FROM current c LEFT JOIN existing e USING (p_partkey))
+        |SELECT state, CAST(count(*) AS BIGINT) AS n
+        |FROM states GROUP BY state ORDER BY state""".stripMargin,
+    "i3_tombstones" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_deleted
+        |FROM part WHERE p_partkey % 3 = 2
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "i4_state_memo" ->
+      """SELECT 'reference_v1' AS state_key, 'hash_b' AS state_hash,
+        |  TRUE AS skip_rebuild""".stripMargin,
+    "i6_index_incremental" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_to_index
+        |FROM documents WHERE doc_id % 2 <> 0
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "k1_merge_upsert" ->
+      """WITH source AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |    round(o_totalprice + 100.0, 2) AS price, 'merged' AS merge_note
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |target_kept AS (
+        |  SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price,
+        |    NULL AS merge_note
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0),
+        |merged AS (
+        |  SELECT * FROM target_kept UNION ALL SELECT * FROM source)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(price), 2) AS total_price,
+        |  CAST(sum(CASE WHEN merge_note IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_noted
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "k2_merge_delete" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer WHERE c_custkey % 10 <> 3
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "k3_partitioned_merge" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(CASE WHEN event_type = 'click' AND user_id = 1
+        |    THEN 0.0 ELSE round(value, 2) END), 2) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,457 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** LLM-training-data pipeline operators (builder brief "beyond the
+  * reference"): deduplication (exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard), similarity search (brute-force cosine + LSH-bucketed ANN),
+  * text analysis (language-ID, quality scoring, token counting, rolling
+  * fingerprint), the hybrid lexical+vector retrieval of
+  * `chatbot_api.py:188-274` (Q1-Q3), and an event-time window aggregate.
+  *
+  * Everything is native Catalyst higher-order functions — zero UDFs in
+  * this file — so the whole battery stays inside whole-stage codegen and
+  * the exact same arithmetic is expressible in the DuckDB oracle.
+  *
+  * Scale posture: per-document expressions are embarrassingly parallel;
+  * near-dup joins go through shingle/LSH buckets (never all-pairs);
+  * corpus-level maxima are 1-row broadcast joins, not windows over a
+  * single partition.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val P = 2147483647L // 31-bit Mersenne prime, DuckDB-replicable
+
+  /** Portable rolling char-fold fingerprint of a string expression
+    * (F11-lite): fold `acc*31 + ascii(char) mod P` seeded with 7.
+    * `sqlOf(x)` renders the same computation for Spark and DuckDB.
+    */
+  private def sparkFp(x: String): String =
+    s"aggregate(sequence(1, length($x)), CAST(7 AS BIGINT), " +
+      s"(acc, i) -> (acc * 31 + ascii(substr($x, i, 1))) % $P)"
+
+  private def duckFp(x: String): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"list_transform(generate_series(1, length($x)), " +
+      s"i -> CAST(ascii(substring($x, i, 1)) AS BIGINT))), " +
+      s"(a, x) -> (a * 31 + x) % $P)"
+
+  // MinHash permutation parameters (public-domain style a*x+b mod P).
+  private val MinhashParams = Seq((1000003L, 12345L), (999983L, 54321L))
+
+  // ------------------------------------------------------------ dedup
+
+  /** Exact dedup by content hash: corpus with injected exact duplicates
+    * (every doc_id % 10 == 0 doubled); dedup = distinct on sha2(text).
+    * At 100 TB this is a single hash-shuffle groupBy on the digest. */
+  private val dedupExact: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.union(docs.filter(col("doc_id") % 10 === 0))
+    corpus.groupBy("source")
+      .agg(count(lit(1)).as("n_before"),
+        countDistinct(sha2(col("text"), 256)).as("n_after"))
+      .orderBy("source")
+  }
+
+  /** MinHash signatures + LSH band bucketing: per-word rolling
+    * fingerprints, two permutations, min over the word set, band id =
+    * (minh1*31 + minh2) mod 1024. Output = bucket histogram (the shuffle
+    * key distribution an LSH join would use). */
+  private val dedupMinhash: Q = (s, d) => {
+    val minhExprs = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"array_min(transform(tokens, w -> ($a * ${sparkFp("w")} + $b) % $P)) AS minh${i + 1}"
+    }
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "split(text, ' ') AS tokens")
+      .selectExpr(Seq("doc_id") ++ minhExprs: _*)
+      .selectExpr("doc_id", "(minh1 * 31 + minh2) % 1024 AS band_bucket")
+      .groupBy("band_bucket").agg(count(lit(1)).as("n_docs"))
+      .orderBy("band_bucket")
+  }
+
+  /** SimHash (8-bit): per-word fingerprints hashed per bit-plane; bit b
+    * set iff the +1/-1 vote sum is positive. Output doc_id → signature. */
+  private val dedupSimhash: Q = (s, d) => {
+    val bitExprs = (0 until 8).map { b =>
+      s"(CASE WHEN aggregate(wfps, CAST(0 AS BIGINT), (acc, f) -> acc + " +
+        s"(CASE WHEN ((f * ${2 * b + 3} + ${b * 7919}) % 65537) % 2 = 1 " +
+        s"THEN 1 ELSE -1 END)) > 0 THEN ${1 << b} ELSE 0 END)"
+    }
+    Tables.documents(s, d)
+      .selectExpr("doc_id", s"transform(split(text, ' '), w -> ${sparkFp("w")}) AS wfps")
+      .selectExpr("doc_id", s"${bitExprs.mkString(" + ")} AS simhash8")
+      .orderBy("doc_id")
+  }
+
+  /** N-gram (3-shingle) Jaccard near-dup detection: corpus = documents +
+    * injected near-duplicates (doc_id%20==0, first token dropped, id +
+    * 100000); candidate pairs come from an equi-join on shingles (the
+    * scale-safe shape — never an all-pairs cross join), Jaccard ≥ 0.6. */
+  private val dedupJaccard: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .selectExpr("doc_id", "split(text, ' ') AS tokens")
+    val dups = docs.filter(col("doc_id") % 20 === 0)
+      .selectExpr("doc_id + 100000 AS doc_id", "slice(tokens, 2, size(tokens) - 1) AS tokens")
+    val corpus = docs.union(dups).filter(size(col("tokens")) >= 3)
+    val shingles = corpus.selectExpr("doc_id",
+      """explode(array_distinct(transform(sequence(1, size(tokens) - 2),
+        |i -> concat_ws(' ', element_at(tokens, i), element_at(tokens, i + 1),
+        |element_at(tokens, i + 2))))) AS shingle""".stripMargin)
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val pairs = shingles.as("a")
+      .join(shingles.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_shingles", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_shingles", "size_b"), "id_b")
+      .withColumn("jaccard_raw",
+        col("n_common") / (col("size_a") + col("size_b") - col("n_common")))
+      .filter(col("jaccard_raw") >= 0.6)
+      .select(col("id_a"), col("id_b"),
+        floor(col("jaccard_raw") * 10000).cast("long").as("jaccard_e4"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // ------------------------------------------------------------ similarity search
+
+  private val sumExpr =
+    s"aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"
+  private val sumSqExpr =
+    s"aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+
+  /** Brute-force cosine top-k against a broadcast query vector (Q2,
+    * `chatbot_api.py:227-242`). Query vector = 0.1·1⃗ so the oracle can
+    * reproduce the identical fold: cos = 0.1·Σx / (‖x‖·0.1·√64). */
+  private val simCosineTopk: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .selectExpr("vec_id",
+        s"round(($sumExpr * 0.1) / (sqrt($sumSqExpr) * 0.8), 6) AS cos_sim")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(20)
+
+  /** LSH-bucketed ANN partitioner: 8 deterministic integer hyperplanes
+    * w(b,i) = ((b*37 + i*13) % 21) - 10; signature = Σ 2^b·[proj_b ≥ 0].
+    * Output = bucket histogram (the ANN candidate-set distribution). At
+    * scale the bucket id is the shuffle/partition key and each query
+    * probes one bucket instead of the full corpus. */
+  private val simLshBuckets: Q = (s, d) => {
+    val bitExprs = (0 until 8).map { b =>
+      s"(CASE WHEN aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), " +
+        s"(a, i) -> a + CAST(element_at(embedding, i + 1) AS DOUBLE) * " +
+        s"CAST((($b * 37 + i * 13) % 21) - 10 AS DOUBLE)) >= 0 " +
+        s"THEN ${1 << b} ELSE 0 END)"
+    }
+    Tables.embeddings(s, d)
+      .selectExpr("vec_id", s"${bitExprs.mkString(" + ")} AS lsh_bucket")
+      .groupBy("lsh_bucket").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("lsh_bucket")
+  }
+
+  /** Embedding near-dup pairs via LSH buckets: corpus + exact copies
+    * (vec_id + 100000 for vec_id%25==0); pairs are found by joining on
+    * the LSH bucket, then confirmed by cosine ≥ 0.999. */
+  private val simEmbedNeardup: Q = (s, d) => {
+    val bitExprs = (0 until 8).map { b =>
+      s"(CASE WHEN aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), " +
+        s"(a, i) -> a + CAST(element_at(embedding, i + 1) AS DOUBLE) * " +
+        s"CAST((($b * 37 + i * 13) % 21) - 10 AS DOUBLE)) >= 0 " +
+        s"THEN ${1 << b} ELSE 0 END)"
+    }
+    val base = Tables.embeddings(s, d)
+    val corpus = base.select(col("vec_id"), col("embedding"))
+      .union(base.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val bucketed = corpus.selectExpr("vec_id", "embedding",
+      s"${bitExprs.mkString(" + ")} AS lsh_bucket",
+      sumSqExpr + " AS norm_sq")
+    val a = bucketed.select(col("lsh_bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("norm_sq").as("nsq_a"))
+    val b = bucketed.select(col("lsh_bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("norm_sq").as("nsq_b"))
+    a.join(b, Seq("lsh_bucket")).filter(col("id_a") < col("id_b"))
+      .selectExpr("id_a", "id_b",
+        "aggregate(zip_with(emb_a, emb_b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+          "CAST(0.0 AS DOUBLE), (a, x) -> a + x) / (sqrt(nsq_a) * sqrt(nsq_b)) AS cos_sim")
+      .filter(col("cos_sim") >= 0.999)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // ------------------------------------------------------------ text analysis
+
+  private val StopwordsSql = "('the', 'a', 'is', 'of', 'and', 'to', 'in')"
+
+  /** Quality scoring: word count, average word length, stopword ratio,
+    * composite score (transformer.py:340-368 reshaped for `documents`). */
+  private val textQuality: Q = (s, d) =>
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "n_chars", "split(text, ' ') AS tokens")
+      .selectExpr("doc_id", "n_chars",
+        "size(tokens) AS n_words",
+        s"size(filter(tokens, t -> t IN $StopwordsSql)) AS n_stopwords",
+        "aggregate(tokens, CAST(0 AS BIGINT), (a, w) -> a + length(w)) AS total_word_len")
+      // fixed-point via floor: rational scores can land exactly on the
+      // round-half grid where Spark (HALF_UP) and DuckDB disagree; floor
+      // of the identical IEEE double is engine-independent.
+      // D-suffixed literals: bare 100.0 is a DECIMAL literal in Spark SQL
+      // and int/decimal stays exact decimal — a 1-ulp divergence from the
+      // oracle's double math at floor boundaries.
+      .selectExpr("doc_id", "n_words",
+        "CAST(floor(CAST(n_stopwords AS DOUBLE) / n_words * 10000) AS BIGINT) AS stopword_ratio_e4",
+        "CAST(floor((0.4D * least(1.0D, n_words / 100.0D) " +
+          "+ 0.3D * (1.0D - CAST(n_stopwords AS DOUBLE) / n_words) " +
+          "+ 0.3D * least(1.0D, (CAST(total_word_len AS DOUBLE) / n_words) / 8.0D)) * 10000) AS BIGINT) AS quality_score_e4")
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic (chatbot_api.py:69-77 reshaped): stopword
+    * presence ⇒ 'en', else 'other'; confusion matrix vs the labeled
+    * `lang` column. */
+  private val textLangid: Q = (s, d) =>
+    Tables.documents(s, d)
+      .selectExpr("lang",
+        s"CASE WHEN size(filter(split(text, ' '), t -> t IN $StopwordsSql)) >= 1 " +
+          "THEN 'en' ELSE 'other' END AS detected")
+      .groupBy("lang", "detected").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "detected")
+
+  /** Token counting: whitespace split vs BPE-ish regex token count. */
+  private val textTokenCount: Q = (s, d) =>
+    Tables.documents(s, d)
+      .selectExpr("doc_id",
+        "size(split(text, ' ')) AS n_ws_tokens",
+        "regexp_count(text, '[a-z0-9]+') AS n_re_tokens")
+      .orderBy("doc_id")
+
+  /** Rolling-hash document fingerprint (portable char fold). */
+  private val textFingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .selectExpr("doc_id", s"${sparkFp("text")} AS fingerprint")
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------ hybrid search (Q1-Q3)
+
+  /** Hybrid retrieval: lexical keyword-overlap score (BM25-lite stand-in
+    * for Q1) fused 0.5/0.5 with cosine kNN (Q2) after per-branch
+    * max-normalization (Q3, chatbot_api.py:244-274). Corpus maxima are
+    * 1-row broadcast cross joins — no single-partition window. */
+  private val searchHybrid: Q = (s, d) => {
+    val scored = Tables.documents(s, d)
+      .join(Tables.embeddings(s, d),
+        col("doc_id") === col("vec_id"), "inner")
+      .selectExpr("doc_id",
+        "CAST(size(array_intersect(split(text, ' '), array('spark', 'join', 'filter'))) AS DOUBLE) AS lex",
+        s"($sumExpr * 0.1) / (sqrt($sumSqExpr) * 0.8) AS vec")
+    val maxima = scored.agg(max("lex").as("lex_max"), max("vec").as("vec_max"))
+    scored.crossJoin(broadcast(maxima))
+      .selectExpr("doc_id",
+        "round(0.5 * (lex / lex_max) + 0.5 * (vec / vec_max), 6) AS fused_score")
+      .orderBy(col("fused_score").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  /** Q5 — context filtering taxonomy (chatbot_api.py:277-343). */
+  private val searchContextFilter: Q = (s, d) =>
+    Tables.documents(s, d)
+      .selectExpr(
+        """CASE WHEN length(text) < 60 THEN 'too_short'
+          |WHEN regexp_count(text, '[{};=]') >= 3 THEN 'code_heavy'
+          |WHEN size(split(text, ' ')) < 10 THEN 'thin'
+          |ELSE 'kept' END AS reason""".stripMargin)
+      .groupBy("reason").agg(count(lit(1)).as("n"))
+      .orderBy("reason")
+
+  // ------------------------------------------------------------ event-time window
+
+  /** Tumbling event-time window aggregate (Structured-Streaming-shaped;
+    * same plan works under readStream with a watermark — see
+    * graft.streaming). Timestamps bucket to days, so the parquet
+    * ns → Spark µs truncation is immaterial. */
+  private val streamWindowAgg: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(to_date(col("w.start")).as("day"), col("event_type"), col("n"), col("total_value"))
+      .orderBy("day", "event_type")
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Seq[(String, Q)] = Seq(
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash_lsh" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_ngram_jaccard" -> dedupJaccard,
+    "sim_cosine_topk" -> simCosineTopk,
+    "sim_lsh_buckets" -> simLshBuckets,
+    "sim_embed_neardup" -> simEmbedNeardup,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangid,
+    "text_token_count" -> textTokenCount,
+    "text_fingerprint" -> textFingerprint,
+    "search_hybrid" -> searchHybrid,
+    "search_context_filter" -> searchContextFilter,
+    "stream_window_agg" -> streamWindowAgg,
+  )
+
+  // ---- oracle SQL (DuckDB), generated with the same parameters --------
+
+  private val duckMinh = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+    s"list_min(list_transform(tokens, w -> ($a * ${duckFp("w")} + $b) % $P)) AS minh${i + 1}"
+  }
+
+  private val duckSimhashBits = (0 until 8).map { b =>
+    s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(wfps, f -> CAST(CASE WHEN ((f * ${2 * b + 3} + ${b * 7919}) % 65537) % 2 = 1 " +
+      s"THEN 1 ELSE -1 END AS BIGINT))), (a, x) -> a + x) > 0 THEN ${1 << b} ELSE 0 END)"
+  }
+
+  private val duckSum =
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, " +
+      "x -> CAST(x AS DOUBLE))), (a, x) -> a + x)"
+  private val duckSumSq =
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, " +
+      "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x)"
+
+  private def duckLshBits(emb: String) = (0 until 8).map { b =>
+    s"(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(generate_series(0, 63), i -> CAST($emb[i + 1] AS DOUBLE) * " +
+      s"CAST((($b * 37 + i * 13) % 21) - 10 AS DOUBLE))), (a, x) -> a + x) >= 0 " +
+      s"THEN ${1 << b} ELSE 0 END)"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT * FROM documents
+        |  UNION ALL SELECT * FROM documents WHERE doc_id % 10 = 0)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_before,
+        |  CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_after
+        |FROM corpus GROUP BY source ORDER BY source""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+         |sigs AS (SELECT doc_id, ${duckMinh.mkString(", ")} FROM toks)
+         |SELECT (minh1 * 31 + minh2) % 1024 AS band_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM sigs GROUP BY band_bucket ORDER BY band_bucket""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH wf AS (SELECT doc_id,
+         |  list_transform(string_split(text, ' '), w -> ${duckFp("w")}) AS wfps
+         |  FROM documents)
+         |SELECT doc_id, CAST(${duckSimhashBits.mkString(" + ")} AS INT) AS simhash8
+         |FROM wf ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, tokens[2:] AS tokens
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+        |  WHERE doc_id % 20 = 0),
+        |corpus AS (SELECT * FROM docs WHERE len(tokens) >= 3),
+        |shingles AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tokens) - 2),
+        |    i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]))) AS shingle
+        |  FROM corpus),
+        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM shingles a JOIN shingles b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(floor(CAST(n_common AS DOUBLE)
+        |    / (sa.n_shingles + sb.n_shingles - n_common) * 10000) AS BIGINT) AS jaccard_e4
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+    "sim_cosine_topk" ->
+      s"""SELECT vec_id, round(($duckSum * 0.1) / (sqrt($duckSumSq) * 0.8), 6) AS cos_sim
+         |FROM embeddings ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "sim_lsh_buckets" ->
+      s"""SELECT ${duckLshBits("embedding").mkString(" + ")} AS lsh_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_vectors
+         |FROM embeddings GROUP BY lsh_bucket ORDER BY lsh_bucket""".stripMargin,
+    "sim_embed_neardup" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+         |bucketed AS (
+         |  SELECT vec_id, embedding,
+         |    ${duckLshBits("embedding").mkString(" + ")} AS lsh_bucket,
+         |    $duckSumSq AS norm_sq
+         |  FROM corpus),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_zip(a.embedding, b.embedding),
+         |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, x) -> a + x)
+         |      / (sqrt(a.norm_sq) * sqrt(b.norm_sq)) AS cos_sim
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim
+         |FROM pairs WHERE cos_sim >= 0.999 ORDER BY id_a, id_b""".stripMargin,
+    "text_quality" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, n_chars, string_split(text, ' ') AS tokens FROM documents),
+         |m AS (
+         |  SELECT doc_id, n_chars, len(tokens) AS n_words,
+         |    len(list_filter(tokens, t -> t IN $StopwordsSql)) AS n_stopwords,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(tokens, w -> CAST(length(w) AS BIGINT))),
+         |      (a, x) -> a + x) AS total_word_len
+         |  FROM toks)
+         |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+         |  CAST(floor(CAST(n_stopwords AS DOUBLE) / n_words * 10000) AS BIGINT)
+         |    AS stopword_ratio_e4,
+         |  CAST(floor((0.4 * least(1.0, n_words / 100.0)
+         |    + 0.3 * (1.0 - CAST(n_stopwords AS DOUBLE) / n_words)
+         |    + 0.3 * least(1.0, (CAST(total_word_len AS DOUBLE) / n_words) / 8.0)) * 10000)
+         |    AS BIGINT) AS quality_score_e4
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""SELECT lang,
+         |  CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN $StopwordsSql)) >= 1
+         |    THEN 'en' ELSE 'other' END AS detected,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM documents GROUP BY lang, detected ORDER BY lang, detected""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id, ${duckFp("text")} AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "search_hybrid" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_intersect(string_split(text, ' '),
+         |      ['spark', 'join', 'filter'])) AS DOUBLE) AS lex,
+         |    ($duckSum * 0.1) / (sqrt($duckSumSq) * 0.8) AS vec
+         |  FROM documents JOIN embeddings ON doc_id = vec_id)
+         |SELECT doc_id,
+         |  round(0.5 * (lex / (SELECT max(lex) FROM scored))
+         |    + 0.5 * (vec / (SELECT max(vec) FROM scored)), 6) AS fused_score
+         |FROM scored ORDER BY fused_score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "search_context_filter" ->
+      """SELECT CASE WHEN length(text) < 60 THEN 'too_short'
+        |  WHEN len(regexp_extract_all(text, '[{};=]')) >= 3 THEN 'code_heavy'
+        |  WHEN len(string_split(text, ' ')) < 10 THEN 'thin'
+        |  ELSE 'kept' END AS reason,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY reason ORDER BY reason""".stripMargin,
+    "stream_window_agg" ->
+      """SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+  )
+}
