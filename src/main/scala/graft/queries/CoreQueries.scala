@@ -241,13 +241,19 @@ object CoreQueries {
   private val a4SourceCounts: Q = (s, d) =>
     Tables.documents(s, d).groupBy("source").agg(count(lit(1)).as("n")).orderBy("source")
 
-  /** A5 — collect_list(struct(...)) re-aggregation (saf_exporter.py:217-233),
-    * output sorted for determinism. */
+  /** A5 — collect_list(struct(...)) re-aggregation (saf_exporter.py:217-233).
+    * The list is built as an array of (key, name) structs, sorted, then
+    * serialized to one string column — the driver's pandas compare can't
+    * hash array cells (r02 failure), so the array stays internal. */
   private val a5CollectList: Q = (s, d) =>
     Tables.nation(s, d)
       .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"), "inner")
       .groupBy("r_name")
-      .agg(sort_array(collect_list(col("n_name"))).as("nations"))
+      .agg(array_join(
+        transform(
+          sort_array(collect_list(struct(col("n_nationkey"), col("n_name")))),
+          m => concat_ws(":", m.getField("n_nationkey"), m.getField("n_name"))),
+        "|").as("nations"))
       .orderBy("r_name")
 
   /** A7 — distinct / dropDuplicates (transformer.py:1653,2023). */
@@ -561,7 +567,9 @@ object CoreQueries {
       """SELECT source, CAST(count(*) AS BIGINT) AS n
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "a5_collect_list" ->
-      """SELECT r_name, list(n_name ORDER BY n_name) AS nations
+      """SELECT r_name,
+        |  string_agg(CAST(n_nationkey AS VARCHAR) || ':' || n_name, '|'
+        |    ORDER BY n_nationkey, n_name) AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "a7_distinct" ->

@@ -29,17 +29,21 @@ object PipelineQueries {
   private val P = 2147483647L // 31-bit Mersenne prime, DuckDB-replicable
 
   /** Portable rolling char-fold fingerprint of a string expression
-    * (F11-lite): fold `acc*31 + ascii(char) mod P` seeded with 7.
-    * `sqlOf(x)` renders the same computation for Spark and DuckDB.
+    * (F11-lite): fold `acc*31 + ascii(char) mod P` seeded with 7, over
+    * the char array from `split(x, '')`. The char-array form is O(n) —
+    * the earlier `sequence(1,len)` + `substr(x,i,1)` fold re-traversed
+    * the UTF-8 string per char (O(n²), 14.5s on sf0.1 text_fingerprint)
+    * — and both engines agree that `split('', '') = ['']` with
+    * `ascii('') = 0`, so the empty-string case is engine-independent too.
     */
   private def sparkFp(x: String): String =
-    s"aggregate(sequence(1, length($x)), CAST(7 AS BIGINT), " +
-      s"(acc, i) -> (acc * 31 + ascii(substr($x, i, 1))) % $P)"
+    s"aggregate(split($x, ''), CAST(7 AS BIGINT), " +
+      s"(acc, c) -> (acc * 31 + ascii(c)) % $P)"
 
   private def duckFp(x: String): String =
     s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
-      s"list_transform(generate_series(1, length($x)), " +
-      s"i -> CAST(ascii(substring($x, i, 1)) AS BIGINT))), " +
+      s"list_transform(string_split($x, ''), " +
+      s"c -> CAST(ascii(c) AS BIGINT))), " +
       s"(a, x) -> (a * 31 + x) % $P)"
 
   // MinHash permutation parameters (public-domain style a*x+b mod P).
