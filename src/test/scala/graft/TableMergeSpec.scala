@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TableMerge
+
+/** K1/K2/K3/K5 — copy-on-write merge engine round-trips: upsert, delete,
+  * schema evolution via union-by-name, and the partition-scoped rewrite
+  * path (untouched partitions carried over as files, not rewritten).
+  */
+class TableMergeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def tmpTable(name: String): String = {
+    val dir = Files.createTempDirectory(s"graft-merge-$name")
+    dir.resolve("t").toString
+  }
+
+  test("K3 createOrReplace then read round-trips") {
+    import spark.implicits._
+    val path = tmpTable("cor")
+    TableMerge.createOrReplace(Seq((1, "a"), (2, "b")).toDF("id", "v"), path)
+    assert(TableMerge.read(spark, path).orderBy("id").as[(Int, String)].collect()
+      .toSeq == Seq((1, "a"), (2, "b")))
+    TableMerge.createOrReplace(Seq((3, "c")).toDF("id", "v"), path)
+    assert(TableMerge.read(spark, path).as[(Int, String)].collect().toSeq == Seq((3, "c")))
+  }
+
+  test("K1 upsert updates matched keys and inserts new ones") {
+    import spark.implicits._
+    val path = tmpTable("upsert")
+    TableMerge.createOrReplace(Seq((1, "a"), (2, "b")).toDF("id", "v"), path)
+    TableMerge.upsert(spark, path, Seq((2, "B2"), (3, "c")).toDF("id", "v"), Seq("id"))
+    val got = TableMerge.read(spark, path).orderBy("id").as[(Int, String)].collect().toSeq
+    assert(got == Seq((1, "a"), (2, "B2"), (3, "c")))
+  }
+
+  test("K5 upsert evolves schema with null padding on both sides") {
+    import spark.implicits._
+    val path = tmpTable("evolve")
+    TableMerge.createOrReplace(Seq((1, "a")).toDF("id", "v"), path)
+    TableMerge.upsert(spark, path,
+      Seq((2, "b", "note")).toDF("id", "v", "extra"), Seq("id"))
+    val got = TableMerge.read(spark, path).orderBy("id")
+      .select("id", "v", "extra").as[(Int, String, Option[String])].collect().toSeq
+    assert(got == Seq((1, "a", None), (2, "b", Some("note"))))
+  }
+
+  test("K2 delete removes only the given keys") {
+    import spark.implicits._
+    val path = tmpTable("delete")
+    TableMerge.createOrReplace(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), path)
+    TableMerge.delete(spark, path, Seq(2).toDF("id"), Seq("id"))
+    assert(TableMerge.read(spark, path).orderBy("id").as[(Int, String)].collect()
+      .toSeq == Seq((1, "a"), (3, "c")))
+  }
+
+  test("partition-scoped upsert does not rewrite untouched partitions") {
+    import spark.implicits._
+    val path = tmpTable("scoped")
+    TableMerge.createOrReplace(
+      Seq(("p1", 1, "a"), ("p1", 2, "b"), ("p2", 3, "c")).toDF("pt", "id", "v"),
+      path, partitionCols = Seq("pt"))
+
+    // record the physical files of the untouched partition
+    def partFiles(p: String): Set[String] = {
+      val dir = java.nio.file.Paths.get(path, s"pt=$p")
+      Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(f => f.getName + ":" + f.lastModified).toSet
+    }
+    val p2Before = partFiles("p2")
+    assert(p2Before.nonEmpty)
+
+    TableMerge.upsert(spark, path,
+      Seq(("p1", 2, "B2"), ("p1", 9, "i")).toDF("pt", "id", "v"),
+      keys = Seq("pt", "id"), partitionCols = Seq("pt"))
+
+    // untouched partition p2: identical files (names + mtimes — moved, not rewritten)
+    assert(partFiles("p2") == p2Before)
+    val got = TableMerge.read(spark, path).orderBy("id")
+      .select("pt", "id", "v").as[(String, Int, String)].collect().toSeq
+    assert(got == Seq(("p1", 1, "a"), ("p1", 2, "B2"), ("p2", 3, "c"), ("p1", 9, "i")))
+  }
+
+  test("upsert on a missing table creates it") {
+    import spark.implicits._
+    val path = tmpTable("create-on-merge")
+    TableMerge.upsert(spark, path, Seq((1, "a")).toDF("id", "v"), Seq("id"))
+    assert(TableMerge.read(spark, path).count() == 1)
+  }
+}
