@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CdcQueries, CoreQueries, PipelineQueries}
+import graft.queries.{CdcQueries, CoreQueries, CoverageQueries, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,8 @@ import graft.queries.{CdcQueries, CoreQueries, PipelineQueries}
 object SparkEntry {
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] =
-    CoreQueries.queries ++ CdcQueries.queries ++ PipelineQueries.queries
+    CoreQueries.queries ++ CdcQueries.queries ++ PipelineQueries.queries ++
+      CoverageQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The multi-way star join (J14) — the reference's headline gold shape. */
@@ -28,5 +29,6 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ CdcQueries.oracles ++ PipelineQueries.oracles
+    CoreQueries.oracles ++ CdcQueries.oracles ++ PipelineQueries.oracles ++
+      CoverageQueries.oracles
 }

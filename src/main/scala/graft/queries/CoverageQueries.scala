@@ -1,0 +1,567 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Typed-flatMap row shape for S6 (top level for a stable Encoder). */
+final case class OrderPriority(o_orderkey: Long, o_orderpriority: String)
+
+/** Round-4 coverage battery: the SURVEY.md §2 rows that had library code
+  * but no oracle-verified query — sources S2/S6/S7, sinks/filters
+  * P4/J3/J5, cardinality+metrics A6/A8, top-k W2/O3, search Q1/Q4,
+  * scalar batteries F5/F9/F12/F13/F17 as native-expression queries,
+  * incremental I5/I7, a SQL-expressible sliding-window chunker (F18's
+  * fixed-stride core), and binary/multimodal column plumbing.
+  *
+  * Determinism: same rules as [[CoreQueries]] (total ORDER BY, fixed-point
+  * via floor, identical expression shapes on both engines). Integer
+  * basis-point weighting replaces float weight sums where an IEEE
+  * double grid could disagree across engines.
+  */
+object CoverageQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val StopSql = "('the', 'a', 'is', 'of', 'and', 'to', 'in')"
+
+  // ---------------------------------------------------------------- sources
+
+  /** S2 — file-lineage column via input_file_name
+    * (transformer.py:1442-1443). At scale lineage rides along for free —
+    * it's a per-split constant, no shuffle. */
+  private val s2FileLineage: Q = (s, d) =>
+    s.read.parquet(s"$d/nation.parquet")
+      .select(element_at(split(input_file_name(), "/"), -1).as("file_name"))
+      .groupBy("file_name").agg(count(lit(1)).as("n"))
+      .orderBy("file_name")
+
+  /** S6 — RDD→DF re-expressed as typed Dataset flatMap
+    * (transformer.py:1505-1506): stays in Tungsten rows, no Python/RDD
+    * serialization boundary. */
+  private val s6TypedFlatmap: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d).select("o_orderkey", "o_orderpriority").as[OrderPriority]
+      .flatMap(r => r.o_orderpriority.split("-").map(t => (t, r.o_orderkey % 2)))
+      .toDF("token", "key_parity")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"), sum("key_parity").as("n_odd"))
+      .orderBy("token")
+  }
+
+  /** S7 — single-row generator union'd with a real aggregate
+    * (gold_analytics.py:399-400 fallback date row). */
+  private val s7SingleRow: Q = (s, d) => {
+    val maxRow = Tables.orders(s, d)
+      .agg(max(to_date(col("o_orderdate"))).as("dt"))
+      .select(lit("max_order").as("src"), col("dt"))
+    val fallback = s.range(1)
+      .select(lit("fallback").as("src"), lit("2024-01-01").cast("date").as("dt"))
+    maxRow.unionByName(fallback).orderBy("src")
+  }
+
+  // ---------------------------------------------------------------- filters/joins
+
+  /** P4 — validity filter: title not null/empty/"Untitled"
+    * (saf_exporter.py:260-264); titles synthesized deterministically. */
+  private val p4ValidityFilter: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("title",
+        when(col("doc_id") % 17 === 0, lit(null).cast("string"))
+          .when(col("doc_id") % 13 === 0, lit(""))
+          .when(col("doc_id") % 11 === 0, lit("Untitled"))
+          .otherwise(concat_ws(" ", slice(split(col("text"), " "), 1, 3))))
+      .filter(col("title").isNotNull && col("title") =!= "" && col("title") =!= "Untitled")
+      .groupBy("source").agg(count(lit(1)).as("n_valid"))
+      .orderBy("source")
+
+  /** J3 — restrict detail rows to changed resources via inner join
+    * (transformer.py:1696-1701). */
+  private val j3ChangedRestrict: Q = (s, d) => {
+    val changed = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 5 === 0).select("o_orderkey")
+    Tables.lineitem(s, d)
+      .join(changed, col("l_orderkey") === col("o_orderkey"), "inner")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** J5 — documents ⨝ changed assets (transformer.py:2548-2552). */
+  private val j5DocsChangedAssets: Q = (s, d) => {
+    val changedAssets = Tables.embeddings(s, d)
+      .filter(col("label") === 3).select("vec_id")
+    Tables.documents(s, d)
+      .join(changedAssets, col("doc_id") === col("vec_id"), "inner")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------- aggregates/metrics
+
+  /** A6 — global count / head(1) / isEmpty cardinality checks
+    * (transformer.py:1658-1659, gold_analytics.py:192-195). The
+    * driver-side actions are the operator; the one-row DF records them. */
+  private val a6Cardinality: Q = (s, d) => {
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+    val none = orders.filter(lit(false))
+    val minKey = orders.agg(min("o_orderkey")).head().getLong(0)
+    Seq((orders.count(), minKey, none.isEmpty, none.head(1).isEmpty))
+      .toDF("n_rows", "min_key", "empty_is_empty", "head_empty")
+  }
+
+  /** A8 — metric accumulation via the Observation API (the Spark-native
+    * replacement for the reference's per-partition diagnostics dicts,
+    * transformer.py:1948-2021): metrics ride the existing job, no second
+    * scan, no accumulator double-count on retries. */
+  private val a8ObserveMetrics: Q = (s, d) => {
+    import s.implicits._
+    val obs = Observation("a8_metrics")
+    val df = Tables.orders(s, d).observe(obs,
+      count(lit(1)).as("n_rows"),
+      round(sum("o_totalprice"), 2).as("total_price"),
+      sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_finished"))
+    df.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("total_price").asInstanceOf[Double],
+      m("n_finished").asInstanceOf[Long]))
+      .toDF("n_rows", "total_price", "n_finished")
+  }
+
+  /** W2 — top-1 per key via max_by instead of a sort (latest-state
+    * lookup, transformer.py:1339-1346). The ordering key is encoded to
+    * one BIGINT (floor(x+0.5) — identical in both engines, unlike
+    * double→long casts which truncate in Spark but round in DuckDB). */
+  private val w2MaxBy: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("ord",
+        floor(coalesce(round(col("value"), 2), lit(-1.0)) * 100 + 0.5).cast("long") *
+          100000000L + col("event_id"))
+      .groupBy("user_id")
+      .agg(max_by(col("event_id"), col("ord")).as("top_event_id"))
+      .orderBy("user_id")
+
+  /** O3 — top-k (k=5) per group by score desc, id tiebreak
+    * (transformer.py:475-476 top-5 subject matches). */
+  private val o3TopkPerGroup: Q = (s, d) => {
+    val w = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("source", "rk", "doc_id", "n_chars")
+      .orderBy("source", "rk")
+  }
+
+  // ---------------------------------------------------------------- search
+
+  /** Q1 — BM25 lexical scoring (chatbot_api.py:202-217 re-expressed as
+    * real BM25, k1=1.2 b=0.75): corpus stats (N, avgdl, per-term df) come
+    * from one aggregate broadcast back over the scan — two passes, no
+    * window over a single partition. dl sums are integers in doubles, so
+    * the stats are exact and engine-independent. */
+  private val searchBm25: Q = (s, d) => {
+    val terms = Seq("spark", "join", "filter")
+    val withTf = Tables.documents(s, d)
+      .select(Seq(
+        col("doc_id"),
+        expr("CAST(size(split(text, ' ')) AS DOUBLE)").as("dl")) ++
+        terms.map(t =>
+          expr(s"CAST(size(filter(split(text, ' '), x -> x = '$t')) AS DOUBLE)").as(s"tf_$t")): _*)
+    val stats = withTf.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg("dl").as("avgdl") +: terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1.0).otherwise(0.0)).as(s"df_$t")): _*)
+    val scoreExpr = terms.map(t =>
+      s"ln(1.0D + (n_docs - df_$t + 0.5D) / (df_$t + 0.5D)) * " +
+        s"(tf_$t * 2.2D) / (tf_$t + 1.2D * (0.25D + 0.75D * dl / avgdl))")
+      .mkString(" + ")
+    withTf.crossJoin(broadcast(stats))
+      .withColumn("score_e4", floor(expr(scoreExpr) * 10000).cast("long"))
+      .select("doc_id", "score_e4")
+      .orderBy(col("score_e4").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  /** Q4 — keyword extraction: stopword strip, first-3 keywords
+    * (chatbot_api.py:92-119). */
+  private val q4Keywords: Q = (s, d) =>
+    Tables.documents(s, d)
+      .selectExpr("doc_id", s"filter(split(text, ' '), t -> NOT t IN $StopSql) AS kw")
+      .selectExpr("doc_id", "size(kw) AS n_keywords",
+        "concat_ws(' ', slice(kw, 1, 3)) AS top_keywords")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- scalar batteries
+
+  /** F5 — ensure_language_code as a native expression chain
+    * (transformer.py:190-202): alias map, 2-char truncate, 'en' default. */
+  private val f5LangCode: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("raw", element_at(
+        array(lit("English"), lit("vie"), lit("FR-fr"), lit(null).cast("string"), lit("VI")),
+        (col("doc_id") % 5 + 1).cast("int")))
+      .selectExpr(
+        """CASE WHEN raw IS NULL OR trim(raw) = '' THEN 'en'
+          |ELSE CASE lower(trim(raw))
+          |  WHEN 'eng' THEN 'en' WHEN 'english' THEN 'en'
+          |  WHEN 'vie' THEN 'vi' WHEN 'vietnamese' THEN 'vi'
+          |  ELSE CASE WHEN length(lower(trim(raw))) >= 2
+          |    THEN substring(lower(trim(raw)), 1, 2) ELSE 'en' END
+          |END END AS lang_code""".stripMargin)
+      .groupBy("lang_code").agg(count(lit(1)).as("n"))
+      .orderBy("lang_code")
+
+  /** F9 — multi-format datetime parsing via try_to_timestamp cascade
+    * (transformer.py:250-278): per-format buckets, parse success counts. */
+  private val f9ParseDatetime: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("raw",
+        when(col("o_orderkey") % 4 === 0, date_format(col("o_orderdate"), "yyyy/MM/dd"))
+          .when(col("o_orderkey") % 4 === 1, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+          .when(col("o_orderkey") % 4 === 2, date_format(col("o_orderdate"), "yyyy"))
+          .otherwise(lit("not-a-date")))
+      .withColumn("parsed", coalesce(
+        try_to_timestamp(col("raw"), lit("yyyy/MM/dd")),
+        try_to_timestamp(col("raw"), lit("yyyy-MM-dd")),
+        try_to_timestamp(col("raw"), lit("yyyy"))))
+      .groupBy((col("o_orderkey") % 4).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("parsed").isNotNull, 1).otherwise(0)).as("n_parsed"),
+        min(date_format(col("parsed"), "yyyy-MM-dd HH:mm:ss")).as("min_parsed"))
+      .orderBy("bucket")
+
+  /** F12 — canonical sorted-key JSON → sha256 record fingerprint as a
+    * native expression (transformer.py:310-337; full 11-field variant
+    * golden-tested in TextFunctionsSpec). */
+  private val f12RecordFingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("canonical", concat(
+        lit("{\"language\": \""), col("lang"),
+        lit("\", \"resource_id\": \""), col("doc_id").cast("string"),
+        lit("\", \"source_system\": \""), col("source"), lit("\"}")))
+      .select(col("doc_id"), sha2(col("canonical"), 256).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** F13 — weighted completeness quality score in integer basis points
+    * (transformer.py:340-368; float grid avoided deliberately). */
+  private val f13QualityWeights: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (when(col("n_chars") > 0, 18).otherwise(0) +
+          when(col("n_chars") >= 80, 22).otherwise(0) +
+          when(col("lang").isNotNull && col("lang") =!= "", 5).otherwise(0) +
+          when(col("source").isNotNull, 8).otherwise(0) +
+          when(length(col("text")) >= 200, 12).otherwise(0) +
+          when(size(split(col("text"), " ")) >= 50, 13).otherwise(0) +
+          when(col("doc_id") % 3 > 0, 10).otherwise(0)).as("score_bp"))
+      .withColumn("score_bp", least(col("score_bp"), lit(100)))
+      .orderBy("doc_id")
+
+  /** F17 — PDF-text whitespace normalization chain as native regexes
+    * (transformer.py:689-695): de-hyphenate, CR→LF, collapse. */
+  private val f17NormalizeWs: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("noisy", concat(lit("head-"), lit("\n  "), col("text"),
+        lit("\r"), lit("\t tail")))
+      .withColumn("n1", regexp_replace(col("noisy"), "-\\s*\\n\\s*", ""))
+      .withColumn("n2", regexp_replace(col("n1"), "\r", "\n"))
+      .withColumn("n3", regexp_replace(col("n2"), "[ \t]+", " "))
+      .withColumn("n4", regexp_replace(col("n3"), "\n{3,}", "\n\n"))
+      .select(col("doc_id"), length(trim(col("n4"))).as("clean_len"),
+        sha2(trim(col("n4")), 256).as("clean_sha"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- incremental
+
+  /** I5 — force-reprocess flag bypassing CDC (transformer.py:1145,
+    * 1519-1521): both modes side by side. */
+  private val i5ForceReprocess: Q = (s, d) => {
+    val orders = Tables.orders(s, d)
+    val cdc = orders.filter(col("o_orderkey") % 5 === 0)
+      .agg(count(lit(1)).as("n_processed"))
+      .select(lit("cdc").as("mode"), col("n_processed"))
+    val force = orders.agg(count(lit(1)).as("n_processed"))
+      .select(lit("force_all").as("mode"), col("n_processed"))
+    cdc.unionByName(force).orderBy("mode")
+  }
+
+  /** I7 — zero-chunk invariant (transformer.py:2564-2627): chunk counts
+    * per source with the hard-failure predicate materialized. */
+  private val i7ZeroChunkInvariant: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"),
+        ceil(greatest(col("n_chars") - lit(40), lit(1)).cast("double") / 160.0)
+          .cast("long").as("n_chunks_doc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_candidates"), sum("n_chunks_doc").as("n_chunks"))
+      .withColumn("invariant_ok", !(col("n_chunks") === 0 && col("n_candidates") > 0))
+      .orderBy("source")
+
+  // ---------------------------------------------------------------- chunking / multimodal
+
+  /** F18 core — fixed-stride sliding-window chunker as a pure
+    * generator expression (max 200 chars, stride 160): per-doc chunk
+    * count, coverage chars, boundary checks. The boundary-snapping
+    * variant lives in graft.chunk.Chunker (property-tested); this is the
+    * SQL-expressible skeleton both engines can verify. */
+  private val chunkSliding: Q = (s, d) =>
+    Tables.documents(s, d)
+      .selectExpr("doc_id",
+        "CAST(ceil(CAST(greatest(length(text) - 40, 1) AS DOUBLE) / 160.0D) AS BIGINT) AS n_chunks",
+        "transform(sequence(0, CAST(ceil(CAST(greatest(length(text) - 40, 1) AS DOUBLE) / 160.0D) AS INT) - 1), " +
+          "i -> substring(text, i * 160 + 1, 200)) AS chunks")
+      .selectExpr("doc_id", "n_chunks",
+        "aggregate(chunks, CAST(0 AS BIGINT), (acc, c) -> acc + length(c)) AS total_chunk_chars",
+        "length(element_at(chunks, -1)) AS last_chunk_len")
+      .orderBy("doc_id")
+
+  /** Multimodal plumbing — opaque binary column + typed metadata: encode
+    * to bytes, byte length, content digest, magic-number probe, and a
+    * deterministic fake decode (width/height) standing in for the real
+    * decoder (graft.multimodal.MediaStub carries the mapPartitions
+    * path). */
+  private val mmBinaryMeta: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("media_bytes", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"),
+        octet_length(col("media_bytes")).as("n_bytes"),
+        sha2(col("media_bytes"), 256).as("content_sha"),
+        (ascii(substring(col("text"), 1, 1)) * 256 +
+          ascii(substring(col("text"), 2, 1))).as("magic"),
+        (octet_length(col("media_bytes")) % 640).as("fake_width"),
+        (octet_length(col("media_bytes")) % 480).as("fake_height"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Seq[(String, Q)] = Seq(
+    "s2_file_lineage" -> s2FileLineage,
+    "s6_typed_flatmap" -> s6TypedFlatmap,
+    "s7_single_row" -> s7SingleRow,
+    "p4_validity_filter" -> p4ValidityFilter,
+    "j3_changed_restrict" -> j3ChangedRestrict,
+    "j5_docs_changed_assets" -> j5DocsChangedAssets,
+    "a6_cardinality" -> a6Cardinality,
+    "a8_observe_metrics" -> a8ObserveMetrics,
+    "w2_max_by" -> w2MaxBy,
+    "o3_topk_per_group" -> o3TopkPerGroup,
+    "search_bm25" -> searchBm25,
+    "q4_keywords" -> q4Keywords,
+    "f5_lang_code" -> f5LangCode,
+    "f9_parse_datetime" -> f9ParseDatetime,
+    "f12_record_fingerprint" -> f12RecordFingerprint,
+    "f13_quality_weights" -> f13QualityWeights,
+    "f17_normalize_ws" -> f17NormalizeWs,
+    "i5_force_reprocess" -> i5ForceReprocess,
+    "i7_zero_chunk_invariant" -> i7ZeroChunkInvariant,
+    "chunk_sliding" -> chunkSliding,
+    "mm_binary_meta" -> mmBinaryMeta,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s2_file_lineage" ->
+      """SELECT 'nation.parquet' AS file_name, CAST(count(*) AS BIGINT) AS n
+        |FROM nation ORDER BY file_name""".stripMargin,
+    "s6_typed_flatmap" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(o_orderpriority, '-')) AS token,
+        |    o_orderkey % 2 AS key_parity
+        |  FROM orders)
+        |SELECT token, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(key_parity) AS BIGINT) AS n_odd
+        |FROM toks GROUP BY token ORDER BY token""".stripMargin,
+    "s7_single_row" ->
+      """SELECT 'max_order' AS src, CAST(max(o_orderdate) AS DATE) AS dt FROM orders
+        |UNION ALL SELECT 'fallback' AS src, DATE '2024-01-01' AS dt
+        |ORDER BY src""".stripMargin,
+    "p4_validity_filter" ->
+      """WITH t AS (
+        |  SELECT source, CASE
+        |    WHEN doc_id % 17 = 0 THEN NULL
+        |    WHEN doc_id % 13 = 0 THEN ''
+        |    WHEN doc_id % 11 = 0 THEN 'Untitled'
+        |    ELSE array_to_string(string_split(text, ' ')[1:3], ' ') END AS title
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_valid
+        |FROM t WHERE title IS NOT NULL AND title <> '' AND title <> 'Untitled'
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "j3_changed_restrict" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey % 5 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "j5_docs_changed_assets" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |WHERE label = 3
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "a6_cardinality" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  TRUE AS empty_is_empty, TRUE AS head_empty
+        |FROM orders""".stripMargin,
+    "a8_observe_metrics" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(o_totalprice), 2) AS total_price,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_finished
+        |FROM orders""".stripMargin,
+    "w2_max_by" ->
+      """WITH keyed AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(coalesce(round(value, 2), -1.0) * 100 + 0.5) AS BIGINT)
+        |      * 100000000 + event_id AS ord
+        |  FROM events)
+        |SELECT user_id, max_by(event_id, ord) AS top_event_id
+        |FROM keyed GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "o3_topk_per_group" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents)
+        |SELECT source, CAST(rk AS INT) AS rk, doc_id, n_chars
+        |FROM ranked WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+    "search_bm25" ->
+      """WITH tf AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS DOUBLE) AS tf_spark,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'join')) AS DOUBLE) AS tf_join,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'filter')) AS DOUBLE) AS tf_filter
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+        |    sum(CASE WHEN tf_spark > 0 THEN 1.0 ELSE 0.0 END) AS df_spark,
+        |    sum(CASE WHEN tf_join > 0 THEN 1.0 ELSE 0.0 END) AS df_join,
+        |    sum(CASE WHEN tf_filter > 0 THEN 1.0 ELSE 0.0 END) AS df_filter
+        |  FROM tf)
+        |SELECT doc_id, CAST(floor((
+        |    ln(1.0 + (n_docs - df_spark + 0.5) / (df_spark + 0.5))
+        |      * (tf_spark * 2.2) / (tf_spark + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln(1.0 + (n_docs - df_join + 0.5) / (df_join + 0.5))
+        |      * (tf_join * 2.2) / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  + ln(1.0 + (n_docs - df_filter + 0.5) / (df_filter + 0.5))
+        |      * (tf_filter * 2.2) / (tf_filter + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |  ) * 10000) AS BIGINT) AS score_e4
+        |FROM tf, stats
+        |ORDER BY score_e4 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "q4_keywords" ->
+      s"""WITH kw AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), t -> NOT t IN $StopSql) AS kw
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(kw) AS INT) AS n_keywords,
+         |  array_to_string(kw[1:3], ' ') AS top_keywords
+         |FROM kw ORDER BY doc_id""".stripMargin,
+    "f5_lang_code" ->
+      """WITH r AS (
+        |  SELECT (['English', 'vie', 'FR-fr', NULL, 'VI'])[CAST(doc_id % 5 + 1 AS INT)]
+        |    AS raw
+        |  FROM documents),
+        |coded AS (
+        |  SELECT CASE WHEN raw IS NULL OR trim(raw) = '' THEN 'en'
+        |  ELSE CASE lower(trim(raw))
+        |    WHEN 'eng' THEN 'en' WHEN 'english' THEN 'en'
+        |    WHEN 'vie' THEN 'vi' WHEN 'vietnamese' THEN 'vi'
+        |    ELSE CASE WHEN length(lower(trim(raw))) >= 2
+        |      THEN substring(lower(trim(raw)), 1, 2) ELSE 'en' END
+        |  END END AS lang_code FROM r)
+        |SELECT lang_code, CAST(count(*) AS BIGINT) AS n
+        |FROM coded GROUP BY lang_code ORDER BY lang_code""".stripMargin,
+    "f9_parse_datetime" ->
+      """WITH r AS (
+        |  SELECT o_orderkey % 4 AS bucket,
+        |    CASE o_orderkey % 4
+        |      WHEN 0 THEN strftime(o_orderdate, '%Y/%m/%d')
+        |      WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+        |      WHEN 2 THEN strftime(o_orderdate, '%Y')
+        |      ELSE 'not-a-date' END AS raw
+        |  FROM orders),
+        |p AS (
+        |  SELECT bucket, coalesce(
+        |    try_strptime(raw, '%Y/%m/%d'),
+        |    try_strptime(raw, '%Y-%m-%d'),
+        |    try_strptime(raw, '%Y')) AS parsed
+        |  FROM r)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN parsed IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+        |  min(strftime(parsed, '%Y-%m-%d %H:%M:%S')) AS min_parsed
+        |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "f12_record_fingerprint" ->
+      """SELECT doc_id, sha256('{"language": "' || lang || '", "resource_id": "'
+        |  || CAST(doc_id AS VARCHAR) || '", "source_system": "' || source || '"}')
+        |  AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "f13_quality_weights" ->
+      """SELECT doc_id, CAST(least(
+        |    (CASE WHEN n_chars > 0 THEN 18 ELSE 0 END)
+        |  + (CASE WHEN n_chars >= 80 THEN 22 ELSE 0 END)
+        |  + (CASE WHEN lang IS NOT NULL AND lang <> '' THEN 5 ELSE 0 END)
+        |  + (CASE WHEN source IS NOT NULL THEN 8 ELSE 0 END)
+        |  + (CASE WHEN length(text) >= 200 THEN 12 ELSE 0 END)
+        |  + (CASE WHEN len(string_split(text, ' ')) >= 50 THEN 13 ELSE 0 END)
+        |  + (CASE WHEN doc_id % 3 > 0 THEN 10 ELSE 0 END), 100) AS INT) AS score_bp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "f17_normalize_ws" ->
+      """WITH n AS (
+        |  SELECT doc_id, trim(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace('head-' || chr(10) || '  ' || text || chr(13)
+        |            || chr(9) || ' tail',
+        |            '-\s*\n\s*', '', 'g'),
+        |          '\r', chr(10), 'g'),
+        |        '[ \t]+', ' ', 'g'),
+        |      '\n{3,}', chr(10) || chr(10), 'g')) AS clean
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(clean) AS INT) AS clean_len,
+        |  sha256(clean) AS clean_sha
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "i5_force_reprocess" ->
+      """SELECT 'cdc' AS mode, CAST(count(*) AS BIGINT) AS n_processed
+        |FROM orders WHERE o_orderkey % 5 = 0
+        |UNION ALL
+        |SELECT 'force_all' AS mode, CAST(count(*) AS BIGINT) AS n_processed
+        |FROM orders ORDER BY mode""".stripMargin,
+    "i7_zero_chunk_invariant" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_candidates,
+        |  CAST(sum(CAST(ceil(CAST(greatest(n_chars - 40, 1) AS DOUBLE) / 160.0)
+        |    AS BIGINT)) AS BIGINT) AS n_chunks,
+        |  NOT (sum(CAST(ceil(CAST(greatest(n_chars - 40, 1) AS DOUBLE) / 160.0)
+        |    AS BIGINT)) = 0 AND count(*) > 0) AS invariant_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "chunk_sliding" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(ceil(CAST(greatest(length(text) - 40, 1) AS DOUBLE) / 160.0)
+        |      AS BIGINT) AS n_chunks,
+        |    list_transform(
+        |      generate_series(0, CAST(ceil(CAST(greatest(length(text) - 40, 1)
+        |        AS DOUBLE) / 160.0) AS INT) - 1),
+        |      i -> substring(text, CAST(i * 160 + 1 AS INT), 200)) AS chunks
+        |  FROM documents)
+        |SELECT doc_id, n_chunks,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(chunks, c2 -> CAST(length(c2) AS BIGINT))),
+        |    (a, x) -> a + x) AS total_chunk_chars,
+        |  CAST(length(chunks[-1]) AS INT) AS last_chunk_len
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  sha256(text) AS content_sha,
+        |  ascii(substring(text, 1, 1)) * 256 + ascii(substring(text, 2, 1)) AS magic,
+        |  CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
+        |  CAST(octet_length(encode(text)) % 480 AS INT) AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
