@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CdcQueries, CoreQueries, CoverageQueries, PipelineQueries}
+import graft.queries.{CdcQueries, CoreQueries, CoverageQueries, PipelineQueries, SinkQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,7 @@ object SparkEntry {
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] =
     CoreQueries.queries ++ CdcQueries.queries ++ PipelineQueries.queries ++
-      CoverageQueries.queries
+      CoverageQueries.queries ++ SinkQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The multi-way star join (J14) — the reference's headline gold shape. */
@@ -30,5 +30,5 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ CdcQueries.oracles ++ PipelineQueries.oracles ++
-      CoverageQueries.oracles
+      CoverageQueries.oracles ++ SinkQueries.oracles
 }

@@ -1,0 +1,233 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TableMerge
+import graft.sources.SqlDumpParser
+
+/** Source/sink battery for the file-shaped SURVEY.md §2.1 rows: the
+  * multiline-JSON bronze scan (S1), the SQL-dump reference source (S8),
+  * the JSON reference loader (S9), full-refresh (K4), the search-index
+  * projection sink with the E5 prefix protocol (K6+Q6), the JSONL export
+  * round-trip (K7), and the SAF/DublinCore XML emission (K8).
+  *
+  * Each query materializes real files under `target/graft-state/` and
+  * reads them back, so the source/sink code path itself is under the
+  * oracle — the DuckDB SQL recomputes the expected state relationally
+  * from the original tables.
+  */
+object SinkQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def statePath(name: String): String = {
+    val dir = Paths.get(sys.props.getOrElse("graft.state.dir", "target/graft-state"))
+    Files.createDirectories(dir)
+    dir.resolve(name).toString
+  }
+
+  /** S1 — multiline JSON scan (transformer.py:1440-1444): one
+    * array-of-records file per source, read with multiline=true. The
+    * bronze file is produced from the `src0` document slice (reference
+    * payloads are small per-scrape arrays — driver-side emit mirrors
+    * that), then scanned back through the JSON source. */
+  private val s1MultilineJson: Q = (s, d) => {
+    val path = statePath("s1_bronze.json")
+    val slice = Tables.documents(s, d)
+      .filter(col("source") === "src0")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+    val json = slice.toJSON.collect().mkString("[\n", ",\n", "\n]")
+    Files.writeString(Paths.get(path), json)
+    s.read.option("multiline", true).json(path)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
+      .orderBy("lang")
+  }
+
+  /** S8 — SQL-dump source (giaotrinh_reference_loader.py:94-237): the
+    * parsed dump becomes a DataFrame that joins against engine tables
+    * (broadcast — reference data is dim-sized). */
+  private val s8SqlDump: Q = (s, d) => {
+    import s.implicits._
+    val dump =
+      """INSERT INTO `subjects` (`id`, `code`, `name`, `credits`) VALUES
+        |(0, 'CS101', 'Intro to CS', 3),
+        |(1, 'CS201', 'Data Structures', 4),
+        |(2, 'MA101', 'Calculus I', NULL),
+        |(3, 'PH101', 'Physics I', 3),
+        |(4, 'VN101', 'Nguyễn''s Seminar', 2);""".stripMargin
+    val subjects = SqlDumpParser.rows(dump, "subjects").map { r =>
+      (SqlDumpParser.longAt(r(0)).get, SqlDumpParser.stringAt(r(1)).get,
+        SqlDumpParser.stringAt(r(2)).get, SqlDumpParser.longAt(r(3)))
+    }.toDF("id", "code", "name", "credits")
+    Tables.region(s, d)
+      .join(broadcast(subjects), col("r_regionkey") === col("id"), "inner")
+      .select(col("r_regionkey"), col("r_name"), col("code"), col("name"),
+        coalesce(col("credits"), lit(0L)).as("credits"))
+      .orderBy("r_regionkey")
+  }
+
+  /** S9 — JSON reference loader (transformer.py:1275-1308): JSONL
+    * reference file read back with schema inference, joined as a dim. */
+  private val s9JsonReference: Q = (s, d) => {
+    val path = statePath("s9_lang_ref.jsonl")
+    val ref = Seq(
+      """{"lang": "en", "lang_name": "English"}""",
+      """{"lang": "vi", "lang_name": "Vietnamese"}""",
+      """{"lang": "es", "lang_name": "Spanish"}""",
+      """{"lang": "fr", "lang_name": "French"}""",
+      """{"lang": "zh", "lang_name": "Chinese"}""")
+    Files.writeString(Paths.get(path), ref.mkString("\n"))
+    val langRef = s.read.json(path)
+    Tables.documents(s, d)
+      .join(broadcast(langRef), Seq("lang"), "left")
+      .groupBy(coalesce(col("lang_name"), lit("unknown")).as("lang_name"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang_name")
+  }
+
+  /** K4 — full refresh (gold_analytics.py:776-806): drop + rebuild; the
+    * second build fully replaces the first (stale rows must not
+    * survive). */
+  private val k4FullRefresh: Q = (s, d) => {
+    val path = statePath("k4_gold_refresh")
+    val v1 = Tables.customer(s, d).filter(col("c_custkey") % 2 === 0)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    TableMerge.createOrReplace(v1, path)
+    val v2 = Tables.customer(s, d).filter(col("c_custkey") % 3 === 0)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    TableMerge.createOrReplace(v2, path)
+    TableMerge.read(s, path)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** K6+Q6 — search-index projection sink (elasticsearch_sync.py:145-259):
+    * docs ⨝ broadcast metadata, E5 "passage: " prefix, embedding carried
+    * as the dense-vector column; materialized as the search_index table
+    * and read back. Float sums are avoided in the check (min/max only —
+    * order-independent, engine-exact). */
+  private val k6SearchIndex: Q = (s, d) => {
+    val path = statePath("k6_search_index")
+    val index = Tables.documents(s, d)
+      .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"), "inner")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        concat(lit("passage: "), substring(col("text"), 1, 40)).as("passage_head"),
+        col("embedding"))
+    TableMerge.createOrReplace(index, path)
+    TableMerge.read(s, path)
+      .select(col("lang"), col("passage_head"),
+        floor(element_at(col("embedding"), 1).cast("double") * 1000000).as("e1_e6"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_indexed"),
+        sum(when(col("passage_head").startsWith("passage: "), 1).otherwise(0)).as("n_prefixed"),
+        min("e1_e6").as("min_e1"), max("e1_e6").as("max_e1"))
+      .orderBy("lang")
+  }
+
+  /** K7 — JSONL export sink (export_chunks_for_colab.py:47-130): write
+    * JSON lines, read them back, verify the round-trip aggregate. */
+  private val k7JsonlExport: Q = (s, d) => {
+    val path = statePath("k7_export")
+    Tables.documents(s, d)
+      .select("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").json(path)
+    s.read.json(path)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
+      .orderBy("lang")
+  }
+
+  /** K8 — SAF/DublinCore export (saf_exporter.py:72-177): per-row
+    * dublin_core.xml emission from the star join; the file payload is the
+    * XML string (digested here; the writer loop is driver-side and out of
+    * the perf path, as in the reference). */
+  private val k8SafExport: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("title", concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
+      .withColumn("xml", concat(
+        lit("<dublin_core schema=\"dc\"><dcvalue element=\"title\">"), col("title"),
+        lit("</dcvalue><dcvalue element=\"language\">"), col("lang"),
+        lit("</dcvalue><dcvalue element=\"identifier\">doc_"), col("doc_id").cast("string"),
+        lit("</dcvalue></dublin_core>")))
+      .select(col("doc_id"), length(col("xml")).as("xml_len"),
+        sha2(col("xml"), 256).as("xml_sha"))
+      .orderBy("doc_id")
+      .limit(20)
+
+  val queries: Seq[(String, Q)] = Seq(
+    "s1_multiline_json" -> s1MultilineJson,
+    "s8_sql_dump" -> s8SqlDump,
+    "s9_json_reference" -> s9JsonReference,
+    "k4_full_refresh" -> k4FullRefresh,
+    "k6_search_index" -> k6SearchIndex,
+    "k7_jsonl_export" -> k7JsonlExport,
+    "k8_saf_export" -> k8SafExport,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_multiline_json" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE source = 'src0'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "s8_sql_dump" ->
+      """SELECT r_regionkey, r_name, code, name,
+        |  CAST(coalesce(credits, 0) AS BIGINT) AS credits
+        |FROM region JOIN (VALUES
+        |  (0, 'CS101', 'Intro to CS', 3),
+        |  (1, 'CS201', 'Data Structures', 4),
+        |  (2, 'MA101', 'Calculus I', NULL),
+        |  (3, 'PH101', 'Physics I', 3),
+        |  (4, 'VN101', 'Nguyễn''s Seminar', 2)) AS s(id, code, name, credits)
+        |ON r_regionkey = id
+        |ORDER BY r_regionkey""".stripMargin,
+    "s9_json_reference" ->
+      """WITH ref AS (SELECT * FROM (VALUES
+        |  ('en', 'English'), ('vi', 'Vietnamese'), ('es', 'Spanish'),
+        |  ('fr', 'French'), ('zh', 'Chinese')) AS t(lang, lang_name))
+        |SELECT coalesce(lang_name, 'unknown') AS lang_name,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM documents LEFT JOIN ref USING (lang)
+        |GROUP BY 1 ORDER BY lang_name""".stripMargin,
+    "k4_full_refresh" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer WHERE c_custkey % 3 = 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "k6_search_index" ->
+      """WITH index AS (
+        |  SELECT lang,
+        |    'passage: ' || substring(text, 1, 40) AS passage_head,
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS e1_e6
+        |  FROM documents JOIN embeddings ON doc_id = vec_id)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_indexed,
+        |  CAST(sum(CASE WHEN passage_head LIKE 'passage: %' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_prefixed,
+        |  min(e1_e6) AS min_e1, max(e1_e6) AS max_e1
+        |FROM index GROUP BY lang ORDER BY lang""".stripMargin,
+    "k7_jsonl_export" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "k8_saf_export" ->
+      """WITH x AS (
+        |  SELECT doc_id,
+        |    '<dublin_core schema="dc"><dcvalue element="title">'
+        |    || array_to_string(string_split(text, ' ')[1:3], ' ')
+        |    || '</dcvalue><dcvalue element="language">' || lang
+        |    || '</dcvalue><dcvalue element="identifier">doc_' || CAST(doc_id AS VARCHAR)
+        |    || '</dcvalue></dublin_core>' AS xml
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(xml) AS INT) AS xml_len, sha256(xml) AS xml_sha
+        |FROM x ORDER BY doc_id LIMIT 20""".stripMargin,
+  )
+}
