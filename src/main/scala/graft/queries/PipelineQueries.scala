@@ -272,6 +272,53 @@ object PipelineQueries {
       .groupBy("reason").agg(count(lit(1)).as("n"))
       .orderBy("reason")
 
+  /** F14 — SubjectMatcher applied distributed: the TF-IDF+lexical model
+    * is fit once on the driver from a dim-sized subject corpus and rides
+    * the UDF closure into every task (the reference broadcasts the same
+    * way, transformer.py:1492-1493). Matches explode to one row per
+    * (doc, subject). Rows-only check: the matcher's semantics are pinned
+    * by SubjectMatcherSpec's labeled cases; no SQL oracle can express
+    * the TF-IDF fit. */
+  private val subjectMatchTopk: Q = (s, d) => {
+    import graft.functions.SubjectMatcher
+    import graft.functions.SubjectMatcher.Subject
+    val matcher = new SubjectMatcher(Seq(
+      Subject(1, None, Some("table scan query"), Some("SQL101")),
+      Subject(2, None, Some("join filter merge"), Some("SQL201")),
+      Subject(3, None, Some("stream window batch"), Some("SQL301")),
+      Subject(4, None, Some("hash group sort"), Some("SQL401"))),
+      threshold = 0.5)
+    val matchUdf = udf((title: String) =>
+      matcher.matchSubjects(Option(title), None).map(m => (m.subjectId, m.similarity)))
+    Tables.documents(s, d)
+      .withColumn("title", concat_ws(" ", slice(split(col("text"), " "), 1, 12)))
+      .select(col("doc_id"), explode(matchUdf(col("title"))).as("m"))
+      .select(col("doc_id"), col("m._1").as("subject_id"),
+        floor(col("m._2") * 10000).cast("long").as("sim_e4"))
+      .orderBy("doc_id", "subject_id")
+  }
+
+  /** F19/F20 — the boundary-snapping chunker distributed via typed
+    * flatMap (the reference crosses a Python mapPartitions boundary
+    * here, transformer.py:2023-2024; we stay in Tungsten rows). One
+    * tier-3 chunk row per (doc, order) with sha256 ids and `\w+` token
+    * counts. Rows-only check: the chunker's semantics are pinned by
+    * ChunkerSpec's golden+property tests. */
+  private val chunkParagraph: Q = (s, d) => {
+    import s.implicits._
+    import graft.chunk.Chunker
+    val cfg = Chunker.Config(maxChars = 200, minChars = 40, overlapChars = 40)
+    Tables.documents(s, d)
+      .select("doc_id", "lang", "text").as[(Long, String, String)]
+      .flatMap { case (id, lang, text) =>
+        val (rows, status) =
+          Chunker.chunkDocumentRecord(s"res_$id", s"asset_$id", lang, Seq(1 -> text), cfg)
+        rows.map(r => (id, r.chunk_order, r.token_count, r.chunk_id, status))
+      }
+      .toDF("doc_id", "chunk_order", "token_count", "chunk_id", "status")
+      .orderBy("doc_id", "chunk_order")
+  }
+
   // ------------------------------------------------------------ event-time window
 
   /** Tumbling event-time window aggregate (Structured-Streaming-shaped;
@@ -301,6 +348,8 @@ object PipelineQueries {
     "text_fingerprint" -> textFingerprint,
     "search_hybrid" -> searchHybrid,
     "search_context_filter" -> searchContextFilter,
+    "subject_match_topk" -> subjectMatchTopk,
+    "chunk_paragraph" -> chunkParagraph,
     "stream_window_agg" -> streamWindowAgg,
   )
 
