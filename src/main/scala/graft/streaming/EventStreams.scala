@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.11: the reference has no
+  * true streaming — its "incremental" is batch CDC — so this is the
+  * engine's forward-looking path: the same event-table shapes exposed as
+  * unbounded streams).
+  *
+  * Design: each transform takes a streaming DataFrame/Dataset and returns
+  * the transformed stream — source and sink stay at the edges, so the
+  * identical plan runs in batch (see `stream_window_agg`, whose batch
+  * plan is this `windowedCounts` minus the watermark). State is bounded
+  * by watermarks; at scale the shuffle key is (window, event_type) /
+  * user_id, the same keys the batch jobs use.
+  */
+object EventStreams {
+
+  /** events.parquet physical schema (ts is TIMESTAMP(NANOS) → read as
+    * long under `nanosAsLong`, rebuilt to µs here, matching
+    * graft.Tables.events).
+    */
+  val eventFileSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a testdata dir (one-file-per-table layout;
+    * pathGlobFilter selects the events table). `maxFilesPerTrigger`
+    * keeps micro-batches bounded when pointed at a real landing zone. */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(eventFileSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling event-time window aggregate with a watermark — the
+    * streaming twin of `stream_window_agg`. */
+  def windowedCounts(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(to_date(col("w.start")).as("day"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Streaming exact dedup by event_id, state bounded by the watermark
+    * (the streaming twin of the A7/W1 batch dedups). */
+  def dedupEvents(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class UserRunning(user_id: Long, n_events: Long, last_ts: Timestamp)
+
+  /** Custom keyed state via mapGroupsWithState: per-user running event
+    * count + last-seen timestamp (the streaming analogue of the
+    * latest-wins W1 window). State is one tiny record per user —
+    * watermark-free ProcessingTimeTimeout keeps it simple here; a
+    * production deployment would add a timeout policy. */
+  def runningUserCounts(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val events = batch.toSeq
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, new Timestamp(0L)))
+          val lastTs = (events.map(_.ts) :+ prev.last_ts).maxBy(_.getTime)
+          val next = UserRunning(userId, prev.n_events + events.size, lastTs)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Structured Streaming specs: the windowed aggregate, watermark dedup,
+  * and mapGroupsWithState running counts, driven through MemoryStream
+  * micro-batches; plus the parquet file source against sf0.001 checked
+  * for batch/stream plan equivalence.
+  */
+class EventStreamsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowed counts over MemoryStream match the batch aggregate") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 11:00:00"), 2, "click", 2.0),
+      Event(3, ts("2024-01-02 09:00:00"), 1, "view", 5.0))
+    val q = EventStreams.windowedCounts(stream.toDF())
+      .writeStream.format("memory").queryName("win_agg").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_agg").orderBy("day", "event_type")
+        .as[(java.sql.Date, String, Long, Double)].collect().toSeq
+      assert(got == Seq(
+        (java.sql.Date.valueOf("2024-01-01"), "click", 2L, 3.0),
+        (java.sql.Date.valueOf("2024-01-02"), "view", 1L, 5.0)))
+      // second micro-batch updates the same window
+      stream.addData(Event(4, ts("2024-01-01 12:00:00"), 3, "click", 4.0))
+      q.processAllAvailable()
+      val upd = spark.table("win_agg")
+        .where($"day" === "2024-01-01" && $"event_type" === "click")
+        .as[(java.sql.Date, String, Long, Double)].head()
+      assert(upd._3 == 3L && upd._4 == 7.0)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses re-delivered event_ids") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(1, ts("2024-01-01 10:00:01"), 1, "click", 1.0), // dup in-batch
+      Event(2, ts("2024-01-01 10:05:00"), 2, "view", 2.0))
+    val q = EventStreams.dedupEvents(stream.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(Event(1, ts("2024-01-01 10:00:02"), 1, "click", 1.0)) // dup across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").as[Long].collect().toSeq.sorted
+      assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user counts across batches") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:01:00"), 1, "view", 2.0),
+      Event(3, ts("2024-01-01 10:02:00"), 2, "click", 3.0))
+    val q = EventStreams.runningUserCounts(stream.toDS())
+      .writeStream.format("memory").queryName("running").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(Event(4, ts("2024-01-01 11:00:00"), 1, "click", 4.0))
+      q.processAllAvailable()
+      val byUser = spark.table("running")
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n_events").as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(byUser(1L) == 3L) // 2 in batch 1, +1 in batch 2
+      assert(byUser(2L) == 1L)
+      val lastTs = spark.table("running").where($"user_id" === 1 && $"n_events" === 3)
+        .select("last_ts").as[Timestamp].head()
+      assert(lastTs == ts("2024-01-01 11:00:00"))
+    } finally q.stop()
+  }
+
+  test("parquet file source stream equals the batch aggregate at sf0.001") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val q = EventStreams.windowedCounts(EventStreams.readEvents(spark, sfDir))
+      .writeStream.format("memory").queryName("file_win").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_win").orderBy("day", "event_type")
+        .as[(java.sql.Date, String, Long, Double)].collect().toSeq
+      val batch = graft.queries.PipelineQueries.queries.toMap
+        .apply("stream_window_agg")(spark, sfDir)
+        .as[(java.sql.Date, String, Long, Double)].collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+}
