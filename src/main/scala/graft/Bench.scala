@@ -13,6 +13,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
+    // Warm the JVM/codegen/parquet paths before timing (JIT + whole-stage
+    // codegen compilation otherwise lands entirely on the first query):
+    // an aggregation, a tiny parquet read, and a shuffle — no big-table
+    // data is touched, so no unfair caching.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.all.map { case (name, fn) =>
       val t0 = System.nanoTime()
