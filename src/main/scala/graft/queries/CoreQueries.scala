@@ -254,7 +254,11 @@ object CoreQueries {
       .agg(array_join(
         transform(
           sort_array(collect_list(struct(col("n_nationkey"), col("n_name")))),
-          m => concat_ws(":", m.getField("n_nationkey"), m.getField("n_name"))),
+          // coalesce: Spark's concat_ws skips NULL fields ("key:") while the
+          // oracle's || yields NULL and string_agg drops the element — pin
+          // both engines to ':'-joined empty string (ADVICE r3)
+          m => concat_ws(":", m.getField("n_nationkey"),
+            coalesce(m.getField("n_name"), lit("")))),
         "|").as("nations"))
       .orderBy("r_name")
 
@@ -570,7 +574,7 @@ object CoreQueries {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "a5_collect_list" ->
       """SELECT r_name,
-        |  string_agg(CAST(n_nationkey AS VARCHAR) || ':' || n_name, '|'
+        |  string_agg(CAST(n_nationkey AS VARCHAR) || ':' || coalesce(n_name, ''), '|'
         |    ORDER BY n_nationkey, n_name) AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,

@@ -35,6 +35,12 @@ object PipelineQueries {
     * the UTF-8 string per char (O(n²), 14.5s on sf0.1 text_fingerprint)
     * — and both engines agree that `split('', '') = ['']` with
     * `ascii('') = 0`, so the empty-string case is engine-independent too.
+    *
+    * Spark-version sensitivity (ADVICE r3): the no-trailing-empty
+    * behavior of empty-regex split was verified on the pinned Spark
+    * 4.1.2 (split('a','')=['a']) and differs from raw Java
+    * `String.split(re, -1)` — an engine upgrade must re-run the
+    * empty/non-ASCII fingerprint checks before trusting stored hashes.
     */
   private def sparkFp(x: String): String =
     s"aggregate(split($x, ''), CAST(7 AS BIGINT), " +
@@ -333,6 +339,70 @@ object PipelineQueries {
       .orderBy("doc_id", "chunk_order")
   }
 
+  /** F21+F22 — hierarchical 3-tier chunking distributed: each document
+    * becomes a 2-page "PDF" with a synthetic outline, chunked into
+    * doc-summary/chapter-summary/section-detail tiers with parent links.
+    * Rows-only: semantics pinned by HierarchySpec. */
+  private val chunkHierarchical: Q = (s, d) => {
+    import s.implicits._
+    import graft.chunk.{Chunker, HierarchicalChunker, TocExtractor}
+    val cfg = HierarchicalChunker.Config(
+      sectionChunk = Chunker.Config(maxChars = 240, minChars = 40, overlapChars = 40))
+    Tables.documents(s, d)
+      .select("doc_id", "lang", "text").as[(Long, String, String)]
+      .flatMap { case (id, lang, text) =>
+        val mid = text.length / 2
+        val pages = Seq(1 -> text.take(mid), 2 -> text.drop(mid))
+        val outline = Seq(
+          TocExtractor.OutlineEntry(0, s"Chapter 1 part a", Some(1)),
+          TocExtractor.OutlineEntry(0, s"Chapter 2 part b", Some(2)))
+        val (chunks, structure, status) =
+          HierarchicalChunker.chunkDocument(s"res_$id", s"asset_$id", lang, pages, outline, cfg)
+        chunks.map(c => (id, c.chunk_tier, c.chunk_order, c.chunk_type,
+          c.parent_chunk_id.isDefined, structure.map(_.toc_method).getOrElse(""), status))
+      }
+      .toDF("doc_id", "chunk_tier", "chunk_order", "chunk_type", "has_parent",
+        "toc_method", "status")
+      .orderBy("doc_id", "chunk_tier", "chunk_order", "chunk_type")
+  }
+
+  /** F23 — extractive summarization distributed via UDF (char-ngram
+    * TF-IDF, top sentences in original order). Rows-only: semantics
+    * pinned by HierarchySpec. */
+  private val textSummarize: Q = (s, d) => {
+    import graft.chunk.Summarizer
+    val summarizeUdf = udf((text: String) =>
+      Summarizer.summarize(text.replace(". ", ".\n"),
+        Summarizer.Config(maxSentences = 2, minSentenceChars = 10)).size)
+    Tables.documents(s, d)
+      .select(col("doc_id"), summarizeUdf(col("text")).as("n_summary_sentences"))
+      .orderBy("doc_id")
+  }
+
+  /** F24 — semantic matcher distributed: subject vectors = the first 8
+    * corpus embeddings (stand-in for an offline-encoded subject table),
+    * broadcast inside the UDF closure; each corpus vector gets its top-3
+    * matches ≥ 0.38. Rows-only: vector algebra itself is oracle-covered
+    * by sim_cosine_topk/sim_embed_neardup. */
+  private val simSemanticMatch: Q = (s, d) => {
+    import graft.functions.SemanticMatcher
+    val subjectVecs = Tables.embeddings(s, d)
+      .filter(col("vec_id") < 8)
+      .select("vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+      .toSeq
+    val matcher = new SemanticMatcher(subjectVecs, threshold = 0.38, topK = 3)
+    val matchUdf = udf((v: Seq[Float]) =>
+      matcher.matchVector(v.toArray).map { case (id, sim) =>
+        (id, math.floor(sim * 10000).toLong)
+      })
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), explode(matchUdf(col("embedding"))).as("m"))
+      .select(col("vec_id"), col("m._1").as("subject_id"), col("m._2").as("sim_e4"))
+      .orderBy("vec_id", "subject_id")
+  }
+
   // ------------------------------------------------------------ event-time window
 
   /** Tumbling event-time window aggregate (Structured-Streaming-shaped;
@@ -364,6 +434,9 @@ object PipelineQueries {
     "search_context_filter" -> searchContextFilter,
     "subject_match_topk" -> subjectMatchTopk,
     "chunk_paragraph" -> chunkParagraph,
+    "chunk_hierarchical" -> chunkHierarchical,
+    "text_summarize" -> textSummarize,
+    "sim_semantic_match" -> simSemanticMatch,
     "stream_window_agg" -> streamWindowAgg,
   )
 
