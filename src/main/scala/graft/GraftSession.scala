@@ -34,6 +34,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // native graft function surface (graft_cosine, …) — a Catalyst
+      // Expression with codegen, not a UDF (graft.expressions)
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.mergeSchema", "false")
       // events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects by

@@ -161,6 +161,19 @@ object PipelineQueries {
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(20)
 
+  /** Cosine top-k through the NATIVE Catalyst expression
+    * ([[graft.expressions.CosineSimilarity]], codegen'd fused loop) —
+    * same shape as sim_cosine_topk but exercising the registered
+    * graft_cosine function end-to-end; the oracle replicates its exact
+    * sequential f64 folds. */
+  private val simCosineNative: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .selectExpr("vec_id",
+        "CAST(floor(graft_cosine(embedding, array_repeat(CAST(0.1 AS DOUBLE), 64)) " +
+          "* 1000000) AS BIGINT) AS cos_e6")
+      .orderBy(col("cos_e6").desc, col("vec_id").asc)
+      .limit(20)
+
   /** LSH-bucketed ANN partitioner: 8 deterministic integer hyperplanes
     * w(b,i) = ((b*37 + i*13) % 21) - 10; signature = Σ 2^b·[proj_b ≥ 0].
     * Output = bucket histogram (the ANN candidate-set distribution). At
@@ -424,6 +437,7 @@ object PipelineQueries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "sim_cosine_topk" -> simCosineTopk,
+    "sim_cosine_native" -> simCosineNative,
     "sim_lsh_buckets" -> simLshBuckets,
     "sim_embed_neardup" -> simEmbedNeardup,
     "text_quality" -> textQuality,
@@ -516,6 +530,20 @@ object PipelineQueries {
     "sim_cosine_topk" ->
       s"""SELECT vec_id, round(($duckSum * 0.1) / (sqrt($duckSumSq) * 0.8), 6) AS cos_sim
          |FROM embeddings ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "sim_cosine_native" ->
+      // replicates the native expression's fused loop: elementwise x*0.1
+      // dot fold, |x|^2 fold, and the sequential 64x(0.01) query-norm fold
+      s"""WITH folds AS (
+         |  SELECT vec_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x) AS dot,
+         |    $duckSumSq AS na,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding,
+         |      x -> CAST(0.1 AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x) AS nb
+         |  FROM embeddings)
+         |SELECT vec_id,
+         |  CAST(floor(dot / (sqrt(na) * sqrt(nb)) * 1000000) AS BIGINT) AS cos_e6
+         |FROM folds ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20""".stripMargin,
     "sim_lsh_buckets" ->
       s"""SELECT ${duckLshBits("embedding").mkString(" + ")} AS lsh_bucket,
          |  CAST(count(*) AS BIGINT) AS n_vectors
