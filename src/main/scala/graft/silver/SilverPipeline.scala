@@ -1,0 +1,130 @@
+package graft.silver
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TableMerge
+
+/** The silver-layer lifecycle (SURVEY §3.1, reference
+  * `SilverTransformer.run` at `airflow/src/silver/transformer.py:
+  * 2493-2647`) composed from this engine's operators:
+  *
+  *   bronze multiline JSON → normalize → latest-wins dedup (W1) →
+  *   resource-level CDC against the existing table (J1+P3/I1) →
+  *   copy-on-write MERGE upsert (K1) → chunk changed docs (F19/F20) →
+  *   chunk MERGE + tombstoned deletes (I3/K2).
+  *
+  * Everything is DataFrame-native: normalization is a column program
+  * (the scalar F-battery as native expressions), dedup is one window,
+  * CDC is one left join, and each write is a TableMerge. No collect in
+  * the row path — at 100 TB the only driver-side state is the merge
+  * bookkeeping.
+  */
+object SilverPipeline {
+
+  final case class Config(
+      resourcesPath: String,
+      chunksPath: String,
+      chunkMax: Int = 2400,
+      chunkMin: Int = 400,
+      chunkOverlap: Int = 300)
+
+  final case class RunStats(
+      bronzeRows: Long,
+      deduped: Long,
+      changed: Long,
+      chunksWritten: Long)
+
+  /** Normalize a bronze frame (schema: resource_id, source, url, title,
+    * description, language, text, scraped_at) into silver resource rows
+    * with uid/fingerprint/quality columns — the column-program subset of
+    * F5-F13 (the full record-map path lives in
+    * [[graft.functions.RecordNormalizer]]). */
+  def normalize(bronze: DataFrame): DataFrame =
+    bronze
+      .withColumn("source_system", lower(coalesce(col("source"), lit("unknown"))))
+      .withColumn("language",
+        when(col("language").isNull || trim(col("language")) === "", lit("en"))
+          .otherwise(substring(lower(trim(col("language"))), 1, 2)))
+      .withColumn("title", when(trim(col("title")) === "", lit(null)).otherwise(trim(col("title"))))
+      .withColumn("resource_uid",
+        sha2(concat_ws("||", col("source_system"), col("resource_id")), 256))
+      .withColumn("record_fingerprint",
+        sha2(concat_ws("||", coalesce(col("title"), lit("")),
+          coalesce(col("description"), lit("")), coalesce(col("url"), lit("")),
+          col("language")), 256))
+      .withColumn("quality_bp",
+        when(col("title").isNotNull, 18).otherwise(0) +
+          when(length(coalesce(col("description"), lit(""))) >= 80, 22).otherwise(0) +
+          when(col("url").isNotNull, 13).otherwise(0) +
+          when(col("language").isNotNull, 5).otherwise(0))
+      .withColumn("scraped_at", col("scraped_at").cast("timestamp"))
+
+  /** W1 — latest record per resource_uid wins. */
+  def dedupLatest(normalized: DataFrame): DataFrame = {
+    val w = Window.partitionBy("resource_uid")
+      .orderBy(col("scraped_at").desc_nulls_last, col("resource_id").desc)
+    normalized.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** I1 — keep rows that are new, newer, or content-changed vs the
+    * existing silver table. */
+  def detectChanges(spark: SparkSession, batch: DataFrame, resourcesPath: String,
+                    forceReprocess: Boolean = false): DataFrame = {
+    if (forceReprocess || !TableMerge.exists(resourcesPath)) return batch
+    val existing = TableMerge.read(spark, resourcesPath)
+      .select(col("resource_uid"),
+        col("record_fingerprint").as("ex_fingerprint"),
+        col("scraped_at").as("ex_scraped_at"))
+    batch.join(existing, Seq("resource_uid"), "left")
+      .filter(col("ex_fingerprint").isNull ||
+        coalesce(col("scraped_at"), lit("1970-01-01").cast("timestamp")) >
+          coalesce(col("ex_scraped_at"), lit("1970-01-01").cast("timestamp")) ||
+        col("record_fingerprint") =!= col("ex_fingerprint"))
+      .drop("ex_fingerprint", "ex_scraped_at")
+  }
+
+  /** One silver run: returns per-stage row counts (the reference's
+    * StageBenchmarkLogger records the same shape). */
+  def run(spark: SparkSession, bronze: DataFrame, cfg: Config,
+          forceReprocess: Boolean = false): RunStats = {
+    import spark.implicits._
+
+    val normalized = normalize(bronze)
+    val bronzeRows = normalized.count()
+
+    val deduped = dedupLatest(normalized)
+    val dedupedN = deduped.count()
+
+    val changed = detectChanges(spark, deduped, cfg.resourcesPath, forceReprocess)
+      .persist()
+    val changedN = changed.count()
+
+    if (changedN > 0) {
+      TableMerge.upsert(spark, cfg.resourcesPath,
+        changed, keys = Seq("resource_uid"))
+
+      // chunk only the changed documents (typed flatMap — F19/F20)
+      val chunkCfg = graft.chunk.Chunker.Config(cfg.chunkMax, cfg.chunkMin, cfg.chunkOverlap)
+      val chunks = changed
+        .select("resource_uid", "resource_id", "language", "text")
+        .as[(String, String, String, String)]
+        .flatMap { case (uid, rid, lang, text) =>
+          val (rows, _) = graft.chunk.Chunker.chunkDocumentRecord(
+            uid, s"asset_$rid", lang, Seq(1 -> Option(text).getOrElse("")), chunkCfg)
+          rows
+        }
+        .toDF()
+      // tombstone chunks of changed resources, then insert the fresh set
+      TableMerge.delete(spark, cfg.chunksPath,
+        changed.select("resource_uid"), keys = Seq("resource_uid"))
+      TableMerge.upsert(spark, cfg.chunksPath, chunks, keys = Seq("chunk_id"))
+    }
+    val chunksWritten =
+      if (TableMerge.exists(cfg.chunksPath)) TableMerge.read(spark, cfg.chunksPath).count()
+      else 0L
+    changed.unpersist()
+    RunStats(bronzeRows, dedupedN, changedN, chunksWritten)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TableMerge
+import graft.silver.SilverPipeline
+import graft.silver.SilverPipeline.Config
+
+/** End-to-end silver lifecycle: first run materializes resources +
+  * chunks; an identical re-run detects zero changes and rewrites
+  * nothing; an updated record flows through CDC, replaces its chunks,
+  * and leaves the rest untouched.
+  */
+class SilverPipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def bronzeDf(rows: Seq[(String, String, String, String, String, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("resource_id", "source", "url", "title", "description", "language", "text")
+      .withColumn("scraped_at", to_timestamp(lit("2026-01-01 00:00:00")))
+  }
+
+  private def freshCfg(): Config = {
+    val dir = Files.createTempDirectory("graft-silver")
+    Config(dir.resolve("resources").toString, dir.resolve("chunks").toString,
+      chunkMax = 200, chunkMin = 40, chunkOverlap = 40)
+  }
+
+  private val doc1 = ("r1", "mit_ocw", "https://x/1", "Algorithms",
+    "d" * 100, "English", "Sentence about sorting and searching. " * 20)
+  private val doc2 = ("r2", "openstax", "https://x/2", "Biology",
+    "d" * 100, "vi", "Cells and organisms explained at length. " * 20)
+
+  test("first run materializes resources and chunks; re-run is a no-op") {
+    val cfg = freshCfg()
+    val stats1 = SilverPipeline.run(spark, bronzeDf(Seq(doc1, doc2)), cfg)
+    assert(stats1.bronzeRows == 2 && stats1.deduped == 2 && stats1.changed == 2)
+    assert(stats1.chunksWritten > 0)
+
+    val resources = TableMerge.read(spark, cfg.resourcesPath)
+    assert(resources.count() == 2)
+    assert(resources.select("language").as[String](spark.implicits.newStringEncoder)
+      .collect().toSet == Set("en", "vi"))
+
+    // identical batch: CDC filters everything out
+    val stats2 = SilverPipeline.run(spark, bronzeDf(Seq(doc1, doc2)), cfg)
+    assert(stats2.changed == 0)
+    assert(stats2.chunksWritten == stats1.chunksWritten)
+  }
+
+  test("dedup keeps the newest of duplicate resource rows") {
+    import spark.implicits._
+    val cfg = freshCfg()
+    val dup = bronzeDf(Seq(doc1)).withColumn("scraped_at",
+      to_timestamp(lit("2026-02-01 00:00:00")))
+      .withColumn("title", lit("Algorithms v2"))
+    val both = bronzeDf(Seq(doc1)).unionByName(dup)
+    val stats = SilverPipeline.run(spark, both, cfg)
+    assert(stats.bronzeRows == 2 && stats.deduped == 1)
+    val title = TableMerge.read(spark, cfg.resourcesPath)
+      .select("title").as[String].head()
+    assert(title == "Algorithms v2")
+  }
+
+  test("changed record replaces its chunks, untouched resources keep theirs") {
+    import spark.implicits._
+    val cfg = freshCfg()
+    SilverPipeline.run(spark, bronzeDf(Seq(doc1, doc2)), cfg)
+    val chunksBefore = TableMerge.read(spark, cfg.chunksPath)
+    val r2ChunksBefore = chunksBefore.filter(col("chunk_text").contains("Cells"))
+      .select("chunk_id").as[String].collect().toSet
+
+    // newer content for doc1 only
+    val updated = bronzeDf(Seq(doc1.copy(_7 = "Completely new content about graphs. " * 20)))
+      .withColumn("scraped_at", to_timestamp(lit("2026-03-01 00:00:00")))
+    val stats = SilverPipeline.run(spark, updated, cfg)
+    assert(stats.changed == 1)
+
+    val after = TableMerge.read(spark, cfg.chunksPath)
+    // doc2's chunks survived untouched
+    assert(after.filter(col("chunk_text").contains("Cells"))
+      .select("chunk_id").as[String].collect().toSet == r2ChunksBefore)
+    // doc1's old chunks are gone, new ones present
+    assert(after.filter(col("chunk_text").contains("sorting")).count() == 0)
+    assert(after.filter(col("chunk_text").contains("graphs")).count() > 0)
+  }
+
+  test("force reprocess bypasses CDC") {
+    val cfg = freshCfg()
+    SilverPipeline.run(spark, bronzeDf(Seq(doc1)), cfg)
+    val stats = SilverPipeline.run(spark, bronzeDf(Seq(doc1)), cfg, forceReprocess = true)
+    assert(stats.changed == 1)
+  }
+}
