@@ -294,6 +294,27 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** Q3 with language-dependent fusion weights (chatbot_api.py:37-40):
+    * EN 0.5/0.5, non-EN 0.2 lexical / 0.8 vector — BM25 degrades off
+    * English so the vector branch carries more weight. Same max-norm
+    * fusion as search_hybrid, weights switched per document language. */
+  private val searchHybridLang: Q = (s, d) => {
+    val scored = Tables.documents(s, d)
+      .join(Tables.embeddings(s, d),
+        col("doc_id") === col("vec_id"), "inner")
+      .selectExpr("doc_id", "lang",
+        "CAST(size(array_intersect(split(text, ' '), array('spark', 'join', 'filter'))) AS DOUBLE) AS lex",
+        s"($sumExpr * 0.1) / (sqrt($sumSqExpr) * 0.8) AS vec")
+    val maxima = scored.agg(max("lex").as("lex_max"), max("vec").as("vec_max"))
+    scored.crossJoin(broadcast(maxima))
+      .selectExpr("doc_id", "lang", "lex", "vec", "lex_max", "vec_max",
+        "CASE WHEN lang = 'en' THEN 0.5D ELSE 0.2D END AS w_lex")
+      .selectExpr("doc_id", "lang",
+        "CAST(floor((w_lex * (lex / lex_max) + (1.0D - w_lex) * (vec / vec_max)) * 1000000) AS BIGINT) AS fused_e6")
+      .orderBy(col("fused_e6").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
   /** Q5 — context filtering taxonomy (chatbot_api.py:277-343). */
   private val searchContextFilter: Q = (s, d) =>
     Tables.documents(s, d)
@@ -445,6 +466,7 @@ object PipelineQueries {
     "text_token_count" -> textTokenCount,
     "text_fingerprint" -> textFingerprint,
     "search_hybrid" -> searchHybrid,
+    "search_hybrid_lang" -> searchHybridLang,
     "search_context_filter" -> searchContextFilter,
     "subject_match_topk" -> subjectMatchTopk,
     "chunk_paragraph" -> chunkParagraph,
@@ -610,6 +632,23 @@ object PipelineQueries {
          |  round(0.5 * (lex / (SELECT max(lex) FROM scored))
          |    + 0.5 * (vec / (SELECT max(vec) FROM scored)), 6) AS fused_score
          |FROM scored ORDER BY fused_score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "search_hybrid_lang" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_intersect(string_split(text, ' '),
+         |      ['spark', 'join', 'filter'])) AS DOUBLE) AS lex,
+         |    ($duckSum * 0.1) / (sqrt($duckSumSq) * 0.8) AS vec
+         |  FROM documents JOIN embeddings ON doc_id = vec_id),
+         |weighted AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN lang = 'en' THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.2 AS DOUBLE) END AS w_lex,
+         |    lex / (SELECT max(lex) FROM scored) AS lex_n,
+         |    vec / (SELECT max(vec) FROM scored) AS vec_n
+         |  FROM scored)
+         |SELECT doc_id, lang,
+         |  CAST(floor((w_lex * lex_n + (CAST(1.0 AS DOUBLE) - w_lex) * vec_n) * 1000000)
+         |    AS BIGINT) AS fused_e6
+         |FROM weighted ORDER BY fused_e6 DESC, doc_id ASC LIMIT 20""".stripMargin,
     "search_context_filter" ->
       """SELECT CASE WHEN length(text) < 60 THEN 'too_short'
         |  WHEN len(regexp_extract_all(text, '[{};=]')) >= 3 THEN 'code_heavy'
