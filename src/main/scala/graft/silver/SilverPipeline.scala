@@ -69,20 +69,15 @@ object SilverPipeline {
   }
 
   /** I1 — keep rows that are new, newer, or content-changed vs the
-    * existing silver table. */
+    * existing silver table (delegates to the reusable
+    * [[graft.operators.ChangeDetector]]). */
   def detectChanges(spark: SparkSession, batch: DataFrame, resourcesPath: String,
                     forceReprocess: Boolean = false): DataFrame = {
     if (forceReprocess || !TableMerge.exists(resourcesPath)) return batch
-    val existing = TableMerge.read(spark, resourcesPath)
-      .select(col("resource_uid"),
-        col("record_fingerprint").as("ex_fingerprint"),
-        col("scraped_at").as("ex_scraped_at"))
-    batch.join(existing, Seq("resource_uid"), "left")
-      .filter(col("ex_fingerprint").isNull ||
-        coalesce(col("scraped_at"), lit("1970-01-01").cast("timestamp")) >
-          coalesce(col("ex_scraped_at"), lit("1970-01-01").cast("timestamp")) ||
-        col("record_fingerprint") =!= col("ex_fingerprint"))
-      .drop("ex_fingerprint", "ex_scraped_at")
+    graft.operators.ChangeDetector.changedOnly(
+      batch, TableMerge.read(spark, resourcesPath),
+      keys = Seq("resource_uid"),
+      fingerprintCol = "record_fingerprint", tsCol = "scraped_at")
   }
 
   /** One silver run: returns per-stage row counts (the reference's

@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{ChangeDetector, SkewSalt, StateStore}
+
+/** ChangeDetector (I1-I3), StateStore (I4) and SkewSalt library specs. */
+class OperatorsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  test("ChangeDetector.classify covers new/newer/changed/unchanged") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val existing = Seq(
+      ("a", "fp1", ts("2026-01-01 00:00:00")),
+      ("b", "fp2", ts("2026-01-01 00:00:00")),
+      ("c", "fp3", ts("2026-01-01 00:00:00")))
+      .toDF("id", "fp", "ts")
+    val batch = Seq(
+      ("a", "fp1", ts("2026-01-01 00:00:00")), // unchanged
+      ("b", "fp2", ts("2026-02-01 00:00:00")), // newer
+      ("c", "fpX", ts("2026-01-01 00:00:00")), // changed
+      ("d", "fp4", ts("2026-01-01 00:00:00"))) // new
+      .toDF("id", "fp", "ts")
+    val got = ChangeDetector.classify(batch, existing, Seq("id"), "fp", "ts")
+      .select("id", "change_kind").as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "unchanged", "b" -> "newer", "c" -> "changed", "d" -> "new"))
+    assert(ChangeDetector.changedOnly(batch, existing, Seq("id"), "fp", "ts")
+      .count() == 3)
+  }
+
+  test("ChangeDetector.tombstones finds deleted keys") {
+    import spark.implicits._
+    val existing = Seq("a", "b", "c").toDF("id")
+    val current = Seq("a", "c").toDF("id")
+    assert(ChangeDetector.tombstones(existing, current, Seq("id"))
+      .as[String].collect().toSeq == Seq("b"))
+  }
+
+  test("ChangeDetector.driftPredicate matches any differing column") {
+    import spark.implicits._
+    val df = Seq(
+      ("e1", "e1", 10, 10),  // no drift
+      ("e1", "e2", 10, 10),  // etag drift
+      ("e1", "e1", 10, 11),  // size drift
+      (null.asInstanceOf[String], null.asInstanceOf[String], 10, 10)) // both null: equal
+      .toDF("etag", "ex_etag", "size", "ex_size")
+    val drifted = df.filter(ChangeDetector.driftPredicate(
+      Seq("etag" -> "ex_etag", "size" -> "ex_size")))
+    assert(drifted.count() == 2)
+  }
+
+  test("StateStore memoizes and skips unchanged payloads") {
+    val path = Files.createTempDirectory("graft-state").resolve("state").toString
+    val store = new StateStore(spark, path)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    assert(store.latestHash("k") == None)
+
+    var builds = 0
+    assert(store.runIfChanged("k", "h1", ts("2026-01-01 00:00:00")) { builds += 1 })
+    assert(builds == 1)
+    // same hash: skipped
+    assert(!store.runIfChanged("k", "h1", ts("2026-01-02 00:00:00")) { builds += 1 })
+    assert(builds == 1)
+    // new hash: rebuilt
+    assert(store.runIfChanged("k", "h2", ts("2026-01-03 00:00:00")) { builds += 1 })
+    assert(builds == 2)
+    assert(store.latestHash("k") == Some("h2"))
+    // independent key
+    assert(store.runIfChanged("k2", "h1", ts("2026-01-04 00:00:00")) { builds += 1 })
+    assert(builds == 3)
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    import spark.implicits._
+    // skewed: key 'hot' holds 90% of rows
+    val rows = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k${i % 7}", i.toLong, i.toDouble))
+    val df = rows.toDF("key", "row_id", "v")
+    val plainCount = df.groupBy("key").count().as[(String, Long)].collect().toMap
+    val saltedCount = SkewSalt.saltedCount(df, "key", buckets = 8, saltSource = Seq("row_id"))
+      .as[(String, Long)].collect().toMap
+    assert(saltedCount == plainCount)
+    val plainSum = df.groupBy("key").agg(sum("v")).as[(String, Double)].collect().toMap
+    val saltedSum = SkewSalt.saltedSum(df, "key", "v", buckets = 8, saltSource = Seq("row_id"))
+      .as[(String, Double)].collect().toMap
+    assert(saltedSum.keySet == plainSum.keySet)
+    plainSum.foreach { case (k, v) => assert(math.abs(saltedSum(k) - v) < 1e-6) }
+  }
+
+  test("salted join equals plain join") {
+    import spark.implicits._
+    val big = (1 to 500).map(i => (if (i <= 450) "hot" else "cold", i.toLong)).toDF("key", "row_id")
+    val dim = Seq(("hot", "H"), ("cold", "C")).toDF("key", "label")
+    val plain = big.join(dim, Seq("key")).groupBy("label").count()
+      .as[(String, Long)].collect().toMap
+    val salted = SkewSalt.withSalt(big, 4, Seq("row_id"))
+      .join(SkewSalt.replicateForSalt(dim, 4), Seq("key", "__salt"))
+      .groupBy("label").count().as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+}
