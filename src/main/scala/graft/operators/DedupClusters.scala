@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Near-duplicate cluster resolution: candidate pairs (from the
+  * shingle/LSH joins) → connected components → one cluster id per
+  * document (min member id), so dedup can keep exactly one
+  * representative per cluster.
+  *
+  * Algorithm: iterative min-label propagation over the symmetrized edge
+  * set — each round every node takes the minimum label among itself and
+  * its neighbors; converges in O(component diameter) rounds (near-dup
+  * components are shallow — transitive near-duplicates have small
+  * diameter; the alternating large-star/small-star variant would halve
+  * rounds for pathological chains). Each round is one join + one
+  * aggregate, both shuffling on the node id only; the driver checks a
+  * scalar convergence count per round.
+  */
+object DedupClusters {
+
+  /** @param pairs   candidate pairs, one row per (srcCol, dstCol)
+    * @param maxIter safety cap on propagation rounds
+    * @return (id, cluster_id) for every node appearing in `pairs`
+    */
+  def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val src = col(srcCol).cast("long")
+    val dst = col(dstCol).cast("long")
+    val edges = pairs.select(src.as("a"), dst.as("b"))
+      .union(pairs.select(dst.as("a"), src.as("b")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // localCheckpoint per round: iterative self-reference otherwise grows
+    // the logical plan exponentially (lineage doubles every round — OOMs
+    // the analyzer near 10 rounds). On a cluster use reliable
+    // checkpoint(dir) for executor-loss tolerance.
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint(true)
+
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each node adopts min(own label, neighbors' labels)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(min("cluster_id").as("neighbor_min"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Dedup decision: every node that is not its cluster's minimum id is
+    * a duplicate of the representative. */
+  def representatives(components: DataFrame): DataFrame =
+    components.withColumn("is_representative", col("id") === col("cluster_id"))
+}

@@ -111,7 +111,8 @@ object PipelineQueries {
     * computed on the array BEFORE exploding, which deletes the separate
     * sizes aggregate and its two re-joins from the r3 plan (one shuffle
     * instead of three). */
-  private val dedupJaccard: Q = (s, d) => {
+  /** Shared pair derivation for the Jaccard dedup + clustering queries. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .selectExpr("doc_id", "split(text, ' ') AS tokens")
     val dups = docs.filter(col("doc_id") % 20 === 0)
@@ -141,7 +142,22 @@ object PipelineQueries {
       .filter(col("jaccard_raw") >= 0.6)
       .select(col("id_a"), col("id_b"),
         floor(col("jaccard_raw") * 10000).cast("long").as("jaccard_e4"))
-      .orderBy("id_a", "id_b")
+  }
+
+  private val dedupJaccard: Q = (s, d) =>
+    jaccardPairs(s, d).orderBy("id_a", "id_b")
+
+  /** Near-dup CLUSTER resolution: Jaccard candidate pairs → connected
+    * components (iterative min-label propagation,
+    * [[graft.operators.DedupClusters]]) → cluster id + representative
+    * flag per member. The DuckDB oracle recomputes components via a
+    * recursive transitive-closure CTE — the distributed iterative
+    * algorithm is value-verified against an exact declarative one. */
+  private val dedupComponents: Q = (s, d) => {
+    val pairs = jaccardPairs(s, d).select("id_a", "id_b")
+    graft.operators.DedupClusters.representatives(
+      graft.operators.DedupClusters.connectedComponents(pairs, "id_a", "id_b"))
+      .orderBy("id")
   }
 
   // ------------------------------------------------------------ similarity search
@@ -457,6 +473,7 @@ object PipelineQueries {
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupJaccard,
+    "dedup_connected_components" -> dedupComponents,
     "sim_cosine_topk" -> simCosineTopk,
     "sim_cosine_native" -> simCosineNative,
     "sim_lsh_buckets" -> simLshBuckets,
@@ -549,6 +566,39 @@ object PipelineQueries {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_connected_components" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, tokens[2:] AS tokens
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+        |  WHERE doc_id % 20 = 0),
+        |corpus AS (SELECT * FROM docs WHERE len(tokens) >= 3),
+        |shingles AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tokens) - 2),
+        |    i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]))) AS shingle
+        |  FROM corpus),
+        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |  FROM shingles a JOIN shingles b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |kept AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.6),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM kept
+        |  UNION SELECT id_b AS a, id_a AS b FROM kept),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
+        |SELECT id, min(r) AS cluster_id, id = min(r) AS is_representative
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "sim_cosine_topk" ->
       s"""SELECT vec_id, round(($duckSum * 0.1) / (sqrt($duckSumSq) * 0.8), 6) AS cos_sim
          |FROM embeddings ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
