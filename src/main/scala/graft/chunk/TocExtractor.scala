@@ -159,13 +159,14 @@ object TocExtractor {
     else applyOffset(toc, estimatePageOffset(pageTexts, toc, totalPages), totalPages)
   }
 
+  private val DottedLeader = "\\.{2,}\\s*\\d+\\s*$".r
+
   private[graft] def isTocPage(text: String): Boolean = {
     val lowered = normalizeText(text)
     val terms = Seq("table of contents", "contents", "muc luc", "noi dung")
-    if (terms.exists(lowered.contains)) return true
-    "\\.{2,}\\s*\\d+\\s*$".r.findAllIn(
-      text.linesIterator.mkString("\n")).size >= 3 ||
-      text.linesIterator.count(l => "\\.{2,}\\s*\\d+\\s*$".r.findFirstIn(l).isDefined) >= 3
+    terms.exists(lowered.contains) ||
+      // ≥3 dotted-leader lines ("Title ..... 12") mark a contents page
+      text.linesIterator.count(l => DottedLeader.findFirstIn(l).isDefined) >= 3
   }
 
   private def parseTocLines(lines: Vector[String]): Vector[TocChapter] = {

@@ -21,10 +21,9 @@ import org.apache.spark.sql.SparkSessionExtensions
   * CPU bound. Semantics match the HOF path bit-for-bit (sequential
   * accumulation in f64).
   *
-  * Null contract: null if either array is null, if lengths differ, or if
-  * either norm is zero. Array elements must be non-null (embedding
-  * columns never carry null elements; enforced by the fact that parquet
-  * float lists read back dense).
+  * Null contract: null if either array is null, if lengths differ, if
+  * ANY element is null (matching the zip_with/aggregate composition,
+  * where a null product nulls the fold), or if either norm is zero.
   */
 final case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -60,6 +59,7 @@ final case class CosineSimilarity(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi
@@ -87,18 +87,24 @@ final case class CosineSimilarity(left: Expression, right: Expression)
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    final double xv = (double) $x.$xGet($i);
-         |    final double yv = (double) $y.$yGet($i);
-         |    $dot += xv * yv;
-         |    $na += xv * xv;
-         |    $nb += yv * yv;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      final double xv = (double) $x.$xGet($i);
+         |      final double yv = (double) $y.$yGet($i);
+         |      $dot += xv * yv;
+         |      $na += xv * xv;
+         |      $nb += yv * yv;
+         |    }
          |  }
-         |  final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |  if ($denom == 0.0) {
-         |    ${ev.isNull} = true;
-         |  } else {
-         |    ${ev.value} = $dot / $denom;
+         |  if (!${ev.isNull}) {
+         |    final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    if ($denom == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot / $denom;
+         |    }
          |  }
          |}
        """.stripMargin

@@ -112,6 +112,10 @@ final class SubjectMatcher(
     val matches = entries.flatMap { e =>
       var score = 0.0
       var matchedText: Option[String] = None
+      // NOTE: later substring branches overwrite matchedText even when a
+      // higher-scoring earlier branch set it — faithful to the reference
+      // (transformer.py:435-446 assigns matched_text unconditionally per
+      // hit), so provenance follows the LAST matching rule, score the max.
       if (e.normCode.nonEmpty && haystack.contains(e.normCode)) {
         score = math.max(score, 0.99); matchedText = e.subject.code
       }

@@ -30,7 +30,9 @@ object ChangeDetector {
       .withColumn("change_kind",
         when(col("__ex_fp").isNull, lit(New))
           .when(coalesce(col(tsCol), epoch) > coalesce(col("__ex_ts"), epoch), lit(Newer))
-          .when(col(fingerprintCol) =!= col("__ex_fp"), lit(Changed))
+          // null-safe: a batch row with a NULL fingerprint vs a stored one
+          // IS a change (=!= would yield NULL and fall through to unchanged)
+          .when(!(col(fingerprintCol) <=> col("__ex_fp")), lit(Changed))
           .otherwise(lit(Unchanged)))
       .drop("__ex_fp", "__ex_ts")
   }

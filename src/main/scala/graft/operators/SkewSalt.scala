@@ -48,7 +48,9 @@ object SkewSalt {
     * equi-join on (key, salt). Probe side: `withSalt(...)`; build side:
     * this. */
   def replicateForSalt(small: DataFrame, buckets: Int,
-                       saltCol: String = "__salt"): DataFrame =
+                       saltCol: String = "__salt"): DataFrame = {
+    require(buckets > 0)
     small.withColumn(saltCol, explode(sequence(lit(0), lit(buckets - 1))))
       .withColumn(saltCol, col(saltCol).cast("long"))
+  }
 }

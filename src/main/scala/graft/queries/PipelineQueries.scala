@@ -107,10 +107,12 @@ object PipelineQueries {
     * Plan notes (r4): shingles are xxhash64'd before the self-join — the
     * shuffle moves 8-byte keys instead of ~25-byte strings (a 64-bit
     * collision inside one doc pair is ~1e-15 at this shingle count, far
-    * below the oracle's float grid) — and per-doc shingle counts are
-    * computed on the array BEFORE exploding, which deletes the separate
-    * sizes aggregate and its two re-joins from the r3 plan (one shuffle
-    * instead of three). */
+    * below the oracle's float grid). Per-doc sizes stay a separate
+    * aggregate joined AFTER the pair aggregation: fusing them into the
+    * exploded self-join keeps the shingle array alive inside the join
+    * rows (measured 4× slower at sf0.1). The size joins carry no hint —
+    * sizes is per-document (not dim-sized), so AQE decides broadcast vs
+    * shuffle from actual runtime size. */
   /** Shared pair derivation for the Jaccard dedup + clustering queries. */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -122,10 +124,6 @@ object PipelineQueries {
       """explode(array_distinct(transform(sequence(1, size(tokens) - 2),
         |i -> xxhash64(concat_ws(' ', element_at(tokens, i), element_at(tokens, i + 1),
         |element_at(tokens, i + 2)))))) AS shingle""".stripMargin)
-    // sizes as a separate dim-sized aggregate broadcast-joined AFTER the
-    // pair aggregation — carrying n_shingles through the exploded
-    // self-join instead keeps the shingle array alive inside the join
-    // rows (measured 4× slower at sf0.1)
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val pairs = shingles.as("a")
       .join(shingles.as("b"), col("a.shingle") === col("b.shingle") &&
@@ -133,10 +131,10 @@ object PipelineQueries {
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
     pairs
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("n_shingles", "size_a")), "id_a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("n_shingles", "size_b")), "id_b")
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("n_shingles", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("n_shingles", "size_b"), "id_b")
       .withColumn("jaccard_raw",
         col("n_common") / (col("size_a") + col("size_b") - col("n_common")))
       .filter(col("jaccard_raw") >= 0.6)

@@ -92,8 +92,15 @@ object SilverPipeline {
     val deduped = dedupLatest(normalized)
     val dedupedN = deduped.count()
 
+    // localCheckpoint (not persist): the CDC frame's lineage reads the
+    // live resources table, which the upsert below REPLACES — a cache
+    // eviction after the swap would recompute against deleted files (or
+    // re-run CDC against the new table and find nothing). Checkpointing
+    // cuts the lineage so downstream stages replay from stored blocks.
+    // On a cluster, prefer a reliable checkpoint dir for executor-loss
+    // tolerance.
     val changed = detectChanges(spark, deduped, cfg.resourcesPath, forceReprocess)
-      .persist()
+      .localCheckpoint(true)
     val changedN = changed.count()
 
     if (changedN > 0) {
@@ -119,7 +126,6 @@ object SilverPipeline {
     val chunksWritten =
       if (TableMerge.exists(cfg.chunksPath)) TableMerge.read(spark, cfg.chunksPath).count()
       else 0L
-    changed.unpersist()
     RunStats(bronzeRows, dedupedN, changedN, chunksWritten)
   }
 }

@@ -24,13 +24,25 @@ object BulkIndexer {
 
   final case class BulkStats(docs: Long, batches: Long, partitions: Long)
 
+  /** JSON string escape for the hand-built action line (the doc line is
+    * escaped by to_json already). */
+  private[sinks] def escapeJson(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   /** Write ES-shaped bulk files: pairs of `{"index":{"_id":…}}` action
     * lines and document JSON lines, `batchSize` docs per file, one file
-    * set per partition. */
+    * set per partition. `outDir` must be visible to the executors (a
+    * shared mount in cluster mode — or swap the file write for the HTTP
+    * POST, which has no such requirement). Rows with a null id are
+    * rejected (a null would otherwise index under the literal id
+    * "null"). */
   def writeBulkFiles(df: DataFrame, idCol: String, outDir: String,
                      batchSize: Int = 500): BulkStats = {
     require(batchSize > 0)
-    Files.createDirectories(Paths.get(outDir))
     val spark = df.sparkSession
     val docsAcc = spark.sparkContext.longAccumulator("bulk_docs")
     val batchesAcc = spark.sparkContext.longAccumulator("bulk_batches")
@@ -41,6 +53,8 @@ object BulkIndexer {
       to_json(struct(df.columns.map(col): _*)).as("_doc"))
 
     payload.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      // executor-side: the task, not the driver, must see/create outDir
+      Files.createDirectories(Paths.get(outDir))
       val pid = TaskContext.getPartitionId()
       var batchNo = 0
       var any = false
@@ -48,7 +62,11 @@ object BulkIndexer {
         any = true
         val body = new StringBuilder
         batch.foreach { r =>
-          body.append("{\"index\":{\"_id\":\"").append(r.getString(0)).append("\"}}\n")
+          if (r.isNullAt(0))
+            throw new IllegalArgumentException(
+              s"null $idCol in bulk export — refusing to index under id \"null\"")
+          body.append("{\"index\":{\"_id\":\"").append(escapeJson(r.getString(0)))
+            .append("\"}}\n")
           body.append(r.getString(1)).append('\n')
         }
         val file = Paths.get(outDir, f"part-$pid%05d-batch-$batchNo%04d.bulk.jsonl")

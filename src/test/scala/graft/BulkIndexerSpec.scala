@@ -38,6 +38,24 @@ class BulkIndexerSpec extends AnyFunSuite {
     assert(docs.forall(d => d.contains("\"chunk_id\"") && d.contains("\"text\"")))
   }
 
+  test("ids are JSON-escaped; null ids are rejected") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bulk3").toString
+    val df = Seq(("doc\"quoted\\x", "a")).toDF("chunk_id", "text")
+    BulkIndexer.writeBulkFiles(df, "chunk_id", dir, batchSize = 10)
+    val line = Files.list(Paths.get(dir)).iterator().asScala.toSeq
+      .flatMap(f => Files.readAllLines(f).asScala).find(_.startsWith("{\"index\":")).get
+    assert(line == "{\"index\":{\"_id\":\"doc\\\"quoted\\\\x\"}}")
+
+    val bad = Seq((null.asInstanceOf[String], "a")).toDF("chunk_id", "text")
+    val err = intercept[org.apache.spark.SparkException] {
+      BulkIndexer.writeBulkFiles(bad, "chunk_id",
+        Files.createTempDirectory("graft-bulk4").toString)
+    }
+    assert(err.getMessage.contains("null") ||
+      Option(err.getCause).exists(_.getMessage.contains("null")))
+  }
+
   test("batch size bounds docs per file") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-bulk2").toString

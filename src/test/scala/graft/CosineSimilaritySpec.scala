@@ -37,12 +37,21 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(r.getDouble(1) == 0.0)
   }
 
-  test("null contract: null input, length mismatch, zero norm") {
+  test("null contract: null input, length mismatch, zero norm, null element") {
     val r = spark.sql(
       "SELECT graft_cosine(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS n1, " +
         "graft_cosine(array(1.0D, 2.0D), array(1.0D)) AS n2, " +
-        "graft_cosine(array(0.0D, 0.0D), array(1.0D, 1.0D)) AS n3").head()
-    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+        "graft_cosine(array(0.0D, 0.0D), array(1.0D, 1.0D)) AS n3, " +
+        "graft_cosine(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 1.0D)) AS n4").head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+    // the HOF path agrees on the null-element case
+    import spark.implicits._
+    val hof = Seq((Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 1.0)))
+      .toDF("a", "b")
+      .select(graft.functions.VectorFunctions.cosine(
+        org.apache.spark.sql.functions.col("a"), org.apache.spark.sql.functions.col("b")))
+      .head()
+    assert(hof.isNullAt(0))
   }
 
   test("mixed float/double arrays accepted") {

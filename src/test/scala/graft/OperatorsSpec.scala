@@ -33,6 +33,17 @@ class OperatorsSpec extends AnyFunSuite {
       .count() == 3)
   }
 
+  test("ChangeDetector.classify: NULL batch fingerprint vs stored one is a change") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val existing = Seq(("a", "fp1", ts("2026-01-01 00:00:00"))).toDF("id", "fp", "ts")
+    val batch = Seq(("a", null.asInstanceOf[String], ts("2026-01-01 00:00:00")))
+      .toDF("id", "fp", "ts")
+    val kind = ChangeDetector.classify(batch, existing, Seq("id"), "fp", "ts")
+      .select("change_kind").as[String].head()
+    assert(kind == "changed") // =!= would have nulled through to unchanged
+  }
+
   test("ChangeDetector.tombstones finds deleted keys") {
     import spark.implicits._
     val existing = Seq("a", "b", "c").toDF("id")
