@@ -163,7 +163,53 @@ object SinkQueries {
       .orderBy("doc_id")
       .limit(20)
 
+  /** End-to-end composed lifecycle (SURVEY §3.1+§3.2): documents as the
+    * bronze batch → SilverPipeline (normalize → dedup → CDC → merge →
+    * chunk) → GoldAnalytics star build → one summary row per source
+    * system with resource/chunk/bridge counts. Rows-only: chunk counts
+    * depend on the boundary-snapping chunker (spec-pinned, not
+    * SQL-expressible); idempotent across runs (CDC makes re-runs
+    * no-ops over the same state). */
+  private val e2eSilverGold: Q = (s, d) => {
+    import graft.silver.SilverPipeline
+    import graft.gold.GoldAnalytics
+    val cfg = SilverPipeline.Config(
+      statePath("e2e_resources"), statePath("e2e_chunks"),
+      chunkMax = 400, chunkMin = 80, chunkOverlap = 60)
+    val bronze = Tables.documents(s, d).select(
+      col("doc_id").cast("string").as("resource_id"),
+      col("source"),
+      concat(lit("https://oer.example/"), col("doc_id")).as("url"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("title"),
+      substring(col("text"), 1, 120).as("description"),
+      col("lang").as("language"),
+      col("text"),
+      lit("2026-01-01 00:00:00").as("scraped_at"))
+    SilverPipeline.run(s, bronze, cfg)
+    val resources = TableMerge.read(s, cfg.resourcesPath)
+    val chunks = TableMerge.read(s, cfg.chunksPath)
+      .join(resources.select("resource_uid"), Seq("resource_uid"), "left_semi")
+    import s.implicits._
+    val subjects = Seq((1, "query table"), (2, "stream batch")).toDF("subject_id", "subject_name")
+    val matches = resources
+      .select(col("resource_uid"), col("title"))
+      .withColumn("subject_id",
+        when(col("title").contains("table"), 1)
+          .when(col("title").contains("stream"), 2))
+      .filter(col("subject_id").isNotNull)
+      .withColumn("similarity", lit(0.9))
+    val gold = GoldAnalytics.buildAll(s, resources, chunks, subjects, matches,
+      resources.select(to_date(col("scraped_at")).as("dt")))
+    gold("dim_resources")
+      .groupBy("source_system")
+      .agg(count(lit(1)).as("n_resources"),
+        sum("n_chunks").as("n_chunks"),
+        sum("total_tokens").as("n_tokens"))
+      .orderBy("source_system")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "e2e_silver_gold" -> e2eSilverGold,
     "s1_multiline_json" -> s1MultilineJson,
     "s8_sql_dump" -> s8SqlDump,
     "s9_json_reference" -> s9JsonReference,
