@@ -92,4 +92,36 @@ class TableMergeSpec extends AnyFunSuite {
     TableMerge.upsert(spark, path, Seq((1, "a")).toDF("id", "v"), Seq("id"))
     assert(TableMerge.read(spark, path).count() == 1)
   }
+
+  test("upsert with an empty source leaves the table intact") {
+    import spark.implicits._
+    val path = tmpTable("empty-source")
+    TableMerge.createOrReplace(Seq((1, "a"), (2, "b")).toDF("id", "v"), path)
+    TableMerge.upsert(spark, path,
+      Seq.empty[(Int, String)].toDF("id", "v"), Seq("id"))
+    assert(TableMerge.read(spark, path).orderBy("id").as[(Int, String)].collect()
+      .toSeq == Seq((1, "a"), (2, "b")))
+  }
+
+  test("duplicate source keys collapse to one row before merging") {
+    import spark.implicits._
+    val path = tmpTable("dup-keys")
+    TableMerge.createOrReplace(Seq((1, "a")).toDF("id", "v"), path)
+    TableMerge.upsert(spark, path,
+      Seq((1, "x"), (1, "y"), (2, "c")).toDF("id", "v"), Seq("id"))
+    val got = TableMerge.read(spark, path)
+    assert(got.count() == 2) // one row per key, never both dup variants
+    assert(got.filter($"id" === 1).count() == 1)
+  }
+
+  test("delete on a missing table is a no-op; delete-all empties the table") {
+    import spark.implicits._
+    val path = tmpTable("delete-missing")
+    TableMerge.delete(spark, path, Seq(1).toDF("id"), Seq("id")) // no throw
+    assert(!TableMerge.exists(path))
+
+    TableMerge.createOrReplace(Seq((1, "a"), (2, "b")).toDF("id", "v"), path)
+    TableMerge.delete(spark, path, Seq(1, 2).toDF("id"), Seq("id"))
+    assert(TableMerge.read(spark, path).count() == 0)
+  }
 }
