@@ -118,7 +118,9 @@ final case class CosineSimilarity(left: Expression, right: Expression)
 
 /** Session extension registering the graft function surface
   * (`spark.sql.extensions=graft.expressions.GraftExtensions`, wired in
-  * GraftSession so SQL, Column and Python callers all see it). */
+  * GraftSession so SQL, Column and Python callers all see it) and the
+  * bounded-heap top-k planner strategy
+  * ([[graft.plans.TopKPerKey.TopKPerKeyStrategy]]). */
 final class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -128,5 +130,6 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_cosine(a, b) takes exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
       }))
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKey.TopKPerKeyStrategy)
   }
 }
