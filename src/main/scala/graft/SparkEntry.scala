@@ -14,9 +14,14 @@ import graft.queries.{CdcQueries, CoreQueries, CoverageQueries, PipelineQueries,
   */
 object SparkEntry {
 
-  val all: Seq[(String, (SparkSession, String) => DataFrame)] =
-    CoreQueries.queries ++ CdcQueries.queries ++ PipelineQueries.queries ++
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = {
+    val qs = CoreQueries.queries ++ CdcQueries.queries ++ PipelineQueries.queries ++
       CoverageQueries.queries ++ SinkQueries.queries
+    val dups = qs.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"duplicate query names would silently collapse in toMap: ${dups.mkString(", ")}")
+    qs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The multi-way star join (J14) — the reference's headline gold shape. */
