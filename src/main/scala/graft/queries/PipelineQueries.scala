@@ -206,6 +206,30 @@ object PipelineQueries {
       .orderBy("lsh_bucket")
   }
 
+  /** IVF coarse quantizer (the ANN scale path alongside LSH): 16
+    * deterministic centroids c_j[i] = (((j*31+i*17) mod 19) - 9) / 10;
+    * every vector is assigned to its nearest centroid (squared L2,
+    * sequential fold) — the assignment IS the IVF partition map: at
+    * scale the corpus is written bucketed by `centroid_id` and a query
+    * probes its nprobe nearest centroid partitions instead of the full
+    * corpus. Output = per-centroid inverted-list sizes + a probe-order
+    * checksum. */
+  private val simIvfAssign: Q = (s, d) => {
+    val costExpr =
+      "transform(sequence(0, 15), j -> aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), " +
+        "(acc, i) -> acc + (CAST(element_at(embedding, i + 1) AS DOUBLE) - " +
+        "CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0D) * " +
+        "(CAST(element_at(embedding, i + 1) AS DOUBLE) - " +
+        "CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0D)))"
+    Tables.embeddings(s, d)
+      .selectExpr("vec_id", s"$costExpr AS costs")
+      .selectExpr("vec_id",
+        "CAST(array_position(costs, array_min(costs)) - 1 AS INT) AS centroid_id")
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_vectors"), sum("vec_id").as("vec_id_sum"))
+      .orderBy("centroid_id")
+  }
+
   /** Embedding near-dup pairs via LSH buckets: corpus + exact copies
     * (vec_id + 100000 for vec_id%25==0); pairs are found by joining on
     * the LSH bucket, then confirmed by cosine ≥ 0.999. */
@@ -475,6 +499,7 @@ object PipelineQueries {
     "sim_cosine_topk" -> simCosineTopk,
     "sim_cosine_native" -> simCosineNative,
     "sim_lsh_buckets" -> simLshBuckets,
+    "sim_ivf_assign" -> simIvfAssign,
     "sim_embed_neardup" -> simEmbedNeardup,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
@@ -618,6 +643,24 @@ object PipelineQueries {
       s"""SELECT ${duckLshBits("embedding").mkString(" + ")} AS lsh_bucket,
          |  CAST(count(*) AS BIGINT) AS n_vectors
          |FROM embeddings GROUP BY lsh_bucket ORDER BY lsh_bucket""".stripMargin,
+    "sim_ivf_assign" ->
+      """WITH costs AS (
+        |  SELECT vec_id, list_transform(generate_series(0, 15),
+        |    j -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(generate_series(0, 63),
+        |        i -> (CAST(embedding[i + 1] AS DOUBLE)
+        |          - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0)
+        |          * (CAST(embedding[i + 1] AS DOUBLE)
+        |          - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0))),
+        |      (a, x) -> a + x)) AS costs
+        |  FROM embeddings),
+        |assigned AS (
+        |  SELECT vec_id,
+        |    CAST(list_position(costs, list_min(costs)) - 1 AS INT) AS centroid_id
+        |  FROM costs)
+        |SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(sum(vec_id) AS BIGINT) AS vec_id_sum
+        |FROM assigned GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
     "sim_embed_neardup" ->
       s"""WITH corpus AS (
          |  SELECT vec_id, embedding FROM embeddings
