@@ -20,11 +20,22 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().collect()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.all.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+    // Optional first arg: regex over query names; optional second arg:
+    // per-query repeat count (min time reported) — both for targeted
+    // local timing runs. The driver always invokes with no args (full
+    // battery, one run each).
+    val nameFilter = args.lift(0).map(_.r)
+    val repeat = args.lift(1).map(_.toInt).getOrElse(1)
+    val results = SparkEntry.all
+      .filter { case (name, _) => nameFilter.forall(_.findFirstIn(name).isDefined) }
+      .map { case (name, fn) =>
       try {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        name -> (System.nanoTime() - t0) / 1e9
+        val times = (1 to repeat).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -40,7 +51,14 @@ object Bench {
     val qs = results.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's stdout capture truncates long tails (r4 lost the first
+    // ~29 per-query figures) — persist the full line so regression triage
+    // always has every number.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // bench result > bookkeeping
     spark.stop()
     if (results.isEmpty || errors.nonEmpty) sys.exit(1)
   }

@@ -9,11 +9,16 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // Optional third arg: regex over query names, for fast local
+    // iteration on a subset. The driver always calls with 2 args.
+    val nameFilter = args.lift(2).map(_.r)
     val spark = GraftSession.local("graft-verify")
     new java.io.File(outDir).mkdirs()
     var failed = 0
-    SparkEntry.all.foreach { case (name, fn) =>
+    SparkEntry.all
+      .filter { case (name, _) => nameFilter.forall(_.findFirstIn(name).isDefined) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -130,6 +130,20 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_cosine(a, b) takes exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_lsh_bands"),
+      new ExpressionInfo(classOf[LshBands].getName, "graft_lsh_bands"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_lsh_bands(embedding, nBands, bandBits) takes exactly 3 arguments")
+        def lit(e: Expression, what: String): Int = e match {
+          case l if l.foldable && l.dataType == IntegerType =>
+            l.eval().asInstanceOf[Int]
+          case _ => throw new IllegalArgumentException(
+            s"graft_lsh_bands: $what must be an INT literal, got $e")
+        }
+        LshBands(children.head, lit(children(1), "nBands"), lit(children(2), "bandBits"))
+      }))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKey.TopKPerKeyStrategy)
   }
 }

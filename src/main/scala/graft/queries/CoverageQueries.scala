@@ -217,7 +217,14 @@ object CoverageQueries {
       .orderBy("lang_code")
 
   /** F9 — multi-format datetime parsing via try_to_timestamp cascade
-    * (transformer.py:250-278): per-format buckets, parse success counts. */
+    * (transformer.py:250-278): per-format buckets, parse success counts.
+    * Each parser is gated by a cheap `rlike` shape probe so a string only
+    * reaches the parser whose format it can match — without the gates
+    * every non-matching row pays the JVM exception path in up to 3
+    * parsers (75% of rows fail ≥2 formats by construction; measured
+    * 7.2 s → sub-second at sf0.1). try_to_timestamp stays inside the
+    * gate so a shape-matching but invalid date still yields null rather
+    * than an error. */
   private val f9ParseDatetime: Q = (s, d) =>
     Tables.orders(s, d)
       .withColumn("raw",
@@ -226,9 +233,12 @@ object CoverageQueries {
           .when(col("o_orderkey") % 4 === 2, date_format(col("o_orderdate"), "yyyy"))
           .otherwise(lit("not-a-date")))
       .withColumn("parsed", coalesce(
-        try_to_timestamp(col("raw"), lit("yyyy/MM/dd")),
-        try_to_timestamp(col("raw"), lit("yyyy-MM-dd")),
-        try_to_timestamp(col("raw"), lit("yyyy"))))
+        when(col("raw").rlike("^\\d{4}/\\d{2}/\\d{2}$"),
+          try_to_timestamp(col("raw"), lit("yyyy/MM/dd"))),
+        when(col("raw").rlike("^\\d{4}-\\d{2}-\\d{2}$"),
+          try_to_timestamp(col("raw"), lit("yyyy-MM-dd"))),
+        when(col("raw").rlike("^\\d{4}$"),
+          try_to_timestamp(col("raw"), lit("yyyy")))))
       .groupBy((col("o_orderkey") % 4).as("bucket"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("parsed").isNotNull, 1).otherwise(0)).as("n_parsed"),

@@ -189,22 +189,18 @@ object PipelineQueries {
       .limit(20)
 
   /** LSH-bucketed ANN partitioner: 8 deterministic integer hyperplanes
-    * w(b,i) = ((b*37 + i*13) % 21) - 10; signature = Σ 2^b·[proj_b ≥ 0].
-    * Output = bucket histogram (the ANN candidate-set distribution). At
-    * scale the bucket id is the shuffle/partition key and each query
-    * probes one bucket instead of the full corpus. */
-  private val simLshBuckets: Q = (s, d) => {
-    val bitExprs = (0 until 8).map { b =>
-      s"(CASE WHEN aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), " +
-        s"(a, i) -> a + CAST(element_at(embedding, i + 1) AS DOUBLE) * " +
-        s"CAST((($b * 37 + i * 13) % 21) - 10 AS DOUBLE)) >= 0 " +
-        s"THEN ${1 << b} ELSE 0 END)"
-    }
+    * w(b,i) = ((b*37 + i*13) % 21) - 10; signature = Σ 2^b·[proj_b ≥ 0],
+    * computed by the native fused-loop [[graft.expressions.LshBands]]
+    * (one band of 8 bits — identical per-bit sums to the per-bit HOF
+    * folds the oracle uses). Output = bucket histogram (the ANN
+    * candidate-set distribution). At scale the bucket id is the
+    * shuffle/partition key and each query probes one bucket instead of
+    * the full corpus. */
+  private val simLshBuckets: Q = (s, d) =>
     Tables.embeddings(s, d)
-      .selectExpr("vec_id", s"${bitExprs.mkString(" + ")} AS lsh_bucket")
+      .selectExpr("vec_id", "element_at(graft_lsh_bands(embedding, 1, 8), 1) AS lsh_bucket")
       .groupBy("lsh_bucket").agg(count(lit(1)).as("n_vectors"))
       .orderBy("lsh_bucket")
-  }
 
   /** IVF coarse quantizer (the ANN scale path alongside LSH): 16
     * deterministic centroids c_j[i] = (((j*31+i*17) mod 19) - 9) / 10;
@@ -230,31 +226,45 @@ object PipelineQueries {
       .orderBy("centroid_id")
   }
 
-  /** Embedding near-dup pairs via LSH buckets: corpus + exact copies
-    * (vec_id + 100000 for vec_id%25==0); pairs are found by joining on
-    * the LSH bucket, then confirmed by cosine ≥ 0.999. */
+  /** LSH banding parameters for the embedding near-dup join. Bucket
+    * occupancy per band is E[N / 2^bandBits]; the in-band self-join costs
+    * O(bands · N²/2^bandBits), so `bandBits` must grow with log2(N) to
+    * keep per-bucket occupancy — and therefore join cost per row —
+    * CONSTANT as the corpus scales: 8 bits suits ~10^5 vectors, ~100 TB
+    * of 768-d embeddings (~10^10 vectors) wants bandBits ≈ 26. Multiple
+    * narrower bands (vs one wide signature) trade precision for recall
+    * the standard LSH way: a near-duplicate pair only needs to agree on
+    * ONE band's hyperplane signs, while exact copies agree on all. */
+  private val NeardupBandBits = 8
+  private val NeardupBands = 2
+
+  /** Embedding near-dup pairs via banded LSH: corpus + exact copies
+    * (vec_id + 100000 for vec_id%25==0); candidate pairs are found by a
+    * per-band signature equi-join (id < id, distinct across bands), then
+    * confirmed by cosine ≥ 0.999 computed with the NATIVE codegen'd
+    * [[graft.expressions.CosineSimilarity]] — the r4 `zip_with` +
+    * `aggregate` confirm was CodegenFallback and pulled the whole
+    * post-join projection out of whole-stage codegen (2.0→7.8 s).
+    * Embeddings are fetched by joining candidates back to the corpus
+    * AFTER the pair distinct, so the band join shuffles only
+    * (band, vec_id) rows — never the 64-float arrays. */
   private val simEmbedNeardup: Q = (s, d) => {
-    val bitExprs = (0 until 8).map { b =>
-      s"(CASE WHEN aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), " +
-        s"(a, i) -> a + CAST(element_at(embedding, i + 1) AS DOUBLE) * " +
-        s"CAST((($b * 37 + i * 13) % 21) - 10 AS DOUBLE)) >= 0 " +
-        s"THEN ${1 << b} ELSE 0 END)"
-    }
     val base = Tables.embeddings(s, d)
     val corpus = base.select(col("vec_id"), col("embedding"))
       .union(base.filter(col("vec_id") % 25 === 0)
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-    val bucketed = corpus.selectExpr("vec_id", "embedding",
-      s"${bitExprs.mkString(" + ")} AS lsh_bucket",
-      sumSqExpr + " AS norm_sq")
-    val a = bucketed.select(col("lsh_bucket"), col("vec_id").as("id_a"),
-      col("embedding").as("emb_a"), col("norm_sq").as("nsq_a"))
-    val b = bucketed.select(col("lsh_bucket"), col("vec_id").as("id_b"),
-      col("embedding").as("emb_b"), col("norm_sq").as("nsq_b"))
-    a.join(b, Seq("lsh_bucket")).filter(col("id_a") < col("id_b"))
-      .selectExpr("id_a", "id_b",
-        "aggregate(zip_with(emb_a, emb_b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-          "CAST(0.0 AS DOUBLE), (a, x) -> a + x) / (sqrt(nsq_a) * sqrt(nsq_b)) AS cos_sim")
+    val bandRows = corpus.selectExpr("vec_id",
+      s"posexplode(graft_lsh_bands(embedding, $NeardupBands, $NeardupBandBits)) AS (band_idx, band_sig)")
+    val candidates = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band_sig") === col("b.band_sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    candidates
+      .join(corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
+      .join(corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
+      .selectExpr("id_a", "id_b", "graft_cosine(emb_a, emb_b) AS cos_sim")
       .filter(col("cos_sim") >= 0.999)
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
       .orderBy("id_a", "id_b")
@@ -542,6 +552,22 @@ object PipelineQueries {
       s"THEN ${1 << b} ELSE 0 END)"
   }
 
+  /** Band `g` of the near-dup LSH signature: global hyperplane index
+    * b = g*bandBits + j, in-band weight 2^j — mirrors the Spark side's
+    * `bandExprs` exactly. */
+  private def duckBandSig(emb: String, g: Int) =
+    (0 until NeardupBandBits).map { j =>
+      val b = g * NeardupBandBits + j
+      s"(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(generate_series(0, 63), i -> CAST($emb[i + 1] AS DOUBLE) * " +
+        s"CAST((($b * 37 + i * 13) % 21) - 10 AS DOUBLE))), (a, x) -> a + x) >= 0 " +
+        s"THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private def duckSumSqOf(emb: String) =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($emb, " +
+      "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x)"
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """WITH corpus AS (
@@ -662,23 +688,33 @@ object PipelineQueries {
         |  CAST(sum(vec_id) AS BIGINT) AS vec_id_sum
         |FROM assigned GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
     "sim_embed_neardup" ->
+      // graft_cosine's fused loop = three independent sequential f64
+      // folds (dot, |a|^2, |b|^2) — replicated here fold-for-fold
       s"""WITH corpus AS (
          |  SELECT vec_id, embedding FROM embeddings
          |  UNION ALL
          |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
-         |bucketed AS (
-         |  SELECT vec_id, embedding,
-         |    ${duckLshBits("embedding").mkString(" + ")} AS lsh_bucket,
-         |    $duckSumSq AS norm_sq
+         |sigs AS (
+         |  SELECT vec_id,
+         |    ${duckBandSig("embedding", 0)} AS band_0,
+         |    ${duckBandSig("embedding", 1)} AS band_1
          |  FROM corpus),
+         |cand AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sigs a JOIN sigs b ON a.band_0 = b.band_0 AND a.vec_id < b.vec_id
+         |  UNION
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sigs a JOIN sigs b ON a.band_1 = b.band_1 AND a.vec_id < b.vec_id),
          |pairs AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  SELECT id_a, id_b,
          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(list_zip(a.embedding, b.embedding),
+         |      list_transform(list_zip(ea.embedding, eb.embedding),
          |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, x) -> a + x)
-         |      / (sqrt(a.norm_sq) * sqrt(b.norm_sq)) AS cos_sim
-         |  FROM bucketed a JOIN bucketed b
-         |    ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id)
+         |      / (sqrt(${duckSumSqOf("ea.embedding")})
+         |         * sqrt(${duckSumSqOf("eb.embedding")})) AS cos_sim
+         |  FROM cand
+         |  JOIN corpus ea ON ea.vec_id = id_a
+         |  JOIN corpus eb ON eb.vec_id = id_b)
          |SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim
          |FROM pairs WHERE cos_sim >= 0.999 ORDER BY id_a, id_b""".stripMargin,
     "text_quality" ->
