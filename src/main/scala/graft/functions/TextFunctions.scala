@@ -333,11 +333,41 @@ object TextFunctions {
     "at", "by", "or", "be", "are", "was", "what", "how", "why")
 
   /** Q4 — keyword extraction: whitespace tokens minus stopwords,
-    * order-preserving (chatbot_api.py:92-119 simplified: no expansion map).
+    * order-preserving (chatbot_api.py:92-119).
     */
   def extractKeywords(text: String): Seq[String] = {
     if (text == null || text.trim.isEmpty) return Seq.empty
     text.trim.split("\\s+").toSeq.filterNot(t => EnStopwords.contains(t.toLowerCase))
+  }
+
+  /** Q4 — subject expansion map (chatbot_api.py:180-185 verbatim
+    * semantics: known subjects fan out to their synonym strings; an
+    * unknown subject falls back to the ORIGINAL question, not the
+    * extracted subject). */
+  val QueryExpansions: Map[String, String] = Map(
+    "math" -> "mathematics algebra calculus",
+    "toán" -> "toán học mathematics algebra calculus",
+    "database" -> "database SQL data management")
+
+  // (?U) = UNICODE_CHARACTER_CLASS: Python's re treats \w/\b as Unicode
+  // by default, Java as ASCII — without it "toán" extracts as "to"
+  private val BookPattern =
+    """(?U)\b(book|textbook|sách|giáo trình|tài liệu)\b""".r
+  private val SubjectPattern = """(?U)\b(of|về|cho)\s+(\w+)""".r
+
+  /** Q4 — query expansion before lexical scoring
+    * (chatbot_api.py:174-185): a "find me a book/textbook …" question
+    * has its subject ("of/về/cho X") looked up in the expansion map so
+    * BM25 sees the subject's synonyms; anything else passes through
+    * unchanged. */
+  def expandQuery(question: String): String = {
+    if (question == null || question.isEmpty) return question
+    val q = question.toLowerCase
+    if (BookPattern.findFirstIn(q).isEmpty) question
+    else SubjectPattern.findFirstMatchIn(q) match {
+      case Some(m) => QueryExpansions.getOrElse(m.group(2), question)
+      case None => question
+    }
   }
 
   /** Q4 — language-ID heuristic: Vietnamese charset probe first

@@ -1,6 +1,6 @@
 package graft.gold
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The gold-layer star schema (SURVEY §3.2, reference
@@ -21,6 +21,17 @@ object GoldAnalytics {
   private def skey(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
     abs(xxhash64(cols: _*))
 
+  /** SCD-2 validity columns on every entity dim, mirroring the
+    * reference's `effective_from`/`effective_to`/`is_current`
+    * (`gold_analytics.py:269-271`): a full-rebuild dim is always the
+    * current slice — `effective_from` = load date, open-ended validity,
+    * `is_current` = true. `loadDate` defaults to `current_date()` like
+    * the reference; pass a literal for deterministic testing. */
+  private def scd2(df: DataFrame, loadDate: Column): DataFrame =
+    df.withColumn("effective_from", loadDate)
+      .withColumn("effective_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+
   /** dim_date over the union of every date the facts reference + the
     * fixed fallback row (U1/S7, gold_analytics.py:389-416). */
   def dimDate(spark: SparkSession, dates: DataFrame): DataFrame = {
@@ -35,38 +46,40 @@ object GoldAnalytics {
   }
 
   /** dim_sources (gold_analytics.py:344-374 shape). */
-  def dimSources(resources: DataFrame): DataFrame =
-    resources.groupBy(col("source_system"))
+  def dimSources(resources: DataFrame, loadDate: Column = current_date()): DataFrame =
+    scd2(resources.groupBy(col("source_system"))
       .agg(count(lit(1)).as("n_resources"))
       .select(skey(col("source_system")).as("source_key"),
-        col("source_system").as("source_code"), col("n_resources"))
+        col("source_system").as("source_code"), col("n_resources")), loadDate)
 
   /** dim_languages with the 'unknown' default join semantics (J10). */
-  def dimLanguages(resources: DataFrame): DataFrame =
-    resources.select(coalesce(col("language"), lit("unknown")).as("language_code"))
+  def dimLanguages(resources: DataFrame, loadDate: Column = current_date()): DataFrame =
+    scd2(resources.select(coalesce(col("language"), lit("unknown")).as("language_code"))
       .distinct()
-      .select(skey(col("language_code")).as("language_key"), col("language_code"))
+      .select(skey(col("language_code")).as("language_key"), col("language_code")),
+      loadDate)
 
   /** dim_subjects from a reference subjects frame (subject_id,
     * subject_name). */
-  def dimSubjects(subjects: DataFrame): DataFrame =
-    subjects.select(skey(col("subject_id")).as("subject_key"),
-      col("subject_id"), col("subject_name"))
+  def dimSubjects(subjects: DataFrame, loadDate: Column = current_date()): DataFrame =
+    scd2(subjects.select(skey(col("subject_id")).as("subject_key"),
+      col("subject_id"), col("subject_name")), loadDate)
 
   /** dim_resources with per-resource chunk stats attached (J11:
     * left join after groupBy.agg). */
-  def dimResources(resources: DataFrame, chunks: DataFrame): DataFrame = {
+  def dimResources(resources: DataFrame, chunks: DataFrame,
+                   loadDate: Column = current_date()): DataFrame = {
     val chunkStats = chunks.groupBy("resource_uid")
       .agg(countDistinct("chunk_id").as("n_chunks"),
         sum("token_count").as("total_tokens"))
-    resources
+    scd2(resources
       .join(chunkStats, Seq("resource_uid"), "left")
       .select(
         skey(col("resource_uid")).as("resource_key"),
         col("resource_uid"), col("resource_id"),
         col("source_system"), col("language"), col("title"),
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
-        coalesce(col("total_tokens"), lit(0L)).as("total_tokens"))
+        coalesce(col("total_tokens"), lit(0L)).as("total_tokens")), loadDate)
   }
 
   /** bridge_resource_subjects from exploded matches (G2 + J12):

@@ -27,6 +27,23 @@ object CoverageQueries {
 
   private val StopSql = "('the', 'a', 'is', 'of', 'and', 'to', 'in')"
 
+  /** Multi-field BM25 query terms with ES "AUTO" fuzziness edit budgets
+    * (chatbot_api.py:206: term length 3-5 → 1 edit, ≥6 → 2). */
+  private val Bm25Terms = Seq(("spark", 1), ("join", 1), ("filter", 2))
+
+  /** (field, Spark token expr, boost) — order drives the generated score
+    * sum on BOTH engines, so the float accumulation order is identical.
+    * Boosts mirror chatbot_api.py:207-208 (title 10, chapter_title 5). */
+  private val Bm25Fields = Seq(
+    ("title", "slice(split(text, ' '), 1, 3)", "10.0"),
+    ("chapter", "slice(split(text, ' '), 4, 3)", "5.0"),
+    ("body", "split(text, ' ')", "1.0"))
+
+  private val DuckBm25FieldTok = Map(
+    "title" -> "string_split(text, ' ')[1:3]",
+    "chapter" -> "string_split(text, ' ')[4:6]",
+    "body" -> "string_split(text, ' ')")
+
   // ---------------------------------------------------------------- sources
 
   /** S2 — file-lineage column via input_file_name
@@ -196,6 +213,81 @@ object CoverageQueries {
         "concat_ws(' ', slice(kw, 1, 3)) AS top_keywords")
       .orderBy("doc_id")
 
+  /** Q1 fidelity — multi-field BM25 with per-field boosts and AUTO
+    * fuzziness, mirroring the reference's ES `should` clause
+    * (chatbot_api.py:202-217: title boost 10, chapter_title boost 5,
+    * body unboosted, `fuzziness: "AUTO"`, `minimum_should_match: 1`).
+    * Fields are synthesized deterministically from `documents` (title =
+    * tokens 1-3, chapter = tokens 4-6, body = all); a term matches a
+    * token when levenshtein ≤ AUTO's edit budget (len 3-5 → 1 edit,
+    * ≥6 → 2). Field/term tables drive BOTH engines' generated SQL so the
+    * float-sum order is identical; dl/df sums are integers in doubles,
+    * hence exact, and the score lands on a floor grid.
+    *
+    * Scale posture: same two-pass shape as search_bm25 — one aggregate
+    * for corpus stats broadcast back over the scan; the levenshtein
+    * probe is per-token CPU inside whole-stage codegen, no extra
+    * shuffle. */
+  private val searchBm25Fields: Q = (s, d) => {
+    val withTf = Tables.documents(s, d)
+      .select(col("doc_id") +: Bm25Fields.flatMap { case (f, tokExpr, _) =>
+        expr(s"CAST(size($tokExpr) AS DOUBLE)").as(s"dl_$f") +:
+          Bm25Terms.map { case (t, edits) =>
+            expr(s"CAST(size(filter($tokExpr, x -> levenshtein(x, '$t') <= $edits)) AS DOUBLE)")
+              .as(s"tf_${f}_$t")
+          }
+      }: _*)
+    val statAggs = Bm25Fields.flatMap { case (f, _, _) =>
+      avg(s"dl_$f").as(s"avgdl_$f") +:
+        Bm25Terms.map { case (t, _) =>
+          sum(when(col(s"tf_${f}_$t") > 0, 1.0).otherwise(0.0)).as(s"df_${f}_$t")
+        }
+    }
+    val stats = withTf.agg(count(lit(1)).cast("double").as("n_docs"), statAggs: _*)
+    val scoreExpr = Bm25Fields.map { case (f, _, boost) =>
+      Bm25Terms.map { case (t, _) =>
+        s"${boost}D * ln(1.0D + (n_docs - df_${f}_$t + 0.5D) / (df_${f}_$t + 0.5D)) * " +
+          s"(tf_${f}_$t * 2.2D) / (tf_${f}_$t + 1.2D * (0.25D + 0.75D * dl_$f / avgdl_$f))"
+      }.mkString(" + ")
+    }.mkString(" + ")
+    val anyMatch = Bm25Fields
+      .flatMap { case (f, _, _) => Bm25Terms.map { case (t, _) => s"tf_${f}_$t" } }
+      .mkString(" + ")
+    withTf.crossJoin(broadcast(stats))
+      .filter(expr(s"($anyMatch) > 0")) // minimum_should_match = 1
+      .withColumn("score_e4", floor(expr(scoreExpr) * 10000).cast("long"))
+      .select("doc_id", "score_e4")
+      .orderBy(col("score_e4").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  /** Q4 fidelity — query-expansion map before lexical scoring
+    * (chatbot_api.py:174-185): a "book/textbook …" question has its
+    * "of X" subject looked up in the expansion map; unknown subjects and
+    * non-book questions pass through unchanged. Questions are
+    * synthesized deterministically per doc; the full reference pattern
+    * (Vietnamese keywords included) lives in
+    * [[graft.functions.TextFunctions.expandQuery]] (spec-pinned) — the
+    * battery query keeps to the ASCII subset both regex engines treat
+    * identically. */
+  private val q4QueryExpansion: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("question", element_at(array(
+        lit("a book of math"), lit("find the textbook of database please"),
+        lit("give me spark join notes"), lit("any book of physics")),
+        (col("doc_id") % 4 + 1).cast("int")))
+      .withColumn("subject",
+        regexp_extract(col("question"), "\\b(?:of|cho)\\s+(\\w+)", 1))
+      .withColumn("expanded",
+        when(col("question").rlike("\\b(book|textbook)\\b"),
+          when(col("subject") === "math", lit("mathematics algebra calculus"))
+            .when(col("subject") === "database", lit("database SQL data management"))
+            .otherwise(col("question")))
+          .otherwise(col("question")))
+      .select(col("doc_id"), col("question"), col("expanded"),
+        size(split(col("expanded"), " ")).as("n_terms"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------- scalar batteries
 
   /** F5 — ensure_language_code as a native expression chain
@@ -361,7 +453,9 @@ object CoverageQueries {
     "w2_max_by" -> w2MaxBy,
     "o3_topk_per_group" -> o3TopkPerGroup,
     "search_bm25" -> searchBm25,
+    "search_bm25_fields" -> searchBm25Fields,
     "q4_keywords" -> q4Keywords,
+    "q4_query_expansion" -> q4QueryExpansion,
     "f5_lang_code" -> f5LangCode,
     "f9_parse_datetime" -> f9ParseDatetime,
     "f12_record_fingerprint" -> f12RecordFingerprint,
@@ -463,6 +557,58 @@ object CoverageQueries {
         |  ) * 10000) AS BIGINT) AS score_e4
         |FROM tf, stats
         |ORDER BY score_e4 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "search_bm25_fields" -> {
+      val tfCols = Bm25Fields.flatMap { case (f, _, _) =>
+        val tok = DuckBm25FieldTok(f)
+        s"CAST(len($tok) AS DOUBLE) AS dl_$f" +:
+          Bm25Terms.map { case (t, e) =>
+            s"CAST(len(list_filter($tok, x -> levenshtein(x, '$t') <= $e)) AS DOUBLE) AS tf_${f}_$t"
+          }
+      }
+      val statCols = Bm25Fields.flatMap { case (f, _, _) =>
+        s"avg(dl_$f) AS avgdl_$f" +:
+          Bm25Terms.map { case (t, _) =>
+            s"sum(CASE WHEN tf_${f}_$t > 0 THEN 1.0 ELSE 0.0 END) AS df_${f}_$t"
+          }
+      }
+      val score = Bm25Fields.map { case (f, _, boost) =>
+        Bm25Terms.map { case (t, _) =>
+          s"$boost * ln(1.0 + (n_docs - df_${f}_$t + 0.5) / (df_${f}_$t + 0.5)) * " +
+            s"(tf_${f}_$t * 2.2) / (tf_${f}_$t + 1.2 * (0.25 + 0.75 * dl_$f / avgdl_$f))"
+        }.mkString(" + ")
+      }.mkString(" + ")
+      val anyMatch = Bm25Fields
+        .flatMap { case (f, _, _) => Bm25Terms.map { case (t, _) => s"tf_${f}_$t" } }
+        .mkString(" + ")
+      s"""WITH tf AS (
+         |  SELECT doc_id, ${tfCols.mkString(",\n    ")}
+         |  FROM documents),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, ${statCols.mkString(",\n    ")}
+         |  FROM tf)
+         |SELECT doc_id, CAST(floor(($score) * 10000) AS BIGINT) AS score_e4
+         |FROM tf, stats WHERE ($anyMatch) > 0
+         |ORDER BY score_e4 DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
+    "q4_query_expansion" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    (['a book of math', 'find the textbook of database please',
+        |      'give me spark join notes', 'any book of physics'])[CAST(doc_id % 4 + 1 AS INT)]
+        |      AS question
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, question,
+        |    CASE WHEN regexp_matches(question, '\b(book|textbook)\b')
+        |      THEN CASE regexp_extract(question, '\b(?:of|cho)\s+(\w+)', 1)
+        |        WHEN 'math' THEN 'mathematics algebra calculus'
+        |        WHEN 'database' THEN 'database SQL data management'
+        |        ELSE question END
+        |      ELSE question END AS expanded
+        |  FROM q)
+        |SELECT doc_id, question, expanded,
+        |  CAST(len(string_split(expanded, ' ')) AS INT) AS n_terms
+        |FROM e ORDER BY doc_id""".stripMargin,
     "q4_keywords" ->
       s"""WITH kw AS (
          |  SELECT doc_id,

@@ -45,6 +45,30 @@ class GoldAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("entity dims carry SCD-2 validity columns (gold_analytics.py:269-271)") {
+    import spark.implicits._
+    val (resources, chunks, subjects, _, _) = fixtures
+    val loadDate = lit("2026-02-03").cast("date")
+    val dims = Seq(
+      GoldAnalytics.dimSources(resources, loadDate),
+      GoldAnalytics.dimLanguages(resources, loadDate),
+      GoldAnalytics.dimSubjects(subjects, loadDate),
+      GoldAnalytics.dimResources(resources, chunks, loadDate))
+    for (dim <- dims) {
+      assert(Seq("effective_from", "effective_to", "is_current")
+        .forall(dim.columns.contains), s"missing SCD-2 columns in ${dim.columns.toSeq}")
+      val rows = dim.select($"effective_from".cast("string"),
+        $"effective_to".cast("string"), $"is_current")
+        .as[(String, String, Boolean)].collect()
+      assert(rows.nonEmpty)
+      rows.foreach { case (from, to, current) =>
+        assert(from == "2026-02-03" && to == null && current)
+      }
+    }
+    // default load date is current_date(), mirroring the reference
+    assert(GoldAnalytics.dimSources(resources).columns.contains("effective_from"))
+  }
+
   test("dim_resources attaches chunk stats; missing stats default to 0") {
     import spark.implicits._
     val (resources, chunks, _, _, _) = fixtures

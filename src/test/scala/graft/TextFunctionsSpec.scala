@@ -140,6 +140,22 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(detectLanguage("") == "unknown")
   }
 
+  test("Q4 query expansion: book subjects fan out, everything else passes through") {
+    // chatbot_api.py:174-185 semantics
+    assert(expandQuery("a book of math") == "mathematics algebra calculus")
+    assert(expandQuery("find the TEXTBOOK of database please") ==
+      "database SQL data management")
+    assert(expandQuery("sách về toán") == "toán học mathematics algebra calculus")
+    // unknown subject falls back to the ORIGINAL question, not the subject
+    assert(expandQuery("any book of physics") == "any book of physics")
+    // no book keyword → untouched even when "of X" is present
+    assert(expandQuery("the history of math") == "the history of math")
+    // book keyword but no "of/về/cho X" → untouched
+    assert(expandQuery("a math textbook") == "a math textbook")
+    assert(expandQuery("") == "")
+    assert(expandQuery(null) == null)
+  }
+
   test("rolling fingerprint matches the documented fold") {
     // fold: acc = (acc*31 + code) mod 2147483647, seed 7
     assert(rollingFingerprint("") == 7L)

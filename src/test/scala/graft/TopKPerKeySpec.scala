@@ -78,6 +78,30 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(top3.orderBy("rn").select("score").as[Int].collect().toSeq == expected)
   }
 
+  test("spill path: adversarial key cardinality matches the in-memory path") {
+    import spark.implicits._
+    // 4000 distinct keys in 7 partitions with a 16-key spill threshold
+    // forces ~35 spill runs per partition; same keys recur across runs so
+    // the merge must re-select top-k from multi-run candidates
+    val rng = new scala.util.Random(47)
+    val df = (1 to 20000).map(_ => (rng.nextInt(4000), rng.nextInt(10000), rng.nextLong()))
+      .toDF("key", "score", "id")
+      .repartition(7)
+    val w = Window.partitionBy("key").orderBy(col("score").desc, col("id").asc)
+    def run() = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("key", "score", "id", "rn")
+      .as[(Int, Int, Long, Int)].collect().toSeq.sortBy(t => (t._1, t._4))
+    assert(hasTopK(df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)))
+    val inMemory = run()
+    spark.conf.set(graft.plans.TopKPerKey.SpillThresholdKey, "16")
+    try {
+      val before = graft.plans.TopKPerKey.spillRuns.get()
+      val spilled = run()
+      assert(graft.plans.TopKPerKey.spillRuns.get() > before, "spill path did not run")
+      assert(spilled == inMemory)
+    } finally spark.conf.unset(graft.plans.TopKPerKey.SpillThresholdKey)
+  }
+
   test("battery queries w1/o3 now use the operator (and stay oracle-green)") {
     assert(hasTopK(SparkEntry.queries("w1_latest_wins")(spark, "/root/testdata/sf0.001")))
     assert(hasTopK(SparkEntry.queries("o3_topk_per_group")(spark, "/root/testdata/sf0.001")))
