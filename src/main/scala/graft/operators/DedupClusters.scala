@@ -66,13 +66,33 @@ object DedupClusters {
         .join(labels.withColumnRenamed("id", "b"), Seq("b"))
         .groupBy(col("a").as("id"))
         .agg(min("cluster_id").as("neighbor_min"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
             .as("cluster_id"),
           (coalesce(col("neighbor_min"), col("cluster_id")) < col("cluster_id"))
             .as("__changed"))
-        .localCheckpoint(true)
+      // pointer jump (the large-star/small-star shortcut in label form):
+      // label ← label(label). Labels are node ids inside the component,
+      // so the lookup is a self-join on the label table; label paths
+      // halve every round and convergence drops from O(diameter) to
+      // O(log diameter) rounds on chained duplicates, at one extra
+      // id-keyed shuffle per round. Stable states are unchanged (labels
+      // constant per component ⇒ jump is a no-op), so the result is
+      // still the exact component minimum.
+      val next = propagated
+        .join(propagated.select(col("id").as("cluster_id"), col("cluster_id").as("__grand")),
+          Seq("cluster_id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("__grand"), col("cluster_id")))
+            .as("cluster_id"),
+          (col("__changed") ||
+            coalesce(col("__grand"), col("cluster_id")) < col("cluster_id"))
+            .as("__changed"))
+        // lazy checkpoint: the convergence aggregate right below is the
+        // round's one action and materializes the checkpoint blocks as a
+        // side effect — eager=true ran a SECOND full job per round
+        .localCheckpoint(false)
       val changed = Option(next.agg(sum(col("__changed").cast("long"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
       labels = next.drop("__changed")

@@ -15,27 +15,63 @@ import org.apache.spark.sql.functions._
   *  - K5 schema evolution — `ALTER TABLE ADD COLUMN` per new column before
   *    merge (`transformer.py:2421-2425`) → union-by-name with null padding
   *
+  * Commit protocol (the Iceberg snapshot-pointer analogue for a plain
+  * FS): a table directory holds immutable version dirs `v-<nanos>` plus
+  * a `_current` pointer file naming the live one. Writers build a new
+  * version dir, then atomically replace `_current`; readers resolve the
+  * pointer once and scan an immutable snapshot — there is NO window in
+  * which a concurrent reader sees a missing or half-written table (the
+  * pre-r5 retire-then-promote double rename had one). The previous
+  * version is retained through one commit so a reader that resolved just
+  * before the swap can finish its scan; older versions are pruned.
+  * Writers are still single-writer (no pointer CAS — the reference's
+  * Airflow DAG serializes merges the same way).
+  *
   * Scale posture: the rewrite is partition-scoped when the merge keys
   * cover the partition columns (key implies partition ⇒ untouched
-  * partitions are carried over as files, never read or rewritten); the
-  * anti-join shuffles only on the merge keys and AQE handles skew. The
-  * final commit is a single atomic directory rename, mirroring Iceberg's
-  * snapshot swap.
+  * partitions are HARD-LINKED into the new version, never read,
+  * rewritten, or stolen from the live snapshot); the anti-join shuffles
+  * only on the merge keys and AQE handles skew.
   */
 object TableMerge {
 
-  def exists(tablePath: String): Boolean = Files.exists(Paths.get(tablePath))
+  private val PointerName = "_current"
+
+  private def pointerPath(tablePath: String): Path = Paths.get(tablePath, PointerName)
+
+  /** Live version dir, if the table uses the versioned layout. */
+  private def resolveLive(tablePath: String): Option[Path] = {
+    val p = pointerPath(tablePath)
+    if (!Files.exists(p)) None
+    else {
+      val dir = Paths.get(tablePath, Files.readString(p).trim)
+      if (Files.exists(dir)) Some(dir) else None
+    }
+  }
+
+  /** A committed table exists: versioned pointer, or a legacy plain
+    * parquet dir (pre-pointer layout) with top-level content. */
+  def exists(tablePath: String): Boolean =
+    resolveLive(tablePath).isDefined || {
+      val p = Paths.get(tablePath)
+      !Files.exists(pointerPath(tablePath)) && Files.exists(p) &&
+        Option(p.toFile.listFiles()).exists(_.exists(f =>
+          !f.getName.startsWith(".") && !f.getName.startsWith("v-")))
+    }
 
   def read(spark: SparkSession, tablePath: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(tablePath)
+    resolveLive(tablePath) match {
+      case Some(dir) => spark.read.option("mergeSchema", "true").parquet(dir.toString)
+      case None => spark.read.option("mergeSchema", "true").parquet(tablePath)
+    }
 
-  /** K3 — full replace with atomic swap. */
+  /** K3 — full replace with atomic pointer swap. */
   def createOrReplace(df: DataFrame, tablePath: String, partitionCols: Seq[String] = Seq.empty): Unit = {
-    val tmp = stagingDir(tablePath)
+    val version = newVersionDir(tablePath)
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(tmp.toString)
-    commitSwap(tmp, Paths.get(tablePath))
+      .parquet(version.toString)
+    commitVersion(tablePath, version)
   }
 
   /** K1 + K5 — upsert `source` into the table at `tablePath` on `keys`.
@@ -52,26 +88,29 @@ object TableMerge {
     if (!exists(tablePath)) { createOrReplace(src, tablePath, partitionCols); return }
 
     val target = read(spark, tablePath)
+    val liveDir = resolveLive(tablePath).getOrElse(Paths.get(tablePath))
     val partitionScoped = partitionCols.nonEmpty && partitionCols.forall(keys.contains)
     if (partitionScoped) {
       // Key implies partition ⇒ a matched target row always lives in a
-      // partition the source also touches; carry untouched partitions over
-      // physically and rewrite only the touched ones.
+      // partition the source also touches; hard-link untouched partition
+      // trees into the new version (no data read/rewrite, and the live
+      // snapshot keeps its files for in-flight readers) and rewrite only
+      // the touched ones.
       val touched = src.select(partitionCols.map(col): _*).distinct()
       val targetTouched = target.join(broadcast(touched), partitionCols, "left_semi")
       val merged = mergeRows(targetTouched, src, keys)
-      val tmp = stagingDir(tablePath)
-      merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(tmp.toString)
-      carryUntouchedPartitions(Paths.get(tablePath), tmp, partitionCols,
+      val version = newVersionDir(tablePath)
+      merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(version.toString)
+      carryUntouchedPartitions(liveDir, version, partitionCols,
         touchedPartitionDirs(touched))
-      commitSwap(tmp, Paths.get(tablePath))
+      commitVersion(tablePath, version)
     } else {
       val merged = mergeRows(target, src, keys)
-      val tmp = stagingDir(tablePath)
+      val version = newVersionDir(tablePath)
       val writer = merged.write.mode(SaveMode.Overwrite)
       (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-        .parquet(tmp.toString)
-      commitSwap(tmp, Paths.get(tablePath))
+        .parquet(version.toString)
+      commitVersion(tablePath, version)
     }
   }
 
@@ -81,11 +120,11 @@ object TableMerge {
     if (!exists(tablePath)) return
     val target = read(spark, tablePath)
     val remaining = target.join(deleteKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
-    val tmp = stagingDir(tablePath)
+    val version = newVersionDir(tablePath)
     val writer = remaining.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(tmp.toString)
-    commitSwap(tmp, Paths.get(tablePath))
+      .parquet(version.toString)
+    commitVersion(tablePath, version)
   }
 
   /** UPDATE-SET-* + INSERT-* semantics with union-by-name schema
@@ -96,11 +135,27 @@ object TableMerge {
     notMatched.unionByName(src, allowMissingColumns = true)
   }
 
-  private def stagingDir(tablePath: String): Path = {
-    val p = Paths.get(tablePath)
-    val parent = Option(p.getParent).getOrElse(Paths.get("."))
-    Files.createDirectories(parent)
-    parent.resolve(s".${p.getFileName}.staging-${System.nanoTime()}")
+  private def newVersionDir(tablePath: String): Path = {
+    val dir = Paths.get(tablePath, s"v-${System.nanoTime()}")
+    Files.createDirectories(Paths.get(tablePath))
+    dir
+  }
+
+  /** Atomic commit: stage the pointer content beside `_current`, rename
+    * over it (atomic on POSIX), then prune versions older than the one
+    * just replaced. Keeping exactly one prior version gives in-flight
+    * readers a full commit-cycle grace period.
+    */
+  private def commitVersion(tablePath: String, version: Path): Unit = {
+    val pointer = pointerPath(tablePath)
+    val prev = if (Files.exists(pointer)) Some(Files.readString(pointer).trim) else None
+    val tmp = pointer.resolveSibling(s".$PointerName.tmp-${System.nanoTime()}")
+    Files.writeString(tmp, version.getFileName.toString)
+    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE)
+    val keep = Set(version.getFileName.toString) ++ prev
+    Option(Paths.get(tablePath).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v-") && !keep(f.getName))
+      .foreach(f => deleteRecursively(f.toPath))
   }
 
   /** Hive-style partition dir prefixes (`col=value`) touched by the merge. */
@@ -114,8 +169,10 @@ object TableMerge {
     }.toSet
   }
 
-  /** Move untouched first-level partition trees from the live table into
-    * the staging dir (file move, no data rewrite).
+  /** Hard-link untouched first-level partition trees from the live
+    * snapshot into the new version (no data rewrite, live files stay in
+    * place for concurrent readers; falls back to copy on filesystems
+    * without link support).
     */
   private def carryUntouchedPartitions(live: Path, staging: Path,
                                        partitionCols: Seq[String],
@@ -128,8 +185,7 @@ object TableMerge {
         val isTouchedPrefix = touched.exists(t => t == rel || t.startsWith(rel + "/"))
         val dest = stagingDir.resolve(d.getName)
         if (!isTouchedPrefix) {
-          if (!Files.exists(dest))
-            Files.move(d.toPath, dest, StandardCopyOption.ATOMIC_MOVE)
+          if (!Files.exists(dest)) linkTree(d.toPath, dest)
         } else if (depth + 1 < partitionCols.length) {
           Files.createDirectories(dest)
           walk(d.toPath, dest, depth + 1, rel)
@@ -139,15 +195,17 @@ object TableMerge {
     walk(live, staging, 0, "")
   }
 
-  /** Atomic-ish commit: retire the live dir, promote staging, drop the
-    * retired snapshot (the Iceberg snapshot-swap analogue for a plain FS).
-    */
-  private def commitSwap(staging: Path, live: Path): Unit = {
-    val retired = live.resolveSibling(s".${live.getFileName}.retired-${System.nanoTime()}")
-    if (Files.exists(live)) Files.move(live, retired, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(staging, live, StandardCopyOption.ATOMIC_MOVE)
-    if (Files.exists(retired)) deleteRecursively(retired)
-  }
+  private def linkTree(src: Path, dest: Path): Unit =
+    if (Files.isDirectory(src)) {
+      Files.createDirectories(dest)
+      Option(src.toFile.listFiles()).getOrElse(Array.empty)
+        .foreach(c => linkTree(c.toPath, dest.resolve(c.getName)))
+    } else {
+      try Files.createLink(dest, src)
+      catch { case _: UnsupportedOperationException =>
+        Files.copy(src, dest, StandardCopyOption.COPY_ATTRIBUTES): Unit
+      }
+    }
 
   private def deleteRecursively(p: Path): Unit = {
     val f = p.toFile

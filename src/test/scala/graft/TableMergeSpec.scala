@@ -50,6 +50,36 @@ class TableMergeSpec extends AnyFunSuite {
     assert(got == Seq((1, "a", None), (2, "b", Some("note"))))
   }
 
+  test("concurrent reader: a snapshot resolved before a merge still reads it after") {
+    import spark.implicits._
+    val path = tmpTable("snapshot")
+    TableMerge.createOrReplace(Seq((1, "a"), (2, "b")).toDF("id", "v"), path)
+    // resolve the live snapshot (pointer read happens here, lazily-planned scan)
+    val preMerge = TableMerge.read(spark, path)
+    // a full merge cycle commits a NEW version while the reader is in flight
+    TableMerge.upsert(spark, path, Seq((2, "B2"), (3, "c")).toDF("id", "v"), Seq("id"))
+    // the pre-merge snapshot is immutable and still fully readable —
+    // the pre-r5 retire-then-promote swap deleted it out from under us
+    assert(preMerge.orderBy("id").as[(Int, String)].collect().toSeq ==
+      Seq((1, "a"), (2, "b")))
+    // the new resolution sees the merged state
+    assert(TableMerge.read(spark, path).orderBy("id").as[(Int, String)].collect().toSeq ==
+      Seq((1, "a"), (2, "B2"), (3, "c")))
+  }
+
+  test("version pruning keeps exactly the live and previous versions") {
+    import spark.implicits._
+    val path = tmpTable("prune")
+    TableMerge.createOrReplace(Seq((1, "a")).toDF("id", "v"), path)
+    TableMerge.upsert(spark, path, Seq((2, "b")).toDF("id", "v"), Seq("id"))
+    TableMerge.upsert(spark, path, Seq((3, "c")).toDF("id", "v"), Seq("id"))
+    TableMerge.upsert(spark, path, Seq((4, "d")).toDF("id", "v"), Seq("id"))
+    val versions = java.nio.file.Paths.get(path).toFile.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v-"))
+    assert(versions.length == 2, s"expected live+previous, got ${versions.length}")
+    assert(TableMerge.read(spark, path).count() == 4)
+  }
+
   test("K2 delete removes only the given keys") {
     import spark.implicits._
     val path = tmpTable("delete")
@@ -66,9 +96,12 @@ class TableMergeSpec extends AnyFunSuite {
       Seq(("p1", 1, "a"), ("p1", 2, "b"), ("p2", 3, "c")).toDF("pt", "id", "v"),
       path, partitionCols = Seq("pt"))
 
-    // record the physical files of the untouched partition
+    // record the physical files of the untouched partition inside the
+    // LIVE version dir (resolved through the _current pointer)
     def partFiles(p: String): Set[String] = {
-      val dir = java.nio.file.Paths.get(path, s"pt=$p")
+      val live = java.nio.file.Paths.get(path,
+        java.nio.file.Files.readString(java.nio.file.Paths.get(path, "_current")).trim)
+      val dir = live.resolve(s"pt=$p")
       Option(dir.toFile.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet")).map(f => f.getName + ":" + f.lastModified).toSet
     }
@@ -79,7 +112,8 @@ class TableMergeSpec extends AnyFunSuite {
       Seq(("p1", 2, "B2"), ("p1", 9, "i")).toDF("pt", "id", "v"),
       keys = Seq("pt", "id"), partitionCols = Seq("pt"))
 
-    // untouched partition p2: identical files (names + mtimes — moved, not rewritten)
+    // untouched partition p2: identical files (names + mtimes — hard-linked
+    // into the new version, not rewritten)
     assert(partFiles("p2") == p2Before)
     val got = TableMerge.read(spark, path).orderBy("id")
       .select("pt", "id", "v").as[(String, Int, String)].collect().toSeq
