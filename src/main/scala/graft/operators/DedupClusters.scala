@@ -11,21 +11,26 @@ import org.apache.spark.storage.StorageLevel
   *
   * Algorithm: iterative min-label propagation over the symmetrized edge
   * set — each round every node takes the minimum label among itself and
-  * its neighbors; converges in O(component diameter) rounds (near-dup
-  * components are shallow — transitive near-duplicates have small
-  * diameter; the alternating large-star/small-star variant would halve
-  * rounds for pathological chains). Each round is one join + one
-  * aggregate, both shuffling on the node id only; the driver checks a
-  * scalar convergence count per round.
+  * its neighbors; converges in O(component diameter) rounds, or
+  * O(log diameter) with the opt-in `pointerJump` shortcut (the
+  * large-star/small-star idea in label form) for pathological duplicate
+  * chains. Each round is one join + one aggregate, both shuffling on
+  * the node id only; the driver checks a scalar convergence count per
+  * round.
   */
 object DedupClusters {
 
   /** @param pairs   candidate pairs, one row per (srcCol, dstCol)
     * @param maxIter safety cap on propagation rounds
+    * @param pointerJump add a label ← label(label) self-join per round:
+    *                    O(log diameter) rounds instead of O(diameter).
+    *                    Enable for deep-chain graphs; measured pure
+    *                    overhead on shallow near-dup corpora (see the
+    *                    loop comment), so off by default
     * @return (id, cluster_id) for every node appearing in `pairs`
     */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20, pointerJump: Boolean = false): DataFrame = {
     val spark = pairs.sparkSession
     val src = col(srcCol).cast("long")
     val dst = col(dstCol).cast("long")
@@ -72,15 +77,16 @@ object DedupClusters {
             .as("cluster_id"),
           (coalesce(col("neighbor_min"), col("cluster_id")) < col("cluster_id"))
             .as("__changed"))
-      // pointer jump (the large-star/small-star shortcut in label form):
-      // label ← label(label). Labels are node ids inside the component,
-      // so the lookup is a self-join on the label table; label paths
-      // halve every round and convergence drops from O(diameter) to
-      // O(log diameter) rounds on chained duplicates, at one extra
-      // id-keyed shuffle per round. Stable states are unchanged (labels
-      // constant per component ⇒ jump is a no-op), so the result is
-      // still the exact component minimum.
-      val next = propagated
+      // Optional pointer jump (large-star/small-star shortcut in label
+      // form): label ← label(label), a self-join on the label table.
+      // Halves label-path lengths per round ⇒ O(log diameter) rounds —
+      // worth it ONLY for deep-chain duplicate graphs. Near-dup corpora
+      // converge in ~2 rounds (this one: round 1 changes, round 2
+      // confirms), where the extra join is pure overhead: measured at
+      // sf0.1, jump ON = 11.4 s cold / 16.3 s in the full battery vs
+      // 8.7 s / ~7 s with it OFF. Hence opt-in, default off.
+      val next = (if (!pointerJump) propagated
+      else propagated
         .join(propagated.select(col("id").as("cluster_id"), col("cluster_id").as("__grand")),
           Seq("cluster_id"), "left")
         .select(col("id"),
@@ -88,10 +94,10 @@ object DedupClusters {
             .as("cluster_id"),
           (col("__changed") ||
             coalesce(col("__grand"), col("cluster_id")) < col("cluster_id"))
-            .as("__changed"))
+            .as("__changed")))
         // lazy checkpoint: the convergence aggregate right below is the
         // round's one action and materializes the checkpoint blocks as a
-        // side effect — eager=true ran a SECOND full job per round
+        // side effect — eager=true ran a SECOND job per round
         .localCheckpoint(false)
       val changed = Option(next.agg(sum(col("__changed").cast("long"))).head().get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)

@@ -40,4 +40,18 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(1L))
     assert(got.size == 12)
   }
+
+  test("pointer jumping resolves a deep chain in O(log d) rounds with identical labels") {
+    import spark.implicits._
+    // a 40-node chain has diameter 39: plain propagation cannot finish
+    // in 9 rounds, the pointer-jump variant must (paths halve per round)
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assertThrows[IllegalStateException] {
+      DedupClusters.connectedComponents(pairs, "id_a", "id_b", maxIter = 9).count()
+    }
+    val got = DedupClusters.connectedComponents(pairs, "id_a", "id_b",
+      maxIter = 9, pointerJump = true)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 40 && got.values.toSet == Set(1L))
+  }
 }
