@@ -226,6 +226,53 @@ object PipelineQueries {
       .orderBy("centroid_id")
   }
 
+  /** IVF probe set: the `IvfNprobe` centroids nearest (squared L2) to
+    * the fixed query vector q = 0.1·1⃗, over the same deterministic
+    * centroid grid as `sim_ivf_assign` (c_j[i] = (((j*31+i*17) mod 19)
+    * - 9)/10). Pure data-independent arithmetic evaluated once at
+    * class-load and inlined as literals into BOTH engines' SQL, so the
+    * probe list cannot drift between Spark and the oracle. */
+  private val IvfNprobe = 4
+  private val IvfProbes: Seq[Int] = {
+    def centroid(j: Int, i: Int): Double = (((j * 31 + i * 17) % 19) - 9) / 10.0
+    (0 until 16).map { j =>
+      val d = (0 until 64).map { i => val diff = 0.1 - centroid(j, i); diff * diff }.sum
+      (j, d)
+    }.sortBy { case (j, d) => (d, j) }.take(IvfNprobe).map(_._1)
+  }
+
+  /** IVF-probed ANN top-k — the QUERY path completing `sim_ivf_assign`'s
+    * partition map (together they are the Spark-side generalization of
+    * the reference's ES kNN retrieval, chatbot_api.py:227-242): every
+    * vector is assigned to its nearest coarse centroid, the query probes
+    * only its `IvfNprobe` nearest centroids' inverted lists, and cosine
+    * top-k (native `graft_cosine`) runs on that candidate subset alone.
+    *
+    * Scale posture: at 100 TB the corpus is WRITTEN bucketed by
+    * `centroid_id` (the sim_ivf_assign map), so this query reads
+    * nprobe/nlist of the data — the assignment filter here stands in for
+    * partition pruning on the bucketed layout; everything downstream of
+    * the filter is a scan-local top-k, no shuffle beyond the final
+    * limit. */
+  private val simIvfTopk: Q = (s, d) => {
+    val costExpr =
+      "transform(sequence(0, 15), j -> aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), " +
+        "(acc, i) -> acc + (CAST(element_at(embedding, i + 1) AS DOUBLE) - " +
+        "CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0D) * " +
+        "(CAST(element_at(embedding, i + 1) AS DOUBLE) - " +
+        "CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0D)))"
+    Tables.embeddings(s, d)
+      .selectExpr("vec_id", "embedding", s"$costExpr AS costs")
+      .selectExpr("vec_id", "embedding",
+        "CAST(array_position(costs, array_min(costs)) - 1 AS INT) AS centroid_id")
+      .filter(col("centroid_id").isin(IvfProbes: _*))
+      .selectExpr("vec_id", "centroid_id",
+        "CAST(floor(graft_cosine(embedding, array_repeat(CAST(0.1 AS DOUBLE), 64)) " +
+          "* 1000000) AS BIGINT) AS cos_e6")
+      .orderBy(col("cos_e6").desc, col("vec_id").asc)
+      .limit(20)
+  }
+
   /** LSH banding parameters for the embedding near-dup join. Bucket
     * occupancy per band is E[N / 2^bandBits]; the in-band self-join costs
     * O(bands · N²/2^bandBits), so `bandBits` must grow with log2(N) to
@@ -510,6 +557,7 @@ object PipelineQueries {
     "sim_cosine_native" -> simCosineNative,
     "sim_lsh_buckets" -> simLshBuckets,
     "sim_ivf_assign" -> simIvfAssign,
+    "sim_ivf_topk" -> simIvfTopk,
     "sim_embed_neardup" -> simEmbedNeardup,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
@@ -687,6 +735,34 @@ object PipelineQueries {
         |SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vectors,
         |  CAST(sum(vec_id) AS BIGINT) AS vec_id_sum
         |FROM assigned GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
+    "sim_ivf_topk" ->
+      // assignment expr mirrors sim_ivf_assign; cosine folds mirror
+      // graft_cosine (three independent sequential f64 accumulators)
+      s"""WITH costs AS (
+         |  SELECT vec_id, embedding, list_transform(generate_series(0, 15),
+         |    j -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(generate_series(0, 63),
+         |        i -> (CAST(embedding[i + 1] AS DOUBLE)
+         |          - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0)
+         |          * (CAST(embedding[i + 1] AS DOUBLE)
+         |          - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0))),
+         |      (a, x) -> a + x)) AS costs
+         |  FROM embeddings),
+         |assigned AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_position(costs, list_min(costs)) - 1 AS INT) AS centroid_id
+         |  FROM costs),
+         |probed AS (
+         |  SELECT vec_id, centroid_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x) AS dot,
+         |    ${duckSumSqOf("embedding")} AS na,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding,
+         |      x -> CAST(0.1 AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x) AS nb
+         |  FROM assigned WHERE centroid_id IN (${IvfProbes.mkString(", ")}))
+         |SELECT vec_id, centroid_id,
+         |  CAST(floor(dot / (sqrt(na) * sqrt(nb)) * 1000000) AS BIGINT) AS cos_e6
+         |FROM probed ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20""".stripMargin,
     "sim_embed_neardup" ->
       // graft_cosine's fused loop = three independent sequential f64
       // folds (dot, |a|^2, |b|^2) — replicated here fold-for-fold

@@ -105,6 +105,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toString.contains("Broadcast"), "stats join is not broadcast")
   }
 
+  test("search_bm25_fields: multi-field stats attach via broadcast, same 2-scan shape") {
+    val p = plan("search_bm25_fields")
+    val scans = collect(p) { case s: FileSourceScanExec => s }
+    assert(scans.size == 2)
+    assert(p.toString.contains("Broadcast"), "stats join is not broadcast")
+  }
+
+  test("native graft_lsh_bands keeps the signature projection inside codegen") {
+    // AQE's wrapper hides the codegen stages from collect — audit with it off
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val wsc = try {
+      SparkEntry.queries("sim_lsh_buckets")(spark, sf)
+        .queryExecution.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(wsc.exists(w => w.collect { case p: ProjectExec => p }
+      .exists(_.projectList.exists(_.toString.contains("graft_lsh_bands")))))
+  }
+
   test("native graft_cosine keeps the embedding scan inside codegen") {
     val df = SparkEntry.queries("sim_cosine_native")(spark, sf)
     val wsc = df.queryExecution.executedPlan.collect {
