@@ -203,6 +203,47 @@ object CoreQueries {
         count(lit(1)).as("n_lines"))
       .orderBy("r_name", "order_year")
 
+  /** J15 — bucketed co-located join (the brief's "bucketing for
+    * co-located joins" scale path): both sides are written `bucketBy`
+    * the join key with the same bucket count, so the sort-merge join
+    * consumes the bucket layout directly — NO exchange on either side
+    * (PlanSpec-asserted). At 100 TB this is the shape for repeated
+    * fact-to-fact joins where neither side broadcasts: the shuffle is
+    * paid once at write time, then every downstream join is co-located.
+    * The catalog tables live under spark-warehouse/ (in-memory catalog);
+    * a real deployment points `spark.sql.warehouse.dir` at shared
+    * storage. */
+  private val j15BucketedJoin: Q = (s, d) => {
+    val buckets = 8
+    // the in-memory catalog forgets tables across sessions but their
+    // warehouse dirs survive — drop both or saveAsTable refuses the
+    // location (LOCATION_ALREADY_EXISTS)
+    def reset(name: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val dir = if (wh.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(wh))
+        else java.nio.file.Paths.get(wh)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir.resolve(name).toFile)
+    }
+    reset("graft_b_orders")
+    reset("graft_b_lineitem")
+    Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_b_orders")
+    Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_b_lineitem")
+    s.table("graft_b_orders")
+      .join(s.table("graft_b_lineitem"), col("o_orderkey") === col("l_orderkey"), "inner")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"), round(sum("l_quantity"), 2).as("total_qty"))
+      .orderBy("o_orderstatus")
+  }
+
   // ---------------------------------------------------------------- A: aggregations
 
   /** A1 — countDistinct + max per key (gold_analytics.py:456-462). */
@@ -426,6 +467,7 @@ object CoreQueries {
     "j12_bridge_integrity" -> j12BridgeIntegrity,
     "j13_broadcast_join" -> j13BroadcastJoin,
     "j14_star_join" -> j14StarJoin,
+    "j15_bucketed_join" -> j15BucketedJoin,
     "a1_countdistinct_max" -> a1CountDistinctMax,
     "a2_perkey_distinct" -> a2PerKeyDistinct,
     "a3_coverage_pct" -> a3CoveragePct,
@@ -553,6 +595,11 @@ object CoreQueries {
         |LEFT JOIN nation ON c_nationkey = n_nationkey
         |LEFT JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, order_year ORDER BY r_name, order_year""".stripMargin,
+    "j15_bucketed_join" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_lines,
+        |  round(sum(l_quantity), 2) AS total_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "a1_countdistinct_max" ->
       """SELECT o_custkey, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
         |  CAST(max(o_orderdate) AS DATE) AS last_order_date

@@ -78,7 +78,8 @@ class PlanSpec extends AnyFunSuite {
     // sink writes during construction
     val skip = Set("a6_cardinality", "a8_observe_metrics", "s1_multiline_json",
       "s9_json_reference", "k1_merge_upsert", "k2_merge_delete", "k3_partitioned_merge",
-      "k4_full_refresh", "k6_search_index", "k7_jsonl_export", "sim_semantic_match")
+      "k4_full_refresh", "k6_search_index", "k7_jsonl_export", "sim_semantic_match",
+      "j15_bucketed_join") // writes its bucketed tables at plan construction
     for ((name, fn) <- SparkEntry.all if !skip(name)) {
       val p = fn(spark, sf).queryExecution.sparkPlan
       val cartesian = collect(p) { case c: CartesianProductExec => c }
@@ -103,6 +104,28 @@ class PlanSpec extends AnyFunSuite {
     val scans = collect(p) { case s: FileSourceScanExec => s }
     assert(scans.size == 2)
     assert(p.toString.contains("Broadcast"), "stats join is not broadcast")
+  }
+
+  test("j15_bucketed_join: co-located sort-merge join, no exchange on either side") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // tiny sf0.001 sides would broadcast and bypass the bucket layout —
+    // force the join strategy large tables would get
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = SparkEntry.queries("j15_bucketed_join")(spark, sf)
+        .queryExecution.executedPlan
+      val joins = p.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(joins.nonEmpty, "expected a sort-merge join over the bucketed tables")
+      joins.foreach { j =>
+        assert(j.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          "bucketed join side shuffled — bucket layout not used")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("search_bm25_fields: multi-field stats attach via broadcast, same 2-scan shape") {
