@@ -229,11 +229,15 @@ object CoverageQueries {
     * probe is per-token CPU inside whole-stage codegen, no extra
     * shuffle. */
   private val searchBm25Fields: Q = (s, d) => {
+    // |len(x) - len(term)| > budget can never match — the cheap length
+    // gate skips the O(|x|·|t|) edit-distance DP for most tokens (same
+    // gate on both engines so the tf values are identical by shape)
     val withTf = Tables.documents(s, d)
       .select(col("doc_id") +: Bm25Fields.flatMap { case (f, tokExpr, _) =>
         expr(s"CAST(size($tokExpr) AS DOUBLE)").as(s"dl_$f") +:
           Bm25Terms.map { case (t, edits) =>
-            expr(s"CAST(size(filter($tokExpr, x -> levenshtein(x, '$t') <= $edits)) AS DOUBLE)")
+            expr(s"CAST(size(filter($tokExpr, x -> " +
+              s"abs(length(x) - ${t.length}) <= $edits AND levenshtein(x, '$t') <= $edits)) AS DOUBLE)")
               .as(s"tf_${f}_$t")
           }
       }: _*)
@@ -562,7 +566,8 @@ object CoverageQueries {
         val tok = DuckBm25FieldTok(f)
         s"CAST(len($tok) AS DOUBLE) AS dl_$f" +:
           Bm25Terms.map { case (t, e) =>
-            s"CAST(len(list_filter($tok, x -> levenshtein(x, '$t') <= $e)) AS DOUBLE) AS tf_${f}_$t"
+            s"CAST(len(list_filter($tok, x -> " +
+              s"abs(length(x) - ${t.length}) <= $e AND levenshtein(x, '$t') <= $e)) AS DOUBLE) AS tf_${f}_$t"
           }
       }
       val statCols = Bm25Fields.flatMap { case (f, _, _) =>

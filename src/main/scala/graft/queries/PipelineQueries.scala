@@ -532,6 +532,32 @@ object PipelineQueries {
       .orderBy("vec_id", "subject_id")
   }
 
+  // ------------------------------------------------------------ skew
+
+  /** Skew-salted two-phase aggregation over a deliberately skewed key
+    * (~70% of events funnel into one 'hot' key): phase 1 groups on
+    * (key, salt) via [[graft.operators.SkewSalt.withSalt]] so the hot
+    * key spreads across 8 reducers, phase 2 re-aggregates per-salt
+    * partials. Counts and id-sums are LONGs, so the two-phase
+    * re-association is exactly the single-phase result — the oracle
+    * computes the plain one-shot aggregate. At 100 TB this is the shape
+    * that keeps one executor from absorbing the hot key's entire
+    * reducer input (AQE splits skewed SMJ sides but not skewed
+    * aggregations). */
+  private val aggSkewSalted: Q = (s, d) => {
+    val skewed = Tables.events(s, d)
+      .withColumn("skew_key",
+        when(col("user_id") % 10 < 7, lit("hot"))
+          .otherwise(concat(lit("u"), (col("user_id") % 100).cast("string"))))
+      .select(col("skew_key"), col("event_id"))
+    graft.operators.SkewSalt.withSalt(skewed, buckets = 8, saltSource = Seq("event_id"))
+      .groupBy(col("skew_key"), col("__salt"))
+      .agg(count(lit(1)).as("pn"), sum("event_id").as("ps"))
+      .groupBy("skew_key")
+      .agg(sum("pn").as("n"), sum("ps").as("sum_event_id"))
+      .orderBy("skew_key")
+  }
+
   // ------------------------------------------------------------ event-time window
 
   /** Tumbling event-time window aggregate (Structured-Streaming-shaped;
@@ -571,6 +597,7 @@ object PipelineQueries {
     "chunk_hierarchical" -> chunkHierarchical,
     "text_summarize" -> textSummarize,
     "sim_semantic_match" -> simSemanticMatch,
+    "agg_skew_salted" -> aggSkewSalted,
     "stream_window_agg" -> streamWindowAgg,
   )
 
@@ -859,6 +886,12 @@ object PipelineQueries {
         |  ELSE 'kept' END AS reason,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM documents GROUP BY reason ORDER BY reason""".stripMargin,
+    "agg_skew_salted" ->
+      """SELECT CASE WHEN user_id % 10 < 7 THEN 'hot'
+        |  ELSE 'u' || CAST(user_id % 100 AS VARCHAR) END AS skew_key,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_event_id
+        |FROM events GROUP BY skew_key ORDER BY skew_key""".stripMargin,
     "stream_window_agg" ->
       """SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS day, event_type,
         |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
