@@ -86,4 +86,61 @@ object EventStreams {
           next
       }
   }
+
+  final case class SessionState(start: Timestamp, last: Timestamp, n_events: Long)
+
+  final case class ClosedSession(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, duration_sec: Long)
+
+  /** Sessionization via flatMapGroupsWithState (the 0-or-many-outputs
+    * variant of keyed state): events within `gapSec` of each other
+    * extend a user's open session; a larger gap CLOSES the session and
+    * emits it, then opens a new one — the canonical 0..n-rows-per-group
+    * case mapGroupsWithState cannot express. Event-time-timeout closes
+    * idle sessions when the watermark passes the gap, bounding state at
+    * one open session per active user (at 100 TB the shuffle key is
+    * user_id, same as the batch jobs; state size is O(active users)).
+    */
+  def sessionize(events: Dataset[Event], gapSec: Long = 1800,
+                 watermark: String = "1 day"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSec * 1000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed the session gap: close and emit
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(userId, s.start, s.last, s.n_events,
+              (s.last.getTime - s.start.getTime) / 1000L))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.ts.getTime - s.last.getTime <= gapMs =>
+                  open = Some(SessionState(s.start, e.ts, s.n_events + 1))
+                case Some(s) =>
+                  closed += ClosedSession(userId, s.start, s.last, s.n_events,
+                    (s.last.getTime - s.start.getTime) / 1000L)
+                  open = Some(SessionState(e.ts, e.ts, 1L))
+                case None =>
+                  open = Some(SessionState(e.ts, e.ts, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last.getTime + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

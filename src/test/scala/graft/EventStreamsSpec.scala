@@ -65,6 +65,42 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions on gap and emits 0..n rows") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[Event]
+    // user 1: two events 10 min apart (one session), then a 2h gap opens
+    // a second session; user 2: one lone event
+    stream.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:10:00"), 1, "click", 1.0),
+      Event(3, ts("2024-01-01 10:05:00"), 2, "view", 2.0))
+    val q = EventStreams.sessionize(stream.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // no session closed yet (gap not exceeded, watermark not advanced)
+      assert(spark.table("sessions").isEmpty)
+      // 2h later: user 1's first session closes in-batch (gap exceeded)
+      stream.addData(Event(4, ts("2024-01-01 12:10:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions")
+        .select("user_id", "n_events", "duration_sec")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(closed == Seq((1L, 2L, 600L)))
+      // advancing the watermark far past everything times out both open
+      // sessions (user 1's second, user 2's only)
+      stream.addData(Event(5, ts("2024-01-03 00:00:00"), 3, "click", 1.0))
+      q.processAllAvailable()
+      stream.addData(Event(6, ts("2024-01-04 00:00:00"), 3, "click", 1.0))
+      q.processAllAvailable()
+      val all = spark.table("sessions")
+        .select("user_id", "n_events").as[(Long, Long)].collect().toSeq.sorted
+      assert(all.contains((1L, 1L)) && all.contains((2L, 1L)),
+        s"timed-out sessions not emitted: $all")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user counts across batches") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
