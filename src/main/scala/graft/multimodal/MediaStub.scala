@@ -76,4 +76,51 @@ object MediaStub {
       frames.map(f => FrameRef(m.doc_id, f, f * stride))
     }
   }
+
+  /** Resize plan: aspect-preserving fit into `maxW`×`maxH`. The
+    * geometry (the part a pipeline actually branches on) is REAL pure
+    * math — never upscale, preserve aspect ratio, floor to pixels; only
+    * the pixel resampling itself would be codec work. `scale_e4` is the
+    * applied factor in fixed-point so downstream joins/filters are
+    * engine-exact. */
+  final case class ResizePlan(
+      doc_id: Long, width: Int, height: Int,
+      out_width: Int, out_height: Int, scale_e4: Long)
+
+  def planResize(meta: Dataset[MediaMeta], maxW: Int, maxH: Int): Dataset[ResizePlan] = {
+    import meta.sparkSession.implicits._
+    require(maxW > 0 && maxH > 0)
+    meta.map { m =>
+      val scale = math.min(1.0, math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
+      ResizePlan(m.doc_id, m.width, m.height,
+        math.max(1, math.floor(m.width * scale).toInt),
+        math.max(1, math.floor(m.height * scale).toInt),
+        math.floor(scale * 10000).toLong)
+    }
+  }
+
+  /** Feature extraction: one `dim`-float vector per asset — the
+    * embedding-shaped output a vision/audio encoder would produce, fed
+    * to the sim_* ANN queries downstream. One "model" per partition
+    * (mapPartitions), rows streamed. STUB DECODE: the vector is a
+    * deterministic byte-derived fake (rolling sums over the payload);
+    * a real encoder replaces only the vector body, not the plumbing. */
+  def extractFeatures(records: Dataset[MediaRecord], dim: Int): Dataset[(Long, Array[Float])] = {
+    import records.sparkSession.implicits._
+    require(dim > 0)
+    records.mapPartitions { rows =>
+      // per-partition "model load" (a real encoder is expensive to init)
+      val acc = new Array[Float](dim)
+      rows.map { r =>
+        java.util.Arrays.fill(acc, 0.0f)
+        var i = 0
+        while (i < r.media.length) {
+          acc(i % dim) += ((r.media(i) & 0xff) - 128) / 128.0f
+          i += 1
+        }
+        val n = math.max(1, r.media.length / dim)
+        (r.doc_id, acc.map(_ / n).clone())
+      }
+    }
+  }
 }

@@ -64,6 +64,37 @@ class MediaStubSpec extends AnyFunSuite {
     assert(back.media.toSeq == payload.toSeq)
   }
 
+  test("resize plan preserves aspect ratio and never upscales") {
+    import spark.implicits._
+    val meta = Seq(
+      MediaMeta(1, "image/png", 10, "d", 4000, 2000, 1),  // downscale, wide
+      MediaMeta(2, "image/png", 10, "d", 100, 50, 1),     // already fits
+      MediaMeta(3, "image/png", 10, "d", 50, 2000, 1))    // downscale, tall
+      .toDS()
+    val plans = MediaStub.planResize(meta, 512, 512).collect().sortBy(_.doc_id)
+    val p1 = plans(0)
+    assert(p1.out_width == 512 && p1.out_height == 256) // aspect 2:1 kept
+    assert(plans(1).out_width == 100 && plans(1).out_height == 50) // no upscale
+    assert(plans(1).scale_e4 == 10000L)
+    val p3 = plans(2)
+    assert(p3.out_height == 512 && p3.out_width == math.floor(50 * 512.0 / 2000).toInt)
+  }
+
+  test("feature extraction: deterministic dim-sized vectors, payload-sensitive") {
+    import spark.implicits._
+    val ds = Seq(rec(1, "abcabc", "image/png"), rec(2, "abcabc", "image/png"),
+      rec(3, "zzzzzz", "image/png")).toDS()
+    val feats = MediaStub.extractFeatures(ds, dim = 8).collect()
+      .map { case (id, v) => id -> v.toSeq }.toMap
+    assert(feats.values.forall(_.size == 8))
+    assert(feats(1L) == feats(2L))      // same bytes ⇒ same vector
+    assert(feats(1L) != feats(3L))      // different bytes ⇒ different vector
+    // partition count does not change vectors (model-per-partition)
+    val reparts = MediaStub.extractFeatures(ds.repartition(3), dim = 8).collect()
+      .map { case (id, v) => id -> v.toSeq }.toMap
+    assert(reparts == feats)
+  }
+
   test("partition count does not change results (decoder-per-partition)") {
     import spark.implicits._
     val recs = (1L to 50L).map(i => rec(i, s"payload-$i", if (i % 2 == 0) "video/mp4" else "image/png"))
