@@ -99,6 +99,72 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** MinHash permutations for the pair pipeline: 4 perms = 2 bands × 2
+    * rows. With b bands of r rows, a pair with Jaccard s matches some
+    * band with p = 1-(1-s^r)^b — the standard S-curve; r grows (more
+    * selective) and b grows (more recall) as the corpus scales, keeping
+    * candidate volume per band bounded the same way the LSH bandBits do. */
+  private val MinhashPairParams = Seq(
+    (1000003L, 12345L), (999983L, 54321L), (999979L, 11111L), (1000033L, 77777L))
+
+  /** Numeric 3-shingle set from per-word fingerprints (31-bit-safe
+    * arithmetic both engines can overflow-free replicate):
+    * sh_i = (fp(w_i)·31² + fp(w_{i+1})·31 + fp(w_{i+2})) mod P. */
+  private val shingleSetExpr =
+    s"array_distinct(transform(sequence(1, size(wfps) - 2), " +
+      s"i -> (element_at(wfps, i) * 961 + element_at(wfps, i + 1) * 31 + " +
+      s"element_at(wfps, i + 2)) % $P))"
+
+  /** MinHash-LSH near-dup PAIRS — the full canonical pipeline
+    * (shingling → minhash signatures → bands → candidate equi-join →
+    * exact shingle-Jaccard confirm), complementing `dedup_minhash_lsh`'s
+    * bucket histogram: corpus = documents + injected near-dups
+    * (doc_id%20==0 with the first token dropped, id+100000). MinHash
+    * runs over the 3-SHINGLE set (the item space whose Jaccard it
+    * estimates — token-set minhash floods candidates on a small shared
+    * vocabulary); band values hash r=2 minhashes each, b=2 bands, so a
+    * pair with shingle-similarity s matches with p = 1-(1-s²)² (~0.96
+    * for the ~0.9-similar injected dups); the confirm keeps exact
+    * Jaccard ≥ 0.6 like `dedup_ngram_jaccard`. LSH recall < 1 by
+    * design: the oracle replicates the same bands, so both engines see
+    * the identical candidate set. Scale shape: the band value is the
+    * shuffle key (never all-pairs), shingle sets are fetched AFTER the
+    * pair distinct. */
+  private val dedupMinhashPairs: Q = (s, d) => {
+    val minhExprs = MinhashPairParams.zipWithIndex.map { case ((a, b), i) =>
+      s"array_min(transform(shset, x -> ($a * x + $b) % $P)) AS minh${i + 1}"
+    }
+    val docs = Tables.documents(s, d)
+      .selectExpr("doc_id", "split(text, ' ') AS tokens")
+    val dups = docs.filter(col("doc_id") % 20 === 0)
+      .selectExpr("doc_id + 100000 AS doc_id", "slice(tokens, 2, size(tokens) - 1) AS tokens")
+    val corpus = docs.union(dups).filter(size(col("tokens")) >= 3)
+      .selectExpr("doc_id", s"transform(tokens, w -> ${sparkFp("w")}) AS wfps")
+    val shingled = corpus.selectExpr("doc_id", s"$shingleSetExpr AS shset")
+    val sigs = shingled.selectExpr(Seq("doc_id") ++ minhExprs: _*)
+      .selectExpr("doc_id",
+        s"(minh1 * 31 + minh2) % $P AS band_0",
+        s"(minh3 * 31 + minh4) % $P AS band_1")
+    val bandRows = sigs.selectExpr("doc_id",
+      "posexplode(array(band_0, band_1)) AS (band_idx, band_val)")
+    val candidates = bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.band_idx") === col("y.band_idx") && col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    candidates
+      .join(shingled.select(col("doc_id").as("id_a"), col("shset").as("set_a")), "id_a")
+      .join(shingled.select(col("doc_id").as("id_b"), col("shset").as("set_b")), "id_b")
+      .selectExpr("id_a", "id_b",
+        "CAST(size(array_intersect(set_a, set_b)) AS DOUBLE) / " +
+          "(size(set_a) + size(set_b) - size(array_intersect(set_a, set_b))) AS j")
+      .filter(col("j") >= 0.6)
+      .select(col("id_a"), col("id_b"),
+        floor(col("j") * 10000).cast("long").as("jaccard_e4"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** N-gram (3-shingle) Jaccard near-dup detection: corpus = documents +
     * injected near-duplicates (doc_id%20==0, first token dropped, id +
     * 100000); candidate pairs come from an equi-join on shingles (the
@@ -576,6 +642,7 @@ object PipelineQueries {
   val queries: Seq[(String, Q)] = Seq(
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhash,
+    "dedup_minhash_pairs" -> dedupMinhashPairs,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_connected_components" -> dedupComponents,
@@ -663,6 +730,44 @@ object PipelineQueries {
          |  FROM documents)
          |SELECT doc_id, CAST(${duckSimhashBits.mkString(" + ")} AS INT) AS simhash8
          |FROM wf ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_pairs" -> {
+      val duckMinhPair = MinhashPairParams.zipWithIndex.map { case ((a, b), i) =>
+        s"list_min(list_transform(shset, x -> ($a * x + $b) % $P)) AS minh${i + 1}"
+      }
+      s"""WITH docs AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, tokens[2:] AS tokens
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+         |  WHERE doc_id % 20 = 0),
+         |wf AS (
+         |  SELECT doc_id, list_transform(tokens, w -> ${duckFp("w")}) AS wfps
+         |  FROM docs WHERE len(tokens) >= 3),
+         |shingled AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, len(wfps) - 2),
+         |    i -> (wfps[i] * 961 + wfps[i + 1] * 31 + wfps[i + 2]) % $P)) AS shset
+         |  FROM wf),
+         |sigs AS (
+         |  SELECT doc_id, (minh1 * 31 + minh2) % $P AS band_0,
+         |    (minh3 * 31 + minh4) % $P AS band_1
+         |  FROM (SELECT doc_id, ${duckMinhPair.mkString(", ")} FROM shingled)),
+         |cand AS (
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM sigs x JOIN sigs y ON x.band_0 = y.band_0 AND x.doc_id < y.doc_id
+         |  UNION
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM sigs x JOIN sigs y ON x.band_1 = y.band_1 AND x.doc_id < y.doc_id),
+         |confirmed AS (
+         |  SELECT id_a, id_b,
+         |    CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+         |      / (len(sa.shset) + len(sb.shset) - len(list_intersect(sa.shset, sb.shset))) AS j
+         |  FROM cand
+         |  JOIN shingled sa ON sa.doc_id = id_a
+         |  JOIN shingled sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, CAST(floor(j * 10000) AS BIGINT) AS jaccard_e4
+         |FROM confirmed WHERE j >= 0.6 ORDER BY id_a, id_b""".stripMargin
+    },
     "dedup_ngram_jaccard" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
