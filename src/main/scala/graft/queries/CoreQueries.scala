@@ -244,6 +244,35 @@ object CoreQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** SQL-API surface: the same engine driven through `spark.sql` over
+    * the registered temp-view catalog (S3's other face) — a TPC-H
+    * Q3-shaped shipping-priority query. Each summand is fixed-pointed
+    * to integer cents×basis-points PER ROW (floor(x·100+0.5) is a
+    * per-row deterministic double op), so the aggregate is an exact
+    * LONG sum — order-independent across engines, unlike summing
+    * doubles, where the partial-aggregation order shifts the last ulp
+    * and a floor-grid sort key can flip at the LIMIT boundary (observed
+    * off-by-one on first verify). The plan is identical to what the
+    * DataFrame API would build (same Catalyst, same broadcast/AQE
+    * decisions). */
+  private val sqlShippingPriority: Q = (s, d) => {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT l_orderkey,
+        |  sum(CAST(floor(l_extendedprice * 100D + 0.5D) AS BIGINT) *
+        |      CAST(floor((1.0D - l_discount) * 100D + 0.5D) AS BIGINT)) AS revenue_e4,
+        |  to_date(o_orderdate) AS order_date, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'HOUSEHOLD'
+        |  AND o_orderdate < TIMESTAMP '1999-06-30 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1999-06-30 00:00:00'
+        |GROUP BY l_orderkey, to_date(o_orderdate), o_orderpriority
+        |ORDER BY revenue_e4 DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- A: aggregations
 
   /** A1 — countDistinct + max per key (gold_analytics.py:456-462). */
@@ -468,6 +497,7 @@ object CoreQueries {
     "j13_broadcast_join" -> j13BroadcastJoin,
     "j14_star_join" -> j14StarJoin,
     "j15_bucketed_join" -> j15BucketedJoin,
+    "sql_shipping_priority" -> sqlShippingPriority,
     "a1_countdistinct_max" -> a1CountDistinctMax,
     "a2_perkey_distinct" -> a2PerKeyDistinct,
     "a3_coverage_pct" -> a3CoveragePct,
@@ -595,6 +625,20 @@ object CoreQueries {
         |LEFT JOIN nation ON c_nationkey = n_nationkey
         |LEFT JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, order_year ORDER BY r_name, order_year""".stripMargin,
+    "sql_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) *
+        |      CAST(floor((1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |  CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'HOUSEHOLD'
+        |  AND o_orderdate < TIMESTAMP '1999-06-30 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1999-06-30 00:00:00'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+        |ORDER BY revenue_e4 DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
     "j15_bucketed_join" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_lines,
         |  round(sum(l_quantity), 2) AS total_qty
