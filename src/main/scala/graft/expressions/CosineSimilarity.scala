@@ -138,7 +138,11 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_lsh_bands(embedding, nBands, bandBits) takes exactly 3 arguments")
         def lit(e: Expression, what: String): Int = e match {
           case l if l.foldable && l.dataType == IntegerType =>
-            l.eval().asInstanceOf[Int]
+            // a NULL int literal is foldable; unboxing it would silently
+            // become 0 and surface as a confusing bounds error
+            Option(l.eval()).map(_.asInstanceOf[Int]).getOrElse(
+              throw new IllegalArgumentException(
+                s"graft_lsh_bands: $what must not be NULL"))
           case _ => throw new IllegalArgumentException(
             s"graft_lsh_bands: $what must be an INT literal, got $e")
         }

@@ -30,8 +30,11 @@ import org.apache.spark.sql.types._
   * 100 TB corpus), and `nBands` buys recall — a near-dup pair need only
   * agree on one band.
   *
-  * Null contract: null if the array is null or ANY element is null
-  * (matching the HOF fold, where a null element nulls the aggregate).
+  * Null contract: null if the array is null; a null ELEMENT yields
+  * signature 0 for every band — matching the CASE-wrapped HOF form this
+  * replaces (and the DuckDB oracle, which keeps it): a null element
+  * nulls every bit's fold, `CASE WHEN NULL >= 0` takes the ELSE 0 arm,
+  * and all bits come out 0.
   */
 final case class LshBands(child: Expression, nBands: Int, bandBits: Int)
   extends UnaryExpression {
@@ -62,7 +65,7 @@ final case class LshBands(child: Expression, nBands: Int, bandBits: Int)
     val xf = elemIsFloat
     var i = 0
     while (i < n) {
-      if (x.isNullAt(i)) return null
+      if (x.isNullAt(i)) return new GenericArrayData(new Array[Int](nBands))
       val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
       var b = 0
       while (b < nb) {
@@ -99,12 +102,14 @@ final case class LshBands(child: Expression, nBands: Int, bandBits: Int)
       val out = ctx.freshName("out")
       val xi = ctx.freshName("xi")
       val sig = ctx.freshName("sig")
+      val nullElem = ctx.freshName("nullElem")
       s"""
          |final int $n = $x.numElements();
          |final double[] $proj = new double[$nb];
-         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |boolean $nullElem = false;
+         |for (int $i = 0; $i < $n && !$nullElem; $i++) {
          |  if ($x.isNullAt($i)) {
-         |    ${ev.isNull} = true;
+         |    $nullElem = true;
          |  } else {
          |    final double $xi = (double) $x.$get($i);
          |    for (int $b = 0; $b < $nb; $b++) {
@@ -112,8 +117,8 @@ final case class LshBands(child: Expression, nBands: Int, bandBits: Int)
          |    }
          |  }
          |}
-         |if (!${ev.isNull}) {
-         |  final int[] $out = new int[$nBands];
+         |final int[] $out = new int[$nBands];
+         |if (!$nullElem) {
          |  for (int $g = 0; $g < $nBands; $g++) {
          |    int $sig = 0;
          |    for (int $j = 0; $j < $bandBits; $j++) {
@@ -121,8 +126,8 @@ final case class LshBands(child: Expression, nBands: Int, bandBits: Int)
          |    }
          |    $out[$g] = $sig;
          |  }
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
   }

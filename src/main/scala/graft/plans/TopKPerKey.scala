@@ -89,9 +89,22 @@ object TopKPerKey {
         val heaps = mutable.LinkedHashMap[UnsafeRow, mutable.PriorityQueue[InternalRow]]()
         val runs = mutable.ArrayBuffer[File]()
 
+        // spill under Spark's configured local dirs (the disks sized for
+        // shuffle/spill), not java.io.tmpdir — /tmp is often a small or
+        // RAM-backed root partition, the one place a spill must not go
+        lazy val spillDir: File = {
+          val base = Option(org.apache.spark.SparkEnv.get)
+            .map(_.conf.get("spark.local.dir", System.getProperty("java.io.tmpdir")))
+            .getOrElse(System.getProperty("java.io.tmpdir"))
+            .split(",").head.trim
+          val dir = new File(base)
+          dir.mkdirs()
+          dir
+        }
+
         def flushToRun(): Unit = {
           if (heaps.isEmpty) return
-          val file = File.createTempFile("graft-topk-spill", ".run")
+          val file = File.createTempFile("graft-topk-spill", ".run", spillDir)
           Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
             file.delete(): Unit
           })
@@ -147,7 +160,13 @@ object TopKPerKey {
           }
         } else {
           flushToRun() // the in-memory remainder becomes the last run
-          val cursors = runs.map(f => new RunCursor(f, childOutput.length)).filter(_.advance())
+          val allCursors = runs.map(f => new RunCursor(f, childOutput.length))
+          // a downstream limit can abandon the merge mid-stream; close
+          // whatever is still open at task end (EOF closes eagerly)
+          Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+            allCursors.foreach(_.close())
+          })
+          val cursors = allCursors.filter(_.advance())
           val byKey = new mutable.PriorityQueue[RunCursor]()(
             Ordering.comparatorToOrdering[RunCursor]((a, b) =>
               // reversed: scala PriorityQueue dequeues the max
@@ -180,8 +199,15 @@ object TopKPerKey {
   /** Streaming reader over one key-sorted spill run. */
   private final class RunCursor(file: File, rowFields: Int) {
     private val in = new DataInputStream(new BufferedInputStream(new FileInputStream(file)))
+    private var open = true
     var keyBytes: Array[Byte] = _
     var rows: Array[InternalRow] = _
+
+    def close(): Unit = if (open) {
+      open = false
+      in.close()
+      file.delete(): Unit
+    }
 
     /** Load the next (key, candidate rows) entry; false at EOF (closes). */
     def advance(): Boolean =
@@ -201,8 +227,7 @@ object TopKPerKey {
         true
       } catch {
         case _: EOFException =>
-          in.close()
-          file.delete()
+          close()
           false
       }
   }

@@ -284,8 +284,10 @@ object CoverageQueries {
         regexp_extract(col("question"), "\\b(?:of|cho)\\s+(\\w+)", 1))
       .withColumn("expanded",
         when(col("question").rlike("\\b(book|textbook)\\b"),
-          when(col("subject") === "math", lit("mathematics algebra calculus"))
-            .when(col("subject") === "database", lit("database SQL data management"))
+          when(col("subject") === "math",
+            lit(graft.functions.TextFunctions.QueryExpansions("math")))
+            .when(col("subject") === "database",
+              lit(graft.functions.TextFunctions.QueryExpansions("database")))
             .otherwise(col("question")))
           .otherwise(col("question")))
       .select(col("doc_id"), col("question"), col("expanded"),
@@ -596,24 +598,27 @@ object CoverageQueries {
          |ORDER BY score_e4 DESC, doc_id ASC LIMIT 20""".stripMargin
     },
     "q4_query_expansion" ->
-      """WITH q AS (
-        |  SELECT doc_id,
-        |    (['a book of math', 'find the textbook of database please',
-        |      'give me spark join notes', 'any book of physics'])[CAST(doc_id % 4 + 1 AS INT)]
-        |      AS question
-        |  FROM documents),
-        |e AS (
-        |  SELECT doc_id, question,
-        |    CASE WHEN regexp_matches(question, '\b(book|textbook)\b')
-        |      THEN CASE regexp_extract(question, '\b(?:of|cho)\s+(\w+)', 1)
-        |        WHEN 'math' THEN 'mathematics algebra calculus'
-        |        WHEN 'database' THEN 'database SQL data management'
-        |        ELSE question END
-        |      ELSE question END AS expanded
-        |  FROM q)
-        |SELECT doc_id, question, expanded,
-        |  CAST(len(string_split(expanded, ' ')) AS INT) AS n_terms
-        |FROM e ORDER BY doc_id""".stripMargin,
+      // expansion strings interpolated from TextFunctions.QueryExpansions
+      // (the spec-pinned source of truth) so all three copies of the map
+      // — Scala function, Spark query, oracle — cannot drift
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    (['a book of math', 'find the textbook of database please',
+         |      'give me spark join notes', 'any book of physics'])[CAST(doc_id % 4 + 1 AS INT)]
+         |      AS question
+         |  FROM documents),
+         |e AS (
+         |  SELECT doc_id, question,
+         |    CASE WHEN regexp_matches(question, '\\b(book|textbook)\\b')
+         |      THEN CASE regexp_extract(question, '\\b(?:of|cho)\\s+(\\w+)', 1)
+         |        WHEN 'math' THEN '${graft.functions.TextFunctions.QueryExpansions("math")}'
+         |        WHEN 'database' THEN '${graft.functions.TextFunctions.QueryExpansions("database")}'
+         |        ELSE question END
+         |      ELSE question END AS expanded
+         |  FROM q)
+         |SELECT doc_id, question, expanded,
+         |  CAST(len(string_split(expanded, ' ')) AS INT) AS n_terms
+         |FROM e ORDER BY doc_id""".stripMargin,
     "q4_keywords" ->
       s"""WITH kw AS (
          |  SELECT doc_id,

@@ -126,7 +126,15 @@ object EventStreams {
             sorted.foreach { e =>
               open match {
                 case Some(s) if e.ts.getTime - s.last.getTime <= gapMs =>
-                  open = Some(SessionState(s.start, e.ts, s.n_events + 1))
+                  // a watermark-admitted late event can predate the open
+                  // session (negative delta passes the gap check): extend
+                  // with min/max so start/last never move backward/forward
+                  // wrongly — naive `last = e.ts` shrank the session and
+                  // could emit negative durations
+                  open = Some(SessionState(
+                    new Timestamp(math.min(s.start.getTime, e.ts.getTime)),
+                    new Timestamp(math.max(s.last.getTime, e.ts.getTime)),
+                    s.n_events + 1))
                 case Some(s) =>
                   closed += ClosedSession(userId, s.start, s.last, s.n_events,
                     (s.last.getTime - s.start.getTime) / 1000L)

@@ -88,6 +88,13 @@ class EventStreamsSpec extends AnyFunSuite {
         .select("user_id", "n_events", "duration_sec")
         .as[(Long, Long, Long)].collect().toSeq
       assert(closed == Seq((1L, 2L, 600L)))
+      // a watermark-admitted LATE event older than the open session's
+      // last must not shrink it: user 3's session sees 12:10 then a
+      // late 12:00 — duration grows to 10 min, never negative
+      stream.addData(Event(10, ts("2024-01-01 12:10:00"), 30, "click", 1.0))
+      q.processAllAvailable()
+      stream.addData(Event(11, ts("2024-01-01 12:00:00"), 30, "click", 1.0))
+      q.processAllAvailable()
       // advancing the watermark far past everything times out both open
       // sessions (user 1's second, user 2's only)
       stream.addData(Event(5, ts("2024-01-03 00:00:00"), 3, "click", 1.0))
@@ -95,9 +102,15 @@ class EventStreamsSpec extends AnyFunSuite {
       stream.addData(Event(6, ts("2024-01-04 00:00:00"), 3, "click", 1.0))
       q.processAllAvailable()
       val all = spark.table("sessions")
-        .select("user_id", "n_events").as[(Long, Long)].collect().toSeq.sorted
-      assert(all.contains((1L, 1L)) && all.contains((2L, 1L)),
+        .select("user_id", "n_events", "duration_sec")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(all.exists(r => r._1 == 1L && r._2 == 1L) &&
+        all.exists(r => r._1 == 2L && r._2 == 1L),
         s"timed-out sessions not emitted: $all")
+      // the late event merged into user 30's session without shrinking it
+      val u30 = all.filter(_._1 == 30L)
+      assert(u30 == Seq((30L, 2L, 600L)), s"late event corrupted session: $u30")
+      assert(all.forall(_._3 >= 0L), s"negative session duration: $all")
     } finally q.stop()
   }
 

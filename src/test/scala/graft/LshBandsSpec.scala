@@ -41,11 +41,18 @@ class LshBandsSpec extends AnyFunSuite {
     assert(sig.length == 1 && sig.head >= 0 && sig.head < 256)
   }
 
-  test("null contract: null array and null element") {
+  test("null contract: null array is null; null element is all-zero sigs (oracle CASE-fold)") {
     val r = spark.sql(
       "SELECT graft_lsh_bands(CAST(NULL AS ARRAY<DOUBLE>), 2, 8) AS a, " +
         "graft_lsh_bands(array(1.0D, CAST(NULL AS DOUBLE)), 2, 8) AS b").head()
-    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(r.isNullAt(0))
+    // matches CASE WHEN <null fold> >= 0 THEN bit ELSE 0: every bit 0
+    assert(r.getSeq[Int](1) == Seq(0, 0))
+    // NULL band-count literal gets a clear error, not an unboxed 0
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_lsh_bands(array(1.0D), CAST(NULL AS INT), 8)").head()
+    }
+    assert(e.getMessage.contains("must not be NULL"))
   }
 
   test("rejects non-literal band arguments") {
