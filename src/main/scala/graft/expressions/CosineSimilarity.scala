@@ -148,6 +148,28 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         LshBands(children.head, lit(children(1), "nBands"), lit(children(2), "bandBits"))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_fuzzy_tf"),
+      new ExpressionInfo(classOf[FuzzyTokenCount].getName, "graft_fuzzy_tf"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_fuzzy_tf(tokens, term, maxEdits) takes exactly 3 arguments")
+        def strLit(e: Expression): String = e match {
+          case l if l.foldable && l.dataType == StringType =>
+            Option(l.eval()).map(_.toString).getOrElse(
+              throw new IllegalArgumentException("graft_fuzzy_tf: term must not be NULL"))
+          case other => throw new IllegalArgumentException(
+            s"graft_fuzzy_tf: term must be a STRING literal, got $other")
+        }
+        def intLit(e: Expression): Int = e match {
+          case l if l.foldable && l.dataType == IntegerType =>
+            Option(l.eval()).map(_.asInstanceOf[Int]).getOrElse(
+              throw new IllegalArgumentException("graft_fuzzy_tf: maxEdits must not be NULL"))
+          case other => throw new IllegalArgumentException(
+            s"graft_fuzzy_tf: maxEdits must be an INT literal, got $other")
+        }
+        FuzzyTokenCount(children.head, strLit(children(1)), intLit(children(2)))
+      }))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKey.TopKPerKeyStrategy)
   }
 }

@@ -229,15 +229,16 @@ object CoverageQueries {
     * probe is per-token CPU inside whole-stage codegen, no extra
     * shuffle. */
   private val searchBm25Fields: Q = (s, d) => {
-    // |len(x) - len(term)| > budget can never match — the cheap length
-    // gate skips the O(|x|·|t|) edit-distance DP for most tokens (same
-    // gate on both engines so the tf values are identical by shape)
+    // fuzzy tf via the native [[graft.expressions.FuzzyTokenCount]]
+    // (length-gated early-exit DP in one compiled loop) — the
+    // filter()+levenshtein HOF form is interpreted per token × term ×
+    // field; the oracle keeps that declarative form, which counts the
+    // same tokens (lev ≥ |len delta|, so the gate is semantics-free)
     val withTf = Tables.documents(s, d)
       .select(col("doc_id") +: Bm25Fields.flatMap { case (f, tokExpr, _) =>
         expr(s"CAST(size($tokExpr) AS DOUBLE)").as(s"dl_$f") +:
           Bm25Terms.map { case (t, edits) =>
-            expr(s"CAST(size(filter($tokExpr, x -> " +
-              s"abs(length(x) - ${t.length}) <= $edits AND levenshtein(x, '$t') <= $edits)) AS DOUBLE)")
+            expr(s"CAST(graft_fuzzy_tf($tokExpr, '$t', $edits) AS DOUBLE)")
               .as(s"tf_${f}_$t")
           }
       }: _*)
