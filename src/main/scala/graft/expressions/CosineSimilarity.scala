@@ -149,6 +149,21 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
         LshBands(children.head, lit(children(1), "nBands"), lit(children(2), "bandBits"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_ivf_assign"),
+      new ExpressionInfo(classOf[IvfAssign].getName, "graft_ivf_assign"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_ivf_assign(embedding, nlist) takes exactly 2 arguments")
+        val nlist = children(1) match {
+          case l if l.foldable && l.dataType == IntegerType =>
+            Option(l.eval()).map(_.asInstanceOf[Int]).getOrElse(
+              throw new IllegalArgumentException("graft_ivf_assign: nlist must not be NULL"))
+          case other => throw new IllegalArgumentException(
+            s"graft_ivf_assign: nlist must be an INT literal, got $other")
+        }
+        IvfAssign(children.head, nlist)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_fuzzy_tf"),
       new ExpressionInfo(classOf[FuzzyTokenCount].getName, "graft_fuzzy_tf"),
       (children: Seq[Expression]) => {

@@ -270,27 +270,19 @@ object PipelineQueries {
 
   /** IVF coarse quantizer (the ANN scale path alongside LSH): 16
     * deterministic centroids c_j[i] = (((j*31+i*17) mod 19) - 9) / 10;
-    * every vector is assigned to its nearest centroid (squared L2,
-    * sequential fold) — the assignment IS the IVF partition map: at
-    * scale the corpus is written bucketed by `centroid_id` and a query
-    * probes its nprobe nearest centroid partitions instead of the full
-    * corpus. Output = per-centroid inverted-list sizes + a probe-order
-    * checksum. */
-  private val simIvfAssign: Q = (s, d) => {
-    val costExpr =
-      "transform(sequence(0, 15), j -> aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), " +
-        "(acc, i) -> acc + (CAST(element_at(embedding, i + 1) AS DOUBLE) - " +
-        "CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0D) * " +
-        "(CAST(element_at(embedding, i + 1) AS DOUBLE) - " +
-        "CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0D)))"
+    * every vector is assigned to its nearest centroid (squared L2) by
+    * the native fused-loop [[graft.expressions.IvfAssign]] — identical
+    * per-centroid sums to the per-centroid HOF folds the oracle keeps —
+    * and the assignment IS the IVF partition map: at scale the corpus
+    * is written bucketed by `centroid_id` and a query probes its nprobe
+    * nearest centroid partitions instead of the full corpus. Output =
+    * per-centroid inverted-list sizes + a probe-order checksum. */
+  private val simIvfAssign: Q = (s, d) =>
     Tables.embeddings(s, d)
-      .selectExpr("vec_id", s"$costExpr AS costs")
-      .selectExpr("vec_id",
-        "CAST(array_position(costs, array_min(costs)) - 1 AS INT) AS centroid_id")
+      .selectExpr("vec_id", "graft_ivf_assign(embedding, 16) AS centroid_id")
       .groupBy("centroid_id")
       .agg(count(lit(1)).as("n_vectors"), sum("vec_id").as("vec_id_sum"))
       .orderBy("centroid_id")
-  }
 
   /** IVF probe set: the `IvfNprobe` centroids nearest (squared L2) to
     * the fixed query vector q = 0.1·1⃗, over the same deterministic
@@ -320,24 +312,15 @@ object PipelineQueries {
     * partition pruning on the bucketed layout; everything downstream of
     * the filter is a scan-local top-k, no shuffle beyond the final
     * limit. */
-  private val simIvfTopk: Q = (s, d) => {
-    val costExpr =
-      "transform(sequence(0, 15), j -> aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), " +
-        "(acc, i) -> acc + (CAST(element_at(embedding, i + 1) AS DOUBLE) - " +
-        "CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0D) * " +
-        "(CAST(element_at(embedding, i + 1) AS DOUBLE) - " +
-        "CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0D)))"
+  private val simIvfTopk: Q = (s, d) =>
     Tables.embeddings(s, d)
-      .selectExpr("vec_id", "embedding", s"$costExpr AS costs")
-      .selectExpr("vec_id", "embedding",
-        "CAST(array_position(costs, array_min(costs)) - 1 AS INT) AS centroid_id")
+      .selectExpr("vec_id", "embedding", "graft_ivf_assign(embedding, 16) AS centroid_id")
       .filter(col("centroid_id").isin(IvfProbes: _*))
       .selectExpr("vec_id", "centroid_id",
         "CAST(floor(graft_cosine(embedding, array_repeat(CAST(0.1 AS DOUBLE), 64)) " +
           "* 1000000) AS BIGINT) AS cos_e6")
       .orderBy(col("cos_e6").desc, col("vec_id").asc)
       .limit(20)
-  }
 
   /** LSH banding parameters for the embedding near-dup join. Bucket
     * occupancy per band is E[N / 2^bandBits]; the in-band self-join costs
