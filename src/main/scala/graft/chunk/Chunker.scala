@@ -19,12 +19,18 @@ object Chunker {
   /** F17 — `_normalize_pdf_text` (transformer.py:689-695): de-hyphenate
     * line breaks, CR→LF, collapse runs of spaces/tabs and 3+ newlines.
     */
+  // precompiled: String.replaceAll compiles its pattern per call and
+  // this normalization runs once per document page
+  private val Dehyphen = java.util.regex.Pattern.compile("-\\s*\\n\\s*")
+  private val SpaceRun = java.util.regex.Pattern.compile("[ \\t]+")
+  private val NewlineRun = java.util.regex.Pattern.compile("\\n{3,}")
+
   def normalizePdfText(text0: String): String = {
     var text = stripSurrogateChars(text0)
-    text = text.replaceAll("-\\s*\\n\\s*", "")
+    text = Dehyphen.matcher(text).replaceAll("")
     text = text.replace("\r", "\n")
-    text = text.replaceAll("[ \\t]+", " ")
-    text = text.replaceAll("\\n{3,}", "\n\n")
+    text = SpaceRun.matcher(text).replaceAll(" ")
+    text = NewlineRun.matcher(text).replaceAll("\n\n")
     text.trim
   }
 

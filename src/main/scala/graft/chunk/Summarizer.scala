@@ -22,9 +22,14 @@ object Summarizer {
 
   /** Sentence split on terminal punctuation / newlines, trimmed,
     * length-filtered. */
+  private val SentenceBoundary =
+    java.util.regex.Pattern.compile("(?<=[.!?])\\s+|\\n+")
+
   private[chunk] def splitSentences(text: String, cfg: Config): Vector[String] = {
     if (text == null || text.isEmpty) return Vector.empty
-    text.split("(?<=[.!?])\\s+|\\n+").toVector
+    // Pattern.split(input) == String.split(regex): limit 0, trailing
+    // empties dropped
+    SentenceBoundary.split(text).toVector
       .map(_.trim)
       .filter(_.length >= cfg.minSentenceChars)
   }

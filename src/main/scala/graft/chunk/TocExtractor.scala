@@ -78,17 +78,26 @@ object TocExtractor {
     math.max(1, total)
   }
 
+  // hot-path patterns precompiled once — String.replaceAll / inline .r
+  // recompile per call, and these run per LINE across every document
+  private val LeadingNumber = "\\b(\\d{1,3})\\b".r
+  private val LeadingRoman = "(?i)\\b([IVXLCDM]{1,8})\\b".r
+  private val SectionNumber = "(\\d+\\.\\d+(?:\\.\\d+)?)".r
+  private val WsRun = java.util.regex.Pattern.compile("\\s+")
+  private val TitleTrim = java.util.regex.Pattern.compile("^[ .\\-\\t]+|[ .\\-\\t]+$")
+
   private def extractLeadingNumber(text: String): Option[Int] = {
-    "\\b(\\d{1,3})\\b".r.findFirstMatchIn(text).map(_.group(1).toInt)
-      .orElse("(?i)\\b([IVXLCDM]{1,8})\\b".r.findFirstMatchIn(text)
+    LeadingNumber.findFirstMatchIn(text).map(_.group(1).toInt)
+      .orElse(LeadingRoman.findFirstMatchIn(text)
         .map(m => romanToInt(m.group(1))))
   }
 
   private def extractSectionNumber(text: String): Option[String] =
-    "(\\d+\\.\\d+(?:\\.\\d+)?)".r.findFirstMatchIn(text).map(_.group(1))
+    SectionNumber.findFirstMatchIn(text).map(_.group(1))
 
   private def cleanTitle(title: String): String =
-    title.replaceAll("\\s+", " ").replaceAll("^[ .\\-\\t]+|[ .\\-\\t]+$", "").take(220)
+    TitleTrim.matcher(WsRun.matcher(title).replaceAll(" "))
+      .replaceAll("").take(220)
 
   private def clampPage(v: Int, totalPages: Int): Int = math.max(1, math.min(v, totalPages))
 
@@ -160,6 +169,7 @@ object TocExtractor {
   }
 
   private val DottedLeader = "\\.{2,}\\s*\\d+\\s*$".r
+  private val TrailingPage = "(\\d{1,4})\\s*$".r
 
   private[graft] def isTocPage(text: String): Boolean = {
     val lowered = normalizeText(text)
@@ -174,8 +184,8 @@ object TocExtractor {
     var current: Option[TocChapter] = None
     var counter = 0
     for (raw <- lines) {
-      val line = raw.replaceAll("\\s+", " ").trim
-      val pageMatch = "(\\d{1,4})\\s*$".r.findFirstMatchIn(line)
+      val line = WsRun.matcher(raw).replaceAll(" ").trim
+      val pageMatch = TrailingPage.findFirstMatchIn(line)
       for (m <- pageMatch) {
         val pageNo = m.group(1).toInt
         val head = cleanTitle(line.substring(0, m.start))
