@@ -51,13 +51,25 @@ object Bench {
     val qs = results.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    // The driver captures only the last ~2000 chars of stdout (r4/r5 lost the
+    // full line to truncation → parsed:null). Print a line guaranteed to fit:
+    // rounded figures, slowest queries first, capped to a byte budget; the
+    // complete full-precision set is persisted to BENCH_full.json below.
+    def r3(v: Double): String = f"$v%.3f"
+    val budget = 1700
+    val sorted = results.filter(_._2 >= 0).sortBy(-_._2)
+    val kept = scala.collection.mutable.ArrayBuffer[String]()
+    var used = 0
+    sorted.foreach { case (k, v) =>
+      val entry = s""""${esc(k)}":${r3(v)}"""
+      if (used + entry.length + 1 <= budget) { kept += entry; used += entry.length + 1 }
+    }
+    val omitted = sorted.length - kept.length
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${sorted.length},"omitted":$omitted,"queries":{${kept.mkString(",")}},"errors":$es,"sf":"$sfDir"}"""
     println(line)
-    // The driver's stdout capture truncates long tails (r4 lost the first
-    // ~29 per-query figures) — persist the full line so regression triage
-    // always has every number.
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // bench result > bookkeeping
     spark.stop()
     if (results.isEmpty || errors.nonEmpty) sys.exit(1)
