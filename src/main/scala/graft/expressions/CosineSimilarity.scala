@@ -185,6 +185,51 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         FuzzyTokenCount(children.head, strLit(children(1)), intLit(children(2)))
       }))
+    def unary(name: String, clazz: Class[_], mk: Expression => Expression): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        (children: Seq[Expression]) => {
+          require(children.size == 1, s"$name takes exactly 1 argument")
+          mk(children.head)
+        }))
+    unary("graft_word_fps", classOf[WordFps], WordFps.apply)
+    unary("graft_shingle_set", classOf[ShingleSet], ShingleSet.apply)
+    unary("graft_shingle_hash64", classOf[ShingleHash64], ShingleHash64.apply)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_minhash(fps, 'a1,b1;a2,b2;…') takes exactly 2 arguments")
+        val spec = children(1) match {
+          case l if l.foldable && l.dataType == StringType =>
+            Option(l.eval()).map(_.toString).getOrElse(
+              throw new IllegalArgumentException("graft_minhash: params must not be NULL"))
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash: params must be a STRING literal 'a1,b1;a2,b2;…', got $other")
+        }
+        val pairs = spec.split(';').map { p =>
+          val ab = p.split(',')
+          require(ab.length == 2, s"graft_minhash: bad (a,b) pair '$p'")
+          (ab(0).trim.toLong, ab(1).trim.toLong)
+        }
+        MinhashSig(children.head, pairs.map(_._1), pairs.map(_._2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashBits].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_simhash(fps, nBits) takes exactly 2 arguments")
+        val nBits = children(1) match {
+          case l if l.foldable && l.dataType == IntegerType =>
+            Option(l.eval()).map(_.asInstanceOf[Int]).getOrElse(
+              throw new IllegalArgumentException("graft_simhash: nBits must not be NULL"))
+          case other => throw new IllegalArgumentException(
+            s"graft_simhash: nBits must be an INT literal, got $other")
+        }
+        SimhashBits(children.head, nBits)
+      }))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKey.TopKPerKeyStrategy)
   }
 }

@@ -1,0 +1,313 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused kernels for the text-sketch expression family
+  * ([[WordFps]] / [[ShingleSet]] / [[MinhashSig]] / [[SimhashBits]] /
+  * [[ShingleHash64]]) — static methods so each expression's `doGenCode`
+  * is a single call that keeps the enclosing projection inside
+  * whole-stage codegen (the `StaticInvoke` shape) instead of a page of
+  * templated Java per operator.
+  *
+  * These replace the interpreted higher-order-function compositions the
+  * dedup battery shipped through r5 — `transform(tokens, w ->
+  * aggregate(split(w, ''), 7, (acc, c) -> (acc*31+ascii(c)) % P))` et
+  * al. — which evaluate a boxed lambda per character per row and are
+  * CodegenFallback. The arithmetic is IDENTICAL (same fold order, same
+  * mod-P grid), so the established DuckDB oracle forms
+  * (`PipelineQueries.duckFp`, the per-perm `list_min` folds) need no
+  * change; TextSketchSpec pins native == HOF bitwise on edge cases.
+  */
+object TextSketch {
+
+  /** 31-bit Mersenne prime — keeps `a*x+b` products inside 2^52 so the
+    * same values are exactly representable in DuckDB's arithmetic. */
+  val P: Long = 2147483647L
+
+  /** Rolling codepoint hash of one token: fold (acc*31 + cp) % P from
+    * acc=7 — exactly `aggregate(split(w, ''), 7, (acc, c) -> (acc*31 +
+    * ascii(c)) % P)`: Spark's `split(w, '')` yields one codepoint per
+    * element (regex split is codepoint-aware) and `ascii` returns the
+    * first codepoint. */
+  def tokenFp(w: UTF8String): Long = {
+    val s = w.toString
+    var acc = 7L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Per-token fingerprints; a null token yields a null element (the
+    * HOF transform propagates null the same way). */
+  def wordFps(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (tokens.isNullAt(i)) null
+      else java.lang.Long.valueOf(tokenFp(tokens.getUTF8String(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct 3-gram shingle fps in first-occurrence order:
+    * sh_i = (fp_i*961 + fp_{i+1}*31 + fp_{i+2}) % P — exactly
+    * `array_distinct(transform(sequence(1, n-2), i -> ...))` for n >= 3
+    * (callers filter `size(tokens) >= 3` first; n < 3 yields an empty
+    * set). A null fp nulls its windows' shingles; distinct keeps one
+    * null like `array_distinct`. */
+  def shingleSet(fps: ArrayData): ArrayData = {
+    val n = fps.numElements()
+    if (n < 3) return new GenericArrayData(new Array[Any](0))
+    val seen = new java.util.LinkedHashSet[Any]()
+    var i = 0
+    while (i + 2 < n) {
+      val v =
+        if (fps.isNullAt(i) || fps.isNullAt(i + 1) || fps.isNullAt(i + 2)) null
+        else java.lang.Long.valueOf(
+          (fps.getLong(i) * 961 + fps.getLong(i + 1) * 31 + fps.getLong(i + 2)) % P)
+      seen.add(v)
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** k-permutation minhash signature: out(j) = min over non-null x of
+    * (a_j*x + b_j) % P — exactly `array_min(transform(arr, x -> (a*x+b)
+    * % P))` per permutation (array_min skips null elements; an empty or
+    * all-null input yields null per permutation). One pass over the
+    * array for all k accumulators; each accumulator is independent, so
+    * values are bit-identical to the per-perm folds the oracle keeps. */
+  def minhashSig(arr: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
+    val k = as.length
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val h = (as(j) * x + bs(j)) % P
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](k)
+    var j = 0
+    while (j < k) {
+      out(j) = if (mins(j) == Long.MaxValue) null else java.lang.Long.valueOf(mins(j))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** nBits-bit SimHash over per-word fps: bit b is set iff the +1/-1
+    * vote sum of `((fp*(2b+3) + b*7919) % 65537) % 2 == 1` is positive —
+    * exactly the per-bit `aggregate(...)` folds (same vote formula,
+    * same ascending order; sums are order-independent anyway). A null
+    * element nulls every fold, so the result is null (the CASE-wrapped
+    * HOF form yields 0 per bit only when wrapped; the raw form is null
+    * — callers treat null input rows upstream). */
+  def simhashBits(fps: ArrayData, nBits: Int): Any = {
+    val votes = new Array[Int](nBits)
+    val n = fps.numElements()
+    var i = 0
+    while (i < n) {
+      if (fps.isNullAt(i)) return null
+      val f = fps.getLong(i)
+      var b = 0
+      while (b < nBits) {
+        val parity = ((f * (2 * b + 3) + b * 7919L) % 65537L) % 2L
+        votes(b) += (if (parity == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < nBits) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  /** Distinct 64-bit 3-shingle hashes of raw tokens, FNV-1a over the
+    * codepoints of the three words joined by a single space — a JOIN
+    * KEY, not an oracle value: the DuckDB side of the Jaccard queries
+    * joins on the string shingles themselves, so any collision-safe
+    * 64-bit hash works here (replaces `xxhash64(concat_ws(' ', w1, w2,
+    * w3))` inside an interpreted transform; ~1e-15 in-pair collision
+    * odds at per-doc shingle counts, far below the oracle float grid).
+    * Null tokens make their windows' shingles null (kept once). */
+  def shingleHash64(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    if (n < 3) return new GenericArrayData(new Array[Any](0))
+    val FnvPrime = 1099511628211L
+    val hashes = new Array[Long](n)
+    val nulls = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i)) nulls(i) = true
+      else {
+        val s = tokens.getUTF8String(i).toString
+        var h = -3750763034362895579L // FNV-1a offset basis
+        var j = 0
+        val m = s.length
+        while (j < m) {
+          val cp = s.codePointAt(j)
+          h = (h ^ cp) * FnvPrime
+          j += Character.charCount(cp)
+        }
+        hashes(i) = h
+      }
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[Any]()
+    i = 0
+    while (i + 2 < n) {
+      val v =
+        if (nulls(i) || nulls(i + 1) || nulls(i + 2)) null
+        else {
+          // combine the three word hashes + the separator, FNV-style
+          var h = (hashes(i) ^ 32L) * FnvPrime
+          h = (h ^ hashes(i + 1)) * FnvPrime
+          h = (h ^ 32L) * FnvPrime
+          h = (h ^ hashes(i + 2)) * FnvPrime
+          java.lang.Long.valueOf(h)
+        }
+      seen.add(v)
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+}
+
+/** `graft_word_fps(array<string>)` → `array<long>`: per-token rolling
+  * codepoint fingerprints (the dedup battery's shared word-hash,
+  * reference shingling analogue `silver/transformer.py` content
+  * fingerprints). */
+final case class WordFps(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_word_fps requires array<string>, got ${t.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_word_fps"
+  override def nullSafeEval(a: Any): Any = TextSketch.wordFps(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.expressions.TextSketch.wordFps($x);")
+  override protected def withNewChildInternal(newChild: Expression): WordFps =
+    copy(child = newChild)
+}
+
+/** `graft_shingle_set(array<long>)` → `array<long>`: distinct mod-P
+  * 3-gram shingles over word fps (first-occurrence order). */
+final case class ShingleSet(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_set requires array<long>, got ${t.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_shingle_set"
+  override def nullSafeEval(a: Any): Any = TextSketch.shingleSet(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.expressions.TextSketch.shingleSet($x);")
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+}
+
+/** `graft_minhash(array<long>, 'a1,b1;a2,b2;…')` → `array<long>`: the
+  * k-permutation minhash signature in one array pass. */
+final case class MinhashSig(child: Expression, as: Array[Long], bs: Array[Long])
+  extends UnaryExpression {
+  require(as.length == bs.length && as.nonEmpty, "graft_minhash needs >= 1 (a,b) pair")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash requires array<long>, got ${t.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash"
+  @transient private lazy val asArr = as
+  @transient private lazy val bsArr = bs
+  override def nullSafeEval(a: Any): Any =
+    TextSketch.minhashSig(a.asInstanceOf[ArrayData], asArr, bsArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.expressions.TextSketch.minhashSig($x, $asRef, $bsRef);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}
+
+/** `graft_simhash(array<long>, nBits)` → `long`: vote-fold SimHash over
+  * word fps, all bit-planes in one pass. */
+final case class SimhashBits(child: Expression, nBits: Int) extends UnaryExpression {
+  require(nBits >= 1 && nBits <= 62, s"graft_simhash needs 1 <= nBits <= 62, got $nBits")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash requires array<long>, got ${t.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash"
+  override def nullSafeEval(a: Any): Any =
+    TextSketch.simhashBits(a.asInstanceOf[ArrayData], nBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val res = ctx.freshName("simhashRes")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"""
+         |Object $res = graft.expressions.TextSketch.simhashBits($x, $nBits);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Long) $res).longValue(); }
+       """.stripMargin)
+  }
+  override protected def withNewChildInternal(newChild: Expression): SimhashBits =
+    copy(child = newChild)
+}
+
+/** `graft_shingle_hash64(array<string>)` → `array<long>`: distinct
+  * 64-bit 3-shingle join keys (FNV-1a over words + separator). */
+final case class ShingleHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hash64 requires array<string>, got ${t.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_shingle_hash64"
+  override def nullSafeEval(a: Any): Any =
+    TextSketch.shingleHash64(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.expressions.TextSketch.shingleHash64($x);")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash64 =
+    copy(child = newChild)
+}

@@ -114,6 +114,29 @@ object TableMerge {
     }
   }
 
+  /** Fused K2+K1 — one copy-on-write rewrite that drops every target row
+    * whose `groupKeys` tuple appears in `dropGroups`, then inserts `source`
+    * wholesale: result = (target ⟕̸ dropGroups) ⊎ source. Equivalent to
+    * `delete(dropGroups)` followed by `upsert(source)` when the source
+    * rows all belong to dropped groups (the chunk-resync shape,
+    * `transformer.py:2460-2484` delete + 2427-2458 insert), but pays ONE
+    * table rewrite instead of two. */
+  def replaceKeys(spark: SparkSession, tablePath: String, source: DataFrame,
+                  dropGroups: DataFrame, groupKeys: Seq[String],
+                  partitionCols: Seq[String] = Seq.empty): Unit = {
+    require(groupKeys.nonEmpty, "group keys required")
+    if (!exists(tablePath)) { createOrReplace(source, tablePath, partitionCols); return }
+    val target = read(spark, tablePath)
+    val remaining = target.join(
+      dropGroups.select(groupKeys.map(col): _*).distinct(), groupKeys, "left_anti")
+    val merged = remaining.unionByName(source, allowMissingColumns = true)
+    val version = newVersionDir(tablePath)
+    val writer = merged.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(version.toString)
+    commitVersion(tablePath, version)
+  }
+
   /** K2 — delete rows whose key appears in `deleteKeys`. */
   def delete(spark: SparkSession, tablePath: String, deleteKeys: DataFrame,
              keys: Seq[String], partitionCols: Seq[String] = Seq.empty): Unit = {

@@ -74,12 +74,14 @@ object PipelineQueries {
     * (minh1*31 + minh2) mod 1024. Output = bucket histogram (the shuffle
     * key distribution an LSH join would use). */
   private val dedupMinhash: Q = (s, d) => {
-    val minhExprs = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
-      s"array_min(transform(tokens, w -> ($a * ${sparkFp("w")} + $b) % $P)) AS minh${i + 1}"
-    }
+    // one fused array pass for both permutations (graft_minhash ==
+    // per-perm array_min folds bitwise, TextSketchSpec) — the HOF form
+    // is interpreted per character per row
+    val spec = MinhashParams.map { case (a, b) => s"$a,$b" }.mkString(";")
     Tables.documents(s, d)
       .selectExpr("doc_id", "split(text, ' ') AS tokens")
-      .selectExpr(Seq("doc_id") ++ minhExprs: _*)
+      .selectExpr("doc_id", s"graft_minhash(graft_word_fps(tokens), '$spec') AS sig")
+      .selectExpr("doc_id", "sig[0] AS minh1", "sig[1] AS minh2")
       .selectExpr("doc_id", "(minh1 * 31 + minh2) % 1024 AS band_bucket")
       .groupBy("band_bucket").agg(count(lit(1)).as("n_docs"))
       .orderBy("band_bucket")
@@ -88,14 +90,13 @@ object PipelineQueries {
   /** SimHash (8-bit): per-word fingerprints hashed per bit-plane; bit b
     * set iff the +1/-1 vote sum is positive. Output doc_id → signature. */
   private val dedupSimhash: Q = (s, d) => {
-    val bitExprs = (0 until 8).map { b =>
-      s"(CASE WHEN aggregate(wfps, CAST(0 AS BIGINT), (acc, f) -> acc + " +
-        s"(CASE WHEN ((f * ${2 * b + 3} + ${b * 7919}) % 65537) % 2 = 1 " +
-        s"THEN 1 ELSE -1 END)) > 0 THEN ${1 << b} ELSE 0 END)"
-    }
+    // all 8 bit-plane vote folds in one fused pass (graft_simhash ==
+    // the per-bit aggregate() folds bitwise, TextSketchSpec); cast back
+    // to INT to keep the r3-pinned oracle schema
     Tables.documents(s, d)
-      .selectExpr("doc_id", s"transform(split(text, ' '), w -> ${sparkFp("w")}) AS wfps")
-      .selectExpr("doc_id", s"${bitExprs.mkString(" + ")} AS simhash8")
+      .selectExpr("doc_id", "split(text, ' ') AS tokens")
+      .selectExpr("doc_id",
+        "CAST(graft_simhash(graft_word_fps(tokens), 8) AS INT) AS simhash8")
       .orderBy("doc_id")
   }
 
@@ -131,17 +132,20 @@ object PipelineQueries {
     * shuffle key (never all-pairs), shingle sets are fetched AFTER the
     * pair distinct. */
   private val dedupMinhashPairs: Q = (s, d) => {
-    val minhExprs = MinhashPairParams.zipWithIndex.map { case ((a, b), i) =>
-      s"array_min(transform(shset, x -> ($a * x + $b) % $P)) AS minh${i + 1}"
-    }
+    // shingling + 4-perm signatures run as fused native kernels
+    // (bitwise == the HOF folds, TextSketchSpec → DuckDB oracle keeps
+    // its list_min/list_transform form unchanged)
+    val spec = MinhashPairParams.map { case (a, b) => s"$a,$b" }.mkString(";")
     val docs = Tables.documents(s, d)
       .selectExpr("doc_id", "split(text, ' ') AS tokens")
     val dups = docs.filter(col("doc_id") % 20 === 0)
       .selectExpr("doc_id + 100000 AS doc_id", "slice(tokens, 2, size(tokens) - 1) AS tokens")
     val corpus = docs.union(dups).filter(size(col("tokens")) >= 3)
-      .selectExpr("doc_id", s"transform(tokens, w -> ${sparkFp("w")}) AS wfps")
-    val shingled = corpus.selectExpr("doc_id", s"$shingleSetExpr AS shset")
-    val sigs = shingled.selectExpr(Seq("doc_id") ++ minhExprs: _*)
+    val shingled = corpus.selectExpr("doc_id",
+      "graft_shingle_set(graft_word_fps(tokens)) AS shset")
+    val sigs = shingled.selectExpr("doc_id", s"graft_minhash(shset, '$spec') AS sig")
+      .selectExpr("doc_id",
+        "sig[0] AS minh1", "sig[1] AS minh2", "sig[2] AS minh3", "sig[3] AS minh4")
       .selectExpr("doc_id",
         s"(minh1 * 31 + minh2) % $P AS band_0",
         s"(minh3 * 31 + minh4) % $P AS band_1")
@@ -186,10 +190,13 @@ object PipelineQueries {
     val dups = docs.filter(col("doc_id") % 20 === 0)
       .selectExpr("doc_id + 100000 AS doc_id", "slice(tokens, 2, size(tokens) - 1) AS tokens")
     val corpus = docs.union(dups).filter(size(col("tokens")) >= 3)
+    // 64-bit shingle JOIN KEYS from a fused native kernel — the DuckDB
+    // oracle joins on the string shingles themselves, so the hash
+    // function is free to differ (TextSketchSpec pins set sizes and
+    // dup-doc set equality); replaces an interpreted transform doing
+    // per-window string concat + xxhash64
     val shingles = corpus.selectExpr("doc_id",
-      """explode(array_distinct(transform(sequence(1, size(tokens) - 2),
-        |i -> xxhash64(concat_ws(' ', element_at(tokens, i), element_at(tokens, i + 1),
-        |element_at(tokens, i + 2)))))) AS shingle""".stripMargin)
+      "explode(graft_shingle_hash64(tokens)) AS shingle")
     val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val pairs = shingles.as("a")
       .join(shingles.as("b"), col("a.shingle") === col("b.shingle") &&

@@ -86,11 +86,15 @@ object SilverPipeline {
           forceReprocess: Boolean = false): RunStats = {
     import spark.implicits._
 
-    val normalized = normalize(bronze)
-    val bronzeRows = normalized.count()
+    // Stage counts ride the ONE materializing job as CollectMetrics
+    // observations (A8) instead of three separate count() actions — the
+    // pre-r6 shape scanned bronze once per count plus once for the
+    // checkpoint (4 source scans + 2 dedup shuffles before any write).
+    val obsBronze = org.apache.spark.sql.Observation()
+    val obsDedup = org.apache.spark.sql.Observation()
+    val normalized = normalize(bronze).observe(obsBronze, count(lit(1)).as("n"))
 
-    val deduped = dedupLatest(normalized)
-    val dedupedN = deduped.count()
+    val deduped = dedupLatest(normalized).observe(obsDedup, count(lit(1)).as("n"))
 
     // localCheckpoint (not persist): the CDC frame's lineage reads the
     // live resources table, which the upsert below REPLACES — a cache
@@ -102,6 +106,8 @@ object SilverPipeline {
     val changed = detectChanges(spark, deduped, cfg.resourcesPath, forceReprocess)
       .localCheckpoint(true)
     val changedN = changed.count()
+    val bronzeRows = obsBronze.get("n").asInstanceOf[Long]
+    val dedupedN = obsDedup.get("n").asInstanceOf[Long]
 
     if (changedN > 0) {
       TableMerge.upsert(spark, cfg.resourcesPath,
@@ -118,10 +124,11 @@ object SilverPipeline {
           rows
         }
         .toDF()
-      // tombstone chunks of changed resources, then insert the fresh set
-      TableMerge.delete(spark, cfg.chunksPath,
-        changed.select("resource_uid"), keys = Seq("resource_uid"))
-      TableMerge.upsert(spark, cfg.chunksPath, chunks, keys = Seq("chunk_id"))
+      // tombstone chunks of changed resources AND insert the fresh set in
+      // ONE copy-on-write rewrite (pre-r6: delete then upsert = two full
+      // table rewrites per run)
+      TableMerge.replaceKeys(spark, cfg.chunksPath, chunks,
+        changed.select("resource_uid"), groupKeys = Seq("resource_uid"))
     }
     val chunksWritten =
       if (TableMerge.exists(cfg.chunksPath)) TableMerge.read(spark, cfg.chunksPath).count()

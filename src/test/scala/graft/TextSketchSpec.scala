@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native text-sketch expression family (graft_word_fps /
+  * graft_shingle_set / graft_minhash / graft_simhash /
+  * graft_shingle_hash64) vs the interpreted HOF compositions they
+  * replace in the dedup battery — bitwise equality on edge-case corpora
+  * (unicode, multi-space empty tokens, short docs), because the DuckDB
+  * oracles keep the HOF arithmetic.
+  */
+class TextSketchSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private val P = 2147483647L
+  private def hofFp(x: String): String =
+    s"aggregate(split($x, ''), CAST(7 AS BIGINT), (acc, c) -> (acc * 31 + ascii(c)) % $P)"
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy dog",  // exact dup
+      "quick brown fox jumps over the lazy dog",      // near dup
+      "café naïve résumé touché encore une fois",
+      "emoji 😀 and 中文 words mixed in here",
+      "one two three",
+      "exactly four tokens here",
+      "short doc",   // below shingle threshold
+      "solo",
+      "numbers 123 456 789 0 42 end"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .selectExpr("doc_id", "split(text, ' ') AS tokens")
+      .filter(size(col("tokens")) >= 3)
+  }
+
+  test("graft_word_fps matches the per-token aggregate fold bitwise") {
+    val rows = corpus.selectExpr(
+      "graft_word_fps(tokens) AS native",
+      s"transform(tokens, w -> ${hofFp("w")}) AS hof").collect()
+    rows.foreach { r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)) }
+  }
+
+  test("graft_shingle_set matches array_distinct(transform(sequence…)) bitwise") {
+    val shingleHof =
+      s"""array_distinct(transform(sequence(1, size(wfps) - 2),
+         |i -> (element_at(wfps, i) * 961 + element_at(wfps, i + 1) * 31 +
+         |element_at(wfps, i + 2)) % $P))""".stripMargin
+    val rows = corpus
+      .selectExpr("graft_word_fps(tokens) AS wfps")
+      .selectExpr("graft_shingle_set(wfps) AS native", s"$shingleHof AS hof")
+      .collect()
+    rows.foreach { r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)) }
+  }
+
+  test("graft_minhash matches per-perm array_min folds; empty set gives nulls") {
+    val perms = Seq((1000003L, 12345L), (999983L, 54321L), (999979L, 11111L))
+    val spec = perms.map { case (a, b) => s"$a,$b" }.mkString(";")
+    val hof = perms.map { case (a, b) =>
+      s"array_min(transform(shset, x -> ($a * x + $b) % $P))" }
+    val rows = corpus
+      .selectExpr("graft_shingle_set(graft_word_fps(tokens)) AS shset")
+      .selectExpr(s"graft_minhash(shset, '$spec') AS native",
+        s"array(${hof.mkString(",")}) AS hofArr")
+      .collect()
+    rows.foreach { r => assert(r.getSeq[Any](0) == r.getSeq[Any](1)) }
+    val empty = spark.sql(
+      s"SELECT graft_minhash(array_remove(array(1L), 1L), '3,5') AS m").head()
+    assert(empty.getSeq[Any](0) == Seq(null))
+  }
+
+  test("graft_simhash matches the per-bit vote folds bitwise") {
+    val bitExprs = (0 until 8).map { b =>
+      s"(CASE WHEN aggregate(wfps, CAST(0 AS BIGINT), (acc, f) -> acc + " +
+        s"(CASE WHEN ((f * ${2 * b + 3} + ${b * 7919}) % 65537) % 2 = 1 " +
+        s"THEN 1 ELSE -1 END)) > 0 THEN ${1 << b} ELSE 0 END)"
+    }
+    val rows = corpus
+      .selectExpr("graft_word_fps(tokens) AS wfps")
+      .selectExpr("graft_simhash(wfps, 8) AS native",
+        s"CAST(${bitExprs.mkString(" + ")} AS BIGINT) AS hof")
+      .collect()
+    rows.foreach { r => assert(r.getLong(0) == r.getLong(1)) }
+  }
+
+  test("graft_shingle_hash64 produces the same distinct-count structure as string shingles") {
+    // join-key hash: values are free, but per-doc set SIZE must equal the
+    // string-shingle set size (collision-free at this scale) and equal
+    // docs must produce equal sets
+    val stringShingles =
+      """array_distinct(transform(sequence(1, size(tokens) - 2),
+        |i -> concat_ws(' ', element_at(tokens, i), element_at(tokens, i + 1),
+        |element_at(tokens, i + 2))))""".stripMargin
+    val rows = corpus.selectExpr(
+      "doc_id",
+      "graft_shingle_hash64(tokens) AS native",
+      s"$stringShingles AS strings").collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1).size == r.getSeq[String](2).size)
+    }
+    val byDoc = rows.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(byDoc(0L) == byDoc(1L)) // exact dup docs → identical shingle sets
+  }
+
+  test("null contract: null array → null; null token → null element") {
+    val r = spark.sql(
+      "SELECT graft_word_fps(CAST(NULL AS ARRAY<STRING>)) AS a, " +
+        "graft_word_fps(array('x', CAST(NULL AS STRING), 'y')) AS b, " +
+        "graft_shingle_hash64(array('a', NULL, 'b', 'c', 'd')) AS c").head()
+    assert(r.isNullAt(0))
+    val b = r.getSeq[Any](1)
+    assert(b(1) == null && b(0) != null && b(2) != null)
+    val c = r.getSeq[Any](2)
+    assert(c.contains(null)) // windows crossing the null token collapse to one null
+  }
+
+  test("whole-stage codegen keeps the sketch projection fused") {
+    // a local-collection corpus constant-folds to a LocalTableScan —
+    // read parquet so there is a real projection stage to audit
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("split(text, ' ') AS tokens")
+      .selectExpr("graft_minhash(graft_shingle_set(graft_word_fps(tokens)), '7,11') AS sig")
+    val wsc = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.exists(_.collect {
+      case p: org.apache.spark.sql.execution.ProjectExec => p
+    }.exists(_.projectList.exists(_.toString.contains("graft_minhash")))))
+  }
+}
