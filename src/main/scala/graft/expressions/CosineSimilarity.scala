@@ -193,6 +193,7 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
           require(children.size == 1, s"$name takes exactly 1 argument")
           mk(children.head)
         }))
+    unary("graft_str_fp", classOf[StringFp], StringFp.apply)
     unary("graft_word_fps", classOf[WordFps], WordFps.apply)
     unary("graft_shingle_set", classOf[ShingleSet], ShingleSet.apply)
     unary("graft_shingle_hash64", classOf[ShingleHash64], ShingleHash64.apply)

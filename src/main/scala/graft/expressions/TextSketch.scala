@@ -198,6 +198,29 @@ object TextSketch {
   }
 }
 
+/** `graft_str_fp(string)` → `long`: the scalar rolling codepoint
+  * fingerprint — same fold as one [[WordFps]] element, exposed for
+  * whole-string uses (document fingerprinting F12, deterministic
+  * train/val/test assignment). DuckDB replicates it with the
+  * `list_reduce` fold (`PipelineQueries.duckFp`). */
+final case class StringFp(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_str_fp requires a string, got ${t.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_str_fp"
+  override def nullSafeEval(a: Any): Any =
+    TextSketch.tokenFp(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.expressions.TextSketch.tokenFp($x);")
+  override protected def withNewChildInternal(newChild: Expression): StringFp =
+    copy(child = newChild)
+}
+
 /** `graft_word_fps(array<string>)` → `array<long>`: per-token rolling
   * codepoint fingerprints (the dedup battery's shared word-hash,
   * reference shingling analogue `silver/transformer.py` content

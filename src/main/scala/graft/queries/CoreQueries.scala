@@ -244,6 +244,78 @@ object CoreQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** J16 — AS-OF (point-in-time) join, the time-series operator Spark
+    * has no built-in for: each 'view' event picks the LATEST 'purchase'
+    * event of the same user at-or-before its timestamp (the reference's
+    * state-lookup shape generalized to event time; DuckDB verifies with
+    * its native ASOF JOIN).
+    *
+    * Implementation is the scale-correct union+window form, NOT an
+    * inequality join: tag both sides, union, one shuffle on user_id,
+    * then a running `last(..., ignoreNulls)` ordered by (ts, side) —
+    * side 0 (purchase) sorts before side 1 (view) at equal ts, giving
+    * at-or-INCLUSIVE semantics. Cost is one shuffle + one sort per key,
+    * independent of time-range density; a range-predicate join would
+    * degrade toward per-user cross products on active users, and Spark
+    * would plan it as BNLJ absent an equi-key. Purchases are first
+    * deduped to max(event_id) per (user, ts) so ties are deterministic
+    * in both engines. Output aggregates per day so every row's match
+    * still pins the hash (counts + matched-id sum). */
+  private val j16AsofJoin: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("event_id").as("p_event_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val tagged = purchases.select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("p_event_id"), lit(null).cast("long").as("view_event_id"))
+      .unionByName(views.select(col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("long").as("p_event_id"), col("event_id").as("view_event_id")))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_p", last("p_event_id", ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_views"),
+        count(col("asof_p")).as("n_matched"),
+        coalesce(sum("asof_p"), lit(0L)).as("sum_p_event_id"))
+      .orderBy("day")
+  }
+
+  /** J17 — bounded range (interval) join: for each 'signup' event, the
+    * 'error' events of the same user inside (signup_ts, signup_ts+6h].
+    * Scale-correct BIN join, not an inequality join: errors land in
+    * their own 6-hour bucket; each signup explodes into the (at most 2)
+    * buckets its window overlaps; the join is then an EQUI-join on
+    * (user_id, bucket) with the exact range as a residual filter — the
+    * shuffle key is (user, time-bucket), candidate volume is bounded by
+    * bucket width, and no pair is produced twice (an error lives in
+    * exactly one bucket). DuckDB verifies with the plain inequality
+    * join. Window is half-open (strictly after the signup) so the
+    * signup row itself can never self-match in either engine. */
+  private val j17RangeJoin: Q = (s, d) => {
+    val binSec = 6 * 3600L
+    val ev = Tables.events(s, d)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("s_ts"),
+        explode(sequence(
+          (unix_timestamp(col("ts")) / binSec).cast("long"),
+          ((unix_timestamp(col("ts")) + binSec) / binSec).cast("long"))).as("bin"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("e_ts"),
+        (unix_timestamp(col("ts")) / binSec).cast("long").as("bin"))
+    signups.join(errors, Seq("user_id", "bin"), "inner")
+      .filter(col("e_ts") > col("s_ts") &&
+        col("e_ts") <= col("s_ts") + expr(s"INTERVAL $binSec SECOND"))
+      .groupBy(to_date(col("s_ts")).as("day"))
+      .agg(countDistinct("signup_id").as("n_signups_with_errors"),
+        count(lit(1)).as("n_error_pairs"),
+        sum("error_id").as("sum_error_id"))
+      .orderBy("day")
+  }
+
   /** SQL-API surface: the same engine driven through `spark.sql` over
     * the registered temp-view catalog (S3's other face) — a TPC-H
     * Q3-shaped shipping-priority query. Each summand is fixed-pointed
@@ -497,6 +569,8 @@ object CoreQueries {
     "j13_broadcast_join" -> j13BroadcastJoin,
     "j14_star_join" -> j14StarJoin,
     "j15_bucketed_join" -> j15BucketedJoin,
+    "j16_asof_join" -> j16AsofJoin,
+    "j17_range_join" -> j17RangeJoin,
     "sql_shipping_priority" -> sqlShippingPriority,
     "a1_countdistinct_max" -> a1CountDistinctMax,
     "a2_perkey_distinct" -> a2PerKeyDistinct,
@@ -517,6 +591,28 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "j16_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, max(event_id) AS p_event_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |v AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+        |SELECT CAST(v.ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_views,
+        |  CAST(count(p.p_event_id) AS BIGINT) AS n_matched,
+        |  CAST(coalesce(sum(p.p_event_id), 0) AS BIGINT) AS sum_p_event_id
+        |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
+        |GROUP BY day ORDER BY day""".stripMargin,
+    "j17_range_join" ->
+      """SELECT CAST(s.ts AS DATE) AS day,
+        |  CAST(count(DISTINCT s.event_id) AS BIGINT) AS n_signups_with_errors,
+        |  CAST(count(*) AS BIGINT) AS n_error_pairs,
+        |  CAST(sum(e.event_id) AS BIGINT) AS sum_error_id
+        |FROM events s JOIN events e
+        |  ON s.event_type = 'signup' AND e.event_type = 'error'
+        |  AND e.user_id = s.user_id
+        |  AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL '6 hours'
+        |GROUP BY day ORDER BY day""".stripMargin,
     "p1_project_prune" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_orderkey % 7 = 0

@@ -418,11 +418,33 @@ object PipelineQueries {
         "regexp_count(text, '[a-z0-9]+') AS n_re_tokens")
       .orderBy("doc_id")
 
-  /** Rolling-hash document fingerprint (portable char fold). */
+  /** Rolling-hash document fingerprint (portable char fold; native
+    * graft_str_fp == the aggregate() fold bitwise, TextSketchSpec). */
   private val textFingerprint: Q = (s, d) =>
     Tables.documents(s, d)
-      .selectExpr("doc_id", s"${sparkFp("text")} AS fingerprint")
+      .selectExpr("doc_id", "graft_str_fp(text) AS fingerprint")
       .orderBy("doc_id")
+
+  /** Deterministic stratified train/val/test split — the
+    * training-data-curation operator every corpus pipeline needs:
+    * assignment is a pure function of the stable doc key (rolling-hash
+    * fingerprint mod 100 → 80/10/10), so it is reproducible across
+    * runs, engines, and cluster sizes, never samples twice into
+    * different sets, and needs NO shuffle to assign (the groupBy here
+    * only verifies the per-stratum composition). Keying on
+    * doc_id||source keeps the split independent of row order —
+    * `rand(seed)` splits are partition-order-dependent and break on
+    * repartition. Output pins every assignment (counts + id-sums per
+    * source × split). */
+  private val splitStratified: Q = (s, d) =>
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "source",
+        "graft_str_fp(concat(CAST(doc_id AS STRING), '||', source)) % 100 AS bucket")
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_doc_id"))
+      .orderBy("source", "split")
 
   // ------------------------------------------------------------ hybrid search (Q1-Q3)
 
@@ -646,6 +668,7 @@ object PipelineQueries {
     "text_langid" -> textLangid,
     "text_token_count" -> textTokenCount,
     "text_fingerprint" -> textFingerprint,
+    "split_stratified" -> splitStratified,
     "search_hybrid" -> searchHybrid,
     "search_hybrid_lang" -> searchHybridLang,
     "search_context_filter" -> searchContextFilter,
@@ -915,6 +938,17 @@ object PipelineQueries {
          |  JOIN corpus eb ON eb.vec_id = id_b)
          |SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim
          |FROM pairs WHERE cos_sim >= 0.999 ORDER BY id_a, id_b""".stripMargin,
+    "split_stratified" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |    ${duckFp("CAST(doc_id AS VARCHAR) || '||' || source")} % 100 AS bucket
+         |  FROM documents)
+         |SELECT source,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+         |FROM b GROUP BY source, split ORDER BY source, split""".stripMargin,
     "text_quality" ->
       s"""WITH toks AS (
          |  SELECT doc_id, n_chars, string_split(text, ' ') AS tokens FROM documents),

@@ -87,6 +87,66 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream INTERVAL join (the streaming twin of the J17 range
+    * join): signup events joined to error events of the same user inside
+    * (signup_ts, signup_ts + windowSec]. Both sides carry watermarks and
+    * the join condition bounds event-time distance, so Spark can expire
+    * buffered state on both sides — without the time-range predicate a
+    * stream-stream join buffers FOREVER. At scale the state store holds
+    * one watermark-window of each side per shuffle partition, keyed by
+    * user_id (same shuffle key as the batch twin). */
+  def intervalJoin(signups: DataFrame, errors: DataFrame,
+                   windowSec: Long = 6 * 3600L,
+                   watermark: String = "1 day"): DataFrame = {
+    val s = signups.withWatermark("ts", watermark)
+      .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("s_ts"))
+    val e = errors.withWatermark("ts", watermark)
+      .select(col("event_id").as("error_id"), col("user_id").as("e_user_id"),
+        col("ts").as("e_ts"))
+    s.join(e,
+      col("user_id") === col("e_user_id") &&
+        col("e_ts") > col("s_ts") &&
+        col("e_ts") <= col("s_ts") + expr(s"INTERVAL $windowSec SECOND"),
+      "inner")
+      .select(col("signup_id"), col("error_id"), col("user_id"), col("s_ts"), col("e_ts"))
+  }
+
+  /** Incremental MERGE sink: each micro-batch folds into a persistent
+    * latest-wins-per-user table through
+    * [[graft.operators.TableMerge.upsert]] — the streaming face of the
+    * K1 sink (the reference's batch CDC merge, `transformer.py:
+    * 2427-2458`, fed continuously). The batch is reduced to one row per
+    * key BEFORE the merge (W1 inside the micro-batch), so the upsert's
+    * rewrite is proportional to distinct keys, not events; exactly-once
+    * comes from the idempotent merge (re-delivered rows upsert to the
+    * same state). */
+  def upsertLatestSink(events: DataFrame, tablePath: String,
+                       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.TableMerge
+        if (!batch.isEmpty) {
+          // fold the CURRENT state rows into the dedup so latest-wins is
+          // by EVENT time, not arrival order — a late micro-batch
+          // carrying an older event must not clobber newer state
+          val base =
+            if (TableMerge.exists(tablePath))
+              batch.unionByName(TableMerge.read(batch.sparkSession, tablePath)
+                .select(batch.columns.map(col): _*))
+            else batch
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id")
+            .orderBy(col("ts").desc, col("event_id").desc)
+          val latest = base
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+          TableMerge.upsert(batch.sparkSession, tablePath, latest, keys = Seq("user_id"))
+        }
+      }
+      .start()
+
   final case class SessionState(start: Timestamp, last: Timestamp, n_events: Long)
 
   final case class ClosedSession(

@@ -155,4 +155,57 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches the batch range join") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val signups = MemoryStream[Event]
+    val errors = MemoryStream[Event]
+    signups.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "signup", 0.0),
+      Event(2, ts("2024-01-01 10:00:00"), 2, "signup", 0.0))
+    errors.addData(
+      Event(10, ts("2024-01-01 12:00:00"), 1, "error", 0.0), // inside 6h
+      Event(11, ts("2024-01-01 15:00:00"), 1, "error", 0.0), // still inside
+      Event(12, ts("2024-01-01 16:00:01"), 2, "error", 0.0), // outside (>6h)
+      Event(13, ts("2024-01-01 10:00:00"), 1, "error", 0.0)) // equal ts: excluded (strict >)
+    val q = EventStreams.intervalJoin(signups.toDF(), errors.toDF())
+      .writeStream.format("memory").queryName("ivjoin").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // cross-batch: a late-but-in-window error still joins (state buffered)
+      errors.addData(Event(14, ts("2024-01-01 15:59:59"), 2, "error", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ivjoin").select("signup_id", "error_id")
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(got == Seq((1L, 10L), (1L, 11L), (2L, 14L)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert sink folds micro-batches into latest-wins state") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-upsert")
+    val table = dir.resolve("state").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val stream = MemoryStream[Event]
+    stream.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 11:00:00"), 1, "view", 2.0),
+      Event(3, ts("2024-01-01 10:30:00"), 2, "click", 3.0))
+    val q = EventStreams.upsertLatestSink(stream.toDF(), table, ckpt)
+    try {
+      q.processAllAvailable()
+      // batch 2: user 1 gets a NEWER event (replaces), user 2 an OLDER
+      // one (event-time latest-wins must keep the existing state row)
+      stream.addData(
+        Event(4, ts("2024-01-01 12:00:00"), 1, "purchase", 4.0),
+        Event(5, ts("2024-01-01 09:00:00"), 2, "error", 5.0))
+      q.processAllAvailable()
+      val state = graft.operators.TableMerge.read(spark, table)
+        .select("user_id", "event_id", "event_type")
+        .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+      assert(state == Seq((1L, 4L, "purchase"), (2L, 3L, "click")))
+    } finally q.stop()
+  }
 }
