@@ -473,6 +473,80 @@ object CoreQueries {
       .orderBy("src")
   }
 
+  /** A9 — ROLLUP hierarchy aggregate: (priority, status) → priority
+    * subtotals → grand total in ONE pass (Catalyst expands the grouping
+    * sets inside a single shuffle — three separate groupBys would scan
+    * three times). Group columns are coalesced to '(all)' sentinels and
+    * disambiguated by grouping_id, matching DuckDB's ROLLUP. Revenue is
+    * fixed-pointed to cents PER ROW, so subtotal sums are exact LONGs
+    * at every level. */
+  private val a9Rollup: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+        sum("cents").as("revenue_cents"))
+      .select(col("gid"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        col("n_orders"), col("revenue_cents"))
+      .orderBy("gid", "priority", "status")
+
+  /** A10 — pivot (crosstab): order status × priority revenue matrix.
+    * The pivot value list is EXPLICIT, so the plan is a single
+    * aggregate with one conditional-sum column per priority — no
+    * second collect-distinct pass over the data (`pivot(col)` without
+    * values does one) and no shuffle beyond the groupBy. */
+  private val a10Pivot: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("pr", concat(lit("p"), substring(col("o_orderpriority"), 1, 1)))
+      .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+      .groupBy("o_orderstatus")
+      .pivot("pr", Seq("p1", "p2", "p3", "p4", "p5"))
+      .agg(sum("cents"))
+      .orderBy("o_orderstatus")
+
+  /** W3 — running (cumulative) total per customer in order-date order:
+    * the frame-based window analytic (rows unbounded-preceding..current)
+    * beyond W1/W2's ranking forms. Cents are fixed-pointed per row so
+    * the running LONG sum is exact at any prefix; (date, orderkey)
+    * makes the ordering total and the result deterministic. Shuffle key
+    * = o_custkey, the same key the batch aggregates use. */
+  private val w3RunningTotal: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum("cents").over(w).as("running_cents"),
+        row_number().over(
+          Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey")))
+          .as("order_seq"))
+      .orderBy("o_custkey", "order_seq")
+  }
+
+  /** W4 — ntile + lag: orders ranked into revenue quartiles with the
+    * per-rank step (cents - lag(cents)) accumulated per tile. A GLOBAL
+    * ntile is a single total order — fine at test scale; at 100 TB the
+    * same result comes from range-partitioning on pre-computed quantile
+    * boundaries (approxQuantile) so no single task sorts everything.
+    * All integer arithmetic, both engines share ntile's
+    * remainder-to-front semantics. */
+  private val w4NtileLag: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("cents").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+      .select(col("o_orderkey"), col("cents"),
+        ntile(4).over(w).as("tile"),
+        coalesce(col("cents") - lag("cents", 1).over(w), lit(0L)).as("step"))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n"), sum("cents").as("tile_cents"), sum("step").as("sum_step"))
+      .orderBy("tile")
+  }
+
   // ---------------------------------------------------------------- G: generators
 
   /** G1 — posexplode with ordinal semantics (transformer.py:1598-1605).
@@ -578,7 +652,11 @@ object CoreQueries {
     "a4_source_counts" -> a4SourceCounts,
     "a5_collect_list" -> a5CollectList,
     "a7_distinct" -> a7Distinct,
+    "a9_rollup" -> a9Rollup,
+    "a10_pivot" -> a10Pivot,
     "w1_latest_wins" -> w1LatestWins,
+    "w3_running_total" -> w3RunningTotal,
+    "w4_ntile_lag" -> w4NtileLag,
     "o1_order_limit" -> o1OrderLimit,
     "u1_dim_date" -> u1DimDate,
     "u2_union_by_name" -> u2UnionByName,
@@ -613,6 +691,55 @@ object CoreQueries {
         |  AND e.user_id = s.user_id
         |  AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL '6 hours'
         |GROUP BY day ORDER BY day""".stripMargin,
+    "a9_rollup" ->
+      """SELECT CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  coalesce(o_orderstatus, '(all)') AS status,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY gid, priority, status""".stripMargin,
+    "a10_pivot" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus, 'p' || substr(o_orderpriority, 1, 1) AS pr,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  CAST(sum(cents) FILTER (WHERE pr = 'p1') AS BIGINT) AS p1,
+        |  CAST(sum(cents) FILTER (WHERE pr = 'p2') AS BIGINT) AS p2,
+        |  CAST(sum(cents) FILTER (WHERE pr = 'p3') AS BIGINT) AS p3,
+        |  CAST(sum(cents) FILTER (WHERE pr = 'p4') AS BIGINT) AS p4,
+        |  CAST(sum(cents) FILTER (WHERE pr = 'p5') AS BIGINT) AS p5
+        |FROM o GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "w3_running_total" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  CAST(sum(cents) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS running_cents,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
+        |FROM o ORDER BY o_custkey, order_seq""".stripMargin,
+    "w4_ntile_lag" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderkey, cents,
+        |    ntile(4) OVER (ORDER BY cents DESC, o_orderkey) AS tile,
+        |    coalesce(cents - lag(cents, 1) OVER (ORDER BY cents DESC, o_orderkey),
+        |      0) AS step
+        |  FROM o)
+        |SELECT CAST(tile AS INT) AS tile, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS tile_cents,
+        |  CAST(sum(step) AS BIGINT) AS sum_step
+        |FROM r GROUP BY tile ORDER BY tile""".stripMargin,
     "p1_project_prune" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_orderkey % 7 = 0

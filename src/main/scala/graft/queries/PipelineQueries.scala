@@ -425,6 +425,32 @@ object PipelineQueries {
       .selectExpr("doc_id", "graft_str_fp(text) AS fingerprint")
       .orderBy("doc_id")
 
+  /** Symmetric int8 embedding quantization — the ANN memory-scale path:
+    * per-vector scale = 127/max|x|, q_i = floor(x_i·127/mx + 0.5), a 4×
+    * shrink that turns a 100 TB float32 corpus into 25 TB of int8 +
+    * one float per vector (the compressed form IVF/LSH probing scans;
+    * dequantize only the final candidates). Output pins every code:
+    * integer code-sum, saturation count, and the reconstruction error
+    * fixed-pointed PER ELEMENT (floor(e²·1e8+0.5) is a deterministic
+    * double op; the LONG sum is order-independent — raw float error
+    * sums are not). Every arithmetic step is written in the exact same
+    * order in the DuckDB oracle (x·127/mx, not x·(127/mx) — fp is not
+    * associative). */
+  private val simQuantizeI8: Q = (s, d) => {
+    val q = "CAST(floor(CAST(x AS DOUBLE) * 127.0D / mx + 0.5D) AS BIGINT)"
+    val e = s"(CAST(x AS DOUBLE) - $q * mx / 127.0D)"
+    Tables.embeddings(s, d)
+      .selectExpr("vec_id",
+        "aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))) AS mx",
+        "embedding")
+      .filter(col("mx") > 0)
+      .selectExpr("vec_id",
+        s"aggregate(embedding, CAST(0 AS BIGINT), (a, x) -> a + $q) AS sum_q",
+        s"aggregate(embedding, CAST(0 AS BIGINT), (a, x) -> a + (CASE WHEN abs($q) = 127 THEN 1 ELSE 0 END)) AS n_sat",
+        s"aggregate(embedding, CAST(0 AS BIGINT), (a, x) -> a + CAST(floor($e * $e * 100000000.0D + 0.5D) AS BIGINT)) AS err_e8")
+      .orderBy("vec_id")
+  }
+
   /** Deterministic stratified train/val/test split — the
     * training-data-curation operator every corpus pipeline needs:
     * assignment is a pure function of the stable doc key (rolling-hash
@@ -669,6 +695,7 @@ object PipelineQueries {
     "text_token_count" -> textTokenCount,
     "text_fingerprint" -> textFingerprint,
     "split_stratified" -> splitStratified,
+    "sim_quantize_i8" -> simQuantizeI8,
     "search_hybrid" -> searchHybrid,
     "search_hybrid_lang" -> searchHybridLang,
     "search_context_filter" -> searchContextFilter,
@@ -938,6 +965,28 @@ object PipelineQueries {
          |  JOIN corpus eb ON eb.vec_id = id_b)
          |SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim
          |FROM pairs WHERE cos_sim >= 0.999 ORDER BY id_a, id_b""".stripMargin,
+    "sim_quantize_i8" -> {
+      val q = "CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT)"
+      val e = s"(CAST(x AS DOUBLE) - $q * mx / 127.0)"
+      s"""WITH m AS (
+         |  SELECT vec_id, embedding,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+         |      (a, x) -> greatest(a, x)) AS mx
+         |  FROM embeddings)
+         |SELECT vec_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(embedding, x -> $q)), (a, x) -> a + x) AS sum_q,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(embedding,
+         |      x -> CAST(CASE WHEN abs($q) = 127 THEN 1 ELSE 0 END AS BIGINT))),
+         |    (a, x) -> a + x) AS n_sat,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(embedding,
+         |      x -> CAST(floor($e * $e * 100000000.0 + 0.5) AS BIGINT))),
+         |    (a, x) -> a + x) AS err_e8
+         |FROM m WHERE mx > 0 ORDER BY vec_id""".stripMargin
+    },
     "split_stratified" ->
       s"""WITH b AS (
          |  SELECT doc_id, source,
