@@ -257,22 +257,24 @@ object CoreQueries {
     * at-or-INCLUSIVE semantics. Cost is one shuffle + one sort per key,
     * independent of time-range density; a range-predicate join would
     * degrade toward per-user cross products on active users, and Spark
-    * would plan it as BNLJ absent an equi-key. Purchases are first
-    * deduped to max(event_id) per (user, ts) so ties are deterministic
-    * in both engines. Output aggregates per day so every row's match
-    * still pins the hash (counts + matched-id sum). */
+    * would plan it as BNLJ absent an equi-key. Purchase ties at equal
+    * (user, ts) resolve to max(event_id) INSIDE the window ordering
+    * (ts, side, p_event_id) — a pre-dedup groupBy would cost a third
+    * shuffle on a key the window can't reuse (PlanSpec pins the
+    * 2-hash-exchange shape). Output aggregates per day so every row's
+    * match still pins the hash (counts + matched-id sum). */
   private val j16AsofJoin: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")
-      .groupBy("user_id", "ts").agg(max("event_id").as("p_event_id"))
+      .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"))
     val views = ev.filter(col("event_type") === "view")
       .select(col("event_id"), col("user_id"), col("ts"))
     val tagged = purchases.select(col("user_id"), col("ts"), lit(0).as("side"),
         col("p_event_id"), lit(null).cast("long").as("view_event_id"))
       .unionByName(views.select(col("user_id"), col("ts"), lit(1).as("side"),
         lit(null).cast("long").as("p_event_id"), col("event_id").as("view_event_id")))
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"), col("p_event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("asof_p", last("p_event_id", ignoreNulls = true).over(w))

@@ -96,6 +96,51 @@ class PlanSpec extends AnyFunSuite {
     assert(collect(p) { case c: CartesianProductExec => c }.isEmpty)
   }
 
+  test("j16_asof_join: one hash shuffle feeds the as-of window — no range join blowup") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("j16_asof_join")(spark, sf).queryExecution.executedPlan
+      assert(collect(p) { case c: CartesianProductExec => c }.isEmpty)
+      assert(collect(p) {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }.isEmpty, "as-of planned as a nested-loop range join")
+      val windows = collect(p) { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(windows.size == 1, s"expected one as-of window, got ${windows.size}")
+      // exchanges: hash(user_id) for the window, hash(day) for the agg,
+      // range for the output order — nothing proportional to pair count
+      val kinds = collect(p) { case e: ShuffleExchangeExec =>
+        e.outputPartitioning.getClass.getSimpleName }
+      assert(kinds.count(_ == "HashPartitioning") == 2 &&
+        kinds.count(_ == "RangePartitioning") == 1, kinds.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("j17_range_join: bin join is an equi-join, never a nested loop") {
+    val p = plan("j17_range_join")
+    assert(collect(p) { case c: CartesianProductExec => c }.isEmpty)
+    assert(collect(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.isEmpty, "range join planned as nested loop — bin equi-key lost")
+  }
+
+  test("a10_pivot: single aggregate pass, no collect-distinct pre-pass") {
+    val p = plan("a10_pivot")
+    val scans = collect(p) { case s: FileSourceScanExec => s }
+    assert(scans.size == 1, s"pivot scanned ${scans.size}× — value-list pre-pass leaked in")
+    // pivot plans two partial/final pairs (cell aggregate, then the
+    // row→column pivot aggregate) — the point is ONE scan, no
+    // distinct-values pre-pass, and both pairs split for map-side combine
+    val aggs = collect(p) { case a: HashAggregateExec => a }
+    assert(aggs.size == 4, s"expected 2 partial+final aggregate pairs, got ${aggs.size}")
+  }
+
+  test("split_stratified: scan reads only the key columns") {
+    val scans = collect(plan("split_stratified")) { case s: FileSourceScanExec => s }
+    assert(scans.size == 1)
+    val cols = scans.head.output.map(_.name).toSet
+    assert(cols == Set("doc_id", "source"), s"scan reads $cols — pruning failed")
+  }
+
   test("search_bm25: corpus stats attach via broadcast, not shuffle") {
     val p = plan("search_bm25")
     // the 1-row stats side must be broadcast (BroadcastNestedLoopJoin or
