@@ -562,7 +562,14 @@ object PipelineQueries {
     import graft.chunk.Chunker
     val cfg = Chunker.Config(maxChars = 200, minChars = 40, overlapChars = 40)
     Tables.documents(s, d)
-      .select("doc_id", "lang", "text").as[(Long, String, String)]
+      .select("doc_id", "lang", "text")
+      // chunking is CPU-bound per row; a sub-128MB file arrives as ONE
+      // input partition, so byte-based splits under-provision it — fan
+      // out to the full core count before the flatMap (same fix applies
+      // on a real cluster whenever scan parallelism < CPU-heavy-stage
+      // parallelism)
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, String, String)]
       .flatMap { case (id, lang, text) =>
         val (rows, status) =
           Chunker.chunkDocumentRecord(s"res_$id", s"asset_$id", lang, Seq(1 -> text), cfg)
@@ -582,7 +589,9 @@ object PipelineQueries {
     val cfg = HierarchicalChunker.Config(
       sectionChunk = Chunker.Config(maxChars = 240, minChars = 40, overlapChars = 40))
     Tables.documents(s, d)
-      .select("doc_id", "lang", "text").as[(Long, String, String)]
+      .select("doc_id", "lang", "text")
+      .repartition(s.sparkContext.defaultParallelism) // CPU-bound stage: see chunkParagraph
+      .as[(Long, String, String)]
       .flatMap { case (id, lang, text) =>
         val mid = text.length / 2
         val pages = Seq(1 -> text.take(mid), 2 -> text.drop(mid))

@@ -117,6 +117,9 @@ object SilverPipeline {
       val chunkCfg = graft.chunk.Chunker.Config(cfg.chunkMax, cfg.chunkMin, cfg.chunkOverlap)
       val chunks = changed
         .select("resource_uid", "resource_id", "language", "text")
+        // chunking is CPU-bound; the checkpointed CDC frame may carry
+        // fewer partitions than cores — fan out before the flatMap
+        .repartition(spark.sparkContext.defaultParallelism)
         .as[(String, String, String, String)]
         .flatMap { case (uid, rid, lang, text) =>
           val (rows, _) = graft.chunk.Chunker.chunkDocumentRecord(
