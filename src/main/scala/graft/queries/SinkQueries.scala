@@ -108,6 +108,47 @@ object SinkQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** S10 — ORC source/sink round-trip: the events slice written as ORC
+    * (Spark's other first-class columnar format — predicate pushdown,
+    * column pruning, and splittable stripes, same as parquet) and
+    * scanned back through the ORC reader. The oracle computes the same
+    * aggregate from the original parquet, so the round-trip must be
+    * lossless incl. the µs timestamps. Values are fixed-pointed per row
+    * — exact LONG sums survive any partial-agg order. */
+  private val s10OrcRoundtrip: Q = (s, d) => {
+    val path = statePath("s10_events_orc")
+    Tables.events(s, d)
+      .filter(col("event_id") % 5 === 0)
+      .select(col("event_id"), col("ts"), col("event_type"),
+        floor(coalesce(col("value"), lit(0.0)) * 100 + 0.5).cast("long").as("value_e2"))
+      .write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value_e2").as("sum_value_e2"),
+        max(to_date(col("ts"))).as("last_day"))
+      .orderBy("event_type")
+  }
+
+  /** S11 — CSV source with an explicit schema (no inference pass): the
+    * nation dim emitted as quoted CSV, read back typed, broadcast-joined
+    * to region — the classic "small reference file beside the lake"
+    * shape. Explicit schema matters at scale: inference is a full extra
+    * scan of every file before the real one. */
+  private val s11CsvScan: Q = (s, d) => {
+    val path = statePath("s11_nation_csv")
+    Tables.nation(s, d)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").option("quoteAll", "true")
+      .csv(path)
+    val schema = "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+    s.read.option("header", "true").schema(schema).csv(path)
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_nations"), sum("n_nationkey").as("sum_nation_key"))
+      .orderBy("r_name")
+  }
+
   /** K6+Q6 — search-index projection sink (elasticsearch_sync.py:145-259):
     * docs ⨝ broadcast metadata, E5 "passage: " prefix, embedding carried
     * as the dense-vector column; materialized as the search_index table
@@ -214,6 +255,8 @@ object SinkQueries {
     "s8_sql_dump" -> s8SqlDump,
     "s9_json_reference" -> s9JsonReference,
     "k4_full_refresh" -> k4FullRefresh,
+    "s10_orc_roundtrip" -> s10OrcRoundtrip,
+    "s11_csv_scan" -> s11CsvScan,
     "k6_search_index" -> k6SearchIndex,
     "k7_jsonl_export" -> k7JsonlExport,
     "k8_saf_export" -> k8SafExport,
@@ -249,6 +292,18 @@ object SinkQueries {
         |  round(sum(c_acctbal), 2) AS total_bal
         |FROM customer WHERE c_custkey % 3 = 0
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "s10_orc_roundtrip" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(coalesce(value, 0) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_e2,
+        |  CAST(max(ts) AS DATE) AS last_day
+        |FROM events WHERE event_id % 5 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s11_csv_scan" ->
+      """SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_nations,
+        |  CAST(sum(n.n_nationkey) AS BIGINT) AS sum_nation_key
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
     "k6_search_index" ->
       """WITH index AS (
         |  SELECT lang,
