@@ -42,10 +42,6 @@ object PipelineQueries {
     * `String.split(re, -1)` — an engine upgrade must re-run the
     * empty/non-ASCII fingerprint checks before trusting stored hashes.
     */
-  private def sparkFp(x: String): String =
-    s"aggregate(split($x, ''), CAST(7 AS BIGINT), " +
-      s"(acc, c) -> (acc * 31 + ascii(c)) % $P)"
-
   private def duckFp(x: String): String =
     s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
       s"list_transform(string_split($x, ''), " +
@@ -107,14 +103,6 @@ object PipelineQueries {
     * candidate volume per band bounded the same way the LSH bandBits do. */
   private val MinhashPairParams = Seq(
     (1000003L, 12345L), (999983L, 54321L), (999979L, 11111L), (1000033L, 77777L))
-
-  /** Numeric 3-shingle set from per-word fingerprints (31-bit-safe
-    * arithmetic both engines can overflow-free replicate):
-    * sh_i = (fp(w_i)·31² + fp(w_{i+1})·31 + fp(w_{i+2})) mod P. */
-  private val shingleSetExpr =
-    s"array_distinct(transform(sequence(1, size(wfps) - 2), " +
-      s"i -> (element_at(wfps, i) * 961 + element_at(wfps, i + 1) * 31 + " +
-      s"element_at(wfps, i + 2)) % $P))"
 
   /** MinHash-LSH near-dup PAIRS — the full canonical pipeline
     * (shingling → minhash signatures → bands → candidate equi-join →
@@ -425,6 +413,58 @@ object PipelineQueries {
       .selectExpr("doc_id", "graft_str_fp(text) AS fingerprint")
       .orderBy("doc_id")
 
+  /** PII detection + masking — the redaction pass every training-data
+    * pipeline runs before release. PII is INJECTED deterministically
+    * (docs ≡ 0 mod 7 get an email + phone suffix — the synthetic corpus
+    * has none), then detected and masked with regexes kept inside the
+    * RE2 ∩ java.util.regex common dialect so engines agree. The scan is
+    * one codegen'd projection pass: no UDF, no second scan — at 100 TB
+    * this runs at parquet-read speed. Output pins the masked text via
+    * length sums, not raw strings (masked docs stay large). */
+  private val textPiiMask: Q = (s, d) => {
+    val emailRe = "[a-z0-9]+@[a-z0-9.]+\\\\.[a-z]+"
+    val phoneRe = "\\\\+1-555-[0-9]{4}"
+    Tables.documents(s, d)
+      .withColumn("txt",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact u"), col("doc_id"),
+            lit("@mail.example.org or call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")))
+      .selectExpr("doc_id", "source",
+        s"regexp_count(txt, '$emailRe') AS n_emails",
+        s"regexp_count(txt, '$phoneRe') AS n_phones",
+        s"length(regexp_replace(regexp_replace(txt, '$emailRe', '[EMAIL]'), '$phoneRe', '[PHONE]')) AS masked_len")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_emails") + col("n_phones") > 0, 1).otherwise(0)).as("n_pii_docs"),
+        sum("n_emails").as("n_emails"), sum("n_phones").as("n_phones"),
+        sum("masked_len").as("masked_len_total"))
+      .orderBy("source")
+  }
+
+  /** Benchmark decontamination — flag corpus documents sharing 3-gram
+    * shingles with a probe set (the held-out benchmark): probe shingles
+    * are BROADCAST (eval suites are KBs against a 100 TB corpus), the
+    * overlap is a map-side equi-join on the fused 64-bit shingle keys —
+    * the corpus never shuffles, and the only aggregation is per
+    * (source) over the matches. The DuckDB oracle joins the string
+    * shingles themselves, so the hash layer stays a join-key detail. */
+  private val textDecontaminate: Q = (s, d) => {
+    val probeIds = Seq(3L, 77L, 123L)
+    val docs = Tables.documents(s, d)
+      .selectExpr("doc_id", "source", "split(text, ' ') AS tokens")
+      .filter(size(col("tokens")) >= 3)
+    val probes = docs.filter(col("doc_id").isin(probeIds: _*))
+      .selectExpr("explode(graft_shingle_hash64(tokens)) AS sh").distinct()
+    docs.selectExpr("doc_id", "source", "explode(graft_shingle_hash64(tokens)) AS sh")
+      .join(broadcast(probes), "sh")
+      .groupBy("source")
+      .agg(countDistinct("doc_id").as("n_contaminated"),
+        count(lit(1)).as("n_shingle_hits"))
+      .orderBy("source")
+  }
+
   /** Symmetric int8 embedding quantization — the ANN memory-scale path:
     * per-vector scale = 127/max|x|, q_i = floor(x_i·127/mx + 0.5), a 4×
     * shrink that turns a 100 TB float32 corpus into 25 TB of int8 +
@@ -705,6 +745,8 @@ object PipelineQueries {
     "text_fingerprint" -> textFingerprint,
     "split_stratified" -> splitStratified,
     "sim_quantize_i8" -> simQuantizeI8,
+    "text_pii_mask" -> textPiiMask,
+    "text_decontaminate" -> textDecontaminate,
     "search_hybrid" -> searchHybrid,
     "search_hybrid_lang" -> searchHybridLang,
     "search_context_filter" -> searchContextFilter,
@@ -974,6 +1016,44 @@ object PipelineQueries {
          |  JOIN corpus eb ON eb.vec_id = id_b)
          |SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim
          |FROM pairs WHERE cos_sim >= 0.999 ORDER BY id_a, id_b""".stripMargin,
+    "text_pii_mask" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      text || ' contact u' || CAST(doc_id AS VARCHAR)
+        |        || '@mail.example.org or call +1-555-'
+        |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    ELSE text END AS txt
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(txt, '[a-z0-9]+@[a-z0-9.]+\.[a-z]+')) AS n_emails,
+        |    len(regexp_extract_all(txt, '\+1-555-[0-9]{4}')) AS n_phones,
+        |    length(regexp_replace(
+        |      regexp_replace(txt, '[a-z0-9]+@[a-z0-9.]+\.[a-z]+', '[EMAIL]', 'g'),
+        |      '\+1-555-[0-9]{4}', '[PHONE]', 'g')) AS masked_len
+        |  FROM t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pii_docs,
+        |  CAST(sum(n_emails) AS BIGINT) AS n_emails,
+        |  CAST(sum(n_phones) AS BIGINT) AS n_phones,
+        |  CAST(sum(masked_len) AS BIGINT) AS masked_len_total
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "text_decontaminate" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS tokens FROM documents),
+        |corpus AS (SELECT * FROM docs WHERE len(tokens) >= 3),
+        |shingles AS (
+        |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tokens) - 2),
+        |    i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]))) AS shingle
+        |  FROM corpus),
+        |probes AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id IN (3, 77, 123))
+        |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contaminated,
+        |  CAST(count(*) AS BIGINT) AS n_shingle_hits
+        |FROM shingles JOIN probes USING (shingle)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "sim_quantize_i8" -> {
       val q = "CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT)"
       val e = s"(CAST(x AS DOUBLE) - $q * mx / 127.0)"
