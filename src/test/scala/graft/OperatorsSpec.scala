@@ -113,4 +113,25 @@ class OperatorsSpec extends AnyFunSuite {
       .groupBy("label").count().as[(String, Long)].collect().toMap
     assert(salted == plain)
   }
+
+  test("approximate aggregates hold their error bounds vs exact (HLL, quantiles)") {
+    // the sketch tier for 100 TB interactive profiling: HLL++ distinct
+    // counts (mergeable, fixed memory per group) and t-digest-style
+    // approx quantiles — not oracle-hashable (estimates), so the error
+    // CONTRACT is what gets pinned
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.01"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val exact = ev.select(countDistinct("user_id")).head().getLong(0)
+    val approx2 = ev.select(approx_count_distinct("user_id", rsd = 0.02)).head().getLong(0)
+    assert(math.abs(approx2 - exact).toDouble / exact <= 0.06,
+      s"HLL rsd=0.02 off by ${math.abs(approx2 - exact).toDouble / exact}")
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val Array(q50, q99) = orders.stat.approxQuantile("o_totalprice", Array(0.5, 0.99), 0.01)
+    val n = orders.count()
+    def rankOf(v: Double): Double =
+      orders.filter(col("o_totalprice") <= v).count().toDouble / n
+    assert(math.abs(rankOf(q50) - 0.5) <= 0.02, s"q50 rank ${rankOf(q50)}")
+    assert(math.abs(rankOf(q99) - 0.99) <= 0.02, s"q99 rank ${rankOf(q99)}")
+  }
 }
