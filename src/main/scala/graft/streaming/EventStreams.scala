@@ -115,34 +115,53 @@ object EventStreams {
     * latest-wins-per-user table through
     * [[graft.operators.TableMerge.upsert]] — the streaming face of the
     * K1 sink (the reference's batch CDC merge, `transformer.py:
-    * 2427-2458`, fed continuously). The batch is reduced to one row per
-    * key BEFORE the merge (W1 inside the micro-batch), so the upsert's
-    * rewrite is proportional to distinct keys, not events; exactly-once
-    * comes from the idempotent merge (re-delivered rows upsert to the
-    * same state). */
+    * 2427-2458`, fed continuously; `elasticsearch_sync.py:364-371` is
+    * the driver-side loop this replaces).
+    *
+    * Per-batch cost is O(batch), not O(accumulated state): the state
+    * table is partitioned by `bucket = pmod(hash(user_id), nBuckets)`,
+    * the micro-batch's touched buckets are collected (≤ nBuckets ints),
+    * the latest-wins fold reads ONLY those partitions (static isin
+    * pruning at the parquet scan), and the merge runs through
+    * TableMerge's partition-scoped path — untouched buckets are
+    * hard-linked into the new version, never read or rewritten. A
+    * micro-batch touching k buckets costs O(batch + state-in-k-buckets)
+    * regardless of total state size.
+    *
+    * Latest-wins is by EVENT time (ts, then event_id): the current
+    * rows of touched buckets join the batch before the per-user
+    * row_number dedup, so a late micro-batch carrying an older event
+    * never clobbers newer state. Exactly-once comes from the idempotent
+    * merge (re-delivered rows upsert to the same state). */
   def upsertLatestSink(events: DataFrame, tablePath: String,
-                       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+                       checkpointDir: String,
+                       nBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         import graft.operators.TableMerge
         if (!batch.isEmpty) {
-          // fold the CURRENT state rows into the dedup so latest-wins is
-          // by EVENT time, not arrival order — a late micro-batch
-          // carrying an older event must not clobber newer state
+          val bucketed = batch.withColumn(
+            "bucket", pmod(hash(col("user_id")), lit(nBuckets)))
+          // bounded by construction: ≤ nBuckets distinct values
+          val touched = bucketed.select("bucket").distinct()
+            .collect().map(_.getInt(0)).toSeq
           val base =
             if (TableMerge.exists(tablePath))
-              batch.unionByName(TableMerge.read(batch.sparkSession, tablePath)
-                .select(batch.columns.map(col): _*))
-            else batch
+              bucketed.unionByName(
+                TableMerge.read(batch.sparkSession, tablePath)
+                  .filter(col("bucket").isin(touched: _*))
+                  .select(bucketed.columns.map(col): _*))
+            else bucketed
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy("user_id")
             .orderBy(col("ts").desc, col("event_id").desc)
           val latest = base
             .withColumn("rn", row_number().over(w))
             .filter(col("rn") === 1).drop("rn")
-          TableMerge.upsert(batch.sparkSession, tablePath, latest, keys = Seq("user_id"))
+          TableMerge.upsert(batch.sparkSession, tablePath, latest,
+            keys = Seq("bucket", "user_id"), partitionCols = Seq("bucket"))
         }
       }
       .start()
