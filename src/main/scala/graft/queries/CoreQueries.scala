@@ -530,20 +530,69 @@ object CoreQueries {
   }
 
   /** W4 — ntile + lag: orders ranked into revenue quartiles with the
-    * per-rank step (cents - lag(cents)) accumulated per tile. A GLOBAL
-    * ntile is a single total order — fine at test scale; at 100 TB the
-    * same result comes from range-partitioning on pre-computed quantile
-    * boundaries (approxQuantile) so no single task sorts everything.
-    * All integer arithmetic, both engines share ntile's
-    * remainder-to-front semantics. */
+    * per-rank step (cents - lag(cents)) accumulated per tile. A naive
+    * `Window.orderBy` with no partition spec sorts EVERYTHING in one
+    * task — the classic 100 TB killer — so the global rank is computed
+    * distributed: range-repartition on the sort key (every partition
+    * holds a contiguous rank range), rank + lag locally per partition,
+    * then fix up with a per-bin boundary table (≤ `bins` rows —
+    * row count → rank offsets, last value → cross-boundary lag)
+    * broadcast back. ntile is then pure arithmetic on the global rank
+    * (SQL-standard remainder-to-front sizes, matching both engines).
+    *
+    * The bin id is an explicit PURE FUNCTION of the sort key
+    * (width_bucket over a collected min/max — at 100 TB, approxQuantile
+    * boundaries give equal-depth bins the same way), NOT
+    * `repartitionByRange` + `spark_partition_id`: range sampling is
+    * seeded per RDD id, so the boundary job and the main job would see
+    * DIFFERENT partitionings (measured — off-by-dozens rank drift).
+    * Two extra tiny jobs (min/max + boundary collect) buy a plan with
+    * no single-task sort. All integer arithmetic. */
   private val w4NtileLag: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("cents").desc, col("o_orderkey"))
-    Tables.orders(s, d)
+    val bins = 32
+    val o = Tables.orders(s, d)
       .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
-      .select(col("o_orderkey"), col("cents"),
-        ntile(4).over(w).as("tile"),
-        coalesce(col("cents") - lag("cents", 1).over(w), lit(0L)).as("step"))
+      .select("o_orderkey", "cents")
+    val scale = o.agg(min("cents"), max("cents")).head()
+    val (minC, maxC) = (scale.getLong(0), scale.getLong(1))
+    // monotone in cents ⇒ each bin is a contiguous slice of the global
+    // (cents desc, orderkey) order, and equal cents never straddle bins
+    val binned = o.withColumn("bin",
+      least(lit(bins.toLong), greatest(lit(1L),
+        width_bucket(col("cents"), lit(minC.toDouble), lit(maxC.toDouble + 1), lit(bins))))
+        .cast("int"))
+    val w = Window.partitionBy("bin").orderBy(col("cents").desc, col("o_orderkey"))
+    val local = binned
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_cents", lag("cents", 1).over(w))
+    // boundary table: one row per non-empty bin, in global (desc) order
+    val stats = local.groupBy("bin")
+      .agg(count(lit(1)).as("cnt"), max_by(col("cents"), col("rn")).as("last_cents"))
+      .orderBy(col("bin").desc).collect()
+    var acc = 0L
+    var prevLast: Option[Long] = None
+    val meta = stats.toSeq.map { r =>
+      val row = (r.getInt(0), acc, prevLast)
+      acc += r.getLong(1); prevLast = Some(r.getLong(2))
+      row
+    }
+    val n = acc
+    val base = n / 4
+    val rem = n % 4
+    val headRows = rem * (base + 1)
+    import s.implicits._
+    val metaDf = meta.toDF("bin", "offset", "prev_last")
+    val rank = col("offset") + col("rn")
+    val tile = when(rank <= headRows,
+        floor((rank - 1) / lit(base + 1)) + 1)
+      .otherwise(lit(rem) + floor((rank - 1 - headRows) / lit(math.max(base, 1L))) + 1)
+    local.join(broadcast(metaDf), Seq("bin"))
+      .select(col("cents"), tile.cast("int").as("tile"),
+        // lag across the partition boundary comes from the previous
+        // partition's last value; the global first row has neither → 0
+        coalesce(col("cents") - coalesce(col("prev_cents"), col("prev_last")), lit(0L))
+          .as("step"))
       .groupBy("tile")
       .agg(count(lit(1)).as("n"), sum("cents").as("tile_cents"), sum("step").as("sum_step"))
       .orderBy("tile")

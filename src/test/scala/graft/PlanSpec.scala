@@ -87,6 +87,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("no query plans a single-partition global window") {
+    // Window with an empty partition spec moves ALL rows to one task —
+    // the w4 re-plan removed the last one; keep the whole registry clean
+    val skip = Set("a6_cardinality", "a8_observe_metrics", "s1_multiline_json",
+      "s9_json_reference", "k1_merge_upsert", "k2_merge_delete", "k3_partitioned_merge",
+      "k4_full_refresh", "k6_search_index", "k7_jsonl_export", "sim_semantic_match",
+      "j15_bucketed_join")
+    for ((name, fn) <- SparkEntry.all if !skip(name)) {
+      val global = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty, s"$name plans a global single-partition window")
+    }
+  }
+
   test("dedup_ngram_jaccard: shingle self-join is an equi-join, no nested loop") {
     val p = plan("dedup_ngram_jaccard")
     // equi-join on the hashed shingle — SMJ or shuffled-hash acceptable
