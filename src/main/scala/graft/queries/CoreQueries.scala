@@ -598,6 +598,42 @@ object CoreQueries {
       .orderBy("tile")
   }
 
+  /** A11 — approximate distinct count (HLL++), the 100 TB profiling
+    * tier: mergeable sketch, fixed memory per group, no exact
+    * shuffle-the-world countDistinct. The battery entry pins the ERROR
+    * CONTRACT, not the sketch internals: the exact count (which DuckDB
+    * verifies) plus a boolean |approx−exact|/exact ≤ 3·rsd that the
+    * oracle asserts as a literal `true`. The estimate itself is
+    * deterministic (HLL++ is), so the hash is stable. */
+  private val a11ApproxDistinct: Q = (s, d) =>
+    Tables.events(s, d).groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_n"),
+        approx_count_distinct("user_id", rsd = 0.02).as("approx_n"))
+      .select(col("event_type"), col("exact_n"),
+        (abs(col("approx_n") - col("exact_n")) <= col("exact_n") * 0.06)
+          .as("within_bound"))
+      .orderBy("event_type")
+
+  /** A12 — approximate quantiles (Greenwald-Khanna via
+    * percentile_approx, ε = 1/accuracy rank error): the sketch answers
+    * with an element whose RANK is within ε of the target, so the
+    * contract check re-ranks each estimate with conditional counts and
+    * asserts |rank − p| ≤ 2ε. Two passes total (sketch, then rank
+    * audit) — both full map-side-combinable aggregates, no sort. */
+  private val a12ApproxQuantile: Q = (s, d) => {
+    val orders = Tables.orders(s, d)
+    val probs = Seq(0.25, 0.5, 0.75)
+    val accuracy = 100 // ε = 0.01 rank error
+    val est = orders.agg(percentile_approx(col("o_totalprice"),
+        array(probs.map(lit): _*), lit(accuracy)).as("aq"))
+      .head().getSeq[Double](0)
+    val rankChecks = probs.zip(est).map { case (p, q) =>
+      (abs(sum(when(col("o_totalprice") <= q, 1L).otherwise(0L)) / count(lit(1)) - p)
+        <= 0.02).as(s"q${(p * 100).toInt}_ok")
+    }
+    orders.agg(count(lit(1)).as("n_rows"), rankChecks: _*)
+  }
+
   // ---------------------------------------------------------------- G: generators
 
   /** G1 — posexplode with ordinal semantics (transformer.py:1598-1605).
@@ -705,6 +741,8 @@ object CoreQueries {
     "a7_distinct" -> a7Distinct,
     "a9_rollup" -> a9Rollup,
     "a10_pivot" -> a10Pivot,
+    "a11_approx_distinct" -> a11ApproxDistinct,
+    "a12_approx_quantile" -> a12ApproxQuantile,
     "w1_latest_wins" -> w1LatestWins,
     "w3_running_total" -> w3RunningTotal,
     "w4_ntile_lag" -> w4NtileLag,
@@ -791,6 +829,15 @@ object CoreQueries {
         |  CAST(sum(cents) AS BIGINT) AS tile_cents,
         |  CAST(sum(step) AS BIGINT) AS sum_step
         |FROM r GROUP BY tile ORDER BY tile""".stripMargin,
+    "a11_approx_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n,
+        |  true AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a12_approx_quantile" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  true AS q25_ok, true AS q50_ok, true AS q75_ok
+        |FROM orders""".stripMargin,
     "p1_project_prune" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_orderkey % 7 = 0

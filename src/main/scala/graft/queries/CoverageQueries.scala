@@ -446,6 +446,33 @@ object CoverageQueries {
         (octet_length(col("media_bytes")) % 480).as("fake_height"))
       .orderBy("doc_id")
 
+  /** Quality-log battery entry — the MAP<STRING,STRING> `details`
+    * column the reference's quality_log carries
+    * (`create_schema.py:395-410`), exercised end-to-end: three
+    * predicate checks over two tables run through
+    * [[graft.operators.QualityChecks]] (one fused aggregate pass per
+    * table), and the map column is emitted as
+    * `array_sort(map_entries(details))` so the hash compare is
+    * entry-order-deterministic on both engines. The events check FAILS
+    * by construction (events.value has nulls), pinning both
+    * check_result branches. */
+  private val qcQualityLog: Q = (s, d) => {
+    import graft.operators.QualityChecks
+    import graft.operators.QualityChecks.Check
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val orders = QualityChecks.run(Tables.orders(s, d), "orders", Seq(
+      Check("orders_status_valid", "domain", col("o_orderstatus").isin("O", "F", "P")),
+      Check("orders_price_positive", "range", col("o_totalprice") > 0)), ts)
+    val events = QualityChecks.run(Tables.events(s, d), "events", Seq(
+      Check("events_value_notnull", "completeness", col("value").isNotNull)), ts)
+    orders.unionByName(events)
+      .select(col("check_id"), col("table_name"), col("check_type"),
+        col("check_result"), col("passed_count"), col("failed_count"),
+        col("check_timestamp"),
+        array_sort(map_entries(col("details"))).as("details"))
+      .orderBy("table_name", "check_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Seq[(String, Q)] = Seq(
@@ -472,9 +499,35 @@ object CoverageQueries {
     "i7_zero_chunk_invariant" -> i7ZeroChunkInvariant,
     "chunk_sliding" -> chunkSliding,
     "mm_binary_meta" -> mmBinaryMeta,
+    "qc_quality_log" -> qcQualityLog,
   )
 
   val oracles: Map[String, String] = Map(
+    "qc_quality_log" ->
+      """WITH o AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS p_status,
+        |    sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS p_price
+        |  FROM orders),
+        |e AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS p_val
+        |  FROM events),
+        |checks AS (
+        |  SELECT 'orders_status_valid' AS check_id, 'orders' AS table_name,
+        |    'domain' AS check_type, p_status AS passed, n FROM o
+        |  UNION ALL SELECT 'orders_price_positive', 'orders', 'range', p_price, n FROM o
+        |  UNION ALL SELECT 'events_value_notnull', 'events', 'completeness', p_val, n FROM e)
+        |SELECT check_id, table_name, check_type,
+        |  CASE WHEN n - passed = 0 THEN 'passed' ELSE 'failed' END AS check_result,
+        |  CAST(passed AS BIGINT) AS passed_count,
+        |  CAST(n - passed AS BIGINT) AS failed_count,
+        |  TIMESTAMP '2024-01-01 00:00:00' AS check_timestamp,
+        |  [struct_pack(key := 'pass_rate_bp',
+        |     value := CAST(CAST(floor(passed * 10000 / n) AS BIGINT) AS VARCHAR)),
+        |   struct_pack(key := 'rows_checked',
+        |     value := CAST(n AS VARCHAR))] AS details
+        |FROM checks ORDER BY table_name, check_id""".stripMargin,
     "s2_file_lineage" ->
       """SELECT 'nation.parquet' AS file_name, CAST(count(*) AS BIGINT) AS n
         |FROM nation ORDER BY file_name""".stripMargin,

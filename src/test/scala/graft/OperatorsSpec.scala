@@ -134,4 +134,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(rankOf(q50) - 0.5) <= 0.02, s"q50 rank ${rankOf(q50)}")
     assert(math.abs(rankOf(q99) - 0.99) <= 0.02, s"q99 rank ${rankOf(q99)}")
   }
+
+  test("QualityChecks.run emits the quality_log row shape with a MAP details column") {
+    import spark.implicits._
+    import graft.operators.QualityChecks
+    import graft.operators.QualityChecks.Check
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val t = Seq((1L, "ok"), (2L, "ok"), (3L, null.asInstanceOf[String]), (4L, "ok"))
+      .toDF("id", "status")
+    val log = QualityChecks.run(t, "t", Seq(
+      Check("status_notnull", "completeness", col("status").isNotNull),
+      Check("id_positive", "range", col("id") > 0)), ts)
+    // reference schema: details is a real MAP<STRING,STRING> (create_schema.py:403)
+    assert(log.schema("details").dataType ==
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType, valueContainsNull = true))
+    val rows = log.select("check_id", "check_result", "passed_count", "failed_count")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rows("status_notnull") == (("failed", 3L, 1L)))
+    assert(rows("id_positive") == (("passed", 4L, 0L)))
+    val details = log.filter(col("check_id") === "status_notnull")
+      .select("details").as[Map[String, String]].head()
+    assert(details == Map("pass_rate_bp" -> "7500", "rows_checked" -> "4"))
+  }
+
+  test("QualityChecks.gate: pass path, fail path, threshold edge") {
+    import spark.implicits._
+    import graft.operators.QualityChecks
+    import graft.operators.QualityChecks.Check
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val t = Seq((1L, "ok"), (2L, null.asInstanceOf[String])).toDF("id", "status")
+    val run = QualityChecks.run(t, "t", Seq(
+      Check("c_pass1", "range", col("id") > 0),          // passes
+      Check("c_pass2", "domain", col("id") < 10),        // passes
+      Check("c_fail", "completeness", col("status").isNotNull)), ts) // fails
+    // 2 of 3 pass: gate opens at k=2 (edge), k=1; refuses at k=3
+    val atEdge = QualityChecks.gate(Seq(run), minPassed = 2)
+    assert(atEdge.passed && atEdge.passedChecks == 2 && atEdge.totalChecks == 3)
+    assert(QualityChecks.gate(Seq(run), minPassed = 1).passed)
+    val over = QualityChecks.gate(Seq(run), minPassed = 3)
+    assert(!over.passed && over.passedChecks == 2)
+    // the log survives a failed gate (the reference records results either way)
+    assert(over.log.count() == 3)
+  }
 }
