@@ -23,9 +23,19 @@ import org.apache.spark.sql.functions._
   * which a concurrent reader sees a missing or half-written table (the
   * pre-r5 retire-then-promote double rename had one). The previous
   * version is retained through one commit so a reader that resolved just
-  * before the swap can finish its scan; older versions are pruned.
-  * Writers are still single-writer (no pointer CAS — the reference's
-  * Airflow DAG serializes merges the same way).
+  * before the swap can finish its scan; older unreferenced versions are
+  * pruned once they age past a grace window (young ones may be a
+  * concurrent writer's merge base or staging dir).
+  *
+  * Multi-writer safety (Iceberg-style optimistic concurrency): a merge
+  * resolves its base snapshot ONCE, computes the new version from it,
+  * and commits under a short lock file that (a) checks the pointer
+  * still names the expected base and (b) swaps it. A writer that lost
+  * the race gets a [[CommitConflictException]], and the public merge
+  * entry points retry the WHOLE merge against the new base — no lost
+  * update, and the critical section is pointer-check + rename, not the
+  * merge itself. A crashed writer's lock is stolen after a staleness
+  * window.
   *
   * Scale posture: the rewrite is partition-scoped when the merge keys
   * cover the partition columns (key implies partition ⇒ untouched
@@ -33,11 +43,84 @@ import org.apache.spark.sql.functions._
   * rewritten, or stolen from the live snapshot); the anti-join shuffles
   * only on the merge keys and AQE handles skew.
   */
+/** A concurrent writer committed first: the snapshot this merge was
+  * computed from is no longer the live one. Retryable — recompute the
+  * merge against the new base. */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
 object TableMerge {
 
   private val PointerName = "_current"
+  private val LockName = "_commit.lock"
+
+  /** Crashed-writer lock staleness window; the critical section it
+    * guards is a pointer read + rename, so seconds is generous. */
+  private val LockStaleMs = 60000L
+  private val LockWaitMs = 30000L
+  private val CommitRetries = 5
+
+  /** Unreferenced version dirs younger than this survive pruning: a
+    * concurrent writer may still be reading one as its merge base (or
+    * have just staged it), and deleting it under a long-running merge
+    * job turns a clean CAS conflict into a FileNotFoundException.
+    * Past the window, [[conflictIfBaseMoved]] still converts such a
+    * failure into a retryable conflict. */
+  private val PruneGraceMs = 15 * 60 * 1000L
 
   private def pointerPath(tablePath: String): Path = Paths.get(tablePath, PointerName)
+
+  /** Pointer content (version-dir name), if a pointer exists. */
+  private def currentVersionName(tablePath: String): Option[String] = {
+    val p = pointerPath(tablePath)
+    if (Files.exists(p)) Some(Files.readString(p).trim) else None
+  }
+
+  /** What the committer must find in the pointer for the swap to be valid. */
+  private sealed trait Expect
+  /** Unconditional swap (full replace — result independent of base). */
+  private case object AnyParent extends Expect
+  /** Expect exactly this parent: None = no pointer yet (bootstrap). */
+  private final case class Parent(name: Option[String]) extends Expect
+
+  /** Re-run `body` when a concurrent commit invalidated its base —
+    * each attempt re-resolves the live snapshot, so the merge replays
+    * against the winner's result (no lost update). */
+  private def retryOnConflict[T](attempts: Int)(body: => T): T =
+    try body
+    catch {
+      case e: CommitConflictException =>
+        if (attempts <= 1) throw e
+        retryOnConflict(attempts - 1)(body)
+    }
+
+  /** Serialize pointer check+swap across processes with a create-new
+    * lock file; a lock older than [[LockStaleMs]] belongs to a crashed
+    * writer and is stolen. */
+  private def withCommitLock[T](tablePath: String)(body: => T): T = {
+    Files.createDirectories(Paths.get(tablePath))
+    val lock = Paths.get(tablePath, LockName)
+    val deadline = System.currentTimeMillis() + LockWaitMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        Files.write(lock, java.lang.Long.toString(System.nanoTime()).getBytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        acquired = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val stale =
+            try System.currentTimeMillis() -
+              Files.getLastModifiedTime(lock).toMillis > LockStaleMs
+            catch { case _: java.io.IOException => false } // holder just released
+          if (stale) Files.deleteIfExists(lock): Unit
+          else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"commit lock at $lock held past ${LockWaitMs}ms — crashed writer?")
+          else Thread.sleep(20)
+      }
+    }
+    try body finally Files.deleteIfExists(lock)
+  }
 
   /** Live version dir, if the table uses the versioned layout. */
   private def resolveLive(tablePath: String): Option[Path] = {
@@ -65,13 +148,32 @@ object TableMerge {
       case None => spark.read.option("mergeSchema", "true").parquet(tablePath)
     }
 
-  /** K3 — full replace with atomic pointer swap. */
-  def createOrReplace(df: DataFrame, tablePath: String, partitionCols: Seq[String] = Seq.empty): Unit = {
+  /** K3 — full replace with atomic pointer swap (unconditional: the
+    * result is independent of the base, so last-writer-wins is the
+    * correct replace semantics). */
+  def createOrReplace(df: DataFrame, tablePath: String, partitionCols: Seq[String] = Seq.empty): Unit =
+    writeVersion(df, tablePath, partitionCols, AnyParent)
+
+  /** Resolve the snapshot a merge reads: live version dir (or the
+    * legacy top-level layout when no pointer exists) + its DataFrame.
+    * Conflict if the base version was pruned while resolving. */
+  private def baseSnapshot(spark: SparkSession, tablePath: String,
+                           base: Option[String]): (Path, DataFrame) = {
+    val liveVersion = base.map(v => Paths.get(tablePath, v)).filter(Files.exists(_))
+    if (base.isDefined && liveVersion.isEmpty)
+      throw new CommitConflictException(s"$tablePath: base ${base.get} pruned mid-merge")
+    val liveDir = liveVersion.getOrElse(Paths.get(tablePath))
+    (liveDir, spark.read.option("mergeSchema", "true").parquet(liveDir.toString))
+  }
+
+  /** Write `df` as a complete new version dir, then commit under `expect`. */
+  private def writeVersion(df: DataFrame, tablePath: String,
+                           partitionCols: Seq[String], expect: Expect): Unit = {
     val version = newVersionDir(tablePath)
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(version.toString)
-    commitVersion(tablePath, version)
+    commitVersion(tablePath, version, expect)
   }
 
   /** K1 + K5 — upsert `source` into the table at `tablePath` on `keys`.
@@ -82,37 +184,37 @@ object TableMerge {
     * enforce it cheaply with a `dropDuplicates(keys)`.
     */
   def upsert(spark: SparkSession, tablePath: String, source: DataFrame,
-             keys: Seq[String], partitionCols: Seq[String] = Seq.empty): Unit = {
-    require(keys.nonEmpty, "merge keys required")
-    val src = source.dropDuplicates(keys)
-    if (!exists(tablePath)) { createOrReplace(src, tablePath, partitionCols); return }
-
-    val target = read(spark, tablePath)
-    val liveDir = resolveLive(tablePath).getOrElse(Paths.get(tablePath))
-    val partitionScoped = partitionCols.nonEmpty && partitionCols.forall(keys.contains)
-    if (partitionScoped) {
-      // Key implies partition ⇒ a matched target row always lives in a
-      // partition the source also touches; hard-link untouched partition
-      // trees into the new version (no data read/rewrite, and the live
-      // snapshot keeps its files for in-flight readers) and rewrite only
-      // the touched ones.
-      val touched = src.select(partitionCols.map(col): _*).distinct()
-      val targetTouched = target.join(broadcast(touched), partitionCols, "left_semi")
-      val merged = mergeRows(targetTouched, src, keys)
-      val version = newVersionDir(tablePath)
-      merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(version.toString)
-      carryUntouchedPartitions(liveDir, version, partitionCols,
-        touchedPartitionDirs(touched))
-      commitVersion(tablePath, version)
-    } else {
-      val merged = mergeRows(target, src, keys)
-      val version = newVersionDir(tablePath)
-      val writer = merged.write.mode(SaveMode.Overwrite)
-      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-        .parquet(version.toString)
-      commitVersion(tablePath, version)
+             keys: Seq[String], partitionCols: Seq[String] = Seq.empty): Unit =
+    retryOnConflict(CommitRetries) {
+      require(keys.nonEmpty, "merge keys required")
+      val src = source.dropDuplicates(keys)
+      val base = currentVersionName(tablePath)
+      if (base.isEmpty && !exists(tablePath)) {
+        // bootstrap: committed iff no concurrent bootstrap won the race
+        writeVersion(src, tablePath, partitionCols, Parent(None))
+      } else conflictIfBaseMoved(tablePath, base) {
+        // resolve the merge base ONCE; everything below reads this snapshot
+        val (liveDir, target) = baseSnapshot(spark, tablePath, base)
+        val partitionScoped = partitionCols.nonEmpty && partitionCols.forall(keys.contains)
+        if (partitionScoped) {
+          // Key implies partition ⇒ a matched target row always lives in a
+          // partition the source also touches; hard-link untouched partition
+          // trees into the new version (no data read/rewrite, and the live
+          // snapshot keeps its files for in-flight readers) and rewrite only
+          // the touched ones.
+          val touched = src.select(partitionCols.map(col): _*).distinct()
+          val targetTouched = target.join(broadcast(touched), partitionCols, "left_semi")
+          val merged = mergeRows(targetTouched, src, keys)
+          val version = newVersionDir(tablePath)
+          merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(version.toString)
+          carryUntouchedPartitions(liveDir, version, partitionCols,
+            touchedPartitionDirs(touched))
+          commitVersion(tablePath, version, Parent(base))
+        } else {
+          writeVersion(mergeRows(target, src, keys), tablePath, partitionCols, Parent(base))
+        }
+      }
     }
-  }
 
   /** Fused K2+K1 — one copy-on-write rewrite that drops every target row
     * whose `groupKeys` tuple appears in `dropGroups`, then inserts `source`
@@ -123,32 +225,33 @@ object TableMerge {
     * table rewrite instead of two. */
   def replaceKeys(spark: SparkSession, tablePath: String, source: DataFrame,
                   dropGroups: DataFrame, groupKeys: Seq[String],
-                  partitionCols: Seq[String] = Seq.empty): Unit = {
-    require(groupKeys.nonEmpty, "group keys required")
-    if (!exists(tablePath)) { createOrReplace(source, tablePath, partitionCols); return }
-    val target = read(spark, tablePath)
-    val remaining = target.join(
-      dropGroups.select(groupKeys.map(col): _*).distinct(), groupKeys, "left_anti")
-    val merged = remaining.unionByName(source, allowMissingColumns = true)
-    val version = newVersionDir(tablePath)
-    val writer = merged.write.mode(SaveMode.Overwrite)
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(version.toString)
-    commitVersion(tablePath, version)
-  }
+                  partitionCols: Seq[String] = Seq.empty): Unit =
+    retryOnConflict(CommitRetries) {
+      require(groupKeys.nonEmpty, "group keys required")
+      val base = currentVersionName(tablePath)
+      if (base.isEmpty && !exists(tablePath))
+        writeVersion(source, tablePath, partitionCols, Parent(None))
+      else conflictIfBaseMoved(tablePath, base) {
+        val (_, target) = baseSnapshot(spark, tablePath, base)
+        val remaining = target.join(
+          dropGroups.select(groupKeys.map(col): _*).distinct(), groupKeys, "left_anti")
+        val merged = remaining.unionByName(source, allowMissingColumns = true)
+        writeVersion(merged, tablePath, partitionCols, Parent(base))
+      }
+    }
 
   /** K2 — delete rows whose key appears in `deleteKeys`. */
   def delete(spark: SparkSession, tablePath: String, deleteKeys: DataFrame,
-             keys: Seq[String], partitionCols: Seq[String] = Seq.empty): Unit = {
-    if (!exists(tablePath)) return
-    val target = read(spark, tablePath)
-    val remaining = target.join(deleteKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
-    val version = newVersionDir(tablePath)
-    val writer = remaining.write.mode(SaveMode.Overwrite)
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(version.toString)
-    commitVersion(tablePath, version)
-  }
+             keys: Seq[String], partitionCols: Seq[String] = Seq.empty): Unit =
+    retryOnConflict(CommitRetries) {
+      val base = currentVersionName(tablePath)
+      if (base.nonEmpty || exists(tablePath)) conflictIfBaseMoved(tablePath, base) {
+        val (_, target) = baseSnapshot(spark, tablePath, base)
+        val remaining = target.join(
+          deleteKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        writeVersion(remaining, tablePath, partitionCols, Parent(base))
+      }
+    }
 
   /** UPDATE-SET-* + INSERT-* semantics with union-by-name schema
     * evolution: result = (target ∖ source-keys) ⊎ source.
@@ -164,22 +267,48 @@ object TableMerge {
     dir
   }
 
-  /** Atomic commit: stage the pointer content beside `_current`, rename
-    * over it (atomic on POSIX), then prune versions older than the one
-    * just replaced. Keeping exactly one prior version gives in-flight
-    * readers a full commit-cycle grace period.
+  /** Atomic commit: under the commit lock, verify the pointer still
+    * matches `expect` (CAS — a mismatch means a concurrent writer won;
+    * the staged version is discarded and [[CommitConflictException]]
+    * thrown for the caller to replay), stage the pointer content beside
+    * `_current`, rename over it (atomic on POSIX), then prune versions
+    * older than the one just replaced. Keeping exactly one prior
+    * version gives in-flight readers a full commit-cycle grace period.
     */
-  private def commitVersion(tablePath: String, version: Path): Unit = {
+  private def commitVersion(tablePath: String, version: Path,
+                            expect: Expect = AnyParent): Unit = withCommitLock(tablePath) {
     val pointer = pointerPath(tablePath)
-    val prev = if (Files.exists(pointer)) Some(Files.readString(pointer).trim) else None
+    val prev = currentVersionName(tablePath)
+    expect match {
+      case Parent(name) if name != prev =>
+        deleteRecursively(version)
+        throw new CommitConflictException(
+          s"$tablePath: expected parent $name but live is $prev")
+      case _ => ()
+    }
     val tmp = pointer.resolveSibling(s".$PointerName.tmp-${System.nanoTime()}")
     Files.writeString(tmp, version.getFileName.toString)
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE)
     val keep = Set(version.getFileName.toString) ++ prev
+    val cutoff = System.currentTimeMillis() - PruneGraceMs
     Option(Paths.get(tablePath).toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("v-") && !keep(f.getName))
+      .filter(f => f.lastModified() < cutoff) // grace: may be someone's base/staging
       .foreach(f => deleteRecursively(f.toPath))
   }
+
+  /** A merge job that fails while its base snapshot was concurrently
+    * replaced almost certainly read pruned files — surface it as a
+    * retryable conflict instead of the raw job failure. */
+  private def conflictIfBaseMoved[T](tablePath: String, base: Option[String])(body: => T): T =
+    try body
+    catch {
+      case e: CommitConflictException => throw e
+      case scala.util.control.NonFatal(e) if currentVersionName(tablePath) != base =>
+        throw new CommitConflictException(
+          s"$tablePath: merge from base $base failed after a concurrent commit " +
+            s"(${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)})")
+    }
 
   /** Hive-style partition dir prefixes (`col=value`) touched by the merge. */
   private def touchedPartitionDirs(touched: DataFrame): Set[String] = {

@@ -67,16 +67,24 @@ class TableMergeSpec extends AnyFunSuite {
       Seq((1, "a"), (2, "B2"), (3, "c")))
   }
 
-  test("version pruning keeps exactly the live and previous versions") {
+  test("version pruning: grace window protects young dirs, ages out unreferenced ones") {
     import spark.implicits._
     val path = tmpTable("prune")
     TableMerge.createOrReplace(Seq((1, "a")).toDF("id", "v"), path)
     TableMerge.upsert(spark, path, Seq((2, "b")).toDF("id", "v"), Seq("id"))
     TableMerge.upsert(spark, path, Seq((3, "c")).toDF("id", "v"), Seq("id"))
-    TableMerge.upsert(spark, path, Seq((4, "d")).toDF("id", "v"), Seq("id"))
-    val versions = java.nio.file.Paths.get(path).toFile.listFiles()
+    def versionDirs = java.nio.file.Paths.get(path).toFile.listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("v-"))
-    assert(versions.length == 2, s"expected live+previous, got ${versions.length}")
+    // all three versions young: none pruned (one may be a concurrent
+    // writer's merge base — deleting it would turn its CAS conflict
+    // into a FileNotFoundException)
+    assert(versionDirs.length == 3, s"young versions pruned: ${versionDirs.length}")
+    // age everything past the grace window; the next commit prunes all
+    // but the live + previous snapshots
+    versionDirs.foreach(f => assert(f.setLastModified(
+      System.currentTimeMillis() - 20 * 60 * 1000L)))
+    TableMerge.upsert(spark, path, Seq((4, "d")).toDF("id", "v"), Seq("id"))
+    assert(versionDirs.length == 2, s"expected live+previous, got ${versionDirs.length}")
     assert(TableMerge.read(spark, path).count() == 4)
   }
 
@@ -157,5 +165,48 @@ class TableMergeSpec extends AnyFunSuite {
     TableMerge.createOrReplace(Seq((1, "a"), (2, "b")).toDF("id", "v"), path)
     TableMerge.delete(spark, path, Seq(1, 2).toDF("id"), Seq("id"))
     assert(TableMerge.read(spark, path).count() == 0)
+  }
+
+  test("concurrent upserts serialize via CAS commits — no lost update") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = tmpTable("concurrent")
+    TableMerge.createOrReplace(Seq((0, "seed")).toDF("id", "v"), path)
+    // two writers race on DISJOINT key ranges, several rounds each: with
+    // last-writer-wins pointer swaps (the pre-CAS protocol) one side's
+    // rows vanish; with CAS commits the loser replays onto the winner's
+    // snapshot and every round survives
+    val writers = Seq("A" -> 100, "B" -> 200).map { case (tag, keyBase) =>
+      Future {
+        for (round <- 1 to 3)
+          TableMerge.upsert(spark, path,
+            (0 until 5).map(i => (keyBase + i, s"$tag$round")).toDF("id", "v"),
+            keys = Seq("id"))
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    val got = TableMerge.read(spark, path).as[(Int, String)].collect().toMap
+    assert(got(0) == "seed")
+    for (i <- 0 until 5) {
+      assert(got.get(100 + i).contains("A3"), s"lost update: key ${100 + i} -> ${got.get(100 + i)}")
+      assert(got.get(200 + i).contains("B3"), s"lost update: key ${200 + i} -> ${got.get(200 + i)}")
+    }
+    assert(got.size == 11)
+  }
+
+  test("a stale crashed-writer lock is stolen, not deadlocked") {
+    import spark.implicits._
+    val path = tmpTable("stale-lock")
+    TableMerge.createOrReplace(Seq((1, "a")).toDF("id", "v"), path)
+    // fake a crashed writer: lock file whose mtime is past the staleness window
+    val lock = java.nio.file.Paths.get(path, "_commit.lock")
+    Files.write(lock, "dead".getBytes)
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 120000))
+    TableMerge.upsert(spark, path, Seq((2, "b")).toDF("id", "v"), Seq("id"))
+    assert(TableMerge.read(spark, path).count() == 2)
+    assert(!Files.exists(lock), "lock not released after commit")
   }
 }
