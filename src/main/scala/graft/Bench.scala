@@ -22,10 +22,12 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Optional first arg: regex over query names; optional second arg:
     // per-query repeat count (min time reported) — both for targeted
-    // local timing runs. The driver always invokes with no args (full
-    // battery, one run each).
+    // local timing runs. The driver invokes with no args: full battery,
+    // min of 2 runs each — single-run figures at sf0.1 carry seconds of
+    // codegen/JIT/contention noise that has masqueraded as regressions
+    // (r6: 5-9x phantom slowdowns, all gone on re-run).
     val nameFilter = args.lift(0).map(_.r)
-    val repeat = args.lift(1).map(_.toInt).getOrElse(1)
+    val repeat = args.lift(1).map(_.toInt).getOrElse(2)
     val results = SparkEntry.all
       .filter { case (name, _) => nameFilter.forall(_.findFirstIn(name).isDefined) }
       .map { case (name, fn) =>
