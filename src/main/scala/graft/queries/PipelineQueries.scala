@@ -512,6 +512,93 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_doc_id"))
       .orderBy("source", "split")
 
+  /** Gopher/C4-style repetition + symbol quality rules — the curation
+    * filters a pretraining pipeline runs before anything model-based:
+    * duplicate-token fraction, most-frequent-bigram coverage, and
+    * symbol(non-alpha) ratio, each in exact basis points, folded into a
+    * keep/drop decision. Per-doc stats are one codegen'd projection;
+    * the bigram mode is a (doc_id, bigram) partial-agg groupBy — the
+    * shuffle key includes the bigram so one hot document cannot skew a
+    * reducer, and nothing is all-pairs. Thresholds follow the Gopher
+    * paper's shape (dup fraction, top-2-gram coverage, symbol ratio).
+    */
+  private val textQualityRules: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("tokens"))
+    val base = toks.select(col("doc_id"),
+      size(col("tokens")).cast("long").as("n_tokens"),
+      size(array_distinct(col("tokens"))).cast("long").as("n_distinct"),
+      length(col("text")).cast("long").as("n_chars"),
+      length(regexp_replace(col("text"), "[a-zA-Z ]", "")).cast("long").as("n_nonalpha"))
+    val topBigram = toks
+      .select(col("doc_id"), posexplode(col("tokens")).as(Seq("pos", "tok")))
+      .withColumn("nxt",
+        lead("tok", 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bigram_n"))
+    base.join(topBigram, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        floor((col("n_tokens") - col("n_distinct")) * 10000 / col("n_tokens"))
+          .as("dup_token_bp"),
+        floor(coalesce(col("top_bigram_n"), lit(0L)) * 10000
+          / greatest(col("n_tokens") - 1, lit(1L))).as("top_bigram_bp"),
+        floor(col("n_nonalpha") * 10000 / col("n_chars")).as("symbol_bp"))
+      .withColumn("keep",
+        col("dup_token_bp") <= lit(6000L) && col("top_bigram_bp") <= lit(1800L) &&
+          col("symbol_bp") <= lit(1000L))
+      .orderBy("doc_id")
+  }
+
+  /** Concat-and-split sequence packing — how pretraining actually fills
+    * context windows: documents are laid out in a deterministic order
+    * (doc_id within source) into a continuous token stream, and each
+    * doc records which pack (context window) its first token lands in
+    * and at what offset. One running-total window per source partition
+    * (the w3 shape — shuffle key source, never a global sort); packing
+    * is pure arithmetic on the cumsum, so it reproduces bit-identically
+    * across cluster sizes. */
+  private val packSequences: Q = (s, d) => {
+    val capacity = 512L
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / capacity).cast("long").as("pack_id"),
+        ((col("cum") - col("n_tokens")) % capacity).as("pack_offset"))
+      .orderBy("source", "doc_id")
+  }
+
+  /** Domain-mixture sampler — hit a target per-domain mixture (weights
+    * in basis points, broadcast dim) by hash-deterministic Bernoulli
+    * keep decisions: keep iff fp(doc) mod 10000 < weight. Shuffle-free
+    * assignment (the split_stratified shape), so re-runs, engines, and
+    * cluster sizes agree row-for-row; output is the per-source audit
+    * (kept counts + achieved rate vs target). */
+  private val splitDomainMix: Q = (s, d) => {
+    import s.implicits._
+    val weights = Seq(("src0", 9000L), ("src1", 7500L), ("src2", 5000L), ("src3", 2500L))
+      .toDF("source", "weight_bp")
+    Tables.documents(s, d)
+      .join(broadcast(weights), Seq("source"), "left")
+      .withColumn("wbp", coalesce(col("weight_bp"), lit(1000L)))
+      .withColumn("keep",
+        expr("graft_str_fp(concat('mix||', CAST(doc_id AS STRING))) % 10000") < col("wbp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id"))).as("kept_id_sum"),
+        first(col("wbp")).as("target_bp"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        floor(col("n_kept") * 10000 / col("n_docs")).as("kept_bp"),
+        col("target_bp"), coalesce(col("kept_id_sum"), lit(0L)).as("sum_kept_id"))
+      .orderBy("source")
+  }
+
   // ------------------------------------------------------------ hybrid search (Q1-Q3)
 
   /** Hybrid retrieval: lexical keyword-overlap score (BM25-lite stand-in
@@ -744,6 +831,9 @@ object PipelineQueries {
     "text_token_count" -> textTokenCount,
     "text_fingerprint" -> textFingerprint,
     "split_stratified" -> splitStratified,
+    "text_quality_rules" -> textQualityRules,
+    "pack_sequences" -> packSequences,
+    "split_domain_mix" -> splitDomainMix,
     "sim_quantize_i8" -> simQuantizeI8,
     "text_pii_mask" -> textPiiMask,
     "text_decontaminate" -> textDecontaminate,
@@ -1087,6 +1177,64 @@ object PipelineQueries {
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
          |FROM b GROUP BY source, split ORDER BY source, split""".stripMargin,
+    "text_quality_rules" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS tokens FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(regexp_replace(text, '[a-zA-Z ]', '', 'g')) AS BIGINT) AS n_nonalpha
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT doc_id, tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |  FROM (SELECT doc_id, unnest(tokens) AS tok,
+        |          unnest(range(len(tokens))) AS pos FROM toks)),
+        |bg AS (
+        |  SELECT doc_id, max(c) AS top_bigram_n FROM (
+        |    SELECT doc_id, tok || ' ' || nxt AS bigram, count(*) AS c
+        |    FROM pairs WHERE nxt IS NOT NULL GROUP BY doc_id, bigram)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, n_tokens,
+        |  CAST(floor((n_tokens - n_distinct) * 10000 / n_tokens) AS BIGINT)
+        |    AS dup_token_bp,
+        |  CAST(floor(coalesce(top_bigram_n, 0) * 10000
+        |    / greatest(n_tokens - 1, 1)) AS BIGINT) AS top_bigram_bp,
+        |  CAST(floor(n_nonalpha * 10000 / n_chars) AS BIGINT) AS symbol_bp,
+        |  (floor((n_tokens - n_distinct) * 10000 / n_tokens) <= 6000
+        |    AND floor(coalesce(top_bigram_n, 0) * 10000 / greatest(n_tokens - 1, 1)) <= 1800
+        |    AND floor(n_nonalpha * 10000 / n_chars) <= 1000) AS keep
+        |FROM base b LEFT JOIN bg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT source, doc_id, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id,
+        |  CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset
+        |FROM c ORDER BY source, doc_id""".stripMargin,
+    "split_domain_mix" ->
+      s"""WITH k AS (
+         |  SELECT source, doc_id,
+         |    CASE source WHEN 'src0' THEN 9000 WHEN 'src1' THEN 7500
+         |      WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500 ELSE 1000 END AS wbp,
+         |    ${duckFp("'mix||' || CAST(doc_id AS VARCHAR)")} % 10000 AS h
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN h < wbp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(floor(sum(CASE WHEN h < wbp THEN 1 ELSE 0 END) * 10000
+         |    / count(*)) AS BIGINT) AS kept_bp,
+         |  CAST(max(wbp) AS BIGINT) AS target_bp,
+         |  CAST(coalesce(sum(CASE WHEN h < wbp THEN doc_id END), 0) AS BIGINT)
+         |    AS sum_kept_id
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "text_quality" ->
       s"""WITH toks AS (
          |  SELECT doc_id, n_chars, string_split(text, ' ') AS tokens FROM documents),
