@@ -157,6 +157,55 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Incremental MinHash dedup — the daily-batch shape at 100 TB: an
+    * incoming batch is checked against the ESTABLISHED corpus's band
+    * index, never against itself and never re-pairing the corpus with
+    * itself. The asymmetric band equi-join costs O(batch-bands ⋈
+    * matching corpus-bands); in production the corpus side is the
+    * PERSISTED signature table (doc_id, band_idx, band_val — exactly
+    * the `TableMerge`-upserted index shape `i6_index_incremental`
+    * maintains), so a day's merge re-shingles only the new documents.
+    * Batch fixture: the held-out doc_id%10==0 docs plus near-dup
+    * variants of corpus docs (first token dropped, id+200000) that must
+    * match their source. Same r=2/b=2 bands + exact-Jaccard ≥ 0.6
+    * confirm as `dedup_minhash_pairs`. */
+  private val dedupIncremental: Q = (s, d) => {
+    val spec = MinhashPairParams.map { case (a, b) => s"$a,$b" }.mkString(";")
+    val docs = Tables.documents(s, d)
+      .selectExpr("doc_id", "split(text, ' ') AS tokens")
+    val corpusDocs = docs.filter(col("doc_id") % 10 =!= 0)
+    val batchDocs = docs.filter(col("doc_id") % 10 === 0)
+      .union(corpusDocs.filter(col("doc_id") % 20 === 5)
+        .selectExpr("doc_id + 200000 AS doc_id",
+          "slice(tokens, 2, size(tokens) - 1) AS tokens"))
+    def shingled(df: DataFrame): DataFrame =
+      df.filter(size(col("tokens")) >= 3)
+        .selectExpr("doc_id", "graft_shingle_set(graft_word_fps(tokens)) AS shset")
+    def bandRows(sh: DataFrame): DataFrame =
+      sh.selectExpr("doc_id", s"graft_minhash(shset, '$spec') AS sig")
+        .selectExpr("doc_id",
+          s"(sig[0] * 31 + sig[1]) % $P AS band_0",
+          s"(sig[2] * 31 + sig[3]) % $P AS band_1")
+        .selectExpr("doc_id", "posexplode(array(band_0, band_1)) AS (band_idx, band_val)")
+    val corpusSh = shingled(corpusDocs)
+    val batchSh = shingled(batchDocs)
+    val candidates = bandRows(batchSh).as("b")
+      .join(bandRows(corpusSh).as("c"),
+        col("b.band_idx") === col("c.band_idx") && col("b.band_val") === col("c.band_val"))
+      .select(col("b.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+    candidates
+      .join(batchSh.select(col("doc_id").as("batch_id"), col("shset").as("set_b")), "batch_id")
+      .join(corpusSh.select(col("doc_id").as("corpus_id"), col("shset").as("set_c")), "corpus_id")
+      .selectExpr("batch_id", "corpus_id",
+        "CAST(size(array_intersect(set_b, set_c)) AS DOUBLE) / " +
+          "(size(set_b) + size(set_c) - size(array_intersect(set_b, set_c))) AS j")
+      .filter(col("j") >= 0.6)
+      .select(col("batch_id"), col("corpus_id"),
+        floor(col("j") * 10000).cast("long").as("jaccard_e4"))
+      .orderBy("batch_id", "corpus_id")
+  }
+
   /** N-gram (3-shingle) Jaccard near-dup detection: corpus = documents +
     * injected near-duplicates (doc_id%20==0, first token dropped, id +
     * 100000); candidate pairs come from an equi-join on shingles (the
@@ -817,6 +866,7 @@ object PipelineQueries {
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
+    "dedup_incremental" -> dedupIncremental,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_connected_components" -> dedupComponents,
@@ -948,6 +998,59 @@ object PipelineQueries {
          |  JOIN shingled sb ON sb.doc_id = id_b)
          |SELECT id_a, id_b, CAST(floor(j * 10000) AS BIGINT) AS jaccard_e4
          |FROM confirmed WHERE j >= 0.6 ORDER BY id_a, id_b""".stripMargin
+    },
+    "dedup_incremental" -> {
+      val duckMinhInc = MinhashPairParams.zipWithIndex.map { case ((a, b), i) =>
+        s"list_min(list_transform(shset, x -> ($a * x + $b) % $P)) AS minh${i + 1}"
+      }
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+         |corpus AS (SELECT * FROM all_docs WHERE doc_id % 10 <> 0),
+         |batch AS (
+         |  SELECT doc_id, tokens FROM all_docs WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, tokens[2:] AS tokens
+         |  FROM corpus WHERE doc_id % 20 = 5),
+         |cw AS (
+         |  SELECT doc_id, list_transform(tokens, w -> ${duckFp("w")}) AS wfps
+         |  FROM corpus WHERE len(tokens) >= 3),
+         |bw AS (
+         |  SELECT doc_id, list_transform(tokens, w -> ${duckFp("w")}) AS wfps
+         |  FROM batch WHERE len(tokens) >= 3),
+         |csh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, len(wfps) - 2),
+         |    i -> (wfps[i] * 961 + wfps[i + 1] * 31 + wfps[i + 2]) % $P)) AS shset
+         |  FROM cw),
+         |bsh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, len(wfps) - 2),
+         |    i -> (wfps[i] * 961 + wfps[i + 1] * 31 + wfps[i + 2]) % $P)) AS shset
+         |  FROM bw),
+         |csig AS (
+         |  SELECT doc_id, (minh1 * 31 + minh2) % $P AS band_0,
+         |    (minh3 * 31 + minh4) % $P AS band_1
+         |  FROM (SELECT doc_id, ${duckMinhInc.mkString(", ")} FROM csh)),
+         |bsig AS (
+         |  SELECT doc_id, (minh1 * 31 + minh2) % $P AS band_0,
+         |    (minh3 * 31 + minh4) % $P AS band_1
+         |  FROM (SELECT doc_id, ${duckMinhInc.mkString(", ")} FROM bsh)),
+         |cand AS (
+         |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id
+         |  FROM bsig b JOIN csig c ON b.band_0 = c.band_0
+         |  UNION
+         |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id
+         |  FROM bsig b JOIN csig c ON b.band_1 = c.band_1),
+         |confirmed AS (
+         |  SELECT batch_id, corpus_id,
+         |    CAST(len(list_intersect(sb.shset, sc.shset)) AS DOUBLE)
+         |      / (len(sb.shset) + len(sc.shset)
+         |         - len(list_intersect(sb.shset, sc.shset))) AS j
+         |  FROM cand
+         |  JOIN bsh sb ON sb.doc_id = batch_id
+         |  JOIN csh sc ON sc.doc_id = corpus_id)
+         |SELECT batch_id, corpus_id, CAST(floor(j * 10000) AS BIGINT) AS jaccard_e4
+         |FROM confirmed WHERE j >= 0.6 ORDER BY batch_id, corpus_id""".stripMargin
     },
     "dedup_ngram_jaccard" ->
       """WITH docs AS (
