@@ -328,6 +328,50 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_vectors"), sum("vec_id").as("vec_id_sum"))
       .orderBy("centroid_id")
 
+  /** PQ codebook grid, data-independent like the IVF centroids:
+    * cb(m,k)[i] = (((m·131 + k·31 + i·17) mod 19) − 9)/10 — evaluated at
+    * class-load and inlined as literals into both engines' SQL. */
+  private def pqCentroid(m: Int, k: Int, i: Int): Double =
+    (((m * 131 + k * 31 + i * 17) % 19) - 9) / 10.0
+
+  /** Product quantization codes — the memory half of the IVF-PQ ANN
+    * architecture (`sim_ivf_assign` is the routing half): the 64-dim
+    * embedding splits into m=4 subvectors of 16 dims, each assigned to
+    * its nearest of k=4 subspace centroids (squared L2, ties to the
+    * lowest id), and the four 2-bit codes fuse into one byte — 256 B of
+    * floats become 1 B per vector, the compression that lets a 100 TB
+    * corpus's candidate lists live in RAM. At query time each subspace
+    * needs only a k-entry distance table (ADC): scoring a candidate is
+    * m table lookups, never a float dot product. Emits the code plus
+    * the quantization error (the argmin distance sum) fixed-pointed;
+    * all arithmetic is straight-line left-associated double sums of
+    * inlined literals, so the oracle reproduces it bit-for-bit. */
+  private val simPqCodes: Q = (s, d) => {
+    def distExpr(m: Int, k: Int): String =
+      (0 until 16).map { i =>
+        val c = pqCentroid(m, k, i)
+        val e = s"element_at(embedding, ${16 * m + i + 1})"
+        // ${c}D: bare decimal literals are DECIMAL in Spark (and DuckDB)
+        // and the two engines' decimal promotion differs in the last ulp
+        s"($e - ${c}D) * ($e - ${c}D)"
+      }.mkString("(", " + ", ")")
+    val dCols = for (m <- 0 until 4; k <- 0 until 4) yield s"${distExpr(m, k)} AS d_${m}_$k"
+    val codeCols = (0 until 4).map { m =>
+      s"(CASE WHEN d_${m}_0 <= d_${m}_1 AND d_${m}_0 <= d_${m}_2 AND d_${m}_0 <= d_${m}_3 THEN 0 " +
+        s"WHEN d_${m}_1 <= d_${m}_2 AND d_${m}_1 <= d_${m}_3 THEN 1 " +
+        s"WHEN d_${m}_2 <= d_${m}_3 THEN 2 ELSE 3 END) AS code_$m"
+    }
+    val dminCols = (0 until 4).map(m =>
+      s"least(d_${m}_0, d_${m}_1, d_${m}_2, d_${m}_3) AS dmin_$m")
+    Tables.embeddings(s, d)
+      .selectExpr("vec_id" +: dCols: _*)
+      .selectExpr(("vec_id" +: codeCols) ++ dminCols: _*)
+      .selectExpr("vec_id",
+        "CAST(code_0 + 4 * code_1 + 16 * code_2 + 64 * code_3 AS INT) AS pq_code",
+        "CAST(floor((dmin_0 + dmin_1 + dmin_2 + dmin_3) * 10000) AS BIGINT) AS err_e4")
+      .orderBy("vec_id")
+  }
+
   /** IVF probe set: the `IvfNprobe` centroids nearest (squared L2) to
     * the fixed query vector q = 0.1·1⃗, over the same deterministic
     * centroid grid as `sim_ivf_assign` (c_j[i] = (((j*31+i*17) mod 19)
@@ -885,6 +929,7 @@ object PipelineQueries {
     "pack_sequences" -> packSequences,
     "split_domain_mix" -> splitDomainMix,
     "sim_quantize_i8" -> simQuantizeI8,
+    "sim_pq_codes" -> simPqCodes,
     "text_pii_mask" -> textPiiMask,
     "text_decontaminate" -> textDecontaminate,
     "search_hybrid" -> searchHybrid,
@@ -1268,6 +1313,36 @@ object PipelineQueries {
          |      x -> CAST(floor($e * $e * 100000000.0 + 0.5) AS BIGINT))),
          |    (a, x) -> a + x) AS err_e8
          |FROM m WHERE mx > 0 ORDER BY vec_id""".stripMargin
+    },
+    "sim_pq_codes" -> {
+      def distSql(m: Int, k: Int): String =
+        (0 until 16).map { i =>
+          val c = pqCentroid(m, k, i)
+          val e = s"embedding[${16 * m + i + 1}]"
+          s"($e - CAST($c AS DOUBLE)) * ($e - CAST($c AS DOUBLE))"
+        }.mkString("(", " + ", ")")
+      val dCols = (for (m <- 0 until 4; k <- 0 until 4)
+        yield s"${distSql(m, k)} AS d_${m}_$k").mkString(",\n    ")
+      val codeCols = (0 until 4).map { m =>
+        s"(CASE WHEN d_${m}_0 <= d_${m}_1 AND d_${m}_0 <= d_${m}_2 AND d_${m}_0 <= d_${m}_3 THEN 0 " +
+          s"WHEN d_${m}_1 <= d_${m}_2 AND d_${m}_1 <= d_${m}_3 THEN 1 " +
+          s"WHEN d_${m}_2 <= d_${m}_3 THEN 2 ELSE 3 END) AS code_$m"
+      }.mkString(",\n    ")
+      val dminCols = (0 until 4).map(m =>
+        s"least(d_${m}_0, d_${m}_1, d_${m}_2, d_${m}_3) AS dmin_$m").mkString(", ")
+      s"""WITH dists AS (
+         |  SELECT vec_id,
+         |    $dCols
+         |  FROM embeddings),
+         |codes AS (
+         |  SELECT vec_id,
+         |    $codeCols,
+         |    $dminCols
+         |  FROM dists)
+         |SELECT vec_id,
+         |  CAST(code_0 + 4 * code_1 + 16 * code_2 + 64 * code_3 AS INT) AS pq_code,
+         |  CAST(floor((dmin_0 + dmin_1 + dmin_2 + dmin_3) * 10000) AS BIGINT) AS err_e4
+         |FROM codes ORDER BY vec_id""".stripMargin
     },
     "split_stratified" ->
       s"""WITH b AS (
