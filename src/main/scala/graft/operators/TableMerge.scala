@@ -253,6 +253,49 @@ object TableMerge {
       }
     }
 
+  /** OPTIMIZE-style small-file compaction: partition trees whose
+    * parquet file count exceeds `maxFiles` are rewritten into
+    * `targetFiles` files; every other partition is hard-linked into the
+    * new version untouched. Commits through the same CAS pointer swap
+    * as merges, so compaction runs concurrently with readers and loses
+    * cleanly (replays) against concurrent writers. This is the
+    * maintenance half of the streaming merge sink: a foreachBatch
+    * upsert accretes roughly one file per micro-batch per touched
+    * bucket, and compaction caps that growth without blocking the
+    * stream. At 100 TB, `targetFiles` is sized from partition bytes /
+    * desired file size rather than a constant. */
+  def compact(spark: SparkSession, tablePath: String, partitionCols: Seq[String],
+              maxFiles: Int = 4, targetFiles: Int = 1): Unit =
+    retryOnConflict(CommitRetries) {
+      require(partitionCols.nonEmpty, "compaction is partition-scoped")
+      val base = currentVersionName(tablePath)
+      if (base.nonEmpty || exists(tablePath)) conflictIfBaseMoved(tablePath, base) {
+        val (liveDir, _) = baseSnapshot(spark, tablePath, base)
+        // metadata-only walk: partition rel-paths with too many files
+        def walk(dir: Path, depth: Int, prefix: String): Seq[String] = {
+          val children = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+          if (depth == partitionCols.length)
+            if (children.count(_.getName.endsWith(".parquet")) > maxFiles) Seq(prefix)
+            else Seq.empty
+          else children.filter(f => f.isDirectory && f.getName.contains("="))
+            .flatMap(d => walk(d.toPath,  depth + 1,
+              if (prefix.isEmpty) d.getName else s"$prefix/${d.getName}")).toSeq
+        }
+        val overflowing = walk(liveDir, 0, "")
+        if (overflowing.nonEmpty) {
+          val version = newVersionDir(tablePath)
+          Files.createDirectories(version)
+          overflowing.foreach { rel =>
+            spark.read.parquet(liveDir.resolve(rel).toString)
+              .coalesce(targetFiles)
+              .write.mode(SaveMode.Overwrite).parquet(version.resolve(rel).toString)
+          }
+          carryUntouchedPartitions(liveDir, version, partitionCols, overflowing.toSet)
+          commitVersion(tablePath, version, Parent(base))
+        }
+      }
+    }
+
   /** UPDATE-SET-* + INSERT-* semantics with union-by-name schema
     * evolution: result = (target ∖ source-keys) ⊎ source.
     */

@@ -473,6 +473,36 @@ object CoverageQueries {
       .orderBy("table_name", "check_id")
   }
 
+  /** Numeric column profiler — the stats pass a lakehouse runs on every
+    * ingest (the engine-side generalization of the reference's table
+    * validation counts): row/null/NDV anchors plus a 10-bin equi-width
+    * histogram. Two scans (bounds, then binning) — both single
+    * partial-agg passes; the 1-row bounds attach via broadcast, and the
+    * bin is the SAME manual float expression on both engines (DuckDB
+    * has no width_bucket; identical IEEE ops beat equivalent-but-
+    * different builtins for hash parity). Min/max per bin fixed-pointed
+    * to cents with the floor(+0.5) grid rule. */
+  private val profileNumeric: Q = (s, d) => {
+    val bins = 10
+    val ev = Tables.events(s, d).select(col("value").as("x"))
+    val stats = ev.agg(
+      count(lit(1)).as("n_total"),
+      sum(when(col("x").isNull, 1L).otherwise(0L)).as("n_null"),
+      countDistinct("x").as("ndv"),
+      min("x").as("lo"), max("x").as("hi"))
+    ev.filter(col("x").isNotNull)
+      .crossJoin(broadcast(stats))
+      .withColumn("bin", (least(lit(bins - 1), greatest(lit(0),
+        floor((col("x") - col("lo")) * bins / (col("hi") - col("lo"))))) + 1).cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        floor(min("x") * 100 + 0.5).cast("long").as("min_cents"),
+        floor(max("x") * 100 + 0.5).cast("long").as("max_cents"),
+        first("n_total").as("n_total"), first("n_null").as("n_null"),
+        first("ndv").as("ndv"))
+      .orderBy("bin")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Seq[(String, Q)] = Seq(
@@ -500,9 +530,29 @@ object CoverageQueries {
     "chunk_sliding" -> chunkSliding,
     "mm_binary_meta" -> mmBinaryMeta,
     "qc_quality_log" -> qcQualityLog,
+    "profile_numeric" -> profileNumeric,
   )
 
   val oracles: Map[String, String] = Map(
+    "profile_numeric" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n_total,
+        |    sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null,
+        |    count(DISTINCT value) AS ndv,
+        |    min(value) AS lo, max(value) AS hi
+        |  FROM events),
+        |b AS (
+        |  SELECT CAST(least(9, greatest(0,
+        |      floor((value - lo) * 10 / (hi - lo)))) + 1 AS INT) AS bin,
+        |    value, n_total, n_null, ndv
+        |  FROM events, s WHERE value IS NOT NULL)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(floor(min(value) * 100 + 0.5) AS BIGINT) AS min_cents,
+        |  CAST(floor(max(value) * 100 + 0.5) AS BIGINT) AS max_cents,
+        |  CAST(max(n_total) AS BIGINT) AS n_total,
+        |  CAST(max(n_null) AS BIGINT) AS n_null,
+        |  CAST(max(ndv) AS BIGINT) AS ndv
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     "qc_quality_log" ->
       """WITH o AS (
         |  SELECT count(*) AS n,

@@ -167,6 +167,36 @@ class TableMergeSpec extends AnyFunSuite {
     assert(TableMerge.read(spark, path).count() == 0)
   }
 
+  test("compact rewrites only overflowing partitions; data and quiet partitions intact") {
+    import spark.implicits._
+    val path = tmpTable("compact")
+    // bucket=0: 39 rows spread round-robin over 6 tasks → ~6 files;
+    // bucket=1: one row → one file (stays under maxFiles)
+    val df = ((1 to 39).map(i => (i.toLong, 0, s"v$i")) :+ (100L, 1, "solo"))
+      .toDF("id", "bucket", "v")
+    TableMerge.createOrReplace(df.repartition(6), path, Seq("bucket"))
+    def live = java.nio.file.Paths.get(path).resolve(
+      Files.readString(java.nio.file.Paths.get(path, "_current")).trim)
+    def parquetFiles(bucket: Int) =
+      Option(live.resolve(s"bucket=$bucket").toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+    def inodes(bucket: Int) = parquetFiles(bucket).map(f =>
+      Files.getAttribute(f.toPath, "unix:ino").asInstanceOf[Long]).toSet
+    assert(parquetFiles(0).length > 2, s"fixture not fragmented: ${parquetFiles(0).length}")
+    assert(parquetFiles(1).length == 1)
+    val quietBefore = inodes(1)
+    TableMerge.compact(spark, path, Seq("bucket"), maxFiles = 2)
+    assert(parquetFiles(0).length == 1, s"not compacted: ${parquetFiles(0).length} files")
+    assert(inodes(1) == quietBefore, "quiet partition rewritten by compaction")
+    val got = TableMerge.read(spark, path).select("id", "bucket", "v")
+      .as[(Long, Int, String)].collect().toSet
+    assert(got == df.select("id", "bucket", "v").as[(Long, Int, String)].collect().toSet)
+    // under the threshold now: a second compact is a no-op commit-wise
+    val pointer = Files.readString(java.nio.file.Paths.get(path, "_current"))
+    TableMerge.compact(spark, path, Seq("bucket"), maxFiles = 2)
+    assert(Files.readString(java.nio.file.Paths.get(path, "_current")) == pointer)
+  }
+
   test("concurrent upserts serialize via CAS commits — no lost update") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
