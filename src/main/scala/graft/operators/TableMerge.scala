@@ -259,11 +259,12 @@ object TableMerge {
     * new version untouched. Commits through the same CAS pointer swap
     * as merges, so compaction runs concurrently with readers and loses
     * cleanly (replays) against concurrent writers. This is the
-    * maintenance half of the streaming merge sink: a foreachBatch
-    * upsert accretes roughly one file per micro-batch per touched
-    * bucket, and compaction caps that growth without blocking the
-    * stream. At 100 TB, `targetFiles` is sized from partition bytes /
-    * desired file size rather than a constant. */
+    * maintenance half of the streaming merge sink: a partition-scoped
+    * rewrite emits one file per merge-shuffle task that held the
+    * partition's rows — up to shuffle.partitions small files per hot
+    * bucket per micro-batch — and compaction folds them back without
+    * blocking the stream. At 100 TB, `targetFiles` is sized from
+    * partition bytes / desired file size rather than a constant. */
   def compact(spark: SparkSession, tablePath: String, partitionCols: Seq[String],
               maxFiles: Int = 4, targetFiles: Int = 1): Unit =
     retryOnConflict(CommitRetries) {

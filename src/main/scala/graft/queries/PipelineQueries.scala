@@ -904,6 +904,34 @@ object PipelineQueries {
       .select(to_date(col("w.start")).as("day"), col("event_type"), col("n"), col("total_value"))
       .orderBy("day", "event_type")
 
+  /** Batch sessionization — the gaps-and-islands twin of
+    * [[graft.streaming.EventStreams.sessionize]]: a session breaks when
+    * consecutive events of a user are more than `gapMs` apart; session
+    * ids are the running count of breaks. Same 30-minute gap rule as
+    * the streaming flatMapGroupsWithState version (whose spec pins the
+    * open/close semantics) — this one is SQL-expressible, so the oracle
+    * hash-pins it. Milliseconds on BOTH engines (unix_millis ↔
+    * epoch_ms) — µs tails differ in the ns→µs conversion corners.
+    * Shuffle key user_id, two stacked windows on the same sort — one
+    * exchange, one sort. */
+  private val sessionizeBatch: Q = (s, d) => {
+    val gapMs = 1800 * 1000L
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+      .withColumn("new_sess",
+        when(lag("ms", 1).over(w).isNull ||
+          col("ms") - lag("ms", 1).over(w) > gapMs, 1L).otherwise(0L))
+      .withColumn("sess_seq", sum("new_sess").over(cum))
+      .groupBy("user_id", "sess_seq")
+      .agg(count(lit(1)).as("n_events"), min("ms").as("start_ms"), max("ms").as("end_ms"))
+      .select(col("user_id"), col("sess_seq"), col("n_events"),
+        col("start_ms"), col("end_ms"),
+        floor((col("end_ms") - col("start_ms")) / 1000L).as("duration_s"))
+      .orderBy("user_id", "sess_seq")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Seq[(String, Q)] = Seq(
@@ -942,6 +970,7 @@ object PipelineQueries {
     "sim_semantic_match" -> simSemanticMatch,
     "agg_skew_salted" -> aggSkewSalted,
     "stream_window_agg" -> streamWindowAgg,
+    "sessionize_batch" -> sessionizeBatch,
   )
 
   // ---- oracle SQL (DuckDB), generated with the same parameters --------
@@ -1489,5 +1518,24 @@ object PipelineQueries {
       """SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS day, event_type,
         |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+    "sessionize_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ms,
+        |    CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL
+        |      OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, ms, event_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq
+        |  FROM f)
+        |SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(ms) AS BIGINT) AS start_ms, CAST(max(ms) AS BIGINT) AS end_ms,
+        |  CAST(floor((max(ms) - min(ms)) / 1000) AS BIGINT) AS duration_s
+        |FROM g GROUP BY user_id, sess_seq ORDER BY user_id, sess_seq""".stripMargin,
   )
 }

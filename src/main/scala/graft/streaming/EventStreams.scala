@@ -135,12 +135,23 @@ object EventStreams {
     * merge (re-delivered rows upsert to the same state). */
   def upsertLatestSink(events: DataFrame, tablePath: String,
                        checkpointDir: String,
-                       nBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+                       nBuckets: Int = 64,
+                       compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.operators.TableMerge
+        // cap small-file fragmentation: a bucket rewrite emits one file
+        // per merge-shuffle task that held its rows (up to
+        // shuffle.partitions files per hot bucket, every batch); every
+        // compactEvery batches, overflowing buckets fold to one file.
+        // The CAS commit means a concurrent reader or a racing writer
+        // never sees a half state.
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
+            TableMerge.exists(tablePath))
+          TableMerge.compact(batch.sparkSession, tablePath, Seq("bucket"),
+            maxFiles = compactEvery / 2)
         if (!batch.isEmpty) {
           val bucketed = batch.withColumn(
             "bucket", pmod(hash(col("user_id")), lit(nBuckets)))

@@ -265,4 +265,57 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(state == Seq((userA, 3L, "purchase"), (userB, 2L, "view")).sortBy(_._1))
     } finally q.stop()
   }
+
+  test("upsert sink auto-compaction folds a fragmented bucket without losing state") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream-compact")
+    val table = dir.resolve("state").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val nBuckets = 2
+    def bucketOf(userId: Long): Int = spark.range(1)
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(
+          org.apache.spark.sql.functions.lit(userId)),
+        org.apache.spark.sql.functions.lit(nBuckets)))
+      .head().getInt(0)
+    // 8 users in bucket 0 (fragment it: the merge shuffle spreads them
+    // over tasks → several files) and one user in bucket 1
+    val groupA = (1L to 200L).filter(bucketOf(_) == 0).take(8)
+    val userB = (1L to 200L).find(bucketOf(_) == 1).get
+    def files(bucket: Int): Int = {
+      val live = Paths.get(table,
+        Files.readString(Paths.get(table, "_current")).trim)
+      Option(live.resolve(s"bucket=$bucket").toFile.listFiles())
+        .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    }
+    // pre-fragment bucket 0 (explicit repartition survives AQE's
+    // coalescing, unlike the sink's own tiny writes at test scale)
+    val seed = groupA.zipWithIndex.map { case (u, i) =>
+      (i.toLong, ts("2024-01-01 10:00:00"), u, "click", 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("bucket", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash($"user_id"),
+        org.apache.spark.sql.functions.lit(nBuckets)))
+    graft.operators.TableMerge.createOrReplace(seed.repartition(6), table, Seq("bucket"))
+    assert(files(0) > 1, s"fixture bucket not fragmented: ${files(0)} file(s)")
+    val stream = MemoryStream[Event]
+    stream.addData(Event(100, ts("2024-01-01 11:00:00"), userB, "view", 2.0))
+    val q = EventStreams.upsertLatestSink(stream.toDF(), table, ckpt,
+      nBuckets, compactEvery = 2)
+    try {
+      q.processAllAvailable() // batchId 0: no compaction
+      stream.addData(Event(101, ts("2024-01-01 11:30:00"), userB, "view", 2.5))
+      q.processAllAvailable() // batchId 1: no compaction yet
+      stream.addData(Event(102, ts("2024-01-01 12:00:00"), userB, "view", 3.0))
+      q.processAllAvailable() // batchId 2: compacts bucket 0, then merges bucket 1
+      assert(files(0) == 1, s"bucket 0 not compacted: ${files(0)} files")
+      val state = graft.operators.TableMerge.read(spark, table)
+        .select("user_id", "event_id").as[(Long, Long)].collect().toMap
+      groupA.zipWithIndex.foreach { case (u, i) => assert(state(u) == i.toLong) }
+      assert(state(userB) == 102L)
+      assert(state.size == groupA.size + 1)
+    } finally q.stop()
+  }
 }
