@@ -503,6 +503,32 @@ object CoverageQueries {
       .orderBy("bin")
   }
 
+  /** Z-order clustering key — the multi-dimensional data-skipping
+    * layout: interleaving the bits of two sort dimensions makes every
+    * contiguous z-range (≈ one output file after a z-sorted write)
+    * cover a BOUNDED rectangle in (custkey, order-day) space, so
+    * min/max file stats prune scans filtered on EITHER dimension — a
+    * single-column sort leaves the second dimension's per-file range
+    * unbounded. The query emits per-z-bucket extents (the rectangles
+    * the skipping argument rests on); at 100 TB the same z expression
+    * feeds `repartitionByRange(z).sortWithinPartitions(z)` before the
+    * write. Straight-line integer bit arithmetic on both engines. */
+  private val layoutZorder: Q = (s, d) => {
+    val sparkZ = (0 until 16).map(i =>
+      s"shiftleft(shiftright(x, $i) & 1, ${2 * i}) + shiftleft(shiftright(y, $i) & 1, ${2 * i + 1})")
+      .mkString("(", " + ", ")")
+    Tables.orders(s, d)
+      .selectExpr(
+        "CAST(o_custkey % 65536 AS BIGINT) AS x",
+        "CAST(datediff(o_orderdate, DATE '1992-01-01') % 65536 AS BIGINT) AS y")
+      .selectExpr("x", "y", s"$sparkZ AS z")
+      .groupBy(shiftright(col("z"), 20).as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .orderBy("z_bucket")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Seq[(String, Q)] = Seq(
@@ -531,9 +557,25 @@ object CoverageQueries {
     "mm_binary_meta" -> mmBinaryMeta,
     "qc_quality_log" -> qcQualityLog,
     "profile_numeric" -> profileNumeric,
+    "layout_zorder" -> layoutZorder,
   )
 
   val oracles: Map[String, String] = Map(
+    "layout_zorder" -> {
+      val duckZ = (0 until 16).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString("(", " + ", ")")
+      s"""WITH b AS (
+         |  SELECT CAST(o_custkey % 65536 AS BIGINT) AS x,
+         |    CAST(date_diff('day', DATE '1992-01-01', o_orderdate) % 65536 AS BIGINT) AS y
+         |  FROM orders),
+         |z AS (SELECT x, y, $duckZ AS z FROM b)
+         |SELECT CAST(z >> 20 AS BIGINT) AS z_bucket,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+         |  CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+         |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin
+    },
     "profile_numeric" ->
       """WITH s AS (
         |  SELECT count(*) AS n_total,
