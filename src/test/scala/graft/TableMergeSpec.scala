@@ -226,6 +226,34 @@ class TableMergeSpec extends AnyFunSuite {
     assert(got.size == 11)
   }
 
+  test("randomized upsert/delete sequences match an in-memory model") {
+    import spark.implicits._
+    // seeded model-based check over the partition-scoped merge path:
+    // whatever interleaving of upserts and deletes runs, the table must
+    // equal the naive map fold of the same operations
+    val rnd = new scala.util.Random(20260812L)
+    val path = tmpTable("model")
+    val model = scala.collection.mutable.Map[Int, (String, Int)]()
+    for (step <- 1 to 10) {
+      if (rnd.nextInt(3) < 2 || model.isEmpty) {
+        val rows = (1 to 1 + rnd.nextInt(8)).map { _ =>
+          val id = rnd.nextInt(30); (id, s"v$step-${rnd.nextInt(100)}", id % 3)
+        }.groupBy(_._1).map(_._2.head).toSeq // unique keys per batch
+        TableMerge.upsert(spark, path, rows.toDF("id", "v", "p"),
+          keys = Seq("p", "id"), partitionCols = Seq("p"))
+        rows.foreach { case (id, v, p) => model(id) = (v, p) }
+      } else {
+        val ids = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(3))
+        TableMerge.delete(spark, path, ids.map(i => (i % 3, i)).toDF("p", "id"),
+          keys = Seq("p", "id"), partitionCols = Seq("p"))
+        ids.foreach(model.remove)
+      }
+    }
+    val got = TableMerge.read(spark, path).select("id", "v", "p")
+      .as[(Int, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == model.toMap)
+  }
+
   test("a stale crashed-writer lock is stolen, not deadlocked") {
     import spark.implicits._
     val path = tmpTable("stale-lock")
