@@ -231,6 +231,23 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         SimhashBits(children.head, nBits)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk_freq"),
+      new ExpressionInfo(classOf[TopKFreq].getName, "graft_topk_freq"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_topk_freq(item, k, capacity) takes exactly 3 arguments")
+        def intLit(e: Expression, what: String): Int = e match {
+          case l if l.foldable && l.dataType == IntegerType =>
+            Option(l.eval()).map(_.asInstanceOf[Int]).getOrElse(
+              throw new IllegalArgumentException(s"graft_topk_freq: $what must not be NULL"))
+          case other => throw new IllegalArgumentException(
+            s"graft_topk_freq: $what must be an INT literal, got $other")
+        }
+        // the analyzer wraps a bare AggregateFunction into its
+        // AggregateExpression during resolution
+        TopKFreq(children.head, intLit(children(1), "k"), intLit(children(2), "capacity"))
+      }))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKey.TopKPerKeyStrategy)
   }
 }

@@ -904,6 +904,18 @@ object PipelineQueries {
       .select(to_date(col("w.start")).as("day"), col("event_type"), col("n"), col("total_value"))
       .orderBy("day", "event_type")
 
+  /** Heavy hitters per cohort through the custom
+    * [[graft.expressions.TopKFreq]] TypedImperativeAggregate
+    * (space-saving summary: O(capacity) memory per group, partial-agg
+    * mergeable, never undercounts). Run in the exact regime (distinct
+    * event types ≪ capacity) so DuckDB's exact top-3 hash-verifies it;
+    * TopKFreqSpec pins the past-capacity error contract. */
+  private val aggTopkFreq: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy((col("user_id") % 10).as("cohort"))
+      .agg(expr("graft_topk_freq(event_type, 3, 32)").as("top_events"))
+      .orderBy("cohort")
+
   /** Batch sessionization — the gaps-and-islands twin of
     * [[graft.streaming.EventStreams.sessionize]]: a session breaks when
     * consecutive events of a user are more than `gapMs` apart; session
@@ -969,6 +981,7 @@ object PipelineQueries {
     "text_summarize" -> textSummarize,
     "sim_semantic_match" -> simSemanticMatch,
     "agg_skew_salted" -> aggSkewSalted,
+    "agg_topk_freq" -> aggTopkFreq,
     "stream_window_agg" -> streamWindowAgg,
     "sessionize_batch" -> sessionizeBatch,
   )
@@ -1518,6 +1531,19 @@ object PipelineQueries {
       """SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS day, event_type,
         |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+    "agg_topk_freq" ->
+      """WITH c AS (
+        |  SELECT user_id % 10 AS cohort, event_type, count(*) AS cnt
+        |  FROM events GROUP BY cohort, event_type),
+        |r AS (
+        |  SELECT cohort, event_type, cnt,
+        |    row_number() OVER (PARTITION BY cohort
+        |      ORDER BY cnt DESC, event_type) AS rn
+        |  FROM c)
+        |SELECT cohort,
+        |  list(struct_pack(item := event_type, cnt := cnt)
+        |    ORDER BY cnt DESC, event_type) AS top_events
+        |FROM r WHERE rn <= 3 GROUP BY cohort ORDER BY cohort""".stripMargin,
     "sessionize_batch" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
