@@ -148,6 +148,43 @@ object TableMerge {
       case None => spark.read.option("mergeSchema", "true").parquet(tablePath)
     }
 
+  /** Retained snapshot names, newest first; the head entry of a
+    * committed table is the live one. Version dirs are immutable, so a
+    * name from this list stays readable until expired. */
+  def versions(tablePath: String): Seq[String] =
+    Option(Paths.get(tablePath).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v-"))
+      .map(_.getName)
+      .sortBy(n => -n.stripPrefix("v-").toLong)
+      .toSeq
+
+  /** Time-travel read of a retained snapshot (an entry of
+    * [[versions]]): version dirs are immutable after commit, so this is
+    * a consistent historical view for as long as retention keeps it. */
+  def readVersion(spark: SparkSession, tablePath: String, version: String): DataFrame = {
+    val dir = Paths.get(tablePath, version)
+    require(Files.exists(dir), s"version $version not retained at $tablePath")
+    spark.read.option("mergeSchema", "true").parquet(dir.toString)
+  }
+
+  /** Explicit retention maintenance (the Iceberg expire-snapshots
+    * analogue): drop unreferenced versions whose last modification is
+    * older than `olderThanMs`. The LIVE version always survives; the
+    * check+delete runs under the commit lock so it cannot race a
+    * pointer swap. Returns the number of versions removed. Commit-side
+    * pruning uses the fixed [[PruneGraceMs]]; this API is for tighter
+    * or looser policies (e.g. keep a day of time travel). */
+  def expireVersions(tablePath: String, olderThanMs: Long): Int =
+    withCommitLock(tablePath) {
+      val live = currentVersionName(tablePath)
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      val victims = Option(Paths.get(tablePath).toFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("v-"))
+        .filter(f => !live.contains(f.getName) && f.lastModified() < cutoff)
+      victims.foreach(f => deleteRecursively(f.toPath))
+      victims.length
+    }
+
   /** K3 — full replace with atomic pointer swap (unconditional: the
     * result is independent of the base, so last-writer-wins is the
     * correct replace semantics). */

@@ -226,6 +226,29 @@ class TableMergeSpec extends AnyFunSuite {
     assert(got.size == 11)
   }
 
+  test("time travel: retained snapshots stay readable; expire keeps the live version") {
+    import spark.implicits._
+    val path = tmpTable("timetravel")
+    TableMerge.createOrReplace(Seq((1, "a")).toDF("id", "v"), path)
+    TableMerge.upsert(spark, path, Seq((2, "b")).toDF("id", "v"), Seq("id"))
+    TableMerge.upsert(spark, path, Seq((1, "a2")).toDF("id", "v"), Seq("id"))
+    val vs = TableMerge.versions(path)
+    assert(vs.length == 3, s"expected 3 retained versions, got $vs")
+    // newest first: head is live (3 rows? no — latest has 2 rows with a2)
+    assert(TableMerge.readVersion(spark, path, vs.head)
+      .orderBy("id").as[(Int, String)].collect().toSeq == Seq((1, "a2"), (2, "b")))
+    assert(TableMerge.readVersion(spark, path, vs.last)
+      .as[(Int, String)].collect().toSeq == Seq((1, "a")))
+    // expire everything unreferenced regardless of age: live survives
+    val removed = TableMerge.expireVersions(path, olderThanMs = 0)
+    assert(removed == 2)
+    assert(TableMerge.versions(path) == Seq(vs.head))
+    assert(TableMerge.read(spark, path).count() == 2)
+    intercept[IllegalArgumentException] {
+      TableMerge.readVersion(spark, path, vs.last)
+    }
+  }
+
   test("randomized upsert/delete sequences match an in-memory model") {
     import spark.implicits._
     // seeded model-based check over the partition-scoped merge path:
