@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Write-side data layout for multi-dimensional skipping — the
+  * OPTIMIZE ZORDER BY analogue for plain-parquet tables. `zValue`
+  * interleaves the low bits of two dimension columns; writing sorted by
+  * that key makes every output file cover a BOUNDED rectangle in
+  * (x, y) space, so parquet min/max footer stats prune scans filtered
+  * on EITHER dimension. A single-column sort gives perfect x-locality
+  * but leaves y unbounded per file — `LayoutSpec` measures exactly that
+  * trade on real data.
+  *
+  * Scale shape: one range exchange on z (sampling against the z value,
+  * which needs no pre-computed bounds) + a within-partition sort —
+  * identical cost to any global-sorted write; the skipping benefit is
+  * collected by every subsequent scan. The battery twin
+  * (`layout_zorder`) hash-pins the z arithmetic against DuckDB.
+  */
+object Layout {
+
+  /** Bit-interleaved z-order key of two non-negative dimensions
+    * (low `bits` bits each; callers bucket/clamp first — the battery
+    * uses `% 65536` with bits=16). Straight-line integer arithmetic,
+    * whole-stage-codegen friendly. */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Map a dimension onto the `bits`-bit grid by min-max scaling.
+    * Interleaving only balances dimensions of EQUAL bit-scale: a
+    * dimension spanning 8 significant bits interleaved raw against one
+    * spanning 12 contributes zeros in its high bits, and the z-sort
+    * degenerates to a single-column sort on the wider one (measured —
+    * LayoutSpec fails without this). Production systems range-bucket
+    * to the grid the same way (exact min/max here; approxQuantile
+    * boundaries de-skew at scale). */
+  private def gridded(c: Column, lo: Long, hi: Long, bits: Int): Column =
+    least(lit((1L << bits) - 1),
+      floor((c - lo) * (1L << bits) / (hi - lo + 1)).cast("long"))
+
+  /** Write `df` z-ordered on (`xCol`, `yCol`) into `numFiles` parquet
+    * files: normalize both dims to a common grid, range-partition on
+    * the interleaved z (contiguous z-slices per file), sort within
+    * each, drop the key. */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+                    numFiles: Int, bits: Int = 16): Unit = {
+    val r = df.agg(min(xCol), max(xCol), min(yCol), max(yCol)).head()
+    val (xlo, xhi) = (r.getLong(0), r.getLong(1))
+    val (ylo, yhi) = (r.getLong(2), r.getLong(3))
+    df.withColumn("__z", zValue(
+        gridded(col(xCol), xlo, xhi, bits),
+        gridded(col(yCol), ylo, yhi, bits), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

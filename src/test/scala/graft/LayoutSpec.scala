@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Layout
+
+/** The z-order layout's skipping property, measured on real data: files
+  * from a z-sorted write cover bounded rectangles in BOTH dimensions,
+  * where a single-column sort leaves the second dimension's per-file
+  * extent near the full range (no pruning possible on it).
+  */
+class LayoutSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  test("z-ordered files bound both dimensions; x-sorted files leave y unbounded") {
+    val dims = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .selectExpr("CAST(o_custkey % 65536 AS BIGINT) AS x",
+        "CAST(datediff(o_orderdate, DATE '1992-01-01') % 65536 AS BIGINT) AS y")
+    val base = Files.createTempDirectory("graft-layout")
+    val zdir = base.resolve("zorder").toString
+    val ldir = base.resolve("linear").toString
+    Layout.writeZOrdered(dims, zdir, "x", "y", numFiles = 8)
+    dims.repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(ldir)
+
+    def avgExtents(dir: String): (Double, Double) = {
+      val r = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("x") - min("x")).as("xr"), (max("y") - min("y")).as("yr"))
+        .agg(avg("xr"), avg("yr")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (zx, zy) = avgExtents(zdir)
+    val (lx, ly) = avgExtents(ldir)
+    val fullY = ly // x-sorted files see ~the full y range per file
+    assert(zy < 0.75 * fullY,
+      s"z-order did not bound y: avg y-extent $zy vs linear $fullY")
+    // the x trade: z files give up some x-locality but must stay far
+    // from unbounded (a random layout would cover ~the full x range)
+    val r = dims.agg(max("x") - min("x")).head()
+    val fullX = r.getLong(0).toDouble
+    assert(zx < 0.9 * fullX, s"z-order x-extent $zx ~ unbounded ($fullX)")
+    assert(lx < zx, "sanity: single-column sort should have the best x-locality")
+  }
+}
