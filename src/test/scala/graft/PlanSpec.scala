@@ -73,6 +73,38 @@ class PlanSpec extends AnyFunSuite {
     assert(kinds == Seq("HashPartitioning", "RangePartitioning"), kinds.toString)
   }
 
+  test("sessionize_batch: both windows and the session agg share ONE user_id exchange") {
+    // lag-window, cumsum-window, and groupBy(user_id, sess_seq) are all
+    // satisfied by hash(user_id) — EnsureRequirements must insert just
+    // that one, plus the range exchange for the output order
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exchanges = try {
+      collect(SparkEntry.queries("sessionize_batch")(spark, sf)
+        .queryExecution.executedPlan) { case e: ShuffleExchangeExec => e }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val kinds = exchanges.map(_.outputPartitioning.getClass.getSimpleName).sorted
+    assert(kinds == Seq("HashPartitioning", "RangePartitioning"), kinds.toString)
+  }
+
+  test("pack_sequences: one source exchange feeds the running-total window") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exchanges = try {
+      collect(SparkEntry.queries("pack_sequences")(spark, sf)
+        .queryExecution.executedPlan) { case e: ShuffleExchangeExec => e }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val kinds = exchanges.map(_.outputPartitioning.getClass.getSimpleName).sorted
+    assert(kinds == Seq("HashPartitioning", "RangePartitioning"), kinds.toString)
+  }
+
+  test("agg_topk_freq: the custom aggregate splits partial/final for map-side combine") {
+    val aggs = collect(plan("agg_topk_freq")) {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      case a: HashAggregateExec => a
+    }
+    assert(aggs.size >= 2, s"expected partial+final aggregate, got ${aggs.size}")
+  }
+
   test("no relational query plans a cartesian product") {
     // the full registry minus entries that run driver-side actions or
     // sink writes during construction
