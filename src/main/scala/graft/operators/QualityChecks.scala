@@ -32,7 +32,9 @@ object QualityChecks {
           checkedAt: Timestamp): DataFrame = {
     require(checks.nonEmpty, "at least one check required")
     val passCols = checks.map(c =>
-      sum(when(c.predicate, 1L).otherwise(0L)).as(s"__p_${c.checkId}"))
+      // coalesce: sum over an EMPTY table is NULL, and a null
+      // passed_count would poison every downstream arithmetic
+      coalesce(sum(when(c.predicate, 1L).otherwise(0L)), lit(0L)).as(s"__p_${c.checkId}"))
     val agg = table.agg(count(lit(1)).as("__n"), passCols: _*)
     val logRows = checks.map { c =>
       val passed = col(s"__p_${c.checkId}")
@@ -47,7 +49,9 @@ object QualityChecks {
         lit(checkedAt).as("check_timestamp"),
         map(
           lit("pass_rate_bp"),
-          floor(passed * 10000 / col("__n")).cast("string"),
+          // greatest(n,1): an EMPTY table must yield a 0-rate "passed"
+          // row, not an ANSI divide-by-zero (Spark 4 default)
+          floor(passed * 10000 / greatest(col("__n"), lit(1L))).cast("string"),
           lit("rows_checked"), col("__n").cast("string")
         ).as("details"))
     }

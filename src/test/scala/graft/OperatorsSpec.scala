@@ -160,6 +160,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(details == Map("pass_rate_bp" -> "7500", "rows_checked" -> "4"))
   }
 
+  test("QualityChecks.run on an empty table: vacuous pass, no divide-by-zero") {
+    import spark.implicits._
+    import graft.operators.QualityChecks
+    import graft.operators.QualityChecks.Check
+    val empty = Seq.empty[(Long, String)].toDF("id", "status")
+    val log = QualityChecks.run(empty, "t", Seq(
+      Check("c", "completeness", col("status").isNotNull)),
+      java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+    val row = log.select("check_result", "passed_count", "failed_count")
+      .as[(String, Long, Long)].head()
+    assert(row == (("passed", 0L, 0L)))
+    assert(log.select("details").as[Map[String, String]].head()("rows_checked") == "0")
+  }
+
   test("QualityChecks.gate: pass path, fail path, threshold edge") {
     import spark.implicits._
     import graft.operators.QualityChecks
