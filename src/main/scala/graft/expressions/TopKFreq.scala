@@ -92,7 +92,12 @@ case class TopKFreq(
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
     out.writeInt(buf.size)
-    buf.foreach { case (s, c) => out.writeUTF(s); out.writeLong(c) }
+    buf.foreach { case (s, c) =>
+      // length-prefixed raw UTF-8, not writeUTF: items are arbitrary
+      // column values and writeUTF caps at 65535 encoded bytes
+      val b = s.getBytes("UTF-8")
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bytes.toByteArray
   }
@@ -101,7 +106,11 @@ case class TopKFreq(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
-    (1 to n).foreach(_ => buf(in.readUTF()) = in.readLong())
+    (1 to n).foreach { _ =>
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      buf(new String(b, "UTF-8")) = in.readLong()
+    }
     buf
   }
 

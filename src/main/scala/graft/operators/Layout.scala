@@ -39,8 +39,13 @@ object Layout {
     * to the grid the same way (exact min/max here; approxQuantile
     * boundaries de-skew at scale). */
   private def gridded(c: Column, lo: Long, hi: Long, bits: Int): Column =
-    least(lit((1L << bits) - 1),
-      floor((c - lo) * (1L << bits) / (hi - lo + 1)).cast("long"))
+    // scale in DOUBLE space: (c - lo) * 2^bits overflows long once the
+    // dimension range exceeds ~2^(63-bits) (epoch-nanos columns do);
+    // long→double conversion is monotone, so grid cells stay ordered
+    // even where doubles lose exactness
+    least(lit((1L << bits) - 1), greatest(lit(0L),
+      floor((c.cast("double") - lo.toDouble) * (1L << bits).toDouble /
+        (hi.toDouble - lo.toDouble + 1.0)).cast("long")))
 
   /** Write `df` z-ordered on (`xCol`, `yCol`) into `numFiles` parquet
     * files: normalize both dims to a common grid, range-partition on

@@ -31,13 +31,18 @@ object QualityChecks {
   def run(table: DataFrame, tableName: String, checks: Seq[Check],
           checkedAt: Timestamp): DataFrame = {
     require(checks.nonEmpty, "at least one check required")
-    val passCols = checks.map(c =>
+    require(checks.map(_.checkId).distinct.size == checks.size,
+      "check ids must be unique (duplicate aliases are ambiguous)")
+    // positional aliases for the internal aggregate columns: a checkId
+    // with a dot would parse as nested-field access in col()
+    val passCols = checks.zipWithIndex.map { case (c, i) =>
       // coalesce: sum over an EMPTY table is NULL, and a null
       // passed_count would poison every downstream arithmetic
-      coalesce(sum(when(c.predicate, 1L).otherwise(0L)), lit(0L)).as(s"__p_${c.checkId}"))
+      coalesce(sum(when(c.predicate, 1L).otherwise(0L)), lit(0L)).as(s"__p_$i")
+    }
     val agg = table.agg(count(lit(1)).as("__n"), passCols: _*)
-    val logRows = checks.map { c =>
-      val passed = col(s"__p_${c.checkId}")
+    val logRows = checks.zipWithIndex.map { case (c, i) =>
+      val passed = col(s"__p_$i")
       val failed = col("__n") - passed
       struct(
         lit(c.checkId).as("check_id"),

@@ -95,15 +95,24 @@ object TableMerge {
 
   /** Serialize pointer check+swap across processes with a create-new
     * lock file; a lock older than [[LockStaleMs]] belongs to a crashed
-    * writer and is stolen. */
+    * writer and is stolen. Two safety details the naive loop gets
+    * wrong: (a) stealing goes through an atomic RENAME of the stale
+    * lock to a unique graveyard name — with observe-then-delete, two
+    * waiters can both judge the lock stale and the second delete
+    * removes the NEW holder's lock, admitting two committers; (b)
+    * release deletes the lock only if it still carries this holder's
+    * token — a holder whose body outlived the staleness window must
+    * not remove the lock of the writer that legitimately stole it. */
   private def withCommitLock[T](tablePath: String)(body: => T): T = {
     Files.createDirectories(Paths.get(tablePath))
     val lock = Paths.get(tablePath, LockName)
+    val token = s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}-" +
+      s"${Thread.currentThread().getId}-${System.nanoTime()}"
     val deadline = System.currentTimeMillis() + LockWaitMs
     var acquired = false
     while (!acquired) {
       try {
-        Files.write(lock, java.lang.Long.toString(System.nanoTime()).getBytes,
+        Files.write(lock, token.getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE_NEW)
         acquired = true
       } catch {
@@ -112,14 +121,24 @@ object TableMerge {
             try System.currentTimeMillis() -
               Files.getLastModifiedTime(lock).toMillis > LockStaleMs
             catch { case _: java.io.IOException => false } // holder just released
-          if (stale) Files.deleteIfExists(lock): Unit
-          else if (System.currentTimeMillis() > deadline)
+          if (stale) {
+            // atomic steal: exactly one renamer wins; the losers loop
+            try Files.move(lock,
+              lock.resolveSibling(s".$LockName.stale-${System.nanoTime()}"))
+            catch { case _: java.io.IOException => () }
+          } else if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
               s"commit lock at $lock held past ${LockWaitMs}ms — crashed writer?")
           else Thread.sleep(20)
       }
     }
-    try body finally Files.deleteIfExists(lock)
+    try body
+    finally {
+      val stillMine =
+        try Files.exists(lock) && Files.readString(lock) == token
+        catch { case _: java.io.IOException => false }
+      if (stillMine) Files.deleteIfExists(lock): Unit
+    }
   }
 
   /** Live version dir, if the table uses the versioned layout. */
@@ -133,14 +152,30 @@ object TableMerge {
   }
 
   /** A committed table exists: versioned pointer, or a legacy plain
-    * parquet dir (pre-pointer layout) with top-level content. */
+    * parquet dir (pre-pointer layout) with top-level content.
+    * Underscore files (`_commit.lock`, `_SUCCESS`, …) are metadata, not
+    * content — a leftover lock from a crashed bootstrap must not flip a
+    * virgin table into the "legacy data" path (which would read an
+    * empty/half dir as the merge base). */
   def exists(tablePath: String): Boolean =
     resolveLive(tablePath).isDefined || {
       val p = Paths.get(tablePath)
       !Files.exists(pointerPath(tablePath)) && Files.exists(p) &&
         Option(p.toFile.listFiles()).exists(_.exists(f =>
-          !f.getName.startsWith(".") && !f.getName.startsWith("v-")))
+          !f.getName.startsWith(".") && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("v-")))
     }
+
+  /** Name of the marker a version dir receives at commit time; dirs
+    * without it are another writer's in-flight staging. */
+  private val CommittedMarker = "_graft_committed"
+
+  private def versionDirs(tablePath: String): Seq[java.io.File] =
+    Option(Paths.get(tablePath).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v-")).toSeq
+
+  private def isCommitted(dir: java.io.File): Boolean =
+    Files.exists(dir.toPath.resolve(CommittedMarker))
 
   def read(spark: SparkSession, tablePath: String): DataFrame =
     resolveLive(tablePath) match {
@@ -148,15 +183,17 @@ object TableMerge {
       case None => spark.read.option("mergeSchema", "true").parquet(tablePath)
     }
 
-  /** Retained snapshot names, newest first; the head entry of a
-    * committed table is the live one. Version dirs are immutable, so a
-    * name from this list stays readable until expired. */
+  /** Retained COMMITTED snapshot names, newest first; the head entry
+    * of a committed table is the live one. In-flight staging dirs (no
+    * commit marker yet — another writer's minutes-long merge write)
+    * are excluded: they are half-written and may vanish on a CAS loss.
+    * Version dirs are immutable once committed, so a name from this
+    * list stays readable until expired. */
   def versions(tablePath: String): Seq[String] =
-    Option(Paths.get(tablePath).toFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v-"))
+    versionDirs(tablePath)
+      .filter(isCommitted)
       .map(_.getName)
       .sortBy(n => -n.stripPrefix("v-").toLong)
-      .toSeq
 
   /** Time-travel read of a retained snapshot (an entry of
     * [[versions]]): version dirs are immutable after commit, so this is
@@ -164,6 +201,8 @@ object TableMerge {
   def readVersion(spark: SparkSession, tablePath: String, version: String): DataFrame = {
     val dir = Paths.get(tablePath, version)
     require(Files.exists(dir), s"version $version not retained at $tablePath")
+    require(isCommitted(dir.toFile),
+      s"version $version at $tablePath is an in-flight staging dir, not a committed snapshot")
     spark.read.option("mergeSchema", "true").parquet(dir.toString)
   }
 
@@ -178,9 +217,13 @@ object TableMerge {
     withCommitLock(tablePath) {
       val live = currentVersionName(tablePath)
       val cutoff = System.currentTimeMillis() - olderThanMs
-      val victims = Option(Paths.get(tablePath).toFile.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("v-"))
-        .filter(f => !live.contains(f.getName) && f.lastModified() < cutoff)
+      // only COMMITTED snapshots expire: an unmarked dir is another
+      // writer's in-flight staging — deleting it under the write would
+      // fail that job unretryably (the pointer never moved, so
+      // conflictIfBaseMoved cannot convert the failure to a replay)
+      val victims = versionDirs(tablePath)
+        .filter(f => isCommitted(f) && !live.contains(f.getName) &&
+          f.lastModified() < cutoff)
       victims.foreach(f => deleteRecursively(f.toPath))
       victims.length
     }
@@ -367,15 +410,24 @@ object TableMerge {
           s"$tablePath: expected parent $name but live is $prev")
       case _ => ()
     }
+    // mark committed BEFORE the swap: versions()/expireVersions use the
+    // marker to tell immutable snapshots from in-flight staging dirs
+    Files.writeString(version.resolve(CommittedMarker),
+      version.getFileName.toString)
     val tmp = pointer.resolveSibling(s".$PointerName.tmp-${System.nanoTime()}")
     Files.writeString(tmp, version.getFileName.toString)
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE)
     val keep = Set(version.getFileName.toString) ++ prev
     val cutoff = System.currentTimeMillis() - PruneGraceMs
-    Option(Paths.get(tablePath).toFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v-") && !keep(f.getName))
+    versionDirs(tablePath)
+      .filter(f => !keep(f.getName))
       .filter(f => f.lastModified() < cutoff) // grace: may be someone's base/staging
       .foreach(f => deleteRecursively(f.toPath))
+    // sweep aged lock-steal graveyard files (hidden, harmless, finite)
+    Option(Paths.get(tablePath).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith(s".$LockName.stale-") &&
+        f.lastModified() < cutoff)
+      .foreach(f => f.delete(): Unit)
   }
 
   /** A merge job that fails while its base snapshot was concurrently

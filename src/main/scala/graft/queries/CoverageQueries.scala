@@ -453,9 +453,11 @@ object CoverageQueries {
     * [[graft.operators.QualityChecks]] (one fused aggregate pass per
     * table), and the map column is emitted as
     * `array_sort(map_entries(details))` so the hash compare is
-    * entry-order-deterministic on both engines. The events check FAILS
-    * by construction (events.value has nulls), pinning both
-    * check_result branches. */
+    * entry-order-deterministic on both engines. The events range check
+    * FAILS by construction (events.value tops out near 490, well over
+    * the 400 bound), pinning both check_result branches — note
+    * events.value has NO nulls in the fixture, so a null check would
+    * silently never exercise the failed branch. */
   private val qcQualityLog: Q = (s, d) => {
     import graft.operators.QualityChecks
     import graft.operators.QualityChecks.Check
@@ -464,7 +466,7 @@ object CoverageQueries {
       Check("orders_status_valid", "domain", col("o_orderstatus").isin("O", "F", "P")),
       Check("orders_price_positive", "range", col("o_totalprice") > 0)), ts)
     val events = QualityChecks.run(Tables.events(s, d), "events", Seq(
-      Check("events_value_notnull", "completeness", col("value").isNotNull)), ts)
+      Check("events_value_range", "range", col("value") < 400)), ts)
     orders.unionByName(events)
       .select(col("check_id"), col("table_name"), col("check_type"),
         col("check_result"), col("passed_count"), col("failed_count"),
@@ -603,13 +605,13 @@ object CoverageQueries {
         |  FROM orders),
         |e AS (
         |  SELECT count(*) AS n,
-        |    sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS p_val
+        |    sum(CASE WHEN value < 400 THEN 1 ELSE 0 END) AS p_val
         |  FROM events),
         |checks AS (
         |  SELECT 'orders_status_valid' AS check_id, 'orders' AS table_name,
         |    'domain' AS check_type, p_status AS passed, n FROM o
         |  UNION ALL SELECT 'orders_price_positive', 'orders', 'range', p_price, n FROM o
-        |  UNION ALL SELECT 'events_value_notnull', 'events', 'completeness', p_val, n FROM e)
+        |  UNION ALL SELECT 'events_value_range', 'events', 'range', p_val, n FROM e)
         |SELECT check_id, table_name, check_type,
         |  CASE WHEN n - passed = 0 THEN 'passed' ELSE 'failed' END AS check_result,
         |  CAST(passed AS BIGINT) AS passed_count,

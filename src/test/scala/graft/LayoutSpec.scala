@@ -46,4 +46,17 @@ class LayoutSpec extends AnyFunSuite {
     assert(zx < 0.9 * fullX, s"z-order x-extent $zx ~ unbounded ($fullX)")
     assert(lx < zx, "sanity: single-column sort should have the best x-locality")
   }
+
+  test("wide-range dimensions (epoch-nanos scale) do not overflow the grid") {
+    import spark.implicits._
+    // range ~1.7e18: (c - lo) * 65536 would wrap a long; the grid
+    // scales in double space instead
+    val wide = Seq(
+      (-900000000000000000L, 1L), (0L, 500L), (900000000000000000L, 1000L))
+      .toDF("x", "y")
+    val dir = Files.createTempDirectory("graft-layout-wide").resolve("z").toString
+    Layout.writeZOrdered(wide, dir, "x", "y", numFiles = 2)
+    val back = spark.read.parquet(dir).as[(Long, Long)].collect().toSet
+    assert(back == wide.as[(Long, Long)].collect().toSet)
+  }
 }

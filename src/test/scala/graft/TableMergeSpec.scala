@@ -249,6 +249,42 @@ class TableMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("staging dirs are invisible to time travel and survive expiry") {
+    import spark.implicits._
+    val path = tmpTable("staging")
+    TableMerge.createOrReplace(Seq((1, "a")).toDF("id", "v"), path)
+    // fake another writer's in-flight staging: a v- dir with no commit
+    // marker, aged past any expiry cutoff
+    val staging = java.nio.file.Paths.get(path, s"v-${System.nanoTime()}")
+    Files.createDirectories(staging)
+    Files.setLastModifiedTime(staging,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 120000))
+    val vs = TableMerge.versions(path)
+    assert(vs.length == 1 && !vs.contains(staging.getFileName.toString),
+      s"staging dir leaked into versions(): $vs")
+    intercept[IllegalArgumentException] {
+      TableMerge.readVersion(spark, path, staging.getFileName.toString)
+    }
+    // expiry must not delete it either — the writer may still be writing
+    assert(TableMerge.expireVersions(path, olderThanMs = 0) == 0)
+    assert(Files.exists(staging), "expireVersions deleted an in-flight staging dir")
+  }
+
+  test("a leftover commit lock does not masquerade as legacy table content") {
+    import spark.implicits._
+    val path = tmpTable("lock-not-content")
+    // crashed bootstrap: table dir holds ONLY a stale lock, no data
+    Files.createDirectories(java.nio.file.Paths.get(path))
+    val lock = java.nio.file.Paths.get(path, "_commit.lock")
+    Files.write(lock, "dead".getBytes)
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 120000))
+    assert(!TableMerge.exists(path), "_commit.lock counted as table content")
+    // bootstrap proceeds normally (steals the stale lock at commit)
+    TableMerge.upsert(spark, path, Seq((1, "a")).toDF("id", "v"), Seq("id"))
+    assert(TableMerge.read(spark, path).count() == 1)
+  }
+
   test("randomized upsert/delete sequences match an in-memory model") {
     import spark.implicits._
     // seeded model-based check over the partition-scoped merge path:

@@ -50,6 +50,19 @@ class TopKFreqSpec extends AnyFunSuite {
       s"overcount ${est - trueHeavy} > n/capacity ${n / capacity}")
   }
 
+  test("items beyond 64KB survive the partial-aggregation shuffle") {
+    import spark.implicits._
+    // writeUTF would throw UTFDataFormatException here; the buffer uses
+    // length-prefixed raw UTF-8 so arbitrary column values round-trip
+    val big = "x" * 100000
+    val df = (1 to 6).map(i => if (i % 2 == 0) big else "small").toDF("item")
+      .repartition(3) // force serialize/merge of partial buffers
+    val top = df.agg(expr("graft_topk_freq(item, 2, 8)"))
+      .as[Seq[(String, Long)]].head()
+    // ties sort by item: "small" < "xxx…"
+    assert(top == Seq(("small", 3L), (big, 3L)))
+  }
+
   test("null items are ignored; empty input yields an empty list") {
     import spark.implicits._
     val df = Seq(Some("x"), None, Some("x"), None).toDF("item")
