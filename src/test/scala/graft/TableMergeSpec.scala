@@ -313,6 +313,32 @@ class TableMergeSpec extends AnyFunSuite {
     assert(got == model.toMap)
   }
 
+  test("compaction racing upserts loses cleanly — no data loss either way") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = tmpTable("compact-race")
+    val seed = (1 to 30).map(i => (i.toLong, i % 2, "seed"))
+    TableMerge.createOrReplace(seed.toDF("id", "bucket", "v").repartition(6), path, Seq("bucket"))
+    val writer = Future {
+      for (round <- 1 to 3)
+        TableMerge.upsert(spark, path,
+          (31 to 35).map(i => (i.toLong, i % 2, s"w$round")).toDF("id", "bucket", "v"),
+          keys = Seq("bucket", "id"), partitionCols = Seq("bucket"))
+    }
+    val compactor = Future {
+      for (_ <- 1 to 3)
+        TableMerge.compact(spark, path, Seq("bucket"), maxFiles = 1)
+    }
+    Await.result(Future.sequence(Seq(writer, compactor)), 120.seconds)
+    val got = TableMerge.read(spark, path).select("id", "v")
+      .as[(Long, String)].collect().toMap
+    (1 to 30).foreach(i => assert(got(i.toLong) == "seed", s"lost seed row $i"))
+    (31 to 35).foreach(i => assert(got(i.toLong) == "w3", s"lost upsert row $i"))
+    assert(got.size == 35)
+  }
+
   test("a stale crashed-writer lock is stolen, not deadlocked") {
     import spark.implicits._
     val path = tmpTable("stale-lock")
