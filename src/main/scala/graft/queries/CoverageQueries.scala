@@ -451,9 +451,10 @@ object CoverageQueries {
     * (`create_schema.py:395-410`), exercised end-to-end: three
     * predicate checks over two tables run through
     * [[graft.operators.QualityChecks]] (one fused aggregate pass per
-    * table), and the map column is emitted as
-    * `array_sort(map_entries(details))` so the hash compare is
-    * entry-order-deterministic on both engines. The events range check
+    * table), and the map column flattens to a sorted `k=v|...` string
+    * (sorted map_entries, then joined) so the hash compare is
+    * entry-order-deterministic AND scalar — the driver's pandas
+    * compare can't sort array cells. The events range check
     * FAILS by construction (events.value tops out near 490, well over
     * the 400 bound), pinning both check_result branches — note
     * events.value has NO nulls in the fixture, so a null check would
@@ -471,7 +472,8 @@ object CoverageQueries {
       .select(col("check_id"), col("table_name"), col("check_type"),
         col("check_result"), col("passed_count"), col("failed_count"),
         col("check_timestamp"),
-        array_sort(map_entries(col("details"))).as("details"))
+        expr("array_join(transform(array_sort(map_entries(details)), " +
+          "e -> concat(e.key, '=', e.value)), '|')").as("details"))
       .orderBy("table_name", "check_id")
   }
 
@@ -617,10 +619,8 @@ object CoverageQueries {
         |  CAST(passed AS BIGINT) AS passed_count,
         |  CAST(n - passed AS BIGINT) AS failed_count,
         |  TIMESTAMP '2024-01-01 00:00:00' AS check_timestamp,
-        |  [struct_pack(key := 'pass_rate_bp',
-        |     value := CAST(CAST(floor(passed * 10000 / n) AS BIGINT) AS VARCHAR)),
-        |   struct_pack(key := 'rows_checked',
-        |     value := CAST(n AS VARCHAR))] AS details
+        |  'pass_rate_bp=' || CAST(CAST(floor(passed * 10000 / n) AS BIGINT) AS VARCHAR)
+        |    || '|rows_checked=' || CAST(n AS VARCHAR) AS details
         |FROM checks ORDER BY table_name, check_id""".stripMargin,
     "s2_file_lineage" ->
       """SELECT 'nation.parquet' AS file_name, CAST(count(*) AS BIGINT) AS n

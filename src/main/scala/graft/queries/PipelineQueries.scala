@@ -909,11 +909,16 @@ object PipelineQueries {
     * (space-saving summary: O(capacity) memory per group, partial-agg
     * mergeable, never undercounts). Run in the exact regime (distinct
     * event types ≪ capacity) so DuckDB's exact top-3 hash-verifies it;
-    * TopKFreqSpec pins the past-capacity error contract. */
+    * TopKFreqSpec pins the past-capacity error contract. The struct
+    * list flattens to an `item:cnt|...` string for the battery — the
+    * driver's pandas hash-compare can't sort array cells. */
   private val aggTopkFreq: Q = (s, d) =>
     Tables.events(s, d)
       .groupBy((col("user_id") % 10).as("cohort"))
-      .agg(expr("graft_topk_freq(event_type, 3, 32)").as("top_events"))
+      .agg(expr("graft_topk_freq(event_type, 3, 32)").as("tk"))
+      .select(col("cohort"),
+        expr("array_join(transform(tk, e -> concat(e.item, ':', e.cnt)), '|')")
+          .as("top_events"))
       .orderBy("cohort")
 
   /** Batch sessionization — the gaps-and-islands twin of
@@ -1541,7 +1546,7 @@ object PipelineQueries {
         |      ORDER BY cnt DESC, event_type) AS rn
         |  FROM c)
         |SELECT cohort,
-        |  list(struct_pack(item := event_type, cnt := cnt)
+        |  string_agg(event_type || ':' || CAST(cnt AS VARCHAR), '|'
         |    ORDER BY cnt DESC, event_type) AS top_events
         |FROM r WHERE rn <= 3 GROUP BY cohort ORDER BY cohort""".stripMargin,
     "sessionize_batch" ->
