@@ -39,6 +39,10 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.mergeSchema", "false")
+      // keep catalog-table files (j15 bucketed fixtures) under target/ so
+      // a battery run never litters the repo working tree
+      .config("spark.sql.warehouse.dir",
+        new java.io.File("target/graft-state/warehouse").getAbsolutePath)
       // events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects by
       // default; read as long and let Tables.events rebuild the µs
       // timestamp (ns→µs truncation).

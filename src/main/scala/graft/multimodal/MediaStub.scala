@@ -7,10 +7,13 @@ import org.apache.spark.sql.Dataset
 /** Multimodal column plumbing: image/audio/video ride as opaque `binary`
   * columns with typed metadata alongside (builder brief "multimodal
   * columns"). The Spark-side shape is real — schema, per-partition
-  * decoder lifecycle, batch iteration, typed output — while the codec
-  * itself is STUBBED with a deterministic byte-derived fake (the
-  * image/audio libraries are not in this container). Swapping in a real
-  * decoder changes only the bodies marked `STUB DECODE`.
+  * decoder lifecycle, batch iteration, typed output — and as of r9 the
+  * container-header decode is REAL byte-format parsing for PNG, JPEG,
+  * GIF and WAV (all public specs: W3C PNG, ITU T.81 JPEG, GIF89a,
+  * RIFF/WAVE). Only pixel/sample decoding and video demuxing remain
+  * stubbed (no codec libraries in this container): video frame counts
+  * fall back to a deterministic byte-derived fake, clearly marked
+  * `STUB DECODE` below.
   *
   * Scale posture: `mapPartitions` initializes one decoder per partition
   * (codec init is expensive; per-row init would dominate), rows stream
@@ -22,7 +25,8 @@ object MediaStub {
   /** A media asset row: opaque payload + container metadata. */
   final case class MediaRecord(doc_id: Long, media: Array[Byte], mime: String)
 
-  /** Decoded (here: fake-decoded) typed metadata. */
+  /** Decoded typed metadata. Images/video carry width/height; audio
+    * carries sample_rate/channels and n_frames = sample frames. */
   final case class MediaMeta(
       doc_id: Long,
       mime: String,
@@ -30,12 +34,110 @@ object MediaStub {
       digest: String,
       width: Int,
       height: Int,
-      n_frames: Int)
+      n_frames: Int,
+      sample_rate: Int,
+      channels: Int)
 
   /** One sampled frame reference (video frame-sampling output shape). */
   final case class FrameRef(doc_id: Long, frame_no: Int, byte_offset: Long)
 
   private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  // ---------------------------------------------------------- byte readers
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def beU16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def beU32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def leU16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def leU32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) |
+      (u8(b, i + 3).toLong << 24)
+  private def ascii4(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  // ---------------------------------------------------------- header parsers
+
+  /** Parsed container info: (width, height, n_frames, sample_rate, channels). */
+  private type Parsed = (Int, Int, Int, Int, Int)
+
+  /** PNG (W3C spec §5.2/§11.2.2): 8-byte signature
+    * 89 50 4E 47 0D 0A 1A 0A, then the IHDR chunk must come first —
+    * [len=13][IHDR][width BE u32][height BE u32]... so width sits at
+    * byte 16, height at 20. */
+  private def parsePng(b: Array[Byte]): Option[Parsed] =
+    if (b.length >= 24 && u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      u8(b, 4) == 0x0d && u8(b, 5) == 0x0a && u8(b, 6) == 0x1a && u8(b, 7) == 0x0a &&
+      ascii4(b, 12) == "IHDR")
+      Some((beU32(b, 16).toInt, beU32(b, 20).toInt, 1, 0, 0))
+    else None
+
+  /** JPEG (ITU T.81 §B.2): FF D8 (SOI), then marker segments
+    * [FF mm][len BE u16][payload]. Any SOFn frame header (C0-C3, C5-C7,
+    * C9-CB, CD-CF — C4/C8/CC are DHT/JPG/DAC, not frames) carries
+    * [precision u8][height BE u16][width BE u16]. */
+  private def parseJpeg(b: Array[Byte]): Option[Parsed] = {
+    if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(b, i) != 0xff) return None // desynced marker stream
+      val m = u8(b, i + 1)
+      if (m == 0xff) i += 1 // fill byte padding before a marker
+      else if ((m >= 0xd0 && m <= 0xd9) || m == 0x01) i += 2 // standalone
+      else if ((m & 0xf0) == 0xc0 && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+        if (i + 8 >= b.length) return None
+        return Some((beU16(b, i + 7), beU16(b, i + 5), 1, 0, 0))
+      } else i += 2 + beU16(b, i + 2) // skip non-frame segment
+    }
+    None
+  }
+
+  /** GIF (GIF87a/89a spec): 'GIF87a'/'GIF89a', logical screen width
+    * LE u16 at byte 6, height at 8. Frame count would need a full block
+    * walk; the screen descriptor alone is the header contract here. */
+  private def parseGif(b: Array[Byte]): Option[Parsed] =
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      Some((leU16(b, 6), leU16(b, 8), 1, 0, 0))
+    else None
+
+  /** WAV (RIFF/WAVE, Microsoft multimedia spec): 'RIFF'[size]'WAVE',
+    * then chunks of ['id'][size LE u32][body], word-aligned. 'fmt '
+    * body: format(2) channels(2 LE) sampleRate(4 LE) byteRate(4)
+    * blockAlign(2 LE) bitsPerSample(2). n_frames = data size /
+    * blockAlign — the audio analogue of an image's pixel dims. */
+  private def parseWav(b: Array[Byte]): Option[Parsed] = {
+    if (b.length < 44 || ascii4(b, 0) != "RIFF" || ascii4(b, 8) != "WAVE") return None
+    var i = 12
+    var channels = 0; var rate = 0; var blockAlign = 0; var dataLen = -1L
+    while (i + 8 <= b.length && (channels == 0 || dataLen < 0)) {
+      val id = ascii4(b, i)
+      val size = leU32(b, i + 4)
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length) {
+        channels = leU16(b, i + 10)
+        rate = leU32(b, i + 12).toInt
+        blockAlign = leU16(b, i + 20)
+      } else if (id == "data") dataLen = size
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (channels == 0 || blockAlign == 0 || dataLen < 0) None
+    else Some((0, 0, (dataLen / blockAlign).toInt, rate, channels))
+  }
+
+  /** Decode a single payload: try each real header parser (magic-sniffed
+    * like a real decoder — the mime column is advisory), fall back to
+    * the deterministic byte-derived stub for containers we can't parse
+    * (video, unknown). */
+  private def parseMedia(media: Array[Byte], mime: String): Parsed =
+    parsePng(media).orElse(parseJpeg(media)).orElse(parseGif(media))
+      .orElse(parseWav(media)).getOrElse {
+        // STUB DECODE (video/unknown only): a real demuxer would read the
+        // container index (e.g. MP4 moov/mvhd); the fake is a pure
+        // function of the bytes so tests and oracles can pin it.
+        val n = media.length
+        val frames = if (mime.startsWith("video/")) 1 + n % 240 else 1
+        (0, 0, frames, 0, 0)
+      }
 
   /** Decode metadata for every asset. Batch shape: one decoder instance
     * per partition, streamed row-at-a-time. */
@@ -47,24 +149,16 @@ object MediaStub {
       rows.map { r =>
         md.reset()
         val digest = hex(md.digest(r.media))
-        // STUB DECODE: a real implementation hands r.media to the codec
-        // and reads true dimensions/frame counts. The fake is a pure
-        // function of the bytes, so tests and oracles can pin it.
-        val n = r.media.length
-        val b0 = if (n > 0) r.media(0) & 0xff else 0
-        val b1 = if (n > 1) r.media(1) & 0xff else 0
-        val width = 16 + (b0 * 256 + b1) % 4080
-        val height = 16 + (b1 * 256 + b0) % 2144
-        val frames = if (r.mime.startsWith("video/")) 1 + n % 240 else 1
-        MediaMeta(r.doc_id, r.mime, n, digest, width, height, frames)
+        val (w, h, frames, rate, ch) = parseMedia(r.media, r.mime)
+        MediaMeta(r.doc_id, r.mime, r.media.length, digest, w, h, frames, rate, ch)
       }
     }
   }
 
-  /** Frame sampling: every `everyN`-th frame of each video asset as a
-    * (doc_id, frame_no, byte_offset) row — the downstream shape a frame
-    * extractor would feed to a vision model. Non-video assets emit frame
-    * 0 only. */
+  /** Frame sampling: every `everyN`-th frame of each video/audio asset
+    * as a (doc_id, frame_no, byte_offset) row — the downstream shape a
+    * frame extractor would feed to a vision model. Single-frame assets
+    * emit frame 0 only. */
   def sampleFrames(meta: Dataset[MediaMeta], everyN: Int): Dataset[FrameRef] = {
     import meta.sparkSession.implicits._
     require(everyN > 0, "everyN must be positive")
@@ -90,7 +184,7 @@ object MediaStub {
   def planResize(meta: Dataset[MediaMeta], maxW: Int, maxH: Int): Dataset[ResizePlan] = {
     import meta.sparkSession.implicits._
     require(maxW > 0 && maxH > 0)
-    meta.map { m =>
+    meta.filter(_.width > 0).map { m =>
       val scale = math.min(1.0, math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
       ResizePlan(m.doc_id, m.width, m.height,
         math.max(1, math.floor(m.width * scale).toInt),
@@ -122,5 +216,53 @@ object MediaStub {
         (r.doc_id, acc.map(_ / n).clone())
       }
     }
+  }
+}
+
+/** Well-formed media container builders — the ENCODER half of the header
+  * contract, used by tests (golden cases against hand-built headers) and
+  * by the `mm_binary_meta` battery fixture so the DuckDB oracle can
+  * predict every decoded field arithmetically. Headers are spec-exact;
+  * payload bytes after the header are arbitrary (a parser only needs the
+  * header). Byte budgets are fixed so n_bytes is oracle-computable:
+  * PNG = 33 + payload, JPEG = 23 + payload, WAV = 44 + frames*channels*2.
+  */
+object MediaFixtures {
+
+  private def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be32(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, (v >>> 24).toByte)
+
+  /** PNG signature + IHDR(width,height,8-bit RGB) + raw payload:
+    * 8 + 25 + payload.length bytes. (CRC is not validated by header
+    * readers; zeroed here.) */
+  def png(width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val ihdr = be32(13) ++ "IHDR".getBytes ++ be32(width) ++ be32(height) ++
+      Array[Byte](8, 2, 0, 0, 0) ++ be32(0)
+    sig ++ ihdr ++ payload
+  }
+
+  /** SOI + SOF0(8-bit, 3 components) + payload + EOI:
+    * 2 + 19 + payload.length + 2 = 23 + payload.length bytes. */
+  def jpeg(width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
+    val sof0 = Array(0xff, 0xc0).map(_.toByte) ++ be16(17) ++ Array[Byte](8) ++
+      be16(height) ++ be16(width) ++
+      Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
+    Array(0xff, 0xd8).map(_.toByte) ++ sof0 ++ payload ++ Array(0xff, 0xd9).map(_.toByte)
+  }
+
+  /** Canonical 44-byte RIFF/WAVE header (16-bit PCM) + zeroed sample
+    * data: 44 + nFrames*channels*2 bytes. */
+  def wav(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+    val blockAlign = channels * 2
+    val dataLen = nFrames * blockAlign
+    "RIFF".getBytes ++ le32(36 + dataLen) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(sampleRate) ++ le32(sampleRate * blockAlign) ++ le16(blockAlign) ++ le16(16) ++
+      "data".getBytes ++ le32(dataLen) ++ new Array[Byte](dataLen)
   }
 }

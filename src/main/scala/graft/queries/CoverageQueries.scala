@@ -429,22 +429,40 @@ object CoverageQueries {
         "length(element_at(chunks, -1)) AS last_chunk_len")
       .orderBy("doc_id")
 
-  /** Multimodal plumbing — opaque binary column + typed metadata: encode
-    * to bytes, byte length, content digest, magic-number probe, and a
-    * deterministic fake decode (width/height) standing in for the real
-    * decoder (graft.multimodal.MediaStub carries the mapPartitions
-    * path). */
-  private val mmBinaryMeta: Q = (s, d) =>
-    Tables.documents(s, d)
-      .withColumn("media_bytes", encode(col("text"), "UTF-8"))
-      .select(col("doc_id"),
-        octet_length(col("media_bytes")).as("n_bytes"),
-        sha2(col("media_bytes"), 256).as("content_sha"),
-        (ascii(substring(col("text"), 1, 1)) * 256 +
-          ascii(substring(col("text"), 2, 1))).as("magic"),
-        (octet_length(col("media_bytes")) % 640).as("fake_width"),
-        (octet_length(col("media_bytes")) % 480).as("fake_height"))
+  /** Multimodal decode — opaque binary columns through the REAL header
+    * parsers (r9): each document becomes a well-formed PNG / JPEG / WAV
+    * container (doc_id%3 picks the format; MediaFixtures writes
+    * spec-exact headers with dims/rate/frames derived from doc_id and
+    * the text payload), and [[graft.multimodal.MediaStub.decodeMeta]]
+    * parses them back per-partition. The oracle predicts every decoded
+    * field arithmetically — a parser bug (endianness, offset, chunk
+    * walk) breaks the hash row, not just a spec. */
+  private val mmBinaryMeta: Q = (s, d) => {
+    import s.implicits._
+    import graft.multimodal.{MediaFixtures, MediaStub}
+    import graft.multimodal.MediaStub.MediaRecord
+    val recs = Tables.documents(s, d)
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        (id % 3) match {
+          case 0 => MediaRecord(id,
+            MediaFixtures.png((id % 624 + 16).toInt, (id % 464 + 16).toInt, payload),
+            "image/png")
+          case 1 => MediaRecord(id,
+            MediaFixtures.jpeg((id % 624 + 16).toInt, (id % 464 + 16).toInt, payload),
+            "image/jpeg")
+          case _ => MediaRecord(id,
+            MediaFixtures.wav((8000 + (id % 8) * 1000).toInt, (1 + id % 2).toInt,
+              payload.length),
+            "audio/wav")
+        }
+      }
+    MediaStub.decodeMeta(recs)
+      .select(col("doc_id"), col("mime"), col("n_bytes"), col("width"), col("height"),
+        col("n_frames"), col("sample_rate"), col("channels"))
       .orderBy("doc_id")
+  }
 
   /** Quality-log battery entry — the MAP<STRING,STRING> `details`
     * column the reference's quality_log carries
@@ -869,13 +887,28 @@ object CoverageQueries {
         |    (a, x) -> a + x) AS total_chunk_chars,
         |  CAST(length(chunks[-1]) AS INT) AS last_chunk_len
         |FROM c ORDER BY doc_id""".stripMargin,
+    // Budgets mirror MediaFixtures: PNG = 33+payload, JPEG = 23+payload,
+    // WAV = 44 + frames*channels*2 with frames = payload bytes; dims and
+    // rate/channels are the same doc_id arithmetic the fixture encodes.
     "mm_binary_meta" ->
       """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-        |  sha256(text) AS content_sha,
-        |  ascii(substring(text, 1, 1)) * 256 + ascii(substring(text, 2, 1)) AS magic,
-        |  CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
-        |  CAST(octet_length(encode(text)) % 480 AS INT) AS fake_height
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+        |    WHEN 1 THEN 'image/jpeg' ELSE 'audio/wav' END AS mime,
+        |  CAST(CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 33 + octet_length(encode(text))
+        |    WHEN 1 THEN 23 + octet_length(encode(text))
+        |    ELSE 44 + octet_length(encode(text)) * (1 + doc_id % 2) * 2
+        |    END AS INT) AS n_bytes,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+        |    ELSE doc_id % 624 + 16 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+        |    ELSE doc_id % 464 + 16 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text))
+        |    ELSE 1 END AS INT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 8000 + (doc_id % 8) * 1000
+        |    ELSE 0 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 2
+        |    ELSE 0 END AS INT) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -746,23 +746,24 @@ object PipelineQueries {
       .orderBy("reason")
 
   /** F14 — SubjectMatcher applied distributed: the TF-IDF+lexical model
-    * is fit once on the driver from a dim-sized subject corpus and rides
-    * the UDF closure into every task (the reference broadcasts the same
-    * way, transformer.py:1492-1493). Matches explode to one row per
-    * (doc, subject). Rows-only check: the matcher's semantics are pinned
-    * by SubjectMatcherSpec's labeled cases; no SQL oracle can express
-    * the TF-IDF fit. */
+    * is fit once on the driver from a dim-sized subject corpus and
+    * shipped via `sc.broadcast` (the reference broadcasts the same way,
+    * transformer.py:1492-1493) — once per executor, not once per task
+    * closure. Matches explode to one row per (doc, subject). Rows-only
+    * + golden digest: the matcher's semantics are pinned by
+    * SubjectMatcherSpec's labeled cases; no SQL oracle can express the
+    * TF-IDF fit. */
   private val subjectMatchTopk: Q = (s, d) => {
     import graft.functions.SubjectMatcher
     import graft.functions.SubjectMatcher.Subject
-    val matcher = new SubjectMatcher(Seq(
+    val bcMatcher = s.sparkContext.broadcast(new SubjectMatcher(Seq(
       Subject(1, None, Some("table scan query"), Some("SQL101")),
       Subject(2, None, Some("join filter merge"), Some("SQL201")),
       Subject(3, None, Some("stream window batch"), Some("SQL301")),
       Subject(4, None, Some("hash group sort"), Some("SQL401"))),
-      threshold = 0.5)
+      threshold = 0.5))
     val matchUdf = udf((title: String) =>
-      matcher.matchSubjects(Option(title), None).map(m => (m.subjectId, m.similarity)))
+      bcMatcher.value.matchSubjects(Option(title), None).map(m => (m.subjectId, m.similarity)))
     Tables.documents(s, d)
       .withColumn("title", concat_ws(" ", slice(split(col("text"), " "), 1, 12)))
       .select(col("doc_id"), explode(matchUdf(col("title"))).as("m"))
@@ -843,8 +844,12 @@ object PipelineQueries {
 
   /** F24 — semantic matcher distributed: subject vectors = the first 8
     * corpus embeddings (stand-in for an offline-encoded subject table),
-    * broadcast inside the UDF closure; each corpus vector gets its top-3
-    * matches ≥ 0.38. Rows-only: vector algebra itself is oracle-covered
+    * shipped via an explicit `sc.broadcast` — torrent-distributed ONCE
+    * per executor, not serialized into every task closure; a
+    * production-sized subject table (100k×768 ≈ 300 MB) makes the
+    * difference between one transfer per executor and one per task
+    * (VERDICT r8 #4). Each corpus vector gets its top-3 matches ≥ 0.38.
+    * Rows-only + golden digest: vector algebra itself is oracle-covered
     * by sim_cosine_topk/sim_embed_neardup. */
   private val simSemanticMatch: Q = (s, d) => {
     import graft.functions.SemanticMatcher
@@ -854,9 +859,10 @@ object PipelineQueries {
       .collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
       .toSeq
-    val matcher = new SemanticMatcher(subjectVecs, threshold = 0.38, topK = 3)
+    val bcMatcher = s.sparkContext.broadcast(
+      new SemanticMatcher(subjectVecs, threshold = 0.38, topK = 3))
     val matchUdf = udf((v: Seq[Float]) =>
-      matcher.matchVector(v.toArray).map { case (id, sim) =>
+      bcMatcher.value.matchVector(v.toArray).map { case (id, sim) =>
         (id, math.floor(sim * 10000).toLong)
       })
     Tables.embeddings(s, d)

@@ -178,4 +178,30 @@ class HierarchySpec extends AnyFunSuite {
     assert(m.matchVector(v(0, 0, 1)).map(_._1) == Seq(4))
     assert(m.matchVector(Array.empty[Float]).isEmpty)
   }
+
+  test("F24 matcher rides an explicit broadcast, not the task closure") {
+    // The distributed path (sim_semantic_match) must ship the matcher via
+    // sc.broadcast — once per executor — and the broadcast copy must be
+    // semantically identical to the driver-side instance after the
+    // serialize/deserialize hop.
+    val spark = SparkTestBase.spark
+    import org.apache.spark.sql.functions.{col, explode, udf}
+    import spark.implicits._
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val m = new SemanticMatcher(Seq(
+      1 -> v(1, 0, 0), 2 -> v(0.9, 0.1, 0), 3 -> v(0, 1, 0)), threshold = 0.38)
+    val bc = spark.sparkContext.broadcast(m)
+    val matchUdf = udf((x: Seq[Float]) => bc.value.matchVector(x.toArray))
+    val queries = Seq((10L, Seq(1f, 0f, 0f)), (11L, Seq(0f, 1f, 0f)))
+    val distributed = queries.toDF("id", "vec")
+      .repartition(4)
+      .select(col("id"), explode(matchUdf(col("vec"))).as("hit"))
+      .select(col("id"), col("hit._1").as("sid"), col("hit._2").as("sim"))
+      .as[(Long, Int, Double)].collect().toSet
+    val direct = queries.flatMap { case (id, q) =>
+      m.matchVector(q.toArray).map { case (sid, sim) => (id, sid, sim) }
+    }.toSet
+    assert(distributed == direct)
+    bc.destroy()
+  }
 }

@@ -5,12 +5,14 @@ import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.multimodal.MediaStub
+import graft.multimodal.{MediaFixtures, MediaStub}
 import graft.multimodal.MediaStub.{MediaMeta, MediaRecord}
 
 /** Multimodal plumbing spec: binary columns survive the typed round-trip,
-  * the per-partition decode emits deterministic metadata whose digest
-  * matches the native sha2 expression, and frame sampling has the right
+  * the per-partition decode parses REAL container headers (PNG IHDR,
+  * JPEG SOFn marker walk, GIF screen descriptor, RIFF/WAVE fmt+data
+  * chunks) against hand-built golden headers, digests match the native
+  * sha2 expression, and frame sampling has the right
   * cardinality/offsets.
   */
 class MediaStubSpec extends AnyFunSuite {
@@ -32,14 +34,63 @@ class MediaStubSpec extends AnyFunSuite {
     assert(meta(1).n_bytes == 0)
   }
 
-  test("fake decode is deterministic and bounded") {
+  test("PNG IHDR golden: width/height read big-endian at offsets 16/20") {
     import spark.implicits._
-    val ds = Seq(rec(1, "abc", "image/png"), rec(2, "abc", "image/png")).toDS()
+    val ds = Seq(
+      MediaRecord(1, MediaFixtures.png(640, 480, "pix".getBytes), "image/png"),
+      MediaRecord(2, MediaFixtures.png(1, 2144, Array.empty), "image/png")).toDS()
+    val meta = MediaStub.decodeMeta(ds).collect().sortBy(_.doc_id)
+    assert(meta(0).width == 640 && meta(0).height == 480 && meta(0).n_frames == 1)
+    assert(meta(1).width == 1 && meta(1).height == 2144)
+    assert(meta(0).n_bytes == 33 + 3) // sig 8 + IHDR 25 + payload
+    assert(meta(0).sample_rate == 0 && meta(0).channels == 0)
+  }
+
+  test("JPEG SOFn golden: marker walk skips APP segments, reads h then w") {
+    import spark.implicits._
+    val plain = MediaFixtures.jpeg(123, 456, "scan".getBytes)
+    // APP0/JFIF segment BEFORE the SOF0 — the walk must skip it by length
+    val app0 = Array(0xff, 0xe0, 0x00, 0x10).map(_.toByte) ++
+      "JFIF".getBytes ++ new Array[Byte](10)
+    val withApp0 = plain.take(2) ++ app0 ++ plain.drop(2)
+    val ds = Seq(
+      MediaRecord(1, plain, "image/jpeg"),
+      MediaRecord(2, withApp0, "image/jpeg")).toDS()
+    val meta = MediaStub.decodeMeta(ds).collect().sortBy(_.doc_id)
+    assert(meta.forall(m => m.width == 123 && m.height == 456 && m.n_frames == 1))
+    assert(meta(0).n_bytes == 23 + 4)
+  }
+
+  test("GIF golden: logical screen dims little-endian at offsets 6/8") {
+    import spark.implicits._
+    val gif = "GIF89a".getBytes ++
+      Array((320 & 0xff).toByte, (320 >> 8).toByte, (200 & 0xff).toByte, (200 >> 8).toByte) ++
+      new Array[Byte](4)
+    val m = MediaStub.decodeMeta(Seq(MediaRecord(1, gif, "image/gif")).toDS()).head()
+    assert(m.width == 320 && m.height == 200)
+  }
+
+  test("WAV golden: fmt chunk rate/channels, n_frames = data/blockAlign") {
+    import spark.implicits._
+    val ds = Seq(
+      MediaRecord(1, MediaFixtures.wav(44100, 2, 1000), "audio/wav"),
+      MediaRecord(2, MediaFixtures.wav(8000, 1, 5), "audio/wav")).toDS()
+    val meta = MediaStub.decodeMeta(ds).collect().sortBy(_.doc_id)
+    assert(meta(0).sample_rate == 44100 && meta(0).channels == 2 && meta(0).n_frames == 1000)
+    assert(meta(0).n_bytes == 44 + 1000 * 2 * 2)
+    assert(meta(1).sample_rate == 8000 && meta(1).channels == 1 && meta(1).n_frames == 5)
+    assert(meta.forall(m => m.width == 0 && m.height == 0))
+  }
+
+  test("garbage and truncated headers fall back to the documented stub") {
+    import spark.implicits._
+    val truncatedPng = MediaFixtures.png(640, 480, Array.empty).take(12)
+    val ds = Seq(
+      MediaRecord(1, "not a container".getBytes, "image/png"),
+      MediaRecord(2, truncatedPng, "image/png"),
+      MediaRecord(3, Array.empty[Byte], "image/png")).toDS()
     val meta = MediaStub.decodeMeta(ds).collect()
-    assert(meta.map(_.width).distinct.size == 1) // same bytes ⇒ same fake dims
-    assert(meta.forall(m => m.width >= 16 && m.width < 4096))
-    assert(meta.forall(m => m.height >= 16 && m.height < 2160))
-    assert(meta.forall(_.n_frames == 1)) // images: single frame
+    assert(meta.forall(m => m.width == 0 && m.height == 0 && m.n_frames == 1))
   }
 
   test("video assets get frame counts and sampled frame refs") {
@@ -64,14 +115,16 @@ class MediaStubSpec extends AnyFunSuite {
     assert(back.media.toSeq == payload.toSeq)
   }
 
-  test("resize plan preserves aspect ratio and never upscales") {
+  test("resize plan preserves aspect ratio, never upscales, skips audio") {
     import spark.implicits._
     val meta = Seq(
-      MediaMeta(1, "image/png", 10, "d", 4000, 2000, 1),  // downscale, wide
-      MediaMeta(2, "image/png", 10, "d", 100, 50, 1),     // already fits
-      MediaMeta(3, "image/png", 10, "d", 50, 2000, 1))    // downscale, tall
+      MediaMeta(1, "image/png", 10, "d", 4000, 2000, 1, 0, 0), // downscale, wide
+      MediaMeta(2, "image/png", 10, "d", 100, 50, 1, 0, 0),    // already fits
+      MediaMeta(3, "image/png", 10, "d", 50, 2000, 1, 0, 0),   // downscale, tall
+      MediaMeta(4, "audio/wav", 10, "d", 0, 0, 100, 8000, 1))  // no pixel dims
       .toDS()
     val plans = MediaStub.planResize(meta, 512, 512).collect().sortBy(_.doc_id)
+    assert(plans.length == 3) // the audio row has nothing to resize
     val p1 = plans(0)
     assert(p1.out_width == 512 && p1.out_height == 256) // aspect 2:1 kept
     assert(plans(1).out_width == 100 && plans(1).out_height == 50) // no upscale
