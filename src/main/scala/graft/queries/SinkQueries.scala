@@ -211,13 +211,10 @@ object SinkQueries {
     * depend on the boundary-snapping chunker (spec-pinned, not
     * SQL-expressible); idempotent across runs (CDC makes re-runs
     * no-ops over the same state). */
-  private val e2eSilverGold: Q = (s, d) => {
-    import graft.silver.SilverPipeline
-    import graft.gold.GoldAnalytics
-    val cfg = SilverPipeline.Config(
-      statePath("e2e_resources"), statePath("e2e_chunks"),
-      chunkMax = 400, chunkMin = 80, chunkOverlap = 60)
-    val bronze = Tables.documents(s, d).select(
+  /** The documents table reshaped as the silver pipeline's bronze input
+    * (shared by `e2e_silver_gold` and `gold_star_oracle`). */
+  private def e2eBronze(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
       col("doc_id").cast("string").as("resource_id"),
       col("source"),
       concat(lit("https://oer.example/"), col("doc_id")).as("url"),
@@ -226,10 +223,11 @@ object SinkQueries {
       col("lang").as("language"),
       col("text"),
       lit("2026-01-01 00:00:00").as("scraped_at"))
-    SilverPipeline.run(s, bronze, cfg)
-    val resources = TableMerge.read(s, cfg.resourcesPath)
-    val chunks = TableMerge.read(s, cfg.chunksPath)
-      .join(resources.select("resource_uid"), Seq("resource_uid"), "left_semi")
+
+  /** The fixed subject table + title-rule matches both gold queries
+    * derive from silver resources (SQL-expressible: CASE over LIKE). */
+  private def goldSubjectsAndMatches(s: SparkSession, resources: DataFrame)
+      : (DataFrame, DataFrame) = {
     import s.implicits._
     val subjects = Seq((1, "query table"), (2, "stream batch")).toDF("subject_id", "subject_name")
     val matches = resources
@@ -239,6 +237,20 @@ object SinkQueries {
           .when(col("title").contains("stream"), 2))
       .filter(col("subject_id").isNotNull)
       .withColumn("similarity", lit(0.9))
+    (subjects, matches)
+  }
+
+  private val e2eSilverGold: Q = (s, d) => {
+    import graft.silver.SilverPipeline
+    import graft.gold.GoldAnalytics
+    val cfg = SilverPipeline.Config(
+      statePath("e2e_resources"), statePath("e2e_chunks"),
+      chunkMax = 400, chunkMin = 80, chunkOverlap = 60)
+    SilverPipeline.run(s, e2eBronze(s, d), cfg)
+    val resources = TableMerge.read(s, cfg.resourcesPath)
+    val chunks = TableMerge.read(s, cfg.chunksPath)
+      .join(resources.select("resource_uid"), Seq("resource_uid"), "left_semi")
+    val (subjects, matches) = goldSubjectsAndMatches(s, resources)
     val gold = GoldAnalytics.buildAll(s, resources, chunks, subjects, matches,
       resources.select(to_date(col("scraped_at")).as("dt")))
     gold("dim_resources")
@@ -249,8 +261,71 @@ object SinkQueries {
       .orderBy("source_system")
   }
 
+  // ---------------------------------------------------- gold star oracle
+
+  /** Scale-factor basename (e.g. "sf0.01") of the sf dir the gold
+    * fixture was last built for. `oracleSql` is dumped by Verify AFTER
+    * the queries run, so the oracle can reference the fixture of the
+    * run that produced it; a later bench run at another sf writes to a
+    * DIFFERENT sf-keyed path and cannot clobber the compare input. */
+  @volatile private var goldFixtureSf: String = "sf0.01"
+
+  private def goldFixturePath(sf: String, which: String): String =
+    Paths.get(statePath(s"goldfx_${sf}_$which")).toAbsolutePath.toString
+
+  /** VERDICT r8 #1 — the flagship lifecycle's GOLD stage under a real
+    * DuckDB hash oracle. The silver half (normalize → dedup → CDC →
+    * merge → chunk; chunker semantics spec-pinned, not SQL-expressible)
+    * runs once and is FROZEN as a plain-parquet fixture; the battery
+    * result is the GoldAnalytics star build over that fixture — dims,
+    * bridge, and fact math (`gold_analytics.py:123-186`, `494-607`) —
+    * reduced to key-free aggregates (surrogate keys are Spark
+    * `xxhash64`, which DuckDB can't replicate; every other gold column
+    * is covered). The oracle reads the SAME fixture files, so exactly
+    * the gold relational stage is under the hash compare;
+    * `e2e_silver_gold` above stays rows-only for the composed
+    * lifecycle. */
+  private val goldStarOracle: Q = (s, d) => {
+    import graft.silver.SilverPipeline
+    import graft.gold.GoldAnalytics
+    val sf = new java.io.File(d).getName
+    goldFixtureSf = sf
+    val cfg = SilverPipeline.Config(
+      statePath(s"goldfx_${sf}_resources_tbl"), statePath(s"goldfx_${sf}_chunks_tbl"),
+      chunkMax = 400, chunkMin = 80, chunkOverlap = 60)
+    SilverPipeline.run(s, e2eBronze(s, d), cfg)
+    val resourcesT = TableMerge.read(s, cfg.resourcesPath)
+    val chunksT = TableMerge.read(s, cfg.chunksPath)
+      .join(resourcesT.select("resource_uid"), Seq("resource_uid"), "left_semi")
+    // freeze silver as the shared engine/oracle input
+    val resFx = goldFixturePath(sf, "resources")
+    val chFx = goldFixturePath(sf, "chunks")
+    resourcesT.write.mode("overwrite").parquet(resFx)
+    chunksT.select("resource_uid", "chunk_id", "token_count")
+      .write.mode("overwrite").parquet(chFx)
+    val resources = s.read.parquet(resFx)
+    val chunks = s.read.parquet(chFx)
+    val (subjects, matches) = goldSubjectsAndMatches(s, resources)
+    val gold = GoldAnalytics.buildAll(s, resources, chunks, subjects, matches,
+      resources.select(to_date(col("scraped_at")).as("dt")))
+    val perSource = gold("dim_resources").groupBy("source_system")
+      .agg(count(lit(1)).as("n_resources"),
+        sum("n_chunks").as("n_chunks"),
+        sum("total_tokens").as("n_tokens"))
+    // single-row global stats from the other star members ride every row
+    // (1-row broadcast cross join — the corpus-stats shape, not a window)
+    val globals = gold("bridge_resource_subjects").agg(count(lit(1)).as("n_bridge"))
+      .crossJoin(gold("fact_subject_coverage")
+        .agg(sum("coverage_bp").as("sum_coverage_bp"),
+          sum("n_matched_resources").as("n_matched")))
+      .crossJoin(gold("dim_languages").agg(count(lit(1)).as("n_languages")))
+      .crossJoin(gold("dim_date").agg(count(lit(1)).as("n_dates")))
+    perSource.crossJoin(broadcast(globals)).orderBy("source_system")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "e2e_silver_gold" -> e2eSilverGold,
+    "gold_star_oracle" -> goldStarOracle,
     "s1_multiline_json" -> s1MultilineJson,
     "s8_sql_dump" -> s8SqlDump,
     "s9_json_reference" -> s9JsonReference,
@@ -262,7 +337,60 @@ object SinkQueries {
     "k8_saf_export" -> k8SafExport,
   )
 
-  val oracles: Map[String, String] = Map(
+  /** A `def`, not a `val`: the gold oracle embeds the absolute fixture
+    * path for the sf that just ran (`goldFixtureSf` is set by the query;
+    * Verify dumps oracle_sql.json after the battery completes). */
+  def oracles: Map[String, String] = Map(
+    "gold_star_oracle" -> {
+      val res = goldFixturePath(goldFixtureSf, "resources")
+      val ch = goldFixturePath(goldFixtureSf, "chunks")
+      s"""WITH resources AS (SELECT * FROM read_parquet('$res/*.parquet')),
+         |chunks AS (SELECT * FROM read_parquet('$ch/*.parquet')),
+         |chunk_stats AS (
+         |  SELECT resource_uid, count(DISTINCT chunk_id) AS n_chunks,
+         |    sum(token_count) AS total_tokens
+         |  FROM chunks GROUP BY resource_uid),
+         |dimres AS (
+         |  SELECT r.source_system,
+         |    coalesce(cs.n_chunks, 0) AS n_chunks,
+         |    coalesce(cs.total_tokens, 0) AS total_tokens
+         |  FROM resources r LEFT JOIN chunk_stats cs USING (resource_uid)),
+         |matches AS (
+         |  SELECT resource_uid,
+         |    CASE WHEN title LIKE '%table%' THEN 1
+         |      WHEN title LIKE '%stream%' THEN 2 END AS subject_id
+         |  FROM resources
+         |  WHERE title LIKE '%table%' OR title LIKE '%stream%'),
+         |bridge AS (SELECT DISTINCT resource_uid, subject_id FROM matches),
+         |per_subject AS (
+         |  SELECT subject_id, count(DISTINCT resource_uid) AS n
+         |  FROM matches GROUP BY subject_id),
+         |cov AS (
+         |  SELECT s.subject_id, coalesce(p.n, 0) AS n_matched
+         |  FROM (VALUES (1), (2)) AS s(subject_id)
+         |  LEFT JOIN per_subject p USING (subject_id)),
+         |globals AS (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM bridge) AS n_bridge,
+         |  (SELECT CAST(sum(CAST(floor(CAST(n_matched AS DOUBLE)
+         |      / (SELECT count(DISTINCT resource_uid) FROM resources)
+         |      * 10000) AS BIGINT)) AS BIGINT) FROM cov) AS sum_coverage_bp,
+         |  (SELECT CAST(sum(n_matched) AS BIGINT) FROM cov) AS n_matched,
+         |  (SELECT CAST(count(DISTINCT coalesce(language, 'unknown')) AS BIGINT)
+         |    FROM resources) AS n_languages,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM (
+         |    SELECT DISTINCT dt FROM (
+         |      SELECT CAST(scraped_at AS DATE) AS dt FROM resources
+         |      UNION ALL SELECT DATE '2024-01-01') u
+         |    WHERE dt IS NOT NULL) dd) AS n_dates)
+         |SELECT source_system, CAST(count(*) AS BIGINT) AS n_resources,
+         |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+         |  CAST(sum(total_tokens) AS BIGINT) AS n_tokens,
+         |  g.n_bridge, g.sum_coverage_bp, g.n_matched, g.n_languages, g.n_dates
+         |FROM dimres CROSS JOIN globals g
+         |GROUP BY source_system, g.n_bridge, g.sum_coverage_bp, g.n_matched,
+         |  g.n_languages, g.n_dates
+         |ORDER BY source_system""".stripMargin
+    },
     "s1_multiline_json" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
