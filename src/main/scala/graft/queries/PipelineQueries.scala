@@ -745,6 +745,60 @@ object PipelineQueries {
       .groupBy("reason").agg(count(lit(1)).as("n"))
       .orderBy("reason")
 
+  /** Pinned-golden digest rider for the rows-only entries (VERDICT r8
+    * #2): the five queries here whose semantics no SQL oracle can
+    * express (chunker / summarizer / matcher logic) get an
+    * order-independent digest of their OWN full output —
+    * `sum(pmod(xxhash64(every column), 10^9+7))` — attached to every
+    * row via a 1-row broadcast cross join, plus `golden_ok` = digest ==
+    * the pinned constant for this scale factor. The driver's rows-only
+    * check can't see value drift; the digest column makes any semantic
+    * drift visible in the dumped parquet round-over-round, and
+    * `golden_ok=false` flags it loudly. pmod keeps the running sum far
+    * from Long overflow (ANSI mode would throw); the sum is one
+    * partial-aggregated pass — no single-partition collect, scales like
+    * any global count.
+    *
+    * Constants were derived by running `graft.Verify` at each sf and
+    * reading the digest back (round 9); the underlying semantics are
+    * pinned by ChunkerSpec / HierarchySpec / SubjectMatcherSpec — a
+    * digest change means one of those suites' subjects drifted. Unknown
+    * sf dirs (e.g. the ×8 scale harness) get golden_ok = NULL rather
+    * than false. */
+  private def withGoldenDigest(df: DataFrame, d: String, queryName: String): DataFrame = {
+    val hashAll = pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(1000000007L))
+    val digest = df.agg(sum(hashAll).as("golden_digest"))
+    val expected = GoldenDigests.get(queryName)
+      .flatMap(_.get(new java.io.File(d).getName))
+    df.crossJoin(broadcast(digest))
+      .withColumn("golden_ok",
+        expected.map(e => col("golden_digest") === lit(e))
+          .getOrElse(lit(null).cast("boolean")))
+  }
+
+  private val GoldenDigests: Map[String, Map[String, Long]] = Map(
+    "subject_match_topk" -> Map(
+      "sf0.001" -> 254965504157L,
+      "sf0.01" -> 272207590044L,
+      "sf0.1" -> 2525470469629L),
+    "chunk_paragraph" -> Map(
+      "sf0.001" -> 561264543966L,
+      "sf0.01" -> 525465140515L,
+      "sf0.1" -> 5280611936760L),
+    "chunk_hierarchical" -> Map(
+      "sf0.001" -> 1343592040504L,
+      "sf0.01" -> 1332586306763L,
+      "sf0.1" -> 13146286255045L),
+    "text_summarize" -> Map(
+      "sf0.001" -> 250508629023L,
+      "sf0.01" -> 250508629023L, // sf0.001/sf0.01 share doc_ids 0-499 and
+      // every doc summarizes to 1 sentence — equal digests are genuine
+      "sf0.1" -> 2492689638523L),
+    "sim_semantic_match" -> Map(
+      "sf0.001" -> 5081089278L,
+      "sf0.01" -> 7166123759L,
+      "sf0.1" -> 12372869121L))
+
   /** F14 — SubjectMatcher applied distributed: the TF-IDF+lexical model
     * is fit once on the driver from a dim-sized subject corpus and
     * shipped via `sc.broadcast` (the reference broadcasts the same way,
@@ -764,12 +818,13 @@ object PipelineQueries {
       threshold = 0.5))
     val matchUdf = udf((title: String) =>
       bcMatcher.value.matchSubjects(Option(title), None).map(m => (m.subjectId, m.similarity)))
-    Tables.documents(s, d)
+    val base = Tables.documents(s, d)
       .withColumn("title", concat_ws(" ", slice(split(col("text"), " "), 1, 12)))
       .select(col("doc_id"), explode(matchUdf(col("title"))).as("m"))
       .select(col("doc_id"), col("m._1").as("subject_id"),
         floor(col("m._2") * 10000).cast("long").as("sim_e4"))
       .orderBy("doc_id", "subject_id")
+    withGoldenDigest(base, d, "subject_match_topk")
   }
 
   /** F19/F20 — the boundary-snapping chunker distributed via typed
@@ -782,7 +837,7 @@ object PipelineQueries {
     import s.implicits._
     import graft.chunk.Chunker
     val cfg = Chunker.Config(maxChars = 200, minChars = 40, overlapChars = 40)
-    Tables.documents(s, d)
+    val chunkRows = Tables.documents(s, d)
       .select("doc_id", "lang", "text")
       // chunking is CPU-bound per row; a sub-128MB file arrives as ONE
       // input partition, so byte-based splits under-provision it — fan
@@ -796,8 +851,10 @@ object PipelineQueries {
           Chunker.chunkDocumentRecord(s"res_$id", s"asset_$id", lang, Seq(1 -> text), cfg)
         rows.map(r => (id, r.chunk_order, r.token_count, r.chunk_id, status))
       }
+    val base = chunkRows
       .toDF("doc_id", "chunk_order", "token_count", "chunk_id", "status")
       .orderBy("doc_id", "chunk_order")
+    withGoldenDigest(base, d, "chunk_paragraph")
   }
 
   /** F21+F22 — hierarchical 3-tier chunking distributed: each document
@@ -827,6 +884,7 @@ object PipelineQueries {
       .toDF("doc_id", "chunk_tier", "chunk_order", "chunk_type", "has_parent",
         "toc_method", "status")
       .orderBy("doc_id", "chunk_tier", "chunk_order", "chunk_type")
+      .transform(withGoldenDigest(_, d, "chunk_hierarchical"))
   }
 
   /** F23 — extractive summarization distributed via UDF (char-ngram
@@ -840,6 +898,7 @@ object PipelineQueries {
     Tables.documents(s, d)
       .select(col("doc_id"), summarizeUdf(col("text")).as("n_summary_sentences"))
       .orderBy("doc_id")
+      .transform(withGoldenDigest(_, d, "text_summarize"))
   }
 
   /** F24 — semantic matcher distributed: subject vectors = the first 8
@@ -869,6 +928,7 @@ object PipelineQueries {
       .select(col("vec_id"), explode(matchUdf(col("embedding"))).as("m"))
       .select(col("vec_id"), col("m._1").as("subject_id"), col("m._2").as("sim_e4"))
       .orderBy("vec_id", "subject_id")
+      .transform(withGoldenDigest(_, d, "sim_semantic_match"))
   }
 
   // ------------------------------------------------------------ skew
