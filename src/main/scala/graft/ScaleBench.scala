@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-slope evidence for the dedup/ANN tier (VERDICT r8 #6): no sf1
+  * testdata exists, so synthesize ×1 and ×8 corpora from the base sf dir
+  * and measure how the candidate-generating queries scale. The thing to
+  * prove is that candidate-pair volume — the term that goes quadratic in
+  * a naive all-pairs design — stays bounded by the band/bucket structure,
+  * i.e. wall time and pair counts grow ~linearly with corpus size.
+  *
+  * Corpus construction: documents are unioned `f`× with doc_id offsets
+  * of 1M per copy (clear of every fixture's +100k/+200k injected-dup id
+  * ranges). Copy 0 keeps the original text; copy i>0 prefixes EVERY
+  * token with `c<i>`, making its shingle vocabulary disjoint from every
+  * other copy — cross-copy Jaccard is ~0, so each copy contributes its
+  * own near-dup structure and the TRUE pair count scales ×f (a
+  * first-token-only perturbation would leave copies ~0.99-similar to
+  * each other and grow pairs O(f²) BY CONSTRUCTION, which would measure
+  * the fixture, not the engine). Embeddings are unioned with vec_id
+  * offsets and the vector rotated by i positions per copy — rotation
+  * changes direction (cosine), not norm, so copies don't collapse into
+  * one ANN bucket.
+  *
+  * Output: one JSON line + BENCH_scale.json with per-query seconds at
+  * ×1/×8, the time ratio, and the observed band-bucket stats
+  * (candidate pairs before distinct, max bucket size) for the
+  * minhash-pairs pipeline at both scales.
+  */
+object ScaleBench {
+
+  private val Factors = Seq(1, 8)
+
+  private val Queries = Seq(
+    "dedup_exact", "dedup_simhash", "dedup_minhash_lsh", "dedup_minhash_pairs",
+    "dedup_incremental", "dedup_ngram_jaccard", "dedup_connected_components",
+    "sim_lsh_buckets", "sim_ivf_topk", "sim_embed_neardup")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val repeat = args.lift(1).map(_.toInt).getOrElse(2)
+    val spark = GraftSession.local("graft-scale")
+    // warm codegen/JIT the same way Bench does
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val dirs: Map[Int, String] = Factors.map { f =>
+      val dir = new java.io.File(s"target/graft-state/scale_x$f").getAbsolutePath
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      val embs = spark.read.parquet(s"$base/embeddings.parquet")
+      (0 until f).map { i =>
+        val d = docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+        if (i == 0) d
+        else d.withColumn("text",
+          expr(s"concat_ws(' ', transform(split(text, ' '), t -> concat('c$i', t)))"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      (0 until f).map { i =>
+        val e = embs.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+        if (i == 0) e
+        else e.withColumn("embedding",
+          expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
+            s"slice(embedding, 1, $i))"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      f -> dir
+    }.toMap
+
+    // interleaved min-of-N, same discipline as Bench
+    val times = scala.collection.mutable.LinkedHashMap[(String, Int), Double]()
+    for (_ <- 1 to repeat; name <- Queries; f <- Factors) {
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dirs(f)).write.mode("overwrite").format("noop").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val k = (name, f)
+      if (!times.contains(k) || sec < times(k)) times(k) = sec
+    }
+
+    // band-bucket diagnostics: replicate dedup_minhash_pairs' candidate
+    // generation (same 3-shingle minhash, r=2/b=2 bands) and report the
+    // pair volume the band join would produce BEFORE the distinct —
+    // the quantity that must stay ~linear for the design to hold.
+    val bandStats: Map[Int, (Long, Long, Long)] = Factors.map { f =>
+      val spec = Seq((1000003L, 12345L), (999983L, 54321L), (999979L, 11111L),
+        (1000033L, 77777L)).map { case (a, b) => s"$a,$b" }.mkString(";")
+      val P = 2147483647L
+      val docs = spark.read.parquet(s"${dirs(f)}/documents.parquet")
+        .selectExpr("doc_id", "split(text, ' ') AS tokens")
+      val dups = docs.filter(col("doc_id") % 20 === 0)
+        .selectExpr("doc_id + 100000 AS doc_id", "slice(tokens, 2, size(tokens) - 1) AS tokens")
+      val buckets = docs.union(dups).filter(size(col("tokens")) >= 3)
+        .selectExpr("doc_id", s"graft_minhash(graft_shingle_set(graft_word_fps(tokens)), '$spec') AS sig")
+        .selectExpr("doc_id",
+          s"(sig[0] * 31 + sig[1]) % $P AS band_0", s"(sig[2] * 31 + sig[3]) % $P AS band_1")
+        .selectExpr("doc_id", "posexplode(array(band_0, band_1)) AS (band_idx, band_val)")
+        .groupBy("band_idx", "band_val").agg(count(lit(1)).as("n"))
+      val row = buckets.agg(
+        sum(expr("n * (n - 1) DIV 2")).as("cand_pairs"),
+        max("n").as("max_bucket"),
+        count(lit(1)).as("n_buckets")).head()
+      f -> (row.getLong(0), row.getLong(1), row.getLong(2))
+    }.toMap
+
+    def r3(v: Double): String = f"$v%.3f"
+    val perQuery = Queries.map { q =>
+      val t1 = times((q, 1)); val t8 = times((q, 8))
+      s""""$q":{"x1":${r3(t1)},"x8":${r3(t8)},"ratio":${r3(t8 / math.max(t1, 1e-9))}}"""
+    }.mkString("{", ",", "}")
+    val bands = Factors.map { f =>
+      val (pairs, maxB, nB) = bandStats(f)
+      s""""x$f":{"cand_pairs":$pairs,"max_bucket":$maxB,"n_buckets":$nB}"""
+    }.mkString("{", ",", "}")
+    val t1Total = Queries.map(q => times((q, 1))).sum
+    val t8Total = Queries.map(q => times((q, 8))).sum
+    val line = s"""{"metric":"scale_slope","base":"$base","factors":[1,8],""" +
+      s""""total_x1":${r3(t1Total)},"total_x8":${r3(t8Total)},""" +
+      s""""total_ratio":${r3(t8Total / t1Total)},"queries":$perQuery,"minhash_bands":$bands}"""
+    println(line)
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_scale.json"),
+      (line + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}
