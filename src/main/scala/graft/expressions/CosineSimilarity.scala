@@ -218,6 +218,22 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinhashSig(children.head, pairs.map(_._1), pairs.map(_._2))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_stopword_stats"),
+      new ExpressionInfo(classOf[StopwordStats].getName, "graft_stopword_stats"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_stopword_stats(tokens, 'w1,w2,…') takes exactly 2 arguments")
+        val spec = children(1) match {
+          case l if l.foldable && l.dataType == StringType =>
+            Option(l.eval()).map(_.toString).getOrElse(
+              throw new IllegalArgumentException(
+                "graft_stopword_stats: stopwords must not be NULL"))
+          case other => throw new IllegalArgumentException(
+            s"graft_stopword_stats: stopwords must be a STRING literal 'w1,w2,…', got $other")
+        }
+        StopwordStats(children.head, spec.split(',').map(_.trim).filter(_.nonEmpty))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashBits].getName, "graft_simhash"),
       (children: Seq[Expression]) => {

@@ -147,6 +147,35 @@ object TextSketch {
     java.lang.Long.valueOf(sig)
   }
 
+  /** Fused stopword/length census of a token array — one pass replacing
+    * the two CodegenFallback HOFs the quality/langid queries shipped
+    * through r8 (`size(filter(tokens, t -> t IN (...)))` +
+    * `aggregate(tokens, 0L, (a, w) -> a + length(w))`): out(0) =
+    * stopword hits (a null token is dropped by `filter`, matching `t IN
+    * (...)` null semantics), out(1) = total codepoint length (null if
+    * ANY token is null — `a + length(null)` poisons the whole
+    * aggregate fold). Lengths count codepoints via UTF8String.numChars,
+    * exactly Spark's `length`. */
+  def stopwordStats(tokens: ArrayData, stop: java.util.HashSet[UTF8String]): ArrayData = {
+    val n = tokens.numElements()
+    var hits = 0L
+    var totalLen = 0L
+    var lenNull = false
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i)) lenNull = true
+      else {
+        val t = tokens.getUTF8String(i)
+        if (stop.contains(t)) hits += 1
+        totalLen += t.numChars()
+      }
+      i += 1
+    }
+    new GenericArrayData(Array[Any](
+      java.lang.Long.valueOf(hits),
+      if (lenNull) null else java.lang.Long.valueOf(totalLen)))
+  }
+
   /** Distinct 64-bit 3-shingle hashes of raw tokens, FNV-1a over the
     * codepoints of the three words joined by a single space — a JOIN
     * KEY, not an oracle value: the DuckDB side of the Jaccard queries
@@ -312,6 +341,39 @@ final case class SimhashBits(child: Expression, nBits: Int) extends UnaryExpress
        """.stripMargin)
   }
   override protected def withNewChildInternal(newChild: Expression): SimhashBits =
+    copy(child = newChild)
+}
+
+/** `graft_stopword_stats(array<string>, 'w1,w2,…')` → `array<long>`
+  * [stopword_hits, total_codepoint_len]: the text-quality/langid census
+  * in one codegen'd pass (VERDICT r8 #8 — the lambda-HOF forms are
+  * CodegenFallback and break the scan's whole-stage span). The DuckDB
+  * oracles keep their list_filter/list_reduce forms; TextSketchSpec
+  * pins native == HOF bitwise. */
+final case class StopwordStats(child: Expression, stopwords: Array[String])
+  extends UnaryExpression {
+  require(stopwords.nonEmpty, "graft_stopword_stats needs >= 1 stopword")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_stopword_stats requires array<string>, got ${t.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_stopword_stats"
+  @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    stopwords.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+  override def nullSafeEval(a: Any): Any =
+    TextSketch.stopwordStats(a.asInstanceOf[ArrayData], stopSet)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopwordSet", stopSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.expressions.TextSketch.stopwordStats($x, $setRef);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): StopwordStats =
     copy(child = newChild)
 }
 

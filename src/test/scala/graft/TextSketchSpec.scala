@@ -117,6 +117,43 @@ class TextSketchSpec extends AnyFunSuite {
     assert(c.contains(null)) // windows crossing the null token collapse to one null
   }
 
+  test("graft_stopword_stats matches the filter/aggregate HOFs bitwise") {
+    val stopSql = "('the', 'a', 'is', 'of', 'and', 'to', 'in')"
+    val rows = corpus.selectExpr(
+      "graft_stopword_stats(tokens, 'the,a,is,of,and,to,in') AS native",
+      s"size(filter(tokens, t -> t IN $stopSql)) AS hof_hits",
+      "aggregate(tokens, CAST(0 AS BIGINT), (a, w) -> a + length(w)) AS hof_len")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val native = r.getSeq[Any](0)
+      assert(native(0) == r.getInt(1).toLong.asInstanceOf[Any]) // size() is INT
+      assert(native(1) == r.getLong(2).asInstanceOf[Any])
+    }
+    // null-token contract: filter drops the null (IN → null), the
+    // length fold is poisoned to null; multibyte tokens count codepoints
+    val edge = spark.sql(
+      "SELECT graft_stopword_stats(array('the', CAST(NULL AS STRING), '中文😀'), " +
+        "'the,a') AS sw, " +
+        "graft_stopword_stats(CAST(NULL AS ARRAY<STRING>), 'the') AS n," +
+        "graft_stopword_stats(array('café'), 'the')[1] AS cafe_len").head()
+    val sw = edge.getSeq[Any](0)
+    assert(sw(0) == 1L.asInstanceOf[Any] && sw(1) == null)
+    assert(edge.isNullAt(1))
+    assert(edge.getLong(2) == 4L) // café = 4 codepoints, not 5 bytes
+  }
+
+  test("whole-stage codegen keeps the stopword census fused") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("graft_stopword_stats(split(text, ' '), 'the,a,is')[0] AS hits")
+    val wsc = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.exists(_.collect {
+      case p: org.apache.spark.sql.execution.ProjectExec => p
+    }.exists(_.projectList.exists(_.toString.contains("graft_stopword_stats")))))
+  }
+
   test("whole-stage codegen keeps the sketch projection fused") {
     // a local-collection corpus constant-folds to a LocalTableScan —
     // read parquet so there is a real projection stage to audit
