@@ -52,6 +52,12 @@ object QualityChecks {
         passed.as("passed_count"),
         failed.as("failed_count"),
         lit(checkedAt).as("check_timestamp"),
+        // ORACLE CONTRACT (qc_quality_log flattens this map to a sorted
+        // 'k=v|…' string): the DuckDB side hardcodes the flattened
+        // literal, so any new key must slot in LEXICOGRAPHIC order
+        // there, values must stay NON-NULL (array_join silently drops a
+        // null-concat entry), and keys/values must avoid '=' and '|'
+        // (the flattening is not escaped).
         map(
           lit("pass_rate_bp"),
           // greatest(n,1): an EMPTY table must yield a 0-rate "passed"

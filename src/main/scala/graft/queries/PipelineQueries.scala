@@ -774,7 +774,7 @@ object PipelineQueries {
     * digest change means one of those suites' subjects drifted. Unknown
     * sf dirs (e.g. the ×8 scale harness) get golden_ok = NULL rather
     * than false. */
-  private def withGoldenDigest(df: DataFrame, d: String, queryName: String): DataFrame = {
+  private[queries] def withGoldenDigest(df: DataFrame, d: String, queryName: String): DataFrame = {
     val hashAll = pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(1000000007L))
     val digest = df.agg(sum(hashAll).as("golden_digest"))
     val expected = GoldenDigests.get(queryName)
@@ -806,7 +806,14 @@ object PipelineQueries {
     "sim_semantic_match" -> Map(
       "sf0.001" -> 5081089278L,
       "sf0.01" -> 7166123759L,
-      "sf0.1" -> 12372869121L))
+      "sf0.1" -> 12372869121L),
+    // the composed silver→gold lifecycle (SinkQueries) — state is
+    // sf-keyed, so the digest pins the full normalize→dedup→CDC→merge→
+    // chunk→star chain per scale factor
+    "e2e_silver_gold" -> Map(
+      "sf0.001" -> 9655746538L,
+      "sf0.01" -> 9211674417L,
+      "sf0.1" -> 9491981771L))
 
   /** F14 — SubjectMatcher applied distributed: the TF-IDF+lexical model
     * is fit once on the driver from a dim-sized subject corpus and
@@ -986,7 +993,11 @@ object PipelineQueries {
     * event types ≪ capacity) so DuckDB's exact top-3 hash-verifies it;
     * TopKFreqSpec pins the past-capacity error contract. The struct
     * list flattens to an `item:cnt|...` string for the battery — the
-    * driver's pandas hash-compare can't sort array cells. */
+    * driver's pandas hash-compare can't sort array cells. ORACLE
+    * CONTRACT: the flattening is unescaped, so it's only unambiguous
+    * while items avoid ':' and '|' — fine for the enum-like event_type
+    * fixture; free-form item strings would need a length-prefixed or
+    * escaped encoding ON BOTH ENGINES. */
   private val aggTopkFreq: Q = (s, d) =>
     Tables.events(s, d)
       .groupBy((col("user_id") % 10).as("cohort"))

@@ -243,8 +243,12 @@ object SinkQueries {
   private val e2eSilverGold: Q = (s, d) => {
     import graft.silver.SilverPipeline
     import graft.gold.GoldAnalytics
+    // sf-keyed state: a shared path would let a bench run at one scale
+    // factor leave stale CDC'd resources behind for a verify run at
+    // another (the uids overlap across sfs), silently inflating counts
+    val sf = new java.io.File(d).getName
     val cfg = SilverPipeline.Config(
-      statePath("e2e_resources"), statePath("e2e_chunks"),
+      statePath(s"e2e_${sf}_resources"), statePath(s"e2e_${sf}_chunks"),
       chunkMax = 400, chunkMin = 80, chunkOverlap = 60)
     SilverPipeline.run(s, e2eBronze(s, d), cfg)
     val resources = TableMerge.read(s, cfg.resourcesPath)
@@ -253,12 +257,13 @@ object SinkQueries {
     val (subjects, matches) = goldSubjectsAndMatches(s, resources)
     val gold = GoldAnalytics.buildAll(s, resources, chunks, subjects, matches,
       resources.select(to_date(col("scraped_at")).as("dt")))
-    gold("dim_resources")
+    val out = gold("dim_resources")
       .groupBy("source_system")
       .agg(count(lit(1)).as("n_resources"),
         sum("n_chunks").as("n_chunks"),
         sum("total_tokens").as("n_tokens"))
       .orderBy("source_system")
+    PipelineQueries.withGoldenDigest(out, d, "e2e_silver_gold")
   }
 
   // ---------------------------------------------------- gold star oracle
