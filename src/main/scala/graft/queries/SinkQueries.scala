@@ -278,6 +278,13 @@ object SinkQueries {
   private def goldFixturePath(sf: String, which: String): String =
     Paths.get(statePath(s"goldfx_${sf}_$which")).toAbsolutePath.toString
 
+  /** Fixture memo (j15 pattern): the silver run + parquet freeze are
+    * SETUP for the gold star build, not the operator under test —
+    * rebuild once per (session, sf) so a repeated bench pass measures
+    * the gold math, not two table merges and two fixture writes. */
+  private val goldFixtureBuilt =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]()
+
   /** VERDICT r8 #1 — the flagship lifecycle's GOLD stage under a real
     * DuckDB hash oracle. The silver half (normalize → dedup → CDC →
     * merge → chunk; chunker semantics spec-pinned, not SQL-expressible)
@@ -295,19 +302,21 @@ object SinkQueries {
     import graft.gold.GoldAnalytics
     val sf = new java.io.File(d).getName
     goldFixtureSf = sf
-    val cfg = SilverPipeline.Config(
-      statePath(s"goldfx_${sf}_resources_tbl"), statePath(s"goldfx_${sf}_chunks_tbl"),
-      chunkMax = 400, chunkMin = 80, chunkOverlap = 60)
-    SilverPipeline.run(s, e2eBronze(s, d), cfg)
-    val resourcesT = TableMerge.read(s, cfg.resourcesPath)
-    val chunksT = TableMerge.read(s, cfg.chunksPath)
-      .join(resourcesT.select("resource_uid"), Seq("resource_uid"), "left_semi")
-    // freeze silver as the shared engine/oracle input
     val resFx = goldFixturePath(sf, "resources")
     val chFx = goldFixturePath(sf, "chunks")
-    resourcesT.write.mode("overwrite").parquet(resFx)
-    chunksT.select("resource_uid", "chunk_id", "token_count")
-      .write.mode("overwrite").parquet(chFx)
+    if (goldFixtureBuilt.putIfAbsent((s, sf), java.lang.Boolean.TRUE) == null) {
+      val cfg = SilverPipeline.Config(
+        statePath(s"goldfx_${sf}_resources_tbl"), statePath(s"goldfx_${sf}_chunks_tbl"),
+        chunkMax = 400, chunkMin = 80, chunkOverlap = 60)
+      SilverPipeline.run(s, e2eBronze(s, d), cfg)
+      val resourcesT = TableMerge.read(s, cfg.resourcesPath)
+      val chunksT = TableMerge.read(s, cfg.chunksPath)
+        .join(resourcesT.select("resource_uid"), Seq("resource_uid"), "left_semi")
+      // freeze silver as the shared engine/oracle input
+      resourcesT.write.mode("overwrite").parquet(resFx)
+      chunksT.select("resource_uid", "chunk_id", "token_count")
+        .write.mode("overwrite").parquet(chFx)
+    }
     val resources = s.read.parquet(resFx)
     val chunks = s.read.parquet(chFx)
     val (subjects, matches) = goldSubjectsAndMatches(s, resources)
