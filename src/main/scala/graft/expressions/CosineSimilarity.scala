@@ -198,6 +198,22 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
     unary("graft_shingle_set", classOf[ShingleSet], ShingleSet.apply)
     unary("graft_shingle_hash64", classOf[ShingleHash64], ShingleHash64.apply)
     ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashesK].getName, "graft_shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_shingle_hashes(tokens, k) takes exactly 2 arguments")
+        val k = children(1) match {
+          case l if l.foldable && l.dataType == IntegerType =>
+            Option(l.eval()).map(_.asInstanceOf[Int]).getOrElse(
+              throw new IllegalArgumentException(
+                "graft_shingle_hashes: k must not be NULL"))
+          case other => throw new IllegalArgumentException(
+            s"graft_shingle_hashes: k must be an INT literal, got $other")
+        }
+        ShingleHashesK(children.head, k)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash"),
       (children: Seq[Expression]) => {

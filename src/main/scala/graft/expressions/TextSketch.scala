@@ -225,6 +225,57 @@ object TextSketch {
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
+
+  /** POSITIONAL k-gram hashes: one FNV-1a word-window hash per start
+    * position (array length n-k+1, NO dedup — position i covers tokens
+    * [i, i+k-1]). The span-coverage dedup needs every occurrence with
+    * its offset, unlike [[shingleHash64]]'s distinct join keys; same
+    * hash construction (per-word FNV then window combine with the
+    * space separator), so it is likewise a JOIN/GROUP key, not an
+    * oracle value — the DuckDB side groups on the string k-grams
+    * themselves. Windows containing a null token hash to null. */
+  def shingleHashesK(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) return new GenericArrayData(new Array[Any](0))
+    val FnvPrime = 1099511628211L
+    val hashes = new Array[Long](n)
+    val nulls = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i)) nulls(i) = true
+      else {
+        val s = tokens.getUTF8String(i).toString
+        var h = -3750763034362895579L // FNV-1a offset basis
+        var j = 0
+        val m = s.length
+        while (j < m) {
+          val cp = s.codePointAt(j)
+          h = (h ^ cp) * FnvPrime
+          j += Character.charCount(cp)
+        }
+        hashes(i) = h
+      }
+      i += 1
+    }
+    val out = new Array[Any](n - k + 1)
+    i = 0
+    while (i + k - 1 < n) {
+      var hasNull = false
+      var h = -3750763034362895579L
+      var j = i
+      while (j < i + k) {
+        if (nulls(j)) hasNull = true
+        else {
+          if (j > i) h = (h ^ 32L) * FnvPrime
+          h = (h ^ hashes(j)) * FnvPrime
+        }
+        j += 1
+      }
+      out(i) = if (hasNull) null else java.lang.Long.valueOf(h)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `graft_str_fp(string)` → `long`: the scalar rolling codepoint
@@ -394,5 +445,28 @@ final case class ShingleHash64(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, x =>
       s"${ev.value} = graft.expressions.TextSketch.shingleHash64($x);")
   override protected def withNewChildInternal(newChild: Expression): ShingleHash64 =
+    copy(child = newChild)
+}
+
+/** `graft_shingle_hashes(array<string>, k)` → `array<long>`: positional
+  * (non-deduped) k-gram window hashes — element i is the 64-bit key of
+  * tokens [i, i+k-1]; length n-k+1. Feeds the duplicated-span coverage
+  * operator, which needs offsets to merge overlapping windows. */
+final case class ShingleHashesK(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"graft_shingle_hashes needs k >= 1, got $k")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes requires array<string>, got ${t.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_shingle_hashes"
+  override def nullSafeEval(a: Any): Any =
+    TextSketch.shingleHashesK(a.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.expressions.TextSketch.shingleHashesK($x, $k);")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesK =
     copy(child = newChild)
 }

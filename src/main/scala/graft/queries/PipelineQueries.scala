@@ -268,6 +268,75 @@ object PipelineQueries {
       .orderBy("id")
   }
 
+  /** Duplicated-SPAN coverage per document (the substring-dedup view of
+    * "Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2021, re-expressed relationally): for every document, the
+    * fraction of its tokens lying inside a 5-token window that also
+    * occurs verbatim in ANOTHER document. Pair-level dedup
+    * (`dedup_ngram_jaccard`) asks "is this whole doc a near-copy?";
+    * span coverage asks "how much of this doc is boilerplate /
+    * cross-doc duplicated text?" — the metric used to trim templated
+    * headers, license footers and quoted passages out of training
+    * corpora without dropping whole documents.
+    *
+    * Fixture: documents, plus a shared 12-token boilerplate footer
+    * appended to every doc_id % 7 == 0 (the templated-footer class),
+    * plus the usual near-dup copies (doc_id % 20 == 0, first token
+    * dropped, id + 100000 — these should surface with ~full coverage).
+    *
+    * Shape, per 100 TB posture: positional window hashes from the
+    * fused native kernel (8-byte keys, no strings past the scan);
+    * "occurs in another doc" = groupBy(shingle) with a partial-agg
+    * count-distinct-ish reduction (two-level exact countDistinct on an
+    * 8-byte key); flagged offsets come back via a LEFT SEMI join on the
+    * hash; overlapping windows merge with ONE per-doc window pass
+    * (sum of min(K, gap)) — never materializing per-token rows. Three
+    * shuffles total (shingle, shingle, doc_id), all on compact keys;
+    * the per-doc window is bounded by document length. The DuckDB twin
+    * groups on the string 5-grams themselves, so the 64-bit kernel hash
+    * is a join key only (collision odds ~1e-15, same contract as
+    * `dedup_ngram_jaccard`). */
+  private val dedupSpanCoverage: Q = (s, d) => {
+    val K = 5
+    val boiler = "terms of use all rights reserved contact us at example dot org"
+    val base = Tables.documents(s, d).selectExpr("doc_id",
+      s"CASE WHEN doc_id % 7 = 0 THEN concat(text, ' ', '$boiler') ELSE text END AS text")
+    val docs = base.selectExpr("doc_id", "split(text, ' ') AS tokens")
+    val dups = docs.filter(col("doc_id") % 20 === 0)
+      .selectExpr("doc_id + 100000 AS doc_id", "slice(tokens, 2, size(tokens) - 1) AS tokens")
+    val corpus = docs.union(dups).filter(size(col("tokens")) >= K)
+      .selectExpr("doc_id", "CAST(size(tokens) AS BIGINT) AS n_tokens", "tokens")
+    val sh = corpus
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(expr(s"graft_shingle_hashes(tokens, $K)")).as(Seq("pos", "shingle")))
+      .filter(col("shingle").isNotNull)
+    // shingles seen in >1 distinct doc — the "duplicated" window set.
+    // min(doc)≠max(doc) ⟺ ≥2 distinct docs, but unlike countDistinct
+    // it is a plain partial-aggregatable pair (no per-group distinct
+    // expand), so the map side collapses each partition's occurrences
+    // before the shingle shuffle.
+    val multi = sh.groupBy("shingle")
+      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+      .filter(col("d0") =!= col("d1"))
+      .select("shingle")
+    val flagged = sh.join(multi, Seq("shingle"), "left_semi")
+    // merge overlapping/adjacent windows per doc: first flagged window
+    // contributes K tokens, each later one min(K, gap to predecessor)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val perDoc = flagged
+      .withColumn("prev", lag("pos", 1).over(w))
+      .withColumn("contrib",
+        when(col("prev").isNull, lit(K))
+          .otherwise(least(lit(K), col("pos") - col("prev"))))
+      .groupBy("doc_id", "n_tokens")
+      .agg(sum("contrib").as("dup_tokens"))
+    perDoc
+      .withColumn("dup_frac_e4",
+        floor(col("dup_tokens") * lit(10000.0) / col("n_tokens")).cast("long"))
+      .select("doc_id", "n_tokens", "dup_tokens", "dup_frac_e4")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ similarity search
 
   private val sumExpr =
@@ -1045,6 +1114,7 @@ object PipelineQueries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_connected_components" -> dedupComponents,
+    "dedup_span_coverage" -> dedupSpanCoverage,
     "sim_cosine_topk" -> simCosineTopk,
     "sim_cosine_native" -> simCosineNative,
     "sim_lsh_buckets" -> simLshBuckets,
@@ -1257,6 +1327,47 @@ object PipelineQueries {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_span_coverage" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN text || ' terms of use all rights reserved contact us at example dot org'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tokens FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, tokens[2:] AS tokens
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM base)
+        |  WHERE doc_id % 20 = 0),
+        |corpus AS (
+        |  SELECT doc_id, tokens, len(tokens) AS n_tokens FROM docs
+        |  WHERE len(tokens) >= 5),
+        |pos_tbl AS (
+        |  SELECT doc_id, n_tokens,
+        |    unnest(generate_series(1, n_tokens - 4)) AS pos
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT p.doc_id, p.n_tokens, p.pos,
+        |    array_to_string(c.tokens[p.pos:p.pos + 4], ' ') AS shingle
+        |  FROM pos_tbl p JOIN corpus c USING (doc_id)),
+        |multi AS (
+        |  SELECT shingle FROM sh GROUP BY shingle
+        |  HAVING count(DISTINCT doc_id) > 1),
+        |flagged AS (
+        |  SELECT * FROM sh WHERE shingle IN (SELECT shingle FROM multi)),
+        |lagged AS (
+        |  SELECT doc_id, n_tokens, pos,
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM flagged),
+        |per_doc AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(CASE WHEN prev IS NULL THEN 5
+        |                  ELSE least(5, pos - prev) END) AS BIGINT) AS dup_tokens
+        |  FROM lagged GROUP BY doc_id, n_tokens)
+        |SELECT doc_id, n_tokens, dup_tokens,
+        |  CAST(floor(dup_tokens * 10000.0 / n_tokens) AS BIGINT) AS dup_frac_e4
+        |FROM per_doc ORDER BY doc_id""".stripMargin,
     "dedup_connected_components" ->
       """WITH RECURSIVE docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents

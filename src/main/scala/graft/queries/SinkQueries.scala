@@ -149,6 +149,51 @@ object SinkQueries {
       .orderBy("r_name")
   }
 
+  /** S12 — corrupt-record quarantine source: JSONL ingestion that
+    * tolerates malformed lines instead of failing the batch — the
+    * production bronze-landing shape the reference's scrapers imply
+    * (hand-built payloads, `transformer.py:1440-1444` reads them with
+    * no corruption story). Fixture: the customer table serialized to
+    * JSONL DISTRIBUTED (`to_json` + text sink — no driver collect),
+    * with every `c_custkey % 10 == 0` line truncated mid-value (always
+    * invalid: the closing brace is gone). Read back with an explicit
+    * schema + PERMISSIVE + `_corrupt_record`, so bad lines land in the
+    * quarantine column with every data field null, and good lines parse
+    * fully — ONE scan serves both the clean aggregate and the
+    * quarantine count (the parsed batch is cached: Spark disallows
+    * referencing only the corrupt-record column from a raw scan, and
+    * the cache is also what makes the two-way split single-pass; the
+    * handful of cached MiB is dropped by the bench's per-query
+    * clearCache). Money is fixed-pointed per row before summing —
+    * exact LONG math survives any partial-agg order. At scale the same
+    * plan holds: the text fixture is splittable, the parse is
+    * per-partition, and the quarantine branch is a metadata-sized
+    * aggregate broadcast back onto the result. */
+  private val s12CorruptQuarantine: Q = (s, d) => {
+    val path = statePath("s12_customer_jsonl")
+    Tables.customer(s, d)
+      .select(to_json(struct(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")))
+        .as("line"), col("c_custkey"))
+      .select(when(col("c_custkey") % 10 === 0,
+          expr("substring(line, 1, length(line) - 5)"))
+        .otherwise(col("line")).as("value"))
+      .write.mode("overwrite").text(path)
+    val schema = "c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE, _corrupt_record STRING"
+    val parsed = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .persist()
+    val nCorrupt = parsed.filter(col("_corrupt_record").isNotNull)
+      .agg(count(lit(1)).as("n_quarantined"))
+    parsed.filter(col("_corrupt_record").isNull)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")).as("sum_bal_e2"))
+      .crossJoin(broadcast(nCorrupt))
+      .orderBy("c_mktsegment")
+  }
+
   /** K6+Q6 — search-index projection sink (elasticsearch_sync.py:145-259):
     * docs ⨝ broadcast metadata, E5 "passage: " prefix, embedding carried
     * as the dense-vector column; materialized as the search_index table
@@ -346,6 +391,7 @@ object SinkQueries {
     "k4_full_refresh" -> k4FullRefresh,
     "s10_orc_roundtrip" -> s10OrcRoundtrip,
     "s11_csv_scan" -> s11CsvScan,
+    "s12_corrupt_quarantine" -> s12CorruptQuarantine,
     "k6_search_index" -> k6SearchIndex,
     "k7_jsonl_export" -> k7JsonlExport,
     "k8_saf_export" -> k8SafExport,
@@ -446,6 +492,13 @@ object SinkQueries {
         |  CAST(sum(n.n_nationkey) AS BIGINT) AS sum_nation_key
         |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
+    "s12_corrupt_quarantine" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_bal_e2,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer WHERE c_custkey % 10 = 0)
+        |    AS n_quarantined
+        |FROM customer WHERE c_custkey % 10 <> 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "k6_search_index" ->
       """WITH index AS (
         |  SELECT lang,

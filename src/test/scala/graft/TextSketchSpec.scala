@@ -105,6 +105,49 @@ class TextSketchSpec extends AnyFunSuite {
     assert(byDoc(0L) == byDoc(1L)) // exact dup docs → identical shingle sets
   }
 
+  test("graft_shingle_hashes keeps positions: same structure as positional string k-grams") {
+    // positional join-key hash: element i must key tokens [i, i+k-1] —
+    // so length is n-k+1, equal windows hash equal, distinct windows
+    // hash distinct (collision-free at this scale), and NO dedup: a
+    // repeated window appears at both its positions.
+    val stringGrams =
+      """transform(sequence(1, size(tokens) - 4),
+        |i -> concat_ws(' ', slice(tokens, i, 5)))""".stripMargin
+    val rows = corpus.filter(size(col("tokens")) >= 5).selectExpr(
+      "doc_id",
+      "graft_shingle_hashes(tokens, 5) AS native",
+      s"$stringGrams AS strings").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val native = r.getSeq[Long](1)
+      val strings = r.getSeq[String](2)
+      assert(native.size == strings.size) // positional: n-k+1, no dedup
+      // hash-equality structure must mirror string-equality structure
+      for (i <- strings.indices; j <- strings.indices)
+        assert((native(i) == native(j)) == (strings(i) == strings(j)),
+          s"doc ${r.getLong(0)} positions $i,$j")
+    }
+    // "the quick brown fox ..." doc 0 == doc 1 (exact dup): same arrays
+    val byDoc = rows.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(byDoc(0L) == byDoc(1L))
+    // near-dup doc 2 drops the first token: its grams are doc 0's
+    // shifted by one position
+    assert(byDoc(2L) == byDoc(0L).drop(1))
+    // short input (< k tokens) → empty array, k=1 → per-token hashes
+    val edge = spark.sql(
+      "SELECT graft_shingle_hashes(array('a', 'b'), 5) AS a, " +
+        "graft_shingle_hashes(array('a', 'b', 'a'), 1) AS b").head()
+    assert(edge.getSeq[Long](0).isEmpty)
+    val b = edge.getSeq[Long](1)
+    assert(b.size == 3 && b(0) == b(2) && b(0) != b(1))
+    // null token → the windows covering it are null elements
+    val n = spark.sql(
+      "SELECT graft_shingle_hashes(array('a', 'b', NULL, 'c', 'd', 'e'), 2) AS x").head()
+    val x = n.getSeq[Any](0)
+    assert(x.size == 5 && x(1) == null && x(2) == null &&
+      x(0) != null && x(3) != null && x(4) != null)
+  }
+
   test("null contract: null array → null; null token → null element") {
     val r = spark.sql(
       "SELECT graft_word_fps(CAST(NULL AS ARRAY<STRING>)) AS a, " +
