@@ -106,7 +106,11 @@ object GoldAnalytics {
         skey(col("subject_id")).as("subject_key"),
         col("subject_id"), col("subject_name"),
         coalesce(col("n_matched_resources"), lit(0L)).as("n_matched_resources"),
-        floor(coalesce(col("n_matched_resources"), lit(0L)) / col("n_total") * 10000)
+        // greatest(n,1): an EMPTY corpus must yield 0 bp coverage rows,
+        // not an ANSI divide-by-zero (n_total >= 1 otherwise, so the
+        // guard never changes a real result)
+        floor(coalesce(col("n_matched_resources"), lit(0L))
+          / greatest(col("n_total"), lit(1L)) * 10000)
           .cast("long").as("coverage_bp"))
   }
 

@@ -170,6 +170,31 @@ object TableMerge {
     * without it are another writer's in-flight staging. */
   private val CommittedMarker = "_graft_committed"
 
+  /** Per-version schema sidecar (the Delta/Iceberg metadata-log
+    * analogue): a ZERO-ROW snapshot writes no parquet part files at all
+    * when partitioned (and a first silver run over an empty CDC batch is
+    * exactly that), so without persisted metadata the table would become
+    * unreadable — UNABLE_TO_INFER_SCHEMA — the moment it is empty.
+    * Underscore-prefixed, so Spark's file readers ignore it as data. */
+  private val SchemaFile = "_graft_schema.json"
+
+  private def writeSchemaSidecar(version: Path,
+                                 schema: org.apache.spark.sql.types.StructType): Unit =
+    Files.writeString(version.resolve(SchemaFile), schema.json)
+
+  /** Read a snapshot dir: its sidecar schema when present (exact even
+    * for zero-row/partition-empty snapshots), legacy mergeSchema scan
+    * otherwise (pre-sidecar dirs always contain at least one file). */
+  private def readSnapshot(spark: SparkSession, dir: Path): DataFrame = {
+    val side = dir.resolve(SchemaFile)
+    if (Files.exists(side)) {
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(Files.readString(side))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.read.schema(schema).parquet(dir.toString)
+    } else spark.read.option("mergeSchema", "true").parquet(dir.toString)
+  }
+
   private def versionDirs(tablePath: String): Seq[java.io.File] =
     Option(Paths.get(tablePath).toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("v-")).toSeq
@@ -179,7 +204,7 @@ object TableMerge {
 
   def read(spark: SparkSession, tablePath: String): DataFrame =
     resolveLive(tablePath) match {
-      case Some(dir) => spark.read.option("mergeSchema", "true").parquet(dir.toString)
+      case Some(dir) => readSnapshot(spark, dir)
       case None => spark.read.option("mergeSchema", "true").parquet(tablePath)
     }
 
@@ -203,7 +228,7 @@ object TableMerge {
     require(Files.exists(dir), s"version $version not retained at $tablePath")
     require(isCommitted(dir.toFile),
       s"version $version at $tablePath is an in-flight staging dir, not a committed snapshot")
-    spark.read.option("mergeSchema", "true").parquet(dir.toString)
+    readSnapshot(spark, dir)
   }
 
   /** Explicit retention maintenance (the Iceberg expire-snapshots
@@ -243,7 +268,7 @@ object TableMerge {
     if (base.isDefined && liveVersion.isEmpty)
       throw new CommitConflictException(s"$tablePath: base ${base.get} pruned mid-merge")
     val liveDir = liveVersion.getOrElse(Paths.get(tablePath))
-    (liveDir, spark.read.option("mergeSchema", "true").parquet(liveDir.toString))
+    (liveDir, readSnapshot(spark, liveDir))
   }
 
   /** Write `df` as a complete new version dir, then commit under `expect`. */
@@ -253,6 +278,7 @@ object TableMerge {
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(version.toString)
+    writeSchemaSidecar(version, df.schema)
     commitVersion(tablePath, version, expect)
   }
 
@@ -287,6 +313,7 @@ object TableMerge {
           val merged = mergeRows(targetTouched, src, keys)
           val version = newVersionDir(tablePath)
           merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(version.toString)
+          writeSchemaSidecar(version, merged.schema)
           carryUntouchedPartitions(liveDir, version, partitionCols,
             touchedPartitionDirs(touched))
           commitVersion(tablePath, version, Parent(base))
@@ -371,6 +398,11 @@ object TableMerge {
               .coalesce(targetFiles)
               .write.mode(SaveMode.Overwrite).parquet(version.resolve(rel).toString)
           }
+          // compaction rewrites files, not schema: carry the sidecar over
+          val side = liveDir.resolve(SchemaFile)
+          if (Files.exists(side))
+            Files.copy(side, version.resolve(SchemaFile),
+              StandardCopyOption.REPLACE_EXISTING)
           carryUntouchedPartitions(liveDir, version, partitionCols, overflowing.toSet)
           commitVersion(tablePath, version, Parent(base))
         }

@@ -571,7 +571,10 @@ object CoreQueries {
       .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
       .select("o_orderkey", "cents")
     val scale = o.agg(min("cents"), max("cents")).head()
-    val (minC, maxC) = (scale.getLong(0), scale.getLong(1))
+    // zero-row input: min/max are NULL; any bounds work (binned is
+    // empty), but the primitive getters would NPE
+    val (minC, maxC) =
+      if (scale.isNullAt(0)) (0L, 0L) else (scale.getLong(0), scale.getLong(1))
     // monotone in cents ⇒ each bin is a contiguous slice of the global
     // (cents desc, orderkey) order, and equal cents never straddle bins
     val binned = o.withColumn("bin",
@@ -640,11 +643,17 @@ object CoreQueries {
     val orders = Tables.orders(s, d)
     val probs = Seq(0.25, 0.5, 0.75)
     val accuracy = 100 // ε = 0.01 rank error
-    val est = orders.agg(percentile_approx(col("o_totalprice"),
+    val estRow = orders.agg(percentile_approx(col("o_totalprice"),
         array(probs.map(lit): _*), lit(accuracy)).as("aq"))
-      .head().getSeq[Double](0)
+      .head()
+    // zero-row input: the sketch returns NULL (not an empty array) and
+    // the rank audit's count() is 0 — guard both (estimates default to
+    // 0, the divisor to 1) so the result degrades to a 0-row-count row
+    // with NULL check booleans instead of an NPE / ANSI divide-by-zero
+    val est = if (estRow.isNullAt(0)) probs.map(_ => 0.0) else estRow.getSeq[Double](0)
     val rankChecks = probs.zip(est).map { case (p, q) =>
-      (abs(sum(when(col("o_totalprice") <= q, 1L).otherwise(0L)) / count(lit(1)) - p)
+      (abs(sum(when(col("o_totalprice") <= q, 1L).otherwise(0L))
+        / greatest(count(lit(1)), lit(1L)) - p)
         <= 0.02).as(s"q${(p * 100).toInt}_ok")
     }
     orders.agg(count(lit(1)).as("n_rows"), rankChecks: _*)

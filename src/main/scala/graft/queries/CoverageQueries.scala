@@ -126,7 +126,10 @@ object CoverageQueries {
     import s.implicits._
     val orders = Tables.orders(s, d)
     val none = orders.filter(lit(false))
-    val minKey = orders.agg(min("o_orderkey")).head().getLong(0)
+    // min over zero rows is NULL — surface it as the dim-key sentinel
+    // (-1) instead of an NPE on the primitive getter
+    val minRow = orders.agg(min("o_orderkey")).head()
+    val minKey = if (minRow.isNullAt(0)) -1L else minRow.getLong(0)
     Seq((orders.count(), minKey, none.isEmpty, none.head(1).isEmpty))
       .toDF("n_rows", "min_key", "empty_is_empty", "head_empty")
   }

@@ -43,7 +43,12 @@ object SinkQueries {
       .orderBy("doc_id")
     val json = slice.toJSON.collect().mkString("[\n", ",\n", "\n]")
     Files.writeString(Paths.get(path), json)
-    s.read.option("multiline", true).json(path)
+    // explicit schema: production-correct (inference is an extra full
+    // pass over every file) and the only way a zero-record payload
+    // (empty bronze array) stays readable
+    s.read.option("multiline", true)
+      .schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
+      .json(path)
       .groupBy("lang")
       .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
       .orderBy("lang")
@@ -226,7 +231,10 @@ object SinkQueries {
     Tables.documents(s, d)
       .select("doc_id", "lang", "n_chars")
       .write.mode("overwrite").json(path)
-    s.read.json(path)
+    // explicit schema on the round-trip read: matches what inference
+    // derives on real data (JSON numbers → BIGINT) and keeps an empty
+    // export readable
+    s.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT").json(path)
       .groupBy("lang")
       .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
       .orderBy("lang")

@@ -109,29 +109,40 @@ object SilverPipeline {
     val bronzeRows = obsBronze.get("n").asInstanceOf[Long]
     val dedupedN = obsDedup.get("n").asInstanceOf[Long]
 
+    // chunk only the changed documents (typed flatMap — F19/F20)
+    val chunkCfg = graft.chunk.Chunker.Config(cfg.chunkMax, cfg.chunkMin, cfg.chunkOverlap)
+    def chunksOf(src: DataFrame): DataFrame = src
+      .select("resource_uid", "resource_id", "language", "text")
+      // chunking is CPU-bound; the checkpointed CDC frame may carry
+      // fewer partitions than cores — fan out before the flatMap
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(String, String, String, String)]
+      .flatMap { case (uid, rid, lang, text) =>
+        val (rows, _) = graft.chunk.Chunker.chunkDocumentRecord(
+          uid, s"asset_$rid", lang, Seq(1 -> Option(text).getOrElse("")), chunkCfg)
+        rows
+      }
+      .toDF()
     if (changedN > 0) {
       TableMerge.upsert(spark, cfg.resourcesPath,
         changed, keys = Seq("resource_uid"))
-
-      // chunk only the changed documents (typed flatMap — F19/F20)
-      val chunkCfg = graft.chunk.Chunker.Config(cfg.chunkMax, cfg.chunkMin, cfg.chunkOverlap)
-      val chunks = changed
-        .select("resource_uid", "resource_id", "language", "text")
-        // chunking is CPU-bound; the checkpointed CDC frame may carry
-        // fewer partitions than cores — fan out before the flatMap
-        .repartition(spark.sparkContext.defaultParallelism)
-        .as[(String, String, String, String)]
-        .flatMap { case (uid, rid, lang, text) =>
-          val (rows, _) = graft.chunk.Chunker.chunkDocumentRecord(
-            uid, s"asset_$rid", lang, Seq(1 -> Option(text).getOrElse("")), chunkCfg)
-          rows
-        }
-        .toDF()
       // tombstone chunks of changed resources AND insert the fresh set in
       // ONE copy-on-write rewrite (pre-r6: delete then upsert = two full
       // table rewrites per run)
-      TableMerge.replaceKeys(spark, cfg.chunksPath, chunks,
+      TableMerge.replaceKeys(spark, cfg.chunksPath, chunksOf(changed),
         changed.select("resource_uid"), groupKeys = Seq("resource_uid"))
+    } else if (!TableMerge.exists(cfg.resourcesPath) ||
+               !TableMerge.exists(cfg.chunksPath)) {
+      // A zero-change FIRST run (empty bronze batch) must still leave
+      // valid, readable tables behind — downstream consumers read the
+      // silver tables unconditionally, and "no changes yet" is an empty
+      // table, not a missing one. The schemas come from the same frames
+      // a non-empty run would write (changed is empty here, so both
+      // writes are zero-row snapshots persisted via the schema sidecar).
+      if (!TableMerge.exists(cfg.resourcesPath))
+        TableMerge.createOrReplace(changed, cfg.resourcesPath)
+      if (!TableMerge.exists(cfg.chunksPath))
+        TableMerge.createOrReplace(chunksOf(changed), cfg.chunksPath)
     }
     val chunksWritten =
       if (TableMerge.exists(cfg.chunksPath)) TableMerge.read(spark, cfg.chunksPath).count()
