@@ -441,6 +441,56 @@ object PipelineQueries {
       .orderBy("vec_id")
   }
 
+  /** ADC distance tables for q = 0.1·1⃗ over the deterministic PQ
+    * codebook: dt(m)(k) = ‖q_m − c_{m,k}‖². Data-independent, computed
+    * once at class-load and inlined as the SAME double literals into
+    * both engines' SQL (Double.toString is shortest-roundtrip, so both
+    * parse back the identical double and the fixed-point floor cannot
+    * straddle engines). */
+  private val AdcTables: IndexedSeq[IndexedSeq[Double]] =
+    (0 until 4).map { m =>
+      (0 until 4).map { k =>
+        (0 until 16).map { i => val df = 0.1 - pqCentroid(m, k, i); df * df }.sum
+      }
+    }
+
+  /** PQ ADC top-k — the QUERY half of product quantization (sim_pq_codes
+    * is the build half): score every vector as Σ_m dt(m)(code_m), i.e.
+    * m table lookups per candidate, never a float dot product, and take
+    * the k best by the fixed-point ADC key. At 100 TB the codes are
+    * PRECOMPUTED and stored (1 B/vector, the 256× memory cut), so the
+    * scan this query models reads only the code column; the top-k is a
+    * partial per-partition heap + single final merge (same shape the
+    * TopKPerKeyExec strategy pins elsewhere). Codes are derived inline
+    * here only because the battery is stateless — the derivation is the
+    * already-verified sim_pq_codes arithmetic. Ordering ties (ADC takes
+    * ≤ 256 distinct values, so the cutoff IS tied) break by vec_id in
+    * both engines. */
+  private val simPqAdcTopk: Q = (s, d) => {
+    def distExpr(m: Int, k: Int): String =
+      (0 until 16).map { i =>
+        val c = pqCentroid(m, k, i)
+        val e = s"element_at(embedding, ${16 * m + i + 1})"
+        s"($e - ${c}D) * ($e - ${c}D)"
+      }.mkString("(", " + ", ")")
+    val dCols = for (m <- 0 until 4; k <- 0 until 4) yield s"${distExpr(m, k)} AS d_${m}_$k"
+    val codeCols = (0 until 4).map { m =>
+      s"(CASE WHEN d_${m}_0 <= d_${m}_1 AND d_${m}_0 <= d_${m}_2 AND d_${m}_0 <= d_${m}_3 THEN 0 " +
+        s"WHEN d_${m}_1 <= d_${m}_2 AND d_${m}_1 <= d_${m}_3 THEN 1 " +
+        s"WHEN d_${m}_2 <= d_${m}_3 THEN 2 ELSE 3 END) AS code_$m"
+    }
+    val adcExpr = (0 until 4).map { m =>
+      s"(CASE code_$m WHEN 0 THEN ${AdcTables(m)(0)}D WHEN 1 THEN ${AdcTables(m)(1)}D " +
+        s"WHEN 2 THEN ${AdcTables(m)(2)}D ELSE ${AdcTables(m)(3)}D END)"
+    }.mkString(" + ")
+    Tables.embeddings(s, d)
+      .selectExpr("vec_id" +: dCols: _*)
+      .selectExpr("vec_id" +: codeCols: _*)
+      .selectExpr("vec_id", s"CAST(floor(($adcExpr) * 10000) AS BIGINT) AS adc_e4")
+      .orderBy(col("adc_e4"), col("vec_id"))
+      .limit(10)
+  }
+
   /** IVF probe set: the `IvfNprobe` centroids nearest (squared L2) to
     * the fixed query vector q = 0.1·1⃗, over the same deterministic
     * centroid grid as `sim_ivf_assign` (c_j[i] = (((j*31+i*17) mod 19)
@@ -1131,6 +1181,7 @@ object PipelineQueries {
     "split_domain_mix" -> splitDomainMix,
     "sim_quantize_i8" -> simQuantizeI8,
     "sim_pq_codes" -> simPqCodes,
+    "sim_pq_adc_topk" -> simPqAdcTopk,
     "text_pii_mask" -> textPiiMask,
     "text_decontaminate" -> textDecontaminate,
     "search_hybrid" -> searchHybrid,
@@ -1587,6 +1638,38 @@ object PipelineQueries {
          |  CAST(code_0 + 4 * code_1 + 16 * code_2 + 64 * code_3 AS INT) AS pq_code,
          |  CAST(floor((dmin_0 + dmin_1 + dmin_2 + dmin_3) * 10000) AS BIGINT) AS err_e4
          |FROM codes ORDER BY vec_id""".stripMargin
+    },
+    "sim_pq_adc_topk" -> {
+      def distSql(m: Int, k: Int): String =
+        (0 until 16).map { i =>
+          val c = pqCentroid(m, k, i)
+          val e = s"embedding[${16 * m + i + 1}]"
+          s"($e - CAST($c AS DOUBLE)) * ($e - CAST($c AS DOUBLE))"
+        }.mkString("(", " + ", ")")
+      val dCols = (for (m <- 0 until 4; k <- 0 until 4)
+        yield s"${distSql(m, k)} AS d_${m}_$k").mkString(",\n    ")
+      val codeCols = (0 until 4).map { m =>
+        s"(CASE WHEN d_${m}_0 <= d_${m}_1 AND d_${m}_0 <= d_${m}_2 AND d_${m}_0 <= d_${m}_3 THEN 0 " +
+          s"WHEN d_${m}_1 <= d_${m}_2 AND d_${m}_1 <= d_${m}_3 THEN 1 " +
+          s"WHEN d_${m}_2 <= d_${m}_3 THEN 2 ELSE 3 END) AS code_$m"
+      }.mkString(",\n    ")
+      val adcSql = (0 until 4).map { m =>
+        s"(CASE code_$m WHEN 0 THEN CAST(${AdcTables(m)(0)} AS DOUBLE) " +
+          s"WHEN 1 THEN CAST(${AdcTables(m)(1)} AS DOUBLE) " +
+          s"WHEN 2 THEN CAST(${AdcTables(m)(2)} AS DOUBLE) " +
+          s"ELSE CAST(${AdcTables(m)(3)} AS DOUBLE) END)"
+      }.mkString(" + ")
+      s"""WITH dists AS (
+         |  SELECT vec_id,
+         |    $dCols
+         |  FROM embeddings),
+         |codes AS (
+         |  SELECT vec_id,
+         |    $codeCols
+         |  FROM dists)
+         |SELECT vec_id,
+         |  CAST(floor(($adcSql) * 10000) AS BIGINT) AS adc_e4
+         |FROM codes ORDER BY adc_e4, vec_id LIMIT 10""".stripMargin
     },
     "split_stratified" ->
       s"""WITH b AS (
