@@ -61,6 +61,64 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** 31-bit Mersenne prime — the band-value domain the batch dedup tier
+    * uses (PipelineQueries), so a streaming index and a batch index are
+    * interchangeable. */
+  private val BandP = 2147483647L
+
+  /** MinHash band projection of a documents frame (doc_id, text) →
+    * (doc_id, band_0, band_1): 3-shingle set → k-permutation signature →
+    * r=2 banded values, the same construction the batch incremental
+    * dedup uses (`dedup_incremental`). Every step is a per-row
+    * projection through the native graft kernels, so the SAME code runs
+    * on a static frame and on an unbounded stream. Documents shorter
+    * than one shingle (< 3 tokens) carry no signature and are excluded
+    * here — [[novelDocuments]] passes them through as novel. */
+  def minhashBands(docs: DataFrame, spec: String): DataFrame =
+    docs.selectExpr("doc_id", "split(text, ' ') AS tokens")
+      .filter(size(col("tokens")) >= 3)
+      .selectExpr("doc_id", "graft_shingle_set(graft_word_fps(tokens)) AS shset")
+      .selectExpr("doc_id", s"graft_minhash(shset, '$spec') AS sig")
+      .selectExpr("doc_id",
+        s"(sig[0] * 31 + sig[1]) % $BandP AS band_0",
+        s"(sig[2] * 31 + sig[3]) % $BandP AS band_1")
+
+  /** Stored-corpus band index (doc_id, band_idx, band_val) — the
+    * persistable table the incremental dedup maintains; build once from
+    * the corpus, then both the batch and the streaming novelty filters
+    * join against it. */
+  def corpusBandIndex(docs: DataFrame, spec: String): DataFrame =
+    minhashBands(docs, spec)
+      .selectExpr("doc_id", "posexplode(array(band_0, band_1)) AS (band_idx, band_val)")
+
+  /** STREAMING incremental dedup — the novelty filter over an unbounded
+    * document stream: a doc is certified novel iff NONE of its bands
+    * collide with the stored corpus index. Implemented as two chained
+    * stream-static LEFT ANTI joins (one per band), so the stream carries
+    * NO state at all — the corpus index is the state, and it lives in a
+    * table. Collision docs (the ones filtered out here) are near-dup
+    * CANDIDATES; the exact-Jaccard confirm is the batch job's role, so
+    * the stream never buffers shingle sets. Sub-shingle-length docs
+    * union back in as novel. Append-mode safe: no aggregation, no
+    * watermark needed. At scale the static side is re-read per
+    * micro-batch, so the index table should be stored bucketed by
+    * band_val (co-located join) rather than broadcast — the corpus
+    * index of a 100 TB corpus is itself large. */
+  def novelDocuments(docs: DataFrame, corpusIndex: DataFrame, spec: String): DataFrame = {
+    val bands = minhashBands(docs, spec)
+    val idx0 = corpusIndex.filter(col("band_idx") === 0)
+      .select(col("band_val").as("cb0")).distinct()
+    val idx1 = corpusIndex.filter(col("band_idx") === 1)
+      .select(col("band_val").as("cb1")).distinct()
+    val shorts = docs.selectExpr("doc_id", "split(text, ' ') AS tokens")
+      .filter(size(col("tokens")) < 3).select("doc_id")
+    bands
+      .join(idx0, col("band_0") === col("cb0"), "left_anti")
+      .join(idx1, col("band_1") === col("cb1"), "left_anti")
+      .select("doc_id")
+      .union(shorts)
+  }
+
   final case class Event(
       event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

@@ -46,6 +46,48 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming novelty filter: stream-static band anti-join equals the batch twin") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val spec = "1000003,12345;999983,54321;999979,11111;1000033,77777"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog end"),
+      (2L, "pack my box with five dozen liquor jugs today"),
+      (3L, "sphinx of black quartz judge my vow right now")).toDF("doc_id", "text")
+    val index = EventStreams.corpusBandIndex(corpus, spec)
+
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val q = EventStreams.novelDocuments(docs, index, spec)
+      .writeStream.format("memory").queryName("novel_docs").outputMode("append").start()
+    try {
+      // 10 = exact copy of corpus doc 1 (identical shingle set → both
+      // bands collide → filtered); 11 = genuinely new; 12 = sub-shingle
+      // length (novel passthrough); second batch re-checks statelessly
+      stream.addData(
+        (10L, "the quick brown fox jumps over the lazy dog end"),
+        (11L, "completely different words about entirely unrelated content here"),
+        (12L, "too short"))
+      q.processAllAvailable()
+      stream.addData((13L, "pack my box with five dozen liquor jugs today"),
+        (14L, "another fresh document with its own vocabulary stream"))
+      q.processAllAvailable()
+      val got = spark.table("novel_docs").as[Long].collect().toSet
+      assert(got == Set(11L, 12L, 14L))
+      // batch twin over the union of both micro-batches — identical result
+      val batchDocs = Seq(
+        (10L, "the quick brown fox jumps over the lazy dog end"),
+        (11L, "completely different words about entirely unrelated content here"),
+        (12L, "too short"),
+        (13L, "pack my box with five dozen liquor jugs today"),
+        (14L, "another fresh document with its own vocabulary stream"))
+        .toDF("doc_id", "text")
+      val batch = EventStreams.novelDocuments(batchDocs, index, spec)
+        .as[Long].collect().toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses re-delivered event_ids") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
