@@ -145,6 +145,41 @@ object CdcQueries {
       .orderBy("event_type")
   }
 
+  /** K9 — TIME TRAVEL over committed snapshots (the Iceberg
+    * snapshot-read analogue TableMerge provides): create v1, upsert a
+    * zeroing source on top, then read BOTH the live table and the
+    * retained v1 snapshot and aggregate each under a label. The oracle
+    * recomputes both states relationally, so the versioned-pointer
+    * machinery (immutable version dirs, retention of the merge base)
+    * is itself under the hash gate — a wrong retained snapshot or a
+    * pointer mixup changes the 'past' rows. State is wiped per run:
+    * the PAST version is addressed positionally (the non-live committed
+    * version), which is only deterministic from a fresh table. */
+  private val k9TimeTravel: Q = (s, d) => {
+    val path = statePath("k9_time_travel")
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(path))
+    val v1 = Tables.customer(s, d).filter(col("c_custkey") % 2 === 0)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    TableMerge.createOrReplace(v1, path)
+    val v1Name = TableMerge.versions(path).head
+    val source = Tables.customer(s, d).filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        lit(0.0).as("c_acctbal"))
+    TableMerge.upsert(s, path, source, keys = Seq("c_custkey"))
+    def snap(df: DataFrame, label: String): DataFrame = df
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")).as("sum_bal_e2"))
+      .withColumn("snapshot", lit(label))
+    snap(TableMerge.readVersion(s, path, v1Name), "past")
+      .unionByName(snap(TableMerge.read(s, path), "live"))
+      .select("snapshot", "c_mktsegment", "n", "sum_bal_e2")
+      .orderBy("snapshot", "c_mktsegment")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "i2_asset_cdc" -> i2AssetCdc,
     "i3_tombstones" -> i3Tombstones,
@@ -153,9 +188,34 @@ object CdcQueries {
     "k1_merge_upsert" -> k1MergeUpsert,
     "k2_merge_delete" -> k2MergeDelete,
     "k3_partitioned_merge" -> k3PartitionedMerge,
+    "k9_time_travel" -> k9TimeTravel,
   )
 
   val oracles: Map[String, String] = Map(
+    "k9_time_travel" ->
+      """WITH v1 AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |  WHERE c_custkey % 2 = 0),
+        |src AS (
+        |  SELECT c_custkey, c_mktsegment, CAST(0.0 AS DOUBLE) AS c_acctbal
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |live AS (
+        |  SELECT * FROM v1 WHERE c_custkey % 3 <> 0
+        |  UNION ALL SELECT * FROM src),
+        |agg AS (
+        |  SELECT 'past' AS snapshot, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sum_bal_e2
+        |  FROM v1 GROUP BY c_mktsegment
+        |  UNION ALL
+        |  SELECT 'live' AS snapshot, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sum_bal_e2
+        |  FROM live GROUP BY c_mktsegment)
+        |SELECT snapshot, c_mktsegment, n, sum_bal_e2 FROM agg
+        |ORDER BY snapshot, c_mktsegment""".stripMargin,
     "i2_asset_cdc" ->
       """WITH current AS (
         |  SELECT p_partkey, p_size, sha256(concat_ws('||', p_name, p_brand)) AS etag
