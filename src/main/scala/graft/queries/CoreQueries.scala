@@ -510,6 +510,23 @@ object CoreQueries {
         col("n_orders"), col("revenue_cents"))
       .orderBy("gid", "priority", "status")
 
+  /** A13 — CUBE grouping sets: all four (priority × status) subtotal
+    * combinations in ONE aggregate pass (the expand-then-partial-agg
+    * plan — the data is read once however many grouping sets there
+    * are). Same disambiguation discipline as the rollup: grouping_id
+    * separates "NULL because subtotal" from a genuine NULL value. */
+  private val a13Cube: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+        sum("cents").as("revenue_cents"))
+      .select(col("gid"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        col("n_orders"), col("revenue_cents"))
+      .orderBy("gid", "priority", "status")
+
   /** A10 — pivot (crosstab): order status × priority revenue matrix.
     * The pivot value list is EXPLICIT, so the plan is a single
     * aggregate with one conditional-sum column per priority — no
@@ -765,6 +782,7 @@ object CoreQueries {
     "a5_collect_list" -> a5CollectList,
     "a7_distinct" -> a7Distinct,
     "a9_rollup" -> a9Rollup,
+    "a13_cube" -> a13Cube,
     "a10_pivot" -> a10Pivot,
     "a11_approx_distinct" -> a11ApproxDistinct,
     "a12_approx_quantile" -> a12ApproxQuantile,
@@ -813,6 +831,15 @@ object CoreQueries {
         |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
         |    AS revenue_cents
         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY gid, priority, status""".stripMargin,
+    "a13_cube" ->
+      """SELECT CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  coalesce(o_orderstatus, '(all)') AS status,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
         |ORDER BY gid, priority, status""".stripMargin,
     "a10_pivot" ->
       """WITH o AS (
