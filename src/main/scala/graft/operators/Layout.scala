@@ -54,8 +54,9 @@ object Layout {
   def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
                     numFiles: Int, bits: Int = 16): Unit = {
     val r = df.agg(min(xCol), max(xCol), min(yCol), max(yCol)).head()
-    val (xlo, xhi) = (r.getLong(0), r.getLong(1))
-    val (ylo, yhi) = (r.getLong(2), r.getLong(3))
+    // zero-row frame: bounds are NULL; any grid works for an empty write
+    val (xlo, xhi) = if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+    val (ylo, yhi) = if (r.isNullAt(2)) (0L, 0L) else (r.getLong(2), r.getLong(3))
     df.withColumn("__z", zValue(
         gridded(col(xCol), xlo, xhi, bits),
         gridded(col(yCol), ylo, yhi, bits), bits))
@@ -63,5 +64,47 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** Write an embeddings frame BUCKETED by its IVF coarse-centroid
+    * assignment — the storage layout that turns the ANN probe filter
+    * into partition pruning: a query that probes `nprobe` of `nlist`
+    * centroids lists and reads only those partition directories, i.e.
+    * nprobe/nlist of the corpus, before a single row is decoded.
+    * This is the materialized form of the `sim_ivf_topk` plan note
+    * ("at 100 TB the corpus is WRITTEN bucketed by centroid_id"). */
+  def writeIvfBucketed(embeddings: DataFrame, path: String, nlist: Int): Unit = {
+    val out = embeddings
+      .selectExpr("vec_id", "embedding",
+        s"graft_ivf_assign(embedding, $nlist) AS centroid_id")
+    out.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    // schema sidecar (TableMerge discipline): a zero-row partitioned
+    // write leaves no part files, so without persisted metadata the
+    // layout would be unreadable exactly when the corpus slice is empty
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_graft_schema.json"), out.schema.json)
+  }
+
+  /** Probed ANN top-k over an IVF-bucketed layout: the centroid filter
+    * resolves to partition pruning (LayoutSpec measures scanned files),
+    * then native cosine + top-k run on the nprobe partitions alone.
+    * Same fixed query vector (0.1·1⃗) and output contract as
+    * `sim_ivf_topk`, so the same oracle verifies both physical paths. */
+  def ivfProbedTopk(spark: org.apache.spark.sql.SparkSession, path: String,
+                    probes: Seq[Int], k: Int): DataFrame = {
+    val side = java.nio.file.Paths.get(path, "_graft_schema.json")
+    val reader =
+      if (java.nio.file.Files.exists(side))
+        spark.read.schema(org.apache.spark.sql.types.DataType
+          .fromJson(java.nio.file.Files.readString(side))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      else spark.read
+    reader.parquet(path)
+      .filter(col("centroid_id").isin(probes: _*))
+      .selectExpr("vec_id", "CAST(centroid_id AS INT) AS centroid_id",
+        "CAST(floor(graft_cosine(embedding, array_repeat(CAST(0.1 AS DOUBLE), 64)) " +
+          "* 1000000) AS BIGINT) AS cos_e6")
+      .orderBy(col("cos_e6").desc, col("vec_id").asc)
+      .limit(k)
   }
 }

@@ -498,7 +498,7 @@ object PipelineQueries {
     * class-load and inlined as literals into BOTH engines' SQL, so the
     * probe list cannot drift between Spark and the oracle. */
   private val IvfNprobe = 4
-  private val IvfProbes: Seq[Int] = {
+  private[queries] val IvfProbes: Seq[Int] = {
     def centroid(j: Int, i: Int): Double = (((j * 31 + i * 17) % 19) - 9) / 10.0
     (0 until 16).map { j =>
       val d = (0 until 64).map { i => val diff = 0.1 - centroid(j, i); diff * diff }.sum

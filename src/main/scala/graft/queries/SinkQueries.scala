@@ -199,6 +199,21 @@ object SinkQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** IVF-bucketed layout sink + probed read — materializes the
+    * `sim_ivf_topk` scale claim: embeddings WRITTEN partitioned by
+    * coarse-centroid assignment, so the ANN probe filter becomes
+    * partition pruning at the scan (nprobe/nlist of the directories
+    * listed, the rest never opened — LayoutSpec measures numFiles).
+    * The result is bit-identical to `sim_ivf_topk` computed through
+    * the unbucketed path, so the SAME DuckDB oracle verifies both
+    * physical plans. */
+  private val layoutIvfPrune: Q = (s, d) => {
+    import graft.operators.Layout
+    val path = statePath("layout_ivf_bucketed")
+    Layout.writeIvfBucketed(Tables.embeddings(s, d), path, nlist = 16)
+    Layout.ivfProbedTopk(s, path, PipelineQueries.IvfProbes, k = 20)
+  }
+
   /** K6+Q6 — search-index projection sink (elasticsearch_sync.py:145-259):
     * docs ⨝ broadcast metadata, E5 "passage: " prefix, embedding carried
     * as the dense-vector column; materialized as the search_index table
@@ -400,6 +415,7 @@ object SinkQueries {
     "s10_orc_roundtrip" -> s10OrcRoundtrip,
     "s11_csv_scan" -> s11CsvScan,
     "s12_corrupt_quarantine" -> s12CorruptQuarantine,
+    "layout_ivf_prune" -> layoutIvfPrune,
     "k6_search_index" -> k6SearchIndex,
     "k7_jsonl_export" -> k7JsonlExport,
     "k8_saf_export" -> k8SafExport,
@@ -500,6 +516,9 @@ object SinkQueries {
         |  CAST(sum(n.n_nationkey) AS BIGINT) AS sum_nation_key
         |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
+    // bit-identical output contract with sim_ivf_topk — one oracle, two
+    // physical paths (unbucketed expression filter vs partition pruning)
+    "layout_ivf_prune" -> PipelineQueries.oracles("sim_ivf_topk"),
     "s12_corrupt_quarantine" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_bal_e2,

@@ -47,6 +47,36 @@ class LayoutSpec extends AnyFunSuite {
     assert(lx < zx, "sanity: single-column sort should have the best x-locality")
   }
 
+  test("IVF-bucketed layout: probe filter prunes partitions at the scan, same results") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = Files.createTempDirectory("graft-ivf").resolve("emb").toString
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Layout.writeIvfBucketed(embs, dir, nlist = 16)
+    val probes = Seq(0, 3, 7, 11)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("centroid_id").isin(probes: _*))
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    val scannedFiles = scan.metrics("numFiles").value
+    def parquetFilesUnder(p: java.io.File): Long =
+      Option(p.listFiles()).map(_.map(f =>
+        if (f.isDirectory) parquetFilesUnder(f)
+        else if (f.getName.endsWith(".parquet")) 1L else 0L).sum).getOrElse(0L)
+    val totalFiles = parquetFilesUnder(new java.io.File(dir))
+    assert(scannedFiles > 0 && scannedFiles < totalFiles,
+      s"expected pruning: scanned $scannedFiles of $totalFiles files")
+    // partition pruning must not change WHAT is read: same vec_id set as
+    // computing the assignment on the fly over the unbucketed table
+    val expected = embs
+      .selectExpr("vec_id", "graft_ivf_assign(embedding, 16) AS c")
+      .filter(col("c").isin(probes: _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = pruned.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+
   test("wide-range dimensions (epoch-nanos scale) do not overflow the grid") {
     import spark.implicits._
     // range ~1.7e18: (c - lo) * 65536 would wrap a long; the grid
