@@ -587,6 +587,9 @@ object CoreQueries {
     val o = Tables.orders(s, d)
       .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
       .select("o_orderkey", "cents")
+      // ntile ranks VALUES: null prices have no rank position — and a
+      // null bin/last_cents would poison the boundary fix-up rows
+      .filter(col("cents").isNotNull)
     val scale = o.agg(min("cents"), max("cents")).head()
     // zero-row input: min/max are NULL; any bounds work (binned is
     // empty), but the primitive getters would NPE

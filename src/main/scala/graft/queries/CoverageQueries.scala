@@ -61,7 +61,10 @@ object CoverageQueries {
   private val s6TypedFlatmap: Q = (s, d) => {
     import s.implicits._
     Tables.orders(s, d).select("o_orderkey", "o_orderpriority").as[OrderPriority]
-      .flatMap(r => r.o_orderpriority.split("-").map(t => (t, r.o_orderkey % 2)))
+      // Option: bronze-grade rows carry null priorities; a typed field
+      // is not a non-null guarantee
+      .flatMap(r => Option(r.o_orderpriority).getOrElse("")
+        .split("-").map(t => (t, r.o_orderkey % 2)))
       .toDF("token", "key_parity")
       .groupBy("token")
       .agg(count(lit(1)).as("n"), sum("key_parity").as("n_odd"))
@@ -447,7 +450,8 @@ object CoverageQueries {
     val recs = Tables.documents(s, d)
       .select("doc_id", "text").as[(Long, String)]
       .map { case (id, text) =>
-        val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val payload = Option(text).getOrElse("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         (id % 3) match {
           case 0 => MediaRecord(id,
             MediaFixtures.png((id % 624 + 16).toInt, (id % 464 + 16).toInt, payload),

@@ -1005,7 +1005,10 @@ object PipelineQueries {
       .select("doc_id", "lang", "text")
       .repartition(s.sparkContext.defaultParallelism) // CPU-bound stage: see chunkParagraph
       .as[(Long, String, String)]
-      .flatMap { case (id, lang, text) =>
+      .flatMap { case (id, lang0, text0) =>
+        // bronze rows may carry null text/lang — degrade, don't NPE
+        val text = Option(text0).getOrElse("")
+        val lang = Option(lang0).getOrElse("")
         val mid = text.length / 2
         val pages = Seq(1 -> text.take(mid), 2 -> text.drop(mid))
         val outline = Seq(
@@ -1028,7 +1031,7 @@ object PipelineQueries {
   private val textSummarize: Q = (s, d) => {
     import graft.chunk.Summarizer
     val summarizeUdf = udf((text: String) =>
-      Summarizer.summarize(text.replace(". ", ".\n"),
+      Summarizer.summarize(Option(text).getOrElse("").replace(". ", ".\n"),
         Summarizer.Config(maxSentences = 2, minSentenceChars = 10)).size)
     Tables.documents(s, d)
       .select(col("doc_id"), summarizeUdf(col("text")).as("n_summary_sentences"))
@@ -1056,7 +1059,8 @@ object PipelineQueries {
     val bcMatcher = s.sparkContext.broadcast(
       new SemanticMatcher(subjectVecs, threshold = 0.38, topK = 3))
     val matchUdf = udf((v: Seq[Float]) =>
-      bcMatcher.value.matchVector(v.toArray).map { case (id, sim) =>
+      if (v == null) Seq.empty[(Int, Long)]
+      else bcMatcher.value.matchVector(v.toArray).map { case (id, sim) =>
         (id, math.floor(sim * 10000).toLong)
       })
     Tables.embeddings(s, d)
