@@ -148,6 +148,53 @@ class TextSketchSpec extends AnyFunSuite {
       x(0) != null && x(3) != null && x(4) != null)
   }
 
+  test("graft_shingle_hashes randomized: structure matches string k-grams globally") {
+    // seeded randomized property (ChunkerSpec pattern — no scalacheck
+    // bridge offline): for random token arrays over a small vocab
+    // (forcing window collisions) with ~5% null tokens, the positional
+    // hash must (a) have length max(0, n-k+1), (b) be null exactly on
+    // windows covering a null token, (c) agree with string-window
+    // equality WITHIN and ACROSS documents (it is a global join key),
+    // (d) give distinct hashes to distinct windows at this scale.
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "café", "中文", "x1", "", "dog", "βeta")
+    val docs = (0 until 200).map { i =>
+      val n = rnd.nextInt(13)
+      val toks = Vector.fill(n)(
+        if (rnd.nextInt(20) == 0) null else vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, toks)
+    }
+    import spark.implicits._
+    val df = docs.toDF("id", "tokens")
+    for (k <- Seq(1, 2, 3, 5)) {
+      val byId = df.selectExpr("id", s"graft_shingle_hashes(tokens, $k) AS h")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+      val globalKey = scala.collection.mutable.Map[String, Any]()
+      docs.foreach { case (id, toks) =>
+        val expectedLen = math.max(0, toks.length - k + 1)
+        val h = byId(id)
+        assert(h.size == expectedLen, s"id=$id k=$k length")
+        val grams = (0 until expectedLen).map { i =>
+          val w = toks.slice(i, i + k)
+          if (w.contains(null)) null else w.mkString(" ")
+        }
+        grams.indices.foreach { i =>
+          if (grams(i) == null) assert(h(i) == null, s"id=$id k=$k pos=$i null")
+          else {
+            assert(h(i) != null, s"id=$id k=$k pos=$i non-null")
+            globalKey.get(grams(i)) match {
+              case Some(prev) => assert(prev == h(i),
+                s"k=$k gram '${grams(i)}' hashed inconsistently across docs")
+              case None => globalKey(grams(i)) = h(i)
+            }
+          }
+        }
+      }
+      assert(globalKey.values.toSeq.distinct.size == globalKey.size,
+        s"k=$k distinct windows must get distinct hashes at this scale")
+    }
+  }
+
   test("null contract: null array → null; null token → null element") {
     val r = spark.sql(
       "SELECT graft_word_fps(CAST(NULL AS ARRAY<STRING>)) AS a, " +
