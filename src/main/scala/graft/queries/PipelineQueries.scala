@@ -206,6 +206,28 @@ object PipelineQueries {
       .orderBy("batch_id", "corpus_id")
   }
 
+  /** Novelty FILTER over a batch vs the stored corpus band index — the
+    * batch twin of [[graft.streaming.EventStreams.novelDocuments]] (the
+    * same code runs on the unbounded stream; this entry puts it under
+    * the hash gate): a doc is novel iff NONE of its minhash bands
+    * collide with the corpus index. Complements `dedup_incremental`,
+    * which emits the CONFIRMED near-dup pairs; this emits the
+    * certified-novel side — the set a daily ingest would append without
+    * any exact-Jaccard work. Same fixture as dedup_incremental. */
+  private val dedupNovelFilter: Q = (s, d) => {
+    import graft.streaming.EventStreams
+    val spec = MinhashPairParams.map { case (a, b) => s"$a,$b" }.mkString(";")
+    val docs = Tables.documents(s, d)
+    val corpusDocs = docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+    val batchDocs = docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+      .union(docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 20 === 5)
+        .selectExpr("doc_id + 200000 AS doc_id",
+          "concat_ws(' ', slice(split(text, ' '), 2, size(split(text, ' ')) - 1)) AS text"))
+    EventStreams.novelDocuments(batchDocs,
+        EventStreams.corpusBandIndex(corpusDocs, spec), spec)
+      .orderBy("doc_id")
+  }
+
   /** N-gram (3-shingle) Jaccard near-dup detection: corpus = documents +
     * injected near-duplicates (doc_id%20==0, first token dropped, id +
     * 100000); candidate pairs come from an equi-join on shingles (the
@@ -1169,6 +1191,7 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_connected_components" -> dedupComponents,
     "dedup_span_coverage" -> dedupSpanCoverage,
+    "dedup_novel_filter" -> dedupNovelFilter,
     "sim_cosine_topk" -> simCosineTopk,
     "sim_cosine_native" -> simCosineNative,
     "sim_lsh_buckets" -> simLshBuckets,
@@ -1354,6 +1377,52 @@ object PipelineQueries {
          |  JOIN csh sc ON sc.doc_id = corpus_id)
          |SELECT batch_id, corpus_id, CAST(floor(j * 10000) AS BIGINT) AS jaccard_e4
          |FROM confirmed WHERE j >= 0.6 ORDER BY batch_id, corpus_id""".stripMargin
+    },
+    "dedup_novel_filter" -> {
+      // same banding CTEs as dedup_incremental, anti semantics: novel =
+      // batch docs colliding with the corpus index on NEITHER band
+      val duckMinhNov = MinhashPairParams.zipWithIndex.map { case ((a, b), i) =>
+        s"list_min(list_transform(shset, x -> ($a * x + $b) % $P)) AS minh${i + 1}"
+      }
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+         |corpus AS (SELECT * FROM all_docs WHERE doc_id % 10 <> 0),
+         |batch AS (
+         |  SELECT doc_id, tokens FROM all_docs WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, tokens[2:] AS tokens
+         |  FROM corpus WHERE doc_id % 20 = 5),
+         |cw AS (
+         |  SELECT doc_id, list_transform(tokens, w -> ${duckFp("w")}) AS wfps
+         |  FROM corpus WHERE len(tokens) >= 3),
+         |bw AS (
+         |  SELECT doc_id, list_transform(tokens, w -> ${duckFp("w")}) AS wfps
+         |  FROM batch WHERE len(tokens) >= 3),
+         |csh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, len(wfps) - 2),
+         |    i -> (wfps[i] * 961 + wfps[i + 1] * 31 + wfps[i + 2]) % $P)) AS shset
+         |  FROM cw),
+         |bsh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, len(wfps) - 2),
+         |    i -> (wfps[i] * 961 + wfps[i + 1] * 31 + wfps[i + 2]) % $P)) AS shset
+         |  FROM bw),
+         |csig AS (
+         |  SELECT doc_id, (minh1 * 31 + minh2) % $P AS band_0,
+         |    (minh3 * 31 + minh4) % $P AS band_1
+         |  FROM (SELECT doc_id, ${duckMinhNov.mkString(", ")} FROM csh)),
+         |bsig AS (
+         |  SELECT doc_id, (minh1 * 31 + minh2) % $P AS band_0,
+         |    (minh3 * 31 + minh4) % $P AS band_1
+         |  FROM (SELECT doc_id, ${duckMinhNov.mkString(", ")} FROM bsh)),
+         |novel AS (
+         |  SELECT doc_id FROM bsig
+         |  WHERE band_0 NOT IN (SELECT band_0 FROM csig)
+         |    AND band_1 NOT IN (SELECT band_1 FROM csig)
+         |  UNION ALL
+         |  SELECT doc_id FROM batch WHERE len(tokens) < 3)
+         |SELECT doc_id FROM novel ORDER BY doc_id""".stripMargin
     },
     "dedup_ngram_jaccard" ->
       """WITH docs AS (

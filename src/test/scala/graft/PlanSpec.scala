@@ -96,6 +96,25 @@ class PlanSpec extends AnyFunSuite {
     assert(kinds == Seq("HashPartitioning", "RangePartitioning"), kinds.toString)
   }
 
+  test("dedup_span_coverage: TWO hash shuffles (shingle reused, doc) + output range") {
+    // the multi-doc flag agg and the semi join's probe side cluster on
+    // the SAME 8-byte shingle shuffle of the same subtree — exchange
+    // reuse collapses them to one; the per-doc window's hash(doc_id)
+    // also satisfies the (doc_id, n_tokens) grouping (subset rule) so
+    // the interval merge costs no extra exchange; the only other
+    // shuffle is the output sort. A third hash exchange would mean
+    // either the reuse broke (sh scanned twice through different
+    // shuffles) or the merge stopped sharing the window's partitioning.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exchanges = try {
+      collect(SparkEntry.queries("dedup_span_coverage")(spark, sf)
+        .queryExecution.executedPlan) { case e: ShuffleExchangeExec => e }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val kinds = exchanges.map(_.outputPartitioning.getClass.getSimpleName).sorted
+    assert(kinds == Seq("HashPartitioning", "HashPartitioning", "RangePartitioning"),
+      kinds.toString)
+  }
+
   test("agg_topk_freq: the custom aggregate splits partial/final for map-side combine") {
     val aggs = collect(plan("agg_topk_freq")) {
       case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
