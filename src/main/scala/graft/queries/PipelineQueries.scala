@@ -595,6 +595,48 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Semantic dedup KEEP decision (the SemDeDup-style curation step):
+    * embedding near-dup pairs → connected components → ONE survivor per
+    * cluster chosen by QUALITY (document n_chars, doc-id tiebreak), not
+    * by min id — the rule a real curation pipeline applies ("keep the
+    * best copy, drop the rest"). Composes three verified pieces (banded
+    * LSH candidates + cosine confirm, min-label components, quality
+    * join); injected duplicate vectors (+100000) have no document row
+    * and rank -1, so an original always survives its copies. Scale: the
+    * quality join and survivor window both cluster on cluster_id /
+    * member id — bounded per-cluster work after the (already bucketed)
+    * pair generation. */
+  private val dedupSemanticKeep: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+    val corpus = base.select(col("vec_id"), col("embedding"))
+      .union(base.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val bandRows = corpus.selectExpr("vec_id",
+      s"posexplode(graft_lsh_bands(embedding, $NeardupBands, $NeardupBandBits)) AS (band_idx, band_sig)")
+    val candidates = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band_sig") === col("b.band_sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val pairs = candidates
+      .join(corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
+      .join(corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
+      .selectExpr("id_a", "id_b", "graft_cosine(emb_a, emb_b) AS cos_sim")
+      .filter(col("cos_sim") >= 0.999)
+      .select("id_a", "id_b")
+    val comps = graft.operators.DedupClusters.connectedComponents(pairs, "id_a", "id_b")
+    val quality = Tables.documents(s, d).select(col("doc_id").as("id"), col("n_chars"))
+    val wSel = Window.partitionBy("cluster_id").orderBy(col("q").desc, col("id").asc)
+    comps.join(quality, Seq("id"), "left")
+      .withColumn("q", coalesce(col("n_chars"), lit(-1L)))
+      .withColumn("rn", row_number().over(wSel))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("id").as("kept_id"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
   // ------------------------------------------------------------ text analysis
 
   private val Stopwords = Seq("the", "a", "is", "of", "and", "to", "in")
@@ -1192,6 +1234,7 @@ object PipelineQueries {
     "dedup_connected_components" -> dedupComponents,
     "dedup_span_coverage" -> dedupSpanCoverage,
     "dedup_novel_filter" -> dedupNovelFilter,
+    "dedup_semantic_keep" -> dedupSemanticKeep,
     "sim_cosine_topk" -> simCosineTopk,
     "sim_cosine_native" -> simCosineNative,
     "sim_lsh_buckets" -> simLshBuckets,
@@ -1622,6 +1665,52 @@ object PipelineQueries {
          |  JOIN corpus eb ON eb.vec_id = id_b)
          |SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim
          |FROM pairs WHERE cos_sim >= 0.999 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_semantic_keep" ->
+      // same pair CTEs as sim_embed_neardup, then recursive closure
+      // (dedup_connected_components pattern) + quality-ranked survivor
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+         |sigs AS (
+         |  SELECT vec_id,
+         |    ${duckBandSig("embedding", 0)} AS band_0,
+         |    ${duckBandSig("embedding", 1)} AS band_1
+         |  FROM corpus),
+         |cand AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sigs a JOIN sigs b ON a.band_0 = b.band_0 AND a.vec_id < b.vec_id
+         |  UNION
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sigs a JOIN sigs b ON a.band_1 = b.band_1 AND a.vec_id < b.vec_id),
+         |pairs AS (
+         |  SELECT id_a, id_b,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_zip(ea.embedding, eb.embedding),
+         |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, x) -> a + x)
+         |      / (sqrt(${duckSumSqOf("ea.embedding")})
+         |         * sqrt(${duckSumSqOf("eb.embedding")})) AS cos_sim
+         |  FROM cand
+         |  JOIN corpus ea ON ea.vec_id = id_a
+         |  JOIN corpus eb ON eb.vec_id = id_b),
+         |kept AS (SELECT id_a, id_b FROM pairs WHERE cos_sim >= 0.999),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM kept
+         |  UNION SELECT id_b AS a, id_a AS b FROM kept),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |ranked AS (
+         |  SELECT comp.cluster_id, comp.id,
+         |    coalesce(doc.n_chars, -1) AS q,
+         |    row_number() OVER (PARTITION BY comp.cluster_id
+         |      ORDER BY coalesce(doc.n_chars, -1) DESC, comp.id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY comp.cluster_id) AS n_members
+         |  FROM comp LEFT JOIN documents doc ON doc.doc_id = comp.id)
+         |SELECT cluster_id, id AS kept_id, CAST(n_members AS BIGINT) AS n_members
+         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "text_pii_mask" ->
       """WITH t AS (
         |  SELECT doc_id, source,
