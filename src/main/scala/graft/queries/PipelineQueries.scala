@@ -884,6 +884,41 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** Temperature-based mixture RESAMPLING (w_s ∝ n_s^α, the standard
+    * multilingual/domain rebalancing rule; α = 1/2 here): per-source
+    * keep-rates derived FROM the observed counts, flattening the head
+    * and boosting the tail, with a global budget of 60% — unlike
+    * `split_domain_mix`, whose weights are a fixed config. Engine
+    * determinism: α = 1/2 because sqrt is IEEE-754 correctly-rounded in
+    * BOTH engines (pow is not); the tempered weight then moves onto an
+    * integer grid immediately — srt = floor(sqrt(n)·10^6) — so the
+    * budget split `6000·srt DIV Σsrt` and the hash-Bernoulli keep are
+    * pure integer arithmetic that cannot straddle a float ulp. Scale:
+    * the weights table is one row per source (broadcast); assignment is
+    * shuffle-free per-row hashing, same as the stratified split. */
+  private val splitTemperatureMix: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("srt", floor(sqrt(col("n")) * 1000000).cast("long"))
+    val total = counts.agg(sum("srt").as("total"))
+    val rates = counts.crossJoin(broadcast(total))
+      .withColumn("rate_bp", expr("(6000 * srt) DIV total"))
+      .select("source", "rate_bp")
+    Tables.documents(s, d)
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("keep",
+        expr("graft_str_fp(concat('tmix||', CAST(doc_id AS STRING))) % 10000") < col("rate_bp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id"))).as("kept_id_sum"),
+        first(col("rate_bp")).as("rate_bp"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        floor(col("n_kept") * 10000 / col("n_docs")).as("kept_bp"),
+        col("rate_bp"), coalesce(col("kept_id_sum"), lit(0L)).as("sum_kept_id"))
+      .orderBy("source")
+  }
+
   // ------------------------------------------------------------ hybrid search (Q1-Q3)
 
   /** Hybrid retrieval: lexical keyword-overlap score (BM25-lite stand-in
@@ -1235,6 +1270,7 @@ object PipelineQueries {
     "dedup_span_coverage" -> dedupSpanCoverage,
     "dedup_novel_filter" -> dedupNovelFilter,
     "dedup_semantic_keep" -> dedupSemanticKeep,
+    "split_temperature_mix" -> splitTemperatureMix,
     "sim_cosine_topk" -> simCosineTopk,
     "sim_cosine_native" -> simCosineNative,
     "sim_lsh_buckets" -> simLshBuckets,
@@ -1900,6 +1936,27 @@ object PipelineQueries {
          |    / count(*)) AS BIGINT) AS kept_bp,
          |  CAST(max(wbp) AS BIGINT) AS target_bp,
          |  CAST(coalesce(sum(CASE WHEN h < wbp THEN doc_id END), 0) AS BIGINT)
+         |    AS sum_kept_id
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "split_temperature_mix" ->
+      s"""WITH counts AS (
+         |  SELECT source, count(*) AS n FROM documents GROUP BY source),
+         |w AS (
+         |  SELECT source, n,
+         |    CAST(floor(sqrt(n) * 1000000) AS BIGINT) AS srt
+         |  FROM counts),
+         |t AS (SELECT CAST(sum(srt) AS BIGINT) AS total FROM w),
+         |r AS (SELECT source, (6000 * srt) // total AS rate_bp FROM w, t),
+         |k AS (
+         |  SELECT d.source, d.doc_id, r.rate_bp,
+         |    ${duckFp("'tmix||' || CAST(doc_id AS VARCHAR)")} % 10000 AS h
+         |  FROM documents d JOIN r USING (source))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN h < rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(floor(sum(CASE WHEN h < rate_bp THEN 1 ELSE 0 END) * 10000
+         |    / count(*)) AS BIGINT) AS kept_bp,
+         |  CAST(max(rate_bp) AS BIGINT) AS rate_bp,
+         |  CAST(coalesce(sum(CASE WHEN h < rate_bp THEN doc_id END), 0) AS BIGINT)
          |    AS sum_kept_id
          |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "text_quality" ->
