@@ -919,6 +919,46 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** HTML boilerplate stripping — the extraction step upstream of every
+    * web-scraped training corpus (the trafilatura-lite tier): drop
+    * script/style bodies and comments, strip tags, decode the common
+    * entities (amp LAST so one level decodes, never two), collapse
+    * whitespace. Fixture wraps every doc_id % 3 == 0 in a full page
+    * shell with a script, style, comment, attributes and entities.
+    * Patterns are conservative (lazy quantifiers, (?s), no
+    * backreferences) so Java regex and RE2 agree. Verified by
+    * per-source doc counts, cleaned-length sums, and an
+    * order-independent content digest (sum of per-row rolling fps —
+    * integer math, engine-exact). Per-row regex work, shuffle only at
+    * the final per-source aggregate. */
+  private val textHtmlStrip: Q = (s, d) => {
+    val wrapped = Tables.documents(s, d).selectExpr("doc_id", "source",
+      "CASE WHEN doc_id % 3 = 0 THEN concat(" +
+        "'<html><head><title>T ', CAST(doc_id AS STRING), '</title>', " +
+        "'<script type=\"text/javascript\">var x = 1 &amp;&amp; 2;</script>', " +
+        "'<style>p { color: red; }</style></head><body>', " +
+        "'<h1>Head&quot;ing</h1><p>', text, '</p><!-- hidden comment -->', " +
+        "'<div class=\"foo\">tail &lt;escaped&gt; &amp; done</div></body></html>') " +
+        "ELSE text END AS raw")
+    val clean = Seq(
+      "(?s)<script[^>]*>.*?</script>" -> " ",
+      "(?s)<style[^>]*>.*?</style>" -> " ",
+      "(?s)<!--.*?-->" -> " ",
+      "<[^>]+>" -> " ",
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&amp;" -> "&",
+      "\\s+" -> " ")
+      .foldLeft(col("raw")) { case (c, (pat, rep)) => regexp_replace(c, pat, rep) }
+    wrapped
+      .withColumn("clean", trim(clean))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") % 3 === 0, 1L).otherwise(0L)).as("n_wrapped"),
+        sum(length(col("clean"))).as("sum_clean_len"),
+        sum(expr("graft_str_fp(clean)")).as("fp_sum"))
+      .orderBy("source")
+  }
+
   // ------------------------------------------------------------ hybrid search (Q1-Q3)
 
   /** Hybrid retrieval: lexical keyword-overlap score (BM25-lite stand-in
@@ -1271,6 +1311,7 @@ object PipelineQueries {
     "dedup_novel_filter" -> dedupNovelFilter,
     "dedup_semantic_keep" -> dedupSemanticKeep,
     "split_temperature_mix" -> splitTemperatureMix,
+    "text_html_strip" -> textHtmlStrip,
     "sim_cosine_topk" -> simCosineTopk,
     "sim_cosine_native" -> simCosineNative,
     "sim_lsh_buckets" -> simLshBuckets,
@@ -1959,6 +2000,38 @@ object PipelineQueries {
          |  CAST(coalesce(sum(CASE WHEN h < rate_bp THEN doc_id END), 0) AS BIGINT)
          |    AS sum_kept_id
          |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "text_html_strip" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 3 = 0 THEN
+         |      '<html><head><title>T ' || CAST(doc_id AS VARCHAR) || '</title>' ||
+         |      '<script type="text/javascript">var x = 1 &amp;&amp; 2;</script>' ||
+         |      '<style>p { color: red; }</style></head><body>' ||
+         |      '<h1>Head&quot;ing</h1><p>' || text || '</p><!-- hidden comment -->' ||
+         |      '<div class="foo">tail &lt;escaped&gt; &amp; done</div></body></html>'
+         |    ELSE text END AS raw
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, trim(
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(regexp_replace(raw,
+         |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+         |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+         |      '(?s)<!--.*?-->', ' ', 'g'),
+         |      '<[^>]+>', ' ', 'g'),
+         |      '&lt;', '<', 'g'),
+         |      '&gt;', '>', 'g'),
+         |      '&quot;', '"', 'g'),
+         |      '&#39;', '''', 'g'),
+         |      '&amp;', '&', 'g'),
+         |      '\\s+', ' ', 'g')) AS clean
+         |  FROM w)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_wrapped,
+         |  CAST(sum(length(clean)) AS BIGINT) AS sum_clean_len,
+         |  CAST(sum(${duckFp("clean")}) AS BIGINT) AS fp_sum
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "text_quality" ->
       s"""WITH toks AS (
          |  SELECT doc_id, n_chars, string_split(text, ' ') AS tokens FROM documents),
