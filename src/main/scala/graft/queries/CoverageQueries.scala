@@ -443,11 +443,15 @@ object CoverageQueries {
     * parses them back per-partition. The oracle predicts every decoded
     * field arithmetically — a parser bug (endianness, offset, chunk
     * walk) breaks the hash row, not just a spec. */
-  private val mmBinaryMeta: Q = (s, d) => {
+  /** Shared media fixture: every document becomes a well-formed
+    * container (PNG/JPEG/WAV round-robin by doc_id % 3) whose header
+    * fields are pure doc_id arithmetic, so every downstream decode /
+    * sample / resize value is oracle-predictable. */
+  private def mediaRecords(s: SparkSession, d: String) = {
     import s.implicits._
-    import graft.multimodal.{MediaFixtures, MediaStub}
+    import graft.multimodal.MediaFixtures
     import graft.multimodal.MediaStub.MediaRecord
-    val recs = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select("doc_id", "text").as[(Long, String)]
       .map { case (id, text) =>
         val payload = Option(text).getOrElse("")
@@ -465,9 +469,43 @@ object CoverageQueries {
             "audio/wav")
         }
       }
-    MediaStub.decodeMeta(recs)
+  }
+
+  private val mmBinaryMeta: Q = (s, d) => {
+    import graft.multimodal.MediaStub
+    MediaStub.decodeMeta(mediaRecords(s, d))
       .select(col("doc_id"), col("mime"), col("n_bytes"), col("width"), col("height"),
         col("n_frames"), col("sample_rate"), col("channels"))
+      .orderBy("doc_id")
+  }
+
+  /** Frame sampling + resize planning over the decoded media metadata —
+    * the two mapPartitions plumbing stages downstream of `mm_binary_meta`
+    * that an extraction pipeline actually branches on: every-3rd-frame
+    * refs (count + last byte offset from the fixed-stride layout) and
+    * the aspect-preserving 128×128 fit (never upscale, floor to pixels,
+    * fixed-point scale). Audio rows sample their PCM frames; images are
+    * single-frame; zero-frame assets (empty payload) degrade to 0/-1.
+    * Every value is doc_id arithmetic, so the oracle predicts the whole
+    * row — geometry bugs break the hash, not just a spec. */
+  private val mmFrameResize: Q = (s, d) => {
+    import graft.multimodal.MediaStub
+    val meta = MediaStub.decodeMeta(mediaRecords(s, d))
+    val frames = MediaStub.sampleFrames(meta, everyN = 3)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sampled"), max("byte_offset").as("last_offset"))
+    val resize = MediaStub.planResize(meta, maxW = 128, maxH = 128)
+      .select(col("doc_id"), col("out_width").cast("long").as("out_width"),
+        col("out_height").cast("long").as("out_height"), col("scale_e4"))
+    meta.select("doc_id")
+      .join(frames, Seq("doc_id"), "left")
+      .join(resize, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("last_offset"), lit(-1L)).as("last_offset"),
+        coalesce(col("out_width"), lit(-1L)).as("out_width"),
+        coalesce(col("out_height"), lit(-1L)).as("out_height"),
+        coalesce(col("scale_e4"), lit(-1L)).as("scale_e4"))
       .orderBy("doc_id")
   }
 
@@ -584,6 +622,7 @@ object CoverageQueries {
     "i7_zero_chunk_invariant" -> i7ZeroChunkInvariant,
     "chunk_sliding" -> chunkSliding,
     "mm_binary_meta" -> mmBinaryMeta,
+    "mm_frame_resize" -> mmFrameResize,
     "qc_quality_log" -> qcQualityLog,
     "profile_numeric" -> profileNumeric,
     "layout_zorder" -> layoutZorder,
@@ -917,5 +956,41 @@ object CoverageQueries {
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 2
         |    ELSE 0 END AS INT) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text))
+        |      ELSE 1 END AS BIGINT) AS n_frames,
+        |    CAST(CASE CAST(doc_id % 3 AS INT)
+        |      WHEN 0 THEN 33 + octet_length(encode(text))
+        |      WHEN 1 THEN 23 + octet_length(encode(text))
+        |      ELSE 44 + octet_length(encode(text)) * (1 + doc_id % 2) * 2
+        |      END AS BIGINT) AS n_bytes,
+        |    CASE WHEN doc_id % 3 = 2 THEN 0 ELSE doc_id % 624 + 16 END AS w,
+        |    CASE WHEN doc_id % 3 = 2 THEN 0 ELSE doc_id % 464 + 16 END AS h
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_frames > 0 THEN (n_frames + 2) // 3 ELSE 0 END AS n_sampled,
+        |    CASE WHEN n_frames > 0
+        |      THEN (3 * ((n_frames - 1) // 3)) * greatest(1, n_bytes // n_frames)
+        |      ELSE -1 END AS last_offset
+        |  FROM m),
+        |r AS (
+        |  SELECT doc_id,
+        |    least(CAST(1 AS DOUBLE),
+        |      least(CAST(128 AS DOUBLE) / w, CAST(128 AS DOUBLE) / h)) AS scale
+        |  FROM m WHERE w > 0)
+        |SELECT m.doc_id,
+        |  CAST(f.n_sampled AS BIGINT) AS n_sampled,
+        |  CAST(f.last_offset AS BIGINT) AS last_offset,
+        |  CASE WHEN r.doc_id IS NULL THEN -1
+        |    ELSE CAST(greatest(1, floor(m.w * r.scale)) AS BIGINT) END AS out_width,
+        |  CASE WHEN r.doc_id IS NULL THEN -1
+        |    ELSE CAST(greatest(1, floor(m.h * r.scale)) AS BIGINT) END AS out_height,
+        |  CASE WHEN r.doc_id IS NULL THEN -1
+        |    ELSE CAST(floor(r.scale * 10000) AS BIGINT) END AS scale_e4
+        |FROM m JOIN f USING (doc_id) LEFT JOIN r USING (doc_id)
+        |ORDER BY m.doc_id""".stripMargin,
   )
 }
