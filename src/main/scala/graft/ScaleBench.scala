@@ -34,7 +34,7 @@ object ScaleBench {
   private val Queries = Seq(
     "dedup_exact", "dedup_simhash", "dedup_minhash_lsh", "dedup_minhash_pairs",
     "dedup_incremental", "dedup_ngram_jaccard", "dedup_connected_components",
-    "dedup_span_coverage",
+    "dedup_span_coverage", "dedup_novel_filter", "dedup_semantic_keep",
     "sim_lsh_buckets", "sim_ivf_topk", "sim_embed_neardup")
 
   def main(args: Array[String]): Unit = {
