@@ -969,10 +969,15 @@ object PipelineQueries {
     * surviving token mass. One row per source; every stage's math is
     * the already-verified building block, composed.
     *
-    * Shape at scale: one digest window (hash-partitioned on the
-    * digest), one tiny per-source count agg broadcast back, everything
-    * else per-row flags summed in a single final aggregate — the whole
-    * funnel is two shuffles plus a broadcast. */
+    * Shape (PlanSpec-pinned): the per-source rate derivation embeds the
+    * flagged subtree twice (once under the global srt total, once under
+    * the rates themselves), and exchange REUSE collapses one of the
+    * digest-window shuffles — the executed plan carries two hash(digest)
+    * exchanges, three tiny hash(source)/SinglePartition aggregate
+    * exchanges, and the output range sort. At 100 TB the remaining
+    * duplicate corpus pass is what `localCheckpoint` after `flagged`
+    * removes (the SilverPipeline pattern); kept declarative here so the
+    * oracle sees the same lazy frame the driver hashes. */
   private val e2eCurationFunnel: Q = (s, d) => {
     val docs = Tables.documents(s, d).select("doc_id", "source", "text")
     val corpus = docs.union(

@@ -115,6 +115,31 @@ class PlanSpec extends AnyFunSuite {
       kinds.toString)
   }
 
+  test("e2e_curation_funnel: reuse holds the funnel to 2 digest passes + tiny aggs") {
+    // the rates derivation embeds the flagged subtree twice (global srt
+    // total + per-source rates) on top of the main branch — THREE
+    // lineage copies of the digest window, which exchange reuse must
+    // collapse to two physical hash(digest) shuffles. The rest are
+    // metadata-sized: two hash(source) aggregate exchanges, the 4-row
+    // SinglePartition total, and the output range sort. A third
+    // hash(digest) appearing means reuse broke and the corpus would be
+    // shuffled three times at scale.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exchanges = try {
+      collect(SparkEntry.queries("e2e_curation_funnel")(spark, sf)
+        .queryExecution.executedPlan) { case e: ShuffleExchangeExec => e }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val parts = exchanges.map(_.outputPartitioning.toString)
+    val nDigest = parts.count(_.contains("digest"))
+    val nSourceHash = parts.count(_.startsWith("hashpartitioning(source"))
+    val kinds = exchanges.map(_.outputPartitioning.getClass.getSimpleName).sorted
+    assert(nDigest == 2, s"digest shuffles: $parts")
+    // rates ×2 lineage embeddings + the final report agg
+    assert(nSourceHash == 3, s"source shuffles: $parts")
+    assert(kinds.count(_ == "SinglePartition$") == 1, kinds.toString)
+    assert(exchanges.size == 7, parts.toString)
+  }
+
   test("agg_topk_freq: the custom aggregate splits partial/final for map-side combine") {
     val aggs = collect(plan("agg_topk_freq")) {
       case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
