@@ -96,6 +96,45 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** SimHash near-dup PAIRS — the Hamming-space complement of the
+    * MinHash pair pipeline: 32-bit signatures, bucketed by their two
+    * 16-bit halves (a pair within Hamming ≤ 3 whose differing bits all
+    * land in ONE half shares the other half verbatim — standard
+    * bit-sampling LSH, recall < 1 by design exactly like
+    * `dedup_minhash_lsh`, and BOTH engines derive candidates the same
+    * way so the hash compare pins the semantics), then confirmed by
+    * popcount of the signature XOR. The candidate join moves only
+    * (16-bit bucket, doc_id) pairs; the confirm is two integer ops per
+    * candidate — no token data is ever re-read. Signature width is the
+    * scale lever (same law as LshBands' bandBits): bucket occupancy is
+    * E[N/2^halfBits], so a bigger corpus wants wider halves — 16-bit
+    * halves suit ~10^6 docs; this corpus's shared 30-word vocabulary
+    * makes it the adversarial clustered case (an 8-bit-half variant
+    * measured 8k confirmed pairs on 535 docs — the quadratic regime
+    * the width guard exists to prevent). */
+  private val dedupSimhashPairs: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .selectExpr("doc_id", "split(text, ' ') AS tokens")
+    val dups = docs.filter(col("doc_id") % 20 === 0)
+      .selectExpr("doc_id + 100000 AS doc_id", "slice(tokens, 2, size(tokens) - 1) AS tokens")
+    val sigs = docs.union(dups).filter(size(col("tokens")) >= 3)
+      .selectExpr("doc_id", "graft_simhash(graft_word_fps(tokens), 32) AS sig")
+    val bands = sigs.selectExpr("doc_id",
+      "posexplode(array(sig DIV 65536, sig % 65536)) AS (band_idx, band_val)")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .selectExpr("id_a", "id_b", "CAST(bit_count(sig_a ^ sig_b) AS BIGINT) AS hamming")
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** MinHash permutations for the pair pipeline: 4 perms = 2 bands × 2
     * rows. With b bands of r rows, a pair with Jaccard s matches some
     * band with p = 1-(1-s^r)^b — the standard S-curve; r grows (more
@@ -1356,6 +1395,7 @@ object PipelineQueries {
     "dedup_minhash_pairs" -> dedupMinhashPairs,
     "dedup_incremental" -> dedupIncremental,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_simhash_pairs" -> dedupSimhashPairs,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_connected_components" -> dedupComponents,
     "dedup_span_coverage" -> dedupSpanCoverage,
@@ -1403,11 +1443,13 @@ object PipelineQueries {
     s"list_min(list_transform(tokens, w -> ($a * ${duckFp("w")} + $b) % $P)) AS minh${i + 1}"
   }
 
-  private val duckSimhashBits = (0 until 8).map { b =>
+  private def duckSimhashPlanes(n: Int) = (0 until n).map { b =>
     s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(wfps, f -> CAST(CASE WHEN ((f * ${2 * b + 3} + ${b * 7919}) % 65537) % 2 = 1 " +
-      s"THEN 1 ELSE -1 END AS BIGINT))), (a, x) -> a + x) > 0 THEN ${1 << b} ELSE 0 END)"
+      // 1L: plane 31's value overflows an Int shift to -2^31
+      s"THEN 1 ELSE -1 END AS BIGINT))), (a, x) -> a + x) > 0 THEN ${1L << b} ELSE 0 END)"
   }
+  private val duckSimhashBits = duckSimhashPlanes(8)
 
   private val duckSum =
     "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, " +
@@ -1459,6 +1501,35 @@ object PipelineQueries {
          |  FROM documents)
          |SELECT doc_id, CAST(${duckSimhashBits.mkString(" + ")} AS INT) AS simhash8
          |FROM wf ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, tokens[2:] AS tokens
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+         |  WHERE doc_id % 20 = 0),
+         |wf AS (
+         |  SELECT doc_id, list_transform(tokens, w -> ${duckFp("w")}) AS wfps
+         |  FROM docs WHERE len(tokens) >= 3),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    CAST(${duckSimhashPlanes(32).mkString(" + ")} AS BIGINT) AS sig
+         |  FROM wf),
+         |bands AS (SELECT doc_id, sig, sig // 65536 AS b0, sig % 65536 AS b1 FROM sigs),
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.b1 = b.b1 AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT id_a, id_b,
+         |    CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = id_a
+         |  JOIN sigs sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, hamming FROM pairs
+         |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
     "dedup_minhash_pairs" -> {
       val duckMinhPair = MinhashPairParams.zipWithIndex.map { case ((a, b), i) =>
         s"list_min(list_transform(shset, x -> ($a * x + $b) % $P)) AS minh${i + 1}"
