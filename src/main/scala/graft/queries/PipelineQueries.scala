@@ -923,6 +923,30 @@ object PipelineQueries {
       .orderBy("source")
   }
 
+  /** Out-of-vocabulary rate per document against a CORPUS-DERIVED
+    * vocabulary (top-16 tokens by global frequency, count-desc /
+    * token-asc tiebreak so the cutoff is deterministic in both
+    * engines): the rare-token-ratio quality signal — high OOV flags
+    * gibberish, boilerplate codes, or wrong-language text. Two partial-
+    * aggregatable shuffles (token census, per-doc tally); the vocab is
+    * 16 rows broadcast back. At a real corpus the vocab is top-64k and
+    * lives in a dim table — same plan, bigger broadcast. */
+  private val textOovRate: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(16)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_bp",
+        floor(col("n_oov") * lit(10000.0) / col("n_tokens")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Temperature-based mixture RESAMPLING (w_s ∝ n_s^α, the standard
     * multilingual/domain rebalancing rule; α = 1/2 here): per-source
     * keep-rates derived FROM the observed counts, flattening the head
@@ -1403,6 +1427,7 @@ object PipelineQueries {
     "dedup_semantic_keep" -> dedupSemanticKeep,
     "split_temperature_mix" -> splitTemperatureMix,
     "text_html_strip" -> textHtmlStrip,
+    "text_oov_rate" -> textOovRate,
     "e2e_curation_funnel" -> e2eCurationFunnel,
     "sim_cosine_topk" -> simCosineTopk,
     "sim_cosine_native" -> simCosineNative,
@@ -2123,6 +2148,20 @@ object PipelineQueries {
          |  CAST(coalesce(sum(CASE WHEN h < rate_bp THEN doc_id END), 0) AS BIGINT)
          |    AS sum_kept_id
          |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "text_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM toks GROUP BY tok
+        |  ORDER BY count(*) DESC, tok ASC LIMIT 16),
+        |per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN tok IN (SELECT tok FROM vocab)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+        |  FROM toks GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  CAST(floor(n_oov * 10000.0 / n_tokens) AS BIGINT) AS oov_bp
+        |FROM per ORDER BY doc_id""".stripMargin,
     "e2e_curation_funnel" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, source, text FROM documents
