@@ -32,7 +32,8 @@ object ScaleBench {
   private val Factors = Seq(1, 8)
 
   private val Queries = Seq(
-    "dedup_exact", "dedup_simhash", "dedup_minhash_lsh", "dedup_minhash_pairs",
+    "dedup_exact", "dedup_simhash", "dedup_simhash_pairs", "dedup_minhash_lsh",
+    "dedup_minhash_pairs",
     "dedup_incremental", "dedup_ngram_jaccard", "dedup_connected_components",
     "dedup_span_coverage", "dedup_novel_filter", "dedup_semantic_keep",
     "sim_lsh_buckets", "sim_ivf_topk", "sim_embed_neardup")
