@@ -605,9 +605,14 @@ object CoreQueries {
     val local = binned
       .withColumn("rn", row_number().over(w))
       .withColumn("prev_cents", lag("cents", 1).over(w))
-    // boundary table: one row per non-empty bin, in global (desc) order
-    val stats = local.groupBy("bin")
-      .agg(count(lit(1)).as("cnt"), max_by(col("cents"), col("rn")).as("last_cents"))
+    // boundary table: one row per non-empty bin, in global (desc) order.
+    // Within a bin the sort is (cents desc, orderkey), so the bin's LAST
+    // value is exactly min(cents) — computed as a plain map-side-combinable
+    // aggregate over `binned`, NOT max_by(cents, rn) over the windowed
+    // frame: the latter re-ran the full per-bin sort just to read its last
+    // row (measured ~2× on the whole query at sf0.1, the r9 regression).
+    val stats = binned.groupBy("bin")
+      .agg(count(lit(1)).as("cnt"), min("cents").as("last_cents"))
       .orderBy(col("bin").desc).collect()
     var acc = 0L
     var prevLast: Option[Long] = None
