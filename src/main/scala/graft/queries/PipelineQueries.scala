@@ -1145,15 +1145,31 @@ object PipelineQueries {
     * pinned by ChunkerSpec / HierarchySpec / SubjectMatcherSpec — a
     * digest change means one of those suites' subjects drifted. Unknown
     * sf dirs (e.g. the ×8 scale harness) get golden_ok = NULL rather
-    * than false. */
-  private[queries] def withGoldenDigest(df: DataFrame, d: String, queryName: String): DataFrame = {
+    * than false.
+    *
+    * The gate is FATAL (VERDICT r9 #1): when a pinned constant exists
+    * for the sf and the computed digest differs, every output row
+    * raises — so the driver's Verify run records the query as `err`
+    * instead of quietly carrying `golden_ok=false` in a column nobody
+    * reads. GoldenGateSpec proves the trip end-to-end with a perturbed
+    * corpus twin. */
+  private[queries] def withGoldenDigest(df: DataFrame, d: String, queryName: String): DataFrame =
+    withGoldenDigestExpected(df,
+      GoldenDigests.get(queryName).flatMap(_.get(new java.io.File(d).getName)), queryName)
+
+  /** Testable core of the golden gate: `expected = Some(e)` pins the
+    * digest fatally, `None` (unknown sf) degrades to `golden_ok = NULL`. */
+  private[graft] def withGoldenDigestExpected(
+      df: DataFrame, expected: Option[Long], queryName: String): DataFrame = {
     val hashAll = pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(1000000007L))
     val digest = df.agg(sum(hashAll).as("golden_digest"))
-    val expected = GoldenDigests.get(queryName)
-      .flatMap(_.get(new java.io.File(d).getName))
     df.crossJoin(broadcast(digest))
       .withColumn("golden_ok",
-        expected.map(e => col("golden_digest") === lit(e))
+        expected.map(e =>
+          when(col("golden_digest") === lit(e), lit(true))
+            .otherwise(raise_error(concat(
+              lit(s"golden digest drift in $queryName: expected $e, got "),
+              col("golden_digest").cast("string")))))
           .getOrElse(lit(null).cast("boolean")))
   }
 
