@@ -186,25 +186,14 @@ object CoverageQueries {
     * real BM25, k1=1.2 b=0.75): corpus stats (N, avgdl, per-term df) come
     * from one aggregate broadcast back over the scan — two passes, no
     * window over a single partition. dl sums are integers in doubles, so
-    * the stats are exact and engine-independent. */
+    * the stats are exact and engine-independent. Scorer shared with the
+    * hybrid fusion queries via [[Bm25Scoring]]. */
   private val searchBm25: Q = (s, d) => {
-    val terms = Seq("spark", "join", "filter")
     val withTf = Tables.documents(s, d)
-      .select(Seq(
-        col("doc_id"),
-        expr("CAST(size(split(text, ' ')) AS DOUBLE)").as("dl")) ++
-        terms.map(t =>
-          expr(s"CAST(size(filter(split(text, ' '), x -> x = '$t')) AS DOUBLE)").as(s"tf_$t")): _*)
-    val stats = withTf.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      avg("dl").as("avgdl") +: terms.map(t =>
-        sum(when(col(s"tf_$t") > 0, 1.0).otherwise(0.0)).as(s"df_$t")): _*)
-    val scoreExpr = terms.map(t =>
-      s"ln(1.0D + (n_docs - df_$t + 0.5D) / (df_$t + 0.5D)) * " +
-        s"(tf_$t * 2.2D) / (tf_$t + 1.2D * (0.25D + 0.75D * dl / avgdl))")
-      .mkString(" + ")
+      .select(col("doc_id") +: Bm25Scoring.tfCols: _*)
+    val stats = withTf.agg(Bm25Scoring.nDocsAgg, Bm25Scoring.statAggs: _*)
     withTf.crossJoin(broadcast(stats))
-      .withColumn("score_e4", floor(expr(scoreExpr) * 10000).cast("long"))
+      .withColumn("score_e4", floor(expr(Bm25Scoring.scoreExpr) * 10000).cast("long"))
       .select("doc_id", "score_e4")
       .orderBy(col("score_e4").desc, col("doc_id").asc)
       .limit(20)
@@ -752,29 +741,17 @@ object CoverageQueries {
         |SELECT source, CAST(rk AS INT) AS rk, doc_id, n_chars
         |FROM ranked WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
     "search_bm25" ->
-      """WITH tf AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
-        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS DOUBLE) AS tf_spark,
-        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'join')) AS DOUBLE) AS tf_join,
-        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'filter')) AS DOUBLE) AS tf_filter
-        |  FROM documents),
-        |stats AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
-        |    sum(CASE WHEN tf_spark > 0 THEN 1.0 ELSE 0.0 END) AS df_spark,
-        |    sum(CASE WHEN tf_join > 0 THEN 1.0 ELSE 0.0 END) AS df_join,
-        |    sum(CASE WHEN tf_filter > 0 THEN 1.0 ELSE 0.0 END) AS df_filter
-        |  FROM tf)
-        |SELECT doc_id, CAST(floor((
-        |    ln(1.0 + (n_docs - df_spark + 0.5) / (df_spark + 0.5))
-        |      * (tf_spark * 2.2) / (tf_spark + 1.2 * (0.25 + 0.75 * dl / avgdl))
-        |  + ln(1.0 + (n_docs - df_join + 0.5) / (df_join + 0.5))
-        |      * (tf_join * 2.2) / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl))
-        |  + ln(1.0 + (n_docs - df_filter + 0.5) / (df_filter + 0.5))
-        |      * (tf_filter * 2.2) / (tf_filter + 1.2 * (0.25 + 0.75 * dl / avgdl))
-        |  ) * 10000) AS BIGINT) AS score_e4
-        |FROM tf, stats
-        |ORDER BY score_e4 DESC, doc_id ASC LIMIT 20""".stripMargin,
+      s"""WITH tf AS (
+         |  SELECT doc_id, ${Bm25Scoring.duckTfCols.mkString(",\n    ")}
+         |  FROM documents),
+         |stats AS (
+         |  SELECT ${Bm25Scoring.duckStatCols.mkString(",\n    ")}
+         |  FROM tf)
+         |SELECT doc_id, CAST(floor((
+         |    ${Bm25Scoring.duckScore}
+         |  ) * 10000) AS BIGINT) AS score_e4
+         |FROM tf, stats
+         |ORDER BY score_e4 DESC, doc_id ASC LIMIT 20""".stripMargin,
     "search_bm25_fields" -> {
       val tfCols = Bm25Fields.flatMap { case (f, _, _) =>
         val tok = DuckBm25FieldTok(f)
