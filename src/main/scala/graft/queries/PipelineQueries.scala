@@ -464,6 +464,31 @@ object PipelineQueries {
   private def pqCentroid(m: Int, k: Int, i: Int): Double =
     (((m * 131 + k * 31 + i * 17) % 19) - 9) / 10.0
 
+  /** Shared Spark-side PQ expression builders (build / ADC query /
+    * recall-audit entries all use the identical straight-line
+    * arithmetic): per-(subspace m, centroid k) squared-L2 distance
+    * columns, the per-subspace argmin code columns, and the ADC
+    * table-lookup sum. `${c}D`: bare decimal literals are DECIMAL in
+    * Spark (and DuckDB) and the engines' decimal promotion differs in
+    * the last ulp. */
+  private def pqDistExpr(m: Int, k: Int): String =
+    (0 until 16).map { i =>
+      val c = pqCentroid(m, k, i)
+      val e = s"element_at(embedding, ${16 * m + i + 1})"
+      s"($e - ${c}D) * ($e - ${c}D)"
+    }.mkString("(", " + ", ")")
+  private def pqDistCols: Seq[String] =
+    (for (m <- 0 until 4; k <- 0 until 4) yield s"${pqDistExpr(m, k)} AS d_${m}_$k").toSeq
+  private def pqCodeCols: Seq[String] = (0 until 4).map { m =>
+    s"(CASE WHEN d_${m}_0 <= d_${m}_1 AND d_${m}_0 <= d_${m}_2 AND d_${m}_0 <= d_${m}_3 THEN 0 " +
+      s"WHEN d_${m}_1 <= d_${m}_2 AND d_${m}_1 <= d_${m}_3 THEN 1 " +
+      s"WHEN d_${m}_2 <= d_${m}_3 THEN 2 ELSE 3 END) AS code_$m"
+  }
+  private def pqAdcExpr: String = (0 until 4).map { m =>
+    s"(CASE code_$m WHEN 0 THEN ${AdcTables(m)(0)}D WHEN 1 THEN ${AdcTables(m)(1)}D " +
+      s"WHEN 2 THEN ${AdcTables(m)(2)}D ELSE ${AdcTables(m)(3)}D END)"
+  }.mkString(" + ")
+
   /** Product quantization codes — the memory half of the IVF-PQ ANN
     * architecture (`sim_ivf_assign` is the routing half): the 64-dim
     * embedding splits into m=4 subvectors of 16 dims, each assigned to
@@ -477,25 +502,11 @@ object PipelineQueries {
     * all arithmetic is straight-line left-associated double sums of
     * inlined literals, so the oracle reproduces it bit-for-bit. */
   private val simPqCodes: Q = (s, d) => {
-    def distExpr(m: Int, k: Int): String =
-      (0 until 16).map { i =>
-        val c = pqCentroid(m, k, i)
-        val e = s"element_at(embedding, ${16 * m + i + 1})"
-        // ${c}D: bare decimal literals are DECIMAL in Spark (and DuckDB)
-        // and the two engines' decimal promotion differs in the last ulp
-        s"($e - ${c}D) * ($e - ${c}D)"
-      }.mkString("(", " + ", ")")
-    val dCols = for (m <- 0 until 4; k <- 0 until 4) yield s"${distExpr(m, k)} AS d_${m}_$k"
-    val codeCols = (0 until 4).map { m =>
-      s"(CASE WHEN d_${m}_0 <= d_${m}_1 AND d_${m}_0 <= d_${m}_2 AND d_${m}_0 <= d_${m}_3 THEN 0 " +
-        s"WHEN d_${m}_1 <= d_${m}_2 AND d_${m}_1 <= d_${m}_3 THEN 1 " +
-        s"WHEN d_${m}_2 <= d_${m}_3 THEN 2 ELSE 3 END) AS code_$m"
-    }
     val dminCols = (0 until 4).map(m =>
       s"least(d_${m}_0, d_${m}_1, d_${m}_2, d_${m}_3) AS dmin_$m")
     Tables.embeddings(s, d)
-      .selectExpr("vec_id" +: dCols: _*)
-      .selectExpr(("vec_id" +: codeCols) ++ dminCols: _*)
+      .selectExpr("vec_id" +: pqDistCols: _*)
+      .selectExpr(("vec_id" +: pqCodeCols) ++ dminCols: _*)
       .selectExpr("vec_id",
         "CAST(code_0 + 4 * code_1 + 16 * code_2 + 64 * code_3 AS INT) AS pq_code",
         "CAST(floor((dmin_0 + dmin_1 + dmin_2 + dmin_3) * 10000) AS BIGINT) AS err_e4")
@@ -527,30 +538,13 @@ object PipelineQueries {
     * already-verified sim_pq_codes arithmetic. Ordering ties (ADC takes
     * ≤ 256 distinct values, so the cutoff IS tied) break by vec_id in
     * both engines. */
-  private val simPqAdcTopk: Q = (s, d) => {
-    def distExpr(m: Int, k: Int): String =
-      (0 until 16).map { i =>
-        val c = pqCentroid(m, k, i)
-        val e = s"element_at(embedding, ${16 * m + i + 1})"
-        s"($e - ${c}D) * ($e - ${c}D)"
-      }.mkString("(", " + ", ")")
-    val dCols = for (m <- 0 until 4; k <- 0 until 4) yield s"${distExpr(m, k)} AS d_${m}_$k"
-    val codeCols = (0 until 4).map { m =>
-      s"(CASE WHEN d_${m}_0 <= d_${m}_1 AND d_${m}_0 <= d_${m}_2 AND d_${m}_0 <= d_${m}_3 THEN 0 " +
-        s"WHEN d_${m}_1 <= d_${m}_2 AND d_${m}_1 <= d_${m}_3 THEN 1 " +
-        s"WHEN d_${m}_2 <= d_${m}_3 THEN 2 ELSE 3 END) AS code_$m"
-    }
-    val adcExpr = (0 until 4).map { m =>
-      s"(CASE code_$m WHEN 0 THEN ${AdcTables(m)(0)}D WHEN 1 THEN ${AdcTables(m)(1)}D " +
-        s"WHEN 2 THEN ${AdcTables(m)(2)}D ELSE ${AdcTables(m)(3)}D END)"
-    }.mkString(" + ")
+  private val simPqAdcTopk: Q = (s, d) =>
     Tables.embeddings(s, d)
-      .selectExpr("vec_id" +: dCols: _*)
-      .selectExpr("vec_id" +: codeCols: _*)
-      .selectExpr("vec_id", s"CAST(floor(($adcExpr) * 10000) AS BIGINT) AS adc_e4")
+      .selectExpr("vec_id" +: pqDistCols: _*)
+      .selectExpr("vec_id" +: pqCodeCols: _*)
+      .selectExpr("vec_id", s"CAST(floor(($pqAdcExpr) * 10000) AS BIGINT) AS adc_e4")
       .orderBy(col("adc_e4"), col("vec_id"))
       .limit(10)
-  }
 
   /** IVF probe set: the `IvfNprobe` centroids nearest (squared L2) to
     * the fixed query vector q = 0.1·1⃗, over the same deterministic
@@ -559,13 +553,14 @@ object PipelineQueries {
     * class-load and inlined as literals into BOTH engines' SQL, so the
     * probe list cannot drift between Spark and the oracle. */
   private val IvfNprobe = 4
-  private[queries] val IvfProbes: Seq[Int] = {
+  private[queries] def ivfProbeList(nprobe: Int): Seq[Int] = {
     def centroid(j: Int, i: Int): Double = (((j * 31 + i * 17) % 19) - 9) / 10.0
     (0 until 16).map { j =>
       val d = (0 until 64).map { i => val diff = 0.1 - centroid(j, i); diff * diff }.sum
       (j, d)
-    }.sortBy { case (j, d) => (d, j) }.take(IvfNprobe).map(_._1)
+    }.sortBy { case (j, d) => (d, j) }.take(nprobe).map(_._1)
   }
+  private[queries] val IvfProbes: Seq[Int] = ivfProbeList(IvfNprobe)
 
   /** IVF-probed ANN top-k — the QUERY path completing `sim_ivf_assign`'s
     * partition map (together they are the Spark-side generalization of
@@ -589,6 +584,61 @@ object PipelineQueries {
           "* 1000000) AS BIGINT) AS cos_e6")
       .orderBy(col("cos_e6").desc, col("vec_id").asc)
       .limit(20)
+
+  /** ANN recall@k AUDIT (VERDICT r9 #4): the first question a real ANN
+    * user asks before trusting nprobe/PQ settings at 100 TB is "what
+    * recall does this buy me?" — so measure it IN the engine, against
+    * the brute-force ground truth that also ships (`sim_cosine_topk`).
+    * Ground truth = native-cosine top-20 over the full corpus
+    * (cos_e6 desc, vec_id tiebreak — the same fixed-point key every ANN
+    * entry orders by, so ties cannot straddle methods or engines); each
+    * method's top-20 then left-joins the truth set and counts overlap:
+    * one row per method with n_returned and n_hits (recall@20 = n_hits /
+    * 20). Methods: IVF with nprobe 1 and 4 (of nlist=16 — the
+    * probe-budget curve), and PQ ADC (4×2-bit codes, the memory-for-
+    * recall trade). Pure relational arithmetic end-to-end, so the DuckDB
+    * oracle hash-pins the measured recall integers per scale factor —
+    * a quantization or probe-order regression changes the pinned number,
+    * not just a vibe.
+    *
+    * Scale posture: the brute-force ground truth is the audit's cost by
+    * design — at 100 TB this query runs over a SAMPLED query set (the
+    * per-method branches are the cheap side); each branch is a
+    * scan-local top-k (partial per-partition heap + single merge), and
+    * the final overlap join moves ≤ 3k rows. */
+  private val simRecallAtK: Q = (s, d) => {
+    val k = 20
+    val cosE6 =
+      "CAST(floor(graft_cosine(embedding, array_repeat(CAST(0.1 AS DOUBLE), 64)) " +
+        "* 1000000) AS BIGINT) AS cos_e6"
+    def cosTopk(df: DataFrame): DataFrame = df
+      .selectExpr("vec_id", cosE6)
+      .orderBy(col("cos_e6").desc, col("vec_id").asc)
+      .limit(k).select("vec_id")
+    val emb = Tables.embeddings(s, d)
+    val gt = cosTopk(emb)
+    val assigned = emb.selectExpr("vec_id", "embedding",
+      "graft_ivf_assign(embedding, 16) AS centroid_id")
+    def ivf(nprobe: Int): DataFrame =
+      cosTopk(assigned.filter(col("centroid_id").isin(ivfProbeList(nprobe): _*))
+        .select("vec_id", "embedding"))
+    val pq = emb
+      .selectExpr("vec_id" +: pqDistCols: _*)
+      .selectExpr("vec_id" +: pqCodeCols: _*)
+      .selectExpr("vec_id", s"CAST(floor(($pqAdcExpr) * 10000) AS BIGINT) AS adc_e4")
+      .orderBy(col("adc_e4"), col("vec_id"))
+      .limit(k).select("vec_id")
+    val methods = ivf(1).withColumn("method", lit("ivf_nprobe1"))
+      .unionByName(ivf(4).withColumn("method", lit("ivf_nprobe4")))
+      .unionByName(pq.withColumn("method", lit("pq_adc")))
+    methods
+      .join(gt.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
+      .groupBy("method")
+      .agg(count(lit(1)).as("n_returned"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("k", lit(k.toLong))
+      .orderBy("method")
+  }
 
   /** LSH banding parameters for the embedding near-dup join. Bucket
     * occupancy per band is E[N / 2^bandBits]; the in-band self-join costs
@@ -1457,6 +1507,7 @@ object PipelineQueries {
     "sim_lsh_buckets" -> simLshBuckets,
     "sim_ivf_assign" -> simIvfAssign,
     "sim_ivf_topk" -> simIvfTopk,
+    "sim_recall_at_k" -> simRecallAtK,
     "sim_embed_neardup" -> simEmbedNeardup,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
@@ -1883,6 +1934,83 @@ object PipelineQueries {
          |SELECT vec_id, centroid_id,
          |  CAST(floor(dot / (sqrt(na) * sqrt(nb)) * 1000000) AS BIGINT) AS cos_e6
          |FROM probed ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "sim_recall_at_k" -> {
+      // assignment + cosine folds mirror sim_ivf_topk; PQ dist/code/ADC
+      // fragments mirror sim_pq_adc_topk — the audit composes the three
+      // already-pinned arithmetic blocks and counts top-20 overlap
+      def distSql(m: Int, k: Int): String =
+        (0 until 16).map { i =>
+          val c = pqCentroid(m, k, i)
+          val e = s"embedding[${16 * m + i + 1}]"
+          s"($e - CAST($c AS DOUBLE)) * ($e - CAST($c AS DOUBLE))"
+        }.mkString("(", " + ", ")")
+      val dCols = (for (m <- 0 until 4; k <- 0 until 4)
+        yield s"${distSql(m, k)} AS d_${m}_$k").mkString(",\n    ")
+      val codeCols = (0 until 4).map { m =>
+        s"(CASE WHEN d_${m}_0 <= d_${m}_1 AND d_${m}_0 <= d_${m}_2 AND d_${m}_0 <= d_${m}_3 THEN 0 " +
+          s"WHEN d_${m}_1 <= d_${m}_2 AND d_${m}_1 <= d_${m}_3 THEN 1 " +
+          s"WHEN d_${m}_2 <= d_${m}_3 THEN 2 ELSE 3 END) AS code_$m"
+      }.mkString(",\n    ")
+      val adcSql = (0 until 4).map { m =>
+        s"(CASE code_$m WHEN 0 THEN CAST(${AdcTables(m)(0)} AS DOUBLE) " +
+          s"WHEN 1 THEN CAST(${AdcTables(m)(1)} AS DOUBLE) " +
+          s"WHEN 2 THEN CAST(${AdcTables(m)(2)} AS DOUBLE) " +
+          s"ELSE CAST(${AdcTables(m)(3)} AS DOUBLE) END)"
+      }.mkString(" + ")
+      s"""WITH costs AS (
+         |  SELECT vec_id, embedding, list_transform(generate_series(0, 15),
+         |    j -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(generate_series(0, 63),
+         |        i -> (CAST(embedding[i + 1] AS DOUBLE)
+         |          - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0)
+         |          * (CAST(embedding[i + 1] AS DOUBLE)
+         |          - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0))),
+         |      (a, x) -> a + x)) AS costs
+         |  FROM embeddings),
+         |assigned AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_position(costs, list_min(costs)) - 1 AS INT) AS centroid_id
+         |  FROM costs),
+         |cos AS (
+         |  SELECT vec_id, centroid_id,
+         |    CAST(floor(
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding,
+         |        x -> CAST(x AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x)
+         |      / (sqrt(${duckSumSqOf("embedding")})
+         |         * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |             list_transform(embedding,
+         |               x -> CAST(0.1 AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x)))
+         |      * 1000000) AS BIGINT) AS cos_e6
+         |  FROM assigned),
+         |gt AS (SELECT vec_id FROM cos ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20),
+         |ivf1 AS (
+         |  SELECT vec_id FROM cos WHERE centroid_id IN (${ivfProbeList(1).mkString(", ")})
+         |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20),
+         |ivf4 AS (
+         |  SELECT vec_id FROM cos WHERE centroid_id IN (${ivfProbeList(4).mkString(", ")})
+         |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20),
+         |dists AS (
+         |  SELECT vec_id,
+         |    $dCols
+         |  FROM embeddings),
+         |codes AS (
+         |  SELECT vec_id,
+         |    $codeCols
+         |  FROM dists),
+         |pq AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, CAST(floor(($adcSql) * 10000) AS BIGINT) AS adc_e4 FROM codes)
+         |  ORDER BY adc_e4, vec_id LIMIT 20),
+         |methods AS (
+         |  SELECT 'ivf_nprobe1' AS method, vec_id FROM ivf1
+         |  UNION ALL SELECT 'ivf_nprobe4' AS method, vec_id FROM ivf4
+         |  UNION ALL SELECT 'pq_adc' AS method, vec_id FROM pq)
+         |SELECT m.method, CAST(count(*) AS BIGINT) AS n_returned,
+         |  CAST(sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  CAST(20 AS BIGINT) AS k
+         |FROM methods m LEFT JOIN gt g ON m.vec_id = g.vec_id
+         |GROUP BY m.method ORDER BY m.method""".stripMargin
+    },
     "sim_embed_neardup" ->
       // graft_cosine's fused loop = three independent sequential f64
       // folds (dot, |a|^2, |b|^2) — replicated here fold-for-fold
