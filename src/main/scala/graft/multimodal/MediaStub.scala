@@ -7,13 +7,14 @@ import org.apache.spark.sql.Dataset
 /** Multimodal column plumbing: image/audio/video ride as opaque `binary`
   * columns with typed metadata alongside (builder brief "multimodal
   * columns"). The Spark-side shape is real — schema, per-partition
-  * decoder lifecycle, batch iteration, typed output — and as of r9 the
-  * container-header decode is REAL byte-format parsing for PNG, JPEG,
-  * GIF and WAV (all public specs: W3C PNG, ITU T.81 JPEG, GIF89a,
-  * RIFF/WAVE). Only pixel/sample decoding and video demuxing remain
-  * stubbed (no codec libraries in this container): video frame counts
-  * fall back to a deterministic byte-derived fake, clearly marked
-  * `STUB DECODE` below.
+  * decoder lifecycle, batch iteration, typed output — and the
+  * container-header decode is REAL byte-format parsing for all five
+  * families (public specs: W3C PNG, ITU T.81 JPEG, GIF89a, RIFF/WAVE,
+  * and as of r10 ISO/IEC 14496-12 MP4 — box walk to `moov/mvhd`
+  * timescale/duration, `tkhd` fixed-point dims, `stts` sample count).
+  * Only pixel/sample decoding itself remains stubbed (no codec
+  * libraries in this container), marked `STUB DECODE` below; container
+  * metadata is never faked — unknown bytes decode to zeros.
   *
   * Scale posture: `mapPartitions` initializes one decoder per partition
   * (codec init is expensive; per-row init would dominate), rows stream
@@ -53,6 +54,8 @@ object MediaStub {
   private def leU32(b: Array[Byte], i: Int): Long =
     u8(b, i).toLong | (u8(b, i + 1).toLong << 8) | (u8(b, i + 2).toLong << 16) |
       (u8(b, i + 3).toLong << 24)
+  private def beU64(b: Array[Byte], i: Int): Long =
+    (beU32(b, i) << 32) | beU32(b, i + 4)
   private def ascii4(b: Array[Byte], i: Int): String =
     new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
@@ -124,20 +127,95 @@ object MediaStub {
     else Some((0, 0, (dataLen / blockAlign).toInt, rate, channels))
   }
 
+  /** MP4 / ISO-BMFF (ISO/IEC 14496-12): the file is a tree of boxes
+    * [size BE u32]['xxxx' type][body], where size covers the header and
+    * size==1 switches to a 64-bit largesize after the type (size==0 =
+    * "to end of enclosing box"). List the child boxes of a byte range;
+    * a malformed size stops the walk (header readers parse what framed
+    * correctly, like a real demuxer recovering a truncated file). */
+  private def mp4Boxes(b: Array[Byte], start: Int, end: Int): List[(String, Int, Int)] = {
+    val out = scala.collection.mutable.ListBuffer[(String, Int, Int)]()
+    var i = start
+    var ok = true
+    while (ok && i + 8 <= end) {
+      val size32 = beU32(b, i)
+      val (hdr, size) =
+        if (size32 == 1 && i + 16 <= end) (16, beU64(b, i + 8))
+        else if (size32 == 0) (8, (end - i).toLong)
+        else (8, size32)
+      if (size < hdr || size > end - i) ok = false
+      else {
+        out += ((ascii4(b, i + 4), i + hdr, i + size.toInt))
+        i += size.toInt
+      }
+    }
+    out.toList
+  }
+
+  /** MP4/ISO-BMFF header parse: `moov/mvhd` carries the presentation
+    * timescale+duration (version 1 widens times to 64-bit), each
+    * `trak/tkhd` the track dims as 16.16 fixed-point at the end of the
+    * box, and `trak/mdia/minf/stbl/stts` the decode-time table whose
+    * sample_count sum IS the frame count. Dims come from the first
+    * video track (nonzero tkhd dims); frames from that track, or the
+    * first track for audio-only files. Requires the file to lead with
+    * `ftyp`/`moov`/`styp` and a parseable mvhd — anything else is not an
+    * ISO-BMFF file and falls through to the unknown-container path. */
+  private def parseMp4(b: Array[Byte]): Option[Parsed] = {
+    if (b.length < 16) return None
+    val top = mp4Boxes(b, 0, b.length)
+    if (top.isEmpty || !Seq("ftyp", "moov", "styp").contains(top.head._1)) return None
+    val moov = top.find(_._1 == "moov").getOrElse(return None)
+    val kids = mp4Boxes(b, moov._2, moov._3)
+    // mvhd v0: verflags(4) creation(4) modification(4) timescale(4)
+    // duration(4); v1 widens creation/modification/duration to 8 bytes
+    val timescale = kids.find(_._1 == "mvhd").flatMap { case (_, s, e) =>
+      val ver = if (s < e) u8(b, s) else -1
+      val off = if (ver == 1) s + 20 else s + 12
+      if (ver >= 0 && off + 4 <= e) Some(beU32(b, off)) else None
+    }.getOrElse(return None) // no readable mvhd: not a usable movie header
+    if (timescale == 0) return None
+    val traks = kids.filter(_._1 == "trak")
+    // tkhd width/height: 16.16 fixed after verflags + times + track id +
+    // reserved + duration + reserved(8) + layer/alt/volume/reserved(8) +
+    // matrix(36) — body offset 76 (v0) / 88 (v1, 64-bit times+duration)
+    def dims(t: (String, Int, Int)): Option[(Int, Int)] =
+      mp4Boxes(b, t._2, t._3).find(_._1 == "tkhd").flatMap { case (_, s, e) =>
+        val ver = if (s < e) u8(b, s) else -1
+        val off = if (ver == 1) s + 88 else s + 76
+        if (ver >= 0 && off + 8 <= e)
+          Some(((beU32(b, off) >> 16).toInt, (beU32(b, off + 4) >> 16).toInt))
+        else None
+      }
+    // stts body: verflags(4) entry_count(4) then [sample_count, delta] pairs
+    def frames(t: (String, Int, Int)): Long = (for {
+      mdia <- mp4Boxes(b, t._2, t._3).find(_._1 == "mdia")
+      minf <- mp4Boxes(b, mdia._2, mdia._3).find(_._1 == "minf")
+      stbl <- mp4Boxes(b, minf._2, minf._3).find(_._1 == "stbl")
+      stts <- mp4Boxes(b, stbl._2, stbl._3).find(_._1 == "stts")
+    } yield {
+      val (s, e) = (stts._2, stts._3)
+      if (s + 8 > e) 0L
+      else {
+        val n = math.min(beU32(b, s + 4), (e - s - 8) / 8).toInt
+        (0 until n).map(k => beU32(b, s + 8 + 8 * k)).sum
+      }
+    }).getOrElse(0L)
+    val video = traks.find(t => dims(t).exists { case (w, h) => w > 0 && h > 0 })
+    val (w, h) = video.flatMap(dims).getOrElse((0, 0))
+    val nFrames = video.orElse(traks.headOption).map(frames).getOrElse(0L)
+    Some((w, h, nFrames.toInt, 0, 0))
+  }
+
   /** Decode a single payload: try each real header parser (magic-sniffed
-    * like a real decoder — the mime column is advisory), fall back to
-    * the deterministic byte-derived stub for containers we can't parse
-    * (video, unknown). */
+    * like a real decoder — the mime column is advisory). All five
+    * container families (PNG, JPEG, GIF, WAV, MP4/ISO-BMFF) are REAL
+    * public-spec byte parsing; an unknown or malformed container decodes
+    * to all-zero metadata ("nothing parseable"), never to a fake. */
   private def parseMedia(media: Array[Byte], mime: String): Parsed =
     parsePng(media).orElse(parseJpeg(media)).orElse(parseGif(media))
-      .orElse(parseWav(media)).getOrElse {
-        // STUB DECODE (video/unknown only): a real demuxer would read the
-        // container index (e.g. MP4 moov/mvhd); the fake is a pure
-        // function of the bytes so tests and oracles can pin it.
-        val n = media.length
-        val frames = if (mime.startsWith("video/")) 1 + n % 240 else 1
-        (0, 0, frames, 0, 0)
-      }
+      .orElse(parseWav(media)).orElse(parseMp4(media))
+      .getOrElse((0, 0, 0, 0, 0))
 
   /** Decode metadata for every asset. Batch shape: one decoder instance
     * per partition, streamed row-at-a-time. */
@@ -264,5 +342,37 @@ object MediaFixtures {
       "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
       le32(sampleRate) ++ le32(sampleRate * blockAlign) ++ le16(blockAlign) ++ le16(16) ++
       "data".getBytes ++ le32(dataLen) ++ new Array[Byte](dataLen)
+  }
+
+  private def box(typ: String, body: Array[Byte]): Array[Byte] =
+    be32(8 + body.length) ++ typ.getBytes ++ body
+
+  /** Unity transformation matrix (ISO 14496-12 §6.2.2): fixed-point
+    * [0x10000 0 0; 0 0x10000 0; 0 0 0x40000000] row-major. */
+  private val Mp4UnityMatrix: Array[Byte] =
+    be32(0x10000) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0x10000) ++
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(0x40000000)
+
+  /** Minimal ISO-BMFF/MP4 with spec-exact box framing:
+    * `ftyp` + `moov[mvhd + trak[tkhd + mdia[minf[stbl[stts]]]]]` +
+    * `mdat[payload]` — exactly the boxes a header reader consumes
+    * (mvhd timescale 600 / duration nFrames, tkhd 16.16 dims, one stts
+    * entry of nFrames×delta-1 samples); non-essential boxes (hdlr,
+    * stsd, …) are omitted, which keeps the byte budget a constant:
+    * 16 + 264 + 8 + payload.length = 288 + payload.length. */
+  def mp4(width: Int, height: Int, nFrames: Int, payload: Array[Byte]): Array[Byte] = {
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0)) // major brand + minor version
+    val mvhd = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(600) ++ be32(nFrames) ++ // verflags..duration
+        be32(0x10000) ++ be16(0x0100) ++ be16(0) ++ // rate 1.0, volume 1.0, reserved
+        new Array[Byte](8) ++ Mp4UnityMatrix ++
+        new Array[Byte](24) ++ be32(2)) // pre_defined, next_track_ID
+    val tkhd = box("tkhd",
+      be32(7) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(nFrames) ++ // verflags..duration
+        new Array[Byte](8) ++ be16(0) ++ be16(0) ++ be16(0) ++ be16(0) ++ // layer/alt/volume/resv
+        Mp4UnityMatrix ++ be32(width << 16) ++ be32(height << 16))
+    val stts = box("stts", be32(0) ++ be32(1) ++ be32(nFrames) ++ be32(1))
+    val trak = box("trak", tkhd ++ box("mdia", box("minf", box("stbl", stts))))
+    ftyp ++ box("moov", mvhd ++ trak) ++ box("mdat", payload)
   }
 }

@@ -426,14 +426,14 @@ object CoverageQueries {
 
   /** Multimodal decode — opaque binary columns through the REAL header
     * parsers (r9): each document becomes a well-formed PNG / JPEG / WAV
-    * container (doc_id%3 picks the format; MediaFixtures writes
+    * container (doc_id%4 picks the format; MediaFixtures writes
     * spec-exact headers with dims/rate/frames derived from doc_id and
     * the text payload), and [[graft.multimodal.MediaStub.decodeMeta]]
     * parses them back per-partition. The oracle predicts every decoded
     * field arithmetically — a parser bug (endianness, offset, chunk
-    * walk) breaks the hash row, not just a spec. */
+    * walk, box framing) breaks the hash row, not just a spec. */
   /** Shared media fixture: every document becomes a well-formed
-    * container (PNG/JPEG/WAV round-robin by doc_id % 3) whose header
+    * container (PNG/JPEG/WAV/MP4 round-robin by doc_id % 4) whose header
     * fields are pure doc_id arithmetic, so every downstream decode /
     * sample / resize value is oracle-predictable. */
   private def mediaRecords(s: SparkSession, d: String) = {
@@ -445,17 +445,21 @@ object CoverageQueries {
       .map { case (id, text) =>
         val payload = Option(text).getOrElse("")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        (id % 3) match {
+        (id % 4) match {
           case 0 => MediaRecord(id,
             MediaFixtures.png((id % 624 + 16).toInt, (id % 464 + 16).toInt, payload),
             "image/png")
           case 1 => MediaRecord(id,
             MediaFixtures.jpeg((id % 624 + 16).toInt, (id % 464 + 16).toInt, payload),
             "image/jpeg")
-          case _ => MediaRecord(id,
+          case 2 => MediaRecord(id,
             MediaFixtures.wav((8000 + (id % 8) * 1000).toInt, (1 + id % 2).toInt,
               payload.length),
             "audio/wav")
+          case _ => MediaRecord(id,
+            MediaFixtures.mp4((id % 624 + 16).toInt, (id % 464 + 16).toInt,
+              (id % 240 + 1).toInt, payload),
+            "video/mp4")
         }
       }
   }
@@ -911,40 +915,49 @@ object CoverageQueries {
         |  CAST(length(chunks[-1]) AS INT) AS last_chunk_len
         |FROM c ORDER BY doc_id""".stripMargin,
     // Budgets mirror MediaFixtures: PNG = 33+payload, JPEG = 23+payload,
-    // WAV = 44 + frames*channels*2 with frames = payload bytes; dims and
-    // rate/channels are the same doc_id arithmetic the fixture encodes.
+    // WAV = 44 + frames*channels*2 with frames = payload bytes,
+    // MP4 = 288+payload (fixed ftyp+moov tree + mdat header); dims,
+    // rate/channels and the MP4 stts frame count are the same doc_id
+    // arithmetic the fixture encodes.
     "mm_binary_meta" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
-        |    WHEN 1 THEN 'image/jpeg' ELSE 'audio/wav' END AS mime,
-        |  CAST(CASE CAST(doc_id % 3 AS INT)
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'image/png'
+        |    WHEN 1 THEN 'image/jpeg' WHEN 2 THEN 'audio/wav'
+        |    ELSE 'video/mp4' END AS mime,
+        |  CAST(CASE CAST(doc_id % 4 AS INT)
         |    WHEN 0 THEN 33 + octet_length(encode(text))
         |    WHEN 1 THEN 23 + octet_length(encode(text))
-        |    ELSE 44 + octet_length(encode(text)) * (1 + doc_id % 2) * 2
+        |    WHEN 2 THEN 44 + octet_length(encode(text)) * (1 + doc_id % 2) * 2
+        |    ELSE 288 + octet_length(encode(text))
         |    END AS INT) AS n_bytes,
-        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 0
         |    ELSE doc_id % 624 + 16 END AS INT) AS width,
-        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 0
         |    ELSE doc_id % 464 + 16 END AS INT) AS height,
-        |  CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text))
+        |  CAST(CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 2 THEN octet_length(encode(text))
+        |    WHEN 3 THEN doc_id % 240 + 1
         |    ELSE 1 END AS INT) AS n_frames,
-        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 8000 + (doc_id % 8) * 1000
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 8000 + (doc_id % 8) * 1000
         |    ELSE 0 END AS INT) AS sample_rate,
-        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 2
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 1 + doc_id % 2
         |    ELSE 0 END AS INT) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frame_resize" ->
       """WITH m AS (
         |  SELECT doc_id,
-        |    CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text))
+        |    CAST(CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 2 THEN octet_length(encode(text))
+        |      WHEN 3 THEN doc_id % 240 + 1
         |      ELSE 1 END AS BIGINT) AS n_frames,
-        |    CAST(CASE CAST(doc_id % 3 AS INT)
+        |    CAST(CASE CAST(doc_id % 4 AS INT)
         |      WHEN 0 THEN 33 + octet_length(encode(text))
         |      WHEN 1 THEN 23 + octet_length(encode(text))
-        |      ELSE 44 + octet_length(encode(text)) * (1 + doc_id % 2) * 2
+        |      WHEN 2 THEN 44 + octet_length(encode(text)) * (1 + doc_id % 2) * 2
+        |      ELSE 288 + octet_length(encode(text))
         |      END AS BIGINT) AS n_bytes,
-        |    CASE WHEN doc_id % 3 = 2 THEN 0 ELSE doc_id % 624 + 16 END AS w,
-        |    CASE WHEN doc_id % 3 = 2 THEN 0 ELSE doc_id % 464 + 16 END AS h
+        |    CASE WHEN doc_id % 4 = 2 THEN 0 ELSE doc_id % 624 + 16 END AS w,
+        |    CASE WHEN doc_id % 4 = 2 THEN 0 ELSE doc_id % 464 + 16 END AS h
         |  FROM documents),
         |f AS (
         |  SELECT doc_id,

@@ -82,28 +82,71 @@ class MediaStubSpec extends AnyFunSuite {
     assert(meta.forall(m => m.width == 0 && m.height == 0))
   }
 
-  test("garbage and truncated headers fall back to the documented stub") {
+  test("garbage and truncated headers decode to all-zero metadata, never a fake") {
     import spark.implicits._
     val truncatedPng = MediaFixtures.png(640, 480, Array.empty).take(12)
     val ds = Seq(
       MediaRecord(1, "not a container".getBytes, "image/png"),
       MediaRecord(2, truncatedPng, "image/png"),
-      MediaRecord(3, Array.empty[Byte], "image/png")).toDS()
+      MediaRecord(3, Array.empty[Byte], "image/png"),
+      MediaRecord(4, "definitely not an mp4 either!!".getBytes, "video/mp4")).toDS()
     val meta = MediaStub.decodeMeta(ds).collect()
-    assert(meta.forall(m => m.width == 0 && m.height == 0 && m.n_frames == 1))
+    assert(meta.forall(m => m.width == 0 && m.height == 0 && m.n_frames == 0))
   }
 
-  test("video assets get frame counts and sampled frame refs") {
+  test("MP4 golden: box walk to mvhd/tkhd/stts reads dims and frame count") {
     import spark.implicits._
-    val ds = Seq(rec(7, "x" * 1000, "video/mp4")).toDS()
+    val ds = Seq(
+      MediaRecord(1, MediaFixtures.mp4(1920, 1080, 240, "framedata".getBytes), "video/mp4"),
+      MediaRecord(2, MediaFixtures.mp4(16, 16, 1, Array.empty), "video/mp4")).toDS()
+    val meta = MediaStub.decodeMeta(ds).collect().sortBy(_.doc_id)
+    assert(meta(0).width == 1920 && meta(0).height == 1080 && meta(0).n_frames == 240)
+    assert(meta(0).n_bytes == 288 + 9) // fixed ftyp+moov tree + mdat + payload
+    assert(meta(0).sample_rate == 0 && meta(0).channels == 0)
+    assert(meta(1).width == 16 && meta(1).height == 16 && meta(1).n_frames == 1)
+  }
+
+  test("MP4 box walk: unknown boxes skipped, multi-entry stts summed, v1 offsets") {
+    import spark.implicits._
+    // hand-build variants the fixture doesn't emit: a free box before
+    // moov, two stts entries (100×delta1 + 50×delta2 = 150 samples), and
+    // a version-1 mvhd/tkhd (64-bit times ⇒ shifted field offsets)
+    def be32(v: Int): Array[Byte] = Array((v >>> 24).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(t: String, body: Array[Byte]): Array[Byte] =
+      be32(8 + body.length) ++ t.getBytes ++ body
+    val matrix = be32(0x10000) ++ be32(0) ++ be32(0) ++ be32(0) ++
+      be32(0x10000) ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0x40000000)
+    val stts2 = box("stts", be32(0) ++ be32(2) ++
+      be32(100) ++ be32(1) ++ be32(50) ++ be32(2))
+    val mvhdV1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++
+      new Array[Byte](8) ++ new Array[Byte](8) ++ be32(600) ++ new Array[Byte](8) ++
+      be32(0x10000) ++ Array[Byte](1, 0) ++ new Array[Byte](2) ++
+      new Array[Byte](8) ++ matrix ++ new Array[Byte](24) ++ be32(2))
+    val tkhdV1 = box("tkhd", Array[Byte](1, 0, 0, 7) ++
+      new Array[Byte](8) ++ new Array[Byte](8) ++ be32(1) ++ be32(0) ++
+      new Array[Byte](8) ++ new Array[Byte](8) ++ new Array[Byte](8) ++
+      matrix ++ be32(640 << 16) ++ be32(360 << 16))
+    val trak = box("trak", tkhdV1 ++ box("mdia", box("minf", box("stbl", stts2))))
+    val payload = box("ftyp", "isom".getBytes ++ be32(0)) ++
+      box("free", new Array[Byte](11)) ++
+      box("moov", mvhdV1 ++ trak) ++ box("mdat", "xyz".getBytes)
+    val m = MediaStub.decodeMeta(Seq(MediaRecord(1, payload, "video/mp4")).toDS()).head()
+    assert(m.width == 640 && m.height == 360 && m.n_frames == 150)
+  }
+
+  test("video assets get sampled frame refs from the real stts frame count") {
+    import spark.implicits._
+    val ds = Seq(MediaRecord(7,
+      MediaFixtures.mp4(320, 240, 101, ("x" * 1000).getBytes), "video/mp4")).toDS()
     val meta = MediaStub.decodeMeta(ds)
     val m = meta.head()
-    assert(m.n_frames == 1 + 1000 % 240)
+    assert(m.n_frames == 101)
     val frames = MediaStub.sampleFrames(meta, everyN = 10).collect().sortBy(_.frame_no)
     assert(frames.length == (m.n_frames + 9) / 10)
     assert(frames.head.frame_no == 0 && frames.head.byte_offset == 0L)
     // offsets follow the fixed stride layout
-    val stride = math.max(1L, 1000L / m.n_frames)
+    val stride = math.max(1L, m.n_bytes.toLong / m.n_frames)
     assert(frames.forall(f => f.byte_offset == f.frame_no * stride))
   }
 
