@@ -47,10 +47,23 @@ class DedupClustersSpec extends AnyFunSuite {
     // in 9 rounds, the pointer-jump variant must (paths halve per round)
     val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     assertThrows[IllegalStateException] {
-      DedupClusters.connectedComponents(pairs, "id_a", "id_b", maxIter = 9).count()
+      DedupClusters.connectedComponents(pairs, "id_a", "id_b", maxIter = 9,
+        pointerJump = Some(false)).count()
     }
     val got = DedupClusters.connectedComponents(pairs, "id_a", "id_b",
-      maxIter = 9, pointerJump = true)
+      maxIter = 9, pointerJump = Some(true))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 40 && got.values.toSet == Set(1L))
+  }
+
+  test("adaptive default detects the deep chain and self-enables the jump") {
+    import spark.implicits._
+    // DEFAULT ARGS (no pointerJump hint): the moving-label count stops
+    // halving after round 2, the shortcut switches on, and the chain
+    // resolves well inside a budget plain propagation provably cannot
+    // meet (the Some(false) case above throws at maxIter = 9)
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = DedupClusters.connectedComponents(pairs, "id_a", "id_b", maxIter = 9)
       .as[(Long, Long)].collect().toMap
     assert(got.size == 40 && got.values.toSet == Set(1L))
   }
