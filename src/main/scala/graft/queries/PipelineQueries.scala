@@ -1,10 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
-
-import graft.Tables
+import org.apache.spark.sql.DataFrame
 
 /** LLM-training-data pipeline operators (builder brief "beyond the
   * reference"): deduplication (exact, MinHash+LSH, SimHash, n-gram
@@ -24,2483 +20,26 @@ import graft.Tables
   */
 object PipelineQueries {
 
-  type Q = (SparkSession, String) => DataFrame
+  type Q = PipelineShared.Q
 
-  private val P = 2147483647L // 31-bit Mersenne prime, DuckDB-replicable
+  /** Tier files (r10 split of the former 2,300-line single object —
+    * registry names and oracles unchanged): [[DedupQueries]],
+    * [[VectorQueries]], [[TextCurationQueries]], [[ComposedQueries]],
+    * with cross-tier plumbing in [[PipelineShared]]. */
+  val queries: Seq[(String, Q)] =
+    DedupQueries.queries ++ VectorQueries.queries ++
+      TextCurationQueries.queries ++ ComposedQueries.queries
 
-  /** Portable rolling char-fold fingerprint of a string expression
-    * (F11-lite): fold `acc*31 + ascii(char) mod P` seeded with 7, over
-    * the char array from `split(x, '')`. The char-array form is O(n) —
-    * the earlier `sequence(1,len)` + `substr(x,i,1)` fold re-traversed
-    * the UTF-8 string per char (O(n²), 14.5s on sf0.1 text_fingerprint)
-    * — and both engines agree that `split('', '') = ['']` with
-    * `ascii('') = 0`, so the empty-string case is engine-independent too.
-    *
-    * Spark-version sensitivity (ADVICE r3): the no-trailing-empty
-    * behavior of empty-regex split was verified on the pinned Spark
-    * 4.1.2 (split('a','')=['a']) and differs from raw Java
-    * `String.split(re, -1)` — an engine upgrade must re-run the
-    * empty/non-ASCII fingerprint checks before trusting stored hashes.
-    */
-  private def duckFp(x: String): String =
-    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
-      s"list_transform(string_split($x, ''), " +
-      s"c -> CAST(ascii(c) AS BIGINT))), " +
-      s"(a, x) -> (a * 31 + x) % $P)"
+  val oracles: Map[String, String] =
+    DedupQueries.oracles ++ VectorQueries.oracles ++
+      TextCurationQueries.oracles ++ ComposedQueries.oracles
 
-  // MinHash permutation parameters (public-domain style a*x+b mod P).
-  private val MinhashParams = Seq((1000003L, 12345L), (999983L, 54321L))
+  private[queries] val IvfProbes: Seq[Int] = VectorQueries.IvfProbes
 
-  // ------------------------------------------------------------ dedup
-
-  /** Exact dedup by content hash: corpus with injected exact duplicates
-    * (every doc_id % 10 == 0 doubled); dedup = distinct on sha2(text).
-    * At 100 TB this is a single hash-shuffle groupBy on the digest. */
-  private val dedupExact: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val corpus = docs.union(docs.filter(col("doc_id") % 10 === 0))
-    corpus.groupBy("source")
-      .agg(count(lit(1)).as("n_before"),
-        countDistinct(sha2(col("text"), 256)).as("n_after"))
-      .orderBy("source")
-  }
-
-  /** MinHash signatures + LSH band bucketing: per-word rolling
-    * fingerprints, two permutations, min over the word set, band id =
-    * (minh1*31 + minh2) mod 1024. Output = bucket histogram (the shuffle
-    * key distribution an LSH join would use). */
-  private val dedupMinhash: Q = (s, d) => {
-    // one fused array pass for both permutations (graft_minhash ==
-    // per-perm array_min folds bitwise, TextSketchSpec) — the HOF form
-    // is interpreted per character per row
-    val spec = MinhashParams.map { case (a, b) => s"$a,$b" }.mkString(";")
-    Tables.documents(s, d)
-      .selectExpr("doc_id", "split(text, ' ') AS tokens")
-      .selectExpr("doc_id", s"graft_minhash(graft_word_fps(tokens), '$spec') AS sig")
-      .selectExpr("doc_id", "sig[0] AS minh1", "sig[1] AS minh2")
-      .selectExpr("doc_id", "(minh1 * 31 + minh2) % 1024 AS band_bucket")
-      .groupBy("band_bucket").agg(count(lit(1)).as("n_docs"))
-      .orderBy("band_bucket")
-  }
-
-  /** SimHash (8-bit): per-word fingerprints hashed per bit-plane; bit b
-    * set iff the +1/-1 vote sum is positive. Output doc_id → signature. */
-  private val dedupSimhash: Q = (s, d) => {
-    // all 8 bit-plane vote folds in one fused pass (graft_simhash ==
-    // the per-bit aggregate() folds bitwise, TextSketchSpec); cast back
-    // to INT to keep the r3-pinned oracle schema
-    Tables.documents(s, d)
-      .selectExpr("doc_id", "split(text, ' ') AS tokens")
-      .selectExpr("doc_id",
-        "CAST(graft_simhash(graft_word_fps(tokens), 8) AS INT) AS simhash8")
-      .orderBy("doc_id")
-  }
-
-  /** SimHash near-dup PAIRS — the Hamming-space complement of the
-    * MinHash pair pipeline: 32-bit signatures, bucketed by their two
-    * 16-bit halves (a pair within Hamming ≤ 3 whose differing bits all
-    * land in ONE half shares the other half verbatim — standard
-    * bit-sampling LSH, recall < 1 by design exactly like
-    * `dedup_minhash_lsh`, and BOTH engines derive candidates the same
-    * way so the hash compare pins the semantics), then confirmed by
-    * popcount of the signature XOR. The candidate join moves only
-    * (16-bit bucket, doc_id) pairs; the confirm is two integer ops per
-    * candidate — no token data is ever re-read. Signature width is the
-    * scale lever (same law as LshBands' bandBits): bucket occupancy is
-    * E[N/2^halfBits], so a bigger corpus wants wider halves — 16-bit
-    * halves suit ~10^6 docs; this corpus's shared 30-word vocabulary
-    * makes it the adversarial clustered case (an 8-bit-half variant
-    * measured 8k confirmed pairs on 535 docs — the quadratic regime
-    * the width guard exists to prevent). */
-  private val dedupSimhashPairs: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-      .selectExpr("doc_id", "split(text, ' ') AS tokens")
-    val dups = docs.filter(col("doc_id") % 20 === 0)
-      .selectExpr("doc_id + 100000 AS doc_id", "slice(tokens, 2, size(tokens) - 1) AS tokens")
-    val sigs = docs.union(dups).filter(size(col("tokens")) >= 3)
-      .selectExpr("doc_id", "graft_simhash(graft_word_fps(tokens), 32) AS sig")
-    val bands = sigs.selectExpr("doc_id",
-      "posexplode(array(sig DIV 65536, sig % 65536)) AS (band_idx, band_val)")
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") && col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    cand
-      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .selectExpr("id_a", "id_b", "CAST(bit_count(sig_a ^ sig_b) AS BIGINT) AS hamming")
-      .filter(col("hamming") <= 3)
-      .orderBy("id_a", "id_b")
-  }
-
-  /** MinHash permutations for the pair pipeline: 4 perms = 2 bands × 2
-    * rows. With b bands of r rows, a pair with Jaccard s matches some
-    * band with p = 1-(1-s^r)^b — the standard S-curve; r grows (more
-    * selective) and b grows (more recall) as the corpus scales, keeping
-    * candidate volume per band bounded the same way the LSH bandBits do. */
-  private val MinhashPairParams = Seq(
-    (1000003L, 12345L), (999983L, 54321L), (999979L, 11111L), (1000033L, 77777L))
-
-  /** MinHash-LSH near-dup PAIRS — the full canonical pipeline
-    * (shingling → minhash signatures → bands → candidate equi-join →
-    * exact shingle-Jaccard confirm), complementing `dedup_minhash_lsh`'s
-    * bucket histogram: corpus = documents + injected near-dups
-    * (doc_id%20==0 with the first token dropped, id+100000). MinHash
-    * runs over the 3-SHINGLE set (the item space whose Jaccard it
-    * estimates — token-set minhash floods candidates on a small shared
-    * vocabulary); band values hash r=2 minhashes each, b=2 bands, so a
-    * pair with shingle-similarity s matches with p = 1-(1-s²)² (~0.96
-    * for the ~0.9-similar injected dups); the confirm keeps exact
-    * Jaccard ≥ 0.6 like `dedup_ngram_jaccard`. LSH recall < 1 by
-    * design: the oracle replicates the same bands, so both engines see
-    * the identical candidate set. Scale shape: the band value is the
-    * shuffle key (never all-pairs), shingle sets are fetched AFTER the
-    * pair distinct. */
-  private val dedupMinhashPairs: Q = (s, d) => {
-    // shingling + 4-perm signatures run as fused native kernels
-    // (bitwise == the HOF folds, TextSketchSpec → DuckDB oracle keeps
-    // its list_min/list_transform form unchanged)
-    val spec = MinhashPairParams.map { case (a, b) => s"$a,$b" }.mkString(";")
-    val docs = Tables.documents(s, d)
-      .selectExpr("doc_id", "split(text, ' ') AS tokens")
-    val dups = docs.filter(col("doc_id") % 20 === 0)
-      .selectExpr("doc_id + 100000 AS doc_id", "slice(tokens, 2, size(tokens) - 1) AS tokens")
-    val corpus = docs.union(dups).filter(size(col("tokens")) >= 3)
-    val shingled = corpus.selectExpr("doc_id",
-      "graft_shingle_set(graft_word_fps(tokens)) AS shset")
-    val sigs = shingled.selectExpr("doc_id", s"graft_minhash(shset, '$spec') AS sig")
-      .selectExpr("doc_id",
-        "sig[0] AS minh1", "sig[1] AS minh2", "sig[2] AS minh3", "sig[3] AS minh4")
-      .selectExpr("doc_id",
-        s"(minh1 * 31 + minh2) % $P AS band_0",
-        s"(minh3 * 31 + minh4) % $P AS band_1")
-    val bandRows = sigs.selectExpr("doc_id",
-      "posexplode(array(band_0, band_1)) AS (band_idx, band_val)")
-    val candidates = bandRows.as("x")
-      .join(bandRows.as("y"),
-        col("x.band_idx") === col("y.band_idx") && col("x.band_val") === col("y.band_val") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
-    candidates
-      .join(shingled.select(col("doc_id").as("id_a"), col("shset").as("set_a")), "id_a")
-      .join(shingled.select(col("doc_id").as("id_b"), col("shset").as("set_b")), "id_b")
-      .selectExpr("id_a", "id_b",
-        "CAST(size(array_intersect(set_a, set_b)) AS DOUBLE) / " +
-          "(size(set_a) + size(set_b) - size(array_intersect(set_a, set_b))) AS j")
-      .filter(col("j") >= 0.6)
-      .select(col("id_a"), col("id_b"),
-        floor(col("j") * 10000).cast("long").as("jaccard_e4"))
-      .orderBy("id_a", "id_b")
-  }
-
-  /** Incremental MinHash dedup — the daily-batch shape at 100 TB: an
-    * incoming batch is checked against the ESTABLISHED corpus's band
-    * index, never against itself and never re-pairing the corpus with
-    * itself. The asymmetric band equi-join costs O(batch-bands ⋈
-    * matching corpus-bands); in production the corpus side is the
-    * PERSISTED signature table (doc_id, band_idx, band_val — exactly
-    * the `TableMerge`-upserted index shape `i6_index_incremental`
-    * maintains), so a day's merge re-shingles only the new documents.
-    * Batch fixture: the held-out doc_id%10==0 docs plus near-dup
-    * variants of corpus docs (first token dropped, id+200000) that must
-    * match their source. Same r=2/b=2 bands + exact-Jaccard ≥ 0.6
-    * confirm as `dedup_minhash_pairs`. */
-  private val dedupIncremental: Q = (s, d) => {
-    val spec = MinhashPairParams.map { case (a, b) => s"$a,$b" }.mkString(";")
-    val docs = Tables.documents(s, d)
-      .selectExpr("doc_id", "split(text, ' ') AS tokens")
-    val corpusDocs = docs.filter(col("doc_id") % 10 =!= 0)
-    val batchDocs = docs.filter(col("doc_id") % 10 === 0)
-      .union(corpusDocs.filter(col("doc_id") % 20 === 5)
-        .selectExpr("doc_id + 200000 AS doc_id",
-          "slice(tokens, 2, size(tokens) - 1) AS tokens"))
-    def shingled(df: DataFrame): DataFrame =
-      df.filter(size(col("tokens")) >= 3)
-        .selectExpr("doc_id", "graft_shingle_set(graft_word_fps(tokens)) AS shset")
-    def bandRows(sh: DataFrame): DataFrame =
-      sh.selectExpr("doc_id", s"graft_minhash(shset, '$spec') AS sig")
-        .selectExpr("doc_id",
-          s"(sig[0] * 31 + sig[1]) % $P AS band_0",
-          s"(sig[2] * 31 + sig[3]) % $P AS band_1")
-        .selectExpr("doc_id", "posexplode(array(band_0, band_1)) AS (band_idx, band_val)")
-    val corpusSh = shingled(corpusDocs)
-    val batchSh = shingled(batchDocs)
-    val candidates = bandRows(batchSh).as("b")
-      .join(bandRows(corpusSh).as("c"),
-        col("b.band_idx") === col("c.band_idx") && col("b.band_val") === col("c.band_val"))
-      .select(col("b.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"))
-      .distinct()
-    candidates
-      .join(batchSh.select(col("doc_id").as("batch_id"), col("shset").as("set_b")), "batch_id")
-      .join(corpusSh.select(col("doc_id").as("corpus_id"), col("shset").as("set_c")), "corpus_id")
-      .selectExpr("batch_id", "corpus_id",
-        "CAST(size(array_intersect(set_b, set_c)) AS DOUBLE) / " +
-          "(size(set_b) + size(set_c) - size(array_intersect(set_b, set_c))) AS j")
-      .filter(col("j") >= 0.6)
-      .select(col("batch_id"), col("corpus_id"),
-        floor(col("j") * 10000).cast("long").as("jaccard_e4"))
-      .orderBy("batch_id", "corpus_id")
-  }
-
-  /** Novelty FILTER over a batch vs the stored corpus band index — the
-    * batch twin of [[graft.streaming.EventStreams.novelDocuments]] (the
-    * same code runs on the unbounded stream; this entry puts it under
-    * the hash gate): a doc is novel iff NONE of its minhash bands
-    * collide with the corpus index. Complements `dedup_incremental`,
-    * which emits the CONFIRMED near-dup pairs; this emits the
-    * certified-novel side — the set a daily ingest would append without
-    * any exact-Jaccard work. Same fixture as dedup_incremental. */
-  private val dedupNovelFilter: Q = (s, d) => {
-    import graft.streaming.EventStreams
-    val spec = MinhashPairParams.map { case (a, b) => s"$a,$b" }.mkString(";")
-    val docs = Tables.documents(s, d)
-    val corpusDocs = docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
-    val batchDocs = docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
-      .union(docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 20 === 5)
-        .selectExpr("doc_id + 200000 AS doc_id",
-          "concat_ws(' ', slice(split(text, ' '), 2, size(split(text, ' ')) - 1)) AS text"))
-    EventStreams.novelDocuments(batchDocs,
-        EventStreams.corpusBandIndex(corpusDocs, spec), spec)
-      .orderBy("doc_id")
-  }
-
-  /** N-gram (3-shingle) Jaccard near-dup detection: corpus = documents +
-    * injected near-duplicates (doc_id%20==0, first token dropped, id +
-    * 100000); candidate pairs come from an equi-join on shingles (the
-    * scale-safe shape — never an all-pairs cross join), Jaccard ≥ 0.6.
-    *
-    * Plan notes (r4): shingles are xxhash64'd before the self-join — the
-    * shuffle moves 8-byte keys instead of ~25-byte strings (a 64-bit
-    * collision inside one doc pair is ~1e-15 at this shingle count, far
-    * below the oracle's float grid). Per-doc sizes stay a separate
-    * aggregate joined AFTER the pair aggregation: fusing them into the
-    * exploded self-join keeps the shingle array alive inside the join
-    * rows (measured 4× slower at sf0.1). The size joins carry no hint —
-    * sizes is per-document (not dim-sized), so AQE decides broadcast vs
-    * shuffle from actual runtime size. */
-  /** Shared pair derivation for the Jaccard dedup + clustering queries. */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .selectExpr("doc_id", "split(text, ' ') AS tokens")
-    val dups = docs.filter(col("doc_id") % 20 === 0)
-      .selectExpr("doc_id + 100000 AS doc_id", "slice(tokens, 2, size(tokens) - 1) AS tokens")
-    val corpus = docs.union(dups).filter(size(col("tokens")) >= 3)
-    // 64-bit shingle JOIN KEYS from a fused native kernel — the DuckDB
-    // oracle joins on the string shingles themselves, so the hash
-    // function is free to differ (TextSketchSpec pins set sizes and
-    // dup-doc set equality); replaces an interpreted transform doing
-    // per-window string concat + xxhash64
-    val shingles = corpus.selectExpr("doc_id",
-      "explode(graft_shingle_hash64(tokens)) AS shingle")
-    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val pairs = shingles.as("a")
-      .join(shingles.as("b"), col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("n_shingles", "size_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("n_shingles", "size_b"), "id_b")
-      .withColumn("jaccard_raw",
-        col("n_common") / (col("size_a") + col("size_b") - col("n_common")))
-      .filter(col("jaccard_raw") >= 0.6)
-      .select(col("id_a"), col("id_b"),
-        floor(col("jaccard_raw") * 10000).cast("long").as("jaccard_e4"))
-  }
-
-  private val dedupJaccard: Q = (s, d) =>
-    jaccardPairs(s, d).orderBy("id_a", "id_b")
-
-  /** Near-dup CLUSTER resolution: Jaccard candidate pairs → connected
-    * components (iterative min-label propagation,
-    * [[graft.operators.DedupClusters]]) → cluster id + representative
-    * flag per member. The DuckDB oracle recomputes components via a
-    * recursive transitive-closure CTE — the distributed iterative
-    * algorithm is value-verified against an exact declarative one. */
-  private val dedupComponents: Q = (s, d) => {
-    val pairs = jaccardPairs(s, d).select("id_a", "id_b")
-    graft.operators.DedupClusters.representatives(
-      graft.operators.DedupClusters.connectedComponents(pairs, "id_a", "id_b"))
-      .orderBy("id")
-  }
-
-  /** Duplicated-SPAN coverage per document (the substring-dedup view of
-    * "Deduplicating Training Data Makes Language Models Better", Lee et
-    * al. 2021, re-expressed relationally): for every document, the
-    * fraction of its tokens lying inside a 5-token window that also
-    * occurs verbatim in ANOTHER document. Pair-level dedup
-    * (`dedup_ngram_jaccard`) asks "is this whole doc a near-copy?";
-    * span coverage asks "how much of this doc is boilerplate /
-    * cross-doc duplicated text?" — the metric used to trim templated
-    * headers, license footers and quoted passages out of training
-    * corpora without dropping whole documents.
-    *
-    * Fixture: documents, plus a shared 12-token boilerplate footer
-    * appended to every doc_id % 7 == 0 (the templated-footer class),
-    * plus the usual near-dup copies (doc_id % 20 == 0, first token
-    * dropped, id + 100000 — these should surface with ~full coverage).
-    *
-    * Shape, per 100 TB posture: positional window hashes from the
-    * fused native kernel (8-byte keys, no strings past the scan);
-    * "occurs in another doc" = groupBy(shingle) with a partial-agg
-    * count-distinct-ish reduction (two-level exact countDistinct on an
-    * 8-byte key); flagged offsets come back via a LEFT SEMI join on the
-    * hash; overlapping windows merge with ONE per-doc window pass
-    * (sum of min(K, gap)) — never materializing per-token rows. Three
-    * shuffles total (shingle, shingle, doc_id), all on compact keys;
-    * the per-doc window is bounded by document length. The DuckDB twin
-    * groups on the string 5-grams themselves, so the 64-bit kernel hash
-    * is a join key only (collision odds ~1e-15, same contract as
-    * `dedup_ngram_jaccard`). */
-  private val dedupSpanCoverage: Q = (s, d) => {
-    val K = 5
-    val boiler = "terms of use all rights reserved contact us at example dot org"
-    val base = Tables.documents(s, d).selectExpr("doc_id",
-      s"CASE WHEN doc_id % 7 = 0 THEN concat(text, ' ', '$boiler') ELSE text END AS text")
-    val docs = base.selectExpr("doc_id", "split(text, ' ') AS tokens")
-    val dups = docs.filter(col("doc_id") % 20 === 0)
-      .selectExpr("doc_id + 100000 AS doc_id", "slice(tokens, 2, size(tokens) - 1) AS tokens")
-    val corpus = docs.union(dups).filter(size(col("tokens")) >= K)
-      .selectExpr("doc_id", "CAST(size(tokens) AS BIGINT) AS n_tokens", "tokens")
-    val sh = corpus
-      .select(col("doc_id"), col("n_tokens"),
-        posexplode(expr(s"graft_shingle_hashes(tokens, $K)")).as(Seq("pos", "shingle")))
-      .filter(col("shingle").isNotNull)
-    // shingles seen in >1 distinct doc — the "duplicated" window set.
-    // min(doc)≠max(doc) ⟺ ≥2 distinct docs, but unlike countDistinct
-    // it is a plain partial-aggregatable pair (no per-group distinct
-    // expand), so the map side collapses each partition's occurrences
-    // before the shingle shuffle.
-    val multi = sh.groupBy("shingle")
-      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
-      .filter(col("d0") =!= col("d1"))
-      .select("shingle")
-    val flagged = sh.join(multi, Seq("shingle"), "left_semi")
-    // merge overlapping/adjacent windows per doc: first flagged window
-    // contributes K tokens, each later one min(K, gap to predecessor)
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val perDoc = flagged
-      .withColumn("prev", lag("pos", 1).over(w))
-      .withColumn("contrib",
-        when(col("prev").isNull, lit(K))
-          .otherwise(least(lit(K), col("pos") - col("prev"))))
-      .groupBy("doc_id", "n_tokens")
-      .agg(sum("contrib").as("dup_tokens"))
-    perDoc
-      .withColumn("dup_frac_e4",
-        floor(col("dup_tokens") * lit(10000.0) / col("n_tokens")).cast("long"))
-      .select("doc_id", "n_tokens", "dup_tokens", "dup_frac_e4")
-      .orderBy("doc_id")
-  }
-
-  // ------------------------------------------------------------ similarity search
-
-  private val sumExpr =
-    s"aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"
-  private val sumSqExpr =
-    s"aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-
-  /** Brute-force cosine top-k against a broadcast query vector (Q2,
-    * `chatbot_api.py:227-242`). Query vector = 0.1·1⃗ so the oracle can
-    * reproduce the identical fold: cos = 0.1·Σx / (‖x‖·0.1·√64). */
-  private val simCosineTopk: Q = (s, d) =>
-    Tables.embeddings(s, d)
-      .selectExpr("vec_id",
-        s"round(($sumExpr * 0.1) / (sqrt($sumSqExpr) * 0.8), 6) AS cos_sim")
-      .orderBy(col("cos_sim").desc, col("vec_id").asc)
-      .limit(20)
-
-  /** Cosine top-k through the NATIVE Catalyst expression
-    * ([[graft.expressions.CosineSimilarity]], codegen'd fused loop) —
-    * same shape as sim_cosine_topk but exercising the registered
-    * graft_cosine function end-to-end; the oracle replicates its exact
-    * sequential f64 folds. */
-  private val simCosineNative: Q = (s, d) =>
-    Tables.embeddings(s, d)
-      .selectExpr("vec_id",
-        "CAST(floor(graft_cosine(embedding, array_repeat(CAST(0.1 AS DOUBLE), 64)) " +
-          "* 1000000) AS BIGINT) AS cos_e6")
-      .orderBy(col("cos_e6").desc, col("vec_id").asc)
-      .limit(20)
-
-  /** LSH-bucketed ANN partitioner: 8 deterministic integer hyperplanes
-    * w(b,i) = ((b*37 + i*13) % 21) - 10; signature = Σ 2^b·[proj_b ≥ 0],
-    * computed by the native fused-loop [[graft.expressions.LshBands]]
-    * (one band of 8 bits — identical per-bit sums to the per-bit HOF
-    * folds the oracle uses). Output = bucket histogram (the ANN
-    * candidate-set distribution). At scale the bucket id is the
-    * shuffle/partition key and each query probes one bucket instead of
-    * the full corpus. */
-  private val simLshBuckets: Q = (s, d) =>
-    Tables.embeddings(s, d)
-      .selectExpr("vec_id", "element_at(graft_lsh_bands(embedding, 1, 8), 1) AS lsh_bucket")
-      .groupBy("lsh_bucket").agg(count(lit(1)).as("n_vectors"))
-      .orderBy("lsh_bucket")
-
-  /** IVF coarse quantizer (the ANN scale path alongside LSH): 16
-    * deterministic centroids c_j[i] = (((j*31+i*17) mod 19) - 9) / 10;
-    * every vector is assigned to its nearest centroid (squared L2) by
-    * the native fused-loop [[graft.expressions.IvfAssign]] — identical
-    * per-centroid sums to the per-centroid HOF folds the oracle keeps —
-    * and the assignment IS the IVF partition map: at scale the corpus
-    * is written bucketed by `centroid_id` and a query probes its nprobe
-    * nearest centroid partitions instead of the full corpus. Output =
-    * per-centroid inverted-list sizes + a probe-order checksum. */
-  private val simIvfAssign: Q = (s, d) =>
-    Tables.embeddings(s, d)
-      .selectExpr("vec_id", "graft_ivf_assign(embedding, 16) AS centroid_id")
-      .groupBy("centroid_id")
-      .agg(count(lit(1)).as("n_vectors"), sum("vec_id").as("vec_id_sum"))
-      .orderBy("centroid_id")
-
-  /** PQ codebook grid, data-independent like the IVF centroids:
-    * cb(m,k)[i] = (((m·131 + k·31 + i·17) mod 19) − 9)/10 — evaluated at
-    * class-load and inlined as literals into both engines' SQL. */
-  private def pqCentroid(m: Int, k: Int, i: Int): Double =
-    (((m * 131 + k * 31 + i * 17) % 19) - 9) / 10.0
-
-  /** Shared Spark-side PQ expression builders (build / ADC query /
-    * recall-audit entries all use the identical straight-line
-    * arithmetic): per-(subspace m, centroid k) squared-L2 distance
-    * columns, the per-subspace argmin code columns, and the ADC
-    * table-lookup sum. `${c}D`: bare decimal literals are DECIMAL in
-    * Spark (and DuckDB) and the engines' decimal promotion differs in
-    * the last ulp. */
-  private def pqDistExpr(m: Int, k: Int): String =
-    (0 until 16).map { i =>
-      val c = pqCentroid(m, k, i)
-      val e = s"element_at(embedding, ${16 * m + i + 1})"
-      s"($e - ${c}D) * ($e - ${c}D)"
-    }.mkString("(", " + ", ")")
-  private def pqDistCols: Seq[String] =
-    (for (m <- 0 until 4; k <- 0 until 4) yield s"${pqDistExpr(m, k)} AS d_${m}_$k").toSeq
-  private def pqCodeCols: Seq[String] = (0 until 4).map { m =>
-    s"(CASE WHEN d_${m}_0 <= d_${m}_1 AND d_${m}_0 <= d_${m}_2 AND d_${m}_0 <= d_${m}_3 THEN 0 " +
-      s"WHEN d_${m}_1 <= d_${m}_2 AND d_${m}_1 <= d_${m}_3 THEN 1 " +
-      s"WHEN d_${m}_2 <= d_${m}_3 THEN 2 ELSE 3 END) AS code_$m"
-  }
-  private def pqAdcExpr: String = (0 until 4).map { m =>
-    s"(CASE code_$m WHEN 0 THEN ${AdcTables(m)(0)}D WHEN 1 THEN ${AdcTables(m)(1)}D " +
-      s"WHEN 2 THEN ${AdcTables(m)(2)}D ELSE ${AdcTables(m)(3)}D END)"
-  }.mkString(" + ")
-
-  /** Product quantization codes — the memory half of the IVF-PQ ANN
-    * architecture (`sim_ivf_assign` is the routing half): the 64-dim
-    * embedding splits into m=4 subvectors of 16 dims, each assigned to
-    * its nearest of k=4 subspace centroids (squared L2, ties to the
-    * lowest id), and the four 2-bit codes fuse into one byte — 256 B of
-    * floats become 1 B per vector, the compression that lets a 100 TB
-    * corpus's candidate lists live in RAM. At query time each subspace
-    * needs only a k-entry distance table (ADC): scoring a candidate is
-    * m table lookups, never a float dot product. Emits the code plus
-    * the quantization error (the argmin distance sum) fixed-pointed;
-    * all arithmetic is straight-line left-associated double sums of
-    * inlined literals, so the oracle reproduces it bit-for-bit. */
-  private val simPqCodes: Q = (s, d) => {
-    val dminCols = (0 until 4).map(m =>
-      s"least(d_${m}_0, d_${m}_1, d_${m}_2, d_${m}_3) AS dmin_$m")
-    Tables.embeddings(s, d)
-      .selectExpr("vec_id" +: pqDistCols: _*)
-      .selectExpr(("vec_id" +: pqCodeCols) ++ dminCols: _*)
-      .selectExpr("vec_id",
-        "CAST(code_0 + 4 * code_1 + 16 * code_2 + 64 * code_3 AS INT) AS pq_code",
-        "CAST(floor((dmin_0 + dmin_1 + dmin_2 + dmin_3) * 10000) AS BIGINT) AS err_e4")
-      .orderBy("vec_id")
-  }
-
-  /** ADC distance tables for q = 0.1·1⃗ over the deterministic PQ
-    * codebook: dt(m)(k) = ‖q_m − c_{m,k}‖². Data-independent, computed
-    * once at class-load and inlined as the SAME double literals into
-    * both engines' SQL (Double.toString is shortest-roundtrip, so both
-    * parse back the identical double and the fixed-point floor cannot
-    * straddle engines). */
-  private val AdcTables: IndexedSeq[IndexedSeq[Double]] =
-    (0 until 4).map { m =>
-      (0 until 4).map { k =>
-        (0 until 16).map { i => val df = 0.1 - pqCentroid(m, k, i); df * df }.sum
-      }
-    }
-
-  /** PQ ADC top-k — the QUERY half of product quantization (sim_pq_codes
-    * is the build half): score every vector as Σ_m dt(m)(code_m), i.e.
-    * m table lookups per candidate, never a float dot product, and take
-    * the k best by the fixed-point ADC key. At 100 TB the codes are
-    * PRECOMPUTED and stored (1 B/vector, the 256× memory cut), so the
-    * scan this query models reads only the code column; the top-k is a
-    * partial per-partition heap + single final merge (same shape the
-    * TopKPerKeyExec strategy pins elsewhere). Codes are derived inline
-    * here only because the battery is stateless — the derivation is the
-    * already-verified sim_pq_codes arithmetic. Ordering ties (ADC takes
-    * ≤ 256 distinct values, so the cutoff IS tied) break by vec_id in
-    * both engines. */
-  private val simPqAdcTopk: Q = (s, d) =>
-    Tables.embeddings(s, d)
-      .selectExpr("vec_id" +: pqDistCols: _*)
-      .selectExpr("vec_id" +: pqCodeCols: _*)
-      .selectExpr("vec_id", s"CAST(floor(($pqAdcExpr) * 10000) AS BIGINT) AS adc_e4")
-      .orderBy(col("adc_e4"), col("vec_id"))
-      .limit(10)
-
-  /** IVF probe set: the `IvfNprobe` centroids nearest (squared L2) to
-    * the fixed query vector q = 0.1·1⃗, over the same deterministic
-    * centroid grid as `sim_ivf_assign` (c_j[i] = (((j*31+i*17) mod 19)
-    * - 9)/10). Pure data-independent arithmetic evaluated once at
-    * class-load and inlined as literals into BOTH engines' SQL, so the
-    * probe list cannot drift between Spark and the oracle. */
-  private val IvfNprobe = 4
-  private[queries] def ivfProbeList(nprobe: Int): Seq[Int] = {
-    def centroid(j: Int, i: Int): Double = (((j * 31 + i * 17) % 19) - 9) / 10.0
-    (0 until 16).map { j =>
-      val d = (0 until 64).map { i => val diff = 0.1 - centroid(j, i); diff * diff }.sum
-      (j, d)
-    }.sortBy { case (j, d) => (d, j) }.take(nprobe).map(_._1)
-  }
-  private[queries] val IvfProbes: Seq[Int] = ivfProbeList(IvfNprobe)
-
-  /** IVF-probed ANN top-k — the QUERY path completing `sim_ivf_assign`'s
-    * partition map (together they are the Spark-side generalization of
-    * the reference's ES kNN retrieval, chatbot_api.py:227-242): every
-    * vector is assigned to its nearest coarse centroid, the query probes
-    * only its `IvfNprobe` nearest centroids' inverted lists, and cosine
-    * top-k (native `graft_cosine`) runs on that candidate subset alone.
-    *
-    * Scale posture: at 100 TB the corpus is WRITTEN bucketed by
-    * `centroid_id` (the sim_ivf_assign map), so this query reads
-    * nprobe/nlist of the data — the assignment filter here stands in for
-    * partition pruning on the bucketed layout; everything downstream of
-    * the filter is a scan-local top-k, no shuffle beyond the final
-    * limit. */
-  private val simIvfTopk: Q = (s, d) =>
-    Tables.embeddings(s, d)
-      .selectExpr("vec_id", "embedding", "graft_ivf_assign(embedding, 16) AS centroid_id")
-      .filter(col("centroid_id").isin(IvfProbes: _*))
-      .selectExpr("vec_id", "centroid_id",
-        "CAST(floor(graft_cosine(embedding, array_repeat(CAST(0.1 AS DOUBLE), 64)) " +
-          "* 1000000) AS BIGINT) AS cos_e6")
-      .orderBy(col("cos_e6").desc, col("vec_id").asc)
-      .limit(20)
-
-  /** ANN recall@k AUDIT (VERDICT r9 #4): the first question a real ANN
-    * user asks before trusting nprobe/PQ settings at 100 TB is "what
-    * recall does this buy me?" — so measure it IN the engine, against
-    * the brute-force ground truth that also ships (`sim_cosine_topk`).
-    * Ground truth = native-cosine top-20 over the full corpus
-    * (cos_e6 desc, vec_id tiebreak — the same fixed-point key every ANN
-    * entry orders by, so ties cannot straddle methods or engines); each
-    * method's top-20 then left-joins the truth set and counts overlap:
-    * one row per method with n_returned and n_hits (recall@20 = n_hits /
-    * 20). Methods: IVF with nprobe 1 and 4 (of nlist=16 — the
-    * probe-budget curve), and PQ ADC (4×2-bit codes, the memory-for-
-    * recall trade). Pure relational arithmetic end-to-end, so the DuckDB
-    * oracle hash-pins the measured recall integers per scale factor —
-    * a quantization or probe-order regression changes the pinned number,
-    * not just a vibe.
-    *
-    * Scale posture: the brute-force ground truth is the audit's cost by
-    * design — at 100 TB this query runs over a SAMPLED query set (the
-    * per-method branches are the cheap side); each branch is a
-    * scan-local top-k (partial per-partition heap + single merge), and
-    * the final overlap join moves ≤ 3k rows. */
-  private val simRecallAtK: Q = (s, d) => {
-    val k = 20
-    val cosE6 =
-      "CAST(floor(graft_cosine(embedding, array_repeat(CAST(0.1 AS DOUBLE), 64)) " +
-        "* 1000000) AS BIGINT) AS cos_e6"
-    def cosTopk(df: DataFrame): DataFrame = df
-      .selectExpr("vec_id", cosE6)
-      .orderBy(col("cos_e6").desc, col("vec_id").asc)
-      .limit(k).select("vec_id")
-    val emb = Tables.embeddings(s, d)
-    val gt = cosTopk(emb)
-    val assigned = emb.selectExpr("vec_id", "embedding",
-      "graft_ivf_assign(embedding, 16) AS centroid_id")
-    def ivf(nprobe: Int): DataFrame =
-      cosTopk(assigned.filter(col("centroid_id").isin(ivfProbeList(nprobe): _*))
-        .select("vec_id", "embedding"))
-    val pq = emb
-      .selectExpr("vec_id" +: pqDistCols: _*)
-      .selectExpr("vec_id" +: pqCodeCols: _*)
-      .selectExpr("vec_id", s"CAST(floor(($pqAdcExpr) * 10000) AS BIGINT) AS adc_e4")
-      .orderBy(col("adc_e4"), col("vec_id"))
-      .limit(k).select("vec_id")
-    val methods = ivf(1).withColumn("method", lit("ivf_nprobe1"))
-      .unionByName(ivf(4).withColumn("method", lit("ivf_nprobe4")))
-      .unionByName(pq.withColumn("method", lit("pq_adc")))
-    methods
-      .join(gt.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
-      .groupBy("method")
-      .agg(count(lit(1)).as("n_returned"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-      .withColumn("k", lit(k.toLong))
-      .orderBy("method")
-  }
-
-  /** LSH banding parameters for the embedding near-dup join. Bucket
-    * occupancy per band is E[N / 2^bandBits]; the in-band self-join costs
-    * O(bands · N²/2^bandBits), so `bandBits` must grow with log2(N) to
-    * keep per-bucket occupancy — and therefore join cost per row —
-    * CONSTANT as the corpus scales: 8 bits suits ~10^5 vectors, ~100 TB
-    * of 768-d embeddings (~10^10 vectors) wants bandBits ≈ 26. Multiple
-    * narrower bands (vs one wide signature) trade precision for recall
-    * the standard LSH way: a near-duplicate pair only needs to agree on
-    * ONE band's hyperplane signs, while exact copies agree on all. */
-  private val NeardupBandBits = 8
-  private val NeardupBands = 2
-
-  /** Embedding near-dup pairs via banded LSH: corpus + exact copies
-    * (vec_id + 100000 for vec_id%25==0); candidate pairs are found by a
-    * per-band signature equi-join (id < id, distinct across bands), then
-    * confirmed by cosine ≥ 0.999 computed with the NATIVE codegen'd
-    * [[graft.expressions.CosineSimilarity]] — the r4 `zip_with` +
-    * `aggregate` confirm was CodegenFallback and pulled the whole
-    * post-join projection out of whole-stage codegen (2.0→7.8 s).
-    * Embeddings are fetched by joining candidates back to the corpus
-    * AFTER the pair distinct, so the band join shuffles only
-    * (band, vec_id) rows — never the 64-float arrays. */
-  private val simEmbedNeardup: Q = (s, d) => {
-    val base = Tables.embeddings(s, d)
-    val corpus = base.select(col("vec_id"), col("embedding"))
-      .union(base.filter(col("vec_id") % 25 === 0)
-        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-    val bandRows = corpus.selectExpr("vec_id",
-      s"posexplode(graft_lsh_bands(embedding, $NeardupBands, $NeardupBandBits)) AS (band_idx, band_sig)")
-    val candidates = bandRows.as("a")
-      .join(bandRows.as("b"),
-        col("a.band_idx") === col("b.band_idx") && col("a.band_sig") === col("b.band_sig") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
-    candidates
-      .join(corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
-      .join(corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
-      .selectExpr("id_a", "id_b", "graft_cosine(emb_a, emb_b) AS cos_sim")
-      .filter(col("cos_sim") >= 0.999)
-      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
-      .orderBy("id_a", "id_b")
-  }
-
-  /** Semantic dedup KEEP decision (the SemDeDup-style curation step):
-    * embedding near-dup pairs → connected components → ONE survivor per
-    * cluster chosen by QUALITY (document n_chars, doc-id tiebreak), not
-    * by min id — the rule a real curation pipeline applies ("keep the
-    * best copy, drop the rest"). Composes three verified pieces (banded
-    * LSH candidates + cosine confirm, min-label components, quality
-    * join); injected duplicate vectors (+100000) have no document row
-    * and rank -1, so an original always survives its copies. Scale: the
-    * quality join and survivor window both cluster on cluster_id /
-    * member id — bounded per-cluster work after the (already bucketed)
-    * pair generation. */
-  private val dedupSemanticKeep: Q = (s, d) => {
-    val base = Tables.embeddings(s, d)
-    val corpus = base.select(col("vec_id"), col("embedding"))
-      .union(base.filter(col("vec_id") % 25 === 0)
-        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-    val bandRows = corpus.selectExpr("vec_id",
-      s"posexplode(graft_lsh_bands(embedding, $NeardupBands, $NeardupBandBits)) AS (band_idx, band_sig)")
-    val candidates = bandRows.as("a")
-      .join(bandRows.as("b"),
-        col("a.band_idx") === col("b.band_idx") && col("a.band_sig") === col("b.band_sig") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
-    val pairs = candidates
-      .join(corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
-      .join(corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
-      .selectExpr("id_a", "id_b", "graft_cosine(emb_a, emb_b) AS cos_sim")
-      .filter(col("cos_sim") >= 0.999)
-      .select("id_a", "id_b")
-    val comps = graft.operators.DedupClusters.connectedComponents(pairs, "id_a", "id_b")
-    val quality = Tables.documents(s, d).select(col("doc_id").as("id"), col("n_chars"))
-    val wSel = Window.partitionBy("cluster_id").orderBy(col("q").desc, col("id").asc)
-    comps.join(quality, Seq("id"), "left")
-      .withColumn("q", coalesce(col("n_chars"), lit(-1L)))
-      .withColumn("rn", row_number().over(wSel))
-      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster_id")))
-      .filter(col("rn") === 1)
-      .select(col("cluster_id"), col("id").as("kept_id"), col("n_members"))
-      .orderBy("cluster_id")
-  }
-
-  // ------------------------------------------------------------ text analysis
-
-  private val Stopwords = Seq("the", "a", "is", "of", "and", "to", "in")
-  private val StopwordsSql = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
-  private val StopwordsCsv = Stopwords.mkString(",")
-
-  /** Quality scoring: word count, average word length, stopword ratio,
-    * composite score (transformer.py:340-368 reshaped for `documents`).
-    * The stopword/length census runs through the fused native
-    * `graft_stopword_stats` kernel (one codegen'd array pass; the
-    * filter/aggregate lambda HOFs it replaces are CodegenFallback and
-    * split the scan's whole-stage span — VERDICT r8 #8). The DuckDB
-    * oracle keeps the list-fold form; TextSketchSpec pins them equal. */
-  private val textQuality: Q = (s, d) =>
-    Tables.documents(s, d)
-      .selectExpr("doc_id", "n_chars", "split(text, ' ') AS tokens")
-      .selectExpr("doc_id", "n_chars",
-        "size(tokens) AS n_words",
-        s"graft_stopword_stats(tokens, '$StopwordsCsv') AS sw")
-      .selectExpr("doc_id", "n_chars", "n_words",
-        "sw[0] AS n_stopwords", "sw[1] AS total_word_len")
-      // fixed-point via floor: rational scores can land exactly on the
-      // round-half grid where Spark (HALF_UP) and DuckDB disagree; floor
-      // of the identical IEEE double is engine-independent.
-      // D-suffixed literals: bare 100.0 is a DECIMAL literal in Spark SQL
-      // and int/decimal stays exact decimal — a 1-ulp divergence from the
-      // oracle's double math at floor boundaries.
-      .selectExpr("doc_id", "n_words",
-        "CAST(floor(CAST(n_stopwords AS DOUBLE) / n_words * 10000) AS BIGINT) AS stopword_ratio_e4",
-        "CAST(floor((0.4D * least(1.0D, n_words / 100.0D) " +
-          "+ 0.3D * (1.0D - CAST(n_stopwords AS DOUBLE) / n_words) " +
-          "+ 0.3D * least(1.0D, (CAST(total_word_len AS DOUBLE) / n_words) / 8.0D)) * 10000) AS BIGINT) AS quality_score_e4")
-      .orderBy("doc_id")
-
-  /** Language-ID heuristic (chatbot_api.py:69-77 reshaped): stopword
-    * presence ⇒ 'en', else 'other'; confusion matrix vs the labeled
-    * `lang` column. Stopword census via the native fused kernel (see
-    * [[textQuality]]). */
-  private val textLangid: Q = (s, d) =>
-    Tables.documents(s, d)
-      .selectExpr("lang",
-        s"CASE WHEN graft_stopword_stats(split(text, ' '), '$StopwordsCsv')[0] >= 1 " +
-          "THEN 'en' ELSE 'other' END AS detected")
-      .groupBy("lang", "detected").agg(count(lit(1)).as("n"))
-      .orderBy("lang", "detected")
-
-  /** Token counting: whitespace split vs BPE-ish regex token count. */
-  private val textTokenCount: Q = (s, d) =>
-    Tables.documents(s, d)
-      .selectExpr("doc_id",
-        "size(split(text, ' ')) AS n_ws_tokens",
-        "regexp_count(text, '[a-z0-9]+') AS n_re_tokens")
-      .orderBy("doc_id")
-
-  /** Rolling-hash document fingerprint (portable char fold; native
-    * graft_str_fp == the aggregate() fold bitwise, TextSketchSpec). */
-  private val textFingerprint: Q = (s, d) =>
-    Tables.documents(s, d)
-      .selectExpr("doc_id", "graft_str_fp(text) AS fingerprint")
-      .orderBy("doc_id")
-
-  /** PII detection + masking — the redaction pass every training-data
-    * pipeline runs before release. PII is INJECTED deterministically
-    * (docs ≡ 0 mod 7 get an email + phone suffix — the synthetic corpus
-    * has none), then detected and masked with regexes kept inside the
-    * RE2 ∩ java.util.regex common dialect so engines agree. The scan is
-    * one codegen'd projection pass: no UDF, no second scan — at 100 TB
-    * this runs at parquet-read speed. Output pins the masked text via
-    * length sums, not raw strings (masked docs stay large). */
-  private val textPiiMask: Q = (s, d) => {
-    val emailRe = "[a-z0-9]+@[a-z0-9.]+\\\\.[a-z]+"
-    val phoneRe = "\\\\+1-555-[0-9]{4}"
-    Tables.documents(s, d)
-      .withColumn("txt",
-        when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit(" contact u"), col("doc_id"),
-            lit("@mail.example.org or call +1-555-"),
-            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-          .otherwise(col("text")))
-      .selectExpr("doc_id", "source",
-        s"regexp_count(txt, '$emailRe') AS n_emails",
-        s"regexp_count(txt, '$phoneRe') AS n_phones",
-        s"length(regexp_replace(regexp_replace(txt, '$emailRe', '[EMAIL]'), '$phoneRe', '[PHONE]')) AS masked_len")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("n_emails") + col("n_phones") > 0, 1).otherwise(0)).as("n_pii_docs"),
-        sum("n_emails").as("n_emails"), sum("n_phones").as("n_phones"),
-        sum("masked_len").as("masked_len_total"))
-      .orderBy("source")
-  }
-
-  /** Benchmark decontamination — flag corpus documents sharing 3-gram
-    * shingles with a probe set (the held-out benchmark): probe shingles
-    * are BROADCAST (eval suites are KBs against a 100 TB corpus), the
-    * overlap is a map-side equi-join on the fused 64-bit shingle keys —
-    * the corpus never shuffles, and the only aggregation is per
-    * (source) over the matches. The DuckDB oracle joins the string
-    * shingles themselves, so the hash layer stays a join-key detail. */
-  private val textDecontaminate: Q = (s, d) => {
-    val probeIds = Seq(3L, 77L, 123L)
-    val docs = Tables.documents(s, d)
-      .selectExpr("doc_id", "source", "split(text, ' ') AS tokens")
-      .filter(size(col("tokens")) >= 3)
-    val probes = docs.filter(col("doc_id").isin(probeIds: _*))
-      .selectExpr("explode(graft_shingle_hash64(tokens)) AS sh").distinct()
-    docs.selectExpr("doc_id", "source", "explode(graft_shingle_hash64(tokens)) AS sh")
-      .join(broadcast(probes), "sh")
-      .groupBy("source")
-      .agg(countDistinct("doc_id").as("n_contaminated"),
-        count(lit(1)).as("n_shingle_hits"))
-      .orderBy("source")
-  }
-
-  /** Symmetric int8 embedding quantization — the ANN memory-scale path:
-    * per-vector scale = 127/max|x|, q_i = floor(x_i·127/mx + 0.5), a 4×
-    * shrink that turns a 100 TB float32 corpus into 25 TB of int8 +
-    * one float per vector (the compressed form IVF/LSH probing scans;
-    * dequantize only the final candidates). Output pins every code:
-    * integer code-sum, saturation count, and the reconstruction error
-    * fixed-pointed PER ELEMENT (floor(e²·1e8+0.5) is a deterministic
-    * double op; the LONG sum is order-independent — raw float error
-    * sums are not). Every arithmetic step is written in the exact same
-    * order in the DuckDB oracle (x·127/mx, not x·(127/mx) — fp is not
-    * associative). */
-  private val simQuantizeI8: Q = (s, d) => {
-    val q = "CAST(floor(CAST(x AS DOUBLE) * 127.0D / mx + 0.5D) AS BIGINT)"
-    val e = s"(CAST(x AS DOUBLE) - $q * mx / 127.0D)"
-    Tables.embeddings(s, d)
-      .selectExpr("vec_id",
-        "aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))) AS mx",
-        "embedding")
-      .filter(col("mx") > 0)
-      .selectExpr("vec_id",
-        s"aggregate(embedding, CAST(0 AS BIGINT), (a, x) -> a + $q) AS sum_q",
-        s"aggregate(embedding, CAST(0 AS BIGINT), (a, x) -> a + (CASE WHEN abs($q) = 127 THEN 1 ELSE 0 END)) AS n_sat",
-        s"aggregate(embedding, CAST(0 AS BIGINT), (a, x) -> a + CAST(floor($e * $e * 100000000.0D + 0.5D) AS BIGINT)) AS err_e8")
-      .orderBy("vec_id")
-  }
-
-  /** Deterministic stratified train/val/test split — the
-    * training-data-curation operator every corpus pipeline needs:
-    * assignment is a pure function of the stable doc key (rolling-hash
-    * fingerprint mod 100 → 80/10/10), so it is reproducible across
-    * runs, engines, and cluster sizes, never samples twice into
-    * different sets, and needs NO shuffle to assign (the groupBy here
-    * only verifies the per-stratum composition). Keying on
-    * doc_id||source keeps the split independent of row order —
-    * `rand(seed)` splits are partition-order-dependent and break on
-    * repartition. Output pins every assignment (counts + id-sums per
-    * source × split). */
-  private val splitStratified: Q = (s, d) =>
-    Tables.documents(s, d)
-      .selectExpr("doc_id", "source",
-        "graft_str_fp(concat(CAST(doc_id AS STRING), '||', source)) % 100 AS bucket")
-      .withColumn("split",
-        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
-      .groupBy("source", "split")
-      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_doc_id"))
-      .orderBy("source", "split")
-
-  /** Gopher/C4-style repetition + symbol quality rules — the curation
-    * filters a pretraining pipeline runs before anything model-based:
-    * duplicate-token fraction, most-frequent-bigram coverage, and
-    * symbol(non-alpha) ratio, each in exact basis points, folded into a
-    * keep/drop decision. Per-doc stats are one codegen'd projection;
-    * the bigram mode is a (doc_id, bigram) partial-agg groupBy — the
-    * shuffle key includes the bigram so one hot document cannot skew a
-    * reducer, and nothing is all-pairs. Thresholds follow the Gopher
-    * paper's shape (dup fraction, top-2-gram coverage, symbol ratio).
-    */
-  private val textQualityRules: Q = (s, d) => {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("tokens"))
-    val base = toks.select(col("doc_id"),
-      size(col("tokens")).cast("long").as("n_tokens"),
-      size(array_distinct(col("tokens"))).cast("long").as("n_distinct"),
-      length(col("text")).cast("long").as("n_chars"),
-      length(regexp_replace(col("text"), "[a-zA-Z ]", "")).cast("long").as("n_nonalpha"))
-    val topBigram = toks
-      .select(col("doc_id"), posexplode(col("tokens")).as(Seq("pos", "tok")))
-      .withColumn("nxt",
-        lead("tok", 1).over(Window.partitionBy("doc_id").orderBy("pos")))
-      .filter(col("nxt").isNotNull)
-      .groupBy(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max("c").as("top_bigram_n"))
-    base.join(topBigram, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        floor((col("n_tokens") - col("n_distinct")) * 10000 / col("n_tokens"))
-          .as("dup_token_bp"),
-        floor(coalesce(col("top_bigram_n"), lit(0L)) * 10000
-          / greatest(col("n_tokens") - 1, lit(1L))).as("top_bigram_bp"),
-        floor(col("n_nonalpha") * 10000 / col("n_chars")).as("symbol_bp"))
-      .withColumn("keep",
-        col("dup_token_bp") <= lit(6000L) && col("top_bigram_bp") <= lit(1800L) &&
-          col("symbol_bp") <= lit(1000L))
-      .orderBy("doc_id")
-  }
-
-  /** Concat-and-split sequence packing — how pretraining actually fills
-    * context windows: documents are laid out in a deterministic order
-    * (doc_id within source) into a continuous token stream, and each
-    * doc records which pack (context window) its first token lands in
-    * and at what offset. One running-total window per source partition
-    * (the w3 shape — shuffle key source, never a global sort); packing
-    * is pure arithmetic on the cumsum, so it reproduces bit-identically
-    * across cluster sizes. */
-  private val packSequences: Q = (s, d) => {
-    val capacity = 512L
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
-      .select(col("source"), col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("cum", sum("n_tokens").over(w))
-      .select(col("source"), col("doc_id"), col("n_tokens"),
-        floor((col("cum") - col("n_tokens")) / capacity).cast("long").as("pack_id"),
-        ((col("cum") - col("n_tokens")) % capacity).as("pack_offset"))
-      .orderBy("source", "doc_id")
-  }
-
-  /** Domain-mixture sampler — hit a target per-domain mixture (weights
-    * in basis points, broadcast dim) by hash-deterministic Bernoulli
-    * keep decisions: keep iff fp(doc) mod 10000 < weight. Shuffle-free
-    * assignment (the split_stratified shape), so re-runs, engines, and
-    * cluster sizes agree row-for-row; output is the per-source audit
-    * (kept counts + achieved rate vs target). */
-  private val splitDomainMix: Q = (s, d) => {
-    import s.implicits._
-    val weights = Seq(("src0", 9000L), ("src1", 7500L), ("src2", 5000L), ("src3", 2500L))
-      .toDF("source", "weight_bp")
-    Tables.documents(s, d)
-      .join(broadcast(weights), Seq("source"), "left")
-      .withColumn("wbp", coalesce(col("weight_bp"), lit(1000L)))
-      .withColumn("keep",
-        expr("graft_str_fp(concat('mix||', CAST(doc_id AS STRING))) % 10000") < col("wbp"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("keep"), col("doc_id"))).as("kept_id_sum"),
-        first(col("wbp")).as("target_bp"))
-      .select(col("source"), col("n_docs"), col("n_kept"),
-        floor(col("n_kept") * 10000 / col("n_docs")).as("kept_bp"),
-        col("target_bp"), coalesce(col("kept_id_sum"), lit(0L)).as("sum_kept_id"))
-      .orderBy("source")
-  }
-
-  /** Out-of-vocabulary rate per document against a CORPUS-DERIVED
-    * vocabulary (top-16 tokens by global frequency, count-desc /
-    * token-asc tiebreak so the cutoff is deterministic in both
-    * engines): the rare-token-ratio quality signal — high OOV flags
-    * gibberish, boilerplate codes, or wrong-language text. Two partial-
-    * aggregatable shuffles (token census, per-doc tally); the vocab is
-    * 16 rows broadcast back. At a real corpus the vocab is top-64k and
-    * lives in a dim table — same plan, bigger broadcast. */
-  private val textOovRate: Q = (s, d) => {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("tok").asc)
-      .limit(16)
-      .select(col("tok"), lit(true).as("in_vocab"))
-    toks.join(broadcast(vocab), Seq("tok"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
-      .withColumn("oov_bp",
-        floor(col("n_oov") * lit(10000.0) / col("n_tokens")).cast("long"))
-      .orderBy("doc_id")
-  }
-
-  /** Temperature-based mixture RESAMPLING (w_s ∝ n_s^α, the standard
-    * multilingual/domain rebalancing rule; α = 1/2 here): per-source
-    * keep-rates derived FROM the observed counts, flattening the head
-    * and boosting the tail, with a global budget of 60% — unlike
-    * `split_domain_mix`, whose weights are a fixed config. Engine
-    * determinism: α = 1/2 because sqrt is IEEE-754 correctly-rounded in
-    * BOTH engines (pow is not); the tempered weight then moves onto an
-    * integer grid immediately — srt = floor(sqrt(n)·10^6) — so the
-    * budget split `6000·srt DIV Σsrt` and the hash-Bernoulli keep are
-    * pure integer arithmetic that cannot straddle a float ulp. Scale:
-    * the weights table is one row per source (broadcast); assignment is
-    * shuffle-free per-row hashing, same as the stratified split. */
-  private val splitTemperatureMix: Q = (s, d) => {
-    val counts = Tables.documents(s, d)
-      .groupBy("source").agg(count(lit(1)).as("n"))
-      .withColumn("srt", floor(sqrt(col("n")) * 1000000).cast("long"))
-    val total = counts.agg(sum("srt").as("total"))
-    val rates = counts.crossJoin(broadcast(total))
-      .withColumn("rate_bp", expr("(6000 * srt) DIV total"))
-      .select("source", "rate_bp")
-    Tables.documents(s, d)
-      .join(broadcast(rates), Seq("source"))
-      .withColumn("keep",
-        expr("graft_str_fp(concat('tmix||', CAST(doc_id AS STRING))) % 10000") < col("rate_bp"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("keep"), col("doc_id"))).as("kept_id_sum"),
-        first(col("rate_bp")).as("rate_bp"))
-      .select(col("source"), col("n_docs"), col("n_kept"),
-        floor(col("n_kept") * 10000 / col("n_docs")).as("kept_bp"),
-        col("rate_bp"), coalesce(col("kept_id_sum"), lit(0L)).as("sum_kept_id"))
-      .orderBy("source")
-  }
-
-  /** HTML boilerplate stripping — the extraction step upstream of every
-    * web-scraped training corpus (the trafilatura-lite tier): drop
-    * script/style bodies and comments, strip tags, decode the common
-    * entities (amp LAST so one level decodes, never two), collapse
-    * whitespace. Fixture wraps every doc_id % 3 == 0 in a full page
-    * shell with a script, style, comment, attributes and entities.
-    * Patterns are conservative (lazy quantifiers, (?s), no
-    * backreferences) so Java regex and RE2 agree. Verified by
-    * per-source doc counts, cleaned-length sums, and an
-    * order-independent content digest (sum of per-row rolling fps —
-    * integer math, engine-exact). Per-row regex work, shuffle only at
-    * the final per-source aggregate. */
-  private val textHtmlStrip: Q = (s, d) => {
-    val wrapped = Tables.documents(s, d).selectExpr("doc_id", "source",
-      "CASE WHEN doc_id % 3 = 0 THEN concat(" +
-        "'<html><head><title>T ', CAST(doc_id AS STRING), '</title>', " +
-        "'<script type=\"text/javascript\">var x = 1 &amp;&amp; 2;</script>', " +
-        "'<style>p { color: red; }</style></head><body>', " +
-        "'<h1>Head&quot;ing</h1><p>', text, '</p><!-- hidden comment -->', " +
-        "'<div class=\"foo\">tail &lt;escaped&gt; &amp; done</div></body></html>') " +
-        "ELSE text END AS raw")
-    val clean = Seq(
-      "(?s)<script[^>]*>.*?</script>" -> " ",
-      "(?s)<style[^>]*>.*?</style>" -> " ",
-      "(?s)<!--.*?-->" -> " ",
-      "<[^>]+>" -> " ",
-      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
-      "&amp;" -> "&",
-      "\\s+" -> " ")
-      .foldLeft(col("raw")) { case (c, (pat, rep)) => regexp_replace(c, pat, rep) }
-    wrapped
-      .withColumn("clean", trim(clean))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("doc_id") % 3 === 0, 1L).otherwise(0L)).as("n_wrapped"),
-        sum(length(col("clean"))).as("sum_clean_len"),
-        sum(expr("graft_str_fp(clean)")).as("fp_sum"))
-      .orderBy("source")
-  }
-
-  /** END-TO-END curation funnel — the composed flagship of the
-    * training-data tier (what `e2e_silver_gold` is to the reference's
-    * lifecycle): raw corpus (+injected exact duplicates) → quality
-    * floor (≥ 10 tokens) → exact-dedup KEEP (min doc_id per content
-    * digest, computed only among quality survivors) → temperature
-    * resampling of the survivors (α = 1/2 on the integer grid, 80%
-    * budget) → per-source funnel report with stage counts and the
-    * surviving token mass. One row per source; every stage's math is
-    * the already-verified building block, composed.
-    *
-    * Shape (PlanSpec-pinned): the per-source rate derivation embeds the
-    * flagged subtree twice (once under the global srt total, once under
-    * the rates themselves), and exchange REUSE collapses one of the
-    * digest-window shuffles — the executed plan carries two hash(digest)
-    * exchanges, three tiny hash(source)/SinglePartition aggregate
-    * exchanges, and the output range sort. At 100 TB the remaining
-    * duplicate corpus pass is what `localCheckpoint` after `flagged`
-    * removes (the SilverPipeline pattern); kept declarative here so the
-    * oracle sees the same lazy frame the driver hashes. */
-  private val e2eCurationFunnel: Q = (s, d) => {
-    val docs = Tables.documents(s, d).select("doc_id", "source", "text")
-    val corpus = docs.union(
-      docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 300000).as("doc_id"), col("source"), col("text")))
-    val flagged = corpus
-      .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
-      .withColumn("digest", sha2(col("text"), 256))
-      .withColumn("q", col("n_words") >= 10)
-      .withColumn("keeper_id",
-        min(when(col("q"), col("doc_id"))).over(Window.partitionBy("digest")))
-      .withColumn("u", col("q") && col("doc_id") === col("keeper_id"))
-    val rates = flagged.filter(col("u"))
-      .groupBy("source").agg(count(lit(1)).as("n"))
-      .withColumn("srt", floor(sqrt(col("n")) * 1000000).cast("long"))
-    val total = rates.agg(sum("srt").as("total"))
-    val rateBp = rates.crossJoin(broadcast(total))
-      .withColumn("rate_bp", expr("(8000 * srt) DIV total"))
-      .select("source", "rate_bp")
-    flagged
-      .join(broadcast(rateBp), Seq("source"), "left")
-      .withColumn("keep", col("u") &&
-        expr("graft_str_fp(concat('cur||', CAST(doc_id AS STRING))) % 10000") < col("rate_bp"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_corpus"),
-        sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
-        sum(when(col("u"), 1L).otherwise(0L)).as("n_unique"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
-        coalesce(sum(when(col("keep"), col("n_words"))), lit(0L)).as("sampled_tokens"))
-      .orderBy("source")
-  }
-
-  // ------------------------------------------------------------ hybrid search (Q1-Q3)
-
-  /** Hybrid retrieval: REAL BM25 lexical scoring (the [[Bm25Scoring]]
-    * scorer `search_bm25` uses — k1=1.2/b=0.75, corpus stats broadcast;
-    * VERDICT r9 #2 closed the keyword-overlap stand-in) fused 0.5/0.5
-    * with cosine kNN (Q2) after per-branch max-normalization (Q3,
-    * chatbot_api.py:244-274, which fuses actual ES BM25 scores the same
-    * way). Corpus stats AND maxima are 1-row broadcast cross joins — no
-    * single-partition window anywhere. */
-  private val searchHybrid: Q = (s, d) => {
-    val scored = Tables.documents(s, d)
-      .join(Tables.embeddings(s, d),
-        col("doc_id") === col("vec_id"), "inner")
-      .select(col("doc_id") +: Bm25Scoring.tfCols :+
-        expr(s"($sumExpr * 0.1) / (sqrt($sumSqExpr) * 0.8)").as("vec"): _*)
-    val stats = scored.agg(Bm25Scoring.nDocsAgg, Bm25Scoring.statAggs: _*)
-    val lexed = scored.crossJoin(broadcast(stats))
-      .withColumn("lex", expr(Bm25Scoring.scoreExpr))
-    val maxima = lexed.agg(max("lex").as("lex_max"), max("vec").as("vec_max"))
-    lexed.crossJoin(broadcast(maxima))
-      .selectExpr("doc_id",
-        "round(0.5 * (lex / lex_max) + 0.5 * (vec / vec_max), 6) AS fused_score")
-      .orderBy(col("fused_score").desc, col("doc_id").asc)
-      .limit(20)
-  }
-
-  /** Q3 with language-dependent fusion weights (chatbot_api.py:37-40):
-    * EN 0.5/0.5, non-EN 0.2 lexical / 0.8 vector — BM25 degrades off
-    * English so the vector branch carries more weight. Same BM25-branch
-    * max-norm fusion as search_hybrid, weights switched per language. */
-  private val searchHybridLang: Q = (s, d) => {
-    val scored = Tables.documents(s, d)
-      .join(Tables.embeddings(s, d),
-        col("doc_id") === col("vec_id"), "inner")
-      .select(Seq(col("doc_id"), col("lang")) ++ Bm25Scoring.tfCols :+
-        expr(s"($sumExpr * 0.1) / (sqrt($sumSqExpr) * 0.8)").as("vec"): _*)
-    val stats = scored.agg(Bm25Scoring.nDocsAgg, Bm25Scoring.statAggs: _*)
-    val lexed = scored.crossJoin(broadcast(stats))
-      .withColumn("lex", expr(Bm25Scoring.scoreExpr))
-    val maxima = lexed.agg(max("lex").as("lex_max"), max("vec").as("vec_max"))
-    lexed.crossJoin(broadcast(maxima))
-      .selectExpr("doc_id", "lang", "lex", "vec", "lex_max", "vec_max",
-        "CASE WHEN lang = 'en' THEN 0.5D ELSE 0.2D END AS w_lex")
-      .selectExpr("doc_id", "lang",
-        "CAST(floor((w_lex * (lex / lex_max) + (1.0D - w_lex) * (vec / vec_max)) * 1000000) AS BIGINT) AS fused_e6")
-      .orderBy(col("fused_e6").desc, col("doc_id").asc)
-      .limit(20)
-  }
-
-  /** Q5 — context filtering taxonomy (chatbot_api.py:277-343). */
-  private val searchContextFilter: Q = (s, d) =>
-    Tables.documents(s, d)
-      .selectExpr(
-        """CASE WHEN length(text) < 60 THEN 'too_short'
-          |WHEN regexp_count(text, '[{};=]') >= 3 THEN 'code_heavy'
-          |WHEN size(split(text, ' ')) < 10 THEN 'thin'
-          |ELSE 'kept' END AS reason""".stripMargin)
-      .groupBy("reason").agg(count(lit(1)).as("n"))
-      .orderBy("reason")
-
-  /** Pinned-golden digest rider for the rows-only entries (VERDICT r8
-    * #2): the five queries here whose semantics no SQL oracle can
-    * express (chunker / summarizer / matcher logic) get an
-    * order-independent digest of their OWN full output —
-    * `sum(pmod(xxhash64(every column), 10^9+7))` — attached to every
-    * row via a 1-row broadcast cross join, plus `golden_ok` = digest ==
-    * the pinned constant for this scale factor. The driver's rows-only
-    * check can't see value drift; the digest column makes any semantic
-    * drift visible in the dumped parquet round-over-round, and
-    * `golden_ok=false` flags it loudly. pmod keeps the running sum far
-    * from Long overflow (ANSI mode would throw); the sum is one
-    * partial-aggregated pass — no single-partition collect, scales like
-    * any global count.
-    *
-    * Constants were derived by running `graft.Verify` at each sf and
-    * reading the digest back (round 9); the underlying semantics are
-    * pinned by ChunkerSpec / HierarchySpec / SubjectMatcherSpec — a
-    * digest change means one of those suites' subjects drifted. Unknown
-    * sf dirs (e.g. the ×8 scale harness) get golden_ok = NULL rather
-    * than false.
-    *
-    * The gate is FATAL (VERDICT r9 #1): when a pinned constant exists
-    * for the sf and the computed digest differs, every output row
-    * raises — so the driver's Verify run records the query as `err`
-    * instead of quietly carrying `golden_ok=false` in a column nobody
-    * reads. GoldenGateSpec proves the trip end-to-end with a perturbed
-    * corpus twin. */
   private[queries] def withGoldenDigest(df: DataFrame, d: String, queryName: String): DataFrame =
-    withGoldenDigestExpected(df,
-      GoldenDigests.get(queryName).flatMap(_.get(new java.io.File(d).getName)), queryName)
+    PipelineShared.withGoldenDigest(df, d, queryName)
 
-  /** Testable core of the golden gate: `expected = Some(e)` pins the
-    * digest fatally, `None` (unknown sf) degrades to `golden_ok = NULL`. */
   private[graft] def withGoldenDigestExpected(
-      df: DataFrame, expected: Option[Long], queryName: String): DataFrame = {
-    val hashAll = pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(1000000007L))
-    val digest = df.agg(sum(hashAll).as("golden_digest"))
-    df.crossJoin(broadcast(digest))
-      .withColumn("golden_ok",
-        expected.map(e =>
-          when(col("golden_digest") === lit(e), lit(true))
-            .otherwise(raise_error(concat(
-              lit(s"golden digest drift in $queryName: expected $e, got "),
-              col("golden_digest").cast("string")))))
-          .getOrElse(lit(null).cast("boolean")))
-  }
-
-  private val GoldenDigests: Map[String, Map[String, Long]] = Map(
-    "subject_match_topk" -> Map(
-      "sf0.001" -> 254965504157L,
-      "sf0.01" -> 272207590044L,
-      "sf0.1" -> 2525470469629L),
-    "chunk_paragraph" -> Map(
-      "sf0.001" -> 561264543966L,
-      "sf0.01" -> 525465140515L,
-      "sf0.1" -> 5280611936760L),
-    "chunk_hierarchical" -> Map(
-      "sf0.001" -> 1343592040504L,
-      "sf0.01" -> 1332586306763L,
-      "sf0.1" -> 13146286255045L),
-    "text_summarize" -> Map(
-      "sf0.001" -> 250508629023L,
-      "sf0.01" -> 250508629023L, // sf0.001/sf0.01 share doc_ids 0-499 and
-      // every doc summarizes to 1 sentence — equal digests are genuine
-      "sf0.1" -> 2492689638523L),
-    "sim_semantic_match" -> Map(
-      "sf0.001" -> 5081089278L,
-      "sf0.01" -> 7166123759L,
-      "sf0.1" -> 12372869121L),
-    // the composed silver→gold lifecycle (SinkQueries) — state is
-    // sf-keyed, so the digest pins the full normalize→dedup→CDC→merge→
-    // chunk→star chain per scale factor
-    "e2e_silver_gold" -> Map(
-      "sf0.001" -> 9655746538L,
-      "sf0.01" -> 9211674417L,
-      "sf0.1" -> 9491981771L))
-
-  /** F14 — SubjectMatcher applied distributed: the TF-IDF+lexical model
-    * is fit once on the driver from a dim-sized subject corpus and
-    * shipped via `sc.broadcast` (the reference broadcasts the same way,
-    * transformer.py:1492-1493) — once per executor, not once per task
-    * closure. Matches explode to one row per (doc, subject). Rows-only
-    * + golden digest: the matcher's semantics are pinned by
-    * SubjectMatcherSpec's labeled cases; no SQL oracle can express the
-    * TF-IDF fit. */
-  private val subjectMatchTopk: Q = (s, d) => {
-    import graft.functions.SubjectMatcher
-    import graft.functions.SubjectMatcher.Subject
-    val bcMatcher = s.sparkContext.broadcast(new SubjectMatcher(Seq(
-      Subject(1, None, Some("table scan query"), Some("SQL101")),
-      Subject(2, None, Some("join filter merge"), Some("SQL201")),
-      Subject(3, None, Some("stream window batch"), Some("SQL301")),
-      Subject(4, None, Some("hash group sort"), Some("SQL401"))),
-      threshold = 0.5))
-    val matchUdf = udf((title: String) =>
-      bcMatcher.value.matchSubjects(Option(title), None).map(m => (m.subjectId, m.similarity)))
-    val base = Tables.documents(s, d)
-      .withColumn("title", concat_ws(" ", slice(split(col("text"), " "), 1, 12)))
-      .select(col("doc_id"), explode(matchUdf(col("title"))).as("m"))
-      .select(col("doc_id"), col("m._1").as("subject_id"),
-        floor(col("m._2") * 10000).cast("long").as("sim_e4"))
-      .orderBy("doc_id", "subject_id")
-    withGoldenDigest(base, d, "subject_match_topk")
-  }
-
-  /** F19/F20 — the boundary-snapping chunker distributed via typed
-    * flatMap (the reference crosses a Python mapPartitions boundary
-    * here, transformer.py:2023-2024; we stay in Tungsten rows). One
-    * tier-3 chunk row per (doc, order) with sha256 ids and `\w+` token
-    * counts. Rows-only check: the chunker's semantics are pinned by
-    * ChunkerSpec's golden+property tests. */
-  private val chunkParagraph: Q = (s, d) => {
-    import s.implicits._
-    import graft.chunk.Chunker
-    val cfg = Chunker.Config(maxChars = 200, minChars = 40, overlapChars = 40)
-    val chunkRows = Tables.documents(s, d)
-      .select("doc_id", "lang", "text")
-      // chunking is CPU-bound per row; a sub-128MB file arrives as ONE
-      // input partition, so byte-based splits under-provision it — fan
-      // out to the full core count before the flatMap (same fix applies
-      // on a real cluster whenever scan parallelism < CPU-heavy-stage
-      // parallelism)
-      .repartition(s.sparkContext.defaultParallelism)
-      .as[(Long, String, String)]
-      .flatMap { case (id, lang, text) =>
-        val (rows, status) =
-          Chunker.chunkDocumentRecord(s"res_$id", s"asset_$id", lang, Seq(1 -> text), cfg)
-        rows.map(r => (id, r.chunk_order, r.token_count, r.chunk_id, status))
-      }
-    val base = chunkRows
-      .toDF("doc_id", "chunk_order", "token_count", "chunk_id", "status")
-      .orderBy("doc_id", "chunk_order")
-    withGoldenDigest(base, d, "chunk_paragraph")
-  }
-
-  /** F21+F22 — hierarchical 3-tier chunking distributed: each document
-    * becomes a 2-page "PDF" with a synthetic outline, chunked into
-    * doc-summary/chapter-summary/section-detail tiers with parent links.
-    * Rows-only: semantics pinned by HierarchySpec. */
-  private val chunkHierarchical: Q = (s, d) => {
-    import s.implicits._
-    import graft.chunk.{Chunker, HierarchicalChunker, TocExtractor}
-    val cfg = HierarchicalChunker.Config(
-      sectionChunk = Chunker.Config(maxChars = 240, minChars = 40, overlapChars = 40))
-    Tables.documents(s, d)
-      .select("doc_id", "lang", "text")
-      .repartition(s.sparkContext.defaultParallelism) // CPU-bound stage: see chunkParagraph
-      .as[(Long, String, String)]
-      .flatMap { case (id, lang0, text0) =>
-        // bronze rows may carry null text/lang — degrade, don't NPE
-        val text = Option(text0).getOrElse("")
-        val lang = Option(lang0).getOrElse("")
-        val mid = text.length / 2
-        val pages = Seq(1 -> text.take(mid), 2 -> text.drop(mid))
-        val outline = Seq(
-          TocExtractor.OutlineEntry(0, s"Chapter 1 part a", Some(1)),
-          TocExtractor.OutlineEntry(0, s"Chapter 2 part b", Some(2)))
-        val (chunks, structure, status) =
-          HierarchicalChunker.chunkDocument(s"res_$id", s"asset_$id", lang, pages, outline, cfg)
-        chunks.map(c => (id, c.chunk_tier, c.chunk_order, c.chunk_type,
-          c.parent_chunk_id.isDefined, structure.map(_.toc_method).getOrElse(""), status))
-      }
-      .toDF("doc_id", "chunk_tier", "chunk_order", "chunk_type", "has_parent",
-        "toc_method", "status")
-      .orderBy("doc_id", "chunk_tier", "chunk_order", "chunk_type")
-      .transform(withGoldenDigest(_, d, "chunk_hierarchical"))
-  }
-
-  /** F23 — extractive summarization distributed via UDF (char-ngram
-    * TF-IDF, top sentences in original order). Rows-only: semantics
-    * pinned by HierarchySpec. */
-  private val textSummarize: Q = (s, d) => {
-    import graft.chunk.Summarizer
-    val summarizeUdf = udf((text: String) =>
-      Summarizer.summarize(Option(text).getOrElse("").replace(". ", ".\n"),
-        Summarizer.Config(maxSentences = 2, minSentenceChars = 10)).size)
-    Tables.documents(s, d)
-      .select(col("doc_id"), summarizeUdf(col("text")).as("n_summary_sentences"))
-      .orderBy("doc_id")
-      .transform(withGoldenDigest(_, d, "text_summarize"))
-  }
-
-  /** F24 — semantic matcher distributed: subject vectors = the first 8
-    * corpus embeddings (stand-in for an offline-encoded subject table),
-    * shipped via an explicit `sc.broadcast` — torrent-distributed ONCE
-    * per executor, not serialized into every task closure; a
-    * production-sized subject table (100k×768 ≈ 300 MB) makes the
-    * difference between one transfer per executor and one per task
-    * (VERDICT r8 #4). Each corpus vector gets its top-3 matches ≥ 0.38.
-    * Rows-only + golden digest: vector algebra itself is oracle-covered
-    * by sim_cosine_topk/sim_embed_neardup. */
-  private val simSemanticMatch: Q = (s, d) => {
-    import graft.functions.SemanticMatcher
-    val subjectVecs = Tables.embeddings(s, d)
-      .filter(col("vec_id") < 8)
-      .select("vec_id", "embedding")
-      .collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
-      .toSeq
-    val bcMatcher = s.sparkContext.broadcast(
-      new SemanticMatcher(subjectVecs, threshold = 0.38, topK = 3))
-    val matchUdf = udf((v: Seq[Float]) =>
-      if (v == null) Seq.empty[(Int, Long)]
-      else bcMatcher.value.matchVector(v.toArray).map { case (id, sim) =>
-        (id, math.floor(sim * 10000).toLong)
-      })
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), explode(matchUdf(col("embedding"))).as("m"))
-      .select(col("vec_id"), col("m._1").as("subject_id"), col("m._2").as("sim_e4"))
-      .orderBy("vec_id", "subject_id")
-      .transform(withGoldenDigest(_, d, "sim_semantic_match"))
-  }
-
-  // ------------------------------------------------------------ skew
-
-  /** Skew-salted two-phase aggregation over a deliberately skewed key
-    * (~70% of events funnel into one 'hot' key): phase 1 groups on
-    * (key, salt) via [[graft.operators.SkewSalt.withSalt]] so the hot
-    * key spreads across 8 reducers, phase 2 re-aggregates per-salt
-    * partials. Counts and id-sums are LONGs, so the two-phase
-    * re-association is exactly the single-phase result — the oracle
-    * computes the plain one-shot aggregate. At 100 TB this is the shape
-    * that keeps one executor from absorbing the hot key's entire
-    * reducer input (AQE splits skewed SMJ sides but not skewed
-    * aggregations). */
-  private val aggSkewSalted: Q = (s, d) => {
-    val skewed = Tables.events(s, d)
-      .withColumn("skew_key",
-        when(col("user_id") % 10 < 7, lit("hot"))
-          .otherwise(concat(lit("u"), (col("user_id") % 100).cast("string"))))
-      .select(col("skew_key"), col("event_id"))
-    graft.operators.SkewSalt.withSalt(skewed, buckets = 8, saltSource = Seq("event_id"))
-      .groupBy(col("skew_key"), col("__salt"))
-      .agg(count(lit(1)).as("pn"), sum("event_id").as("ps"))
-      .groupBy("skew_key")
-      .agg(sum("pn").as("n"), sum("ps").as("sum_event_id"))
-      .orderBy("skew_key")
-  }
-
-  // ------------------------------------------------------------ event-time window
-
-  /** Tumbling event-time window aggregate (Structured-Streaming-shaped;
-    * same plan works under readStream with a watermark — see
-    * graft.streaming). Timestamps bucket to days, so the parquet
-    * ns → Spark µs truncation is immaterial. */
-  private val streamWindowAgg: Q = (s, d) =>
-    Tables.events(s, d)
-      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
-      .select(to_date(col("w.start")).as("day"), col("event_type"), col("n"), col("total_value"))
-      .orderBy("day", "event_type")
-
-  /** Heavy hitters per cohort through the custom
-    * [[graft.expressions.TopKFreq]] TypedImperativeAggregate
-    * (space-saving summary: O(capacity) memory per group, partial-agg
-    * mergeable, never undercounts). Run in the exact regime (distinct
-    * event types ≪ capacity) so DuckDB's exact top-3 hash-verifies it;
-    * TopKFreqSpec pins the past-capacity error contract. The struct
-    * list flattens to an `item:cnt|...` string for the battery — the
-    * driver's pandas hash-compare can't sort array cells. ORACLE
-    * CONTRACT: the flattening is unescaped, so it's only unambiguous
-    * while items avoid ':' and '|' — fine for the enum-like event_type
-    * fixture; free-form item strings would need a length-prefixed or
-    * escaped encoding ON BOTH ENGINES. */
-  private val aggTopkFreq: Q = (s, d) =>
-    Tables.events(s, d)
-      .groupBy((col("user_id") % 10).as("cohort"))
-      .agg(expr("graft_topk_freq(event_type, 3, 32)").as("tk"))
-      .select(col("cohort"),
-        expr("array_join(transform(tk, e -> concat(e.item, ':', e.cnt)), '|')")
-          .as("top_events"))
-      .orderBy("cohort")
-
-  /** Batch sessionization — the gaps-and-islands twin of
-    * [[graft.streaming.EventStreams.sessionize]]: a session breaks when
-    * consecutive events of a user are more than `gapMs` apart; session
-    * ids are the running count of breaks. Same 30-minute gap rule as
-    * the streaming flatMapGroupsWithState version (whose spec pins the
-    * open/close semantics) — this one is SQL-expressible, so the oracle
-    * hash-pins it. Milliseconds on BOTH engines (unix_millis ↔
-    * epoch_ms) — µs tails differ in the ns→µs conversion corners.
-    * Shuffle key user_id, two stacked windows on the same sort — one
-    * exchange, one sort. */
-  private val sessionizeBatch: Q = (s, d) => {
-    val gapMs = 1800 * 1000L
-    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
-    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
-      .withColumn("new_sess",
-        when(lag("ms", 1).over(w).isNull ||
-          col("ms") - lag("ms", 1).over(w) > gapMs, 1L).otherwise(0L))
-      .withColumn("sess_seq", sum("new_sess").over(cum))
-      .groupBy("user_id", "sess_seq")
-      .agg(count(lit(1)).as("n_events"), min("ms").as("start_ms"), max("ms").as("end_ms"))
-      .select(col("user_id"), col("sess_seq"), col("n_events"),
-        col("start_ms"), col("end_ms"),
-        floor((col("end_ms") - col("start_ms")) / 1000L).as("duration_s"))
-      .orderBy("user_id", "sess_seq")
-  }
-
-  // ------------------------------------------------------------ registry
-
-  val queries: Seq[(String, Q)] = Seq(
-    "dedup_exact" -> dedupExact,
-    "dedup_minhash_lsh" -> dedupMinhash,
-    "dedup_minhash_pairs" -> dedupMinhashPairs,
-    "dedup_incremental" -> dedupIncremental,
-    "dedup_simhash" -> dedupSimhash,
-    "dedup_simhash_pairs" -> dedupSimhashPairs,
-    "dedup_ngram_jaccard" -> dedupJaccard,
-    "dedup_connected_components" -> dedupComponents,
-    "dedup_span_coverage" -> dedupSpanCoverage,
-    "dedup_novel_filter" -> dedupNovelFilter,
-    "dedup_semantic_keep" -> dedupSemanticKeep,
-    "split_temperature_mix" -> splitTemperatureMix,
-    "text_html_strip" -> textHtmlStrip,
-    "text_oov_rate" -> textOovRate,
-    "e2e_curation_funnel" -> e2eCurationFunnel,
-    "sim_cosine_topk" -> simCosineTopk,
-    "sim_cosine_native" -> simCosineNative,
-    "sim_lsh_buckets" -> simLshBuckets,
-    "sim_ivf_assign" -> simIvfAssign,
-    "sim_ivf_topk" -> simIvfTopk,
-    "sim_recall_at_k" -> simRecallAtK,
-    "sim_embed_neardup" -> simEmbedNeardup,
-    "text_quality" -> textQuality,
-    "text_langid" -> textLangid,
-    "text_token_count" -> textTokenCount,
-    "text_fingerprint" -> textFingerprint,
-    "split_stratified" -> splitStratified,
-    "text_quality_rules" -> textQualityRules,
-    "pack_sequences" -> packSequences,
-    "split_domain_mix" -> splitDomainMix,
-    "sim_quantize_i8" -> simQuantizeI8,
-    "sim_pq_codes" -> simPqCodes,
-    "sim_pq_adc_topk" -> simPqAdcTopk,
-    "text_pii_mask" -> textPiiMask,
-    "text_decontaminate" -> textDecontaminate,
-    "search_hybrid" -> searchHybrid,
-    "search_hybrid_lang" -> searchHybridLang,
-    "search_context_filter" -> searchContextFilter,
-    "subject_match_topk" -> subjectMatchTopk,
-    "chunk_paragraph" -> chunkParagraph,
-    "chunk_hierarchical" -> chunkHierarchical,
-    "text_summarize" -> textSummarize,
-    "sim_semantic_match" -> simSemanticMatch,
-    "agg_skew_salted" -> aggSkewSalted,
-    "agg_topk_freq" -> aggTopkFreq,
-    "stream_window_agg" -> streamWindowAgg,
-    "sessionize_batch" -> sessionizeBatch,
-  )
-
-  // ---- oracle SQL (DuckDB), generated with the same parameters --------
-
-  private val duckMinh = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
-    s"list_min(list_transform(tokens, w -> ($a * ${duckFp("w")} + $b) % $P)) AS minh${i + 1}"
-  }
-
-  private def duckSimhashPlanes(n: Int) = (0 until n).map { b =>
-    s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      s"list_transform(wfps, f -> CAST(CASE WHEN ((f * ${2 * b + 3} + ${b * 7919}) % 65537) % 2 = 1 " +
-      // 1L: plane 31's value overflows an Int shift to -2^31
-      s"THEN 1 ELSE -1 END AS BIGINT))), (a, x) -> a + x) > 0 THEN ${1L << b} ELSE 0 END)"
-  }
-  private val duckSimhashBits = duckSimhashPlanes(8)
-
-  private val duckSum =
-    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, " +
-      "x -> CAST(x AS DOUBLE))), (a, x) -> a + x)"
-  private val duckSumSq =
-    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, " +
-      "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x)"
-
-  private def duckLshBits(emb: String) = (0 until 8).map { b =>
-    s"(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-      s"list_transform(generate_series(0, 63), i -> CAST($emb[i + 1] AS DOUBLE) * " +
-      s"CAST((($b * 37 + i * 13) % 21) - 10 AS DOUBLE))), (a, x) -> a + x) >= 0 " +
-      s"THEN ${1 << b} ELSE 0 END)"
-  }
-
-  /** Band `g` of the near-dup LSH signature: global hyperplane index
-    * b = g*bandBits + j, in-band weight 2^j — mirrors the Spark side's
-    * `bandExprs` exactly. */
-  private def duckBandSig(emb: String, g: Int) =
-    (0 until NeardupBandBits).map { j =>
-      val b = g * NeardupBandBits + j
-      s"(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-        s"list_transform(generate_series(0, 63), i -> CAST($emb[i + 1] AS DOUBLE) * " +
-        s"CAST((($b * 37 + i * 13) % 21) - 10 AS DOUBLE))), (a, x) -> a + x) >= 0 " +
-        s"THEN ${1 << j} ELSE 0 END)"
-    }.mkString("(", " + ", ")")
-
-  private def duckSumSqOf(emb: String) =
-    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($emb, " +
-      "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x)"
-
-  val oracles: Map[String, String] = Map(
-    "dedup_exact" ->
-      """WITH corpus AS (
-        |  SELECT * FROM documents
-        |  UNION ALL SELECT * FROM documents WHERE doc_id % 10 = 0)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_before,
-        |  CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_after
-        |FROM corpus GROUP BY source ORDER BY source""".stripMargin,
-    "dedup_minhash_lsh" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
-         |sigs AS (SELECT doc_id, ${duckMinh.mkString(", ")} FROM toks)
-         |SELECT (minh1 * 31 + minh2) % 1024 AS band_bucket,
-         |  CAST(count(*) AS BIGINT) AS n_docs
-         |FROM sigs GROUP BY band_bucket ORDER BY band_bucket""".stripMargin,
-    "dedup_simhash" ->
-      s"""WITH wf AS (SELECT doc_id,
-         |  list_transform(string_split(text, ' '), w -> ${duckFp("w")}) AS wfps
-         |  FROM documents)
-         |SELECT doc_id, CAST(${duckSimhashBits.mkString(" + ")} AS INT) AS simhash8
-         |FROM wf ORDER BY doc_id""".stripMargin,
-    "dedup_simhash_pairs" ->
-      s"""WITH docs AS (
-         |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 100000 AS doc_id, tokens[2:] AS tokens
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
-         |  WHERE doc_id % 20 = 0),
-         |wf AS (
-         |  SELECT doc_id, list_transform(tokens, w -> ${duckFp("w")}) AS wfps
-         |  FROM docs WHERE len(tokens) >= 3),
-         |sigs AS (
-         |  SELECT doc_id,
-         |    CAST(${duckSimhashPlanes(32).mkString(" + ")} AS BIGINT) AS sig
-         |  FROM wf),
-         |bands AS (SELECT doc_id, sig, sig // 65536 AS b0, sig % 65536 AS b1 FROM sigs),
-         |cand AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
-         |  UNION
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b ON a.b1 = b.b1 AND a.doc_id < b.doc_id),
-         |pairs AS (
-         |  SELECT id_a, id_b,
-         |    CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
-         |  FROM cand
-         |  JOIN sigs sa ON sa.doc_id = id_a
-         |  JOIN sigs sb ON sb.doc_id = id_b)
-         |SELECT id_a, id_b, hamming FROM pairs
-         |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
-    "dedup_minhash_pairs" -> {
-      val duckMinhPair = MinhashPairParams.zipWithIndex.map { case ((a, b), i) =>
-        s"list_min(list_transform(shset, x -> ($a * x + $b) % $P)) AS minh${i + 1}"
-      }
-      s"""WITH docs AS (
-         |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 100000 AS doc_id, tokens[2:] AS tokens
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
-         |  WHERE doc_id % 20 = 0),
-         |wf AS (
-         |  SELECT doc_id, list_transform(tokens, w -> ${duckFp("w")}) AS wfps
-         |  FROM docs WHERE len(tokens) >= 3),
-         |shingled AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    generate_series(1, len(wfps) - 2),
-         |    i -> (wfps[i] * 961 + wfps[i + 1] * 31 + wfps[i + 2]) % $P)) AS shset
-         |  FROM wf),
-         |sigs AS (
-         |  SELECT doc_id, (minh1 * 31 + minh2) % $P AS band_0,
-         |    (minh3 * 31 + minh4) % $P AS band_1
-         |  FROM (SELECT doc_id, ${duckMinhPair.mkString(", ")} FROM shingled)),
-         |cand AS (
-         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM sigs x JOIN sigs y ON x.band_0 = y.band_0 AND x.doc_id < y.doc_id
-         |  UNION
-         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM sigs x JOIN sigs y ON x.band_1 = y.band_1 AND x.doc_id < y.doc_id),
-         |confirmed AS (
-         |  SELECT id_a, id_b,
-         |    CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
-         |      / (len(sa.shset) + len(sb.shset) - len(list_intersect(sa.shset, sb.shset))) AS j
-         |  FROM cand
-         |  JOIN shingled sa ON sa.doc_id = id_a
-         |  JOIN shingled sb ON sb.doc_id = id_b)
-         |SELECT id_a, id_b, CAST(floor(j * 10000) AS BIGINT) AS jaccard_e4
-         |FROM confirmed WHERE j >= 0.6 ORDER BY id_a, id_b""".stripMargin
-    },
-    "dedup_incremental" -> {
-      val duckMinhInc = MinhashPairParams.zipWithIndex.map { case ((a, b), i) =>
-        s"list_min(list_transform(shset, x -> ($a * x + $b) % $P)) AS minh${i + 1}"
-      }
-      s"""WITH all_docs AS (
-         |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
-         |corpus AS (SELECT * FROM all_docs WHERE doc_id % 10 <> 0),
-         |batch AS (
-         |  SELECT doc_id, tokens FROM all_docs WHERE doc_id % 10 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 200000 AS doc_id, tokens[2:] AS tokens
-         |  FROM corpus WHERE doc_id % 20 = 5),
-         |cw AS (
-         |  SELECT doc_id, list_transform(tokens, w -> ${duckFp("w")}) AS wfps
-         |  FROM corpus WHERE len(tokens) >= 3),
-         |bw AS (
-         |  SELECT doc_id, list_transform(tokens, w -> ${duckFp("w")}) AS wfps
-         |  FROM batch WHERE len(tokens) >= 3),
-         |csh AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    generate_series(1, len(wfps) - 2),
-         |    i -> (wfps[i] * 961 + wfps[i + 1] * 31 + wfps[i + 2]) % $P)) AS shset
-         |  FROM cw),
-         |bsh AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    generate_series(1, len(wfps) - 2),
-         |    i -> (wfps[i] * 961 + wfps[i + 1] * 31 + wfps[i + 2]) % $P)) AS shset
-         |  FROM bw),
-         |csig AS (
-         |  SELECT doc_id, (minh1 * 31 + minh2) % $P AS band_0,
-         |    (minh3 * 31 + minh4) % $P AS band_1
-         |  FROM (SELECT doc_id, ${duckMinhInc.mkString(", ")} FROM csh)),
-         |bsig AS (
-         |  SELECT doc_id, (minh1 * 31 + minh2) % $P AS band_0,
-         |    (minh3 * 31 + minh4) % $P AS band_1
-         |  FROM (SELECT doc_id, ${duckMinhInc.mkString(", ")} FROM bsh)),
-         |cand AS (
-         |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id
-         |  FROM bsig b JOIN csig c ON b.band_0 = c.band_0
-         |  UNION
-         |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id
-         |  FROM bsig b JOIN csig c ON b.band_1 = c.band_1),
-         |confirmed AS (
-         |  SELECT batch_id, corpus_id,
-         |    CAST(len(list_intersect(sb.shset, sc.shset)) AS DOUBLE)
-         |      / (len(sb.shset) + len(sc.shset)
-         |         - len(list_intersect(sb.shset, sc.shset))) AS j
-         |  FROM cand
-         |  JOIN bsh sb ON sb.doc_id = batch_id
-         |  JOIN csh sc ON sc.doc_id = corpus_id)
-         |SELECT batch_id, corpus_id, CAST(floor(j * 10000) AS BIGINT) AS jaccard_e4
-         |FROM confirmed WHERE j >= 0.6 ORDER BY batch_id, corpus_id""".stripMargin
-    },
-    "dedup_novel_filter" -> {
-      // same banding CTEs as dedup_incremental, anti semantics: novel =
-      // batch docs colliding with the corpus index on NEITHER band
-      val duckMinhNov = MinhashPairParams.zipWithIndex.map { case ((a, b), i) =>
-        s"list_min(list_transform(shset, x -> ($a * x + $b) % $P)) AS minh${i + 1}"
-      }
-      s"""WITH all_docs AS (
-         |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
-         |corpus AS (SELECT * FROM all_docs WHERE doc_id % 10 <> 0),
-         |batch AS (
-         |  SELECT doc_id, tokens FROM all_docs WHERE doc_id % 10 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 200000 AS doc_id, tokens[2:] AS tokens
-         |  FROM corpus WHERE doc_id % 20 = 5),
-         |cw AS (
-         |  SELECT doc_id, list_transform(tokens, w -> ${duckFp("w")}) AS wfps
-         |  FROM corpus WHERE len(tokens) >= 3),
-         |bw AS (
-         |  SELECT doc_id, list_transform(tokens, w -> ${duckFp("w")}) AS wfps
-         |  FROM batch WHERE len(tokens) >= 3),
-         |csh AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    generate_series(1, len(wfps) - 2),
-         |    i -> (wfps[i] * 961 + wfps[i + 1] * 31 + wfps[i + 2]) % $P)) AS shset
-         |  FROM cw),
-         |bsh AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    generate_series(1, len(wfps) - 2),
-         |    i -> (wfps[i] * 961 + wfps[i + 1] * 31 + wfps[i + 2]) % $P)) AS shset
-         |  FROM bw),
-         |csig AS (
-         |  SELECT doc_id, (minh1 * 31 + minh2) % $P AS band_0,
-         |    (minh3 * 31 + minh4) % $P AS band_1
-         |  FROM (SELECT doc_id, ${duckMinhNov.mkString(", ")} FROM csh)),
-         |bsig AS (
-         |  SELECT doc_id, (minh1 * 31 + minh2) % $P AS band_0,
-         |    (minh3 * 31 + minh4) % $P AS band_1
-         |  FROM (SELECT doc_id, ${duckMinhNov.mkString(", ")} FROM bsh)),
-         |novel AS (
-         |  SELECT doc_id FROM bsig
-         |  WHERE band_0 NOT IN (SELECT band_0 FROM csig)
-         |    AND band_1 NOT IN (SELECT band_1 FROM csig)
-         |  UNION ALL
-         |  SELECT doc_id FROM batch WHERE len(tokens) < 3)
-         |SELECT doc_id FROM novel ORDER BY doc_id""".stripMargin
-    },
-    "dedup_ngram_jaccard" ->
-      """WITH docs AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, tokens[2:] AS tokens
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
-        |  WHERE doc_id % 20 = 0),
-        |corpus AS (SELECT * FROM docs WHERE len(tokens) >= 3),
-        |shingles AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    generate_series(1, len(tokens) - 2),
-        |    i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]))) AS shingle
-        |  FROM corpus),
-        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-        |  FROM shingles a JOIN shingles b
-        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        |  CAST(floor(CAST(n_common AS DOUBLE)
-        |    / (sa.n_shingles + sb.n_shingles - n_common) * 10000) AS BIGINT) AS jaccard_e4
-        |FROM pairs
-        |JOIN sizes sa ON sa.doc_id = id_a
-        |JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.6
-        |ORDER BY id_a, id_b""".stripMargin,
-    "dedup_span_coverage" ->
-      """WITH base AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 7 = 0
-        |      THEN text || ' terms of use all rights reserved contact us at example dot org'
-        |      ELSE text END AS text
-        |  FROM documents),
-        |docs AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tokens FROM base
-        |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, tokens[2:] AS tokens
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM base)
-        |  WHERE doc_id % 20 = 0),
-        |corpus AS (
-        |  SELECT doc_id, tokens, len(tokens) AS n_tokens FROM docs
-        |  WHERE len(tokens) >= 5),
-        |pos_tbl AS (
-        |  SELECT doc_id, n_tokens,
-        |    unnest(generate_series(1, n_tokens - 4)) AS pos
-        |  FROM corpus),
-        |sh AS (
-        |  SELECT p.doc_id, p.n_tokens, p.pos,
-        |    array_to_string(c.tokens[p.pos:p.pos + 4], ' ') AS shingle
-        |  FROM pos_tbl p JOIN corpus c USING (doc_id)),
-        |multi AS (
-        |  SELECT shingle FROM sh GROUP BY shingle
-        |  HAVING count(DISTINCT doc_id) > 1),
-        |flagged AS (
-        |  SELECT * FROM sh WHERE shingle IN (SELECT shingle FROM multi)),
-        |lagged AS (
-        |  SELECT doc_id, n_tokens, pos,
-        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-        |  FROM flagged),
-        |per_doc AS (
-        |  SELECT doc_id, n_tokens,
-        |    CAST(sum(CASE WHEN prev IS NULL THEN 5
-        |                  ELSE least(5, pos - prev) END) AS BIGINT) AS dup_tokens
-        |  FROM lagged GROUP BY doc_id, n_tokens)
-        |SELECT doc_id, n_tokens, dup_tokens,
-        |  CAST(floor(dup_tokens * 10000.0 / n_tokens) AS BIGINT) AS dup_frac_e4
-        |FROM per_doc ORDER BY doc_id""".stripMargin,
-    "dedup_connected_components" ->
-      """WITH RECURSIVE docs AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, tokens[2:] AS tokens
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
-        |  WHERE doc_id % 20 = 0),
-        |corpus AS (SELECT * FROM docs WHERE len(tokens) >= 3),
-        |shingles AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    generate_series(1, len(tokens) - 2),
-        |    i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]))) AS shingle
-        |  FROM corpus),
-        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-        |  FROM shingles a JOIN shingles b
-        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |kept AS (
-        |  SELECT id_a, id_b FROM pairs
-        |  JOIN sizes sa ON sa.doc_id = id_a
-        |  JOIN sizes sb ON sb.doc_id = id_b
-        |  WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.6),
-        |edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM kept
-        |  UNION SELECT id_b AS a, id_a AS b FROM kept),
-        |reach(id, r) AS (
-        |  SELECT DISTINCT a, a FROM edges
-        |  UNION
-        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
-        |SELECT id, min(r) AS cluster_id, id = min(r) AS is_representative
-        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
-    "sim_cosine_topk" ->
-      s"""SELECT vec_id, round(($duckSum * 0.1) / (sqrt($duckSumSq) * 0.8), 6) AS cos_sim
-         |FROM embeddings ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
-    "sim_cosine_native" ->
-      // replicates the native expression's fused loop: elementwise x*0.1
-      // dot fold, |x|^2 fold, and the sequential 64x(0.01) query-norm fold
-      s"""WITH folds AS (
-         |  SELECT vec_id,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding,
-         |      x -> CAST(x AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x) AS dot,
-         |    $duckSumSq AS na,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding,
-         |      x -> CAST(0.1 AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x) AS nb
-         |  FROM embeddings)
-         |SELECT vec_id,
-         |  CAST(floor(dot / (sqrt(na) * sqrt(nb)) * 1000000) AS BIGINT) AS cos_e6
-         |FROM folds ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20""".stripMargin,
-    "sim_lsh_buckets" ->
-      s"""SELECT ${duckLshBits("embedding").mkString(" + ")} AS lsh_bucket,
-         |  CAST(count(*) AS BIGINT) AS n_vectors
-         |FROM embeddings GROUP BY lsh_bucket ORDER BY lsh_bucket""".stripMargin,
-    "sim_ivf_assign" ->
-      """WITH costs AS (
-        |  SELECT vec_id, list_transform(generate_series(0, 15),
-        |    j -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      list_transform(generate_series(0, 63),
-        |        i -> (CAST(embedding[i + 1] AS DOUBLE)
-        |          - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0)
-        |          * (CAST(embedding[i + 1] AS DOUBLE)
-        |          - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0))),
-        |      (a, x) -> a + x)) AS costs
-        |  FROM embeddings),
-        |assigned AS (
-        |  SELECT vec_id,
-        |    CAST(list_position(costs, list_min(costs)) - 1 AS INT) AS centroid_id
-        |  FROM costs)
-        |SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vectors,
-        |  CAST(sum(vec_id) AS BIGINT) AS vec_id_sum
-        |FROM assigned GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
-    "sim_ivf_topk" ->
-      // assignment expr mirrors sim_ivf_assign; cosine folds mirror
-      // graft_cosine (three independent sequential f64 accumulators)
-      s"""WITH costs AS (
-         |  SELECT vec_id, embedding, list_transform(generate_series(0, 15),
-         |    j -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(generate_series(0, 63),
-         |        i -> (CAST(embedding[i + 1] AS DOUBLE)
-         |          - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0)
-         |          * (CAST(embedding[i + 1] AS DOUBLE)
-         |          - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0))),
-         |      (a, x) -> a + x)) AS costs
-         |  FROM embeddings),
-         |assigned AS (
-         |  SELECT vec_id, embedding,
-         |    CAST(list_position(costs, list_min(costs)) - 1 AS INT) AS centroid_id
-         |  FROM costs),
-         |probed AS (
-         |  SELECT vec_id, centroid_id,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding,
-         |      x -> CAST(x AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x) AS dot,
-         |    ${duckSumSqOf("embedding")} AS na,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding,
-         |      x -> CAST(0.1 AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x) AS nb
-         |  FROM assigned WHERE centroid_id IN (${IvfProbes.mkString(", ")}))
-         |SELECT vec_id, centroid_id,
-         |  CAST(floor(dot / (sqrt(na) * sqrt(nb)) * 1000000) AS BIGINT) AS cos_e6
-         |FROM probed ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20""".stripMargin,
-    "sim_recall_at_k" -> {
-      // assignment + cosine folds mirror sim_ivf_topk; PQ dist/code/ADC
-      // fragments mirror sim_pq_adc_topk — the audit composes the three
-      // already-pinned arithmetic blocks and counts top-20 overlap
-      def distSql(m: Int, k: Int): String =
-        (0 until 16).map { i =>
-          val c = pqCentroid(m, k, i)
-          val e = s"embedding[${16 * m + i + 1}]"
-          s"($e - CAST($c AS DOUBLE)) * ($e - CAST($c AS DOUBLE))"
-        }.mkString("(", " + ", ")")
-      val dCols = (for (m <- 0 until 4; k <- 0 until 4)
-        yield s"${distSql(m, k)} AS d_${m}_$k").mkString(",\n    ")
-      val codeCols = (0 until 4).map { m =>
-        s"(CASE WHEN d_${m}_0 <= d_${m}_1 AND d_${m}_0 <= d_${m}_2 AND d_${m}_0 <= d_${m}_3 THEN 0 " +
-          s"WHEN d_${m}_1 <= d_${m}_2 AND d_${m}_1 <= d_${m}_3 THEN 1 " +
-          s"WHEN d_${m}_2 <= d_${m}_3 THEN 2 ELSE 3 END) AS code_$m"
-      }.mkString(",\n    ")
-      val adcSql = (0 until 4).map { m =>
-        s"(CASE code_$m WHEN 0 THEN CAST(${AdcTables(m)(0)} AS DOUBLE) " +
-          s"WHEN 1 THEN CAST(${AdcTables(m)(1)} AS DOUBLE) " +
-          s"WHEN 2 THEN CAST(${AdcTables(m)(2)} AS DOUBLE) " +
-          s"ELSE CAST(${AdcTables(m)(3)} AS DOUBLE) END)"
-      }.mkString(" + ")
-      s"""WITH costs AS (
-         |  SELECT vec_id, embedding, list_transform(generate_series(0, 15),
-         |    j -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(generate_series(0, 63),
-         |        i -> (CAST(embedding[i + 1] AS DOUBLE)
-         |          - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0)
-         |          * (CAST(embedding[i + 1] AS DOUBLE)
-         |          - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0))),
-         |      (a, x) -> a + x)) AS costs
-         |  FROM embeddings),
-         |assigned AS (
-         |  SELECT vec_id, embedding,
-         |    CAST(list_position(costs, list_min(costs)) - 1 AS INT) AS centroid_id
-         |  FROM costs),
-         |cos AS (
-         |  SELECT vec_id, centroid_id,
-         |    CAST(floor(
-         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding,
-         |        x -> CAST(x AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x)
-         |      / (sqrt(${duckSumSqOf("embedding")})
-         |         * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |             list_transform(embedding,
-         |               x -> CAST(0.1 AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x)))
-         |      * 1000000) AS BIGINT) AS cos_e6
-         |  FROM assigned),
-         |gt AS (SELECT vec_id FROM cos ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20),
-         |ivf1 AS (
-         |  SELECT vec_id FROM cos WHERE centroid_id IN (${ivfProbeList(1).mkString(", ")})
-         |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20),
-         |ivf4 AS (
-         |  SELECT vec_id FROM cos WHERE centroid_id IN (${ivfProbeList(4).mkString(", ")})
-         |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20),
-         |dists AS (
-         |  SELECT vec_id,
-         |    $dCols
-         |  FROM embeddings),
-         |codes AS (
-         |  SELECT vec_id,
-         |    $codeCols
-         |  FROM dists),
-         |pq AS (
-         |  SELECT vec_id FROM (
-         |    SELECT vec_id, CAST(floor(($adcSql) * 10000) AS BIGINT) AS adc_e4 FROM codes)
-         |  ORDER BY adc_e4, vec_id LIMIT 20),
-         |methods AS (
-         |  SELECT 'ivf_nprobe1' AS method, vec_id FROM ivf1
-         |  UNION ALL SELECT 'ivf_nprobe4' AS method, vec_id FROM ivf4
-         |  UNION ALL SELECT 'pq_adc' AS method, vec_id FROM pq)
-         |SELECT m.method, CAST(count(*) AS BIGINT) AS n_returned,
-         |  CAST(sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-         |  CAST(20 AS BIGINT) AS k
-         |FROM methods m LEFT JOIN gt g ON m.vec_id = g.vec_id
-         |GROUP BY m.method ORDER BY m.method""".stripMargin
-    },
-    "sim_embed_neardup" ->
-      // graft_cosine's fused loop = three independent sequential f64
-      // folds (dot, |a|^2, |b|^2) — replicated here fold-for-fold
-      s"""WITH corpus AS (
-         |  SELECT vec_id, embedding FROM embeddings
-         |  UNION ALL
-         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
-         |sigs AS (
-         |  SELECT vec_id,
-         |    ${duckBandSig("embedding", 0)} AS band_0,
-         |    ${duckBandSig("embedding", 1)} AS band_1
-         |  FROM corpus),
-         |cand AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM sigs a JOIN sigs b ON a.band_0 = b.band_0 AND a.vec_id < b.vec_id
-         |  UNION
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM sigs a JOIN sigs b ON a.band_1 = b.band_1 AND a.vec_id < b.vec_id),
-         |pairs AS (
-         |  SELECT id_a, id_b,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(list_zip(ea.embedding, eb.embedding),
-         |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, x) -> a + x)
-         |      / (sqrt(${duckSumSqOf("ea.embedding")})
-         |         * sqrt(${duckSumSqOf("eb.embedding")})) AS cos_sim
-         |  FROM cand
-         |  JOIN corpus ea ON ea.vec_id = id_a
-         |  JOIN corpus eb ON eb.vec_id = id_b)
-         |SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim
-         |FROM pairs WHERE cos_sim >= 0.999 ORDER BY id_a, id_b""".stripMargin,
-    "dedup_semantic_keep" ->
-      // same pair CTEs as sim_embed_neardup, then recursive closure
-      // (dedup_connected_components pattern) + quality-ranked survivor
-      s"""WITH RECURSIVE corpus AS (
-         |  SELECT vec_id, embedding FROM embeddings
-         |  UNION ALL
-         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
-         |sigs AS (
-         |  SELECT vec_id,
-         |    ${duckBandSig("embedding", 0)} AS band_0,
-         |    ${duckBandSig("embedding", 1)} AS band_1
-         |  FROM corpus),
-         |cand AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM sigs a JOIN sigs b ON a.band_0 = b.band_0 AND a.vec_id < b.vec_id
-         |  UNION
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM sigs a JOIN sigs b ON a.band_1 = b.band_1 AND a.vec_id < b.vec_id),
-         |pairs AS (
-         |  SELECT id_a, id_b,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(list_zip(ea.embedding, eb.embedding),
-         |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, x) -> a + x)
-         |      / (sqrt(${duckSumSqOf("ea.embedding")})
-         |         * sqrt(${duckSumSqOf("eb.embedding")})) AS cos_sim
-         |  FROM cand
-         |  JOIN corpus ea ON ea.vec_id = id_a
-         |  JOIN corpus eb ON eb.vec_id = id_b),
-         |kept AS (SELECT id_a, id_b FROM pairs WHERE cos_sim >= 0.999),
-         |edges AS (
-         |  SELECT id_a AS a, id_b AS b FROM kept
-         |  UNION SELECT id_b AS a, id_a AS b FROM kept),
-         |reach(id, r) AS (
-         |  SELECT DISTINCT a, a FROM edges
-         |  UNION
-         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
-         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
-         |ranked AS (
-         |  SELECT comp.cluster_id, comp.id,
-         |    coalesce(doc.n_chars, -1) AS q,
-         |    row_number() OVER (PARTITION BY comp.cluster_id
-         |      ORDER BY coalesce(doc.n_chars, -1) DESC, comp.id ASC) AS rn,
-         |    count(*) OVER (PARTITION BY comp.cluster_id) AS n_members
-         |  FROM comp LEFT JOIN documents doc ON doc.doc_id = comp.id)
-         |SELECT cluster_id, id AS kept_id, CAST(n_members AS BIGINT) AS n_members
-         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
-    "text_pii_mask" ->
-      """WITH t AS (
-        |  SELECT doc_id, source,
-        |    CASE WHEN doc_id % 7 = 0 THEN
-        |      text || ' contact u' || CAST(doc_id AS VARCHAR)
-        |        || '@mail.example.org or call +1-555-'
-        |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-        |    ELSE text END AS txt
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id, source,
-        |    len(regexp_extract_all(txt, '[a-z0-9]+@[a-z0-9.]+\.[a-z]+')) AS n_emails,
-        |    len(regexp_extract_all(txt, '\+1-555-[0-9]{4}')) AS n_phones,
-        |    length(regexp_replace(
-        |      regexp_replace(txt, '[a-z0-9]+@[a-z0-9.]+\.[a-z]+', '[EMAIL]', 'g'),
-        |      '\+1-555-[0-9]{4}', '[PHONE]', 'g')) AS masked_len
-        |  FROM t)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_pii_docs,
-        |  CAST(sum(n_emails) AS BIGINT) AS n_emails,
-        |  CAST(sum(n_phones) AS BIGINT) AS n_phones,
-        |  CAST(sum(masked_len) AS BIGINT) AS masked_len_total
-        |FROM m GROUP BY source ORDER BY source""".stripMargin,
-    "text_decontaminate" ->
-      """WITH docs AS (
-        |  SELECT doc_id, source, string_split(text, ' ') AS tokens FROM documents),
-        |corpus AS (SELECT * FROM docs WHERE len(tokens) >= 3),
-        |shingles AS (
-        |  SELECT doc_id, source, unnest(list_distinct(list_transform(
-        |    generate_series(1, len(tokens) - 2),
-        |    i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]))) AS shingle
-        |  FROM corpus),
-        |probes AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id IN (3, 77, 123))
-        |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contaminated,
-        |  CAST(count(*) AS BIGINT) AS n_shingle_hits
-        |FROM shingles JOIN probes USING (shingle)
-        |GROUP BY source ORDER BY source""".stripMargin,
-    "sim_quantize_i8" -> {
-      val q = "CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT)"
-      val e = s"(CAST(x AS DOUBLE) - $q * mx / 127.0)"
-      s"""WITH m AS (
-         |  SELECT vec_id, embedding,
-         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
-         |      (a, x) -> greatest(a, x)) AS mx
-         |  FROM embeddings)
-         |SELECT vec_id,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(embedding, x -> $q)), (a, x) -> a + x) AS sum_q,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(embedding,
-         |      x -> CAST(CASE WHEN abs($q) = 127 THEN 1 ELSE 0 END AS BIGINT))),
-         |    (a, x) -> a + x) AS n_sat,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(embedding,
-         |      x -> CAST(floor($e * $e * 100000000.0 + 0.5) AS BIGINT))),
-         |    (a, x) -> a + x) AS err_e8
-         |FROM m WHERE mx > 0 ORDER BY vec_id""".stripMargin
-    },
-    "sim_pq_codes" -> {
-      def distSql(m: Int, k: Int): String =
-        (0 until 16).map { i =>
-          val c = pqCentroid(m, k, i)
-          val e = s"embedding[${16 * m + i + 1}]"
-          s"($e - CAST($c AS DOUBLE)) * ($e - CAST($c AS DOUBLE))"
-        }.mkString("(", " + ", ")")
-      val dCols = (for (m <- 0 until 4; k <- 0 until 4)
-        yield s"${distSql(m, k)} AS d_${m}_$k").mkString(",\n    ")
-      val codeCols = (0 until 4).map { m =>
-        s"(CASE WHEN d_${m}_0 <= d_${m}_1 AND d_${m}_0 <= d_${m}_2 AND d_${m}_0 <= d_${m}_3 THEN 0 " +
-          s"WHEN d_${m}_1 <= d_${m}_2 AND d_${m}_1 <= d_${m}_3 THEN 1 " +
-          s"WHEN d_${m}_2 <= d_${m}_3 THEN 2 ELSE 3 END) AS code_$m"
-      }.mkString(",\n    ")
-      val dminCols = (0 until 4).map(m =>
-        s"least(d_${m}_0, d_${m}_1, d_${m}_2, d_${m}_3) AS dmin_$m").mkString(", ")
-      s"""WITH dists AS (
-         |  SELECT vec_id,
-         |    $dCols
-         |  FROM embeddings),
-         |codes AS (
-         |  SELECT vec_id,
-         |    $codeCols,
-         |    $dminCols
-         |  FROM dists)
-         |SELECT vec_id,
-         |  CAST(code_0 + 4 * code_1 + 16 * code_2 + 64 * code_3 AS INT) AS pq_code,
-         |  CAST(floor((dmin_0 + dmin_1 + dmin_2 + dmin_3) * 10000) AS BIGINT) AS err_e4
-         |FROM codes ORDER BY vec_id""".stripMargin
-    },
-    "sim_pq_adc_topk" -> {
-      def distSql(m: Int, k: Int): String =
-        (0 until 16).map { i =>
-          val c = pqCentroid(m, k, i)
-          val e = s"embedding[${16 * m + i + 1}]"
-          s"($e - CAST($c AS DOUBLE)) * ($e - CAST($c AS DOUBLE))"
-        }.mkString("(", " + ", ")")
-      val dCols = (for (m <- 0 until 4; k <- 0 until 4)
-        yield s"${distSql(m, k)} AS d_${m}_$k").mkString(",\n    ")
-      val codeCols = (0 until 4).map { m =>
-        s"(CASE WHEN d_${m}_0 <= d_${m}_1 AND d_${m}_0 <= d_${m}_2 AND d_${m}_0 <= d_${m}_3 THEN 0 " +
-          s"WHEN d_${m}_1 <= d_${m}_2 AND d_${m}_1 <= d_${m}_3 THEN 1 " +
-          s"WHEN d_${m}_2 <= d_${m}_3 THEN 2 ELSE 3 END) AS code_$m"
-      }.mkString(",\n    ")
-      val adcSql = (0 until 4).map { m =>
-        s"(CASE code_$m WHEN 0 THEN CAST(${AdcTables(m)(0)} AS DOUBLE) " +
-          s"WHEN 1 THEN CAST(${AdcTables(m)(1)} AS DOUBLE) " +
-          s"WHEN 2 THEN CAST(${AdcTables(m)(2)} AS DOUBLE) " +
-          s"ELSE CAST(${AdcTables(m)(3)} AS DOUBLE) END)"
-      }.mkString(" + ")
-      s"""WITH dists AS (
-         |  SELECT vec_id,
-         |    $dCols
-         |  FROM embeddings),
-         |codes AS (
-         |  SELECT vec_id,
-         |    $codeCols
-         |  FROM dists)
-         |SELECT vec_id,
-         |  CAST(floor(($adcSql) * 10000) AS BIGINT) AS adc_e4
-         |FROM codes ORDER BY adc_e4, vec_id LIMIT 10""".stripMargin
-    },
-    "split_stratified" ->
-      s"""WITH b AS (
-         |  SELECT doc_id, source,
-         |    ${duckFp("CAST(doc_id AS VARCHAR) || '||' || source")} % 100 AS bucket
-         |  FROM documents)
-         |SELECT source,
-         |  CASE WHEN bucket < 80 THEN 'train'
-         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
-         |  CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
-         |FROM b GROUP BY source, split ORDER BY source, split""".stripMargin,
-    "text_quality_rules" ->
-      """WITH toks AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS tokens FROM documents),
-        |base AS (
-        |  SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
-        |    CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct,
-        |    CAST(length(text) AS BIGINT) AS n_chars,
-        |    CAST(length(regexp_replace(text, '[a-zA-Z ]', '', 'g')) AS BIGINT) AS n_nonalpha
-        |  FROM toks),
-        |pairs AS (
-        |  SELECT doc_id, tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
-        |  FROM (SELECT doc_id, unnest(tokens) AS tok,
-        |          unnest(range(len(tokens))) AS pos FROM toks)),
-        |bg AS (
-        |  SELECT doc_id, max(c) AS top_bigram_n FROM (
-        |    SELECT doc_id, tok || ' ' || nxt AS bigram, count(*) AS c
-        |    FROM pairs WHERE nxt IS NOT NULL GROUP BY doc_id, bigram)
-        |  GROUP BY doc_id)
-        |SELECT b.doc_id, n_tokens,
-        |  CAST(floor((n_tokens - n_distinct) * 10000 / n_tokens) AS BIGINT)
-        |    AS dup_token_bp,
-        |  CAST(floor(coalesce(top_bigram_n, 0) * 10000
-        |    / greatest(n_tokens - 1, 1)) AS BIGINT) AS top_bigram_bp,
-        |  CAST(floor(n_nonalpha * 10000 / n_chars) AS BIGINT) AS symbol_bp,
-        |  (floor((n_tokens - n_distinct) * 10000 / n_tokens) <= 6000
-        |    AND floor(coalesce(top_bigram_n, 0) * 10000 / greatest(n_tokens - 1, 1)) <= 1800
-        |    AND floor(n_nonalpha * 10000 / n_chars) <= 1000) AS keep
-        |FROM base b LEFT JOIN bg USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-    "pack_sequences" ->
-      """WITH t AS (
-        |  SELECT source, doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |c AS (
-        |  SELECT source, doc_id, n_tokens,
-        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-        |  FROM t)
-        |SELECT source, doc_id, n_tokens,
-        |  CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id,
-        |  CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset
-        |FROM c ORDER BY source, doc_id""".stripMargin,
-    "split_domain_mix" ->
-      s"""WITH k AS (
-         |  SELECT source, doc_id,
-         |    CASE source WHEN 'src0' THEN 9000 WHEN 'src1' THEN 7500
-         |      WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500 ELSE 1000 END AS wbp,
-         |    ${duckFp("'mix||' || CAST(doc_id AS VARCHAR)")} % 10000 AS h
-         |  FROM documents)
-         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(CASE WHEN h < wbp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-         |  CAST(floor(sum(CASE WHEN h < wbp THEN 1 ELSE 0 END) * 10000
-         |    / count(*)) AS BIGINT) AS kept_bp,
-         |  CAST(max(wbp) AS BIGINT) AS target_bp,
-         |  CAST(coalesce(sum(CASE WHEN h < wbp THEN doc_id END), 0) AS BIGINT)
-         |    AS sum_kept_id
-         |FROM k GROUP BY source ORDER BY source""".stripMargin,
-    "split_temperature_mix" ->
-      s"""WITH counts AS (
-         |  SELECT source, count(*) AS n FROM documents GROUP BY source),
-         |w AS (
-         |  SELECT source, n,
-         |    CAST(floor(sqrt(n) * 1000000) AS BIGINT) AS srt
-         |  FROM counts),
-         |t AS (SELECT CAST(sum(srt) AS BIGINT) AS total FROM w),
-         |r AS (SELECT source, (6000 * srt) // total AS rate_bp FROM w, t),
-         |k AS (
-         |  SELECT d.source, d.doc_id, r.rate_bp,
-         |    ${duckFp("'tmix||' || CAST(doc_id AS VARCHAR)")} % 10000 AS h
-         |  FROM documents d JOIN r USING (source))
-         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(CASE WHEN h < rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-         |  CAST(floor(sum(CASE WHEN h < rate_bp THEN 1 ELSE 0 END) * 10000
-         |    / count(*)) AS BIGINT) AS kept_bp,
-         |  CAST(max(rate_bp) AS BIGINT) AS rate_bp,
-         |  CAST(coalesce(sum(CASE WHEN h < rate_bp THEN doc_id END), 0) AS BIGINT)
-         |    AS sum_kept_id
-         |FROM k GROUP BY source ORDER BY source""".stripMargin,
-    "text_oov_rate" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |vocab AS (
-        |  SELECT tok FROM toks GROUP BY tok
-        |  ORDER BY count(*) DESC, tok ASC LIMIT 16),
-        |per AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |    CAST(sum(CASE WHEN tok IN (SELECT tok FROM vocab)
-        |      THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
-        |  FROM toks GROUP BY doc_id)
-        |SELECT doc_id, n_tokens, n_oov,
-        |  CAST(floor(n_oov * 10000.0 / n_tokens) AS BIGINT) AS oov_bp
-        |FROM per ORDER BY doc_id""".stripMargin,
-    "e2e_curation_funnel" ->
-      s"""WITH corpus AS (
-         |  SELECT doc_id, source, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 300000 AS doc_id, source, text FROM documents
-         |  WHERE doc_id % 10 = 0),
-         |flagged AS (
-         |  SELECT doc_id, source,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-         |    sha256(text) AS digest,
-         |    len(string_split(text, ' ')) >= 10 AS q
-         |  FROM corpus),
-         |kept AS (
-         |  SELECT *,
-         |    min(CASE WHEN q THEN doc_id END)
-         |      OVER (PARTITION BY digest) AS keeper_id
-         |  FROM flagged),
-         |u AS (SELECT *, q AND doc_id = keeper_id AS uniq FROM kept),
-         |counts AS (
-         |  SELECT source, count(*) AS n,
-         |    CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS srt
-         |  FROM u WHERE uniq GROUP BY source),
-         |t AS (SELECT CAST(sum(srt) AS BIGINT) AS total FROM counts),
-         |r AS (SELECT source, (8000 * srt) // total AS rate_bp FROM counts, t),
-         |sampled AS (
-         |  SELECT u.*,
-         |    u.uniq AND (${duckFp("'cur||' || CAST(doc_id AS VARCHAR)")} % 10000
-         |      < r.rate_bp) AS keep
-         |  FROM u LEFT JOIN r USING (source))
-         |SELECT source,
-         |  CAST(count(*) AS BIGINT) AS n_corpus,
-         |  CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
-         |  CAST(sum(CASE WHEN uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
-         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-         |  CAST(coalesce(sum(CASE WHEN keep THEN n_words END), 0) AS BIGINT)
-         |    AS sampled_tokens
-         |FROM sampled GROUP BY source ORDER BY source""".stripMargin,
-    "text_html_strip" ->
-      s"""WITH w AS (
-         |  SELECT doc_id, source,
-         |    CASE WHEN doc_id % 3 = 0 THEN
-         |      '<html><head><title>T ' || CAST(doc_id AS VARCHAR) || '</title>' ||
-         |      '<script type="text/javascript">var x = 1 &amp;&amp; 2;</script>' ||
-         |      '<style>p { color: red; }</style></head><body>' ||
-         |      '<h1>Head&quot;ing</h1><p>' || text || '</p><!-- hidden comment -->' ||
-         |      '<div class="foo">tail &lt;escaped&gt; &amp; done</div></body></html>'
-         |    ELSE text END AS raw
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, source, trim(
-         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-         |    regexp_replace(regexp_replace(raw,
-         |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-         |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
-         |      '(?s)<!--.*?-->', ' ', 'g'),
-         |      '<[^>]+>', ' ', 'g'),
-         |      '&lt;', '<', 'g'),
-         |      '&gt;', '>', 'g'),
-         |      '&quot;', '"', 'g'),
-         |      '&#39;', '''', 'g'),
-         |      '&amp;', '&', 'g'),
-         |      '\\s+', ' ', 'g')) AS clean
-         |  FROM w)
-         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_wrapped,
-         |  CAST(sum(length(clean)) AS BIGINT) AS sum_clean_len,
-         |  CAST(sum(${duckFp("clean")}) AS BIGINT) AS fp_sum
-         |FROM c GROUP BY source ORDER BY source""".stripMargin,
-    "text_quality" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, n_chars, string_split(text, ' ') AS tokens FROM documents),
-         |m AS (
-         |  SELECT doc_id, n_chars, len(tokens) AS n_words,
-         |    len(list_filter(tokens, t -> t IN $StopwordsSql)) AS n_stopwords,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(tokens, w -> CAST(length(w) AS BIGINT))),
-         |      (a, x) -> a + x) AS total_word_len
-         |  FROM toks)
-         |SELECT doc_id, CAST(n_words AS INT) AS n_words,
-         |  CAST(floor(CAST(n_stopwords AS DOUBLE) / n_words * 10000) AS BIGINT)
-         |    AS stopword_ratio_e4,
-         |  CAST(floor((0.4 * least(1.0, n_words / 100.0)
-         |    + 0.3 * (1.0 - CAST(n_stopwords AS DOUBLE) / n_words)
-         |    + 0.3 * least(1.0, (CAST(total_word_len AS DOUBLE) / n_words) / 8.0)) * 10000)
-         |    AS BIGINT) AS quality_score_e4
-         |FROM m ORDER BY doc_id""".stripMargin,
-    "text_langid" ->
-      s"""SELECT lang,
-         |  CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN $StopwordsSql)) >= 1
-         |    THEN 'en' ELSE 'other' END AS detected,
-         |  CAST(count(*) AS BIGINT) AS n
-         |FROM documents GROUP BY lang, detected ORDER BY lang, detected""".stripMargin,
-    "text_token_count" ->
-      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
-        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_re_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "text_fingerprint" ->
-      s"""SELECT doc_id, ${duckFp("text")} AS fingerprint
-         |FROM documents ORDER BY doc_id""".stripMargin,
-    "search_hybrid" ->
-      s"""WITH tf AS (
-         |  SELECT doc_id, ${Bm25Scoring.duckTfCols.mkString(",\n    ")},
-         |    ($duckSum * 0.1) / (sqrt($duckSumSq) * 0.8) AS vec
-         |  FROM documents JOIN embeddings ON doc_id = vec_id),
-         |stats AS (
-         |  SELECT ${Bm25Scoring.duckStatCols.mkString(",\n    ")}
-         |  FROM tf),
-         |scored AS (
-         |  SELECT doc_id, vec, (
-         |    ${Bm25Scoring.duckScore}
-         |  ) AS lex
-         |  FROM tf, stats)
-         |SELECT doc_id,
-         |  round(0.5 * (lex / (SELECT max(lex) FROM scored))
-         |    + 0.5 * (vec / (SELECT max(vec) FROM scored)), 6) AS fused_score
-         |FROM scored ORDER BY fused_score DESC, doc_id ASC LIMIT 20""".stripMargin,
-    "search_hybrid_lang" ->
-      s"""WITH tf AS (
-         |  SELECT doc_id, lang, ${Bm25Scoring.duckTfCols.mkString(",\n    ")},
-         |    ($duckSum * 0.1) / (sqrt($duckSumSq) * 0.8) AS vec
-         |  FROM documents JOIN embeddings ON doc_id = vec_id),
-         |stats AS (
-         |  SELECT ${Bm25Scoring.duckStatCols.mkString(",\n    ")}
-         |  FROM tf),
-         |scored AS (
-         |  SELECT doc_id, lang, vec, (
-         |    ${Bm25Scoring.duckScore}
-         |  ) AS lex
-         |  FROM tf, stats),
-         |weighted AS (
-         |  SELECT doc_id, lang,
-         |    CASE WHEN lang = 'en' THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.2 AS DOUBLE) END AS w_lex,
-         |    lex / (SELECT max(lex) FROM scored) AS lex_n,
-         |    vec / (SELECT max(vec) FROM scored) AS vec_n
-         |  FROM scored)
-         |SELECT doc_id, lang,
-         |  CAST(floor((w_lex * lex_n + (CAST(1.0 AS DOUBLE) - w_lex) * vec_n) * 1000000)
-         |    AS BIGINT) AS fused_e6
-         |FROM weighted ORDER BY fused_e6 DESC, doc_id ASC LIMIT 20""".stripMargin,
-    "search_context_filter" ->
-      """SELECT CASE WHEN length(text) < 60 THEN 'too_short'
-        |  WHEN len(regexp_extract_all(text, '[{};=]')) >= 3 THEN 'code_heavy'
-        |  WHEN len(string_split(text, ' ')) < 10 THEN 'thin'
-        |  ELSE 'kept' END AS reason,
-        |  CAST(count(*) AS BIGINT) AS n
-        |FROM documents GROUP BY reason ORDER BY reason""".stripMargin,
-    "agg_skew_salted" ->
-      """SELECT CASE WHEN user_id % 10 < 7 THEN 'hot'
-        |  ELSE 'u' || CAST(user_id % 100 AS VARCHAR) END AS skew_key,
-        |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(event_id) AS BIGINT) AS sum_event_id
-        |FROM events GROUP BY skew_key ORDER BY skew_key""".stripMargin,
-    "stream_window_agg" ->
-      """SELECT CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS day, event_type,
-        |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
-        |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
-    "agg_topk_freq" ->
-      """WITH c AS (
-        |  SELECT user_id % 10 AS cohort, event_type, count(*) AS cnt
-        |  FROM events GROUP BY cohort, event_type),
-        |r AS (
-        |  SELECT cohort, event_type, cnt,
-        |    row_number() OVER (PARTITION BY cohort
-        |      ORDER BY cnt DESC, event_type) AS rn
-        |  FROM c)
-        |SELECT cohort,
-        |  string_agg(event_type || ':' || CAST(cnt AS VARCHAR), '|'
-        |    ORDER BY cnt DESC, event_type) AS top_events
-        |FROM r WHERE rn <= 3 GROUP BY cohort ORDER BY cohort""".stripMargin,
-    "sessionize_batch" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
-        |f AS (
-        |  SELECT user_id, event_id, ms,
-        |    CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL
-        |      OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) > 1800000
-        |    THEN 1 ELSE 0 END AS new_sess
-        |  FROM e),
-        |g AS (
-        |  SELECT user_id, ms, event_id,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq
-        |  FROM f)
-        |SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq,
-        |  CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(min(ms) AS BIGINT) AS start_ms, CAST(max(ms) AS BIGINT) AS end_ms,
-        |  CAST(floor((max(ms) - min(ms)) / 1000) AS BIGINT) AS duration_s
-        |FROM g GROUP BY user_id, sess_seq ORDER BY user_id, sess_seq""".stripMargin,
-  )
+      df: DataFrame, expected: Option[Long], queryName: String): DataFrame =
+    PipelineShared.withGoldenDigestExpected(df, expected, queryName)
 }

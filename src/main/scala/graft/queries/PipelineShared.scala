@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-tier plumbing for the LLM-pipeline query files (split from the
+  * single 2,300-line PipelineQueries in r10 — pure mechanical move, no
+  * query or oracle changed): the portable rolling fingerprint both
+  * engines replicate, the embedding fold expressions and their DuckDB
+  * twins, the shared stopword list, and the pinned-golden-digest gate
+  * for rows-only entries. Everything here is referenced from at least
+  * two tier files; single-tier constants live with their tier.
+  */
+private[graft] object PipelineShared {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val P = 2147483647L // 31-bit Mersenne prime, DuckDB-replicable
+
+  /** Portable rolling char-fold fingerprint of a string expression
+    * (F11-lite): fold `acc*31 + ascii(char) mod P` seeded with 7, over
+    * the char array from `split(x, '')`. The char-array form is O(n) —
+    * the earlier `sequence(1,len)` + `substr(x,i,1)` fold re-traversed
+    * the UTF-8 string per char (O(n²), 14.5s on sf0.1 text_fingerprint)
+    * — and both engines agree that `split('', '') = ['']` with
+    * `ascii('') = 0`, so the empty-string case is engine-independent too.
+    *
+    * Spark-version sensitivity (ADVICE r3): the no-trailing-empty
+    * behavior of empty-regex split was verified on the pinned Spark
+    * 4.1.2 (split('a','')=['a']) and differs from raw Java
+    * `String.split(re, -1)` — an engine upgrade must re-run the
+    * empty/non-ASCII fingerprint checks before trusting stored hashes.
+    */
+  def duckFp(x: String): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"list_transform(string_split($x, ''), " +
+      s"c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, x) -> (a * 31 + x) % $P)"
+
+  val sumExpr =
+    s"aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"
+  val sumSqExpr =
+    s"aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+
+  val Stopwords = Seq("the", "a", "is", "of", "and", "to", "in")
+  val StopwordsSql = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+  val StopwordsCsv = Stopwords.mkString(",")
+
+  val duckSum =
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, " +
+      "x -> CAST(x AS DOUBLE))), (a, x) -> a + x)"
+  val duckSumSq =
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, " +
+      "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x)"
+
+  def duckSumSqOf(emb: String) =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($emb, " +
+      "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x)"
+
+
+  /** Pinned-golden digest rider for the rows-only entries (VERDICT r8
+    * #2): the five queries here whose semantics no SQL oracle can
+    * express (chunker / summarizer / matcher logic) get an
+    * order-independent digest of their OWN full output —
+    * `sum(pmod(xxhash64(every column), 10^9+7))` — attached to every
+    * row via a 1-row broadcast cross join, plus `golden_ok` = digest ==
+    * the pinned constant for this scale factor. The driver's rows-only
+    * check can't see value drift; the digest column makes any semantic
+    * drift visible in the dumped parquet round-over-round, and
+    * `golden_ok=false` flags it loudly. pmod keeps the running sum far
+    * from Long overflow (ANSI mode would throw); the sum is one
+    * partial-aggregated pass — no single-partition collect, scales like
+    * any global count.
+    *
+    * Constants were derived by running `graft.Verify` at each sf and
+    * reading the digest back (round 9); the underlying semantics are
+    * pinned by ChunkerSpec / HierarchySpec / SubjectMatcherSpec — a
+    * digest change means one of those suites' subjects drifted. Unknown
+    * sf dirs (e.g. the ×8 scale harness) get golden_ok = NULL rather
+    * than false.
+    *
+    * The gate is FATAL (VERDICT r9 #1): when a pinned constant exists
+    * for the sf and the computed digest differs, every output row
+    * raises — so the driver's Verify run records the query as `err`
+    * instead of quietly carrying `golden_ok=false` in a column nobody
+    * reads. GoldenGateSpec proves the trip end-to-end with a perturbed
+    * corpus twin. */
+  private[queries] def withGoldenDigest(df: DataFrame, d: String, queryName: String): DataFrame =
+    withGoldenDigestExpected(df,
+      GoldenDigests.get(queryName).flatMap(_.get(new java.io.File(d).getName)), queryName)
+
+  /** Testable core of the golden gate: `expected = Some(e)` pins the
+    * digest fatally, `None` (unknown sf) degrades to `golden_ok = NULL`. */
+  private[graft] def withGoldenDigestExpected(
+      df: DataFrame, expected: Option[Long], queryName: String): DataFrame = {
+    val hashAll = pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(1000000007L))
+    val digest = df.agg(sum(hashAll).as("golden_digest"))
+    df.crossJoin(broadcast(digest))
+      .withColumn("golden_ok",
+        expected.map(e =>
+          when(col("golden_digest") === lit(e), lit(true))
+            .otherwise(raise_error(concat(
+              lit(s"golden digest drift in $queryName: expected $e, got "),
+              col("golden_digest").cast("string")))))
+          .getOrElse(lit(null).cast("boolean")))
+  }
+
+  private val GoldenDigests: Map[String, Map[String, Long]] = Map(
+    "subject_match_topk" -> Map(
+      "sf0.001" -> 254965504157L,
+      "sf0.01" -> 272207590044L,
+      "sf0.1" -> 2525470469629L),
+    "chunk_paragraph" -> Map(
+      "sf0.001" -> 561264543966L,
+      "sf0.01" -> 525465140515L,
+      "sf0.1" -> 5280611936760L),
+    "chunk_hierarchical" -> Map(
+      "sf0.001" -> 1343592040504L,
+      "sf0.01" -> 1332586306763L,
+      "sf0.1" -> 13146286255045L),
+    "text_summarize" -> Map(
+      "sf0.001" -> 250508629023L,
+      "sf0.01" -> 250508629023L, // sf0.001/sf0.01 share doc_ids 0-499 and
+      // every doc summarizes to 1 sentence — equal digests are genuine
+      "sf0.1" -> 2492689638523L),
+    "sim_semantic_match" -> Map(
+      "sf0.001" -> 5081089278L,
+      "sf0.01" -> 7166123759L,
+      "sf0.1" -> 12372869121L),
+    // the composed silver→gold lifecycle (SinkQueries) — state is
+    // sf-keyed, so the digest pins the full normalize→dedup→CDC→merge→
+    // chunk→star chain per scale factor
+    "e2e_silver_gold" -> Map(
+      "sf0.001" -> 9655746538L,
+      "sf0.01" -> 9211674417L,
+      "sf0.1" -> 9491981771L))
+}

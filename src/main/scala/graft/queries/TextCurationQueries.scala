@@ -1,0 +1,646 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.PipelineShared._
+
+/** Text-analysis + CURATION tier (split from PipelineQueries in r10):
+  * quality scoring and Gopher/C4 rules, language-ID, token counts,
+  * fingerprints, PII masking, benchmark decontamination, OOV rate,
+  * HTML stripping, the deterministic split/mixture samplers
+  * (stratified / domain / temperature), sequence packing, and the
+  * end-to-end curation funnel. Every entry is hash-verified against
+  * the DuckDB oracles below.
+  */
+private[queries] object TextCurationQueries {
+
+  /** Quality scoring: word count, average word length, stopword ratio,
+    * composite score (transformer.py:340-368 reshaped for `documents`).
+    * The stopword/length census runs through the fused native
+    * `graft_stopword_stats` kernel (one codegen'd array pass; the
+    * filter/aggregate lambda HOFs it replaces are CodegenFallback and
+    * split the scan's whole-stage span — VERDICT r8 #8). The DuckDB
+    * oracle keeps the list-fold form; TextSketchSpec pins them equal. */
+  private val textQuality: Q = (s, d) =>
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "n_chars", "split(text, ' ') AS tokens")
+      .selectExpr("doc_id", "n_chars",
+        "size(tokens) AS n_words",
+        s"graft_stopword_stats(tokens, '$StopwordsCsv') AS sw")
+      .selectExpr("doc_id", "n_chars", "n_words",
+        "sw[0] AS n_stopwords", "sw[1] AS total_word_len")
+      // fixed-point via floor: rational scores can land exactly on the
+      // round-half grid where Spark (HALF_UP) and DuckDB disagree; floor
+      // of the identical IEEE double is engine-independent.
+      // D-suffixed literals: bare 100.0 is a DECIMAL literal in Spark SQL
+      // and int/decimal stays exact decimal — a 1-ulp divergence from the
+      // oracle's double math at floor boundaries.
+      .selectExpr("doc_id", "n_words",
+        "CAST(floor(CAST(n_stopwords AS DOUBLE) / n_words * 10000) AS BIGINT) AS stopword_ratio_e4",
+        "CAST(floor((0.4D * least(1.0D, n_words / 100.0D) " +
+          "+ 0.3D * (1.0D - CAST(n_stopwords AS DOUBLE) / n_words) " +
+          "+ 0.3D * least(1.0D, (CAST(total_word_len AS DOUBLE) / n_words) / 8.0D)) * 10000) AS BIGINT) AS quality_score_e4")
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic (chatbot_api.py:69-77 reshaped): stopword
+    * presence ⇒ 'en', else 'other'; confusion matrix vs the labeled
+    * `lang` column. Stopword census via the native fused kernel (see
+    * [[textQuality]]). */
+  private val textLangid: Q = (s, d) =>
+    Tables.documents(s, d)
+      .selectExpr("lang",
+        s"CASE WHEN graft_stopword_stats(split(text, ' '), '$StopwordsCsv')[0] >= 1 " +
+          "THEN 'en' ELSE 'other' END AS detected")
+      .groupBy("lang", "detected").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "detected")
+
+  /** Token counting: whitespace split vs BPE-ish regex token count. */
+  private val textTokenCount: Q = (s, d) =>
+    Tables.documents(s, d)
+      .selectExpr("doc_id",
+        "size(split(text, ' ')) AS n_ws_tokens",
+        "regexp_count(text, '[a-z0-9]+') AS n_re_tokens")
+      .orderBy("doc_id")
+
+  /** Rolling-hash document fingerprint (portable char fold; native
+    * graft_str_fp == the aggregate() fold bitwise, TextSketchSpec). */
+  private val textFingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "graft_str_fp(text) AS fingerprint")
+      .orderBy("doc_id")
+
+  /** PII detection + masking — the redaction pass every training-data
+    * pipeline runs before release. PII is INJECTED deterministically
+    * (docs ≡ 0 mod 7 get an email + phone suffix — the synthetic corpus
+    * has none), then detected and masked with regexes kept inside the
+    * RE2 ∩ java.util.regex common dialect so engines agree. The scan is
+    * one codegen'd projection pass: no UDF, no second scan — at 100 TB
+    * this runs at parquet-read speed. Output pins the masked text via
+    * length sums, not raw strings (masked docs stay large). */
+  private val textPiiMask: Q = (s, d) => {
+    val emailRe = "[a-z0-9]+@[a-z0-9.]+\\\\.[a-z]+"
+    val phoneRe = "\\\\+1-555-[0-9]{4}"
+    Tables.documents(s, d)
+      .withColumn("txt",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact u"), col("doc_id"),
+            lit("@mail.example.org or call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")))
+      .selectExpr("doc_id", "source",
+        s"regexp_count(txt, '$emailRe') AS n_emails",
+        s"regexp_count(txt, '$phoneRe') AS n_phones",
+        s"length(regexp_replace(regexp_replace(txt, '$emailRe', '[EMAIL]'), '$phoneRe', '[PHONE]')) AS masked_len")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_emails") + col("n_phones") > 0, 1).otherwise(0)).as("n_pii_docs"),
+        sum("n_emails").as("n_emails"), sum("n_phones").as("n_phones"),
+        sum("masked_len").as("masked_len_total"))
+      .orderBy("source")
+  }
+
+  /** Benchmark decontamination — flag corpus documents sharing 3-gram
+    * shingles with a probe set (the held-out benchmark): probe shingles
+    * are BROADCAST (eval suites are KBs against a 100 TB corpus), the
+    * overlap is a map-side equi-join on the fused 64-bit shingle keys —
+    * the corpus never shuffles, and the only aggregation is per
+    * (source) over the matches. The DuckDB oracle joins the string
+    * shingles themselves, so the hash layer stays a join-key detail. */
+  private val textDecontaminate: Q = (s, d) => {
+    val probeIds = Seq(3L, 77L, 123L)
+    val docs = Tables.documents(s, d)
+      .selectExpr("doc_id", "source", "split(text, ' ') AS tokens")
+      .filter(size(col("tokens")) >= 3)
+    val probes = docs.filter(col("doc_id").isin(probeIds: _*))
+      .selectExpr("explode(graft_shingle_hash64(tokens)) AS sh").distinct()
+    docs.selectExpr("doc_id", "source", "explode(graft_shingle_hash64(tokens)) AS sh")
+      .join(broadcast(probes), "sh")
+      .groupBy("source")
+      .agg(countDistinct("doc_id").as("n_contaminated"),
+        count(lit(1)).as("n_shingle_hits"))
+      .orderBy("source")
+  }
+
+  /** Deterministic stratified train/val/test split — the
+    * training-data-curation operator every corpus pipeline needs:
+    * assignment is a pure function of the stable doc key (rolling-hash
+    * fingerprint mod 100 → 80/10/10), so it is reproducible across
+    * runs, engines, and cluster sizes, never samples twice into
+    * different sets, and needs NO shuffle to assign (the groupBy here
+    * only verifies the per-stratum composition). Keying on
+    * doc_id||source keeps the split independent of row order —
+    * `rand(seed)` splits are partition-order-dependent and break on
+    * repartition. Output pins every assignment (counts + id-sums per
+    * source × split). */
+  private val splitStratified: Q = (s, d) =>
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "source",
+        "graft_str_fp(concat(CAST(doc_id AS STRING), '||', source)) % 100 AS bucket")
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_doc_id"))
+      .orderBy("source", "split")
+
+  /** Gopher/C4-style repetition + symbol quality rules — the curation
+    * filters a pretraining pipeline runs before anything model-based:
+    * duplicate-token fraction, most-frequent-bigram coverage, and
+    * symbol(non-alpha) ratio, each in exact basis points, folded into a
+    * keep/drop decision. Per-doc stats are one codegen'd projection;
+    * the bigram mode is a (doc_id, bigram) partial-agg groupBy — the
+    * shuffle key includes the bigram so one hot document cannot skew a
+    * reducer, and nothing is all-pairs. Thresholds follow the Gopher
+    * paper's shape (dup fraction, top-2-gram coverage, symbol ratio).
+    */
+  private val textQualityRules: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("tokens"))
+    val base = toks.select(col("doc_id"),
+      size(col("tokens")).cast("long").as("n_tokens"),
+      size(array_distinct(col("tokens"))).cast("long").as("n_distinct"),
+      length(col("text")).cast("long").as("n_chars"),
+      length(regexp_replace(col("text"), "[a-zA-Z ]", "")).cast("long").as("n_nonalpha"))
+    val topBigram = toks
+      .select(col("doc_id"), posexplode(col("tokens")).as(Seq("pos", "tok")))
+      .withColumn("nxt",
+        lead("tok", 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bigram_n"))
+    base.join(topBigram, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        floor((col("n_tokens") - col("n_distinct")) * 10000 / col("n_tokens"))
+          .as("dup_token_bp"),
+        floor(coalesce(col("top_bigram_n"), lit(0L)) * 10000
+          / greatest(col("n_tokens") - 1, lit(1L))).as("top_bigram_bp"),
+        floor(col("n_nonalpha") * 10000 / col("n_chars")).as("symbol_bp"))
+      .withColumn("keep",
+        col("dup_token_bp") <= lit(6000L) && col("top_bigram_bp") <= lit(1800L) &&
+          col("symbol_bp") <= lit(1000L))
+      .orderBy("doc_id")
+  }
+
+  /** Concat-and-split sequence packing — how pretraining actually fills
+    * context windows: documents are laid out in a deterministic order
+    * (doc_id within source) into a continuous token stream, and each
+    * doc records which pack (context window) its first token lands in
+    * and at what offset. One running-total window per source partition
+    * (the w3 shape — shuffle key source, never a global sort); packing
+    * is pure arithmetic on the cumsum, so it reproduces bit-identically
+    * across cluster sizes. */
+  private val packSequences: Q = (s, d) => {
+    val capacity = 512L
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / capacity).cast("long").as("pack_id"),
+        ((col("cum") - col("n_tokens")) % capacity).as("pack_offset"))
+      .orderBy("source", "doc_id")
+  }
+
+  /** Domain-mixture sampler — hit a target per-domain mixture (weights
+    * in basis points, broadcast dim) by hash-deterministic Bernoulli
+    * keep decisions: keep iff fp(doc) mod 10000 < weight. Shuffle-free
+    * assignment (the split_stratified shape), so re-runs, engines, and
+    * cluster sizes agree row-for-row; output is the per-source audit
+    * (kept counts + achieved rate vs target). */
+  private val splitDomainMix: Q = (s, d) => {
+    import s.implicits._
+    val weights = Seq(("src0", 9000L), ("src1", 7500L), ("src2", 5000L), ("src3", 2500L))
+      .toDF("source", "weight_bp")
+    Tables.documents(s, d)
+      .join(broadcast(weights), Seq("source"), "left")
+      .withColumn("wbp", coalesce(col("weight_bp"), lit(1000L)))
+      .withColumn("keep",
+        expr("graft_str_fp(concat('mix||', CAST(doc_id AS STRING))) % 10000") < col("wbp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id"))).as("kept_id_sum"),
+        first(col("wbp")).as("target_bp"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        floor(col("n_kept") * 10000 / col("n_docs")).as("kept_bp"),
+        col("target_bp"), coalesce(col("kept_id_sum"), lit(0L)).as("sum_kept_id"))
+      .orderBy("source")
+  }
+
+  /** Out-of-vocabulary rate per document against a CORPUS-DERIVED
+    * vocabulary (top-16 tokens by global frequency, count-desc /
+    * token-asc tiebreak so the cutoff is deterministic in both
+    * engines): the rare-token-ratio quality signal — high OOV flags
+    * gibberish, boilerplate codes, or wrong-language text. Two partial-
+    * aggregatable shuffles (token census, per-doc tally); the vocab is
+    * 16 rows broadcast back. At a real corpus the vocab is top-64k and
+    * lives in a dim table — same plan, bigger broadcast. */
+  private val textOovRate: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(16)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_bp",
+        floor(col("n_oov") * lit(10000.0) / col("n_tokens")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Temperature-based mixture RESAMPLING (w_s ∝ n_s^α, the standard
+    * multilingual/domain rebalancing rule; α = 1/2 here): per-source
+    * keep-rates derived FROM the observed counts, flattening the head
+    * and boosting the tail, with a global budget of 60% — unlike
+    * `split_domain_mix`, whose weights are a fixed config. Engine
+    * determinism: α = 1/2 because sqrt is IEEE-754 correctly-rounded in
+    * BOTH engines (pow is not); the tempered weight then moves onto an
+    * integer grid immediately — srt = floor(sqrt(n)·10^6) — so the
+    * budget split `6000·srt DIV Σsrt` and the hash-Bernoulli keep are
+    * pure integer arithmetic that cannot straddle a float ulp. Scale:
+    * the weights table is one row per source (broadcast); assignment is
+    * shuffle-free per-row hashing, same as the stratified split. */
+  private val splitTemperatureMix: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("srt", floor(sqrt(col("n")) * 1000000).cast("long"))
+    val total = counts.agg(sum("srt").as("total"))
+    val rates = counts.crossJoin(broadcast(total))
+      .withColumn("rate_bp", expr("(6000 * srt) DIV total"))
+      .select("source", "rate_bp")
+    Tables.documents(s, d)
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("keep",
+        expr("graft_str_fp(concat('tmix||', CAST(doc_id AS STRING))) % 10000") < col("rate_bp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id"))).as("kept_id_sum"),
+        first(col("rate_bp")).as("rate_bp"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        floor(col("n_kept") * 10000 / col("n_docs")).as("kept_bp"),
+        col("rate_bp"), coalesce(col("kept_id_sum"), lit(0L)).as("sum_kept_id"))
+      .orderBy("source")
+  }
+
+  /** HTML boilerplate stripping — the extraction step upstream of every
+    * web-scraped training corpus (the trafilatura-lite tier): drop
+    * script/style bodies and comments, strip tags, decode the common
+    * entities (amp LAST so one level decodes, never two), collapse
+    * whitespace. Fixture wraps every doc_id % 3 == 0 in a full page
+    * shell with a script, style, comment, attributes and entities.
+    * Patterns are conservative (lazy quantifiers, (?s), no
+    * backreferences) so Java regex and RE2 agree. Verified by
+    * per-source doc counts, cleaned-length sums, and an
+    * order-independent content digest (sum of per-row rolling fps —
+    * integer math, engine-exact). Per-row regex work, shuffle only at
+    * the final per-source aggregate. */
+  private val textHtmlStrip: Q = (s, d) => {
+    val wrapped = Tables.documents(s, d).selectExpr("doc_id", "source",
+      "CASE WHEN doc_id % 3 = 0 THEN concat(" +
+        "'<html><head><title>T ', CAST(doc_id AS STRING), '</title>', " +
+        "'<script type=\"text/javascript\">var x = 1 &amp;&amp; 2;</script>', " +
+        "'<style>p { color: red; }</style></head><body>', " +
+        "'<h1>Head&quot;ing</h1><p>', text, '</p><!-- hidden comment -->', " +
+        "'<div class=\"foo\">tail &lt;escaped&gt; &amp; done</div></body></html>') " +
+        "ELSE text END AS raw")
+    val clean = Seq(
+      "(?s)<script[^>]*>.*?</script>" -> " ",
+      "(?s)<style[^>]*>.*?</style>" -> " ",
+      "(?s)<!--.*?-->" -> " ",
+      "<[^>]+>" -> " ",
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&amp;" -> "&",
+      "\\s+" -> " ")
+      .foldLeft(col("raw")) { case (c, (pat, rep)) => regexp_replace(c, pat, rep) }
+    wrapped
+      .withColumn("clean", trim(clean))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") % 3 === 0, 1L).otherwise(0L)).as("n_wrapped"),
+        sum(length(col("clean"))).as("sum_clean_len"),
+        sum(expr("graft_str_fp(clean)")).as("fp_sum"))
+      .orderBy("source")
+  }
+
+  /** END-TO-END curation funnel — the composed flagship of the
+    * training-data tier (what `e2e_silver_gold` is to the reference's
+    * lifecycle): raw corpus (+injected exact duplicates) → quality
+    * floor (≥ 10 tokens) → exact-dedup KEEP (min doc_id per content
+    * digest, computed only among quality survivors) → temperature
+    * resampling of the survivors (α = 1/2 on the integer grid, 80%
+    * budget) → per-source funnel report with stage counts and the
+    * surviving token mass. One row per source; every stage's math is
+    * the already-verified building block, composed.
+    *
+    * Shape (PlanSpec-pinned): the per-source rate derivation embeds the
+    * flagged subtree twice (once under the global srt total, once under
+    * the rates themselves), and exchange REUSE collapses one of the
+    * digest-window shuffles — the executed plan carries two hash(digest)
+    * exchanges, three tiny hash(source)/SinglePartition aggregate
+    * exchanges, and the output range sort. At 100 TB the remaining
+    * duplicate corpus pass is what `localCheckpoint` after `flagged`
+    * removes (the SilverPipeline pattern); kept declarative here so the
+    * oracle sees the same lazy frame the driver hashes. */
+  private val e2eCurationFunnel: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+    val corpus = docs.union(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"), col("source"), col("text")))
+    val flagged = corpus
+      .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+      .withColumn("digest", sha2(col("text"), 256))
+      .withColumn("q", col("n_words") >= 10)
+      .withColumn("keeper_id",
+        min(when(col("q"), col("doc_id"))).over(Window.partitionBy("digest")))
+      .withColumn("u", col("q") && col("doc_id") === col("keeper_id"))
+    val rates = flagged.filter(col("u"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("srt", floor(sqrt(col("n")) * 1000000).cast("long"))
+    val total = rates.agg(sum("srt").as("total"))
+    val rateBp = rates.crossJoin(broadcast(total))
+      .withColumn("rate_bp", expr("(8000 * srt) DIV total"))
+      .select("source", "rate_bp")
+    flagged
+      .join(broadcast(rateBp), Seq("source"), "left")
+      .withColumn("keep", col("u") &&
+        expr("graft_str_fp(concat('cur||', CAST(doc_id AS STRING))) % 10000") < col("rate_bp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_corpus"),
+        sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("u"), 1L).otherwise(0L)).as("n_unique"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+        coalesce(sum(when(col("keep"), col("n_words"))), lit(0L)).as("sampled_tokens"))
+      .orderBy("source")
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+    "split_temperature_mix" -> splitTemperatureMix,
+    "text_html_strip" -> textHtmlStrip,
+    "text_oov_rate" -> textOovRate,
+    "e2e_curation_funnel" -> e2eCurationFunnel,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangid,
+    "text_token_count" -> textTokenCount,
+    "text_fingerprint" -> textFingerprint,
+    "split_stratified" -> splitStratified,
+    "text_quality_rules" -> textQualityRules,
+    "pack_sequences" -> packSequences,
+    "split_domain_mix" -> splitDomainMix,
+    "text_pii_mask" -> textPiiMask,
+    "text_decontaminate" -> textDecontaminate,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_pii_mask" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      text || ' contact u' || CAST(doc_id AS VARCHAR)
+        |        || '@mail.example.org or call +1-555-'
+        |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    ELSE text END AS txt
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(txt, '[a-z0-9]+@[a-z0-9.]+\.[a-z]+')) AS n_emails,
+        |    len(regexp_extract_all(txt, '\+1-555-[0-9]{4}')) AS n_phones,
+        |    length(regexp_replace(
+        |      regexp_replace(txt, '[a-z0-9]+@[a-z0-9.]+\.[a-z]+', '[EMAIL]', 'g'),
+        |      '\+1-555-[0-9]{4}', '[PHONE]', 'g')) AS masked_len
+        |  FROM t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pii_docs,
+        |  CAST(sum(n_emails) AS BIGINT) AS n_emails,
+        |  CAST(sum(n_phones) AS BIGINT) AS n_phones,
+        |  CAST(sum(masked_len) AS BIGINT) AS masked_len_total
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "text_decontaminate" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS tokens FROM documents),
+        |corpus AS (SELECT * FROM docs WHERE len(tokens) >= 3),
+        |shingles AS (
+        |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tokens) - 2),
+        |    i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]))) AS shingle
+        |  FROM corpus),
+        |probes AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id IN (3, 77, 123))
+        |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contaminated,
+        |  CAST(count(*) AS BIGINT) AS n_shingle_hits
+        |FROM shingles JOIN probes USING (shingle)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "split_stratified" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |    ${duckFp("CAST(doc_id AS VARCHAR) || '||' || source")} % 100 AS bucket
+         |  FROM documents)
+         |SELECT source,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+         |FROM b GROUP BY source, split ORDER BY source, split""".stripMargin,
+    "text_quality_rules" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS tokens FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(tokens)) AS BIGINT) AS n_distinct,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(regexp_replace(text, '[a-zA-Z ]', '', 'g')) AS BIGINT) AS n_nonalpha
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT doc_id, tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |  FROM (SELECT doc_id, unnest(tokens) AS tok,
+        |          unnest(range(len(tokens))) AS pos FROM toks)),
+        |bg AS (
+        |  SELECT doc_id, max(c) AS top_bigram_n FROM (
+        |    SELECT doc_id, tok || ' ' || nxt AS bigram, count(*) AS c
+        |    FROM pairs WHERE nxt IS NOT NULL GROUP BY doc_id, bigram)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, n_tokens,
+        |  CAST(floor((n_tokens - n_distinct) * 10000 / n_tokens) AS BIGINT)
+        |    AS dup_token_bp,
+        |  CAST(floor(coalesce(top_bigram_n, 0) * 10000
+        |    / greatest(n_tokens - 1, 1)) AS BIGINT) AS top_bigram_bp,
+        |  CAST(floor(n_nonalpha * 10000 / n_chars) AS BIGINT) AS symbol_bp,
+        |  (floor((n_tokens - n_distinct) * 10000 / n_tokens) <= 6000
+        |    AND floor(coalesce(top_bigram_n, 0) * 10000 / greatest(n_tokens - 1, 1)) <= 1800
+        |    AND floor(n_nonalpha * 10000 / n_chars) <= 1000) AS keep
+        |FROM base b LEFT JOIN bg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT source, doc_id, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id,
+        |  CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset
+        |FROM c ORDER BY source, doc_id""".stripMargin,
+    "split_domain_mix" ->
+      s"""WITH k AS (
+         |  SELECT source, doc_id,
+         |    CASE source WHEN 'src0' THEN 9000 WHEN 'src1' THEN 7500
+         |      WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500 ELSE 1000 END AS wbp,
+         |    ${duckFp("'mix||' || CAST(doc_id AS VARCHAR)")} % 10000 AS h
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN h < wbp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(floor(sum(CASE WHEN h < wbp THEN 1 ELSE 0 END) * 10000
+         |    / count(*)) AS BIGINT) AS kept_bp,
+         |  CAST(max(wbp) AS BIGINT) AS target_bp,
+         |  CAST(coalesce(sum(CASE WHEN h < wbp THEN doc_id END), 0) AS BIGINT)
+         |    AS sum_kept_id
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "split_temperature_mix" ->
+      s"""WITH counts AS (
+         |  SELECT source, count(*) AS n FROM documents GROUP BY source),
+         |w AS (
+         |  SELECT source, n,
+         |    CAST(floor(sqrt(n) * 1000000) AS BIGINT) AS srt
+         |  FROM counts),
+         |t AS (SELECT CAST(sum(srt) AS BIGINT) AS total FROM w),
+         |r AS (SELECT source, (6000 * srt) // total AS rate_bp FROM w, t),
+         |k AS (
+         |  SELECT d.source, d.doc_id, r.rate_bp,
+         |    ${duckFp("'tmix||' || CAST(doc_id AS VARCHAR)")} % 10000 AS h
+         |  FROM documents d JOIN r USING (source))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN h < rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(floor(sum(CASE WHEN h < rate_bp THEN 1 ELSE 0 END) * 10000
+         |    / count(*)) AS BIGINT) AS kept_bp,
+         |  CAST(max(rate_bp) AS BIGINT) AS rate_bp,
+         |  CAST(coalesce(sum(CASE WHEN h < rate_bp THEN doc_id END), 0) AS BIGINT)
+         |    AS sum_kept_id
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "text_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM toks GROUP BY tok
+        |  ORDER BY count(*) DESC, tok ASC LIMIT 16),
+        |per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN tok IN (SELECT tok FROM vocab)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+        |  FROM toks GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  CAST(floor(n_oov * 10000.0 / n_tokens) AS BIGINT) AS oov_bp
+        |FROM per ORDER BY doc_id""".stripMargin,
+    "e2e_curation_funnel" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 300000 AS doc_id, source, text FROM documents
+         |  WHERE doc_id % 10 = 0),
+         |flagged AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    sha256(text) AS digest,
+         |    len(string_split(text, ' ')) >= 10 AS q
+         |  FROM corpus),
+         |kept AS (
+         |  SELECT *,
+         |    min(CASE WHEN q THEN doc_id END)
+         |      OVER (PARTITION BY digest) AS keeper_id
+         |  FROM flagged),
+         |u AS (SELECT *, q AND doc_id = keeper_id AS uniq FROM kept),
+         |counts AS (
+         |  SELECT source, count(*) AS n,
+         |    CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS srt
+         |  FROM u WHERE uniq GROUP BY source),
+         |t AS (SELECT CAST(sum(srt) AS BIGINT) AS total FROM counts),
+         |r AS (SELECT source, (8000 * srt) // total AS rate_bp FROM counts, t),
+         |sampled AS (
+         |  SELECT u.*,
+         |    u.uniq AND (${duckFp("'cur||' || CAST(doc_id AS VARCHAR)")} % 10000
+         |      < r.rate_bp) AS keep
+         |  FROM u LEFT JOIN r USING (source))
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_corpus,
+         |  CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(sum(CASE WHEN uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  CAST(coalesce(sum(CASE WHEN keep THEN n_words END), 0) AS BIGINT)
+         |    AS sampled_tokens
+         |FROM sampled GROUP BY source ORDER BY source""".stripMargin,
+    "text_html_strip" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 3 = 0 THEN
+         |      '<html><head><title>T ' || CAST(doc_id AS VARCHAR) || '</title>' ||
+         |      '<script type="text/javascript">var x = 1 &amp;&amp; 2;</script>' ||
+         |      '<style>p { color: red; }</style></head><body>' ||
+         |      '<h1>Head&quot;ing</h1><p>' || text || '</p><!-- hidden comment -->' ||
+         |      '<div class="foo">tail &lt;escaped&gt; &amp; done</div></body></html>'
+         |    ELSE text END AS raw
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, trim(
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(regexp_replace(raw,
+         |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+         |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+         |      '(?s)<!--.*?-->', ' ', 'g'),
+         |      '<[^>]+>', ' ', 'g'),
+         |      '&lt;', '<', 'g'),
+         |      '&gt;', '>', 'g'),
+         |      '&quot;', '"', 'g'),
+         |      '&#39;', '''', 'g'),
+         |      '&amp;', '&', 'g'),
+         |      '\\s+', ' ', 'g')) AS clean
+         |  FROM w)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_wrapped,
+         |  CAST(sum(length(clean)) AS BIGINT) AS sum_clean_len,
+         |  CAST(sum(${duckFp("clean")}) AS BIGINT) AS fp_sum
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "text_quality" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, n_chars, string_split(text, ' ') AS tokens FROM documents),
+         |m AS (
+         |  SELECT doc_id, n_chars, len(tokens) AS n_words,
+         |    len(list_filter(tokens, t -> t IN $StopwordsSql)) AS n_stopwords,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(tokens, w -> CAST(length(w) AS BIGINT))),
+         |      (a, x) -> a + x) AS total_word_len
+         |  FROM toks)
+         |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+         |  CAST(floor(CAST(n_stopwords AS DOUBLE) / n_words * 10000) AS BIGINT)
+         |    AS stopword_ratio_e4,
+         |  CAST(floor((0.4 * least(1.0, n_words / 100.0)
+         |    + 0.3 * (1.0 - CAST(n_stopwords AS DOUBLE) / n_words)
+         |    + 0.3 * least(1.0, (CAST(total_word_len AS DOUBLE) / n_words) / 8.0)) * 10000)
+         |    AS BIGINT) AS quality_score_e4
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""SELECT lang,
+         |  CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN $StopwordsSql)) >= 1
+         |    THEN 'en' ELSE 'other' END AS detected,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM documents GROUP BY lang, detected ORDER BY lang, detected""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id, ${duckFp("text")} AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,706 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.PipelineShared._
+
+/** Embedding / SIMILARITY-SEARCH tier (split from PipelineQueries in
+  * r10): brute-force and native-expression cosine top-k, LSH bucketing,
+  * IVF assign/probe, product quantization (codes + ADC query + recall
+  * audit), int8 quantization, banded-LSH embedding near-dup pairs, and
+  * the SemDeDup-style semantic KEEP decision. Every entry is
+  * hash-verified against the DuckDB oracles below.
+  */
+private[queries] object VectorQueries {
+
+  /** Brute-force cosine top-k against a broadcast query vector (Q2,
+    * `chatbot_api.py:227-242`). Query vector = 0.1·1⃗ so the oracle can
+    * reproduce the identical fold: cos = 0.1·Σx / (‖x‖·0.1·√64). */
+  private val simCosineTopk: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .selectExpr("vec_id",
+        s"round(($sumExpr * 0.1) / (sqrt($sumSqExpr) * 0.8), 6) AS cos_sim")
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(20)
+
+  /** Cosine top-k through the NATIVE Catalyst expression
+    * ([[graft.expressions.CosineSimilarity]], codegen'd fused loop) —
+    * same shape as sim_cosine_topk but exercising the registered
+    * graft_cosine function end-to-end; the oracle replicates its exact
+    * sequential f64 folds. */
+  private val simCosineNative: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .selectExpr("vec_id",
+        "CAST(floor(graft_cosine(embedding, array_repeat(CAST(0.1 AS DOUBLE), 64)) " +
+          "* 1000000) AS BIGINT) AS cos_e6")
+      .orderBy(col("cos_e6").desc, col("vec_id").asc)
+      .limit(20)
+
+  /** LSH-bucketed ANN partitioner: 8 deterministic integer hyperplanes
+    * w(b,i) = ((b*37 + i*13) % 21) - 10; signature = Σ 2^b·[proj_b ≥ 0],
+    * computed by the native fused-loop [[graft.expressions.LshBands]]
+    * (one band of 8 bits — identical per-bit sums to the per-bit HOF
+    * folds the oracle uses). Output = bucket histogram (the ANN
+    * candidate-set distribution). At scale the bucket id is the
+    * shuffle/partition key and each query probes one bucket instead of
+    * the full corpus. */
+  private val simLshBuckets: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .selectExpr("vec_id", "element_at(graft_lsh_bands(embedding, 1, 8), 1) AS lsh_bucket")
+      .groupBy("lsh_bucket").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("lsh_bucket")
+
+  /** IVF coarse quantizer (the ANN scale path alongside LSH): 16
+    * deterministic centroids c_j[i] = (((j*31+i*17) mod 19) - 9) / 10;
+    * every vector is assigned to its nearest centroid (squared L2) by
+    * the native fused-loop [[graft.expressions.IvfAssign]] — identical
+    * per-centroid sums to the per-centroid HOF folds the oracle keeps —
+    * and the assignment IS the IVF partition map: at scale the corpus
+    * is written bucketed by `centroid_id` and a query probes its nprobe
+    * nearest centroid partitions instead of the full corpus. Output =
+    * per-centroid inverted-list sizes + a probe-order checksum. */
+  private val simIvfAssign: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .selectExpr("vec_id", "graft_ivf_assign(embedding, 16) AS centroid_id")
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_vectors"), sum("vec_id").as("vec_id_sum"))
+      .orderBy("centroid_id")
+
+  /** PQ codebook grid, data-independent like the IVF centroids:
+    * cb(m,k)[i] = (((m·131 + k·31 + i·17) mod 19) − 9)/10 — evaluated at
+    * class-load and inlined as literals into both engines' SQL. */
+  private def pqCentroid(m: Int, k: Int, i: Int): Double =
+    (((m * 131 + k * 31 + i * 17) % 19) - 9) / 10.0
+
+  /** Shared Spark-side PQ expression builders (build / ADC query /
+    * recall-audit entries all use the identical straight-line
+    * arithmetic): per-(subspace m, centroid k) squared-L2 distance
+    * columns, the per-subspace argmin code columns, and the ADC
+    * table-lookup sum. `${c}D`: bare decimal literals are DECIMAL in
+    * Spark (and DuckDB) and the engines' decimal promotion differs in
+    * the last ulp. */
+  private def pqDistExpr(m: Int, k: Int): String =
+    (0 until 16).map { i =>
+      val c = pqCentroid(m, k, i)
+      val e = s"element_at(embedding, ${16 * m + i + 1})"
+      s"($e - ${c}D) * ($e - ${c}D)"
+    }.mkString("(", " + ", ")")
+  private def pqDistCols: Seq[String] =
+    (for (m <- 0 until 4; k <- 0 until 4) yield s"${pqDistExpr(m, k)} AS d_${m}_$k").toSeq
+  private def pqCodeCols: Seq[String] = (0 until 4).map { m =>
+    s"(CASE WHEN d_${m}_0 <= d_${m}_1 AND d_${m}_0 <= d_${m}_2 AND d_${m}_0 <= d_${m}_3 THEN 0 " +
+      s"WHEN d_${m}_1 <= d_${m}_2 AND d_${m}_1 <= d_${m}_3 THEN 1 " +
+      s"WHEN d_${m}_2 <= d_${m}_3 THEN 2 ELSE 3 END) AS code_$m"
+  }
+  private def pqAdcExpr: String = (0 until 4).map { m =>
+    s"(CASE code_$m WHEN 0 THEN ${AdcTables(m)(0)}D WHEN 1 THEN ${AdcTables(m)(1)}D " +
+      s"WHEN 2 THEN ${AdcTables(m)(2)}D ELSE ${AdcTables(m)(3)}D END)"
+  }.mkString(" + ")
+
+  /** Product quantization codes — the memory half of the IVF-PQ ANN
+    * architecture (`sim_ivf_assign` is the routing half): the 64-dim
+    * embedding splits into m=4 subvectors of 16 dims, each assigned to
+    * its nearest of k=4 subspace centroids (squared L2, ties to the
+    * lowest id), and the four 2-bit codes fuse into one byte — 256 B of
+    * floats become 1 B per vector, the compression that lets a 100 TB
+    * corpus's candidate lists live in RAM. At query time each subspace
+    * needs only a k-entry distance table (ADC): scoring a candidate is
+    * m table lookups, never a float dot product. Emits the code plus
+    * the quantization error (the argmin distance sum) fixed-pointed;
+    * all arithmetic is straight-line left-associated double sums of
+    * inlined literals, so the oracle reproduces it bit-for-bit. */
+  private val simPqCodes: Q = (s, d) => {
+    val dminCols = (0 until 4).map(m =>
+      s"least(d_${m}_0, d_${m}_1, d_${m}_2, d_${m}_3) AS dmin_$m")
+    Tables.embeddings(s, d)
+      .selectExpr("vec_id" +: pqDistCols: _*)
+      .selectExpr(("vec_id" +: pqCodeCols) ++ dminCols: _*)
+      .selectExpr("vec_id",
+        "CAST(code_0 + 4 * code_1 + 16 * code_2 + 64 * code_3 AS INT) AS pq_code",
+        "CAST(floor((dmin_0 + dmin_1 + dmin_2 + dmin_3) * 10000) AS BIGINT) AS err_e4")
+      .orderBy("vec_id")
+  }
+
+  /** ADC distance tables for q = 0.1·1⃗ over the deterministic PQ
+    * codebook: dt(m)(k) = ‖q_m − c_{m,k}‖². Data-independent, computed
+    * once at class-load and inlined as the SAME double literals into
+    * both engines' SQL (Double.toString is shortest-roundtrip, so both
+    * parse back the identical double and the fixed-point floor cannot
+    * straddle engines). */
+  private val AdcTables: IndexedSeq[IndexedSeq[Double]] =
+    (0 until 4).map { m =>
+      (0 until 4).map { k =>
+        (0 until 16).map { i => val df = 0.1 - pqCentroid(m, k, i); df * df }.sum
+      }
+    }
+
+  /** PQ ADC top-k — the QUERY half of product quantization (sim_pq_codes
+    * is the build half): score every vector as Σ_m dt(m)(code_m), i.e.
+    * m table lookups per candidate, never a float dot product, and take
+    * the k best by the fixed-point ADC key. At 100 TB the codes are
+    * PRECOMPUTED and stored (1 B/vector, the 256× memory cut), so the
+    * scan this query models reads only the code column; the top-k is a
+    * partial per-partition heap + single final merge (same shape the
+    * TopKPerKeyExec strategy pins elsewhere). Codes are derived inline
+    * here only because the battery is stateless — the derivation is the
+    * already-verified sim_pq_codes arithmetic. Ordering ties (ADC takes
+    * ≤ 256 distinct values, so the cutoff IS tied) break by vec_id in
+    * both engines. */
+  private val simPqAdcTopk: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .selectExpr("vec_id" +: pqDistCols: _*)
+      .selectExpr("vec_id" +: pqCodeCols: _*)
+      .selectExpr("vec_id", s"CAST(floor(($pqAdcExpr) * 10000) AS BIGINT) AS adc_e4")
+      .orderBy(col("adc_e4"), col("vec_id"))
+      .limit(10)
+
+  /** IVF probe set: the `IvfNprobe` centroids nearest (squared L2) to
+    * the fixed query vector q = 0.1·1⃗, over the same deterministic
+    * centroid grid as `sim_ivf_assign` (c_j[i] = (((j*31+i*17) mod 19)
+    * - 9)/10). Pure data-independent arithmetic evaluated once at
+    * class-load and inlined as literals into BOTH engines' SQL, so the
+    * probe list cannot drift between Spark and the oracle. */
+  private val IvfNprobe = 4
+  private[queries] def ivfProbeList(nprobe: Int): Seq[Int] = {
+    def centroid(j: Int, i: Int): Double = (((j * 31 + i * 17) % 19) - 9) / 10.0
+    (0 until 16).map { j =>
+      val d = (0 until 64).map { i => val diff = 0.1 - centroid(j, i); diff * diff }.sum
+      (j, d)
+    }.sortBy { case (j, d) => (d, j) }.take(nprobe).map(_._1)
+  }
+  private[queries] val IvfProbes: Seq[Int] = ivfProbeList(IvfNprobe)
+
+  /** IVF-probed ANN top-k — the QUERY path completing `sim_ivf_assign`'s
+    * partition map (together they are the Spark-side generalization of
+    * the reference's ES kNN retrieval, chatbot_api.py:227-242): every
+    * vector is assigned to its nearest coarse centroid, the query probes
+    * only its `IvfNprobe` nearest centroids' inverted lists, and cosine
+    * top-k (native `graft_cosine`) runs on that candidate subset alone.
+    *
+    * Scale posture: at 100 TB the corpus is WRITTEN bucketed by
+    * `centroid_id` (the sim_ivf_assign map), so this query reads
+    * nprobe/nlist of the data — the assignment filter here stands in for
+    * partition pruning on the bucketed layout; everything downstream of
+    * the filter is a scan-local top-k, no shuffle beyond the final
+    * limit. */
+  private val simIvfTopk: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .selectExpr("vec_id", "embedding", "graft_ivf_assign(embedding, 16) AS centroid_id")
+      .filter(col("centroid_id").isin(IvfProbes: _*))
+      .selectExpr("vec_id", "centroid_id",
+        "CAST(floor(graft_cosine(embedding, array_repeat(CAST(0.1 AS DOUBLE), 64)) " +
+          "* 1000000) AS BIGINT) AS cos_e6")
+      .orderBy(col("cos_e6").desc, col("vec_id").asc)
+      .limit(20)
+
+  /** ANN recall@k AUDIT (VERDICT r9 #4): the first question a real ANN
+    * user asks before trusting nprobe/PQ settings at 100 TB is "what
+    * recall does this buy me?" — so measure it IN the engine, against
+    * the brute-force ground truth that also ships (`sim_cosine_topk`).
+    * Ground truth = native-cosine top-20 over the full corpus
+    * (cos_e6 desc, vec_id tiebreak — the same fixed-point key every ANN
+    * entry orders by, so ties cannot straddle methods or engines); each
+    * method's top-20 then left-joins the truth set and counts overlap:
+    * one row per method with n_returned and n_hits (recall@20 = n_hits /
+    * 20). Methods: IVF with nprobe 1 and 4 (of nlist=16 — the
+    * probe-budget curve), and PQ ADC (4×2-bit codes, the memory-for-
+    * recall trade). Pure relational arithmetic end-to-end, so the DuckDB
+    * oracle hash-pins the measured recall integers per scale factor —
+    * a quantization or probe-order regression changes the pinned number,
+    * not just a vibe.
+    *
+    * Scale posture: the brute-force ground truth is the audit's cost by
+    * design — at 100 TB this query runs over a SAMPLED query set (the
+    * per-method branches are the cheap side); each branch is a
+    * scan-local top-k (partial per-partition heap + single merge), and
+    * the final overlap join moves ≤ 3k rows. */
+  private val simRecallAtK: Q = (s, d) => {
+    val k = 20
+    val cosE6 =
+      "CAST(floor(graft_cosine(embedding, array_repeat(CAST(0.1 AS DOUBLE), 64)) " +
+        "* 1000000) AS BIGINT) AS cos_e6"
+    def cosTopk(df: DataFrame): DataFrame = df
+      .selectExpr("vec_id", cosE6)
+      .orderBy(col("cos_e6").desc, col("vec_id").asc)
+      .limit(k).select("vec_id")
+    val emb = Tables.embeddings(s, d)
+    val gt = cosTopk(emb)
+    val assigned = emb.selectExpr("vec_id", "embedding",
+      "graft_ivf_assign(embedding, 16) AS centroid_id")
+    def ivf(nprobe: Int): DataFrame =
+      cosTopk(assigned.filter(col("centroid_id").isin(ivfProbeList(nprobe): _*))
+        .select("vec_id", "embedding"))
+    val pq = emb
+      .selectExpr("vec_id" +: pqDistCols: _*)
+      .selectExpr("vec_id" +: pqCodeCols: _*)
+      .selectExpr("vec_id", s"CAST(floor(($pqAdcExpr) * 10000) AS BIGINT) AS adc_e4")
+      .orderBy(col("adc_e4"), col("vec_id"))
+      .limit(k).select("vec_id")
+    val methods = ivf(1).withColumn("method", lit("ivf_nprobe1"))
+      .unionByName(ivf(4).withColumn("method", lit("ivf_nprobe4")))
+      .unionByName(pq.withColumn("method", lit("pq_adc")))
+    methods
+      .join(gt.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
+      .groupBy("method")
+      .agg(count(lit(1)).as("n_returned"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("k", lit(k.toLong))
+      .orderBy("method")
+  }
+
+  /** LSH banding parameters for the embedding near-dup join. Bucket
+    * occupancy per band is E[N / 2^bandBits]; the in-band self-join costs
+    * O(bands · N²/2^bandBits), so `bandBits` must grow with log2(N) to
+    * keep per-bucket occupancy — and therefore join cost per row —
+    * CONSTANT as the corpus scales: 8 bits suits ~10^5 vectors, ~100 TB
+    * of 768-d embeddings (~10^10 vectors) wants bandBits ≈ 26. Multiple
+    * narrower bands (vs one wide signature) trade precision for recall
+    * the standard LSH way: a near-duplicate pair only needs to agree on
+    * ONE band's hyperplane signs, while exact copies agree on all. */
+  private val NeardupBandBits = 8
+  private val NeardupBands = 2
+
+  /** Embedding near-dup pairs via banded LSH: corpus + exact copies
+    * (vec_id + 100000 for vec_id%25==0); candidate pairs are found by a
+    * per-band signature equi-join (id < id, distinct across bands), then
+    * confirmed by cosine ≥ 0.999 computed with the NATIVE codegen'd
+    * [[graft.expressions.CosineSimilarity]] — the r4 `zip_with` +
+    * `aggregate` confirm was CodegenFallback and pulled the whole
+    * post-join projection out of whole-stage codegen (2.0→7.8 s).
+    * Embeddings are fetched by joining candidates back to the corpus
+    * AFTER the pair distinct, so the band join shuffles only
+    * (band, vec_id) rows — never the 64-float arrays. */
+  private val simEmbedNeardup: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+    val corpus = base.select(col("vec_id"), col("embedding"))
+      .union(base.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val bandRows = corpus.selectExpr("vec_id",
+      s"posexplode(graft_lsh_bands(embedding, $NeardupBands, $NeardupBandBits)) AS (band_idx, band_sig)")
+    val candidates = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band_sig") === col("b.band_sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    candidates
+      .join(corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
+      .join(corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
+      .selectExpr("id_a", "id_b", "graft_cosine(emb_a, emb_b) AS cos_sim")
+      .filter(col("cos_sim") >= 0.999)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Semantic dedup KEEP decision (the SemDeDup-style curation step):
+    * embedding near-dup pairs → connected components → ONE survivor per
+    * cluster chosen by QUALITY (document n_chars, doc-id tiebreak), not
+    * by min id — the rule a real curation pipeline applies ("keep the
+    * best copy, drop the rest"). Composes three verified pieces (banded
+    * LSH candidates + cosine confirm, min-label components, quality
+    * join); injected duplicate vectors (+100000) have no document row
+    * and rank -1, so an original always survives its copies. Scale: the
+    * quality join and survivor window both cluster on cluster_id /
+    * member id — bounded per-cluster work after the (already bucketed)
+    * pair generation. */
+  private val dedupSemanticKeep: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+    val corpus = base.select(col("vec_id"), col("embedding"))
+      .union(base.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val bandRows = corpus.selectExpr("vec_id",
+      s"posexplode(graft_lsh_bands(embedding, $NeardupBands, $NeardupBandBits)) AS (band_idx, band_sig)")
+    val candidates = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.band_sig") === col("b.band_sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val pairs = candidates
+      .join(corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
+      .join(corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
+      .selectExpr("id_a", "id_b", "graft_cosine(emb_a, emb_b) AS cos_sim")
+      .filter(col("cos_sim") >= 0.999)
+      .select("id_a", "id_b")
+    val comps = graft.operators.DedupClusters.connectedComponents(pairs, "id_a", "id_b")
+    val quality = Tables.documents(s, d).select(col("doc_id").as("id"), col("n_chars"))
+    val wSel = Window.partitionBy("cluster_id").orderBy(col("q").desc, col("id").asc)
+    comps.join(quality, Seq("id"), "left")
+      .withColumn("q", coalesce(col("n_chars"), lit(-1L)))
+      .withColumn("rn", row_number().over(wSel))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("id").as("kept_id"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
+
+  /** Symmetric int8 embedding quantization — the ANN memory-scale path:
+    * per-vector scale = 127/max|x|, q_i = floor(x_i·127/mx + 0.5), a 4×
+    * shrink that turns a 100 TB float32 corpus into 25 TB of int8 +
+    * one float per vector (the compressed form IVF/LSH probing scans;
+    * dequantize only the final candidates). Output pins every code:
+    * integer code-sum, saturation count, and the reconstruction error
+    * fixed-pointed PER ELEMENT (floor(e²·1e8+0.5) is a deterministic
+    * double op; the LONG sum is order-independent — raw float error
+    * sums are not). Every arithmetic step is written in the exact same
+    * order in the DuckDB oracle (x·127/mx, not x·(127/mx) — fp is not
+    * associative). */
+  private val simQuantizeI8: Q = (s, d) => {
+    val q = "CAST(floor(CAST(x AS DOUBLE) * 127.0D / mx + 0.5D) AS BIGINT)"
+    val e = s"(CAST(x AS DOUBLE) - $q * mx / 127.0D)"
+    Tables.embeddings(s, d)
+      .selectExpr("vec_id",
+        "aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))) AS mx",
+        "embedding")
+      .filter(col("mx") > 0)
+      .selectExpr("vec_id",
+        s"aggregate(embedding, CAST(0 AS BIGINT), (a, x) -> a + $q) AS sum_q",
+        s"aggregate(embedding, CAST(0 AS BIGINT), (a, x) -> a + (CASE WHEN abs($q) = 127 THEN 1 ELSE 0 END)) AS n_sat",
+        s"aggregate(embedding, CAST(0 AS BIGINT), (a, x) -> a + CAST(floor($e * $e * 100000000.0D + 0.5D) AS BIGINT)) AS err_e8")
+      .orderBy("vec_id")
+  }
+
+  private def duckLshBits(emb: String) = (0 until 8).map { b =>
+    s"(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(generate_series(0, 63), i -> CAST($emb[i + 1] AS DOUBLE) * " +
+      s"CAST((($b * 37 + i * 13) % 21) - 10 AS DOUBLE))), (a, x) -> a + x) >= 0 " +
+      s"THEN ${1 << b} ELSE 0 END)"
+  }
+
+  /** Band `g` of the near-dup LSH signature: global hyperplane index
+    * b = g*bandBits + j, in-band weight 2^j — mirrors the Spark side's
+    * `bandExprs` exactly. */
+  private def duckBandSig(emb: String, g: Int) =
+    (0 until NeardupBandBits).map { j =>
+      val b = g * NeardupBandBits + j
+      s"(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(generate_series(0, 63), i -> CAST($emb[i + 1] AS DOUBLE) * " +
+        s"CAST((($b * 37 + i * 13) % 21) - 10 AS DOUBLE))), (a, x) -> a + x) >= 0 " +
+        s"THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  val queries: Seq[(String, Q)] = Seq(
+    "dedup_semantic_keep" -> dedupSemanticKeep,
+    "sim_cosine_topk" -> simCosineTopk,
+    "sim_cosine_native" -> simCosineNative,
+    "sim_lsh_buckets" -> simLshBuckets,
+    "sim_ivf_assign" -> simIvfAssign,
+    "sim_ivf_topk" -> simIvfTopk,
+    "sim_recall_at_k" -> simRecallAtK,
+    "sim_embed_neardup" -> simEmbedNeardup,
+    "sim_quantize_i8" -> simQuantizeI8,
+    "sim_pq_codes" -> simPqCodes,
+    "sim_pq_adc_topk" -> simPqAdcTopk,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      s"""SELECT vec_id, round(($duckSum * 0.1) / (sqrt($duckSumSq) * 0.8), 6) AS cos_sim
+         |FROM embeddings ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "sim_cosine_native" ->
+      // replicates the native expression's fused loop: elementwise x*0.1
+      // dot fold, |x|^2 fold, and the sequential 64x(0.01) query-norm fold
+      s"""WITH folds AS (
+         |  SELECT vec_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x) AS dot,
+         |    $duckSumSq AS na,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding,
+         |      x -> CAST(0.1 AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x) AS nb
+         |  FROM embeddings)
+         |SELECT vec_id,
+         |  CAST(floor(dot / (sqrt(na) * sqrt(nb)) * 1000000) AS BIGINT) AS cos_e6
+         |FROM folds ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "sim_lsh_buckets" ->
+      s"""SELECT ${duckLshBits("embedding").mkString(" + ")} AS lsh_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_vectors
+         |FROM embeddings GROUP BY lsh_bucket ORDER BY lsh_bucket""".stripMargin,
+    "sim_ivf_assign" ->
+      """WITH costs AS (
+        |  SELECT vec_id, list_transform(generate_series(0, 15),
+        |    j -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(generate_series(0, 63),
+        |        i -> (CAST(embedding[i + 1] AS DOUBLE)
+        |          - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0)
+        |          * (CAST(embedding[i + 1] AS DOUBLE)
+        |          - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0))),
+        |      (a, x) -> a + x)) AS costs
+        |  FROM embeddings),
+        |assigned AS (
+        |  SELECT vec_id,
+        |    CAST(list_position(costs, list_min(costs)) - 1 AS INT) AS centroid_id
+        |  FROM costs)
+        |SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(sum(vec_id) AS BIGINT) AS vec_id_sum
+        |FROM assigned GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
+    "sim_ivf_topk" ->
+      // assignment expr mirrors sim_ivf_assign; cosine folds mirror
+      // graft_cosine (three independent sequential f64 accumulators)
+      s"""WITH costs AS (
+         |  SELECT vec_id, embedding, list_transform(generate_series(0, 15),
+         |    j -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(generate_series(0, 63),
+         |        i -> (CAST(embedding[i + 1] AS DOUBLE)
+         |          - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0)
+         |          * (CAST(embedding[i + 1] AS DOUBLE)
+         |          - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0))),
+         |      (a, x) -> a + x)) AS costs
+         |  FROM embeddings),
+         |assigned AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_position(costs, list_min(costs)) - 1 AS INT) AS centroid_id
+         |  FROM costs),
+         |probed AS (
+         |  SELECT vec_id, centroid_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x) AS dot,
+         |    ${duckSumSqOf("embedding")} AS na,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding,
+         |      x -> CAST(0.1 AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x) AS nb
+         |  FROM assigned WHERE centroid_id IN (${IvfProbes.mkString(", ")}))
+         |SELECT vec_id, centroid_id,
+         |  CAST(floor(dot / (sqrt(na) * sqrt(nb)) * 1000000) AS BIGINT) AS cos_e6
+         |FROM probed ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "sim_recall_at_k" -> {
+      // assignment + cosine folds mirror sim_ivf_topk; PQ dist/code/ADC
+      // fragments mirror sim_pq_adc_topk — the audit composes the three
+      // already-pinned arithmetic blocks and counts top-20 overlap
+      def distSql(m: Int, k: Int): String =
+        (0 until 16).map { i =>
+          val c = pqCentroid(m, k, i)
+          val e = s"embedding[${16 * m + i + 1}]"
+          s"($e - CAST($c AS DOUBLE)) * ($e - CAST($c AS DOUBLE))"
+        }.mkString("(", " + ", ")")
+      val dCols = (for (m <- 0 until 4; k <- 0 until 4)
+        yield s"${distSql(m, k)} AS d_${m}_$k").mkString(",\n    ")
+      val codeCols = (0 until 4).map { m =>
+        s"(CASE WHEN d_${m}_0 <= d_${m}_1 AND d_${m}_0 <= d_${m}_2 AND d_${m}_0 <= d_${m}_3 THEN 0 " +
+          s"WHEN d_${m}_1 <= d_${m}_2 AND d_${m}_1 <= d_${m}_3 THEN 1 " +
+          s"WHEN d_${m}_2 <= d_${m}_3 THEN 2 ELSE 3 END) AS code_$m"
+      }.mkString(",\n    ")
+      val adcSql = (0 until 4).map { m =>
+        s"(CASE code_$m WHEN 0 THEN CAST(${AdcTables(m)(0)} AS DOUBLE) " +
+          s"WHEN 1 THEN CAST(${AdcTables(m)(1)} AS DOUBLE) " +
+          s"WHEN 2 THEN CAST(${AdcTables(m)(2)} AS DOUBLE) " +
+          s"ELSE CAST(${AdcTables(m)(3)} AS DOUBLE) END)"
+      }.mkString(" + ")
+      s"""WITH costs AS (
+         |  SELECT vec_id, embedding, list_transform(generate_series(0, 15),
+         |    j -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(generate_series(0, 63),
+         |        i -> (CAST(embedding[i + 1] AS DOUBLE)
+         |          - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0)
+         |          * (CAST(embedding[i + 1] AS DOUBLE)
+         |          - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0))),
+         |      (a, x) -> a + x)) AS costs
+         |  FROM embeddings),
+         |assigned AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_position(costs, list_min(costs)) - 1 AS INT) AS centroid_id
+         |  FROM costs),
+         |cos AS (
+         |  SELECT vec_id, centroid_id,
+         |    CAST(floor(
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding,
+         |        x -> CAST(x AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x)
+         |      / (sqrt(${duckSumSqOf("embedding")})
+         |         * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |             list_transform(embedding,
+         |               x -> CAST(0.1 AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x)))
+         |      * 1000000) AS BIGINT) AS cos_e6
+         |  FROM assigned),
+         |gt AS (SELECT vec_id FROM cos ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20),
+         |ivf1 AS (
+         |  SELECT vec_id FROM cos WHERE centroid_id IN (${ivfProbeList(1).mkString(", ")})
+         |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20),
+         |ivf4 AS (
+         |  SELECT vec_id FROM cos WHERE centroid_id IN (${ivfProbeList(4).mkString(", ")})
+         |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20),
+         |dists AS (
+         |  SELECT vec_id,
+         |    $dCols
+         |  FROM embeddings),
+         |codes AS (
+         |  SELECT vec_id,
+         |    $codeCols
+         |  FROM dists),
+         |pq AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, CAST(floor(($adcSql) * 10000) AS BIGINT) AS adc_e4 FROM codes)
+         |  ORDER BY adc_e4, vec_id LIMIT 20),
+         |methods AS (
+         |  SELECT 'ivf_nprobe1' AS method, vec_id FROM ivf1
+         |  UNION ALL SELECT 'ivf_nprobe4' AS method, vec_id FROM ivf4
+         |  UNION ALL SELECT 'pq_adc' AS method, vec_id FROM pq)
+         |SELECT m.method, CAST(count(*) AS BIGINT) AS n_returned,
+         |  CAST(sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  CAST(20 AS BIGINT) AS k
+         |FROM methods m LEFT JOIN gt g ON m.vec_id = g.vec_id
+         |GROUP BY m.method ORDER BY m.method""".stripMargin
+    },
+    "sim_embed_neardup" ->
+      // graft_cosine's fused loop = three independent sequential f64
+      // folds (dot, |a|^2, |b|^2) — replicated here fold-for-fold
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+         |sigs AS (
+         |  SELECT vec_id,
+         |    ${duckBandSig("embedding", 0)} AS band_0,
+         |    ${duckBandSig("embedding", 1)} AS band_1
+         |  FROM corpus),
+         |cand AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sigs a JOIN sigs b ON a.band_0 = b.band_0 AND a.vec_id < b.vec_id
+         |  UNION
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sigs a JOIN sigs b ON a.band_1 = b.band_1 AND a.vec_id < b.vec_id),
+         |pairs AS (
+         |  SELECT id_a, id_b,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_zip(ea.embedding, eb.embedding),
+         |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, x) -> a + x)
+         |      / (sqrt(${duckSumSqOf("ea.embedding")})
+         |         * sqrt(${duckSumSqOf("eb.embedding")})) AS cos_sim
+         |  FROM cand
+         |  JOIN corpus ea ON ea.vec_id = id_a
+         |  JOIN corpus eb ON eb.vec_id = id_b)
+         |SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim
+         |FROM pairs WHERE cos_sim >= 0.999 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_semantic_keep" ->
+      // same pair CTEs as sim_embed_neardup, then recursive closure
+      // (dedup_connected_components pattern) + quality-ranked survivor
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+         |sigs AS (
+         |  SELECT vec_id,
+         |    ${duckBandSig("embedding", 0)} AS band_0,
+         |    ${duckBandSig("embedding", 1)} AS band_1
+         |  FROM corpus),
+         |cand AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sigs a JOIN sigs b ON a.band_0 = b.band_0 AND a.vec_id < b.vec_id
+         |  UNION
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sigs a JOIN sigs b ON a.band_1 = b.band_1 AND a.vec_id < b.vec_id),
+         |pairs AS (
+         |  SELECT id_a, id_b,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_zip(ea.embedding, eb.embedding),
+         |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, x) -> a + x)
+         |      / (sqrt(${duckSumSqOf("ea.embedding")})
+         |         * sqrt(${duckSumSqOf("eb.embedding")})) AS cos_sim
+         |  FROM cand
+         |  JOIN corpus ea ON ea.vec_id = id_a
+         |  JOIN corpus eb ON eb.vec_id = id_b),
+         |kept AS (SELECT id_a, id_b FROM pairs WHERE cos_sim >= 0.999),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM kept
+         |  UNION SELECT id_b AS a, id_a AS b FROM kept),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |ranked AS (
+         |  SELECT comp.cluster_id, comp.id,
+         |    coalesce(doc.n_chars, -1) AS q,
+         |    row_number() OVER (PARTITION BY comp.cluster_id
+         |      ORDER BY coalesce(doc.n_chars, -1) DESC, comp.id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY comp.cluster_id) AS n_members
+         |  FROM comp LEFT JOIN documents doc ON doc.doc_id = comp.id)
+         |SELECT cluster_id, id AS kept_id, CAST(n_members AS BIGINT) AS n_members
+         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    "sim_quantize_i8" -> {
+      val q = "CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT)"
+      val e = s"(CAST(x AS DOUBLE) - $q * mx / 127.0)"
+      s"""WITH m AS (
+         |  SELECT vec_id, embedding,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+         |      (a, x) -> greatest(a, x)) AS mx
+         |  FROM embeddings)
+         |SELECT vec_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(embedding, x -> $q)), (a, x) -> a + x) AS sum_q,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(embedding,
+         |      x -> CAST(CASE WHEN abs($q) = 127 THEN 1 ELSE 0 END AS BIGINT))),
+         |    (a, x) -> a + x) AS n_sat,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(embedding,
+         |      x -> CAST(floor($e * $e * 100000000.0 + 0.5) AS BIGINT))),
+         |    (a, x) -> a + x) AS err_e8
+         |FROM m WHERE mx > 0 ORDER BY vec_id""".stripMargin
+    },
+    "sim_pq_codes" -> {
+      def distSql(m: Int, k: Int): String =
+        (0 until 16).map { i =>
+          val c = pqCentroid(m, k, i)
+          val e = s"embedding[${16 * m + i + 1}]"
+          s"($e - CAST($c AS DOUBLE)) * ($e - CAST($c AS DOUBLE))"
+        }.mkString("(", " + ", ")")
+      val dCols = (for (m <- 0 until 4; k <- 0 until 4)
+        yield s"${distSql(m, k)} AS d_${m}_$k").mkString(",\n    ")
+      val codeCols = (0 until 4).map { m =>
+        s"(CASE WHEN d_${m}_0 <= d_${m}_1 AND d_${m}_0 <= d_${m}_2 AND d_${m}_0 <= d_${m}_3 THEN 0 " +
+          s"WHEN d_${m}_1 <= d_${m}_2 AND d_${m}_1 <= d_${m}_3 THEN 1 " +
+          s"WHEN d_${m}_2 <= d_${m}_3 THEN 2 ELSE 3 END) AS code_$m"
+      }.mkString(",\n    ")
+      val dminCols = (0 until 4).map(m =>
+        s"least(d_${m}_0, d_${m}_1, d_${m}_2, d_${m}_3) AS dmin_$m").mkString(", ")
+      s"""WITH dists AS (
+         |  SELECT vec_id,
+         |    $dCols
+         |  FROM embeddings),
+         |codes AS (
+         |  SELECT vec_id,
+         |    $codeCols,
+         |    $dminCols
+         |  FROM dists)
+         |SELECT vec_id,
+         |  CAST(code_0 + 4 * code_1 + 16 * code_2 + 64 * code_3 AS INT) AS pq_code,
+         |  CAST(floor((dmin_0 + dmin_1 + dmin_2 + dmin_3) * 10000) AS BIGINT) AS err_e4
+         |FROM codes ORDER BY vec_id""".stripMargin
+    },
+    "sim_pq_adc_topk" -> {
+      def distSql(m: Int, k: Int): String =
+        (0 until 16).map { i =>
+          val c = pqCentroid(m, k, i)
+          val e = s"embedding[${16 * m + i + 1}]"
+          s"($e - CAST($c AS DOUBLE)) * ($e - CAST($c AS DOUBLE))"
+        }.mkString("(", " + ", ")")
+      val dCols = (for (m <- 0 until 4; k <- 0 until 4)
+        yield s"${distSql(m, k)} AS d_${m}_$k").mkString(",\n    ")
+      val codeCols = (0 until 4).map { m =>
+        s"(CASE WHEN d_${m}_0 <= d_${m}_1 AND d_${m}_0 <= d_${m}_2 AND d_${m}_0 <= d_${m}_3 THEN 0 " +
+          s"WHEN d_${m}_1 <= d_${m}_2 AND d_${m}_1 <= d_${m}_3 THEN 1 " +
+          s"WHEN d_${m}_2 <= d_${m}_3 THEN 2 ELSE 3 END) AS code_$m"
+      }.mkString(",\n    ")
+      val adcSql = (0 until 4).map { m =>
+        s"(CASE code_$m WHEN 0 THEN CAST(${AdcTables(m)(0)} AS DOUBLE) " +
+          s"WHEN 1 THEN CAST(${AdcTables(m)(1)} AS DOUBLE) " +
+          s"WHEN 2 THEN CAST(${AdcTables(m)(2)} AS DOUBLE) " +
+          s"ELSE CAST(${AdcTables(m)(3)} AS DOUBLE) END)"
+      }.mkString(" + ")
+      s"""WITH dists AS (
+         |  SELECT vec_id,
+         |    $dCols
+         |  FROM embeddings),
+         |codes AS (
+         |  SELECT vec_id,
+         |    $codeCols
+         |  FROM dists)
+         |SELECT vec_id,
+         |  CAST(floor(($adcSql) * 10000) AS BIGINT) AS adc_e4
+         |FROM codes ORDER BY adc_e4, vec_id LIMIT 10""".stripMargin
+    },
+  )
+}
