@@ -23,20 +23,48 @@ import org.apache.spark.sql.functions._
   * one ANN bucket.
   *
   * Output: one JSON line + BENCH_scale.json with per-query seconds at
-  * ×1/×8, the time ratio, and the observed band-bucket stats
-  * (candidate pairs before distinct, max bucket size) for the
-  * minhash-pairs pipeline at both scales.
+  * ×1/×8 (and ×32 for the steep-slope DeepQueries), the time ratios,
+  * and the observed band-bucket stats (candidate pairs before distinct,
+  * max bucket size) for the minhash-pairs pipeline at both base scales.
   */
 object ScaleBench {
 
   private val Factors = Seq(1, 8)
+
+  /** The r9-measured steep-slope queries (×8 ratios 1.67-2.44) plus the
+    * curation funnel get one more factor: ×32 (VERDICT r9 #6). The first
+    * ×32 run MEASURED the banded-LSH pipelines compounding at their fixed
+    * 8-bit battery width — t×32/t×8 = 34.7 (semantic keep) / 15.4 (embed
+    * near-dup) against only 4× more data, exactly the quadratic
+    * bucket-occupancy regime the documented `bandBits ∝ log2 N` law
+    * predicts. So the deep tier drives those two pipelines WIDTH-SCALED
+    * (bandBits = 8 + log2 f: 8/11/13 at ×1/×8/×32 — constant expected
+    * occupancy) at every factor, and keeps ONE fixed-8-bit ×32 point as
+    * the measured record of what ignoring the lever costs. */
+  private val DeepFactor = 32
+  private val DeepQueries = Seq(
+    "dedup_semantic_keep", "sim_embed_neardup", "sim_ivf_topk", "e2e_curation_funnel")
+
+  private def log2floor(f: Int): Int = 31 - Integer.numberOfLeadingZeros(f)
+
+  private def deepRunner(name: String, f: Int): (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+    name match {
+      case "dedup_semantic_keep" =>
+        (s, d) => graft.queries.VectorQueries.semanticKeep(s, d, 2, 8 + log2floor(f))
+      case "sim_embed_neardup" =>
+        (s, d) => graft.queries.VectorQueries.embedNeardup(s, d, 2, 8 + log2floor(f))
+      case other => SparkEntry.queries(other)
+    }
+
+  /** The two width-lever pipelines also get the fixed-width ×32 point. */
+  private val FixedWidthDoc = Seq("dedup_semantic_keep", "sim_embed_neardup")
 
   private val Queries = Seq(
     "dedup_exact", "dedup_simhash", "dedup_simhash_pairs", "dedup_minhash_lsh",
     "dedup_minhash_pairs",
     "dedup_incremental", "dedup_ngram_jaccard", "dedup_connected_components",
     "dedup_span_coverage", "dedup_novel_filter", "dedup_semantic_keep",
-    "sim_lsh_buckets", "sim_ivf_topk", "sim_embed_neardup")
+    "sim_lsh_buckets", "sim_ivf_topk", "sim_embed_neardup", "e2e_curation_funnel")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -45,7 +73,7 @@ object ScaleBench {
     // warm codegen/JIT the same way Bench does
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    val dirs: Map[Int, String] = Factors.map { f =>
+    val dirs: Map[Int, String] = (Factors :+ DeepFactor).map { f =>
       val dir = new java.io.File(s"target/graft-state/scale_x$f").getAbsolutePath
       val docs = spark.read.parquet(s"$base/documents.parquet")
       val embs = spark.read.parquet(s"$base/embeddings.parquet")
@@ -67,7 +95,8 @@ object ScaleBench {
       f -> dir
     }.toMap
 
-    // interleaved min-of-N, same discipline as Bench
+    // interleaved min-of-N, same discipline as Bench: the full battery
+    // config at ×1/×8
     val times = scala.collection.mutable.LinkedHashMap[(String, Int), Double]()
     for (_ <- 1 to repeat; name <- Queries; f <- Factors) {
       spark.catalog.clearCache()
@@ -78,6 +107,28 @@ object ScaleBench {
       val k = (name, f)
       if (!times.contains(k) || sec < times(k)) times(k) = sec
     }
+
+    // deep tier: width-scaled runners at ×1/×8/×32 (for the non-LSH deep
+    // queries the runner IS the battery query)
+    val deepTimes = scala.collection.mutable.LinkedHashMap[(String, Int), Double]()
+    for (_ <- 1 to repeat; name <- DeepQueries; f <- Factors :+ DeepFactor) {
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      deepRunner(name, f)(spark, dirs(f)).write.mode("overwrite").format("noop").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val k = (name, f)
+      if (!deepTimes.contains(k) || sec < deepTimes(k)) deepTimes(k) = sec
+    }
+    // fixed-8-bit ×32 documentation points, single run — the point is the
+    // order of magnitude (15-35× over linear), not a tight timing
+    val fixed32 = FixedWidthDoc.map { name =>
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dirs(DeepFactor)).write.mode("overwrite").format("noop").save()
+      name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
 
     // band-bucket diagnostics: replicate dedup_minhash_pairs' candidate
     // generation (same 3-shingle minhash, r=2/b=2 bands) and report the
@@ -109,15 +160,25 @@ object ScaleBench {
       val t1 = times((q, 1)); val t8 = times((q, 8))
       s""""$q":{"x1":${r3(t1)},"x8":${r3(t8)},"ratio":${r3(t8 / math.max(t1, 1e-9))}}"""
     }.mkString("{", ",", "}")
+    val deepJson = DeepQueries.map { q =>
+      val t1 = deepTimes((q, 1)); val t8 = deepTimes((q, 8)); val t32 = deepTimes((q, DeepFactor))
+      // t×32/t×8 against 4× more data — ≲4 means the curve stays linear
+      val bits = if (FixedWidthDoc.contains(q))
+        s""","band_bits":{"x1":8,"x8":11,"x32":13},"x32_fixed8":${r3(fixed32(q))}"""
+      else ""
+      s""""$q":{"x1":${r3(t1)},"x8":${r3(t8)},"x$DeepFactor":${r3(t32)},""" +
+        s""""ratio_x32_x8":${r3(t32 / math.max(t8, 1e-9))}$bits}"""
+    }.mkString("{", ",", "}")
     val bands = Factors.map { f =>
       val (pairs, maxB, nB) = bandStats(f)
       s""""x$f":{"cand_pairs":$pairs,"max_bucket":$maxB,"n_buckets":$nB}"""
     }.mkString("{", ",", "}")
     val t1Total = Queries.map(q => times((q, 1))).sum
     val t8Total = Queries.map(q => times((q, 8))).sum
-    val line = s"""{"metric":"scale_slope","base":"$base","factors":[1,8],""" +
+    val line = s"""{"metric":"scale_slope","base":"$base","factors":[1,8,$DeepFactor],""" +
       s""""total_x1":${r3(t1Total)},"total_x8":${r3(t8Total)},""" +
-      s""""total_ratio":${r3(t8Total / t1Total)},"queries":$perQuery,"minhash_bands":$bands}"""
+      s""""total_ratio":${r3(t8Total / t1Total)},"queries":$perQuery,""" +
+      s""""deep":$deepJson,"minhash_bands":$bands}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_scale.json"),
       (line + "\n").getBytes("UTF-8"))

@@ -14,7 +14,7 @@ import graft.queries.PipelineShared._
   * the SemDeDup-style semantic KEEP decision. Every entry is
   * hash-verified against the DuckDB oracles below.
   */
-private[queries] object VectorQueries {
+private[graft] object VectorQueries {
 
   /** Brute-force cosine top-k against a broadcast query vector (Q2,
     * `chatbot_api.py:227-242`). Query vector = 0.1·1⃗ so the oracle can
@@ -263,23 +263,30 @@ private[queries] object VectorQueries {
   private val NeardupBandBits = 8
   private val NeardupBands = 2
 
-  /** Embedding near-dup pairs via banded LSH: corpus + exact copies
-    * (vec_id + 100000 for vec_id%25==0); candidate pairs are found by a
-    * per-band signature equi-join (id < id, distinct across bands), then
-    * confirmed by cosine ≥ 0.999 computed with the NATIVE codegen'd
+  /** Confirmed near-dup pairs via banded LSH, WIDTH-PARAMETERIZED:
+    * corpus + exact copies (vec_id + 100000 for vec_id%25==0); candidate
+    * pairs come from a per-band signature equi-join (id < id, distinct
+    * across bands), then cosine ≥ 0.999 confirm with the NATIVE codegen'd
     * [[graft.expressions.CosineSimilarity]] — the r4 `zip_with` +
     * `aggregate` confirm was CodegenFallback and pulled the whole
     * post-join projection out of whole-stage codegen (2.0→7.8 s).
     * Embeddings are fetched by joining candidates back to the corpus
     * AFTER the pair distinct, so the band join shuffles only
-    * (band, vec_id) rows — never the 64-float arrays. */
-  private val simEmbedNeardup: Q = (s, d) => {
+    * (band, vec_id) rows — never the 64-float arrays.
+    *
+    * `bandBits` is the scale lever (see the law above): the battery
+    * entries bind the fixed 8-bit width their oracles replicate; the
+    * ×32 scale harness MEASURED the fixed width compounding (t×32/t×8 =
+    * 15-35× on 4× data, r10) and drives this with bandBits = 8 +
+    * log2(factor) instead, which restores the ~linear slope. */
+  private[graft] def neardupPairs(
+      s: SparkSession, d: String, bands: Int, bandBits: Int): DataFrame = {
     val base = Tables.embeddings(s, d)
     val corpus = base.select(col("vec_id"), col("embedding"))
       .union(base.filter(col("vec_id") % 25 === 0)
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
     val bandRows = corpus.selectExpr("vec_id",
-      s"posexplode(graft_lsh_bands(embedding, $NeardupBands, $NeardupBandBits)) AS (band_idx, band_sig)")
+      s"posexplode(graft_lsh_bands(embedding, $bands, $bandBits)) AS (band_idx, band_sig)")
     val candidates = bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.band_sig") === col("b.band_sig") &&
@@ -291,9 +298,16 @@ private[queries] object VectorQueries {
       .join(corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
       .selectExpr("id_a", "id_b", "graft_cosine(emb_a, emb_b) AS cos_sim")
       .filter(col("cos_sim") >= 0.999)
+  }
+
+  private[graft] def embedNeardup(
+      s: SparkSession, d: String, bands: Int, bandBits: Int): DataFrame =
+    neardupPairs(s, d, bands, bandBits)
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
       .orderBy("id_a", "id_b")
-  }
+
+  private val simEmbedNeardup: Q = (s, d) =>
+    embedNeardup(s, d, NeardupBands, NeardupBandBits)
 
   /** Semantic dedup KEEP decision (the SemDeDup-style curation step):
     * embedding near-dup pairs → connected components → ONE survivor per
@@ -305,26 +319,10 @@ private[queries] object VectorQueries {
     * and rank -1, so an original always survives its copies. Scale: the
     * quality join and survivor window both cluster on cluster_id /
     * member id — bounded per-cluster work after the (already bucketed)
-    * pair generation. */
-  private val dedupSemanticKeep: Q = (s, d) => {
-    val base = Tables.embeddings(s, d)
-    val corpus = base.select(col("vec_id"), col("embedding"))
-      .union(base.filter(col("vec_id") % 25 === 0)
-        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-    val bandRows = corpus.selectExpr("vec_id",
-      s"posexplode(graft_lsh_bands(embedding, $NeardupBands, $NeardupBandBits)) AS (band_idx, band_sig)")
-    val candidates = bandRows.as("a")
-      .join(bandRows.as("b"),
-        col("a.band_idx") === col("b.band_idx") && col("a.band_sig") === col("b.band_sig") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
-    val pairs = candidates
-      .join(corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
-      .join(corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
-      .selectExpr("id_a", "id_b", "graft_cosine(emb_a, emb_b) AS cos_sim")
-      .filter(col("cos_sim") >= 0.999)
-      .select("id_a", "id_b")
+    * pair generation; the band width scales like [[neardupPairs]]. */
+  private[graft] def semanticKeep(
+      s: SparkSession, d: String, bands: Int, bandBits: Int): DataFrame = {
+    val pairs = neardupPairs(s, d, bands, bandBits).select("id_a", "id_b")
     val comps = graft.operators.DedupClusters.connectedComponents(pairs, "id_a", "id_b")
     val quality = Tables.documents(s, d).select(col("doc_id").as("id"), col("n_chars"))
     val wSel = Window.partitionBy("cluster_id").orderBy(col("q").desc, col("id").asc)
@@ -336,6 +334,9 @@ private[queries] object VectorQueries {
       .select(col("cluster_id"), col("id").as("kept_id"), col("n_members"))
       .orderBy("cluster_id")
   }
+
+  private val dedupSemanticKeep: Q = (s, d) =>
+    semanticKeep(s, d, NeardupBands, NeardupBandBits)
 
 
   /** Symmetric int8 embedding quantization — the ANN memory-scale path:
