@@ -37,27 +37,57 @@ object ScaleBench {
     * 8-bit battery width — t×32/t×8 = 34.7 (semantic keep) / 15.4 (embed
     * near-dup) against only 4× more data, exactly the quadratic
     * bucket-occupancy regime the documented `bandBits ∝ log2 N` law
-    * predicts. So the deep tier drives those two pipelines WIDTH-SCALED
-    * (bandBits = 8 + log2 f: 8/11/13 at ×1/×8/×32 — constant expected
-    * occupancy) at every factor, and keeps ONE fixed-8-bit ×32 point as
-    * the measured record of what ignoring the lever costs. */
+    * predicts. Applying the uniform-data rule of thumb (+1 bit per
+    * corpus doubling: 8/11/13) was NOT enough — this corpus is CLUSTERED
+    * (rotated copies of an IVF-structured base), the lattice hyperplanes
+    * split tight clusters weakly, and candidate pairs per row still grew
+    * 17.6 → 52 → 115. Measured occupancy says this corpus costs ~2-3
+    * bits per doubling (8/14/20 holds ~18-20 pairs/row flat). So the
+    * deep tier does what production does: a cheap band-bucket CENSUS
+    * (one partial aggregate over the signatures) picks the smallest
+    * width whose candidate volume per row is ~constant, and the timed
+    * runs use that width. One fixed-8-bit ×32 point stays as the
+    * measured record of what ignoring the lever costs; census seconds
+    * are reported separately as the tuning cost. */
   private val DeepFactor = 32
   private val DeepQueries = Seq(
     "dedup_semantic_keep", "sim_embed_neardup", "sim_ivf_topk", "e2e_curation_funnel")
 
-  private def log2floor(f: Int): Int = 31 - Integer.numberOfLeadingZeros(f)
-
-  private def deepRunner(name: String, f: Int): (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
-    name match {
-      case "dedup_semantic_keep" =>
-        (s, d) => graft.queries.VectorQueries.semanticKeep(s, d, 2, 8 + log2floor(f))
-      case "sim_embed_neardup" =>
-        (s, d) => graft.queries.VectorQueries.embedNeardup(s, d, 2, 8 + log2floor(f))
-      case other => SparkEntry.queries(other)
-    }
-
   /** The two width-lever pipelines also get the fixed-width ×32 point. */
   private val FixedWidthDoc = Seq("dedup_semantic_keep", "sim_embed_neardup")
+
+  /** Band-bucket census at a candidate width: candidate-pair volume
+    * (Σ n·(n−1)/2 over buckets, the in-bucket join's output size before
+    * the distinct), max occupancy, and row count — one partial-agg pass. */
+  private def lshCensus(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        bits: Int): (Long, Long, Long) = {
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = base.select(col("vec_id"), col("embedding"))
+      .union(base.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val row = corpus
+      .selectExpr(s"posexplode(graft_lsh_bands(embedding, 2, $bits)) AS (band_idx, band_sig)")
+      .groupBy("band_idx", "band_sig").agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) DIV 2")).as("cand_pairs"),
+        max("n").as("max_bucket"), sum("n").as("n_rows")).head()
+    (row.getLong(0), row.getLong(1), row.getLong(2))
+  }
+
+  /** Smallest width (probed in steps of 2 from the battery's 8 bits)
+    * whose candidate volume stays ≤ `maxPairsPerRow` — the ×1 corpus
+    * measures ~17.6, so 24 keeps the chosen width's volume within ~1.4×
+    * of the base slope. Capped at 24 bits (Int band signatures). */
+  private def chooseBandBits(spark: org.apache.spark.sql.SparkSession, dir: String,
+                             maxPairsPerRow: Double = 24.0): (Int, Long, Long) = {
+    var bits = 8
+    while (bits < 24) {
+      val (pairs, maxB, rows) = lshCensus(spark, dir, bits)
+      if (pairs.toDouble / math.max(rows, 1L) <= maxPairsPerRow) return (bits, pairs, maxB)
+      bits += 2
+    }
+    val (pairs, maxB, _) = lshCensus(spark, dir, 24)
+    (24, pairs, maxB)
+  }
 
   private val Queries = Seq(
     "dedup_exact", "dedup_simhash", "dedup_simhash_pairs", "dedup_minhash_lsh",
@@ -108,7 +138,23 @@ object ScaleBench {
       if (!times.contains(k) || sec < times(k)) times(k) = sec
     }
 
-    // deep tier: width-scaled runners at ×1/×8/×32 (for the non-LSH deep
+    // census-tuned widths per factor (tuning cost billed separately)
+    val tuned: Map[Int, (Int, Long, Long, Double)] = (Factors :+ DeepFactor).map { f =>
+      val t0 = System.nanoTime()
+      val (bits, pairs, maxB) = chooseBandBits(spark, dirs(f))
+      f -> ((bits, pairs, maxB, (System.nanoTime() - t0) / 1e9))
+    }.toMap
+
+    def deepRunner(name: String, f: Int): (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      name match {
+        case "dedup_semantic_keep" =>
+          (s, d) => graft.queries.VectorQueries.semanticKeep(s, d, 2, tuned(f)._1)
+        case "sim_embed_neardup" =>
+          (s, d) => graft.queries.VectorQueries.embedNeardup(s, d, 2, tuned(f)._1)
+        case other => SparkEntry.queries(other)
+      }
+
+    // deep tier: census-width runners at ×1/×8/×32 (for the non-LSH deep
     // queries the runner IS the battery query)
     val deepTimes = scala.collection.mutable.LinkedHashMap[(String, Int), Double]()
     for (_ <- 1 to repeat; name <- DeepQueries; f <- Factors :+ DeepFactor) {
@@ -163,11 +209,18 @@ object ScaleBench {
     val deepJson = DeepQueries.map { q =>
       val t1 = deepTimes((q, 1)); val t8 = deepTimes((q, 8)); val t32 = deepTimes((q, DeepFactor))
       // t×32/t×8 against 4× more data — ≲4 means the curve stays linear
-      val bits = if (FixedWidthDoc.contains(q))
-        s""","band_bits":{"x1":8,"x8":11,"x32":13},"x32_fixed8":${r3(fixed32(q))}"""
-      else ""
+      val bits = if (FixedWidthDoc.contains(q)) {
+        val bitsJson = (Factors :+ DeepFactor)
+          .map(f => s""""x$f":${tuned(f)._1}""").mkString("{", ",", "}")
+        s""","band_bits":$bitsJson,"x32_fixed8":${r3(fixed32(q))}"""
+      } else ""
       s""""$q":{"x1":${r3(t1)},"x8":${r3(t8)},"x$DeepFactor":${r3(t32)},""" +
         s""""ratio_x32_x8":${r3(t32 / math.max(t8, 1e-9))}$bits}"""
+    }.mkString("{", ",", "}")
+    // the census itself (the production tuning cost) + what it measured
+    val lshJson = (Factors :+ DeepFactor).map { f =>
+      val (bits, pairs, maxB, sec) = tuned(f)
+      s""""x$f":{"bits":$bits,"cand_pairs":$pairs,"max_bucket":$maxB,"tune_sec":${r3(sec)}}"""
     }.mkString("{", ",", "}")
     val bands = Factors.map { f =>
       val (pairs, maxB, nB) = bandStats(f)
@@ -178,7 +231,7 @@ object ScaleBench {
     val line = s"""{"metric":"scale_slope","base":"$base","factors":[1,8,$DeepFactor],""" +
       s""""total_x1":${r3(t1Total)},"total_x8":${r3(t8Total)},""" +
       s""""total_ratio":${r3(t8Total / t1Total)},"queries":$perQuery,""" +
-      s""""deep":$deepJson,"minhash_bands":$bands}"""
+      s""""deep":$deepJson,"lsh_census":$lshJson,"minhash_bands":$bands}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_scale.json"),
       (line + "\n").getBytes("UTF-8"))

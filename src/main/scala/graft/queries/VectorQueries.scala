@@ -277,8 +277,14 @@ private[graft] object VectorQueries {
     * `bandBits` is the scale lever (see the law above): the battery
     * entries bind the fixed 8-bit width their oracles replicate; the
     * ×32 scale harness MEASURED the fixed width compounding (t×32/t×8 =
-    * 15-35× on 4× data, r10) and drives this with bandBits = 8 +
-    * log2(factor) instead, which restores the ~linear slope. */
+    * 15-35× on 4× data, r10) — and measured that the uniform-data
+    * +1-bit-per-doubling rule is ALSO insufficient on clustered corpora
+    * (correlated hyperplanes split tight clusters weakly; candidate
+    * pairs/row still grew 17.6→115 at 8/11/13 bits). The harness
+    * therefore picks the width from a cheap band-bucket census per
+    * corpus (~2-3 bits per doubling measured here: 8/14/20 holds
+    * pairs/row flat), which is the production tuning shape: census
+    * first, then commit to the join. */
   private[graft] def neardupPairs(
       s: SparkSession, d: String, bands: Int, bandBits: Int): DataFrame = {
     val base = Tables.embeddings(s, d)
