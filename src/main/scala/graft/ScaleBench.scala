@@ -56,37 +56,14 @@ object ScaleBench {
   /** The two width-lever pipelines also get the fixed-width ×32 point. */
   private val FixedWidthDoc = Seq("dedup_semantic_keep", "sim_embed_neardup")
 
-  /** Band-bucket census at a candidate width: candidate-pair volume
-    * (Σ n·(n−1)/2 over buckets, the in-bucket join's output size before
-    * the distinct), max occupancy, and row count — one partial-agg pass. */
-  private def lshCensus(spark: org.apache.spark.sql.SparkSession, dir: String,
-                        bits: Int): (Long, Long, Long) = {
+  /** The same corpus the near-dup pipelines build (base + injected
+    * exact copies), fed to [[graft.operators.LshTuner]] for the census. */
+  private def neardupCorpus(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame = {
     val base = spark.read.parquet(s"$dir/embeddings.parquet")
-    val corpus = base.select(col("vec_id"), col("embedding"))
+    base.select(col("vec_id"), col("embedding"))
       .union(base.filter(col("vec_id") % 25 === 0)
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-    val row = corpus
-      .selectExpr(s"posexplode(graft_lsh_bands(embedding, 2, $bits)) AS (band_idx, band_sig)")
-      .groupBy("band_idx", "band_sig").agg(count(lit(1)).as("n"))
-      .agg(sum(expr("n * (n - 1) DIV 2")).as("cand_pairs"),
-        max("n").as("max_bucket"), sum("n").as("n_rows")).head()
-    (row.getLong(0), row.getLong(1), row.getLong(2))
-  }
-
-  /** Smallest width (probed in steps of 2 from the battery's 8 bits)
-    * whose candidate volume stays ≤ `maxPairsPerRow` — the ×1 corpus
-    * measures ~17.6, so 24 keeps the chosen width's volume within ~1.4×
-    * of the base slope. Capped at 24 bits (Int band signatures). */
-  private def chooseBandBits(spark: org.apache.spark.sql.SparkSession, dir: String,
-                             maxPairsPerRow: Double = 24.0): (Int, Long, Long) = {
-    var bits = 8
-    while (bits < 24) {
-      val (pairs, maxB, rows) = lshCensus(spark, dir, bits)
-      if (pairs.toDouble / math.max(rows, 1L) <= maxPairsPerRow) return (bits, pairs, maxB)
-      bits += 2
-    }
-    val (pairs, maxB, _) = lshCensus(spark, dir, 24)
-    (24, pairs, maxB)
   }
 
   private val Queries = Seq(
@@ -141,8 +118,9 @@ object ScaleBench {
     // census-tuned widths per factor (tuning cost billed separately)
     val tuned: Map[Int, (Int, Long, Long, Double)] = (Factors :+ DeepFactor).map { f =>
       val t0 = System.nanoTime()
-      val (bits, pairs, maxB) = chooseBandBits(spark, dirs(f))
-      f -> ((bits, pairs, maxB, (System.nanoTime() - t0) / 1e9))
+      val c = graft.operators.LshTuner.chooseBandBits(
+        neardupCorpus(spark, dirs(f)), "embedding", bands = 2)
+      f -> ((c.bits, c.candPairs, c.maxBucket, (System.nanoTime() - t0) / 1e9))
     }.toMap
 
     def deepRunner(name: String, f: Int): (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
