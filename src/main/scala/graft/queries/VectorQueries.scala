@@ -315,6 +315,37 @@ private[graft] object VectorQueries {
   private val simEmbedNeardup: Q = (s, d) =>
     embedNeardup(s, d, NeardupBands, NeardupBandBits)
 
+  /** LSH pair-recall AUDIT — the near-dup complement of
+    * `sim_recall_at_k`: how many of the TRUE cosine ≥ 0.999 pairs does
+    * the banded-LSH pipeline actually surface at the battery width?
+    * Ground truth is the deliberate all-pairs brute force (id < id,
+    * native cosine — at 100 TB this audit runs over a SAMPLE; the
+    * quadratic cost IS the audit's definition and the reason the LSH
+    * path exists); the LSH side is the identical candidate+confirm
+    * pipeline the battery runs, so found ⊆ true by construction and the
+    * single output row — true pairs, found pairs, recall in basis
+    * points — is hash-pinned per scale factor. A banding or width
+    * regression changes the pinned recall number, not a vibe. */
+  private val dedupLshRecall: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+    val corpus = base.select(col("vec_id"), col("embedding"))
+      .union(base.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val brute = corpus.as("a")
+      .join(corpus.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .selectExpr("a.vec_id AS id_a", "b.vec_id AS id_b",
+        "graft_cosine(a.embedding, b.embedding) AS cos_sim")
+      .filter(col("cos_sim") >= 0.999)
+      .select("id_a", "id_b")
+    val lsh = neardupPairs(s, d, NeardupBands, NeardupBandBits)
+      .select(col("id_a"), col("id_b"), lit(1L).as("found"))
+    brute.join(lsh, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_true_pairs"),
+        sum(coalesce(col("found"), lit(0L))).as("n_found"))
+      .withColumn("recall_bp",
+        floor(col("n_found") * 10000 / greatest(col("n_true_pairs"), lit(1L))).cast("long"))
+  }
+
   /** Semantic dedup KEEP decision (the SemDeDup-style curation step):
     * embedding near-dup pairs → connected components → ONE survivor per
     * cluster chosen by QUALITY (document n_chars, doc-id tiebreak), not
@@ -399,6 +430,7 @@ private[graft] object VectorQueries {
     "sim_ivf_topk" -> simIvfTopk,
     "sim_recall_at_k" -> simRecallAtK,
     "sim_embed_neardup" -> simEmbedNeardup,
+    "dedup_lsh_recall" -> dedupLshRecall,
     "sim_quantize_i8" -> simQuantizeI8,
     "sim_pq_codes" -> simPqCodes,
     "sim_pq_adc_topk" -> simPqAdcTopk,
@@ -579,6 +611,47 @@ private[graft] object VectorQueries {
          |  JOIN corpus eb ON eb.vec_id = id_b)
          |SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim
          |FROM pairs WHERE cos_sim >= 0.999 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_lsh_recall" ->
+      // brute-force all-pairs ground truth + the same candidate/confirm
+      // CTEs as sim_embed_neardup; recall = found/true in basis points
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+         |brute AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+         |  WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_zip(a.embedding, b.embedding),
+         |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)
+         |      / (sqrt(${duckSumSqOf("a.embedding")})
+         |         * sqrt(${duckSumSqOf("b.embedding")})) >= 0.999),
+         |sigs AS (
+         |  SELECT vec_id,
+         |    ${duckBandSig("embedding", 0)} AS band_0,
+         |    ${duckBandSig("embedding", 1)} AS band_1
+         |  FROM corpus),
+         |cand AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sigs a JOIN sigs b ON a.band_0 = b.band_0 AND a.vec_id < b.vec_id
+         |  UNION
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sigs a JOIN sigs b ON a.band_1 = b.band_1 AND a.vec_id < b.vec_id),
+         |lsh AS (
+         |  SELECT id_a, id_b
+         |  FROM cand
+         |  JOIN corpus ea ON ea.vec_id = id_a
+         |  JOIN corpus eb ON eb.vec_id = id_b
+         |  WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_zip(ea.embedding, eb.embedding),
+         |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)
+         |      / (sqrt(${duckSumSqOf("ea.embedding")})
+         |         * sqrt(${duckSumSqOf("eb.embedding")})) >= 0.999)
+         |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+         |  CAST(sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+         |  CAST(floor(sum(CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END) * 10000
+         |    / greatest(count(*), 1)) AS BIGINT) AS recall_bp
+         |FROM brute br LEFT JOIN lsh l ON br.id_a = l.id_a AND br.id_b = l.id_b""".stripMargin,
     "dedup_semantic_keep" ->
       // same pair CTEs as sim_embed_neardup, then recursive closure
       // (dedup_connected_components pattern) + quality-ranked survivor

@@ -151,11 +151,14 @@ class PlanSpec extends AnyFunSuite {
 
   test("no relational query plans a cartesian product") {
     // the full registry minus entries that run driver-side actions or
-    // sink writes during construction
+    // sink writes during construction, plus the ONE deliberate
+    // all-pairs query: dedup_lsh_recall's ground truth IS the brute
+    // force the LSH path exists to avoid (sampled at scale)
     val skip = Set("a6_cardinality", "a8_observe_metrics", "s1_multiline_json",
       "s9_json_reference", "k1_merge_upsert", "k2_merge_delete", "k3_partitioned_merge",
       "k4_full_refresh", "k6_search_index", "k7_jsonl_export", "sim_semantic_match",
-      "j15_bucketed_join") // writes its bucketed tables at plan construction
+      "j15_bucketed_join", // writes its bucketed tables at plan construction
+      "dedup_lsh_recall")
     for ((name, fn) <- SparkEntry.all if !skip(name)) {
       val p = fn(spark, sf).queryExecution.sparkPlan
       val cartesian = collect(p) { case c: CartesianProductExec => c }
