@@ -158,7 +158,7 @@ class PlanSpec extends AnyFunSuite {
       "s9_json_reference", "k1_merge_upsert", "k2_merge_delete", "k3_partitioned_merge",
       "k4_full_refresh", "k6_search_index", "k7_jsonl_export", "sim_semantic_match",
       "j15_bucketed_join", // writes its bucketed tables at plan construction
-      "dedup_lsh_recall")
+      "dedup_lsh_recall", "dedup_simhash_recall")
     for ((name, fn) <- SparkEntry.all if !skip(name)) {
       val p = fn(spark, sf).queryExecution.sparkPlan
       val cartesian = collect(p) { case c: CartesianProductExec => c }
