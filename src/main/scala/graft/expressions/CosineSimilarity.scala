@@ -280,6 +280,30 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // AggregateExpression during resolution
         TopKFreq(children.head, intLit(children(1), "k"), intLit(children(2), "capacity"))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAgg].getName, "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_bloom_agg(key, numBits, numHashes) takes exactly 3 arguments")
+        def intLit(e: Expression, what: String): Int = e match {
+          case l if l.foldable && l.dataType == IntegerType =>
+            Option(l.eval()).map(_.asInstanceOf[Int]).getOrElse(
+              throw new IllegalArgumentException(s"graft_bloom_agg: $what must not be NULL"))
+          case other => throw new IllegalArgumentException(
+            s"graft_bloom_agg: $what must be an INT literal, got $other")
+        }
+        BloomFilterAgg(children.head,
+          intLit(children(1), "numBits"), intLit(children(2), "numHashes"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_bloom_contains(bloom, key) takes exactly 2 arguments")
+        BloomMightContain(children.head, children(1))
+      }))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKey.TopKPerKeyStrategy)
   }
 }

@@ -124,6 +124,45 @@ private[queries] object TextCurationQueries {
       .orderBy("source")
   }
 
+  /** Bloom-prefiltered decontamination — the shape `text_decontaminate`
+    * grows into when the probe set outgrows an exact broadcast (a full
+    * eval-suite union is tens of millions of shingles: hundreds of MB
+    * as a broadcast hash set, single-digit MB at ~10 bits/key as a
+    * Bloom): the probe shingles fold into an IN-PLAN Bloom sketch
+    * (`graft_bloom_agg`, a TypedImperativeAggregate whose partial
+    * bitmaps OR-merge — no driver-side key collect), the 1-row sketch
+    * broadcasts, and the corpus-side scan filters through the codegen'd
+    * `graft_bloom_contains` probe BEFORE any shuffle — only survivors
+    * reach the exact confirm join that removes Bloom false positives.
+    * No false negatives ⇒ prefilter + confirm ≡ the plain exact join,
+    * so the DuckDB oracle is the ordinary join SQL and a green hash
+    * proves the reduction is semantics-free; BloomSketchSpec pins the
+    * FPR and measures the pruning. Distinct probe fixture (doc_ids
+    * 5/42/200) from `text_decontaminate`'s, so the two entries pin
+    * different outputs. */
+  private val textDecontamBloom: Q = (s, d) => {
+    val probeIds = Seq(5L, 42L, 200L)
+    val docs = Tables.documents(s, d)
+      .selectExpr("doc_id", "source", "split(text, ' ') AS tokens")
+      .filter(size(col("tokens")) >= 3)
+    val probes = docs.filter(col("doc_id").isin(probeIds: _*))
+      .selectExpr("explode(graft_shingle_hash64(tokens)) AS sh").distinct()
+    val sketch = probes.agg(expr("graft_bloom_agg(sh, 131072, 6)").as("bloom"))
+    val corpusSh = docs
+      .selectExpr("doc_id", "source", "explode(graft_shingle_hash64(tokens)) AS sh")
+    val survivors = corpusSh.crossJoin(broadcast(sketch))
+      .filter(expr("graft_bloom_contains(bloom, sh)"))
+      .drop("bloom")
+    // exact confirm: the probe set is no longer broadcast-hinted — at
+    // the scale where the Bloom path matters it shuffle-joins, and the
+    // shuffled corpus side is only the Bloom survivors
+    survivors.join(probes, "sh")
+      .groupBy("source")
+      .agg(countDistinct("doc_id").as("n_contaminated"),
+        count(lit(1)).as("n_shingle_hits"))
+      .orderBy("source")
+  }
+
   /** Deterministic stratified train/val/test split — the
     * training-data-curation operator every corpus pipeline needs:
     * assignment is a pure function of the stable doc key (rolling-hash
@@ -397,6 +436,7 @@ private[queries] object TextCurationQueries {
     "split_domain_mix" -> splitDomainMix,
     "text_pii_mask" -> textPiiMask,
     "text_decontaminate" -> textDecontaminate,
+    "text_decontam_bloom" -> textDecontamBloom,
   )
 
   val oracles: Map[String, String] = Map(
@@ -434,6 +474,22 @@ private[queries] object TextCurationQueries {
         |    i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]))) AS shingle
         |  FROM corpus),
         |probes AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id IN (3, 77, 123))
+        |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contaminated,
+        |  CAST(count(*) AS BIGINT) AS n_shingle_hits
+        |FROM shingles JOIN probes USING (shingle)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "text_decontam_bloom" ->
+      // the ORDINARY exact-join SQL: the Bloom prefilter must be
+      // invisible in the result (no false negatives + exact confirm)
+      """WITH docs AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS tokens FROM documents),
+        |corpus AS (SELECT * FROM docs WHERE len(tokens) >= 3),
+        |shingles AS (
+        |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(tokens) - 2),
+        |    i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]))) AS shingle
+        |  FROM corpus),
+        |probes AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id IN (5, 42, 200))
         |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contaminated,
         |  CAST(count(*) AS BIGINT) AS n_shingle_hits
         |FROM shingles JOIN probes USING (shingle)
