@@ -297,6 +297,28 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(children(1), "numBits"), intLit(children(2), "numHashes"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_hll_agg"),
+      new ExpressionInfo(classOf[HllAgg].getName, "graft_hll_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_hll_agg(key, p) takes exactly 2 arguments")
+        val p = children(1) match {
+          case l if l.foldable && l.dataType == IntegerType =>
+            Option(l.eval()).map(_.asInstanceOf[Int]).getOrElse(
+              throw new IllegalArgumentException("graft_hll_agg: p must not be NULL"))
+          case other => throw new IllegalArgumentException(
+            s"graft_hll_agg: p must be an INT literal, got $other")
+        }
+        HllAgg(children.head, p)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hll_merge"),
+      new ExpressionInfo(classOf[HllMergeAgg].getName, "graft_hll_merge"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_hll_merge(sketch) takes exactly 1 argument")
+        HllMergeAgg(children.head)
+      }))
+    unary("graft_hll_est", classOf[HllEstimate], HllEstimate.apply)
+    ext.injectFunction((
       new FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
       (children: Seq[Expression]) => {

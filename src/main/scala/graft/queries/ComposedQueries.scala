@@ -273,6 +273,54 @@ private[queries] object ComposedQueries {
           .as("top_events"))
       .orderBy("cohort")
 
+  /** Mergeable-HLL distinct counts through the SKETCH-TABLE pattern
+    * ([[graft.expressions.HllSketch]]): per-(event_type, day) sketches
+    * — the shape a 100 TB pipeline PERSISTS as binary columns — roll up
+    * per event_type via `graft_hll_merge` without touching raw events
+    * again, exactly how cross-day rollups / late partitions /
+    * incremental refresh work at scale (built-in approx_count_distinct
+    * cannot persist or re-merge its state). Verification is two-layer:
+    * the `est_ok` guard compares each estimate against the exact
+    * countDistinct IN-PLAN and `raise_error`s beyond 500 bp (the
+    * i7/golden-gate pattern — a broken sketch turns the battery row
+    * red, not quietly wrong), and the hash-gated output columns are the
+    * exact counts plus the survived guard, which DuckDB reproduces as
+    * its own exact distincts + literal TRUE. Estimates are
+    * deterministic (register max commutes; splitmix64 is seedless), so
+    * the guard can be tight: measured errors here are ~0 bp for the
+    * 150-user linear-counting regime and ≲ 200 bp for event_id at
+    * p=12's 1.6% standard error. */
+  private val aggHllDistinct: Q = (s, d) => {
+    val events = Tables.events(s, d)
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("user_id"), col("event_id"))
+      .groupBy("event_type", "day")
+      .agg(expr("graft_hll_agg(user_id, 12)").as("user_sketch"),
+        expr("graft_hll_agg(event_id, 12)").as("event_sketch"))
+    val rolled = daily.groupBy("event_type")
+      .agg(expr("graft_hll_est(graft_hll_merge(user_sketch))").as("users_est"),
+        expr("graft_hll_est(graft_hll_merge(event_sketch))").as("events_est"))
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"),
+        countDistinct("event_id").as("n_events"))
+    // multiplicative bound — no division, so the zero-count (all-NULL
+    // keys) group degenerates to 0 <= 0 instead of a divide guard
+    def within(est: org.apache.spark.sql.Column,
+               n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      abs(est - n) * 10000 <= n * 500
+    exact.join(rolled, "event_type")
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        when(within(col("users_est"), col("n_users")) &&
+          within(col("events_est"), col("n_events")), lit(true))
+          .otherwise(raise_error(concat(
+            lit("HLL estimate drift: "), col("event_type"),
+            lit(" users "), col("users_est"), lit("/"), col("n_users"),
+            lit(" events "), col("events_est"), lit("/"), col("n_events"))))
+          .as("est_ok"))
+      .orderBy("event_type")
+  }
+
   /** Batch sessionization — the gaps-and-islands twin of
     * [[graft.streaming.EventStreams.sessionize]]: a session breaks when
     * consecutive events of a user are more than `gapMs` apart; session
@@ -312,6 +360,7 @@ private[queries] object ComposedQueries {
     "sim_semantic_match" -> simSemanticMatch,
     "agg_skew_salted" -> aggSkewSalted,
     "agg_topk_freq" -> aggTopkFreq,
+    "agg_hll_distinct" -> aggHllDistinct,
     "stream_window_agg" -> streamWindowAgg,
     "sessionize_batch" -> sessionizeBatch,
   )
@@ -387,6 +436,15 @@ private[queries] object ComposedQueries {
         |  string_agg(event_type || ':' || CAST(cnt AS VARCHAR), '|'
         |    ORDER BY cnt DESC, event_type) AS top_events
         |FROM r WHERE rn <= 3 GROUP BY cohort ORDER BY cohort""".stripMargin,
+    "agg_hll_distinct" ->
+      // exact distincts + the guard EXPECTATION: the Spark side computes
+      // est_ok from its sketches and raise_errors outside 500 bp, so a
+      // sketch regression turns this row red before the hash is compared
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_events,
+        |  TRUE AS est_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "sessionize_batch" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
