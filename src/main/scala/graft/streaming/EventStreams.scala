@@ -145,6 +145,35 @@ object EventStreams {
       }
   }
 
+  final case class DistinctRunning(event_type: String, approx_users: Long)
+
+  /** Streaming approximate distinct-count via the mergeable HLL sketch
+    * ([[graft.expressions.HllSketch]]) as mapGroupsWithState state: the
+    * unbounded-stream operation exact countDistinct fundamentally
+    * cannot do — exact distinct state grows with the number of distinct
+    * keys ever seen, while the sketch holds a FIXED 2^p bytes per group
+    * forever (4 KB at p=12 for ~1.6% error at any cardinality). Each
+    * micro-batch folds its user_ids into the stored registers and emits
+    * the refreshed estimate; register max is idempotent, so re-delivered
+    * events cannot inflate the count (dedup-free exactly-once-ish for
+    * this metric). The state bytes are the SAME serialized sketch the
+    * batch `graft_hll_agg` emits — a snapshot could be exported to a
+    * sketch table and re-merged with batch sketches, and
+    * EventStreamsSpec proves stream-vs-batch estimate equality. */
+  def approxDistinctUsers(events: Dataset[Event], p: Int = 12): Dataset[DistinctRunning] = {
+    import events.sparkSession.implicits._
+    import graft.expressions.HllSketch
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[Array[Byte], DistinctRunning](GroupStateTimeout.NoTimeout) {
+        (etype: String, batch: Iterator[Event], state: GroupState[Array[Byte]]) =>
+          val regs = state.getOption.getOrElse(new Array[Byte](HllSketch.numRegisters(p)))
+          batch.foreach(e => HllSketch.add(regs, p, e.user_id))
+          state.update(regs)
+          DistinctRunning(etype, HllSketch.estimate(regs))
+      }
+  }
+
   /** Stream-stream INTERVAL join (the streaming twin of the J17 range
     * join): signup events joined to error events of the same user inside
     * (signup_ts, signup_ts + windowSec]. Both sides carry watermarks and

@@ -181,6 +181,35 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming HLL distinct: O(sketch) state, equals batch estimate, dedup-free") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[Event]
+    // 3 micro-batches, 400 distinct users across overlapping ranges +
+    // one whole batch re-delivered verbatim
+    def ev(ids: Range, etype: String) = ids.map(u =>
+      Event(u.toLong * 1000, ts("2024-01-01 10:00:00"), u.toLong, etype, 1.0))
+    val b1 = ev(0 until 200, "click"); val b2 = ev(100 until 400, "click")
+    val q = EventStreams.approxDistinctUsers(stream.toDS())
+      .writeStream.format("memory").queryName("hll_running").outputMode("update").start()
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable() // re-delivery
+      val ests = spark.table("hll_running").where($"event_type" === "click")
+        .select("approx_users").as[Long].collect().toSeq
+      // idempotent register max: the re-delivered batch must not move it
+      assert(ests.length == 3 && ests(1) == ests(2),
+        s"re-delivery moved the estimate: $ests")
+      // stream estimate == the batch graft_hll_agg over the same keys
+      val batchEst = (b1 ++ b2).map(_.user_id).distinct.toDF("k")
+        .agg(org.apache.spark.sql.functions.expr("graft_hll_est(graft_hll_agg(k, 12))"))
+        .head().getLong(0)
+      assert(ests.last == batchEst, s"stream ${ests.last} != batch $batchEst")
+      assert(math.abs(ests.last - 400L).toDouble / 400 < 0.05)
+    } finally q.stop()
+  }
+
   test("parquet file source stream equals the batch aggregate at sf0.001") {
     import spark.implicits._
     val sfDir = "/root/testdata/sf0.001"
