@@ -216,7 +216,7 @@ private[queries] object DedupQueries {
     * the identical candidate set. Scale shape: the band value is the
     * shuffle key (never all-pairs), shingle sets are fetched AFTER the
     * pair distinct. */
-  private val dedupMinhashPairs: Q = (s, d) => {
+  private def minhashFoundPairs(s: SparkSession, d: String): DataFrame = {
     // shingling + 4-perm signatures run as fused native kernels
     // (bitwise == the HOF folds, TextSketchSpec → DuckDB oracle keeps
     // its list_min/list_transform form unchanged)
@@ -251,7 +251,32 @@ private[queries] object DedupQueries {
       .filter(col("j") >= 0.6)
       .select(col("id_a"), col("id_b"),
         floor(col("j") * 10000).cast("long").as("jaccard_e4"))
-      .orderBy("id_a", "id_b")
+  }
+
+  private val dedupMinhashPairs: Q = (s, d) =>
+    minhashFoundPairs(s, d).orderBy("id_a", "id_b")
+
+  /** MinHash pair-recall AUDIT — the Jaccard-space member of the
+    * recall-audit family (`sim_recall_at_k` / `dedup_lsh_recall` /
+    * `dedup_simhash_recall`): ground truth is the EXACT shingle
+    * equi-join pair set (`jaccardPairs`, the same derivation behind
+    * `dedup_ngram_jaccard` — itself bucketed, never all-pairs, so this
+    * is the one audit whose truth side is production-shaped), found is
+    * the banded r=2/b=2 MinHash pipeline. The S-curve predicts a pair
+    * at shingle-similarity s surfaces with p = 1-(1-s²)² (~0.96 at the
+    * fixture's ~0.9); the pinned recall_bp turns that prediction into a
+    * measured, hash-gated number, and a banding/permutation regression
+    * moves it. Found ⊆ true up to 64-bit shingle-hash collisions
+    * (~1e-15 — both pipelines hash, the oracle joins raw strings). */
+  private val dedupMinhashRecall: Q = (s, d) => {
+    val brute = jaccardPairs(s, d).select("id_a", "id_b")
+    val found = minhashFoundPairs(s, d)
+      .select(col("id_a"), col("id_b"), lit(1L).as("found"))
+    brute.join(found, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_true_pairs"),
+        sum(coalesce(col("found"), lit(0L))).as("n_found"))
+      .withColumn("recall_bp",
+        floor(col("n_found") * 10000 / greatest(col("n_true_pairs"), lit(1L))).cast("long"))
   }
 
   /** Incremental MinHash dedup — the daily-batch shape at 100 TB: an
@@ -504,6 +529,7 @@ private[queries] object DedupQueries {
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_minhash_pairs" -> dedupMinhashPairs,
+    "dedup_minhash_recall" -> dedupMinhashRecall,
     "dedup_incremental" -> dedupIncremental,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
@@ -613,6 +639,68 @@ private[queries] object DedupQueries {
          |  JOIN shingled sb ON sb.doc_id = id_b)
          |SELECT id_a, id_b, CAST(floor(j * 10000) AS BIGINT) AS jaccard_e4
          |FROM confirmed WHERE j >= 0.6 ORDER BY id_a, id_b""".stripMargin
+    },
+    "dedup_minhash_recall" -> {
+      // truth = the exact string-shingle equi-join pair set (the
+      // dedup_ngram_jaccard CTEs); found = the banded minhash pipeline
+      // (the dedup_minhash_pairs CTEs); recall in basis points
+      val duckMinhRec = MinhashPairParams.zipWithIndex.map { case ((a, b), i) =>
+        s"list_min(list_transform(shset, x -> ($a * x + $b) % $P)) AS minh${i + 1}"
+      }
+      s"""WITH docs AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, tokens[2:] AS tokens
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+         |  WHERE doc_id % 20 = 0),
+         |corpus AS (SELECT * FROM docs WHERE len(tokens) >= 3),
+         |str_sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, len(tokens) - 2),
+         |    i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]))) AS shingle
+         |  FROM corpus),
+         |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM str_sh GROUP BY doc_id),
+         |str_pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM str_sh a JOIN str_sh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |brute AS (
+         |  SELECT id_a, id_b FROM str_pairs
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(n_common AS DOUBLE)
+         |    / (sa.n_shingles + sb.n_shingles - n_common) >= 0.6),
+         |wf AS (
+         |  SELECT doc_id, list_transform(tokens, w -> ${duckFp("w")}) AS wfps
+         |  FROM corpus),
+         |shingled AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, len(wfps) - 2),
+         |    i -> (wfps[i] * 961 + wfps[i + 1] * 31 + wfps[i + 2]) % $P)) AS shset
+         |  FROM wf),
+         |sigs AS (
+         |  SELECT doc_id, (minh1 * 31 + minh2) % $P AS band_0,
+         |    (minh3 * 31 + minh4) % $P AS band_1
+         |  FROM (SELECT doc_id, ${duckMinhRec.mkString(", ")} FROM shingled)),
+         |cand AS (
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM sigs x JOIN sigs y ON x.band_0 = y.band_0 AND x.doc_id < y.doc_id
+         |  UNION
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM sigs x JOIN sigs y ON x.band_1 = y.band_1 AND x.doc_id < y.doc_id),
+         |found AS (
+         |  SELECT id_a, id_b
+         |  FROM cand
+         |  JOIN shingled sa ON sa.doc_id = id_a
+         |  JOIN shingled sb ON sb.doc_id = id_b
+         |  WHERE CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+         |    / (len(sa.shset) + len(sb.shset) - len(list_intersect(sa.shset, sb.shset))) >= 0.6)
+         |SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+         |  CAST(sum(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+         |  CAST(floor(sum(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END) * 10000
+         |    / greatest(count(*), 1)) AS BIGINT) AS recall_bp
+         |FROM brute b LEFT JOIN found f ON b.id_a = f.id_a AND b.id_b = f.id_b""".stripMargin
     },
     "dedup_incremental" -> {
       val duckMinhInc = MinhashPairParams.zipWithIndex.map { case ((a, b), i) =>
