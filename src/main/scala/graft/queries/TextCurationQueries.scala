@@ -184,6 +184,30 @@ private[queries] object TextCurationQueries {
       .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_doc_id"))
       .orderBy("source", "split")
 
+  /** Deterministic per-source QUOTA sample — exactly k docs per group,
+    * chosen by the portable rolling-hash key, so the sample is
+    * reproducible across runs, engines, partitionings and cluster
+    * sizes (`rand()`/TABLESAMPLE are none of those, and re-sampling a
+    * grown corpus keeps previously-chosen docs stable except where a
+    * smaller key displaces them). Third sampling mode next to
+    * `split_stratified` (rate) and `split_domain_mix` (weights): quota
+    * — "exactly 1000 docs per domain for the eval set". The
+    * window+filter(rn ≤ k) shape plans into the TopKPerKeyExec bounded
+    * heap (O(groups × k) memory, no full per-group sort; asserted in
+    * TopKPerKeySpec), and DuckDB replicates the fp key, so exact
+    * sample MEMBERSHIP is hash-pinned, not just counts. */
+  private val sampleBottomk: Q = (s, d) => {
+    val k = 5
+    val w = Window.partitionBy("source").orderBy(col("samp_key"), col("doc_id"))
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "source",
+        "graft_str_fp(concat(CAST(doc_id AS STRING), '||sample')) AS samp_key")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .selectExpr("source", "doc_id", "samp_key", "CAST(rn AS BIGINT) AS rn")
+      .orderBy("source", "rn")
+  }
+
   /** Gopher/C4-style repetition + symbol quality rules — the curation
     * filters a pretraining pipeline runs before anything model-based:
     * duplicate-token fraction, most-frequent-bigram coverage, and
@@ -437,6 +461,7 @@ private[queries] object TextCurationQueries {
     "text_pii_mask" -> textPiiMask,
     "text_decontaminate" -> textDecontaminate,
     "text_decontam_bloom" -> textDecontamBloom,
+    "sample_bottomk" -> sampleBottomk,
   )
 
   val oracles: Map[String, String] = Map(
@@ -494,6 +519,17 @@ private[queries] object TextCurationQueries {
         |  CAST(count(*) AS BIGINT) AS n_shingle_hits
         |FROM shingles JOIN probes USING (shingle)
         |GROUP BY source ORDER BY source""".stripMargin,
+    "sample_bottomk" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id, source,
+         |    ${duckFp("CAST(doc_id AS VARCHAR) || '||sample'")} AS samp_key
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id, samp_key,
+         |    row_number() OVER (PARTITION BY source ORDER BY samp_key, doc_id) AS rn
+         |  FROM keyed)
+         |SELECT source, doc_id, samp_key, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
     "split_stratified" ->
       s"""WITH b AS (
          |  SELECT doc_id, source,

@@ -102,8 +102,9 @@ class TopKPerKeySpec extends AnyFunSuite {
     } finally spark.conf.unset(graft.plans.TopKPerKey.SpillThresholdKey)
   }
 
-  test("battery queries w1/o3 now use the operator (and stay oracle-green)") {
+  test("battery queries w1/o3/sample now use the operator (and stay oracle-green)") {
     assert(hasTopK(SparkEntry.queries("w1_latest_wins")(spark, "/root/testdata/sf0.001")))
     assert(hasTopK(SparkEntry.queries("o3_topk_per_group")(spark, "/root/testdata/sf0.001")))
+    assert(hasTopK(SparkEntry.queries("sample_bottomk")(spark, "/root/testdata/sf0.001")))
   }
 }
