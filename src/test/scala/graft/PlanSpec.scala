@@ -295,4 +295,57 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(wsc.exists(w => w.collect { case p: ProjectExec => p }.nonEmpty))
   }
+
+  test("text_decontam_bloom: the probe filter sits BELOW every shuffle") {
+    // the whole point of the semi-join reduction: only Bloom survivors
+    // may reach an exchange. A bloom_contains Filter above any shuffle
+    // means the corpus shuffled unpruned.
+    // exchanges only exist post-EnsureRequirements — audit the executed
+    // plan with AQE off, same discipline as the funnel's exchange budget
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try {
+      SparkEntry.queries("text_decontam_bloom")(spark, sf).queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the 1-row sketch cross join folds the filter into the broadcast
+    // nested-loop join's CONDITION — rows that fail the probe never
+    // leave the join, which is the same pre-shuffle prune
+    def subtreeHasBloomFilter(n: SparkPlan): Boolean =
+      n.collect {
+        case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("graft_bloom_contains") => f
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+          if j.condition.exists(_.toString.contains("graft_bloom_contains")) => j
+      }.nonEmpty
+    assert(subtreeHasBloomFilter(p), s"no bloom prefilter in the plan at all:\n$p")
+    // every exchange whose subtree scans the CORPUS must already
+    // contain the bloom prune below it. The probe branch legitimately
+    // shuffles unpruned — its scans carry the pushed In(doc_id, …)
+    // probe-id filter, the corpus scan does not.
+    def isProbeScan(s: FileSourceScanExec): Boolean =
+      s.dataFilters.exists(_.toString.contains("IN (5,42,200)"))
+    val corpusShuffles = collect(p) { case e: ShuffleExchangeExec => e }
+      .filter(e => e.collect { case s: FileSourceScanExec => s }
+        .exists(s => s.output.exists(_.name == "doc_id") && !isProbeScan(s)))
+    assert(corpusShuffles.nonEmpty, s"expected the confirm/agg path to shuffle:\n$p")
+    corpusShuffles.foreach { e =>
+      assert(subtreeHasBloomFilter(e),
+        s"corpus shuffled without the bloom prefilter below it:\n$e")
+    }
+  }
+
+  test("agg_hll_distinct: both sketch aggregations split partial/final") {
+    // map-side partial HLL buffers must merge at the reducer — a
+    // missing partial means every raw row shuffles to one aggregator
+    val p = plan("agg_hll_distinct")
+    val objAggs = collect(p) {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    val partials = objAggs.count(_.aggregateExpressions
+      .exists(_.toString.contains("partial_graft_hll")))
+    val finals = objAggs.count(a => a.aggregateExpressions.nonEmpty &&
+      a.aggregateExpressions.forall(e => !e.toString.contains("partial")) &&
+      a.aggregateExpressions.exists(_.toString.contains("graft_hll")))
+    assert(partials >= 2, s"expected partial hll aggs for build+rollup, got $partials")
+    assert(finals >= 2, s"expected final hll aggs for build+rollup, got $finals")
+  }
 }
