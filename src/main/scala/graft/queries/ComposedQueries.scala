@@ -65,6 +65,51 @@ private[queries] object ComposedQueries {
       .limit(20)
   }
 
+  /** Reciprocal-rank-fusion hybrid (Cormack et al., RRF k=60) — the
+    * score-free alternative to search_hybrid's max-norm weighted sum:
+    * each branch contributes 1/(60+rank) from its own top-20, so fusion
+    * is immune to the branches' incomparable score scales (the reason
+    * production hybrid search defaults to RRF when BM25 and cosine
+    * calibration drifts). Both branch lists come from distributed
+    * top-k (orderBy+limit — per-partition heap + single merge, never a
+    * global window); ranks over each ≤20-row shortlist are counted by a
+    * bounded broadcast self-join (rank = 1 + #strictly-better), keeping
+    * the registry free of single-partition WindowExecs. Branch keys are
+    * e6 fixed-point integers, so ranking and tie-breaks (doc_id) are
+    * exact in both engines and the RRF doubles fold identically. */
+  private val searchHybridRrf: Q = (s, d) => {
+    val scored = Tables.documents(s, d)
+      .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"), "inner")
+      .select(col("doc_id") +: Bm25Scoring.tfCols :+
+        expr(s"($sumExpr * 0.1) / (sqrt($sumSqExpr) * 0.8)").as("vec"): _*)
+    val stats = scored.agg(Bm25Scoring.nDocsAgg, Bm25Scoring.statAggs: _*)
+    val lexTop = scored.crossJoin(broadcast(stats))
+      .selectExpr("doc_id",
+        s"CAST(floor((${Bm25Scoring.scoreExpr}) * 1000000) AS BIGINT) AS lex_e6")
+      .orderBy(col("lex_e6").desc, col("doc_id").asc).limit(20)
+    val vecTop = scored
+      .selectExpr("doc_id", "CAST(floor(vec * 1000000) AS BIGINT) AS vec_e6")
+      .orderBy(col("vec_e6").desc, col("doc_id").asc).limit(20)
+    def ranked(top: DataFrame, key: String, rankName: String): DataFrame = {
+      val rhs = top.select(col("doc_id").as("b_id"), col(key).as("b_key"))
+      top.join(broadcast(rhs),
+          col("b_key") > col(key) ||
+            (col("b_key") === col(key) && col("b_id") < col("doc_id")), "left")
+        .groupBy("doc_id")
+        .agg((count("b_id") + lit(1L)).as(rankName))
+    }
+    ranked(lexTop, "lex_e6", "lex_rank")
+      .join(ranked(vecTop, "vec_e6", "vec_rank"), Seq("doc_id"), "full_outer")
+      .selectExpr("doc_id",
+        "coalesce(lex_rank, CAST(0 AS BIGINT)) AS lex_rank",
+        "coalesce(vec_rank, CAST(0 AS BIGINT)) AS vec_rank",
+        "CAST(floor((coalesce(1.0D / (60.0D + CAST(lex_rank AS DOUBLE)), 0.0D)" +
+          " + coalesce(1.0D / (60.0D + CAST(vec_rank AS DOUBLE)), 0.0D))" +
+          " * 100000000) AS BIGINT) AS rrf_e8")
+      .orderBy(col("rrf_e8").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
   /** Q5 — context filtering taxonomy (chatbot_api.py:277-343). */
   private val searchContextFilter: Q = (s, d) =>
     Tables.documents(s, d)
@@ -352,6 +397,7 @@ private[queries] object ComposedQueries {
   val queries: Seq[(String, Q)] = Seq(
     "search_hybrid" -> searchHybrid,
     "search_hybrid_lang" -> searchHybridLang,
+    "search_hybrid_rrf" -> searchHybridRrf,
     "search_context_filter" -> searchContextFilter,
     "subject_match_topk" -> subjectMatchTopk,
     "chunk_paragraph" -> chunkParagraph,
@@ -383,6 +429,44 @@ private[queries] object ComposedQueries {
          |  round(0.5 * (lex / (SELECT max(lex) FROM scored))
          |    + 0.5 * (vec / (SELECT max(vec) FROM scored)), 6) AS fused_score
          |FROM scored ORDER BY fused_score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "search_hybrid_rrf" ->
+      // branch scoring mirrors search_hybrid; ranks via row_number over
+      // each branch's top-20 (the Spark side counts strictly-better rows
+      // instead — identical on e6-integer keys with doc_id tie-break)
+      s"""WITH tf AS (
+         |  SELECT doc_id, ${Bm25Scoring.duckTfCols.mkString(",\n    ")},
+         |    ($duckSum * 0.1) / (sqrt($duckSumSq) * 0.8) AS vec
+         |  FROM documents JOIN embeddings ON doc_id = vec_id),
+         |stats AS (
+         |  SELECT ${Bm25Scoring.duckStatCols.mkString(",\n    ")}
+         |  FROM tf),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(floor(vec * 1000000) AS BIGINT) AS vec_e6,
+         |    CAST(floor((
+         |    ${Bm25Scoring.duckScore}
+         |    ) * 1000000) AS BIGINT) AS lex_e6
+         |  FROM tf, stats),
+         |lex_top AS (
+         |  SELECT doc_id, CAST(row_number() OVER
+         |      (ORDER BY lex_e6 DESC, doc_id ASC) AS BIGINT) AS lex_rank
+         |  FROM (SELECT doc_id, lex_e6 FROM scored
+         |        ORDER BY lex_e6 DESC, doc_id ASC LIMIT 20)),
+         |vec_top AS (
+         |  SELECT doc_id, CAST(row_number() OVER
+         |      (ORDER BY vec_e6 DESC, doc_id ASC) AS BIGINT) AS vec_rank
+         |  FROM (SELECT doc_id, vec_e6 FROM scored
+         |        ORDER BY vec_e6 DESC, doc_id ASC LIMIT 20)),
+         |fused AS (
+         |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |    CAST(coalesce(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+         |    CAST(coalesce(v.vec_rank, 0) AS BIGINT) AS vec_rank,
+         |    CAST(floor((coalesce(1.0 / (60.0 + l.lex_rank), 0.0)
+         |      + coalesce(1.0 / (60.0 + v.vec_rank), 0.0))
+         |      * 100000000) AS BIGINT) AS rrf_e8
+         |  FROM lex_top l FULL OUTER JOIN vec_top v ON l.doc_id = v.doc_id)
+         |SELECT doc_id, lex_rank, vec_rank, rrf_e8
+         |FROM fused ORDER BY rrf_e8 DESC, doc_id ASC LIMIT 10""".stripMargin,
     "search_hybrid_lang" ->
       s"""WITH tf AS (
          |  SELECT doc_id, lang, ${Bm25Scoring.duckTfCols.mkString(",\n    ")},

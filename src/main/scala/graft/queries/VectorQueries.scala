@@ -196,6 +196,59 @@ private[graft] object VectorQueries {
       .orderBy(col("cos_e6").desc, col("vec_id").asc)
       .limit(20)
 
+  /** Composed IVF-PQ top-k — the FULL production ANN query shape
+    * (FAISS's IndexIVFPQ, Jégou et al. "Product quantization for
+    * nearest neighbor search"): the coarse quantizer routes the probe
+    * to nprobe=4 of 16 inverted lists (`sim_ivf_assign`'s partition
+    * map — at 100 TB this filter IS partition pruning on the bucketed
+    * layout, `Layout.writeIvfBucketed`), and ONLY those lists' members
+    * are scored, by ADC table lookups over their 1-byte PQ codes
+    * (`sim_pq_codes`' compression) — never a float dot product, never
+    * the unprobed 12/16 of the corpus. The two halves are each
+    * oracle-pinned on their own; this entry pins their COMPOSITION,
+    * and `sim_recall_at_k`'s ivfpq_nprobe4 row prices its combined
+    * recall against brute-force truth. */
+  private val simIvfPqTopk: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .selectExpr("vec_id", "embedding", "graft_ivf_assign(embedding, 16) AS centroid_id")
+      .filter(col("centroid_id").isin(IvfProbes: _*))
+      .selectExpr(Seq("vec_id", "centroid_id") ++ pqDistCols: _*)
+      .selectExpr(Seq("vec_id", "centroid_id") ++ pqCodeCols: _*)
+      .selectExpr("vec_id", "centroid_id",
+        s"CAST(floor(($pqAdcExpr) * 10000) AS BIGINT) AS adc_e4")
+      .orderBy(col("adc_e4"), col("vec_id"))
+      .limit(10)
+
+  /** IVF-PQ + exact-refine top-k — the two-stage production read path
+    * (FAISS `IndexRefineFlat` over `IndexIVFPQ`; Jégou et al. §5.3
+    * re-ranking): stage 1 shortlists 50 candidates by ADC table lookups
+    * inside the nprobe=4 probed lists — compressed 1-byte codes only, the
+    * scan never touches a float vector; stage 2 fetches original
+    * embeddings for ONLY those 50 (a broadcast semi-join — at 100 TB a
+    * point-lookup against the `writeIvfBucketed` layout) and exact
+    * cosine re-ranks them to the final top-10. The refine stage pays
+    * full-vector reads for 50 rows to recover the ordering precision the
+    * 2-bit codes destroyed; what that buys in recall is hash-pinned by
+    * `sim_recall_at_k`'s ivfpq_rerank row vs its ivfpq_nprobe4 row. */
+  private val simIvfPqRerank: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val shortlist = emb
+      .selectExpr("vec_id", "embedding", "graft_ivf_assign(embedding, 16) AS centroid_id")
+      .filter(col("centroid_id").isin(IvfProbes: _*))
+      .selectExpr("vec_id" +: pqDistCols: _*)
+      .selectExpr("vec_id" +: pqCodeCols: _*)
+      .selectExpr("vec_id", s"CAST(floor(($pqAdcExpr) * 10000) AS BIGINT) AS adc_e4")
+      .orderBy(col("adc_e4"), col("vec_id"))
+      .limit(50)
+      .select("vec_id")
+    emb.join(broadcast(shortlist), Seq("vec_id"))
+      .selectExpr("vec_id",
+        "CAST(floor(graft_cosine(embedding, array_repeat(CAST(0.1 AS DOUBLE), 64)) " +
+          "* 1000000) AS BIGINT) AS cos_e6")
+      .orderBy(col("cos_e6").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   /** ANN recall@k AUDIT (VERDICT r9 #4): the first question a real ANN
     * user asks before trusting nprobe/PQ settings at 100 TB is "what
     * recall does this buy me?" — so measure it IN the engine, against
@@ -239,9 +292,29 @@ private[graft] object VectorQueries {
       .selectExpr("vec_id", s"CAST(floor(($pqAdcExpr) * 10000) AS BIGINT) AS adc_e4")
       .orderBy(col("adc_e4"), col("vec_id"))
       .limit(k).select("vec_id")
+    // the composed production query: probe 4 lists, ADC-score only them
+    val ivfpq = assigned.filter(col("centroid_id").isin(ivfProbeList(4): _*))
+      .selectExpr("vec_id" +: pqDistCols: _*)
+      .selectExpr("vec_id" +: pqCodeCols: _*)
+      .selectExpr("vec_id", s"CAST(floor(($pqAdcExpr) * 10000) AS BIGINT) AS adc_e4")
+      .orderBy(col("adc_e4"), col("vec_id"))
+      .limit(k).select("vec_id")
+    // two-stage refine: the same probed-list ADC ordering keeps 50
+    // candidates instead of 20, and exact cosine re-ranks that
+    // shortlist — the recall delta vs ivfpq_nprobe4 is what the
+    // full-vector refine reads buy back from the 2-bit codes
+    val shortlist50 = assigned.filter(col("centroid_id").isin(ivfProbeList(4): _*))
+      .selectExpr("vec_id" +: pqDistCols: _*)
+      .selectExpr("vec_id" +: pqCodeCols: _*)
+      .selectExpr("vec_id", s"CAST(floor(($pqAdcExpr) * 10000) AS BIGINT) AS adc_e4")
+      .orderBy(col("adc_e4"), col("vec_id"))
+      .limit(50).select("vec_id")
+    val rerank = cosTopk(emb.join(broadcast(shortlist50), Seq("vec_id")))
     val methods = ivf(1).withColumn("method", lit("ivf_nprobe1"))
       .unionByName(ivf(4).withColumn("method", lit("ivf_nprobe4")))
       .unionByName(pq.withColumn("method", lit("pq_adc")))
+      .unionByName(ivfpq.withColumn("method", lit("ivfpq_nprobe4")))
+      .unionByName(rerank.withColumn("method", lit("ivfpq_rerank")))
     methods
       .join(gt.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
       .groupBy("method")
@@ -428,6 +501,8 @@ private[graft] object VectorQueries {
     "sim_lsh_buckets" -> simLshBuckets,
     "sim_ivf_assign" -> simIvfAssign,
     "sim_ivf_topk" -> simIvfTopk,
+    "sim_ivfpq_topk" -> simIvfPqTopk,
+    "sim_ivfpq_rerank" -> simIvfPqRerank,
     "sim_recall_at_k" -> simRecallAtK,
     "sim_embed_neardup" -> simEmbedNeardup,
     "dedup_lsh_recall" -> dedupLshRecall,
@@ -504,6 +579,122 @@ private[graft] object VectorQueries {
          |SELECT vec_id, centroid_id,
          |  CAST(floor(dot / (sqrt(na) * sqrt(nb)) * 1000000) AS BIGINT) AS cos_e6
          |FROM probed ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "sim_ivfpq_topk" -> {
+      // the composed pipeline: sim_ivf_topk's assignment CTEs route the
+      // probe, sim_pq_adc_topk's dist/code/ADC fragments score ONLY the
+      // probed lists — both blocks already pinned individually
+      def distSql(m: Int, k: Int): String =
+        (0 until 16).map { i =>
+          val c = pqCentroid(m, k, i)
+          val e = s"embedding[${16 * m + i + 1}]"
+          s"($e - CAST($c AS DOUBLE)) * ($e - CAST($c AS DOUBLE))"
+        }.mkString("(", " + ", ")")
+      val dCols = (for (m <- 0 until 4; k <- 0 until 4)
+        yield s"${distSql(m, k)} AS d_${m}_$k").mkString(",\n    ")
+      val codeCols = (0 until 4).map { m =>
+        s"(CASE WHEN d_${m}_0 <= d_${m}_1 AND d_${m}_0 <= d_${m}_2 AND d_${m}_0 <= d_${m}_3 THEN 0 " +
+          s"WHEN d_${m}_1 <= d_${m}_2 AND d_${m}_1 <= d_${m}_3 THEN 1 " +
+          s"WHEN d_${m}_2 <= d_${m}_3 THEN 2 ELSE 3 END) AS code_$m"
+      }.mkString(",\n    ")
+      val adcSql = (0 until 4).map { m =>
+        s"(CASE code_$m WHEN 0 THEN CAST(${AdcTables(m)(0)} AS DOUBLE) " +
+          s"WHEN 1 THEN CAST(${AdcTables(m)(1)} AS DOUBLE) " +
+          s"WHEN 2 THEN CAST(${AdcTables(m)(2)} AS DOUBLE) " +
+          s"ELSE CAST(${AdcTables(m)(3)} AS DOUBLE) END)"
+      }.mkString(" + ")
+      s"""WITH costs AS (
+         |  SELECT vec_id, embedding, list_transform(generate_series(0, 15),
+         |    j -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(generate_series(0, 63),
+         |        i -> (CAST(embedding[i + 1] AS DOUBLE)
+         |          - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0)
+         |          * (CAST(embedding[i + 1] AS DOUBLE)
+         |          - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0))),
+         |      (a, x) -> a + x)) AS costs
+         |  FROM embeddings),
+         |assigned AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_position(costs, list_min(costs)) - 1 AS INT) AS centroid_id
+         |  FROM costs),
+         |probed AS (
+         |  SELECT vec_id, embedding, centroid_id FROM assigned
+         |  WHERE centroid_id IN (${IvfProbes.mkString(", ")})),
+         |dists AS (
+         |  SELECT vec_id, centroid_id,
+         |    $dCols
+         |  FROM probed),
+         |codes AS (
+         |  SELECT vec_id, centroid_id,
+         |    $codeCols
+         |  FROM dists)
+         |SELECT vec_id, centroid_id,
+         |  CAST(floor(($adcSql) * 10000) AS BIGINT) AS adc_e4
+         |FROM codes ORDER BY adc_e4, vec_id LIMIT 10""".stripMargin
+    },
+    "sim_ivfpq_rerank" -> {
+      // stage 1 mirrors sim_ivfpq_topk's probed-ADC pipeline (LIMIT 50);
+      // stage 2 re-joins the shortlist to embeddings and re-ranks with
+      // the sim_ivf_topk cosine folds — the refine read path
+      def distSql(m: Int, k: Int): String =
+        (0 until 16).map { i =>
+          val c = pqCentroid(m, k, i)
+          val e = s"embedding[${16 * m + i + 1}]"
+          s"($e - CAST($c AS DOUBLE)) * ($e - CAST($c AS DOUBLE))"
+        }.mkString("(", " + ", ")")
+      val dCols = (for (m <- 0 until 4; k <- 0 until 4)
+        yield s"${distSql(m, k)} AS d_${m}_$k").mkString(",\n    ")
+      val codeCols = (0 until 4).map { m =>
+        s"(CASE WHEN d_${m}_0 <= d_${m}_1 AND d_${m}_0 <= d_${m}_2 AND d_${m}_0 <= d_${m}_3 THEN 0 " +
+          s"WHEN d_${m}_1 <= d_${m}_2 AND d_${m}_1 <= d_${m}_3 THEN 1 " +
+          s"WHEN d_${m}_2 <= d_${m}_3 THEN 2 ELSE 3 END) AS code_$m"
+      }.mkString(",\n    ")
+      val adcSql = (0 until 4).map { m =>
+        s"(CASE code_$m WHEN 0 THEN CAST(${AdcTables(m)(0)} AS DOUBLE) " +
+          s"WHEN 1 THEN CAST(${AdcTables(m)(1)} AS DOUBLE) " +
+          s"WHEN 2 THEN CAST(${AdcTables(m)(2)} AS DOUBLE) " +
+          s"ELSE CAST(${AdcTables(m)(3)} AS DOUBLE) END)"
+      }.mkString(" + ")
+      s"""WITH costs AS (
+         |  SELECT vec_id, embedding, list_transform(generate_series(0, 15),
+         |    j -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(generate_series(0, 63),
+         |        i -> (CAST(embedding[i + 1] AS DOUBLE)
+         |          - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0)
+         |          * (CAST(embedding[i + 1] AS DOUBLE)
+         |          - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0))),
+         |      (a, x) -> a + x)) AS costs
+         |  FROM embeddings),
+         |assigned AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_position(costs, list_min(costs)) - 1 AS INT) AS centroid_id
+         |  FROM costs),
+         |probed AS (
+         |  SELECT vec_id, embedding FROM assigned
+         |  WHERE centroid_id IN (${IvfProbes.mkString(", ")})),
+         |dists AS (
+         |  SELECT vec_id,
+         |    $dCols
+         |  FROM probed),
+         |codes AS (
+         |  SELECT vec_id,
+         |    $codeCols
+         |  FROM dists),
+         |shortlist AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, CAST(floor(($adcSql) * 10000) AS BIGINT) AS adc_e4 FROM codes)
+         |  ORDER BY adc_e4, vec_id LIMIT 50),
+         |refined AS (
+         |  SELECT e.vec_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(e.embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x) AS dot,
+         |    ${duckSumSqOf("e.embedding")} AS na,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(e.embedding,
+         |      x -> CAST(0.1 AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x) AS nb
+         |  FROM embeddings e JOIN shortlist s ON e.vec_id = s.vec_id)
+         |SELECT vec_id,
+         |  CAST(floor(dot / (sqrt(na) * sqrt(nb)) * 1000000) AS BIGINT) AS cos_e6
+         |FROM refined ORDER BY cos_e6 DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
     "sim_recall_at_k" -> {
       // assignment + cosine folds mirror sim_ivf_topk; PQ dist/code/ADC
       // fragments mirror sim_pq_adc_topk — the audit composes the three
@@ -571,10 +762,29 @@ private[graft] object VectorQueries {
          |  SELECT vec_id FROM (
          |    SELECT vec_id, CAST(floor(($adcSql) * 10000) AS BIGINT) AS adc_e4 FROM codes)
          |  ORDER BY adc_e4, vec_id LIMIT 20),
+         |ivfpq AS (
+         |  SELECT x.vec_id FROM (
+         |    SELECT vec_id, CAST(floor(($adcSql) * 10000) AS BIGINT) AS adc_e4
+         |    FROM codes) x
+         |  JOIN assigned a ON a.vec_id = x.vec_id
+         |  WHERE a.centroid_id IN (${ivfProbeList(4).mkString(", ")})
+         |  ORDER BY x.adc_e4, x.vec_id LIMIT 20),
+         |short50 AS (
+         |  SELECT x.vec_id FROM (
+         |    SELECT vec_id, CAST(floor(($adcSql) * 10000) AS BIGINT) AS adc_e4
+         |    FROM codes) x
+         |  JOIN assigned a ON a.vec_id = x.vec_id
+         |  WHERE a.centroid_id IN (${ivfProbeList(4).mkString(", ")})
+         |  ORDER BY x.adc_e4, x.vec_id LIMIT 50),
+         |rerank AS (
+         |  SELECT c.vec_id FROM cos c JOIN short50 s ON c.vec_id = s.vec_id
+         |  ORDER BY c.cos_e6 DESC, c.vec_id ASC LIMIT 20),
          |methods AS (
          |  SELECT 'ivf_nprobe1' AS method, vec_id FROM ivf1
          |  UNION ALL SELECT 'ivf_nprobe4' AS method, vec_id FROM ivf4
-         |  UNION ALL SELECT 'pq_adc' AS method, vec_id FROM pq)
+         |  UNION ALL SELECT 'pq_adc' AS method, vec_id FROM pq
+         |  UNION ALL SELECT 'ivfpq_nprobe4' AS method, vec_id FROM ivfpq
+         |  UNION ALL SELECT 'ivfpq_rerank' AS method, vec_id FROM rerank)
          |SELECT m.method, CAST(count(*) AS BIGINT) AS n_returned,
          |  CAST(sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
          |  CAST(20 AS BIGINT) AS k
