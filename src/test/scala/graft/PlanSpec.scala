@@ -348,4 +348,80 @@ class PlanSpec extends AnyFunSuite {
     assert(partials >= 2, s"expected partial hll aggs for build+rollup, got $partials")
     assert(finals >= 2, s"expected final hll aggs for build+rollup, got $finals")
   }
+
+  test("sim_ivfpq_topk: probed-ADC scan never shuffles — one scan, heap top-k") {
+    // the composed IVF-PQ read path is a single map-side pipeline:
+    // scan → assign → probe filter → ADC → per-partition heap merge.
+    // Any ShuffleExchange here would mean the unprobed corpus moved.
+    val p = plan("sim_ivfpq_topk")
+    assert(collect(p) { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"IVF-PQ query shuffled:\n$p")
+    assert(collect(p) { case s: FileSourceScanExec => s }.size == 1)
+    assert(collect(p) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, s"expected heap top-k, got:\n$p")
+    // the optimizer collapses the centroid alias, so the probe filter
+    // lands directly on the scan as graft_ivf_assign(...) IN (probes)
+    assert(collect(p) {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("graft_ivf_assign") &&
+          f.condition.toString.contains(" IN ") => f
+    }.nonEmpty, s"probe filter missing below the top-k:\n$p")
+  }
+
+  test("sim_ivfpq_rerank: refine fetch is a broadcast point-lookup, no shuffle") {
+    // stage 1 (ADC shortlist) and stage 2 (exact re-rank) must both be
+    // shuffle-free: the 50-row shortlist broadcasts, the full-vector
+    // read joins against it hash-broadcast — at 100 TB that is a
+    // point-lookup against the bucketed layout, not a corpus shuffle.
+    val p = plan("sim_ivfpq_rerank")
+    assert(collect(p) { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"rerank path shuffled:\n$p")
+    assert(collect(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"shortlist did not attach via broadcast:\n$p")
+    assert(collect(p) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.size == 2, s"expected ADC + refine heap top-ks:\n$p")
+  }
+
+  test("search_hybrid_rrf: rank joins stay broadcast over the 20-row shortlists") {
+    // branch top-20s are distributed heap top-ks; ranks come from
+    // bounded broadcast self-joins (≤20-row build sides), never a
+    // global window. The only exchanges allowed are the 1-row stats
+    // agg and the tiny full-outer fusion of two 20-row lists.
+    val df = SparkEntry.queries("search_hybrid_rrf")(spark, sf)
+    val global = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "RRF fusion planned a global window")
+    val p = df.queryExecution.sparkPlan
+    val bnlj = collect(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    // two rank self-joins (left outer, strictly-better condition) plus
+    // the 1-row stats crosses — the lex branch's build side is a copy
+    // of the probe subtree, so its stats cross appears twice
+    val rankJoins = bnlj.filter(b =>
+      b.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter &&
+        b.condition.nonEmpty)
+    assert(rankJoins.size == 2, s"expected 2 rank self-joins, got ${rankJoins.size}:\n$p")
+    assert(bnlj.forall(b => b.condition.nonEmpty ||
+      b.joinType == org.apache.spark.sql.catalyst.plans.Cross),
+      s"unexpected unconditioned non-cross broadcast join:\n$p")
+    assert(collect(p) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.size >= 3, s"expected branch + final heap top-ks:\n$p")
+    // corpus-sized subtrees must not feed a shuffle: every exchange in
+    // this plan sits above a LIMIT (shortlists) or a 1-row aggregate
+    val shuffles = collect(p) { case e: ShuffleExchangeExec => e }
+    shuffles.foreach { e =>
+      val bounded = e.collectFirst {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+        case a: HashAggregateExec if a.groupingExpressions.isEmpty => a
+        case l: org.apache.spark.sql.execution.LocalLimitExec => l
+      }
+      assert(bounded.nonEmpty, s"corpus-sized shuffle in the RRF plan:\n$e")
+    }
+  }
 }
