@@ -71,7 +71,8 @@ object ScaleBench {
     "dedup_minhash_lsh", "dedup_minhash_pairs",
     "dedup_incremental", "dedup_ngram_jaccard", "dedup_connected_components",
     "dedup_span_coverage", "dedup_novel_filter", "dedup_semantic_keep",
-    "sim_lsh_buckets", "sim_ivf_topk", "sim_embed_neardup", "e2e_curation_funnel",
+    "sim_lsh_buckets", "sim_ivf_topk", "sim_ivfpq_topk", "sim_ivfpq_rerank",
+    "sim_embed_neardup", "e2e_curation_funnel",
     // fixed probe set (copy-0 doc_ids) against a ×f corpus — the
     // decontamination scale story: the Bloom build cost is constant
     // while the prefiltered corpus side grows linearly

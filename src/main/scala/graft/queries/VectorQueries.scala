@@ -419,6 +419,48 @@ private[graft] object VectorQueries {
         floor(col("n_found") * 10000 / greatest(col("n_true_pairs"), lit(1L))).cast("long"))
   }
 
+  /** Semantic DECONTAMINATION — the embedding-space complement of the
+    * n-gram/Bloom eval-decontam pair: flag corpus items whose embedding
+    * is near-identical (cosine ≥ 0.999) to an eval-suite vector, the
+    * paraphrase-contamination sweep n-gram overlap cannot see. Shape is
+    * ASYMMETRIC, which is the whole scale story: the eval suite is tiny
+    * (a deterministic vec_id % 100 sample here; thousands of rows in
+    * production), so its banded-LSH index BROADCASTS, and the corpus
+    * side is one scan — bands computed in-projection, hash-joined
+    * against the broadcast index, cosine-confirmed in the same codegen
+    * stage. The corpus NEVER shuffles before the prune; the only
+    * exchanges downstream carry confirmed contamination hits
+    * (dropDuplicates + the per-item aggregate). Confirm-before-distinct
+    * is deliberate: both sides' embeddings are already in hand at the
+    * join, so re-fetching after a pair-distinct (the symmetric
+    * near-dup pattern) would cost a corpus join; duplicate confirm work
+    * is bounded by the band count instead. Self-matches (an eval vector
+    * that IS a corpus row) are excluded by id; the injected +100000
+    * copies of the %25 stratum guarantee true hits for the gate. */
+  private val textDecontamSemantic: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+    val corpus = base.select(col("vec_id"), col("embedding"))
+      .union(base.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val evalSet = base.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("eval_emb"))
+    val evalBands = evalSet.selectExpr("eval_id", "eval_emb",
+      s"posexplode(graft_lsh_bands(eval_emb, $NeardupBands, $NeardupBandBits))" +
+        " AS (band_idx, band_sig)")
+    val corpusBands = corpus.selectExpr("vec_id", "embedding",
+      s"posexplode(graft_lsh_bands(embedding, $NeardupBands, $NeardupBandBits))" +
+        " AS (band_idx, band_sig)")
+    corpusBands.join(broadcast(evalBands), Seq("band_idx", "band_sig"))
+      .filter(col("vec_id") =!= col("eval_id"))
+      .selectExpr("vec_id", "eval_id", "graft_cosine(embedding, eval_emb) AS cos_sim")
+      .filter(col("cos_sim") >= 0.999)
+      .dropDuplicates("vec_id", "eval_id")
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_eval_hits"),
+        max(floor(col("cos_sim") * 1000000).cast("long")).as("max_cos_e6"))
+      .orderBy("vec_id")
+  }
+
   /** Semantic dedup KEEP decision (the SemDeDup-style curation step):
     * embedding near-dup pairs → connected components → ONE survivor per
     * cluster chosen by QUALITY (document n_chars, doc-id tiebreak), not
@@ -505,6 +547,7 @@ private[graft] object VectorQueries {
     "sim_ivfpq_rerank" -> simIvfPqRerank,
     "sim_recall_at_k" -> simRecallAtK,
     "sim_embed_neardup" -> simEmbedNeardup,
+    "text_decontam_semantic" -> textDecontamSemantic,
     "dedup_lsh_recall" -> dedupLshRecall,
     "sim_quantize_i8" -> simQuantizeI8,
     "sim_pq_codes" -> simPqCodes,
@@ -821,6 +864,47 @@ private[graft] object VectorQueries {
          |  JOIN corpus eb ON eb.vec_id = id_b)
          |SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim
          |FROM pairs WHERE cos_sim >= 0.999 ORDER BY id_a, id_b""".stripMargin,
+    "text_decontam_semantic" ->
+      // same band-signature and cosine folds as sim_embed_neardup, but
+      // asymmetric: the %100 eval sample probes the corpus; UNION across
+      // bands dedups candidate (corpus, eval) pairs like dropDuplicates
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+         |eval AS (
+         |  SELECT vec_id AS eval_id, embedding AS eval_emb
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |csig AS (
+         |  SELECT vec_id, embedding,
+         |    ${duckBandSig("embedding", 0)} AS band_0,
+         |    ${duckBandSig("embedding", 1)} AS band_1
+         |  FROM corpus),
+         |esig AS (
+         |  SELECT eval_id, eval_emb,
+         |    ${duckBandSig("eval_emb", 0)} AS band_0,
+         |    ${duckBandSig("eval_emb", 1)} AS band_1
+         |  FROM eval),
+         |cand AS (
+         |  SELECT c.vec_id, e.eval_id
+         |  FROM csig c JOIN esig e ON c.band_0 = e.band_0 AND c.vec_id <> e.eval_id
+         |  UNION
+         |  SELECT c.vec_id, e.eval_id
+         |  FROM csig c JOIN esig e ON c.band_1 = e.band_1 AND c.vec_id <> e.eval_id),
+         |hits AS (
+         |  SELECT cand.vec_id, cand.eval_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_zip(c.embedding, e.eval_emb),
+         |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, x) -> a + x)
+         |      / (sqrt(${duckSumSqOf("c.embedding")})
+         |         * sqrt(${duckSumSqOf("e.eval_emb")})) AS cos_sim
+         |  FROM cand
+         |  JOIN corpus c ON c.vec_id = cand.vec_id
+         |  JOIN eval e ON e.eval_id = cand.eval_id)
+         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+         |  CAST(max(floor(cos_sim * 1000000)) AS BIGINT) AS max_cos_e6
+         |FROM hits WHERE cos_sim >= 0.999
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "dedup_lsh_recall" ->
       // brute-force all-pairs ground truth + the same candidate/confirm
       // CTEs as sim_embed_neardup; recall = found/true in basis points

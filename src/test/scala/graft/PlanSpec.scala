@@ -384,6 +384,27 @@ class PlanSpec extends AnyFunSuite {
     }.size == 2, s"expected ADC + refine heap top-ks:\n$p")
   }
 
+  test("text_decontam_semantic: corpus never shuffles below the broadcast probe join") {
+    // the asymmetric decontam shape: the eval band index broadcasts,
+    // the corpus side is scan → bands → broadcast hash join → cosine
+    // confirm, all map-side. Every exchange must sit ABOVE the join —
+    // an exchange below it means the corpus moved unpruned.
+    // exchanges only exist post-EnsureRequirements — audit the executed
+    // plan with AQE off, same discipline as the bloom prefilter test
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try {
+      SparkEntry.queries("text_decontam_semantic")(spark, sf).queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val bhj = collect(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, s"band probe join is not broadcast:\n$p")
+    val shuffles = collect(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty, "expected the hit dedup/agg exchanges")
+    shuffles.foreach { e =>
+      assert(e.collectFirst { case b: BroadcastHashJoinExec => b }.nonEmpty,
+        s"corpus-side shuffle below the probe join:\n$e")
+    }
+  }
+
   test("search_hybrid_rrf: rank joins stay broadcast over the 20-row shortlists") {
     // branch top-20s are distributed heap top-ks; ranks come from
     // bounded broadcast self-joins (≤20-row build sides), never a
