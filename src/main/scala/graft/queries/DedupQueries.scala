@@ -548,6 +548,51 @@ private[queries] object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Span REWRITE — the edit half of substring dedup (Lee et al. 2021
+    * actually REMOVE duplicated spans and keep the rest of the
+    * document; `dedup_span_coverage` only measures them). Same fixture
+    * and flag pipeline as span coverage (positional 5-token window
+    * hashes from the fused kernel; duplicated ⟺ the window occurs in
+    * ≥2 distinct docs via the partial-aggregatable min≠max pair), then:
+    * flagged window STARTS collapse to one bounded array per document
+    * (collect_list after the semi join — bounded by doc length), a
+    * single doc_id equi-join attaches the token arrays of ONLY the
+    * affected documents, and the edit itself is a codegen'd
+    * higher-order projection — `filter(tokens, (t,i) -> no flagged
+    * window covers i)` — entirely map-side. Output pins the exact
+    * reconstruction via token counts plus the portable rolling
+    * fingerprint of the reassembled text, so a off-by-one in window
+    * coverage moves a hashed value, not a vibe. Shuffle budget matches
+    * span coverage (shingle ×2, doc_id) plus the tokens attach. */
+  private val dedupSpanRewrite: Q = (s, d) => {
+    val K = 5
+    val boiler = "terms of use all rights reserved contact us at example dot org"
+    val base = Tables.documents(s, d).selectExpr("doc_id",
+      s"CASE WHEN doc_id % 7 = 0 THEN concat(text, ' ', '$boiler') ELSE text END AS text")
+    val docs = base.selectExpr("doc_id", "split(text, ' ') AS tokens")
+    val dups = docs.filter(col("doc_id") % 20 === 0)
+      .selectExpr("doc_id + 100000 AS doc_id", "slice(tokens, 2, size(tokens) - 1) AS tokens")
+    val corpus = docs.union(dups).filter(size(col("tokens")) >= K)
+    val sh = corpus
+      .select(col("doc_id"),
+        posexplode(expr(s"graft_shingle_hashes(tokens, $K)")).as(Seq("pos", "shingle")))
+      .filter(col("shingle").isNotNull)
+    val multi = sh.groupBy("shingle")
+      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+      .filter(col("d0") =!= col("d1"))
+      .select("shingle")
+    val starts = sh.join(multi, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(sort_array(collect_list("pos")).as("starts"))
+    corpus.join(starts, Seq("doc_id"))
+      .withColumn("kept",
+        expr(s"filter(tokens, (t, i) -> NOT exists(starts, p -> i >= p AND i < p + $K))"))
+      .selectExpr("doc_id",
+        "CAST(size(tokens) AS BIGINT) AS n_tokens",
+        "CAST(size(kept) AS BIGINT) AS n_kept",
+        "graft_str_fp(concat_ws(' ', kept)) AS kept_fp")
+      .orderBy("doc_id")
+  }
+
   private val duckMinh = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
     s"list_min(list_transform(tokens, w -> ($a * ${duckFp("w")} + $b) % $P)) AS minh${i + 1}"
   }
@@ -606,6 +651,7 @@ private[queries] object DedupQueries {
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_connected_components" -> dedupComponents,
     "dedup_span_coverage" -> dedupSpanCoverage,
+    "dedup_span_rewrite" -> dedupSpanRewrite,
     "dedup_novel_filter" -> dedupNovelFilter,
   )
 
@@ -1013,6 +1059,53 @@ private[queries] object DedupQueries {
         |SELECT doc_id, n_tokens, dup_tokens,
         |  CAST(floor(dup_tokens * 10000.0 / n_tokens) AS BIGINT) AS dup_frac_e4
         |FROM per_doc ORDER BY doc_id""".stripMargin,
+    "dedup_span_rewrite" ->
+      // same fixture/flag CTEs as dedup_span_coverage (string 5-grams;
+      // DuckDB positions are 1-based, Spark's kernel 0-based — the
+      // coverage predicate i ∈ [p, p+5) is base-consistent), then the
+      // edit: drop covered token indices, reassemble, fingerprint
+      s"""WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN text || ' terms of use all rights reserved contact us at example dot org'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tokens FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, tokens[2:] AS tokens
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM base)
+        |  WHERE doc_id % 20 = 0),
+        |corpus AS (
+        |  SELECT doc_id, tokens, len(tokens) AS n_tokens FROM docs
+        |  WHERE len(tokens) >= 5),
+        |pos_tbl AS (
+        |  SELECT doc_id, n_tokens,
+        |    unnest(generate_series(1, n_tokens - 4)) AS pos
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT p.doc_id, p.pos,
+        |    array_to_string(c.tokens[p.pos:p.pos + 4], ' ') AS shingle
+        |  FROM pos_tbl p JOIN corpus c USING (doc_id)),
+        |multi AS (
+        |  SELECT shingle FROM sh GROUP BY shingle
+        |  HAVING count(DISTINCT doc_id) > 1),
+        |starts AS (
+        |  SELECT doc_id, list_sort(list(pos)) AS starts
+        |  FROM sh WHERE shingle IN (SELECT shingle FROM multi)
+        |  GROUP BY doc_id),
+        |rewritten AS (
+        |  SELECT c.doc_id, c.n_tokens,
+        |    list_filter(list_transform(generate_series(1, c.n_tokens),
+        |      i -> CASE WHEN len(list_filter(s.starts,
+        |             p -> i >= p AND i < p + 5)) > 0
+        |           THEN NULL ELSE c.tokens[i] END),
+        |      t -> t IS NOT NULL) AS kept
+        |  FROM corpus c JOIN starts s USING (doc_id))
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  ${duckFp("array_to_string(kept, ' ')")} AS kept_fp
+        |FROM rewritten ORDER BY doc_id""".stripMargin,
     "dedup_connected_components" ->
       """WITH RECURSIVE docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
