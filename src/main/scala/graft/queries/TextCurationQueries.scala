@@ -45,6 +45,43 @@ private[queries] object TextCurationQueries {
           "+ 0.3D * least(1.0D, (CAST(total_word_len AS DOUBLE) / n_words) / 8.0D)) * 10000) AS BIGINT) AS quality_score_e4")
       .orderBy("doc_id")
 
+  /** Quality-score CALIBRATION per source — the fix for the standard
+    * curation failure mode: a single global quality threshold over
+    * heterogeneous sources keeps whatever the scorer happens to like
+    * (here the raw ≥0.6 cut keeps wildly different fractions per
+    * source), because quality scorers are per-domain miscalibrated.
+    * Production pipelines therefore threshold on the PER-SOURCE
+    * percentile: percent_rank of the score within each source (the
+    * Window partitions on `source`, so rank work is per-source and
+    * scale-safe — no global sort), keep the top half everywhere. The
+    * output contrasts both policies per source (n_kept_cal ≈ n_docs/2
+    * uniformly vs n_kept_raw all over the place) plus the kept-score
+    * floor the calibrated cut implies — i.e. what raw score "top half"
+    * means in each source's own distribution. percent_rank ties get
+    * equal percentiles (score-only ordering), so the result is
+    * partitioning- and tie-order-independent; e4 fixed point via floor
+    * keeps the rational (rank-1)/(n-1) grid engine-exact. */
+  private val textQualityCalibrate: Q = (s, d) => {
+    val scored = Tables.documents(s, d)
+      .selectExpr("doc_id", "source", "split(text, ' ') AS tokens")
+      .selectExpr("doc_id", "source", "size(tokens) AS n_words",
+        s"graft_stopword_stats(tokens, '$StopwordsCsv') AS sw")
+      .selectExpr("doc_id", "source",
+        "CAST(floor((0.4D * least(1.0D, n_words / 100.0D) " +
+          "+ 0.3D * (1.0D - CAST(sw[0] AS DOUBLE) / n_words) " +
+          "+ 0.3D * least(1.0D, (CAST(sw[1] AS DOUBLE) / n_words) / 8.0D)) " +
+          "* 10000) AS BIGINT) AS q_e4")
+    val w = Window.partitionBy("source").orderBy("q_e4")
+    scored
+      .withColumn("pct_e4", floor(percent_rank().over(w) * 10000).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pct_e4") >= 5000, 1L).otherwise(0L)).as("n_kept_cal"),
+        sum(when(col("q_e4") >= 6000, 1L).otherwise(0L)).as("n_kept_raw"),
+        min(when(col("pct_e4") >= 5000, col("q_e4"))).as("min_q_kept"))
+      .orderBy("source")
+  }
+
   /** Language-ID heuristic (chatbot_api.py:69-77 reshaped): stopword
     * presence ⇒ 'en', else 'other'; confusion matrix vs the labeled
     * `lang` column. Stopword census via the native fused kernel (see
@@ -451,6 +488,7 @@ private[queries] object TextCurationQueries {
     "text_oov_rate" -> textOovRate,
     "e2e_curation_funnel" -> e2eCurationFunnel,
     "text_quality" -> textQuality,
+    "text_quality_calibrate" -> textQualityCalibrate,
     "text_langid" -> textLangid,
     "text_token_count" -> textTokenCount,
     "text_fingerprint" -> textFingerprint,
@@ -721,6 +759,36 @@ private[queries] object TextCurationQueries {
          |    + 0.3 * least(1.0, (CAST(total_word_len AS DOUBLE) / n_words) / 8.0)) * 10000)
          |    AS BIGINT) AS quality_score_e4
          |FROM m ORDER BY doc_id""".stripMargin,
+    "text_quality_calibrate" ->
+      // same score derivation as text_quality; percent_rank within each
+      // source (score-only ordering, ties equal) mirrors the Spark
+      // window exactly on the e4 integer grid
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS tokens FROM documents),
+         |m AS (
+         |  SELECT doc_id, source, len(tokens) AS n_words,
+         |    len(list_filter(tokens, t -> t IN $StopwordsSql)) AS n_stopwords,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(tokens, w -> CAST(length(w) AS BIGINT))),
+         |      (a, x) -> a + x) AS total_word_len
+         |  FROM toks),
+         |scored AS (
+         |  SELECT doc_id, source,
+         |    CAST(floor((0.4 * least(1.0, n_words / 100.0)
+         |      + 0.3 * (1.0 - CAST(n_stopwords AS DOUBLE) / n_words)
+         |      + 0.3 * least(1.0, (CAST(total_word_len AS DOUBLE) / n_words) / 8.0))
+         |      * 10000) AS BIGINT) AS q_e4
+         |  FROM m),
+         |ranked AS (
+         |  SELECT source, q_e4,
+         |    CAST(floor(percent_rank() OVER
+         |      (PARTITION BY source ORDER BY q_e4) * 10000) AS BIGINT) AS pct_e4
+         |  FROM scored)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN pct_e4 >= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_cal,
+         |  CAST(sum(CASE WHEN q_e4 >= 6000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_raw,
+         |  CAST(min(CASE WHEN pct_e4 >= 5000 THEN q_e4 END) AS BIGINT) AS min_q_kept
+         |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
     "text_langid" ->
       s"""SELECT lang,
          |  CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN $StopwordsSql)) >= 1
