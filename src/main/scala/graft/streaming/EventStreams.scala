@@ -119,6 +119,36 @@ object EventStreams {
       .union(shorts)
   }
 
+  /** Eval-suite band index for [[contaminatedEmbeddings]]: the eval
+    * embedding rides alongside each band row so the streaming confirm
+    * never joins back for it. Built once from the (small) eval suite
+    * and broadcast per micro-batch. */
+  def evalBandIndex(evalVecs: DataFrame, bands: Int = 2, bandBits: Int = 8): DataFrame =
+    evalVecs.selectExpr("vec_id AS eval_id", "embedding AS eval_emb")
+      .selectExpr("eval_id", "eval_emb",
+        s"posexplode(graft_lsh_bands(eval_emb, $bands, $bandBits)) AS (band_idx, band_sig)")
+
+  /** STREAMING semantic decontamination — the stream twin of the batch
+    * `text_decontam_semantic` core: each incoming embedding is screened
+    * against the broadcast eval-suite LSH band index, with the
+    * native-cosine ≥ 0.999 confirm in the same projection. Stream-static
+    * inner join + filters only — stateless, append-safe, no watermark;
+    * the asymmetry that makes the batch query scale (tiny eval side
+    * broadcasts, corpus never shuffles) is exactly what makes it
+    * streamable. Per-band duplicate hits are NOT deduplicated in-stream
+    * (that would need state); the downstream batch aggregate owns
+    * dedup, the same contract as [[novelDocuments]]'s candidates. */
+  def contaminatedEmbeddings(vecs: DataFrame, evalIndex: DataFrame,
+      bands: Int = 2, bandBits: Int = 8): DataFrame =
+    vecs.selectExpr("vec_id", "embedding",
+        s"posexplode(graft_lsh_bands(embedding, $bands, $bandBits)) AS (band_idx, band_sig)")
+      .join(broadcast(evalIndex), Seq("band_idx", "band_sig"))
+      .filter(col("vec_id") =!= col("eval_id"))
+      .selectExpr("vec_id", "eval_id", "graft_cosine(embedding, eval_emb) AS cos_sim")
+      .filter(col("cos_sim") >= 0.999)
+      .select(col("vec_id"), col("eval_id"),
+        floor(col("cos_sim") * 1000000).cast("long").as("cos_e6"))
+
   final case class Event(
       event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

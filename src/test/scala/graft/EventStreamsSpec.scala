@@ -88,6 +88,51 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming semantic decontam: stream-static probe join equals the batch twin") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // two eval-suite vectors with distinct directions
+    def vec(f: Int => Float): Seq[Float] = Seq.tabulate(64)(f)
+    val evalA = vec(i => (i % 7) + 1f)
+    val evalB = vec(i => if (i % 2 == 0) 3f else -1f)
+    val evalIndex = EventStreams.evalBandIndex(
+      Seq((100L, evalA), (200L, evalB)).toDF("vec_id", "embedding"))
+
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = EventStreams.contaminatedEmbeddings(
+        stream.toDF().toDF("vec_id", "embedding"), evalIndex)
+      .writeStream.format("memory").queryName("contam").outputMode("append").start()
+    try {
+      // 1 = exact copy of evalA (cos 1.0); 2 = evalA scaled ×2 — SAME
+      // direction, so both the hyperplane signs and cosine are identical
+      // (the paraphrase-contamination case n-gram overlap misses);
+      // 3 = unrelated direction; 100 = evalA under the eval's OWN id
+      // (self-match, excluded by id)
+      stream.addData(
+        (1L, evalA), (2L, evalA.map(_ * 2f)),
+        (3L, vec(i => ((i * 13) % 9) - 4f)), (100L, evalA))
+      q.processAllAvailable()
+      // second micro-batch re-screens statelessly
+      stream.addData((4L, evalB))
+      q.processAllAvailable()
+      val got = spark.table("contam")
+        .as[(Long, Long, Long)].collect().toSet
+      // distinct hits (per-band duplicates are the downstream's dedup)
+      val hits = got.map { case (v, e, c) => (v, e, c) }
+      assert(hits.map(t => (t._1, t._2)) == Set((1L, 100L), (2L, 100L), (4L, 200L)))
+      // same-direction hits sit at cosine ~1.0 (sqrt rounding may land
+      // the e6 floor at 999999); the 0.999 confirm floor is 999000
+      assert(hits.forall(_._3 >= 999900L), s"expected same-direction hits, got $got")
+      // batch twin over the union of both micro-batches
+      val batch = EventStreams.contaminatedEmbeddings(
+        Seq((1L, evalA), (2L, evalA.map(_ * 2f)),
+          (3L, vec(i => ((i * 13) % 9) - 4f)), (100L, evalA), (4L, evalB))
+          .toDF("vec_id", "embedding"), evalIndex)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses re-delivered event_ids") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
