@@ -45,6 +45,38 @@ private[queries] object TextCurationQueries {
           "+ 0.3D * least(1.0D, (CAST(total_word_len AS DOUBLE) / n_words) / 8.0D)) * 10000) AS BIGINT) AS quality_score_e4")
       .orderBy("doc_id")
 
+  /** Unigram LOG-PROB scoring — the relational re-expression of
+    * CCNet-style perplexity filtering (Wenzek et al. 2020 filter
+    * CommonCrawl by LM perplexity; the corpus-derived unigram model is
+    * its join-aggregate analogue, no neural LM needed): build the
+    * unigram distribution FROM the corpus (one token-count aggregate),
+    * then score every document by its mean negative log-likelihood —
+    * low NLL ≈ ordinary prose, high NLL ≈ gibberish/boilerplate-rare
+    * vocabulary, exactly the tails a perplexity filter trims. Scale
+    * shape: explode → token-keyed count aggregate (partial/final
+    * map-side combine), token equi-join of occurrences with the vocab
+    * (co-partitioned on the join key — at 100 TB both sides shuffle
+    * once on `tok`), 1-row total broadcast. Float discipline: each
+    * token's ln(cnt/total) collapses to an e6 fixed-point INTEGER
+    * before the per-doc sum, so the cross-row summation is exact
+    * integer math — aggregation order can never move the hash (the
+    * same reason the funnel sums integer grids, not doubles). */
+  private val textUnigramLogprob: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS tok")
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").as("n_total"))
+    toks.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .selectExpr("doc_id",
+        "CAST(floor(ln(CAST(cnt AS DOUBLE) / n_total) * 1000000) AS BIGINT) AS lp_e6")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lp_e6").as("sum_lp_e6"))
+      .selectExpr("doc_id", "n_tokens",
+        "CAST(floor(CAST(-sum_lp_e6 AS DOUBLE) / n_tokens / 100.0D) AS BIGINT) AS nll_e4")
+      .orderBy("doc_id")
+  }
+
   /** Quality-score CALIBRATION per source — the fix for the standard
     * curation failure mode: a single global quality threshold over
     * heterogeneous sources keeps whatever the scorer happens to like
@@ -489,6 +521,7 @@ private[queries] object TextCurationQueries {
     "e2e_curation_funnel" -> e2eCurationFunnel,
     "text_quality" -> textQuality,
     "text_quality_calibrate" -> textQualityCalibrate,
+    "text_unigram_logprob" -> textUnigramLogprob,
     "text_langid" -> textLangid,
     "text_token_count" -> textTokenCount,
     "text_fingerprint" -> textFingerprint,
@@ -759,6 +792,26 @@ private[queries] object TextCurationQueries {
          |    + 0.3 * least(1.0, (CAST(total_word_len AS DOUBLE) / n_words) / 8.0)) * 10000)
          |    AS BIGINT) AS quality_score_e4
          |FROM m ORDER BY doc_id""".stripMargin,
+    "text_unigram_logprob" ->
+      // ln agrees between Java Math.log and DuckDB libm on this value
+      // range (same contract as the BM25 oracles); the e6 floor happens
+      // per token BEFORE the sum so both engines add exact integers
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vocab AS (
+        |  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |total AS (SELECT sum(cnt) AS n_total FROM vocab),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    CAST(floor(ln(CAST(v.cnt AS DOUBLE) / n_total) * 1000000) AS BIGINT) AS lp_e6
+        |  FROM toks t JOIN vocab v ON t.tok = v.tok, total),
+        |per_doc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    sum(lp_e6) AS sum_lp_e6
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor(CAST(-sum_lp_e6 AS DOUBLE) / n_tokens / 100.0) AS BIGINT) AS nll_e4
+        |FROM per_doc ORDER BY doc_id""".stripMargin,
     "text_quality_calibrate" ->
       // same score derivation as text_quality; percent_rank within each
       // source (score-only ordering, ties equal) mirrors the Spark
