@@ -29,18 +29,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in the parquet; with
-    * `spark.sql.legacy.parquet.nanosAsLong` it arrives as LongType nanos
-    * — rebuild the natural µs timestamp column (truncation matches every
-    * consumer, which compares at ≥ms granularity).
+  /** events.ts has shipped as two physical types across testdata
+    * vintages: TIMESTAMP(NANOS) (arrives as LongType nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and timestamp[us] with no
+    * timezone (arrives as TIMESTAMP_NTZ). Normalize both to TIMESTAMP —
+    * the session TZ is pinned to UTC in GraftSession, so the NTZ cast is
+    * value-preserving, and the nanos path truncates to µs (every
+    * consumer compares at ≥ms granularity).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = t(s, d, "events")
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }

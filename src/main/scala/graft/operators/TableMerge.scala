@@ -339,11 +339,32 @@ object TableMerge {
       if (base.isEmpty && !exists(tablePath))
         writeVersion(source, tablePath, partitionCols, Parent(None))
       else conflictIfBaseMoved(tablePath, base) {
-        val (_, target) = baseSnapshot(spark, tablePath, base)
-        val remaining = target.join(
-          dropGroups.select(groupKeys.map(col): _*).distinct(), groupKeys, "left_anti")
-        val merged = remaining.unionByName(source, allowMissingColumns = true)
-        writeVersion(merged, tablePath, partitionCols, Parent(base))
+        val (liveDir, target) = baseSnapshot(spark, tablePath, base)
+        val drops = dropGroups.select(groupKeys.map(col): _*).distinct()
+        val partitionScoped = partitionCols.nonEmpty && partitionCols.forall(groupKeys.contains)
+        if (partitionScoped) {
+          // Group key implies partition ⇒ a dropped row can only live in a
+          // partition named by some dropGroups tuple; partitions touched by
+          // neither dropGroups nor source are hard-linked, exactly as in
+          // [[upsert]]. This is the ANN-index maintenance shape: moving a
+          // vector across centroids drops (old_centroid, id) and inserts
+          // (new_centroid, id), rewriting only those two partitions.
+          val touched = drops.select(partitionCols.map(col): _*)
+            .union(source.select(partitionCols.map(col): _*)).distinct()
+          val targetTouched = target.join(broadcast(touched), partitionCols, "left_semi")
+          val merged = targetTouched.join(drops, groupKeys, "left_anti")
+            .unionByName(source, allowMissingColumns = true)
+          val version = newVersionDir(tablePath)
+          merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(version.toString)
+          writeSchemaSidecar(version, merged.schema)
+          carryUntouchedPartitions(liveDir, version, partitionCols,
+            touchedPartitionDirs(touched))
+          commitVersion(tablePath, version, Parent(base))
+        } else {
+          val remaining = target.join(drops, groupKeys, "left_anti")
+          val merged = remaining.unionByName(source, allowMissingColumns = true)
+          writeVersion(merged, tablePath, partitionCols, Parent(base))
+        }
       }
     }
 

@@ -27,11 +27,11 @@ object PipelineQueries {
     * [[VectorQueries]], [[TextCurationQueries]], [[ComposedQueries]],
     * with cross-tier plumbing in [[PipelineShared]]. */
   val queries: Seq[(String, Q)] =
-    DedupQueries.queries ++ VectorQueries.queries ++
+    DedupQueries.queries ++ VectorQueries.queries ++ VectorIndexQueries.queries ++
       TextCurationQueries.queries ++ ComposedQueries.queries
 
   val oracles: Map[String, String] =
-    DedupQueries.oracles ++ VectorQueries.oracles ++
+    DedupQueries.oracles ++ VectorQueries.oracles ++ VectorIndexQueries.oracles ++
       TextCurationQueries.oracles ++ ComposedQueries.oracles
 
   private[queries] val IvfProbes: Seq[Int] = VectorQueries.IvfProbes

@@ -1,0 +1,250 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TableMerge
+import graft.queries.PipelineShared._
+
+/** PERSISTED ANN-index maintenance (VERDICT r10 #1 / r11 #3) — the
+  * vector twin of `dedup_index_maintain`: the corpus's IVF-bucketed
+  * embedding layout (`Layout.writeIvfBucketed`'s partition scheme,
+  * `centroid_id=<j>/` dirs) lives in a versioned
+  * [[graft.operators.TableMerge]] table, and a day's ingest is merged
+  * in WITHOUT a from-scratch rebuild — the lifecycle the reference
+  * schedules as a full 30–60-min re-index (`MIGRATION_E5.md:69`; the
+  * ES bulk re-index in `scripts/embedding/indexer.py`), re-expressed
+  * as an incremental partition-scoped merge.
+  *
+  * The hard part of ANN maintenance is the CENTROID MOVE: a re-embedded
+  * document's vector may land in a different inverted list, so the
+  * merge must drop the stale row from the OLD list's partition and
+  * insert into the NEW one, touching exactly those two partitions.
+  * That is `TableMerge.replaceKeys` keyed (centroid_id, vec_id) with
+  * dropGroups = old positions ∪ new positions: group key covers the
+  * partition column, so untouched centroid partitions are hard-linked
+  * (never read or rewritten) — `TableMergeSpec` asserts the inodes.
+  *
+  * Scale posture: at 100 TB the index holds the corpus itself (the
+  * bucketed layout IS the table); a daily batch touches ≤ nlist
+  * partitions plus the moved vectors' old lists, the old-position
+  * lookup is a broadcast-able semi-join of batch ids against the live
+  * index, and the rewrite shuffles only the touched partitions' rows.
+  * Probed reads (`ivfProbedTopk` shape) prune to nprobe partition
+  * dirs before a row is decoded, identically on the maintained and
+  * the from-scratch layout — which is exactly what the oracle pins.
+  */
+private[graft] object VectorIndexQueries {
+
+  private val Nlist = 16
+
+  /** Fixture shared by both entries: corpus = vec_id %10 != 0; batch =
+    * inserts (%10 == 0, original embedding) + re-embeds (%20 == 5,
+    * REVERSED embedding — deterministic, DuckDB-replicable, and moves
+    * most re-embedded vectors to a different centroid so the
+    * cross-partition path is genuinely exercised). */
+  private def assigned(df: DataFrame): DataFrame =
+    df.selectExpr("vec_id", "embedding",
+      s"graft_ivf_assign(embedding, $Nlist) AS centroid_id")
+
+  private def corpusOf(emb: DataFrame): DataFrame =
+    assigned(emb.filter(col("vec_id") % 10 =!= 0))
+
+  private def batchOf(emb: DataFrame): DataFrame =
+    assigned(
+      emb.filter(col("vec_id") % 10 === 0).select("vec_id", "embedding")
+        .union(emb.filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 20 === 5)
+          .selectExpr("vec_id", "reverse(embedding) AS embedding")))
+
+  /** Build the index at `d`'s state path: create from corpus, then
+    * merge the batch via partition-scoped replaceKeys (drop old + new
+    * positions of every batch vec_id, insert the batch rows). State is
+    * sf-keyed and wiped per run so repeated bench passes measure one
+    * deterministic create+merge, not a version pileup. */
+  private def buildMaintainedIndex(s: SparkSession, d: String, tag: String): String = {
+    val stateDir = java.nio.file.Paths.get(
+      sys.props.getOrElse("graft.state.dir", "target/graft-state"))
+    java.nio.file.Files.createDirectories(stateDir)
+    val path = stateDir.resolve(s"ivfidx_${tag}_${new java.io.File(d).getName}").toString
+    def wipe(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      p.delete(); ()
+    }
+    wipe(new java.io.File(path))
+    val emb = Tables.embeddings(s, d)
+    TableMerge.createOrReplace(corpusOf(emb), path, Seq("centroid_id"))
+    val batch = batchOf(emb)
+    val oldPos = TableMerge.read(s, path)
+      .join(batch.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select("centroid_id", "vec_id")
+    val dropGroups = oldPos.union(batch.select("centroid_id", "vec_id"))
+    TableMerge.replaceKeys(s, path, batch, dropGroups,
+      Seq("centroid_id", "vec_id"), Seq("centroid_id"))
+    path
+  }
+
+  /** Probed top-k read back through the MAINTAINED index — same query
+    * vector, probe set, and output contract as `sim_ivf_topk`, so the
+    * oracle (a from-scratch build over the merged corpus in SQL)
+    * pins that incremental maintenance and full rebuild are
+    * hash-identical. The isin filter on the partition column is
+    * partition pruning on the versioned layout. */
+  private val simIndexMaintain: Q = (s, d) => {
+    val path = buildMaintainedIndex(s, d, "maintain")
+    TableMerge.read(s, path)
+      .filter(col("centroid_id").isin(VectorQueries.IvfProbes: _*))
+      .selectExpr("vec_id", "CAST(centroid_id AS INT) AS centroid_id",
+        "CAST(floor(graft_cosine(embedding, array_repeat(CAST(0.1 AS DOUBLE), 64)) " +
+          "* 1000000) AS BIGINT) AS cos_e6")
+      .orderBy(col("cos_e6").desc, col("vec_id").asc)
+      .limit(20)
+  }
+
+  /** Centroid-DRIFT audit over the same maintenance cycle, via time
+    * travel: live snapshot vs the retained pre-merge version, joined on
+    * vec_id — per centroid, how many vectors arrived brand-new
+    * (n_inserted), moved in from another list (n_moved_in), and moved
+    * out (n_moved_out). This is the number an ANN operator watches to
+    * decide when incremental maintenance has drifted the lists far
+    * enough from the coarse quantizer to warrant re-training — the
+    * reference's "re-index everything" trigger, made measurable. */
+  private val simIndexDrift: Q = (s, d) => {
+    val path = buildMaintainedIndex(s, d, "drift")
+    val versions = TableMerge.versions(path)
+    val pre = TableMerge.readVersion(s, path, versions.last)
+      .select(col("vec_id"), col("centroid_id").cast("int").as("pre_c"))
+    val live = TableMerge.read(s, path)
+      .select(col("vec_id"), col("centroid_id").cast("int").as("live_c"))
+    val joined = live.join(pre, Seq("vec_id"), "full_outer")
+    val nVec = joined.filter(col("live_c").isNotNull)
+      .groupBy(col("live_c").as("centroid_id"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val nIns = joined.filter(col("live_c").isNotNull && col("pre_c").isNull)
+      .groupBy(col("live_c").as("centroid_id"))
+      .agg(count(lit(1)).as("n_inserted"))
+    val nIn = joined.filter(col("pre_c").isNotNull && col("live_c").isNotNull &&
+        col("pre_c") =!= col("live_c"))
+      .groupBy(col("live_c").as("centroid_id"))
+      .agg(count(lit(1)).as("n_moved_in"))
+    val nOut = joined.filter(col("pre_c").isNotNull && col("live_c").isNotNull &&
+        col("pre_c") =!= col("live_c"))
+      .groupBy(col("pre_c").as("centroid_id"))
+      .agg(count(lit(1)).as("n_moved_out"))
+    // drive from the full centroid domain (0..nlist-1) so the output
+    // shape is independent of which lists happen to be populated —
+    // keeps engine and oracle identical even for an emptied list
+    s.range(Nlist).select(col("id").cast("int").as("centroid_id"))
+      .join(nVec, Seq("centroid_id"), "left")
+      .join(nIns, Seq("centroid_id"), "left")
+      .join(nIn, Seq("centroid_id"), "left")
+      .join(nOut, Seq("centroid_id"), "left")
+      .select(col("centroid_id"),
+        coalesce(col("n_vectors"), lit(0L)).as("n_vectors"),
+        coalesce(col("n_inserted"), lit(0L)).as("n_inserted"),
+        coalesce(col("n_moved_in"), lit(0L)).as("n_moved_in"),
+        coalesce(col("n_moved_out"), lit(0L)).as("n_moved_out"),
+        lit(versions.size.toLong).as("n_versions"))
+      .orderBy("centroid_id")
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+    "sim_index_maintain" -> simIndexMaintain,
+    "sim_index_drift" -> simIndexDrift,
+  )
+
+  /** IVF assignment cost list over 64-dim vectors of relation column
+    * `embedding` — mirrors the `sim_ivf_assign` oracle fragment. */
+  private def duckAssign: String =
+    s"""list_transform(generate_series(0, ${Nlist - 1}),
+       |    j -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(0, 63),
+       |        i -> (CAST(embedding[i + 1] AS DOUBLE)
+       |          - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0)
+       |          * (CAST(embedding[i + 1] AS DOUBLE)
+       |          - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0))),
+       |      (a, x) -> a + x))""".stripMargin
+
+  /** The merged (post-maintenance) corpus, from scratch: corpus minus
+    * re-embedded originals, plus inserts, plus reversed re-embeds.
+    * Reverse is spelled as an index transform (portable across DuckDB
+    * versions without `list_reverse`). */
+  private val duckMerged: String =
+    """merged AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  WHERE vec_id % 10 <> 0 AND vec_id % 20 <> 5
+      |  UNION ALL
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+      |  UNION ALL
+      |  SELECT vec_id, list_transform(generate_series(0, 63),
+      |      i -> embedding[64 - i]) AS embedding
+      |  FROM embeddings WHERE vec_id % 10 <> 0 AND vec_id % 20 = 5)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sim_index_maintain" ->
+      // from-scratch build over the merged corpus = what incremental
+      // maintenance must be hash-identical to; probe + cosine folds
+      // mirror the sim_ivf_topk oracle exactly
+      s"""WITH $duckMerged,
+         |costs AS (
+         |  SELECT vec_id, embedding, $duckAssign AS costs FROM merged),
+         |assigned AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_position(costs, list_min(costs)) - 1 AS INT) AS centroid_id
+         |  FROM costs),
+         |probed AS (
+         |  SELECT vec_id, centroid_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x) AS dot,
+         |    ${duckSumSqOf("embedding")} AS na,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding,
+         |      x -> CAST(0.1 AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x) AS nb
+         |  FROM assigned
+         |  WHERE centroid_id IN (${VectorQueries.IvfProbes.mkString(", ")}))
+         |SELECT vec_id, centroid_id,
+         |  CAST(floor(dot / (sqrt(na) * sqrt(nb)) * 1000000) AS BIGINT) AS cos_e6
+         |FROM probed ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "sim_index_drift" ->
+      // pre = corpus assignment, live = merged assignment, joined on
+      // vec_id — the same full-outer aggregate structure as the engine
+      s"""WITH $duckMerged,
+         |pre AS (
+         |  SELECT vec_id,
+         |    CAST(list_position(c, list_min(c)) - 1 AS INT) AS pre_c
+         |  FROM (SELECT vec_id, $duckAssign AS c FROM embeddings
+         |        WHERE vec_id % 10 <> 0)),
+         |live AS (
+         |  SELECT vec_id,
+         |    CAST(list_position(c, list_min(c)) - 1 AS INT) AS live_c
+         |  FROM (SELECT vec_id, $duckAssign AS c FROM merged)),
+         |j AS (
+         |  SELECT coalesce(l.vec_id, p.vec_id) AS vec_id, live_c, pre_c
+         |  FROM live l FULL OUTER JOIN pre p ON l.vec_id = p.vec_id),
+         |nvec AS (
+         |  SELECT live_c AS centroid_id, count(*) AS n_vectors FROM j
+         |  WHERE live_c IS NOT NULL GROUP BY 1),
+         |nins AS (
+         |  SELECT live_c AS centroid_id, count(*) AS n_inserted FROM j
+         |  WHERE live_c IS NOT NULL AND pre_c IS NULL GROUP BY 1),
+         |nin AS (
+         |  SELECT live_c AS centroid_id, count(*) AS n_moved_in FROM j
+         |  WHERE pre_c IS NOT NULL AND live_c IS NOT NULL AND pre_c <> live_c
+         |  GROUP BY 1),
+         |nout AS (
+         |  SELECT pre_c AS centroid_id, count(*) AS n_moved_out FROM j
+         |  WHERE pre_c IS NOT NULL AND live_c IS NOT NULL AND pre_c <> live_c
+         |  GROUP BY 1)
+         |SELECT CAST(dom.c AS INT) AS centroid_id,
+         |  CAST(coalesce(v.n_vectors, 0) AS BIGINT) AS n_vectors,
+         |  CAST(coalesce(i.n_inserted, 0) AS BIGINT) AS n_inserted,
+         |  CAST(coalesce(mi.n_moved_in, 0) AS BIGINT) AS n_moved_in,
+         |  CAST(coalesce(mo.n_moved_out, 0) AS BIGINT) AS n_moved_out,
+         |  CAST(2 AS BIGINT) AS n_versions
+         |FROM generate_series(0, ${Nlist - 1}) dom(c)
+         |LEFT JOIN nvec v ON v.centroid_id = dom.c
+         |LEFT JOIN nins i ON i.centroid_id = dom.c
+         |LEFT JOIN nin mi ON mi.centroid_id = dom.c
+         |LEFT JOIN nout mo ON mo.centroid_id = dom.c
+         |ORDER BY centroid_id""".stripMargin,
+  )
+}

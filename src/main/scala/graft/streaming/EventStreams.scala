@@ -21,13 +21,15 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events.parquet physical schema (ts is TIMESTAMP(NANOS) → read as
-    * long under `nanosAsLong`, rebuilt to µs here, matching
-    * graft.Tables.events).
+  /** events.parquet physical schema with `ts` as the given type. Two
+    * vintages of the testdata exist: TIMESTAMP(NANOS) (read as long
+    * under `nanosAsLong`) and timestamp[us]-no-TZ (read as
+    * TIMESTAMP_NTZ); [[readEvents]] peeks at the file footer to pick
+    * the right one, matching graft.Tables.events.
     */
-  val eventFileSchema: StructType = StructType(Seq(
+  def eventFileSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -35,14 +37,24 @@ object EventStreams {
 
   /** File-source stream over a testdata dir (one-file-per-table layout;
     * pathGlobFilter selects the events table). `maxFilesPerTrigger`
-    * keeps micro-batches bounded when pointed at a real landing zone. */
-  def readEvents(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream
-      .schema(eventFileSchema)
+    * keeps micro-batches bounded when pointed at a real landing zone.
+    * The ts physical type is sniffed from the footer (a driver-side
+    * metadata read, not a data scan) so both testdata vintages stream
+    * with correct µs semantics; session TZ is UTC so the NTZ cast is
+    * value-preserving. */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val observed = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val raw = spark.readStream
+      .schema(eventFileSchema(observed))
       .option("pathGlobFilter", "events.parquet")
       .option("maxFilesPerTrigger", 1)
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    observed match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
 
   /** Tumbling event-time window aggregate with a watermark — the
     * streaming twin of `stream_window_agg`. */

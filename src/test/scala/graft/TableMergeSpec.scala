@@ -128,6 +128,35 @@ class TableMergeSpec extends AnyFunSuite {
     assert(got == Seq(("p1", 1, "a"), ("p1", 2, "B2"), ("p2", 3, "c"), ("p1", 9, "i")))
   }
 
+  test("partition-scoped replaceKeys moves a key across partitions; quiet partition keeps inodes") {
+    import spark.implicits._
+    val path = tmpTable("scoped-move")
+    // the ANN-index maintenance shape: id 2 "re-embeds" and moves from
+    // partition p0 to p2; p1 is untouched and must be hard-linked
+    TableMerge.createOrReplace(
+      Seq(("p0", 1, "a"), ("p0", 2, "b"), ("p1", 3, "c")).toDF("pt", "id", "v"),
+      path, partitionCols = Seq("pt"))
+    def live = java.nio.file.Paths.get(path).resolve(
+      Files.readString(java.nio.file.Paths.get(path, "_current")).trim)
+    def inodes(p: String): Set[Long] =
+      Option(live.resolve(s"pt=$p").toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => Files.getAttribute(f.toPath, "unix:ino").asInstanceOf[Long]).toSet
+    val quietBefore = inodes("p1")
+    assert(quietBefore.nonEmpty)
+    // drop old position (p0,2) and new position (p2,2), insert the moved row
+    TableMerge.replaceKeys(spark, path,
+      source = Seq(("p2", 2, "B2")).toDF("pt", "id", "v"),
+      dropGroups = Seq(("p0", 2), ("p2", 2)).toDF("pt", "id"),
+      groupKeys = Seq("pt", "id"), partitionCols = Seq("pt"))
+    assert(inodes("p1") == quietBefore, "quiet partition rewritten by scoped replaceKeys")
+    val got = TableMerge.read(spark, path).select("pt", "id", "v")
+      .as[(String, Int, String)].collect().toSet
+    assert(got == Set(("p0", 1, "a"), ("p2", 2, "B2"), ("p1", 3, "c")))
+    // the moved key exists ONLY at its new position — no stale row in p0
+    assert(TableMerge.read(spark, path).filter($"id" === 2).count() == 1)
+  }
+
   test("upsert on a missing table creates it") {
     import spark.implicits._
     val path = tmpTable("create-on-merge")
