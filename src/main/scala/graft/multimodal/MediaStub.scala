@@ -12,9 +12,12 @@ import org.apache.spark.sql.Dataset
   * families (public specs: W3C PNG, ITU T.81 JPEG, GIF89a, RIFF/WAVE,
   * and as of r10 ISO/IEC 14496-12 MP4 — box walk to `moov/mvhd`
   * timescale/duration, `tkhd` fixed-point dims, `stts` sample count).
-  * Only pixel/sample decoding itself remains stubbed (no codec
-  * libraries in this container), marked `STUB DECODE` below; container
-  * metadata is never faked — unknown bytes decode to zeros.
+  * PNG pixel decode is REAL as of r12 ([[PngCodec]]: JDK Inflater +
+  * the five W3C scanline filters, pinned by `mm_pixel_stats`); the
+  * remaining lossy-codec decodes (JPEG entropy coding, video codecs)
+  * stay stubbed (no codec libraries in this container), marked
+  * `STUB DECODE` below; container metadata is never faked — unknown
+  * bytes decode to zeros.
   *
   * Scale posture: `mapPartitions` initializes one decoder per partition
   * (codec init is expensive; per-row init would dominate), rows stream

@@ -198,7 +198,7 @@ private[queries] object DedupQueries {
     * band with p = 1-(1-s^r)^b — the standard S-curve; r grows (more
     * selective) and b grows (more recall) as the corpus scales, keeping
     * candidate volume per band bounded the same way the LSH bandBits do. */
-  private val MinhashPairParams = Seq(
+  private[queries] val MinhashPairParams = Seq(
     (1000003L, 12345L), (999983L, 54321L), (999979L, 11111L), (1000033L, 77777L))
 
   /** MinHash-LSH near-dup PAIRS — the full canonical pipeline

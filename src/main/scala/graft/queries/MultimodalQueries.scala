@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.PngCodec
+import graft.queries.PipelineShared.Q
+
+/** Pixel-level multimodal tier: per-image statistics decoded from REAL
+  * PNG bytes by [[graft.multimodal.PngCodec]] (JDK Inflater + the five
+  * W3C scanline filters — no codec library, no stub). The fixture
+  * encodes, for every document, an image whose pixel (x, y) channels
+  * are a fixed formula of (doc_id, x, y); the engine must run the full
+  * encode → deflate → inflate → unfilter → aggregate path to
+  * reproduce the numbers the DuckDB oracle derives from the formula
+  * alone — a single flipped byte anywhere in the codec moves a sum and
+  * breaks the hash.
+  *
+  * Scale posture: decode is mapPartitions CPU work, no shuffle until
+  * the 9-column stats rows aggregate; the binary payload never leaves
+  * the executor. At 100 TB the identical plan reads the PNG bytes from
+  * a binary column instead of synthesizing them.
+  */
+private[graft] object MultimodalQueries {
+
+  /** Image dims per doc (small, co-prime cycles so shapes vary). */
+  private def dims(docId: Long): (Int, Int) =
+    ((docId % 13 + 4).toInt, (docId % 11 + 4).toInt)
+
+  /** Channel formulas — non-negative linear forms mod 256, replicated
+    * verbatim in the oracle SQL. */
+  private def rgbAt(docId: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((docId * 7 + x * 3 + y * 5) % 256).toInt,
+    ((docId * 11 + x + y * 3) % 256).toInt,
+    ((docId * 3 + x * 5 + y * 7) % 256).toInt)
+
+  /** Build the fixture PNG for one doc. Exposed for PngCodecSpec. */
+  private[graft] def fixturePng(docId: Long): Array[Byte] = {
+    val (w, h) = dims(docId)
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = rgbAt(docId, x, y)
+        val i = (y * w + x) * 3
+        rgb(i) = r.toByte; rgb(i + 1) = g.toByte; rgb(i + 2) = b.toByte
+        x += 1
+      }
+      y += 1
+    }
+    PngCodec.encode(w, h, rgb)
+  }
+
+  private val mmPixelStats: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val png = fixturePng(id)
+          val (w, h, rgb) = PngCodec.decodePixels(png)
+            .getOrElse(throw new IllegalStateException(s"self-encoded PNG undecodable for doc $id"))
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var mn = 255L; var mx = 0L
+          var i = 0
+          while (i < rgb.length) {
+            val r = rgb(i) & 0xff; val g = rgb(i + 1) & 0xff; val b = rgb(i + 2) & 0xff
+            sr += r; sg += g; sb += b
+            mn = math.min(mn, math.min(r, math.min(g, b)))
+            mx = math.max(mx, math.max(r, math.max(g, b)))
+            i += 3
+          }
+          (id, w.toLong, h.toLong, w.toLong * h, sr, sg, sb, mn, mx)
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_pixels",
+        "sum_r", "sum_g", "sum_b", "min_px", "max_px")
+      .orderBy("doc_id")
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+    "mm_pixel_stats" -> mmPixelStats,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_pixel_stats" ->
+      // the pixel formula evaluated relationally — no PNG bytes anywhere
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 13 + 4 AS BIGINT) AS w,
+        |    CAST(doc_id % 11 + 4 AS BIGINT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, xs.x AS x, ys.y AS y
+        |  FROM d, UNNEST(generate_series(0, w - 1)) xs(x),
+        |       UNNEST(generate_series(0, h - 1)) ys(y)),
+        |vals AS (
+        |  SELECT doc_id, w, h,
+        |    (doc_id * 7 + x * 3 + y * 5) % 256 AS r,
+        |    (doc_id * 11 + x + y * 3) % 256 AS g,
+        |    (doc_id * 3 + x * 5 + y * 7) % 256 AS b
+        |  FROM px)
+        |SELECT doc_id, w AS width, h AS height, w * h AS n_pixels,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(min(least(r, g, b)) AS BIGINT) AS min_px,
+        |  CAST(max(greatest(r, g, b)) AS BIGINT) AS max_px
+        |FROM vals GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -28,11 +28,11 @@ object PipelineQueries {
     * with cross-tier plumbing in [[PipelineShared]]. */
   val queries: Seq[(String, Q)] =
     DedupQueries.queries ++ VectorQueries.queries ++ VectorIndexQueries.queries ++
-      TextCurationQueries.queries ++ ComposedQueries.queries
+      TextCurationQueries.queries ++ BpeQueries.queries ++ TunerQueries.queries ++ MultimodalQueries.queries ++ ComposedQueries.queries
 
   val oracles: Map[String, String] =
     DedupQueries.oracles ++ VectorQueries.oracles ++ VectorIndexQueries.oracles ++
-      TextCurationQueries.oracles ++ ComposedQueries.oracles
+      TextCurationQueries.oracles ++ BpeQueries.oracles ++ TunerQueries.oracles ++ MultimodalQueries.oracles ++ ComposedQueries.oracles
 
   private[queries] val IvfProbes: Seq[Int] = VectorQueries.IvfProbes
 

@@ -161,6 +161,44 @@ object EventStreams {
       .select(col("vec_id"), col("eval_id"),
         floor(col("cos_sim") * 1000000).cast("long").as("cos_e6"))
 
+  /** STREAMING maintenance of the persisted band index — the WRITE half
+    * of the incremental-dedup cycle, composing with [[novelDocuments]]
+    * (the read half): each micro-batch of arriving documents upserts
+    * its MinHash band signatures into the same versioned
+    * [[graft.operators.TableMerge]] table the batch
+    * `dedup_index_maintain` maintains, so a stream-fed and a batch-fed
+    * index are interchangeable (EventStreamsSpec proves equality after
+    * N micro-batches).
+    *
+    * Scale shape: the index is partitioned by `bucket =
+    * pmod(hash(doc_id), nBuckets)` — doc_id determines the partition,
+    * so the (bucket, doc_id, band_idx) merge key covers the partition
+    * column and TableMerge's partition-scoped path applies: a
+    * micro-batch rewrites only its touched buckets, untouched buckets
+    * are hard-linked (inodes pinned by the spec). A re-scraped doc's
+    * new band values land on its OLD rows in place (same key), so no
+    * cross-partition move exists by construction. The novelty join
+    * reads band_val, so at 100 TB a band_val-clustered projection
+    * would be materialized FROM this table as a separate read-optimized
+    * view; the system of record stays doc-keyed so per-batch write cost
+    * is O(batch + touched-bucket state), independent of index size. */
+  def bandIndexSink(docs: DataFrame, spec: String, tablePath: String,
+                    checkpointDir: String,
+                    nBuckets: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          import graft.operators.TableMerge
+          val rows = corpusBandIndex(batch, spec)
+            .withColumn("bucket", pmod(hash(col("doc_id")), lit(nBuckets)))
+          TableMerge.upsert(batch.sparkSession, tablePath, rows,
+            keys = Seq("bucket", "doc_id", "band_idx"), partitionCols = Seq("bucket"))
+        }
+      }
+      .start()
+
   final case class Event(
       event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

@@ -434,4 +434,76 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(state.size == groupA.size + 1)
     } finally q.stop()
   }
+
+  test("band-index sink: stream-maintained index equals batch-maintained; quiet buckets keep inodes") {
+    import spark.implicits._
+    import java.nio.file.{Files, Path, Paths}
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-band-index")
+    val table = dir.resolve("idx").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val spec = "1000003,12345;999983,54321;999979,11111;1000033,77777"
+    val nBuckets = 8
+
+    def bucketOf(docId: Long): Int = spark.range(1)
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(
+          org.apache.spark.sql.functions.lit(docId)),
+        org.apache.spark.sql.functions.lit(nBuckets))).head().getInt(0)
+
+    def inodesOf(bucket: Int): Set[Long] = {
+      val live = Paths.get(table, Files.readString(Paths.get(table, "_current")).trim)
+      val bdir = live.resolve(s"bucket=$bucket")
+      val files = scala.collection.mutable.Set[Long]()
+      if (Files.exists(bdir)) Files.walk(bdir).forEach { p: Path =>
+        if (Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+          files += Files.getAttribute(p, "unix:ino").asInstanceOf[Long]
+      }
+      files.toSet
+    }
+
+    val batch1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog end"),
+      (2L, "pack my box with five dozen liquor jugs today"),
+      (3L, "sphinx of black quartz judge my vow right now"))
+    // batch 2: a new doc + a RE-SCRAPE of doc 1 (band values change in
+    // place under the same (bucket, doc_id, band_idx) key)
+    val batch2 = Seq(
+      (4L, "another fresh document with its own vocabulary stream"),
+      (1L, "the quick brown fox jumps over the lazy cat end"))
+
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStreams.bandIndexSink(
+      stream.toDF().toDF("doc_id", "text"), spec, table, ckpt, nBuckets)
+    try {
+      stream.addData(batch1: _*)
+      q.processAllAvailable()
+      val touched2 = batch2.map(t => bucketOf(t._1)).toSet
+      val quiet = batch1.map(t => bucketOf(t._1)).toSet -- touched2
+      assert(quiet.nonEmpty, "fixture degenerate: every bucket touched by batch 2")
+      val quietBefore = quiet.map(b => b -> inodesOf(b)).toMap
+      stream.addData(batch2: _*)
+      q.processAllAvailable()
+      quiet.foreach { b =>
+        assert(inodesOf(b) == quietBefore(b), s"quiet bucket $b rewritten")
+      }
+      // batch twin: index built in one shot from the LATEST text per doc
+      val latest = (batch1 ++ batch2).groupBy(_._1).map(_._2.last).toSeq
+      val expected = EventStreams.corpusBandIndex(latest.toDF("doc_id", "text"), spec)
+        .as[(Long, Int, Long)].collect().toSet
+      val got = graft.operators.TableMerge.read(spark, table)
+        .select("doc_id", "band_idx", "band_val")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(got == expected)
+      // composition: the novelty filter reading the STREAM-maintained
+      // index certifies an exact copy as non-novel and a new doc as novel
+      val probe = Seq(
+        (10L, "pack my box with five dozen liquor jugs today"),
+        (11L, "entirely different sentence with brand new words only")).toDF("doc_id", "text")
+      val idx = graft.operators.TableMerge.read(spark, table)
+        .select("doc_id", "band_idx", "band_val")
+      val novel = EventStreams.novelDocuments(probe, idx, spec).as[Long].collect().toSet
+      assert(novel == Set(11L))
+    } finally q.stop()
+  }
 }

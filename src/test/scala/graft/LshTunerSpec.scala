@@ -70,4 +70,64 @@ class LshTunerSpec extends AnyFunSuite {
     val c = LshTuner.chooseBandBits(corpus, "embedding", bands = 2)
     assert(c.candPairs == 0L && c.nRows == 0L && c.pairsPerRow == 0.0)
   }
+
+  // ---- MinHash band-shape tuner (the Jaccard-space sibling) ----
+
+  import graft.operators.MinHashTuner
+
+  private val MinhashSpec = "1000003,12345;999983,54321;999979,11111;1000033,77777"
+  private val Shapes = Seq((1, 4), (2, 2), (4, 1))
+
+  private def shingledSf0001 = {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "split(text, ' ') AS tokens")
+    val dups = docs.filter(col("doc_id") % 20 === 0)
+      .selectExpr("doc_id + 100000 AS doc_id",
+        "slice(tokens, 2, size(tokens) - 1) AS tokens")
+    docs.union(dups).filter(size(col("tokens")) >= 3)
+      .selectExpr("doc_id", "graft_shingle_set(graft_word_fps(tokens)) AS shset")
+  }
+
+  test("minhash census: candidate volume decreases with r (band coincidences nest)") {
+    val sh = shingledSf0001.cache()
+    try {
+      val Seq(c14, c22, c41) =
+        Shapes.map { case (r, b) => MinHashTuner.census(sh, MinhashSpec, r, b) }
+      assert(c14.nDocs == c22.nDocs && c22.nDocs == c41.nDocs)
+      // a band coincidence at r=2k implies one at r=k (bands refine),
+      // so pre-distinct candidate volume is monotone in r
+      assert(c14.candPairs >= c22.candPairs && c22.candPairs >= c41.candPairs)
+      assert(c41.candPairs > 0, "fixture degenerate: no near-dups collide at r=4")
+    } finally { sh.unpersist(); () }
+  }
+
+  test("minhash chooser takes the smallest bounded r (max recall), damage-control otherwise") {
+    val sh = shingledSf0001.cache()
+    try {
+      val (chosen, all) = MinHashTuner.choose(sh, MinhashSpec, Shapes, maxPairsPerDoc = 1e9)
+      assert(chosen.r == 1 && chosen.b == 4) // everything bounded → max recall
+      assert(all.size == 3)
+      val (strict, _) = MinHashTuner.choose(sh, MinhashSpec, Shapes, maxPairsPerDoc = -1.0)
+      assert(strict.r == 4 && strict.b == 1) // nothing bounded → most selective
+    } finally { sh.unpersist(); () }
+  }
+
+  test("recall at the census-tuned shape dominates the shipped r=2/b=2 shape") {
+    import spark.implicits._
+    val sh = shingledSf0001.cache()
+    try {
+      def pairs(r: Int, b: Int): Set[(Long, Long)] =
+        MinHashTuner.confirmedPairs(sh, MinhashSpec, r, b)
+          .as[(Long, Long)].collect().toSet
+      val Seq(p14, p22, p41) = Shapes.map { case (r, b) => pairs(r, b) }
+      // confirmed sets nest with r for the same permutation family
+      assert(p41.subsetOf(p22) && p22.subsetOf(p14))
+      assert(p22.nonEmpty, "fixture degenerate: shipped shape finds nothing")
+      // the chooser can only move r DOWN from the shipped 2 when bounded,
+      // so its confirmed set is a superset of the shipped one
+      val (chosen, _) = MinHashTuner.choose(sh, MinhashSpec, Shapes, maxPairsPerDoc = 64.0)
+      assert(chosen.r <= 2, s"census says sf0.001 cannot afford r<=2: $chosen")
+      assert(p22.subsetOf(pairs(chosen.r, chosen.b)))
+    } finally { sh.unpersist(); () }
+  }
 }
