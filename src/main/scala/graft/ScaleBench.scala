@@ -131,9 +131,9 @@ object ScaleBench {
     def deepRunner(name: String, f: Int): (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
       name match {
         case "dedup_semantic_keep" =>
-          (s, d) => graft.queries.VectorQueries.semanticKeep(s, d, 2, tuned(f)._1)
+          (s, d) => graft.queries.EmbedNeardupQueries.semanticKeep(s, d, 2, tuned(f)._1)
         case "sim_embed_neardup" =>
-          (s, d) => graft.queries.VectorQueries.embedNeardup(s, d, 2, tuned(f)._1)
+          (s, d) => graft.queries.EmbedNeardupQueries.embedNeardup(s, d, 2, tuned(f)._1)
         case other => SparkEntry.queries(other)
       }
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CdcQueries, CoreQueries, CoverageQueries, PipelineQueries, SinkQueries}
+import graft.queries.{AdvancedJoinQueries, CdcQueries, CoreQueries, CoverageQueries, PipelineQueries, SinkQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,8 +15,8 @@ import graft.queries.{CdcQueries, CoreQueries, CoverageQueries, PipelineQueries,
 object SparkEntry {
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = {
-    val qs = CoreQueries.queries ++ CdcQueries.queries ++ PipelineQueries.queries ++
-      CoverageQueries.queries ++ SinkQueries.queries
+    val qs = CoreQueries.queries ++ AdvancedJoinQueries.queries ++ CdcQueries.queries ++
+      PipelineQueries.queries ++ CoverageQueries.queries ++ SinkQueries.queries
     val dups = qs.groupBy(_._1).filter(_._2.size > 1).keys
     require(dups.isEmpty,
       s"duplicate query names would silently collapse in toMap: ${dups.mkString(", ")}")
@@ -34,6 +34,6 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ CdcQueries.oracles ++ PipelineQueries.oracles ++
-      CoverageQueries.oracles ++ SinkQueries.oracles
+    CoreQueries.oracles ++ AdvancedJoinQueries.oracles ++ CdcQueries.oracles ++
+      PipelineQueries.oracles ++ CoverageQueries.oracles ++ SinkQueries.oracles
 }

@@ -203,166 +203,6 @@ object CoreQueries {
         count(lit(1)).as("n_lines"))
       .orderBy("r_name", "order_year")
 
-  /** J15 — bucketed co-located join (the brief's "bucketing for
-    * co-located joins" scale path): both sides are written `bucketBy`
-    * the join key with the same bucket count, so the sort-merge join
-    * consumes the bucket layout directly — NO exchange on either side
-    * (PlanSpec-asserted). At 100 TB this is the shape for repeated
-    * fact-to-fact joins where neither side broadcasts: the shuffle is
-    * paid once at write time, then every downstream join is co-located.
-    * The catalog tables live under spark-warehouse/ (in-memory catalog);
-    * a real deployment points `spark.sql.warehouse.dir` at shared
-    * storage. */
-  /** Bucketed-fixture memo: the table writes are SETUP (the
-    * pay-the-shuffle-once-at-write-time half of the bucketing story),
-    * not the operator under test — building them once per
-    * (session, sfDir) keeps the bench figure measuring the
-    * zero-exchange join read path instead of two table writes. Keyed
-    * session → built sfDir so a dir switch rebuilds (the catalog holds
-    * ONE fixture at a time); the lock serializes concurrent builders. */
-  private val bucketedFixtureDir =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
-
-  private def ensureBucketedTables(s: SparkSession, d: String, buckets: Int): Unit =
-    bucketedFixtureDir.synchronized {
-      if (bucketedFixtureDir.get(s) == d) return
-      // the in-memory catalog forgets tables across sessions but their
-      // warehouse dirs survive — drop both or saveAsTable refuses the
-      // location (LOCATION_ALREADY_EXISTS)
-      def reset(name: String): Unit = {
-        s.sql(s"DROP TABLE IF EXISTS $name")
-        val wh = s.conf.get("spark.sql.warehouse.dir")
-        val dir = if (wh.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(wh))
-          else java.nio.file.Paths.get(wh)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(rm)
-          f.delete(): Unit
-        }
-        rm(dir.resolve(name).toFile)
-      }
-      reset("graft_b_orders")
-      reset("graft_b_lineitem")
-      Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
-        .write.mode("overwrite").bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("graft_b_orders")
-      Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
-        .write.mode("overwrite").bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("graft_b_lineitem")
-      bucketedFixtureDir.put(s, d): Unit
-    }
-
-  private val j15BucketedJoin: Q = (s, d) => {
-    ensureBucketedTables(s, d, buckets = 8)
-    s.table("graft_b_orders")
-      .join(s.table("graft_b_lineitem"), col("o_orderkey") === col("l_orderkey"), "inner")
-      .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n_lines"), round(sum("l_quantity"), 2).as("total_qty"))
-      .orderBy("o_orderstatus")
-  }
-
-  /** J16 — AS-OF (point-in-time) join, the time-series operator Spark
-    * has no built-in for: each 'view' event picks the LATEST 'purchase'
-    * event of the same user at-or-before its timestamp (the reference's
-    * state-lookup shape generalized to event time; DuckDB verifies with
-    * its native ASOF JOIN).
-    *
-    * Implementation is the scale-correct union+window form, NOT an
-    * inequality join: tag both sides, union, one shuffle on user_id,
-    * then a running `last(..., ignoreNulls)` ordered by (ts, side) —
-    * side 0 (purchase) sorts before side 1 (view) at equal ts, giving
-    * at-or-INCLUSIVE semantics. Cost is one shuffle + one sort per key,
-    * independent of time-range density; a range-predicate join would
-    * degrade toward per-user cross products on active users, and Spark
-    * would plan it as BNLJ absent an equi-key. Purchase ties at equal
-    * (user, ts) resolve to max(event_id) INSIDE the window ordering
-    * (ts, side, p_event_id) — a pre-dedup groupBy would cost a third
-    * shuffle on a key the window can't reuse (PlanSpec pins the
-    * 2-hash-exchange shape). Output aggregates per day so every row's
-    * match still pins the hash (counts + matched-id sum). */
-  private val j16AsofJoin: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(s, d)
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"))
-    val views = ev.filter(col("event_type") === "view")
-      .select(col("event_id"), col("user_id"), col("ts"))
-    val tagged = purchases.select(col("user_id"), col("ts"), lit(0).as("side"),
-        col("p_event_id"), lit(null).cast("long").as("view_event_id"))
-      .unionByName(views.select(col("user_id"), col("ts"), lit(1).as("side"),
-        lit(null).cast("long").as("p_event_id"), col("event_id").as("view_event_id")))
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"), col("p_event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tagged
-      .withColumn("asof_p", last("p_event_id", ignoreNulls = true).over(w))
-      .filter(col("side") === 1)
-      .groupBy(to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n_views"),
-        count(col("asof_p")).as("n_matched"),
-        coalesce(sum("asof_p"), lit(0L)).as("sum_p_event_id"))
-      .orderBy("day")
-  }
-
-  /** J17 — bounded range (interval) join: for each 'signup' event, the
-    * 'error' events of the same user inside (signup_ts, signup_ts+6h].
-    * Scale-correct BIN join, not an inequality join: errors land in
-    * their own 6-hour bucket; each signup explodes into the (at most 2)
-    * buckets its window overlaps; the join is then an EQUI-join on
-    * (user_id, bucket) with the exact range as a residual filter — the
-    * shuffle key is (user, time-bucket), candidate volume is bounded by
-    * bucket width, and no pair is produced twice (an error lives in
-    * exactly one bucket). DuckDB verifies with the plain inequality
-    * join. Window is half-open (strictly after the signup) so the
-    * signup row itself can never self-match in either engine. */
-  private val j17RangeJoin: Q = (s, d) => {
-    val binSec = 6 * 3600L
-    val ev = Tables.events(s, d)
-    val signups = ev.filter(col("event_type") === "signup")
-      .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("s_ts"),
-        explode(sequence(
-          (unix_timestamp(col("ts")) / binSec).cast("long"),
-          ((unix_timestamp(col("ts")) + binSec) / binSec).cast("long"))).as("bin"))
-    val errors = ev.filter(col("event_type") === "error")
-      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("e_ts"),
-        (unix_timestamp(col("ts")) / binSec).cast("long").as("bin"))
-    signups.join(errors, Seq("user_id", "bin"), "inner")
-      .filter(col("e_ts") > col("s_ts") &&
-        col("e_ts") <= col("s_ts") + expr(s"INTERVAL $binSec SECOND"))
-      .groupBy(to_date(col("s_ts")).as("day"))
-      .agg(countDistinct("signup_id").as("n_signups_with_errors"),
-        count(lit(1)).as("n_error_pairs"),
-        sum("error_id").as("sum_error_id"))
-      .orderBy("day")
-  }
-
-  /** SQL-API surface: the same engine driven through `spark.sql` over
-    * the registered temp-view catalog (S3's other face) — a TPC-H
-    * Q3-shaped shipping-priority query. Each summand is fixed-pointed
-    * to integer cents×basis-points PER ROW (floor(x·100+0.5) is a
-    * per-row deterministic double op), so the aggregate is an exact
-    * LONG sum — order-independent across engines, unlike summing
-    * doubles, where the partial-aggregation order shifts the last ulp
-    * and a floor-grid sort key can flip at the LIMIT boundary (observed
-    * off-by-one on first verify). The plan is identical to what the
-    * DataFrame API would build (same Catalyst, same broadcast/AQE
-    * decisions). */
-  private val sqlShippingPriority: Q = (s, d) => {
-    Tables.registerAll(s, d)
-    s.sql(
-      """SELECT l_orderkey,
-        |  sum(CAST(floor(l_extendedprice * 100D + 0.5D) AS BIGINT) *
-        |      CAST(floor((1.0D - l_discount) * 100D + 0.5D) AS BIGINT)) AS revenue_e4,
-        |  to_date(o_orderdate) AS order_date, o_orderpriority
-        |FROM customer
-        |JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON l_orderkey = o_orderkey
-        |WHERE c_mktsegment = 'HOUSEHOLD'
-        |  AND o_orderdate < TIMESTAMP '1999-06-30 00:00:00'
-        |  AND l_shipdate > TIMESTAMP '1999-06-30 00:00:00'
-        |GROUP BY l_orderkey, to_date(o_orderdate), o_orderpriority
-        |ORDER BY revenue_e4 DESC, l_orderkey ASC
-        |LIMIT 10""".stripMargin)
-  }
-
   // ---------------------------------------------------------------- A: aggregations
 
   /** A1 — countDistinct + max per key (gold_analytics.py:456-462). */
@@ -779,10 +619,6 @@ object CoreQueries {
     "j12_bridge_integrity" -> j12BridgeIntegrity,
     "j13_broadcast_join" -> j13BroadcastJoin,
     "j14_star_join" -> j14StarJoin,
-    "j15_bucketed_join" -> j15BucketedJoin,
-    "j16_asof_join" -> j16AsofJoin,
-    "j17_range_join" -> j17RangeJoin,
-    "sql_shipping_priority" -> sqlShippingPriority,
     "a1_countdistinct_max" -> a1CountDistinctMax,
     "a2_perkey_distinct" -> a2PerKeyDistinct,
     "a3_coverage_pct" -> a3CoveragePct,
@@ -809,28 +645,6 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    "j16_asof_join" ->
-      """WITH p AS (
-        |  SELECT user_id, ts, max(event_id) AS p_event_id
-        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
-        |v AS (
-        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
-        |SELECT CAST(v.ts AS DATE) AS day,
-        |  CAST(count(*) AS BIGINT) AS n_views,
-        |  CAST(count(p.p_event_id) AS BIGINT) AS n_matched,
-        |  CAST(coalesce(sum(p.p_event_id), 0) AS BIGINT) AS sum_p_event_id
-        |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
-        |GROUP BY day ORDER BY day""".stripMargin,
-    "j17_range_join" ->
-      """SELECT CAST(s.ts AS DATE) AS day,
-        |  CAST(count(DISTINCT s.event_id) AS BIGINT) AS n_signups_with_errors,
-        |  CAST(count(*) AS BIGINT) AS n_error_pairs,
-        |  CAST(sum(e.event_id) AS BIGINT) AS sum_error_id
-        |FROM events s JOIN events e
-        |  ON s.event_type = 'signup' AND e.event_type = 'error'
-        |  AND e.user_id = s.user_id
-        |  AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL '6 hours'
-        |GROUP BY day ORDER BY day""".stripMargin,
     "a9_rollup" ->
       """SELECT CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
         |  coalesce(o_orderpriority, '(all)') AS priority,
@@ -1006,25 +820,6 @@ object CoreQueries {
         |LEFT JOIN nation ON c_nationkey = n_nationkey
         |LEFT JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, order_year ORDER BY r_name, order_year""".stripMargin,
-    "sql_shipping_priority" ->
-      """SELECT l_orderkey,
-        |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) *
-        |      CAST(floor((1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
-        |  CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
-        |FROM customer
-        |JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON l_orderkey = o_orderkey
-        |WHERE c_mktsegment = 'HOUSEHOLD'
-        |  AND o_orderdate < TIMESTAMP '1999-06-30 00:00:00'
-        |  AND l_shipdate > TIMESTAMP '1999-06-30 00:00:00'
-        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
-        |ORDER BY revenue_e4 DESC, l_orderkey ASC
-        |LIMIT 10""".stripMargin,
-    "j15_bucketed_join" ->
-      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_lines,
-        |  round(sum(l_quantity), 2) AS total_qty
-        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "a1_countdistinct_max" ->
       """SELECT o_custkey, CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
         |  CAST(max(o_orderdate) AS DATE) AS last_order_date

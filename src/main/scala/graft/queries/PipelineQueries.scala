@@ -27,11 +27,11 @@ object PipelineQueries {
     * [[VectorQueries]], [[TextCurationQueries]], [[ComposedQueries]],
     * with cross-tier plumbing in [[PipelineShared]]. */
   val queries: Seq[(String, Q)] =
-    DedupQueries.queries ++ VectorQueries.queries ++ VectorIndexQueries.queries ++
+    DedupQueries.queries ++ SimHashQueries.queries ++ VectorQueries.queries ++ EmbedNeardupQueries.queries ++ VectorIndexQueries.queries ++
       TextCurationQueries.queries ++ BpeQueries.queries ++ TunerQueries.queries ++ MultimodalQueries.queries ++ ComposedQueries.queries
 
   val oracles: Map[String, String] =
-    DedupQueries.oracles ++ VectorQueries.oracles ++ VectorIndexQueries.oracles ++
+    DedupQueries.oracles ++ SimHashQueries.oracles ++ VectorQueries.oracles ++ EmbedNeardupQueries.oracles ++ VectorIndexQueries.oracles ++
       TextCurationQueries.oracles ++ BpeQueries.oracles ++ TunerQueries.oracles ++ MultimodalQueries.oracles ++ ComposedQueries.oracles
 
   private[queries] val IvfProbes: Seq[Int] = VectorQueries.IvfProbes

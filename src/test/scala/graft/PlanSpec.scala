@@ -445,4 +445,21 @@ class PlanSpec extends AnyFunSuite {
       assert(bounded.nonEmpty, s"corpus-sized shuffle in the RRF plan:\n$e")
     }
   }
+
+  test("sim_index_maintain: probed read prunes to the nprobe centroid partitions") {
+    // the query runs the create+merge side effects, then returns the
+    // probed top-k read over the MAINTAINED layout — the isin filter on
+    // the partition column must resolve to partition pruning, so the
+    // scan touches nprobe of nlist partition dirs before decoding a row
+    val df = SparkEntry.queries("sim_index_maintain")(spark, sf)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    val idxScan = scans.find(_.partitionFilters.exists(
+      _.references.exists(_.name == "centroid_id")))
+    assert(idxScan.nonEmpty, s"no partition filter on centroid_id:\n${scans.map(_.metadata)}")
+    // 4 probes of 16 lists: the selected partition count must be <= 4
+    assert(idxScan.get.selectedPartitions.partitionCount <= 4,
+      s"pruning left ${idxScan.get.selectedPartitions.partitionCount} partitions")
+  }
 }
