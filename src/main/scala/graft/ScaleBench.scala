@@ -76,7 +76,14 @@ object ScaleBench {
     // fixed probe set (copy-0 doc_ids) against a ×f corpus — the
     // decontamination scale story: the Bloom build cost is constant
     // while the prefiltered corpus side grows linearly
-    "text_decontam_bloom")
+    "text_decontam_bloom",
+    // r12 additions: persisted ANN-index maintenance (create+merge is a
+    // partition-scoped rewrite — cost tracks the batch, not the index),
+    // relational BPE (trains on the DISTINCT vocab, which grows ~xf here
+    // because each copy's prefixed words are new), the MinHash band-shape
+    // census (one partial-agg pass per shape), and PNG pixel decode
+    // (embarrassingly parallel mapPartitions CPU)
+    "sim_index_maintain", "text_bpe_tokens", "dedup_band_census", "mm_pixel_stats")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -199,6 +199,49 @@ object EventStreams {
       }
       .start()
 
+  /** STREAMING maintenance of the persisted IVF-bucketed ANN index —
+    * the stream twin of the batch `sim_index_maintain` (and the vector
+    * sibling of [[bandIndexSink]]): each micro-batch of (vec_id,
+    * embedding) rows is merged into the centroid-partitioned
+    * [[graft.operators.TableMerge]] layout that `ivfProbedTopk`-style
+    * reads prune against. Unlike the band index, the partition key
+    * (centroid_id) is DERIVED from the value being updated, so a
+    * re-embedded vector can MOVE partitions: the merge is
+    * `replaceKeys` with dropGroups = old positions (a semi-join of
+    * batch ids against the live index) ∪ new positions — TableMerge's
+    * partition-scoped path rewrites exactly the touched lists and
+    * hard-links the rest.
+    *
+    * Scale: per-batch cost is O(batch + state in touched centroids +
+    * one semi-join against the index keyed by vec_id). At 100 TB the
+    * old-position lookup is the one index-sized term — production
+    * would keep a (vec_id → centroid) point-lookup table beside the
+    * layout (the same TableMerge machinery, vec_id-bucketed); here the
+    * semi-join IS that lookup, fused. */
+  def vectorIndexSink(vecs: DataFrame, tablePath: String, checkpointDir: String,
+                      nlist: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          import graft.operators.TableMerge
+          val rows = batch.selectExpr("vec_id", "embedding",
+            s"graft_ivf_assign(embedding, $nlist) AS centroid_id")
+          if (!TableMerge.exists(tablePath))
+            TableMerge.createOrReplace(rows, tablePath, Seq("centroid_id"))
+          else {
+            val oldPos = TableMerge.read(batch.sparkSession, tablePath)
+              .join(rows.select("vec_id"), Seq("vec_id"), "left_semi")
+              .select("centroid_id", "vec_id")
+            val drops = oldPos.union(rows.select("centroid_id", "vec_id"))
+            TableMerge.replaceKeys(batch.sparkSession, tablePath, rows, drops,
+              Seq("centroid_id", "vec_id"), Seq("centroid_id"))
+          }
+        }
+      }
+      .start()
+
   final case class Event(
       event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

@@ -506,4 +506,61 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(novel == Set(11L))
     } finally q.stop()
   }
+
+  test("vector-index sink: stream-maintained IVF layout equals from-scratch, moves cross partitions") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-vec-index")
+    val table = dir.resolve("ivf").toString
+    val ckpt = dir.resolve("ckpt").toString
+
+    // deterministic 64-dim vectors; batch 2 re-embeds vec 1 with its
+    // REVERSE (moves centroid for most vectors) and adds a new one
+    def vec(seed: Long): Seq[Double] =
+      Seq.tabulate(64)(i => (((seed * 31 + i * 17) % 19) - 9) / 10.0 + (seed % 5) * 0.01)
+    val batch1 = Seq((1L, vec(1)), (2L, vec(2)), (3L, vec(3)), (4L, vec(4)))
+    val batch2 = Seq((5L, vec(5)), (1L, vec(1).reverse))
+
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = EventStreams.vectorIndexSink(
+      stream.toDF().toDF("vec_id", "embedding"), table, ckpt)
+    try {
+      stream.addData(batch1: _*)
+      q.processAllAvailable()
+      def assignOf(rows: Seq[(Long, Seq[Double])]): Map[Long, Int] =
+        rows.toDF("vec_id", "embedding")
+          .selectExpr("vec_id", "graft_ivf_assign(embedding, 16) AS c")
+          .as[(Long, Int)].collect().toMap
+      val pre = assignOf(batch1)
+      val post = assignOf(Seq((1L, vec(1).reverse), (5L, vec(5))))
+      assert(post(1L) != pre(1L), "fixture degenerate: re-embed did not move centroids")
+      // a centroid holding only vectors untouched by batch 2 must keep inodes
+      val touched2 = Set(post(1L), post(5L), pre(1L))
+      val quiet = (pre - 1L).values.toSet -- touched2
+      assert(quiet.nonEmpty, "fixture degenerate: every centroid touched")
+      def inodesOf(c: Int): Set[Long] = {
+        val live = Paths.get(table, Files.readString(Paths.get(table, "_current")).trim)
+        val bdir = live.resolve(s"centroid_id=$c")
+        if (!Files.exists(bdir)) Set.empty
+        else Option(bdir.toFile.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => Files.getAttribute(f.toPath, "unix:ino").asInstanceOf[Long]).toSet
+      }
+      val quietBefore = quiet.map(c => c -> inodesOf(c)).toMap
+      stream.addData(batch2: _*)
+      q.processAllAvailable()
+      quiet.foreach(c => assert(inodesOf(c) == quietBefore(c), s"quiet centroid $c rewritten"))
+      // the moved vector lives ONLY at its new centroid
+      val live = graft.operators.TableMerge.read(spark, table)
+        .selectExpr("vec_id", "CAST(centroid_id AS INT) AS c").as[(Long, Int)].collect()
+      assert(live.count(_._1 == 1L) == 1 && live.find(_._1 == 1L).get._2 == post(1L))
+      // stream-maintained == from-scratch over the latest state
+      val latest = Seq((1L, vec(1).reverse), (2L, vec(2)), (3L, vec(3)), (4L, vec(4)), (5L, vec(5)))
+      val expected = latest.toDF("vec_id", "embedding")
+        .selectExpr("vec_id", "graft_ivf_assign(embedding, 16) AS c")
+        .as[(Long, Int)].collect().toSet
+      assert(live.toSet == expected)
+    } finally q.stop()
+  }
 }
