@@ -148,9 +148,80 @@ private[graft] object VectorIndexQueries {
       .orderBy("centroid_id")
   }
 
+  // ---- relational k-means (coarse-quantizer / PQ codebook training) ----
+
+  private val KmeansK = 8
+  private val KmeansIters = 2
+  private val Dim = 64
+
+  /** Deterministic init: the IVF grid centroids lifted to e6 integer
+    * space — c_j[i] = (((j·31+i·17) mod 19) − 9)·1e5. */
+  private def gridCentroidE6(j: Int): Seq[Long] =
+    Seq.tabulate(Dim)(i => (((j * 31 + i * 17) % 19) - 9) * 100000L)
+
+  /** Lloyd's k-means TRAINING as a relational operator — the step that
+    * turns the fixed grid coarse quantizer into a DATA-TRAINED one
+    * (FAISS `train()`; the same loop trains PQ sub-codebooks). The
+    * whole computation runs in e6 INTEGER space so it is exact and
+    * engine-reproducible: embeddings quantize to BIGINT e6, distances
+    * are integer sums of squares (≤ 64·(4e6)² ≈ 1e15, no overflow),
+    * the argmin tie-breaks (dist, centroid_id), and the centroid
+    * update is floor(sum/count) — sums are exact in int64 and exact in
+    * the double division (≪ 2^53), so DuckDB replays the identical
+    * iterations to the identical centroids.
+    *
+    * Scale shape per iteration: one broadcast of k·dim centroid ints,
+    * a map-side k-way distance scan (the crossJoin is against a
+    * k-row broadcast — no shuffle), an argmin window keyed by vec_id,
+    * and a (k·dim)-group partial-aggregated sum — the MLlib k-means
+    * sync pattern, with k·dim = 512 longs on the driver per round. */
+  private val simKmeansTrain: Q = (s, d) => {
+    import s.implicits._
+    val eq = Tables.embeddings(s, d)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS eq")
+      .localCheckpoint()
+    def assign(cents: Seq[(Int, Seq[Long])]): DataFrame = {
+      val cdf = cents.toDF("centroid_id", "cvec")
+      val dists = eq.crossJoin(broadcast(cdf))
+        .selectExpr("vec_id", "centroid_id",
+          "aggregate(zip_with(eq, cvec, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x) AS dist")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("dist"), col("centroid_id"))
+      dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("vec_id", "centroid_id", "dist")
+    }
+    var cents: Seq[(Int, Seq[Long])] = (0 until KmeansK).map(j => j -> gridCentroidE6(j))
+    for (_ <- 1 to KmeansIters) {
+      val comps = assign(cents).join(eq, "vec_id")
+        .select(col("centroid_id"), posexplode(col("eq")).as(Seq("pos", "v")))
+        .groupBy("centroid_id", "pos")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .select(col("centroid_id"), col("pos"),
+          floor(col("sv").cast("double") / col("n")).cast("long").as("comp"))
+        .collect()
+      val updated = comps.groupBy(_.getInt(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+      // empty cluster: carry the previous centroid
+      cents = cents.map { case (cid, prev) => cid -> updated.getOrElse(cid, prev) }
+    }
+    val finalAssign = assign(cents)
+    val stats = finalAssign.groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_members"), sum("dist").as("inertia"))
+    val fps = cents.map { case (cid, v) => (cid, v.sum) }.toDF("centroid_id", "centroid_fp")
+    fps.join(stats, Seq("centroid_id"), "left")
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("inertia"), lit(0L)).as("inertia"),
+        col("centroid_fp"))
+      .orderBy("centroid_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "sim_index_maintain" -> simIndexMaintain,
     "sim_index_drift" -> simIndexDrift,
+    "sim_kmeans_train" -> simKmeansTrain,
   )
 
   /** IVF assignment cost list over 64-dim vectors of relation column
@@ -180,7 +251,67 @@ private[graft] object VectorIndexQueries {
       |      i -> embedding[64 - i]) AS embedding
       |  FROM embeddings WHERE vec_id % 10 <> 0 AND vec_id % 20 = 5)""".stripMargin
 
+  /** The k-means train loop unrolled as SQL — same e6 integer space,
+    * same (dist, cid) argmin, same floor(sum/count) update, same
+    * empty-cluster carry. */
+  private def duckKmeans: String = {
+    val dist = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(generate_series(1, $Dim), " +
+      "i -> (e.eq[i] - c.cvec[i]) * (e.eq[i] - c.cvec[i]))), (a, x) -> a + x)"
+    def assignCte(n: Int): String =
+      s"""a$n AS (
+         |  SELECT vec_id, cid, dist FROM (
+         |    SELECT vec_id, cid, dist,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM (SELECT e.vec_id, c.cid, $dist AS dist
+         |          FROM eq e, cent$n c) d$n) r$n
+         |  WHERE rn = 1)""".stripMargin
+    def updCte(n: Int): String =
+      s"""s$n AS (
+         |  SELECT a.cid, ii.i AS pos, CAST(sum(e.eq[ii.i]) AS BIGINT) AS sv,
+         |    count(*) AS n
+         |  FROM a$n a JOIN eq e USING (vec_id),
+         |       UNNEST(generate_series(1, $Dim)) ii(i)
+         |  GROUP BY 1, 2),
+         |u$n AS (
+         |  SELECT cid, list(comp ORDER BY pos) AS cvec
+         |  FROM (SELECT cid, pos,
+         |          CAST(floor(CAST(sv AS DOUBLE) / n) AS BIGINT) AS comp
+         |        FROM s$n) q$n
+         |  GROUP BY cid),
+         |cent${n + 1} AS (
+         |  SELECT c.cid, coalesce(u.cvec, c.cvec) AS cvec
+         |  FROM cent$n c LEFT JOIN u$n u USING (cid))""".stripMargin
+    val rounds = (0 until KmeansIters).map(n => assignCte(n) + ",\n" + updCte(n))
+      .mkString(",\n")
+    s"""WITH eq AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS eq
+       |  FROM embeddings),
+       |cent0 AS (
+       |  SELECT j AS cid, list_transform(generate_series(0, ${Dim - 1}),
+       |    i -> CAST((((j * 31 + i * 17) % 19) - 9) * 100000 AS BIGINT)) AS cvec
+       |  FROM generate_series(0, ${KmeansK - 1}) t(j)),
+       |$rounds,
+       |${assignCte(KmeansIters)},
+       |stats AS (
+       |  SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+       |    CAST(sum(dist) AS BIGINT) AS inertia
+       |  FROM a$KmeansIters GROUP BY cid),
+       |fp AS (
+       |  SELECT cid, CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), cvec),
+       |    (a, x) -> a + x) AS BIGINT) AS centroid_fp
+       |  FROM cent$KmeansIters)
+       |SELECT CAST(f.cid AS BIGINT) AS centroid_id,
+       |  coalesce(s.n_members, 0) AS n_members,
+       |  coalesce(s.inertia, 0) AS inertia,
+       |  f.centroid_fp
+       |FROM fp f LEFT JOIN stats s USING (cid)
+       |ORDER BY centroid_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "sim_kmeans_train" -> duckKmeans,
     "sim_index_maintain" ->
       // from-scratch build over the merged corpus = what incremental
       // maintenance must be hash-identical to; probe + cosine folds
