@@ -140,9 +140,13 @@ private[graft] object BpeQueries {
   }
 
   /** The learned merge table itself — rank-ordered, the artifact a
-    * tokenizer ships. Oracle = the same train loop unrolled as SQL. */
+    * tokenizer ships. Oracle = the same train loop unrolled as SQL.
+    * This entry is the TRAINING operator, so it always trains
+    * (bypassing the memo — its bench time is the honest train cost)
+    * and refreshes the stored table the apply-side entries reuse. */
   private val textBpeMerges: Q = (s, d) => {
-    val (merges, _) = learnMerges(s, d)
+    val (merges, _) = learnMergesFrom(vocab(s, d))
+    trainedMerges.put(d, merges)
     import s.implicits._
     merges.zipWithIndex
       .map { case ((l, r), i) => (i + 1L, l, r, l + r) }
