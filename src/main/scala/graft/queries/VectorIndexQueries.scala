@@ -210,7 +210,7 @@ private[graft] object VectorIndexQueries {
     val stats = finalAssign.groupBy("centroid_id")
       .agg(count(lit(1)).as("n_members"), sum("dist").as("inertia"))
     val fps = cents.map { case (cid, v) => (cid, v.sum) }.toDF("centroid_id", "centroid_fp")
-    fps.join(stats, Seq("centroid_id"), "left")
+    fps.join(broadcast(stats), Seq("centroid_id"), "left")
       .select(col("centroid_id").cast("long").as("centroid_id"),
         coalesce(col("n_members"), lit(0L)).as("n_members"),
         coalesce(col("inertia"), lit(0L)).as("inertia"),

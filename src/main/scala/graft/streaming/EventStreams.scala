@@ -219,11 +219,19 @@ object EventStreams {
     * layout (the same TableMerge machinery, vec_id-bucketed); here the
     * semi-join IS that lookup, fused. */
   def vectorIndexSink(vecs: DataFrame, tablePath: String, checkpointDir: String,
-                      nlist: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+                      nlist: Int = 16,
+                      compactEvery: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // same accretion control as upsertLatestSink: every touched
+        // centroid partition gains up to shuffle.partitions files per
+        // micro-batch; fold overflowing lists back periodically
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
+            graft.operators.TableMerge.exists(tablePath))
+          graft.operators.TableMerge.compact(batch.sparkSession, tablePath,
+            Seq("centroid_id"), maxFiles = compactEvery / 2)
         if (!batch.isEmpty) {
           import graft.operators.TableMerge
           val rows = batch.selectExpr("vec_id", "embedding",

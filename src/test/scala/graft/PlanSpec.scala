@@ -446,6 +446,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_kmeans_train: k-way distance scan is broadcast-joined, argmin shuffles once on vec_id") {
+    // the centroid side is k rows — it must broadcast (BroadcastNestedLoop
+    // for the crossJoin), and the only pre-aggregate exchange is the
+    // vec_id window's; a SortMergeJoin or centroid-side shuffle would
+    // mean the corpus moved to meet 8 rows
+    val df = SparkEntry.queries("sim_kmeans_train")(spark, sf)
+    val p = df.queryExecution.sparkPlan
+    assert(collect(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      case b: BroadcastHashJoinExec => b
+    }.nonEmpty, s"no broadcast join in the final assignment plan:\n$p")
+    assert(collect(p) {
+      case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+    }.isEmpty, "centroid join degenerated to SMJ")
+  }
+
+  test("dedup_band_census: every shape's census splits partial/final (map-side combine)") {
+    val p = plan("dedup_band_census")
+    val aggs = collect(p) { case a: HashAggregateExec => a }
+    val partials = aggs.count(_.aggregateExpressions.exists(_.toString.contains("partial_")))
+    // 3 shapes x 2 agg layers (bucket count, stat fold) — at least 3 partials
+    assert(partials >= 3, s"expected partial aggregates per shape, got $partials:\n$p")
+  }
+
   test("sim_index_maintain: probed read prunes to the nprobe centroid partitions") {
     // the query runs the create+merge side effects, then returns the
     // probed top-k read over the MAINTAINED layout — the isin filter on
