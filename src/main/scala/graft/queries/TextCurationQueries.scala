@@ -77,6 +77,46 @@ private[queries] object TextCurationQueries {
       .orderBy("doc_id")
   }
 
+  /** Interpolated BIGRAM log-prob scoring — the next model up from
+    * [[textUnigramLogprob]] on the CCNet path (Wenzek et al. use a
+    * 5-gram KenLM; the relational mechanics are identical at any
+    * order): token i ≥ 2 scores p = 0.7·P(wᵢ|wᵢ₋₁) + 0.3·P(wᵢ)
+    * (fixed-weight Jelinek-Mercer interpolation — the backoff that
+    * keeps unseen-bigram probability non-zero), the first token scores
+    * its unigram. Same determinism discipline as the unigram entry:
+    * probabilities are exact-integer ratios combined in one fixed
+    * IEEE expression order, ln collapses to an e6 INTEGER per token
+    * before the per-doc sum, so aggregation order can never move the
+    * hash. Scale shape: two count aggregates (unigram, bigram — both
+    * partial/final), then broadcast-sized joins of the exploded corpus
+    * against its own count tables; the bigram table is the big dim at
+    * web scale, where it becomes the same hash-shuffle equi-join. */
+  private val textBigramLogprob: Q = (s, d) => {
+    val pos = Tables.documents(s, d)
+      .selectExpr("doc_id", "split(text, ' ') AS t")
+      .selectExpr("doc_id", "posexplode(t) AS (pos, tok)", "t")
+      .selectExpr("doc_id", "pos", "tok",
+        "CASE WHEN pos = 0 THEN NULL ELSE element_at(t, pos) END AS prev")
+    val uni = pos.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum("cu").as("nt"))
+    val bi = pos.filter(col("prev").isNotNull)
+      .groupBy("prev", "tok").agg(count(lit(1)).as("cb"))
+    pos
+      .join(uni, "tok")
+      .join(uni.select(col("tok").as("prev"), col("cu").as("cp")), Seq("prev"), "left")
+      .join(bi, Seq("prev", "tok"), "left")
+      .crossJoin(broadcast(tot))
+      .selectExpr("doc_id",
+        "CAST(floor(ln(CASE WHEN prev IS NULL THEN CAST(cu AS DOUBLE) / nt " +
+          "ELSE 0.7D * (CAST(cb AS DOUBLE) / cp) + 0.3D * (CAST(cu AS DOUBLE) / nt) END) " +
+          "* 1000000) AS BIGINT) AS lp_e6")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lp_e6").as("sum_lp_e6"))
+      .selectExpr("doc_id", "n_tokens",
+        "CAST(floor(CAST(-sum_lp_e6 AS DOUBLE) / n_tokens / 100.0D) AS BIGINT) AS nll_e4")
+      .orderBy("doc_id")
+  }
+
   /** Quality-score CALIBRATION per source — the fix for the standard
     * curation failure mode: a single global quality threshold over
     * heterogeneous sources keeps whatever the scorer happens to like
@@ -522,6 +562,7 @@ private[queries] object TextCurationQueries {
     "text_quality" -> textQuality,
     "text_quality_calibrate" -> textQualityCalibrate,
     "text_unigram_logprob" -> textUnigramLogprob,
+    "text_bigram_logprob" -> textBigramLogprob,
     "text_langid" -> textLangid,
     "text_token_count" -> textTokenCount,
     "text_fingerprint" -> textFingerprint,
@@ -792,6 +833,39 @@ private[queries] object TextCurationQueries {
          |    + 0.3 * least(1.0, (CAST(total_word_len AS DOUBLE) / n_words) / 8.0)) * 10000)
          |    AS BIGINT) AS quality_score_e4
          |FROM m ORDER BY doc_id""".stripMargin,
+    "text_bigram_logprob" ->
+      // interpolation written in the identical IEEE expression order as
+      // the Spark side; a corpus-derived (prev, tok) pair always exists
+      // in the bigram table, so only the first token takes the unigram
+      // branch
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (
+        |  SELECT doc_id, ii.i AS pos, t[ii.i] AS tok,
+        |    CASE WHEN ii.i = 1 THEN NULL ELSE t[ii.i - 1] END AS prev
+        |  FROM toks, UNNEST(generate_series(1, len(t))) ii(i)),
+        |uni AS (SELECT tok, count(*) AS cu FROM pos GROUP BY tok),
+        |tot AS (SELECT sum(cu) AS nt FROM uni),
+        |bi AS (
+        |  SELECT prev, tok, count(*) AS cb FROM pos
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    CAST(floor(ln(CASE WHEN p.prev IS NULL THEN CAST(u.cu AS DOUBLE) / t.nt
+        |      ELSE 0.7 * (CAST(b.cb AS DOUBLE) / up.cu)
+        |        + 0.3 * (CAST(u.cu AS DOUBLE) / t.nt) END) * 1000000) AS BIGINT) AS lp_e6
+        |  FROM pos p
+        |  JOIN uni u ON u.tok = p.tok
+        |  LEFT JOIN uni up ON up.tok = p.prev
+        |  LEFT JOIN bi b ON b.prev = p.prev AND b.tok = p.tok
+        |  CROSS JOIN tot t),
+        |per_doc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    sum(lp_e6) AS sum_lp_e6
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor(CAST(-sum_lp_e6 AS DOUBLE) / n_tokens / 100.0) AS BIGINT) AS nll_e4
+        |FROM per_doc ORDER BY doc_id""".stripMargin,
     "text_unigram_logprob" ->
       // ln agrees between Java Math.log and DuckDB libm on this value
       // range (same contract as the BM25 oracles); the e6 floor happens
