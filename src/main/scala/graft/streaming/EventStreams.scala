@@ -250,6 +250,30 @@ object EventStreams {
       }
       .start()
 
+  /** STREAMING BPE tokenization — the tokenizer-apply half of the
+    * relational BPE operator run on an unbounded document stream: the
+    * TRAINED merge table (a small driver-side artifact, the thing a
+    * tokenizer ships — `BpeQueries.learnMerges`) is replayed as chained
+    * per-row HOF projections, so the IDENTICAL code tokenizes a static
+    * frame and a stream, including words never seen in training (the
+    * merges apply to their characters the same way — no vocab lookup,
+    * no state). Output is per-doc (doc_id, n_words, n_bpe_tokens)
+    * rows, one per input doc — append-safe, stateless, no watermark;
+    * downstream aggregation (packing, token budgeting) owns any
+    * windowing. */
+  def bpeTokenCounts(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    var df = docs.selectExpr("doc_id", "split(text, ' ') AS ws")
+      .selectExpr("doc_id", "explode(ws) AS w")
+      .filter(col("w") =!= "")
+      .withColumn("t", split(col("w"), ""))
+    merges.foreach { case (l, r) =>
+      df = graft.queries.BpeQueries.applyMergeRound(df, l, r)
+    }
+    df.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("t"))).cast("long").as("n_bpe_tokens"))
+  }
+
   final case class Event(
       event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

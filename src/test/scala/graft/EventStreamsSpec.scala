@@ -507,6 +507,35 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming BPE tokenization equals the batch apply, including unseen words") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // train on the real sf0.001 corpus — the shipped artifact
+    val (merges, _) = graft.queries.BpeQueries.learnMerges(spark, "/root/testdata/sf0.001")
+    assert(merges.nonEmpty)
+    val docs = Seq(
+      (1L, "key agg row scan slow fast table value"),
+      (2L, "zzz unseen wordforms qq"), // vocabulary never seen in training
+      (3L, "table table table"))
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStreams.bpeTokenCounts(stream.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.format("memory").queryName("bpe_counts").outputMode("complete").start()
+    try {
+      stream.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      stream.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("bpe_counts").as[(Long, Long, Long)].collect().toSet
+      val batch = EventStreams.bpeTokenCounts(docs.toDF("doc_id", "text"), merges)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == batch)
+      // merges actually fired: fewer BPE tokens than characters somewhere
+      val chars = docs.map { case (id, t) => id -> t.replace(" ", "").length.toLong }.toMap
+      assert(batch.exists { case (id, _, n) => n < chars(id) },
+        s"no merge applied anywhere: $batch vs $chars")
+    } finally q.stop()
+  }
+
   test("vector-index sink: stream-maintained IVF layout equals from-scratch, moves cross partitions") {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
