@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.queries.PipelineShared.Q
+import graft.queries.PipelineShared.{duckFp, Q}
 
 /** Subword (BPE) tokenization as a RELATIONAL operator (VERDICT r10 #2
   * / r11 #4) — byte-pair encoding re-expressed so that both training
@@ -196,10 +196,63 @@ private[graft] object BpeQueries {
       .orderBy("source", "doc_id")
   }
 
+  /** END-TO-END token BUDGET — the curation funnel priced in the unit
+    * that actually costs money: subword tokens. Same keep derivation
+    * as `e2e_curation_funnel` (quality floor → exact-dedup keeper per
+    * digest → temperature sample), then the kept documents are counted
+    * under the CORPUS-trained tokenizer and greedily packed per source
+    * at the pack_sequences capacity — per source: kept docs, total BPE
+    * tokens, and training sequences consumed. This is the number a
+    * data-mixture owner actually budgets ("how many 512-token
+    * sequences does source X contribute after curation?"), and it
+    * composes three pinned tiers (funnel, BPE, packing) into one
+    * oracle row per source. */
+  private val e2eTokenBudget: Q = (s, d) => {
+    val (_, voc) = learnMerges(s, d)
+    val wordTok = voc.select(col("w"), size(col("t")).cast("long").as("n_tok"))
+    val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+    val corpus = docs.union(docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 300000).as("doc_id"), col("source"), col("text")))
+    val flagged = corpus
+      .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+      .withColumn("digest", sha2(col("text"), 256))
+      .withColumn("q", col("n_words") >= 10)
+      .withColumn("keeper_id",
+        min(when(col("q"), col("doc_id"))).over(Window.partitionBy("digest")))
+      .withColumn("u", col("q") && col("doc_id") === col("keeper_id"))
+    val rates = flagged.filter(col("u"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("srt", floor(sqrt(col("n")) * 1000000).cast("long"))
+    val total = rates.agg(sum("srt").as("total"))
+    val rateBp = rates.crossJoin(broadcast(total))
+      .withColumn("rate_bp", expr("(8000 * srt) DIV total"))
+      .select("source", "rate_bp")
+    val kept = flagged.join(broadcast(rateBp), Seq("source"), "left")
+      .withColumn("keep", col("u") &&
+        expr("graft_str_fp(concat('cur||', CAST(doc_id AS STRING))) % 10000") < col("rate_bp"))
+      .filter(col("keep"))
+      .select("doc_id", "source", "text")
+    val perDoc = kept
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(wordTok, Seq("w"))
+      .groupBy("doc_id", "source").agg(sum("n_tok").as("n_bpe"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc.withColumn("cum", sum("n_bpe").over(w))
+      .withColumn("pack_id",
+        floor((col("cum") - col("n_bpe")) / lit(PackCapacity)).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_bpe").as("bpe_tokens"),
+        (max("pack_id") + 1L).as("n_packs"))
+      .orderBy("source")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "text_bpe_merges" -> textBpeMerges,
     "text_bpe_tokens" -> textBpeTokens,
     "pack_bpe_sequences" -> packBpeSequences,
+    "e2e_token_budget" -> e2eTokenBudget,
   )
 
   // ---- DuckDB oracle: the train loop unrolled as chained CTEs ----
@@ -276,6 +329,53 @@ private[graft] object BpeQueries {
          |  CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens
          |FROM dw JOIN wt USING (w)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "e2e_token_budget" ->
+      // funnel CTEs mirror e2e_curation_funnel; BPE CTEs mirror
+      // text_bpe_tokens; the pack window mirrors pack_bpe_sequences —
+      // three pinned fragments composed
+      s"""WITH $duckRounds,
+         |$duckWordTok,
+         |fcorpus AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 300000 AS doc_id, source, text FROM documents
+         |  WHERE doc_id % 10 = 0),
+         |fflag AS (
+         |  SELECT doc_id, source, text,
+         |    sha256(text) AS digest,
+         |    len(string_split(text, ' ')) >= 10 AS q
+         |  FROM fcorpus),
+         |fkeep AS (
+         |  SELECT *, min(CASE WHEN q THEN doc_id END)
+         |    OVER (PARTITION BY digest) AS keeper_id
+         |  FROM fflag),
+         |fu AS (SELECT *, q AND doc_id = keeper_id AS uniq FROM fkeep),
+         |fcounts AS (
+         |  SELECT source, CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS srt
+         |  FROM fu WHERE uniq GROUP BY source),
+         |ft AS (SELECT CAST(sum(srt) AS BIGINT) AS total FROM fcounts),
+         |fr AS (SELECT source, (8000 * srt) // total AS rate_bp FROM fcounts, ft),
+         |fsam AS (
+         |  SELECT fu.doc_id, fu.source, fu.text
+         |  FROM fu LEFT JOIN fr USING (source)
+         |  WHERE fu.uniq AND (${duckFp("'cur||' || CAST(doc_id AS VARCHAR)")} % 10000
+         |    < fr.rate_bp)),
+         |fdw AS (
+         |  SELECT doc_id, source, w
+         |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM fsam) x
+         |  WHERE w <> ''),
+         |fper AS (
+         |  SELECT doc_id, source, CAST(sum(n_tok) AS BIGINT) AS n_bpe
+         |  FROM fdw JOIN wt USING (w) GROUP BY 1, 2),
+         |fcum AS (
+         |  SELECT source, doc_id, n_bpe,
+         |    sum(n_bpe) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM fper)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+         |  CAST(max(floor((cum - n_bpe) / $PackCapacity)) + 1 AS BIGINT) AS n_packs
+         |FROM fcum GROUP BY source ORDER BY source""".stripMargin,
     "pack_bpe_sequences" ->
       s"""WITH $duckRounds,
          |$duckWordTok,
