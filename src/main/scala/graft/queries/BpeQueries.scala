@@ -106,8 +106,14 @@ private[graft] object BpeQueries {
     val v = vocab(s, d)
     Option(trainedMerges.get(d)) match {
       case Some(m) =>
-        var df = v.withColumn("t", split(col("w"), ""))
-        m.foreach { case (l, r) => df = applyMergeRound(df, l, r) }
+        // checkpoint per round EXACTLY like training: a filter or join
+        // predicate pushed through 8 stacked rounds of nested-lambda
+        // projections makes the optimizer's alias inlining (trimAliases
+        // in PushPredicateThroughNonJoin) expand the tree exponentially
+        // — measured as a heap OOM in the full suite. Lineage cuts keep
+        // every downstream plan bounded at one round's depth.
+        var df = v.withColumn("t", split(col("w"), "")).localCheckpoint()
+        m.foreach { case (l, r) => df = applyMergeRound(df, l, r).localCheckpoint() }
         (m, df)
       case None =>
         val (m, voc) = learnMergesFrom(v)
