@@ -274,6 +274,39 @@ object EventStreams {
         sum(size(col("t"))).cast("long").as("n_bpe_tokens"))
   }
 
+  /** STREAMING mini-batch k-means — incremental quantizer re-training
+    * over an unbounded embedding stream ([[graft.operators.
+    * MiniBatchKmeans]]): each micro-batch folds into the persisted
+    * centroid state (a tiny k-row TableMerge table: cid, e6
+    * components, accumulated count) as an exact integer running mean,
+    * so a stream of batches and a batch replay of the same sequence
+    * produce IDENTICAL centroids. Completes the ANN lifecycle next to
+    * [[vectorIndexSink]]: the index holds the vectors, this holds the
+    * quantizer the index is bucketed by; when `sim_index_drift` says
+    * the lists have drifted, the freshest centroids are already here. */
+  def kmeansUpdateSink(vecs: DataFrame, tablePath: String, checkpointDir: String,
+                       k: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          import graft.operators.{MiniBatchKmeans, TableMerge}
+          val s = batch.sparkSession
+          import s.implicits._
+          val current: MiniBatchKmeans.Cents =
+            if (TableMerge.exists(tablePath))
+              TableMerge.read(s, tablePath)
+                .select("centroid_id", "cvec", "n")
+                .as[(Int, Seq[Long], Long)].collect().sortBy(_._1).toSeq
+            else MiniBatchKmeans.gridInit(k)
+          val next = MiniBatchKmeans.step(batch, current)
+          TableMerge.createOrReplace(
+            next.toDF("centroid_id", "cvec", "n"), tablePath)
+        }
+      }
+      .start()
+
   final case class Event(
       event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

@@ -536,6 +536,39 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mini-batch k-means sink: streamed updates equal a driver replay of the same batches") {
+    import spark.implicits._
+    import graft.operators.MiniBatchKmeans
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-mbk")
+    val table = dir.resolve("cents").toString
+    val ckpt = dir.resolve("ckpt").toString
+    def vec(seed: Long): Seq[Double] =
+      Seq.tabulate(64)(i => (((seed * 13 + i * 7) % 17) - 8) / 9.0)
+    val b1 = (1L to 6L).map(i => (i, vec(i)))
+    val b2 = (7L to 10L).map(i => (i, vec(i * 3)))
+
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = EventStreams.kmeansUpdateSink(
+      stream.toDF().toDF("vec_id", "embedding"), table, ckpt, k = 4)
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      val streamed = graft.operators.TableMerge.read(spark, table)
+        .select("centroid_id", "cvec", "n")
+        .as[(Int, Seq[Long], Long)].collect().sortBy(_._1).toSeq
+      // driver replay of the identical batch sequence
+      var cents = MiniBatchKmeans.gridInit(4)
+      cents = MiniBatchKmeans.step(b1.toDF("vec_id", "embedding"), cents)
+      cents = MiniBatchKmeans.step(b2.toDF("vec_id", "embedding"), cents)
+      assert(streamed == cents)
+      // counts accumulated across batches; at least one centroid updated
+      assert(streamed.map(_._3).sum == (b1.size + b2.size).toLong)
+      assert(streamed.exists { case (cid, v, _) =>
+        v != MiniBatchKmeans.gridInit(4).find(_._1 == cid).get._2 })
+    } finally q.stop()
+  }
+
   test("vector-index sink: stream-maintained IVF layout equals from-scratch, moves cross partitions") {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
