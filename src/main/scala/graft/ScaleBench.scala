@@ -83,7 +83,11 @@ object ScaleBench {
     // because each copy's prefixed words are new), the MinHash band-shape
     // census (one partial-agg pass per shape), and PNG pixel decode
     // (embarrassingly parallel mapPartitions CPU)
-    "sim_index_maintain", "text_bpe_tokens", "dedup_band_census", "mm_pixel_stats")
+    "sim_index_maintain", "text_bpe_tokens", "dedup_band_census", "mm_pixel_stats",
+    // integer-space k-means (3 assigns + 2 driver syncs — each a
+    // broadcast-scan), bigram LM scoring (two count aggs + equi-joins),
+    // and the funnel-BPE-pack composition
+    "sim_kmeans_train", "text_bigram_logprob", "e2e_token_budget")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
