@@ -101,6 +101,27 @@ private[graft] object VectorIndexQueries {
       .limit(20)
   }
 
+  /** Maintenance + COMPACTION: the merged index accretes small files
+    * (each partition-scoped rewrite emits one file per shuffle task
+    * holding that centroid's rows), so the OPTIMIZE pass folds
+    * overflowing inverted lists back to one file each — and the probed
+    * top-k through the compacted layout must be hash-identical to the
+    * uncompacted read (same oracle as `sim_index_maintain`: compaction
+    * is a physical-layout operation with zero semantic surface).
+    * Untouched lists are hard-linked by `TableMerge.compact`'s CAS
+    * commit, same as every other maintenance op. */
+  private val simIndexCompact: Q = (s, d) => {
+    val path = buildMaintainedIndex(s, d, "compact")
+    TableMerge.compact(s, path, Seq("centroid_id"), maxFiles = 1, targetFiles = 1)
+    TableMerge.read(s, path)
+      .filter(col("centroid_id").isin(VectorQueries.IvfProbes: _*))
+      .selectExpr("vec_id", "CAST(centroid_id AS INT) AS centroid_id",
+        "CAST(floor(graft_cosine(embedding, array_repeat(CAST(0.1 AS DOUBLE), 64)) " +
+          "* 1000000) AS BIGINT) AS cos_e6")
+      .orderBy(col("cos_e6").desc, col("vec_id").asc)
+      .limit(20)
+  }
+
   /** Centroid-DRIFT audit over the same maintenance cycle, via time
     * travel: live snapshot vs the retained pre-merge version, joined on
     * vec_id — per centroid, how many vectors arrived brand-new
@@ -220,6 +241,7 @@ private[graft] object VectorIndexQueries {
 
   val queries: Seq[(String, Q)] = Seq(
     "sim_index_maintain" -> simIndexMaintain,
+    "sim_index_compact" -> simIndexCompact,
     "sim_index_drift" -> simIndexDrift,
     "sim_kmeans_train" -> simKmeansTrain,
   )
@@ -310,7 +332,7 @@ private[graft] object VectorIndexQueries {
        |ORDER BY centroid_id""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  private lazy val oracles0: Map[String, String] = Map(
     "sim_kmeans_train" -> duckKmeans,
     "sim_index_maintain" ->
       // from-scratch build over the merged corpus = what incremental
@@ -377,5 +399,12 @@ private[graft] object VectorIndexQueries {
          |LEFT JOIN nin mi ON mi.centroid_id = dom.c
          |LEFT JOIN nout mo ON mo.centroid_id = dom.c
          |ORDER BY centroid_id""".stripMargin,
+  )
+
+  val oracles: Map[String, String] = oracles0 ++ Map(
+    // compaction is semantics-free: the compacted read shares the
+    // maintain oracle verbatim (the same contract as layout_ivf_prune
+    // reusing sim_ivf_topk's oracle — one oracle, two physical layouts)
+    "sim_index_compact" -> oracles0("sim_index_maintain")
   )
 }
