@@ -144,6 +144,48 @@ private[graft] object AdvancedJoinQueries {
       .orderBy("day")
   }
 
+  /** J18 — salted SKEW join (builder brief "salting for skew"): events
+    * carry a pathological key distribution — ~70% of rows collapse onto
+    * one 'hot' key — and join a 101-row dim that is deliberately NOT
+    * broadcast (MERGE hint pins sort-merge), the regime of a dim too
+    * big for the broadcast threshold at production row widths. A plain
+    * SMJ funnels the hot key through one reducer; here the probe side
+    * salts each row deterministically (`xxhash64(event_id) % B` —
+    * stable under retries, no `rand()` in the plan) and the dim side
+    * replicates ×B ([[graft.operators.SkewSalt.replicateForSalt]]), so
+    * the join key becomes (skew_key, salt) and the hot key spreads
+    * over B reducers. Complements AQE skew splitting, which only
+    * rebalances post-shuffle partitions of the SAME key pair — salting
+    * also fixes the downstream per-key aggregation via the two-phase
+    * (key, salt) → key reduce. Oracle is the unsalted relational join:
+    * salting must be semantics-free. */
+  private val j18SkewSaltedJoin: Q = (s, d) => {
+    import graft.operators.SkewSalt
+    val buckets = 8
+    val probe = SkewSalt.withSalt(
+      Tables.events(s, d).select(
+        when(col("user_id") % 10 < 7, lit("hot"))
+          .otherwise(concat(lit("u"), (col("user_id") % 100).cast("string")))
+          .as("skew_key"),
+        col("event_id"), col("value")),
+      buckets, saltSource = Seq("event_id"))
+    val dim = s.range(0, 100)
+      .select(concat(lit("u"), col("id").cast("string")).as("skew_key"),
+        col("id").as("dim_weight"))
+      .unionByName(s.range(0, 1)
+        .select(lit("hot").as("skew_key"), lit(100L).as("dim_weight")))
+    probe.join(SkewSalt.replicateForSalt(dim, buckets).hint("merge"),
+        Seq("skew_key", "__salt"), "inner")
+      .groupBy(col("skew_key"), col("__salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("pv"),
+        max("dim_weight").as("dim_weight"))
+      .groupBy("skew_key")
+      .agg(sum("pn").as("n"), sum("pv").as("sum_value_e2"),
+        max("dim_weight").as("dim_weight"))
+      .orderBy("skew_key")
+  }
+
   /** SQL-API surface: the same engine driven through `spark.sql` over
     * the registered temp-view catalog (S3's other face) — a TPC-H
     * Q3-shaped shipping-priority query. Each summand is fixed-pointed
@@ -178,6 +220,7 @@ private[graft] object AdvancedJoinQueries {
     "j15_bucketed_join" -> j15BucketedJoin,
     "j16_asof_join" -> j16AsofJoin,
     "j17_range_join" -> j17RangeJoin,
+    "j18_skew_salted_join" -> j18SkewSaltedJoin,
     "sql_shipping_priority" -> sqlShippingPriority,
   )
 
@@ -209,6 +252,21 @@ private[graft] object AdvancedJoinQueries {
         |  AND e.user_id = s.user_id
         |  AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL '6 hours'
         |GROUP BY day ORDER BY day""".stripMargin,
+    "j18_skew_salted_join" ->
+      """WITH dim AS (
+        |  SELECT 'u' || CAST(i AS VARCHAR) AS skew_key, CAST(i AS BIGINT) AS dim_weight
+        |  FROM generate_series(0, 99) t(i)
+        |  UNION ALL SELECT 'hot', 100),
+        |ev AS (
+        |  SELECT CASE WHEN user_id % 10 < 7 THEN 'hot'
+        |    ELSE 'u' || CAST(user_id % 100 AS VARCHAR) END AS skew_key,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_e2
+        |  FROM events)
+        |SELECT e.skew_key, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(e.value_e2) AS BIGINT) AS sum_value_e2,
+        |  CAST(max(d.dim_weight) AS BIGINT) AS dim_weight
+        |FROM ev e JOIN dim d ON e.skew_key = d.skew_key
+        |GROUP BY e.skew_key ORDER BY e.skew_key""".stripMargin,
     "sql_shipping_priority" ->
       """SELECT l_orderkey,
         |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) *

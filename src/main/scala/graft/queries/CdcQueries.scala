@@ -180,15 +180,94 @@ object CdcQueries {
       .orderBy("snapshot", "c_mktsegment")
   }
 
+  /** I8 — incremental MATERIALIZED-VIEW maintenance (classic delta
+    * view maintenance; the reference's nightly gold rebuilds re-read
+    * the full silver table — this is the at-scale alternative): a
+    * persisted per-segment aggregate is maintained by aggregating ONLY
+    * the arriving delta and merging partials into the stored view
+    * (`new = old ⊎ delta` per key — count and sum are commutative
+    * monoids, so partial-merge is exact). Cost per refresh is
+    * O(|delta|) + an upsert touching only segments the delta hits,
+    * vs O(|table|) for a recompute — the difference between minutes
+    * and seconds at 100 TB fact volume. The oracle IS the full
+    * recompute over both batches: incremental maintenance must be
+    * indistinguishable from it. State wiped per run. */
+  private val i8MatviewDelta: Q = (s, d) => {
+    val path = statePath("i8_matview_delta")
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(path))
+    val cust = Tables.customer(s, d).select(col("c_mktsegment"), col("c_custkey"),
+      expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("bal_e2"))
+    def partial(df: DataFrame): DataFrame = df.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("bal_e2").as("sum_bal_e2"))
+    TableMerge.createOrReplace(partial(cust.filter(col("c_custkey") % 3 === 0)), path)
+    val delta = partial(cust.filter(col("c_custkey") % 3 === 1))
+    val updated = delta.alias("dl")
+      .join(TableMerge.read(s, path).alias("cur"), Seq("c_mktsegment"), "left")
+      .select(col("c_mktsegment"),
+        (col("dl.n") + coalesce(col("cur.n"), lit(0L))).as("n"),
+        (col("dl.sum_bal_e2") + coalesce(col("cur.sum_bal_e2"), lit(0L))).as("sum_bal_e2"))
+    TableMerge.upsert(s, path, updated, Seq("c_mktsegment"))
+    TableMerge.read(s, path).orderBy("c_mktsegment")
+  }
+
+  /** K10 — retention VACUUM (the Iceberg `expire_snapshots` / Delta
+    * VACUUM analogue, closing the snapshot lifecycle k9 opens): three
+    * commits build version history (replace → upsert → delete), then
+    * `expireVersions(olderThanMs = 0)` drops every non-live snapshot
+    * under the commit lock. The output pins BOTH halves: the version
+    * accounting (3 committed before, exactly 2 expired, 1 retained —
+    * wrong GC arithmetic flips the constants) and the post-vacuum
+    * table content (vacuum must be semantics-free on the live view;
+    * the oracle recomputes replace∘upsert∘delete relationally). The
+    * live-survives guarantee is load-bearing: expire runs by pointer,
+    * not mtime order, so a clock skew can never GC the current
+    * snapshot. TableMergeSpec covers the racier halves (in-flight
+    * staging dirs survive expire; expired versions refuse time
+    * travel). State is wiped per run so the version count is
+    * deterministic. */
+  private val k10Vacuum: Q = (s, d) => {
+    val path = statePath("k10_vacuum")
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(path))
+    val base = Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("price_e2"))
+    TableMerge.createOrReplace(base, path)
+    val uplift = Tables.orders(s, d).filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), lit("V").as("o_orderstatus"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 5000").as("price_e2"))
+    TableMerge.upsert(s, path, uplift, Seq("o_orderkey"))
+    TableMerge.delete(s, path,
+      Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+      Seq("o_orderkey"))
+    val before = TableMerge.versions(path).size
+    val expired = TableMerge.expireVersions(path, olderThanMs = 0L)
+    val after = TableMerge.versions(path).size
+    TableMerge.read(s, path)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("price_e2").as("sum_price_e2"))
+      .withColumn("versions_before", lit(before.toLong))
+      .withColumn("n_expired", lit(expired.toLong))
+      .withColumn("versions_after", lit(after.toLong))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "i2_asset_cdc" -> i2AssetCdc,
     "i3_tombstones" -> i3Tombstones,
     "i4_state_memo" -> i4StateMemo,
     "i6_index_incremental" -> i6IndexIncremental,
+    "i8_matview_delta" -> i8MatviewDelta,
     "k1_merge_upsert" -> k1MergeUpsert,
     "k2_merge_delete" -> k2MergeDelete,
     "k3_partitioned_merge" -> k3PartitionedMerge,
     "k9_time_travel" -> k9TimeTravel,
+    "k10_vacuum" -> k10Vacuum,
   )
 
   val oracles: Map[String, String] = Map(
@@ -216,6 +295,31 @@ object CdcQueries {
         |  FROM live GROUP BY c_mktsegment)
         |SELECT snapshot, c_mktsegment, n, sum_bal_e2 FROM agg
         |ORDER BY snapshot, c_mktsegment""".stripMargin,
+    "i8_matview_delta" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_bal_e2
+        |FROM customer WHERE c_custkey % 3 IN (0, 1)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "k10_vacuum" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_e2
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |up AS (
+        |  SELECT o_orderkey, 'V' AS o_orderstatus,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 5000 AS price_e2
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |merged AS (
+        |  SELECT * FROM base WHERE o_orderkey % 5 <> 0
+        |  UNION ALL SELECT * FROM up),
+        |live AS (SELECT * FROM merged WHERE o_orderkey % 7 <> 0)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price_e2) AS BIGINT) AS sum_price_e2,
+        |  CAST(3 AS BIGINT) AS versions_before,
+        |  CAST(2 AS BIGINT) AS n_expired,
+        |  CAST(1 AS BIGINT) AS versions_after
+        |FROM live GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "i2_asset_cdc" ->
       """WITH current AS (
         |  SELECT p_partkey, p_size, sha256(concat_ws('||', p_name, p_brand)) AS etag

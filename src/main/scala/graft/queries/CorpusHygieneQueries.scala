@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.PipelineShared._
+
+/** Corpus-hygiene tier (round 12): cross-document boilerplate-line
+  * removal (the CCNet/RefinedWeb "remove lines repeated across many
+  * pages of a site" pass — the reference's per-record normalize_text
+  * cleaning, `silver/transformer.py` F1, has no cross-document view)
+  * and bottom-k sketch corpus-overlap estimation (how much of corpus B
+  * is already in corpus A — the question every new crawl snapshot
+  * asks — WITHOUT joining the corpora).
+  */
+private[graft] object CorpusHygieneQueries {
+
+  /** Cross-document BOILERPLATE line removal: a line that appears in at
+    * least half of a source's documents is site furniture (header /
+    * footer / nav), not content, and is dropped from every document —
+    * per SOURCE, because boilerplate is a property of the site template,
+    * not the corpus. The corpus is single-line synthetic text, so the
+    * fixture injects the lines a real crawl would carry: every doc gets
+    * a per-source subscribe header (appears in 100% of the source →
+    * always removed) and even doc_ids get a copyright footer (~50% —
+    * sits ON the integer threshold `2·n_docs_with_line ≥ n_docs_source`,
+    * so the per-source parity split decides removal; exact integer
+    * compare, no float ratio). Body lines are unique and survive.
+    *
+    * Scale: line occurrences shuffle once on (source, line) for the
+    * census; the per-source doc counts broadcast; the rewrite
+    * re-assembles surviving lines per doc with a sorted collect_list —
+    * bounded by lines-per-doc, never a global sort. Output pins the
+    * removal accounting per source plus the rolling fingerprint sum of
+    * every cleaned document, so a wrongly dropped/kept line anywhere
+    * flips the hash. */
+  private val textBoilerplate: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val lined = docs
+      .withColumn("lines",
+        concat(
+          array(concat_ws(" ", lit("subscribe to the"), col("source"), lit("newsletter"))),
+          array(col("text")),
+          when(col("doc_id") % 2 === 0,
+            array(concat_ws(" ", lit("copyright"), col("source"), lit("all rights reserved"))))
+            .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), col("source"), posexplode(col("lines")).as(Seq("line_idx", "line")))
+    val srcSize = docs.groupBy("source").agg(countDistinct("doc_id").as("n_docs_src"))
+    val lineCensus = lined.groupBy("source", "line")
+      .agg(countDistinct("doc_id").as("n_docs_line"))
+      .join(broadcast(srcSize), "source")
+      .withColumn("is_boiler", col("n_docs_line") * 2 >= col("n_docs_src"))
+    val tagged = lined.join(lineCensus.select("source", "line", "is_boiler"),
+      Seq("source", "line"))
+    val cleaned = tagged.filter(!col("is_boiler"))
+      .groupBy("doc_id", "source")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(line_idx, line)))," +
+        " x -> x.line), ' ')").as("clean_text"))
+    val removal = tagged.filter(col("is_boiler"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_lines_removed"),
+        countDistinct("line").as("n_boiler_lines"))
+    cleaned.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("graft_str_fp(clean_text)")).as("clean_fp_sum"))
+      .join(removal, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_boiler_lines"), lit(0L)).as("n_boiler_lines"),
+        coalesce(col("n_lines_removed"), lit(0L)).as("n_lines_removed"),
+        col("clean_fp_sum"))
+      .orderBy("source")
+  }
+
+  /** Bottom-k sketch size. Error of the Jaccard estimator is
+    * O(1/sqrt(k)) — 256 gives ~6 points of expected error, enough to
+    * answer "mostly new vs mostly seen" for a crawl snapshot at the
+    * cost of two 256-row sketches instead of a corpus join. */
+  private val SketchK = 256
+
+  /** Corpus-overlap estimation via BOTTOM-K sketches (Broder's minwise
+    * coordinated-sample estimator, the corpus-level twin of per-doc
+    * MinHash): corpora A = doc_id%3 ∈ {0,1} and B = doc_id%3 ∈ {1,2}
+    * overlap in the %3==1 third by construction. Each corpus keeps the
+    * k smallest DISTINCT content fingerprints; because both sketches
+    * are induced by the same global hash order, the k smallest of
+    * A ∪ B is a uniform coordinated sample of the union, and the
+    * fraction of that sample present in both sketches estimates
+    * J(A, B). The estimator is pure integer arithmetic over
+    * deterministic fingerprints, so the battery pins its exact value;
+    * the same row carries the exact join-based Jaccard as the audit
+    * (at 100 TB the audit side runs over a sample — the sketch path is
+    * two TakeOrdered(k) scans + a k-row merge, no corpus join, and
+    * sketches persist/merge across snapshots like any monoid). */
+  private val corpusJaccardSketch: Q = (s, d) => {
+    val fps = Tables.documents(s, d)
+      .select(col("doc_id"), expr("graft_str_fp(text)").as("fp"))
+      .filter(col("fp").isNotNull) // null text sorts first in Spark but
+      // last in DuckDB — keep it out of the order-sensitive sketch
+    val a = fps.filter(col("doc_id") % 3 < 2).select("fp").distinct()
+    val b = fps.filter(col("doc_id") % 3 >= 1).select("fp").distinct()
+    val ka = a.orderBy("fp").limit(SketchK).withColumn("in_a", lit(1L))
+    val kb = b.orderBy("fp").limit(SketchK).withColumn("in_b", lit(1L))
+    val unionK = ka.join(kb, Seq("fp"), "full")
+      .select(col("fp"), coalesce(col("in_a"), lit(0L)).as("in_a"),
+        coalesce(col("in_b"), lit(0L)).as("in_b"))
+      .orderBy("fp").limit(SketchK)
+    val est = unionK.agg(count(lit(1)).as("sketch_k"),
+      sum(col("in_a") * col("in_b")).as("n_both"))
+    val exact = a.withColumn("ea", lit(1L))
+      .join(b.withColumn("eb", lit(1L)), Seq("fp"), "full")
+      .agg(count(lit(1)).as("n_union"),
+        sum(coalesce(col("ea"), lit(0L)) * coalesce(col("eb"), lit(0L))).as("n_inter"))
+    // greatest(…, 1) denominators: the empty-corpus regime (routine at
+    // the head of a backfill) must yield 0 bp, not an ANSI divide error
+    est.crossJoin(exact)
+      .select(col("sketch_k"), coalesce(col("n_both"), lit(0L)).as("n_both"),
+        expr("coalesce(n_both, 0) * 10000 div greatest(sketch_k, 1)").as("est_jaccard_bp"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"), col("n_union"),
+        expr("coalesce(n_inter, 0) * 10000 div greatest(n_union, 1)").as("true_jaccard_bp"))
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+    "text_boilerplate" -> textBoilerplate,
+    "corpus_jaccard_sketch" -> corpusJaccardSketch,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_boilerplate" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, source, text FROM documents),
+         |lined AS (
+         |  SELECT doc_id, source, 0 AS line_idx,
+         |    'subscribe to the ' || source || ' newsletter' AS line FROM docs
+         |  UNION ALL
+         |  SELECT doc_id, source, 1, text FROM docs
+         |  UNION ALL
+         |  SELECT doc_id, source, 2,
+         |    'copyright ' || source || ' all rights reserved'
+         |  FROM docs WHERE doc_id % 2 = 0),
+         |src_size AS (
+         |  SELECT source, count(DISTINCT doc_id) AS n_docs_src FROM docs GROUP BY source),
+         |census AS (
+         |  SELECT l.source, l.line,
+         |    count(DISTINCT l.doc_id) * 2 >= max(ss.n_docs_src) AS is_boiler
+         |  FROM lined l JOIN src_size ss ON l.source = ss.source
+         |  GROUP BY l.source, l.line),
+         |tagged AS (
+         |  SELECT l.doc_id, l.source, l.line_idx, l.line, c.is_boiler
+         |  FROM lined l JOIN census c ON l.source = c.source AND l.line = c.line),
+         |cleaned AS (
+         |  SELECT doc_id, source,
+         |    string_agg(line, ' ' ORDER BY line_idx) AS clean_text
+         |  FROM tagged WHERE NOT is_boiler GROUP BY doc_id, source),
+         |removal AS (
+         |  SELECT source, count(*) AS n_lines_removed,
+         |    count(DISTINCT line) AS n_boiler_lines
+         |  FROM tagged WHERE is_boiler GROUP BY source)
+         |SELECT c.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(max(r.n_boiler_lines), 0) AS BIGINT) AS n_boiler_lines,
+         |  CAST(coalesce(max(r.n_lines_removed), 0) AS BIGINT) AS n_lines_removed,
+         |  CAST(sum(${duckFp("c.clean_text")}) AS BIGINT) AS clean_fp_sum
+         |FROM cleaned c LEFT JOIN removal r ON c.source = r.source
+         |GROUP BY c.source ORDER BY c.source""".stripMargin,
+    "corpus_jaccard_sketch" ->
+      s"""WITH fps AS (
+         |  SELECT doc_id, ${duckFp("text")} AS fp FROM documents),
+         |a AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 3 < 2),
+         |b AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 3 >= 1),
+         |ka AS (SELECT fp, 1 AS in_a FROM a ORDER BY fp LIMIT $SketchK),
+         |kb AS (SELECT fp, 1 AS in_b FROM b ORDER BY fp LIMIT $SketchK),
+         |unionk AS (
+         |  SELECT coalesce(ka.fp, kb.fp) AS fp,
+         |    coalesce(in_a, 0) AS in_a, coalesce(in_b, 0) AS in_b
+         |  FROM ka FULL JOIN kb ON ka.fp = kb.fp
+         |  ORDER BY fp LIMIT $SketchK),
+         |est AS (
+         |  SELECT count(*) AS sketch_k, sum(in_a * in_b) AS n_both FROM unionk),
+         |exact AS (
+         |  SELECT count(*) AS n_union,
+         |    sum(CASE WHEN a.fp IS NOT NULL AND b.fp IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS n_inter
+         |  FROM a FULL JOIN b ON a.fp = b.fp)
+         |SELECT CAST(sketch_k AS BIGINT) AS sketch_k,
+         |  CAST(n_both AS BIGINT) AS n_both,
+         |  CAST(n_both * 10000 // sketch_k AS BIGINT) AS est_jaccard_bp,
+         |  CAST(n_inter AS BIGINT) AS n_inter,
+         |  CAST(n_union AS BIGINT) AS n_union,
+         |  CAST(n_inter * 10000 // n_union AS BIGINT) AS true_jaccard_bp
+         |FROM est, exact""".stripMargin,
+  )
+}

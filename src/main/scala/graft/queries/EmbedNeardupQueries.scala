@@ -194,10 +194,62 @@ private[graft] object EmbedNeardupQueries {
   private val dedupSemanticKeep: Q = (s, d) =>
     semanticKeep(s, d, NeardupBands, NeardupBandBits)
 
+  /** Bitext-style MARGIN mining (Artetxe & Schwenk's ratio margin, the
+    * CCMatrix/LASER parallel-corpus selection rule): corpora A/B are
+    * the even/odd vec_id halves; a candidate pair scores
+    * `margin = 2·cos(x,y) / (avgTopK_A(x) + avgTopK_B(y))` — raw
+    * cosine rewards hubs (vectors near everything), the margin
+    * normalizes by each side's local neighborhood density so only
+    * MUTUALLY exceptional pairs surface. Both the candidates and the
+    * kNN denominators are defined over the banded-LSH candidate set
+    * (same bands as [[neardupPairs]]), NOT an all-pairs kNN — at scale
+    * the margin is always computed against an ANN neighborhood
+    * (retrieval noise is part of the method); making the band set the
+    * DEFINITION keeps the operator oracle-exact at every width. All
+    * margin arithmetic is integer (cos floored to e6, exact rational
+    * via n_a/n_b cross-multiplication, positive-only so div truncation
+    * = floor in both engines) — no float summation-order drift. Scale:
+    * band equi-join (no arrays shuffled before the pair distinct), two
+    * keyed windows, one keyed self-join of the scored pairs; top-20 is
+    * a TakeOrdered, never a global sort. */
+  private val simBitextMargin: Q = (s, d) => {
+    val base = Tables.embeddings(s, d)
+    val a = base.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = base.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val aBands = a.selectExpr("id_a",
+      s"posexplode(graft_lsh_bands(emb_a, $NeardupBands, $NeardupBandBits)) AS (band_idx, band_sig)")
+    val bBands = b.selectExpr("id_b",
+      s"posexplode(graft_lsh_bands(emb_b, $NeardupBands, $NeardupBandBits)) AS (band_idx, band_sig)")
+    val cand = aBands.join(bBands, Seq("band_idx", "band_sig"))
+      .select("id_a", "id_b").distinct()
+    val scored = cand.join(a, "id_a").join(b, "id_b")
+      .selectExpr("id_a", "id_b",
+        "CAST(floor(graft_cosine(emb_a, emb_b) * 1000000) AS BIGINT) AS cos_e6")
+      .filter(col("cos_e6") > 0)
+    val wA = Window.partitionBy("id_a").orderBy(col("cos_e6").desc, col("id_b").asc)
+    val wB = Window.partitionBy("id_b").orderBy(col("cos_e6").desc, col("id_a").asc)
+    val ranked = scored
+      .withColumn("rn_a", row_number().over(wA))
+      .withColumn("rn_b", row_number().over(wB))
+    val aStats = ranked.filter(col("rn_a") <= 4).groupBy("id_a")
+      .agg(sum("cos_e6").as("sum_a"), count(lit(1)).as("n_a"))
+    val bStats = ranked.filter(col("rn_b") <= 4).groupBy("id_b")
+      .agg(sum("cos_e6").as("sum_b"), count(lit(1)).as("n_b"))
+    scored.join(aStats, "id_a").join(bStats, "id_b")
+      .withColumn("margin_e6",
+        expr("(2 * cos_e6 * n_a * n_b * 1000000) div (sum_a * n_b + sum_b * n_a)"))
+      .orderBy(col("margin_e6").desc, col("id_a"), col("id_b"))
+      .limit(20)
+      .select("id_a", "id_b", "cos_e6", "margin_e6")
+  }
+
 
   val queries: Seq[(String, Q)] = Seq(
     "dedup_semantic_keep" -> dedupSemanticKeep,
     "sim_embed_neardup" -> simEmbedNeardup,
+    "sim_bitext_margin" -> simBitextMargin,
     "text_decontam_semantic" -> textDecontamSemantic,
     "dedup_lsh_recall" -> dedupLshRecall,
   )
@@ -233,6 +285,55 @@ private[graft] object EmbedNeardupQueries {
          |  JOIN corpus eb ON eb.vec_id = id_b)
          |SELECT id_a, id_b, round(cos_sim, 4) AS cos_sim
          |FROM pairs WHERE cos_sim >= 0.999 ORDER BY id_a, id_b""".stripMargin,
+    "sim_bitext_margin" ->
+      // same band-signature and cosine folds; margins via the exact
+      // integer cross-multiplication (all terms positive, so DuckDB //
+      // floor-div == Spark div truncation)
+      s"""WITH a AS (
+         |  SELECT vec_id AS id_a, embedding AS emb_a FROM embeddings WHERE vec_id % 2 = 0),
+         |b AS (
+         |  SELECT vec_id AS id_b, embedding AS emb_b FROM embeddings WHERE vec_id % 2 = 1),
+         |asig AS (
+         |  SELECT id_a, emb_a,
+         |    ${duckBandSig("emb_a", 0)} AS band_0,
+         |    ${duckBandSig("emb_a", 1)} AS band_1
+         |  FROM a),
+         |bsig AS (
+         |  SELECT id_b, emb_b,
+         |    ${duckBandSig("emb_b", 0)} AS band_0,
+         |    ${duckBandSig("emb_b", 1)} AS band_1
+         |  FROM b),
+         |cand AS (
+         |  SELECT id_a, id_b FROM asig JOIN bsig ON asig.band_0 = bsig.band_0
+         |  UNION
+         |  SELECT id_a, id_b FROM asig JOIN bsig ON asig.band_1 = bsig.band_1),
+         |scored AS (
+         |  SELECT id_a, id_b,
+         |    CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_zip(ea.emb_a, eb.emb_b),
+         |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)
+         |      / (sqrt(${duckSumSqOf("ea.emb_a")})
+         |         * sqrt(${duckSumSqOf("eb.emb_b")})) * 1000000) AS BIGINT) AS cos_e6
+         |  FROM cand
+         |  JOIN a ea USING (id_a)
+         |  JOIN b eb USING (id_b)),
+         |pos AS (SELECT * FROM scored WHERE cos_e6 > 0),
+         |ranked AS (
+         |  SELECT id_a, id_b, cos_e6,
+         |    row_number() OVER (PARTITION BY id_a ORDER BY cos_e6 DESC, id_b ASC) AS rn_a,
+         |    row_number() OVER (PARTITION BY id_b ORDER BY cos_e6 DESC, id_a ASC) AS rn_b
+         |  FROM pos),
+         |astats AS (
+         |  SELECT id_a, sum(cos_e6) AS sum_a, count(*) AS n_a
+         |  FROM ranked WHERE rn_a <= 4 GROUP BY id_a),
+         |bstats AS (
+         |  SELECT id_b, sum(cos_e6) AS sum_b, count(*) AS n_b
+         |  FROM ranked WHERE rn_b <= 4 GROUP BY id_b)
+         |SELECT id_a, id_b, cos_e6,
+         |  CAST((2 * cos_e6 * n_a * n_b * 1000000)
+         |    // (sum_a * n_b + sum_b * n_a) AS BIGINT) AS margin_e6
+         |FROM pos JOIN astats USING (id_a) JOIN bstats USING (id_b)
+         |ORDER BY margin_e6 DESC, id_a, id_b LIMIT 20""".stripMargin,
     "text_decontam_semantic" ->
       // same band-signature and cosine folds as sim_embed_neardup, but
       // asymmetric: the %100 eval sample probes the corpus; UNION across
