@@ -186,6 +186,39 @@ private[graft] object AdvancedJoinQueries {
       .orderBy("skew_key")
   }
 
+  /** J19 — Bloom SEMI-JOIN reduction (the runtime-filter pattern, by
+    * hand): a fact⋈dim join where the dim predicate keeps ~20% of keys
+    * and neither side broadcasts as ROWS — but the dim's KEY SET fits
+    * a Bloom sketch at ~10 bits/key (a 100M-key dim is ~125 MB of
+    * bitmap vs many GB of hash-join rows). The filtered dim keys fold
+    * into an in-plan `graft_bloom_agg` sketch (partials OR-merge, no
+    * driver collect), the 1-row sketch broadcasts, and the fact scan
+    * probes `graft_bloom_contains` BEFORE its shuffle — only ~the
+    * matching fraction of the 100 TB fact table pays exchange I/O; the
+    * exact join afterwards removes Bloom false positives. No false
+    * negatives ⇒ prefilter + join ≡ the plain join, so the oracle is
+    * the ordinary join SQL and a green hash proves the reduction is
+    * semantics-free. Same sketch machinery as `text_decontam_bloom`,
+    * but on the JOIN path (Spark's own runtime row-group filters only
+    * kick in via DPP/AQE in narrower shapes; this form is explicit and
+    * engine-portable). */
+  private val j19BloomSemiJoin: Q = (s, d) => {
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val sketch = urgent.agg(expr("graft_bloom_agg(o_orderkey, 262144, 6)").as("bloom"))
+    val facts = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("price_e2"))
+    val survivors = facts.crossJoin(broadcast(sketch))
+      .filter(expr("graft_bloom_contains(bloom, l_orderkey)"))
+      .drop("bloom")
+    survivors.join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"), sum("price_e2").as("sum_price_e2"))
+      .orderBy("l_returnflag")
+  }
+
   /** SQL-API surface: the same engine driven through `spark.sql` over
     * the registered temp-view catalog (S3's other face) — a TPC-H
     * Q3-shaped shipping-priority query. Each summand is fixed-pointed
@@ -221,6 +254,7 @@ private[graft] object AdvancedJoinQueries {
     "j16_asof_join" -> j16AsofJoin,
     "j17_range_join" -> j17RangeJoin,
     "j18_skew_salted_join" -> j18SkewSaltedJoin,
+    "j19_bloom_semi_join" -> j19BloomSemiJoin,
     "sql_shipping_priority" -> sqlShippingPriority,
   )
 
@@ -267,6 +301,15 @@ private[graft] object AdvancedJoinQueries {
         |  CAST(max(d.dim_weight) AS BIGINT) AS dim_weight
         |FROM ev e JOIN dim d ON e.skew_key = d.skew_key
         |GROUP BY e.skew_key ORDER BY e.skew_key""".stripMargin,
+    "j19_bloom_semi_join" ->
+      // the plain semi join — the Bloom prefilter must be invisible
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_e2
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "sql_shipping_priority" ->
       """SELECT l_orderkey,
         |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) *

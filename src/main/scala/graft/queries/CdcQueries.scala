@@ -257,12 +257,122 @@ object CdcQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** I9 — SCD TYPE-2 dimension history (Kimball slowly-changing
+    * dimension, the lakehouse-standard way to keep attribute history
+    * a point-in-time join can read): the dimension table is keyed
+    * (c_custkey, valid_from); applying a day's feed means, per key,
+    * (a) NEW keys insert an open row, (b) CHANGED keys close the
+    * current row in place (valid_to = effective date, is_current =
+    * false) and insert a new open row, (c) unchanged keys are not
+    * touched. Both halves land in ONE TableMerge upsert — the closed
+    * row overwrites at its original (key, valid_from) and the new row
+    * inserts at (key, eff) — so the apply is a single copy-on-write
+    * commit, O(|changed| + |new|) source rows regardless of dimension
+    * size. Change detection is a real attribute compare against the
+    * current dimension (not a hardcoded key list). Fixture: initial
+    * dim omits keys %7==3 (the "new" arrivals); the feed uplifts
+    * acctbal for %4==1 (the "changed" set). The oracle recomputes the
+    * full post-apply history relationally; grouping by (is_current,
+    * valid_from) pins the effective-dating itself. State wiped per
+    * run. */
+  private val i9Scd2History: Q = (s, d) => {
+    val path = statePath("i9_scd2_history")
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(path))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"),
+      expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("bal_e2"))
+    // v1 dimension: everything but the %7==3 keys, open since 2024-01-01
+    val dim0 = cust.filter(col("c_custkey") % 7 =!= 3)
+      .withColumn("valid_from", lit("2024-01-01"))
+      .withColumn("valid_to", lit(null).cast("string"))
+      .withColumn("is_current", lit(true))
+    TableMerge.createOrReplace(dim0, path)
+    // day-2 feed: full snapshot; %4==1 rows carry an uplifted balance
+    val eff = "2024-02-01"
+    val feed = cust.withColumn("bal_e2",
+      col("bal_e2") + when(col("c_custkey") % 4 === 1, 50000L).otherwise(0L))
+    val current = TableMerge.read(s, path).filter(col("is_current"))
+    val joined = feed.alias("f").join(current.alias("c"), Seq("c_custkey"), "left")
+    val newRows = joined.filter(col("c.valid_from").isNull)
+      .select(col("c_custkey"), col("f.c_mktsegment"), col("f.bal_e2"),
+        lit(eff).as("valid_from"), lit(null).cast("string").as("valid_to"),
+        lit(true).as("is_current"))
+    val changed = joined.filter(col("c.valid_from").isNotNull &&
+      (col("f.bal_e2") =!= col("c.bal_e2") || col("f.c_mktsegment") =!= col("c.c_mktsegment")))
+    val closedRows = changed.select(col("c_custkey"), col("c.c_mktsegment").as("c_mktsegment"),
+      col("c.bal_e2").as("bal_e2"), col("c.valid_from").as("valid_from"),
+      lit(eff).as("valid_to"), lit(false).as("is_current"))
+    val openRows = changed.select(col("c_custkey"), col("f.c_mktsegment").as("c_mktsegment"),
+      col("f.bal_e2").as("bal_e2"), lit(eff).as("valid_from"),
+      lit(null).cast("string").as("valid_to"), lit(true).as("is_current"))
+    TableMerge.upsert(s, path, newRows.unionByName(closedRows).unionByName(openRows),
+      Seq("c_custkey", "valid_from"))
+    TableMerge.read(s, path)
+      .groupBy("is_current", "valid_from")
+      .agg(count(lit(1)).as("n"), countDistinct("c_custkey").as("n_keys"),
+        sum("bal_e2").as("sum_bal_e2"),
+        sum(when(col("valid_to").isNull, 0).otherwise(1)).as("n_closed"))
+      .orderBy("is_current", "valid_from")
+  }
+
+  /** K11 — CHANGE DATA FEED between table versions (the Delta CDF /
+    * Iceberg changelog read downstream incremental consumers subscribe
+    * to — i8's matview delta is exactly such a consumer): v1 is
+    * committed, then an upsert and a delete advance the table to v3;
+    * the feed is derived by a full-outer key join of the retained v1
+    * snapshot against the live table, classifying every key as
+    * insert / delete / update / unchanged with pre- and post-image
+    * sums per class. Deriving the feed from SNAPSHOTS means any table
+    * format with time travel can serve it without row-level change
+    * logging; at scale the join is two scans + one shuffle on the
+    * key, and partition-scoped tables prune it to touched partitions.
+    * The oracle recomputes both versions relationally and diffs them
+    * the same way. State wiped per run. */
+  private val k11ChangeFeed: Q = (s, d) => {
+    val path = statePath("k11_change_feed")
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(path))
+    val orders = Tables.orders(s, d).select(col("o_orderkey"),
+      expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("price_e2"))
+    val v1 = orders.filter(col("o_orderkey") % 2 === 0)
+    TableMerge.createOrReplace(v1, path)
+    val v1Name = TableMerge.versions(path).head
+    TableMerge.upsert(s, path,
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("price_e2", col("price_e2") + 10000L),
+      Seq("o_orderkey"))
+    TableMerge.delete(s, path,
+      orders.filter(col("o_orderkey") % 10 === 4).select("o_orderkey"),
+      Seq("o_orderkey"))
+    val pre = TableMerge.readVersion(s, path, v1Name)
+      .select(col("o_orderkey"), col("price_e2").as("pre_e2"))
+    val post = TableMerge.read(s, path)
+      .select(col("o_orderkey"), col("price_e2").as("post_e2"))
+    pre.join(post, Seq("o_orderkey"), "full_outer")
+      .withColumn("op",
+        when(col("pre_e2").isNull, lit("insert"))
+          .when(col("post_e2").isNull, lit("delete"))
+          .when(col("pre_e2") =!= col("post_e2"), lit("update"))
+          .otherwise(lit("unchanged")))
+      .groupBy("op")
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("pre_e2"), lit(0L))).as("sum_pre_e2"),
+        sum(coalesce(col("post_e2"), lit(0L))).as("sum_post_e2"))
+      .orderBy("op")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "i2_asset_cdc" -> i2AssetCdc,
     "i3_tombstones" -> i3Tombstones,
     "i4_state_memo" -> i4StateMemo,
     "i6_index_incremental" -> i6IndexIncremental,
     "i8_matview_delta" -> i8MatviewDelta,
+    "i9_scd2_history" -> i9Scd2History,
+    "k11_change_feed" -> k11ChangeFeed,
     "k1_merge_upsert" -> k1MergeUpsert,
     "k2_merge_delete" -> k2MergeDelete,
     "k3_partitioned_merge" -> k3PartitionedMerge,
@@ -320,6 +430,57 @@ object CdcQueries {
         |  CAST(2 AS BIGINT) AS n_expired,
         |  CAST(1 AS BIGINT) AS versions_after
         |FROM live GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "i9_scd2_history" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_e2
+        |  FROM customer),
+        |hist AS (
+        |  SELECT c_custkey, c_mktsegment, bal_e2,
+        |    '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+        |    TRUE AS is_current
+        |  FROM cust WHERE c_custkey % 7 <> 3 AND c_custkey % 4 <> 1
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, bal_e2,
+        |    '2024-01-01', '2024-02-01', FALSE
+        |  FROM cust WHERE c_custkey % 7 <> 3 AND c_custkey % 4 = 1
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, bal_e2 + 50000,
+        |    '2024-02-01', NULL, TRUE
+        |  FROM cust WHERE c_custkey % 7 <> 3 AND c_custkey % 4 = 1
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment,
+        |    bal_e2 + CASE WHEN c_custkey % 4 = 1 THEN 50000 ELSE 0 END,
+        |    '2024-02-01', NULL, TRUE
+        |  FROM cust WHERE c_custkey % 7 = 3)
+        |SELECT is_current, valid_from, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+        |  CAST(sum(bal_e2) AS BIGINT) AS sum_bal_e2,
+        |  CAST(sum(CASE WHEN valid_to IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_closed
+        |FROM hist GROUP BY is_current, valid_from
+        |ORDER BY is_current, valid_from""".stripMargin,
+    "k11_change_feed" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS p
+        |  FROM orders),
+        |pre AS (SELECT k, p AS pre_e2 FROM o WHERE k % 2 = 0),
+        |merged AS (
+        |  SELECT k, p AS post_e2 FROM o WHERE k % 2 = 0 AND k % 3 <> 0
+        |  UNION ALL
+        |  SELECT k, p + 10000 FROM o WHERE k % 3 = 0),
+        |post AS (SELECT * FROM merged WHERE k % 10 <> 4),
+        |diff AS (
+        |  SELECT coalesce(pre.k, post.k) AS k, pre_e2, post_e2
+        |  FROM pre FULL OUTER JOIN post ON pre.k = post.k)
+        |SELECT CASE WHEN pre_e2 IS NULL THEN 'insert'
+        |    WHEN post_e2 IS NULL THEN 'delete'
+        |    WHEN pre_e2 <> post_e2 THEN 'update' ELSE 'unchanged' END AS op,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(coalesce(pre_e2, 0)) AS BIGINT) AS sum_pre_e2,
+        |  CAST(sum(coalesce(post_e2, 0)) AS BIGINT) AS sum_post_e2
+        |FROM diff GROUP BY 1 ORDER BY 1""".stripMargin,
     "i2_asset_cdc" ->
       """WITH current AS (
         |  SELECT p_partkey, p_size, sha256(concat_ws('||', p_name, p_brand)) AS etag

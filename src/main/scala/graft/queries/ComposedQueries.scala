@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.TableMerge
 import graft.queries.PipelineShared._
 
 /** Hybrid-search + COMPOSED tier (split from PipelineQueries in r10):
@@ -366,6 +367,52 @@ private[queries] object ComposedQueries {
       .orderBy("event_type")
   }
 
+  /** Mergeable-HISTOGRAM quantile rollup — the quantile sibling of the
+    * persisted-HLL rollup above: exact global quantiles need a full
+    * sort (a total exchange at 100 TB), but an equi-width histogram is
+    * a fixed-size MONOID sketch — per-(source, bucket) counts add, so
+    * partials from independent ingest batches merge into a persisted
+    * TableMerge sketch table in O(sources × buckets) state regardless
+    * of row volume, and any quantile reads off the cumulative counts.
+    * Two halves of `documents` (doc_id parity) are aggregated
+    * SEPARATELY and merged through the sketch table; the oracle
+    * computes the same histogram in ONE pass over all docs — the merge
+    * must be indistinguishable from the single pass, which is exactly
+    * the mergeability contract. Bucket math is integer division
+    * (n_chars div 200, capped at 29): both engines agree exactly.
+    * p50/p90 are the bucket upper edges where cumulative count crosses
+    * the rank — integer compares, no interpolation ambiguity. */
+  private val aggHistQuantile: Q = (s, d) => {
+    val stateDir = java.nio.file.Paths.get(
+      sys.props.getOrElse("graft.state.dir", "target/graft-state"))
+    java.nio.file.Files.createDirectories(stateDir)
+    val path = stateDir.resolve("agg_hist_quantile").toString
+    val docs = Tables.documents(s, d).select(col("source"), col("doc_id"),
+      least(expr("n_chars div 200"), lit(29L)).as("bucket"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("source", "bucket").agg(count(lit(1)).as("n"))
+    TableMerge.createOrReplace(partial(docs.filter(col("doc_id") % 2 === 0)), path)
+    val delta = partial(docs.filter(col("doc_id") % 2 === 1))
+    val merged = delta.alias("dl")
+      .join(TableMerge.read(s, path).alias("cur"), Seq("source", "bucket"), "left")
+      .select(col("source"), col("bucket"),
+        (col("dl.n") + coalesce(col("cur.n"), lit(0L))).as("n"))
+    TableMerge.upsert(s, path, merged, Seq("source", "bucket"))
+    val w = Window.partitionBy("source").orderBy("bucket")
+    val wAll = Window.partitionBy("source")
+    TableMerge.read(s, path)
+      .withColumn("cum", sum("n").over(w))
+      .withColumn("total", sum("n").over(wAll))
+      .groupBy("source")
+      .agg(max("total").as("n_docs"),
+        min(when(col("cum") * 2 >= col("total"), col("bucket"))).as("p50_bucket"),
+        min(when(col("cum") * 10 >= col("total") * 9, col("bucket"))).as("p90_bucket"))
+      .select(col("source"), col("n_docs"),
+        col("p50_bucket"), ((col("p50_bucket") + 1) * 200).as("p50_upper"),
+        col("p90_bucket"), ((col("p90_bucket") + 1) * 200).as("p90_upper"))
+      .orderBy("source")
+  }
+
   /** Batch sessionization — the gaps-and-islands twin of
     * [[graft.streaming.EventStreams.sessionize]]: a session breaks when
     * consecutive events of a user are more than `gapMs` apart; session
@@ -407,6 +454,7 @@ private[queries] object ComposedQueries {
     "agg_skew_salted" -> aggSkewSalted,
     "agg_topk_freq" -> aggTopkFreq,
     "agg_hll_distinct" -> aggHllDistinct,
+    "agg_hist_quantile" -> aggHistQuantile,
     "stream_window_agg" -> streamWindowAgg,
     "sessionize_batch" -> sessionizeBatch,
   )
@@ -529,6 +577,27 @@ private[queries] object ComposedQueries {
         |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_events,
         |  TRUE AS est_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_hist_quantile" ->
+      // ONE-pass histogram over all docs — the merged two-batch sketch
+      // must be indistinguishable from it (mergeability contract)
+      """WITH b AS (
+        |  SELECT source, least(n_chars // 200, 29) AS bucket FROM documents),
+        |h AS (SELECT source, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+        |c AS (
+        |  SELECT source, bucket, n,
+        |    sum(n) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+        |    sum(n) OVER (PARTITION BY source) AS total
+        |  FROM h)
+        |SELECT source, CAST(max(total) AS BIGINT) AS n_docs,
+        |  CAST(min(CASE WHEN cum * 2 >= total THEN bucket END) AS BIGINT)
+        |    AS p50_bucket,
+        |  CAST((min(CASE WHEN cum * 2 >= total THEN bucket END) + 1) * 200
+        |    AS BIGINT) AS p50_upper,
+        |  CAST(min(CASE WHEN cum * 10 >= total * 9 THEN bucket END) AS BIGINT)
+        |    AS p90_bucket,
+        |  CAST((min(CASE WHEN cum * 10 >= total * 9 THEN bucket END) + 1) * 200
+        |    AS BIGINT) AS p90_upper
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "sessionize_batch" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),

@@ -331,6 +331,27 @@ object CoreQueries {
       .orderBy("src")
   }
 
+  /** U3 — INTERSECT / EXCEPT set operators (the remaining two of SQL's
+    * set-op triple; Spark plans both as aggregated joins — semi for
+    * intersect, anti for except — over DISTINCT inputs, i.e. one hash
+    * shuffle each on the full row as key): customers who finished an
+    * order vs customers with a high balance, all three regions of the
+    * Venn diagram pinned by count + key-sum. */
+  private val u3SetOps: Q = (s, d) => {
+    val a = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val b = Tables.customer(s, d).filter(col("c_acctbal") >= 5000.0)
+      .select("c_custkey")
+    def agg(df: DataFrame, label: String): DataFrame = df
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum("c_custkey"), lit(0L)).as("sum_key"))
+      .select(lit(label).as("op"), col("n"), col("sum_key"))
+    agg(a.intersect(b), "intersect")
+      .unionByName(agg(a.except(b), "except_ab"))
+      .unionByName(agg(b.except(a), "except_ba"))
+      .orderBy("op")
+  }
+
   /** A9 — ROLLUP hierarchy aggregate: (priority, status) → priority
     * subtotals → grand total in ONE pass (Catalyst expands the grouping
     * sets inside a single shuffle — three separate groupBys would scan
@@ -636,6 +657,7 @@ object CoreQueries {
     "o1_order_limit" -> o1OrderLimit,
     "u1_dim_date" -> u1DimDate,
     "u2_union_by_name" -> u2UnionByName,
+    "u3_set_ops" -> u3SetOps,
     "g1_posexplode_tokens" -> g1PosexplodeTokens,
     "g2_explode_struct" -> g2ExplodeStruct,
     "f_uid_filename" -> fUidFilename,
@@ -881,6 +903,21 @@ object CoreQueries {
         |  SELECT l_orderkey AS key, l_extendedprice AS amount, 'lineitem' AS src FROM lineitem)
         |SELECT src, CAST(count(*) AS BIGINT) AS n, round(sum(amount), 2) AS total_amount
         |FROM unioned GROUP BY src ORDER BY src""".stripMargin,
+    "u3_set_ops" ->
+      """WITH a AS (
+        |  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+        |b AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal >= 5000.0),
+        |i AS (SELECT k FROM a INTERSECT SELECT k FROM b),
+        |ab AS (SELECT k FROM a EXCEPT SELECT k FROM b),
+        |ba AS (SELECT k FROM b EXCEPT SELECT k FROM a),
+        |u AS (
+        |  SELECT 'intersect' AS op, count(*) AS n, coalesce(sum(k), 0) AS sum_key FROM i
+        |  UNION ALL
+        |  SELECT 'except_ab', count(*), coalesce(sum(k), 0) FROM ab
+        |  UNION ALL
+        |  SELECT 'except_ba', count(*), coalesce(sum(k), 0) FROM ba)
+        |SELECT op, CAST(n AS BIGINT) AS n, CAST(sum_key AS BIGINT) AS sum_key
+        |FROM u ORDER BY op""".stripMargin,
     "g1_posexplode_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |  CAST(len(string_split(text, ' ')) * (len(string_split(text, ' ')) + 1) / 2

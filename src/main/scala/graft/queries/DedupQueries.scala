@@ -451,6 +451,45 @@ private[queries] object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** SymSpell-style FUZZY word join (Garbe's symmetric-delete spelling
+    * correction, the scale-correct way to find edit-distance-1 pairs
+    * without an all-pairs scan): every word expands to itself + its
+    * single-DELETION variants; two words within Levenshtein 1 of each
+    * other always share a variant (substitution → delete the differing
+    * position from both; indel → the shorter IS a deletion of the
+    * longer), so candidates come from an EQUI-join on the variant —
+    * O(Σ len) expansion rows and a hash shuffle keyed by variant,
+    * never |vocab|² — and an exact `levenshtein` residual drops the
+    * near-miss candidates the delete-neighborhood admits (e.g.
+    * transpositions at Damerau 1 / Levenshtein 2). The DuckDB oracle
+    * is the honest brute force: cross-join the vocab with
+    * `levenshtein(a, b) = 1` — completeness of the neighborhood is
+    * itself under the hash (a missed pair breaks fp_sum). Vocab is a
+    * doc subset (%50) so the oracle's quadratic side stays sf0.01-
+    * sized; the Spark side's banded shape is the one that scales. */
+  private val dedupSymspellJoin: Q = (s, d) => {
+    val words = Tables.documents(s, d)
+      .filter(col("doc_id") % 50 === 0)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 4)
+      .distinct()
+    val variants = words.select(col("w"), explode(concat(
+        array(col("w")),
+        expr("transform(sequence(1, length(w)), " +
+          "i -> concat(substring(w, 1, i - 1), substring(w, i + 1, length(w) - i)))")
+      )).as("v"))
+      .distinct() // "aab" yields "ab" twice — dedup so no pair double-counts
+    val cands = variants.as("l").join(variants.as("r"), col("l.v") === col("r.v"))
+      .filter(col("l.w") < col("r.w"))
+      .select(col("l.w").as("w1"), col("r.w").as("w2"))
+      .distinct()
+    cands.filter(levenshtein(col("w1"), col("w2")) === 1)
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(expr("graft_str_fp(concat(w1, '|', w2))")), lit(0L)).as("fp_sum"),
+        coalesce(sum(length(col("w1")) + length(col("w2"))), lit(0L))
+          .cast("long").as("len_sum"))
+  }
+
   private val duckMinh = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
     s"list_min(list_transform(tokens, w -> ($a * ${duckFp("w")} + $b) % $P)) AS minh${i + 1}"
   }
@@ -468,9 +507,25 @@ private[queries] object DedupQueries {
     "dedup_span_coverage" -> dedupSpanCoverage,
     "dedup_span_rewrite" -> dedupSpanRewrite,
     "dedup_novel_filter" -> dedupNovelFilter,
+    "dedup_symspell_join" -> dedupSymspellJoin,
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_symspell_join" ->
+      // honest brute force: quadratic levenshtein over the vocab — the
+      // delete-neighborhood join must reproduce it exactly
+      s"""WITH w AS (
+         |  SELECT DISTINCT u.w FROM documents,
+         |    UNNEST(string_split(text, ' ')) u(w)
+         |  WHERE doc_id % 50 = 0 AND len(u.w) >= 4),
+         |p AS (
+         |  SELECT a.w AS w1, b.w AS w2 FROM w a JOIN w b ON a.w < b.w
+         |  WHERE levenshtein(a.w, b.w) = 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(sum(${duckFp("w1 || '|' || w2")}), 0) AS BIGINT)
+         |    AS fp_sum,
+         |  CAST(coalesce(sum(len(w1) + len(w2)), 0) AS BIGINT) AS len_sum
+         |FROM p""".stripMargin,
     "dedup_exact" ->
       """WITH corpus AS (
         |  SELECT * FROM documents

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.multimodal.PngCodec
+import graft.multimodal.{PngCodec, WavCodec}
 import graft.queries.PipelineShared.Q
 
 /** Pixel-level multimodal tier: per-image statistics decoded from REAL
@@ -78,8 +78,59 @@ private[graft] object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** Audio fixture: mono PCM16 at 8 kHz, doc_id % 37 + 50 samples,
+    * sample i = ((doc_id*31 + i*7) % 2001) - 1000 — replicated verbatim
+    * in the oracle SQL. Exposed for WavCodecSpec. */
+  private[graft] def fixtureWav(docId: Long): Array[Byte] = {
+    val n = (docId % 37 + 50).toInt
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = (((docId * 31 + i * 7) % 2001) - 1000).toShort
+      i += 1
+    }
+    WavCodec.encode(8000, 1, samples)
+  }
+
+  /** mm_audio_stats — per-file PCM statistics decoded from REAL WAV
+    * bytes by [[graft.multimodal.WavCodec]]: the engine runs the full
+    * encode → RIFF chunk walk → int16 decode → aggregate path, and the
+    * DuckDB oracle predicts every number from the sample formula alone.
+    * Zero-crossing count (strict sign flips between adjacent samples)
+    * exercises sample ORDER, not just the multiset — a permuted decode
+    * passes the sums but breaks n_zero_cross. */
+  private val mmAudioStats: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val pcm = WavCodec.decode(fixtureWav(id))
+            .getOrElse(throw new IllegalStateException(s"self-encoded WAV undecodable for doc $id"))
+          val xs = pcm.samples
+          var sum = 0L; var sumSq = 0L
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          var cross = 0L
+          var i = 0
+          while (i < xs.length) {
+            val v = xs(i).toLong
+            sum += v; sumSq += v * v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            if (i > 0 && xs(i - 1).toLong * v < 0) cross += 1
+            i += 1
+          }
+          (id, pcm.sampleRate.toLong, pcm.channels.toLong, xs.length.toLong,
+            sum, sumSq, mn, mx, cross)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_channels", "n_samples",
+        "sum_s", "sum_sq", "min_s", "max_s", "n_zero_cross")
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "mm_pixel_stats" -> mmPixelStats,
+    "mm_audio_stats" -> mmAudioStats,
   )
 
   val oracles: Map[String, String] = Map(
@@ -106,5 +157,25 @@ private[graft] object MultimodalQueries {
         |  CAST(min(least(r, g, b)) AS BIGINT) AS min_px,
         |  CAST(max(greatest(r, g, b)) AS BIGINT) AS max_px
         |FROM vals GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    "mm_audio_stats" ->
+      // the sample formula evaluated relationally — no WAV bytes anywhere
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 37 + 50 AS BIGINT) AS n
+        |  FROM documents),
+        |smp AS (
+        |  SELECT doc_id, n, si.i AS i,
+        |    (doc_id * 31 + si.i * 7) % 2001 - 1000 AS s,
+        |    CASE WHEN si.i > 0
+        |      THEN (doc_id * 31 + (si.i - 1) * 7) % 2001 - 1000 END AS s_prev
+        |  FROM d, UNNEST(generate_series(0, n - 1)) si(i))
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS n_channels, n AS n_samples,
+        |  CAST(sum(s) AS BIGINT) AS sum_s,
+        |  CAST(sum(s * s) AS BIGINT) AS sum_sq,
+        |  CAST(min(s) AS BIGINT) AS min_s,
+        |  CAST(max(s) AS BIGINT) AS max_s,
+        |  CAST(sum(CASE WHEN s_prev * s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero_cross
+        |FROM smp GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
   )
 }

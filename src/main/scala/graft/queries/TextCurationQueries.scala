@@ -554,7 +554,41 @@ private[queries] object TextCurationQueries {
       .orderBy("source")
   }
 
+  /** Epoch/up-sampling MIX planner — the third leg of the mixture
+    * family (domain_mix down-samples by rate, temperature_mix reshapes
+    * the distribution; this one plans UP-sampling): given target
+    * mixture weights and a total token budget — the way a LLaMA-style
+    * mixture table is specified — compute, per source, how many full
+    * passes (epochs) over the source the budget demands and what
+    * fraction of the last pass is consumed. All integer arithmetic
+    * (targets are budget·w DIV Σw; epochs are ceiling division; the
+    * partial-epoch fraction is basis points), so both engines agree
+    * exactly. The plan is one aggregate over the corpus plus a
+    * broadcast of the 4-row weight table: at 100 TB the token census
+    * is the only scan, and it's the same partial-agg census every
+    * mixture op shares. */
+  private val splitEpochMix: Q = (s, d) => {
+    import s.implicits._
+    val weights = Seq(("src0", 40L), ("src1", 30L), ("src2", 20L), ("src3", 10L))
+      .toDF("source", "weight")
+    val budget = 2000000L
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("avail_tokens"))
+      .join(broadcast(weights), Seq("source"), "inner")
+      .withColumn("target_tokens", expr(s"($budget * weight) DIV 100"))
+      .withColumn("epochs",
+        expr("(target_tokens + avail_tokens - 1) DIV avail_tokens"))
+      .withColumn("last_epoch_bp",
+        expr("((target_tokens - (epochs - 1) * avail_tokens) * 10000) DIV avail_tokens"))
+      .select("source", "n_docs", "avail_tokens", "weight",
+        "target_tokens", "epochs", "last_epoch_bp")
+      .orderBy("source")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "split_epoch_mix" -> splitEpochMix,
     "split_temperature_mix" -> splitTemperatureMix,
     "text_html_strip" -> textHtmlStrip,
     "text_oov_rate" -> textOovRate,
@@ -577,6 +611,25 @@ private[queries] object TextCurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "split_epoch_mix" ->
+      """WITH a AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT * FROM (VALUES ('src0', CAST(40 AS BIGINT)),
+        |    ('src1', 30), ('src2', 20), ('src3', 10)) t(source, weight)),
+        |plan AS (
+        |  SELECT a.source, n_docs, avail_tokens, weight,
+        |    (2000000 * weight) // 100 AS target_tokens
+        |  FROM a JOIN w ON a.source = w.source),
+        |ep AS (
+        |  SELECT *, (target_tokens + avail_tokens - 1) // avail_tokens AS epochs
+        |  FROM plan)
+        |SELECT source, n_docs, avail_tokens, weight, target_tokens, epochs,
+        |  CAST(((target_tokens - (epochs - 1) * avail_tokens) * 10000)
+        |    // avail_tokens AS BIGINT) AS last_epoch_bp
+        |FROM ep ORDER BY source""".stripMargin,
     "text_pii_mask" ->
       """WITH t AS (
         |  SELECT doc_id, source,

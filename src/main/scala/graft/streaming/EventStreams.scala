@@ -452,6 +452,70 @@ object EventStreams {
       }
       .start()
 
+  /** STREAMING incremental MATERIALIZED-VIEW maintenance driven by the
+    * snapshot CHANGE FEED — the streaming composition of the batch
+    * `k11_change_feed` (version diff) and `i8_matview_delta` (monoid
+    * fold): each micro-batch of facts (event_id, user_id, value_e2)
+    * (a) upserts into the BASE TableMerge table keyed event_id, then
+    * (b) derives the batch's exact change feed as post-version minus
+    * pre-version restricted to the touched keys, and (c) folds the
+    * signed per-user delta into the VIEW table. Deriving the delta
+    * from the version diff — not from the input batch — is what makes
+    * RE-DELIVERED and UPDATED facts correct: an event_id arriving
+    * again with a new value contributes (new − old), not (+new), so
+    * the view never double-counts. Count and sum are commutative-group
+    * aggregates (signed deltas cancel), the algebraic requirement for
+    * this maintenance.
+    *
+    * Scale: per batch, one upsert touching O(batch) keys, two
+    * key-restricted snapshot reads (post and retained pre — both
+    * semi-joined down to batch keys), and a view upsert touching
+    * O(users in batch) rows. Nothing scans the full base table.
+    * Within-batch duplicates of a key are the caller's to resolve
+    * (dedup upstream); across batches re-delivery is the supported
+    * path. */
+  def matviewDeltaSink(facts: DataFrame, basePath: String, viewPath: String,
+                       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    facts.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          import graft.operators.TableMerge
+          val s = batch.sparkSession
+          val rows = batch.select("event_id", "user_id", "value_e2")
+          val preVersion =
+            if (TableMerge.exists(basePath)) TableMerge.versions(basePath).headOption
+            else None
+          if (preVersion.isDefined) TableMerge.upsert(s, basePath, rows, Seq("event_id"))
+          else TableMerge.createOrReplace(rows, basePath)
+          val keys = rows.select("event_id").distinct()
+          val postTouched = TableMerge.read(s, basePath).join(keys, Seq("event_id"))
+          val preTouched = preVersion match {
+            case Some(v) => TableMerge.readVersion(s, basePath, v).join(keys, Seq("event_id"))
+            case None    => postTouched.limit(0)
+          }
+          def signed(df: DataFrame, sign: Int): DataFrame = df
+            .groupBy("user_id")
+            .agg(count(lit(1)).as("cnt"), sum("value_e2").as("sv"))
+            .select(col("user_id"), (col("cnt") * sign).as("d_n"), (col("sv") * sign).as("d_sum"))
+          val delta = signed(postTouched, 1).unionByName(signed(preTouched, -1))
+            .groupBy("user_id")
+            .agg(sum("d_n").as("d_n"), sum("d_sum").as("d_sum"))
+          val cur =
+            if (TableMerge.exists(viewPath)) TableMerge.read(s, viewPath)
+            else delta.limit(0).select(col("user_id"),
+              col("d_n").as("n"), col("d_sum").as("sum_value_e2"))
+          val updated = delta.alias("d").join(cur.alias("c"), Seq("user_id"), "left")
+            .select(col("user_id"),
+              (col("d.d_n") + coalesce(col("c.n"), lit(0L))).as("n"),
+              (col("d.d_sum") + coalesce(col("c.sum_value_e2"), lit(0L))).as("sum_value_e2"))
+          if (TableMerge.exists(viewPath)) TableMerge.upsert(s, viewPath, updated, Seq("user_id"))
+          else TableMerge.createOrReplace(updated, viewPath)
+        }
+      }
+      .start()
+
   final case class SessionState(start: Timestamp, last: Timestamp, n_events: Long)
 
   final case class ClosedSession(

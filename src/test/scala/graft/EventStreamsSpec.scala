@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{count, lit, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.EventStreams
@@ -322,6 +323,40 @@ class EventStreamsSpec extends AnyFunSuite {
         .select("user_id", "event_id", "event_type")
         .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
       assert(state == Seq((1L, 4L, "purchase"), (2L, 3L, "click")))
+    } finally q.stop()
+  }
+
+  test("streaming CDF matview: version-diff fold equals the direct aggregate, updates never double-count") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-matview")
+    val base = dir.resolve("base").toString
+    val view = dir.resolve("view").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val stream = MemoryStream[(Long, Long, Long)]
+    val facts = stream.toDF().toDF("event_id", "user_id", "value_e2")
+    val q = EventStreams.matviewDeltaSink(facts, base, view, ckpt)
+    try {
+      stream.addData((1L, 1L, 100L), (2L, 1L, 50L), (3L, 2L, 10L))
+      q.processAllAvailable()
+      // batch 2: new fact for user 2 AND a RE-DELIVERY of event 1 with
+      // an UPDATED value — the view must absorb (999 - 100), not +999
+      stream.addData((4L, 2L, 30L), (1L, 1L, 999L))
+      q.processAllAvailable()
+      // batch 3: fact that MOVES an event to another user (ownership
+      // fix-up): post-pre diff debits user 1 and credits user 3
+      stream.addData((2L, 3L, 50L))
+      q.processAllAvailable()
+      val got = graft.operators.TableMerge.read(spark, view)
+        .select("user_id", "n", "sum_value_e2")
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      val direct = graft.operators.TableMerge.read(spark, base)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("value_e2").as("sum_value_e2"))
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(got.filter(_._2 != 0L) == direct,
+        s"view $got != direct aggregate $direct")
+      assert(got.find(_._1 == 1L).exists(_._3 == 999L), s"update double-counted: $got")
     } finally q.stop()
   }
 

@@ -333,6 +333,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("j19_bloom_semi_join: the fact side never shuffles unpruned") {
+    // join-path twin of the decontam assertion: every exchange whose
+    // subtree scans lineitem must already carry the bloom prune below
+    // it — otherwise the 100 TB fact table paid full shuffle I/O and
+    // the reduction bought nothing.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try {
+      SparkEntry.queries("j19_bloom_semi_join")(spark, sf).queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    def subtreeHasBloomFilter(n: SparkPlan): Boolean =
+      n.collect {
+        case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("graft_bloom_contains") => f
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+          if j.condition.exists(_.toString.contains("graft_bloom_contains")) => j
+      }.nonEmpty
+    assert(subtreeHasBloomFilter(p), s"no bloom prefilter in the plan at all:\n$p")
+    val factShuffles = collect(p) { case e: ShuffleExchangeExec => e }
+      .filter(e => e.collect { case s: FileSourceScanExec => s }
+        .exists(_.output.exists(_.name == "l_orderkey")))
+    assert(factShuffles.nonEmpty, s"expected the semi join to shuffle the pruned fact:\n$p")
+    factShuffles.foreach { e =>
+      assert(subtreeHasBloomFilter(e),
+        s"fact side shuffled without the bloom prefilter below it:\n$e")
+    }
+  }
+
   test("agg_hll_distinct: both sketch aggregations split partial/final") {
     // map-side partial HLL buffers must merge at the reducer — a
     // missing partial means every raw row shuffles to one aggregator
