@@ -199,6 +199,52 @@ object CoverageQueries {
       .limit(20)
   }
 
+  /** NDCG@10 ranking-quality EVAL of the BM25 ranking — the measured
+    * number a search owner watches per index rebuild (the reference
+    * ships rankings but never scores them; this closes the eval loop):
+    * graded relevance = how many distinct query terms a doc contains
+    * (0..3, derived from the same tf columns the scorer uses), gain =
+    * 2^rel − 1, discounts 1/log2(rank+1) PRE-QUANTIZED to an e6
+    * integer literal table shared verbatim by both engines — so
+    * DCG/IDCG are exact BIGINT sums and NDCG is an integer basis-point
+    * division, no float log anywhere near the hash. Rank assignment
+    * avoids a global window (PlanSpec's single-partition-window ban):
+    * the top-10 rows collapse via sort_array(collect_list(struct)) +
+    * posexplode — a 10-element array in one tiny aggregate. Scale: the
+    * corpus pass is the same broadcast-stats scan as `search_bm25`;
+    * everything after the two LIMIT 10s is constant-size. */
+  private val searchNdcg: Q = (s, d) => {
+    val discCase = Seq(1 -> 1000000L, 2 -> 630929L, 3 -> 500000L, 4 -> 430676L,
+      5 -> 386852L, 6 -> 356207L, 7 -> 333333L, 8 -> 315464L, 9 -> 301029L,
+      10 -> 289064L)
+      .map { case (r, v) => s"WHEN $r THEN ${v}L" }
+      .mkString("CASE rank ", " ", " END")
+    val relExpr = Bm25Scoring.Terms.map(t => s"CAST(tf_$t > 0 AS INT)").mkString(" + ")
+    val withTf = Tables.documents(s, d)
+      .select(col("doc_id") +: Bm25Scoring.tfCols: _*)
+    val stats = withTf.agg(Bm25Scoring.nDocsAgg, Bm25Scoring.statAggs: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+      .withColumn("score_e4", floor(expr(Bm25Scoring.scoreExpr) * 10000).cast("long"))
+      .withColumn("rel", expr(relExpr).cast("long"))
+      .select("doc_id", "score_e4", "rel")
+    def rankedGainSum(ordered: DataFrame, alias: String): DataFrame = ordered
+      .limit(10)
+      .agg(sort_array(collect_list(struct(col("ns"), col("doc_id"), col("rel")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "row")))
+      .select((col("pos") + 1).as("rank"), col("row.rel").as("rel"))
+      .agg(sum(expr(s"(shiftleft(1L, CAST(rel AS INT)) - 1L) * ($discCase)"))
+        .as(alias))
+    val dcg = rankedGainSum(
+      scored.withColumn("ns", -col("score_e4"))
+        .orderBy(col("ns").asc, col("doc_id").asc), "dcg_e6")
+    val idcg = rankedGainSum(
+      scored.withColumn("ns", -col("rel"))
+        .orderBy(col("ns").asc, col("doc_id").asc), "idcg_e6")
+    dcg.crossJoin(idcg)
+      .select(col("dcg_e6"), col("idcg_e6"),
+        expr("dcg_e6 * 10000 DIV idcg_e6").as("ndcg_bp"))
+  }
+
   /** Q4 — keyword extraction: stopword strip, first-3 keywords
     * (chatbot_api.py:92-119). */
   private val q4Keywords: Q = (s, d) =>
@@ -604,6 +650,7 @@ object CoverageQueries {
     "o3_topk_per_group" -> o3TopkPerGroup,
     "search_bm25" -> searchBm25,
     "search_bm25_fields" -> searchBm25Fields,
+    "search_ndcg" -> searchNdcg,
     "q4_keywords" -> q4Keywords,
     "q4_query_expansion" -> q4QueryExpansion,
     "f5_lang_code" -> f5LangCode,
@@ -756,6 +803,44 @@ object CoverageQueries {
          |  ) * 10000) AS BIGINT) AS score_e4
          |FROM tf, stats
          |ORDER BY score_e4 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "search_ndcg" -> {
+      val duckDisc = Seq(1 -> 1000000L, 2 -> 630929L, 3 -> 500000L, 4 -> 430676L,
+        5 -> 386852L, 6 -> 356207L, 7 -> 333333L, 8 -> 315464L, 9 -> 301029L,
+        10 -> 289064L)
+        .map { case (r, v) => s"WHEN $r THEN $v" }
+        .mkString("CASE rank ", " ", " END")
+      val duckRel = Bm25Scoring.Terms
+        .map(t => s"CAST(tf_$t > 0 AS BIGINT)").mkString(" + ")
+      s"""WITH tf AS (
+         |  SELECT doc_id, ${Bm25Scoring.duckTfCols.mkString(",\n    ")}
+         |  FROM documents),
+         |stats AS (
+         |  SELECT ${Bm25Scoring.duckStatCols.mkString(",\n    ")}
+         |  FROM tf),
+         |scored AS (
+         |  SELECT doc_id, CAST(floor((
+         |      ${Bm25Scoring.duckScore}
+         |    ) * 10000) AS BIGINT) AS score_e4,
+         |    $duckRel AS rel
+         |  FROM tf, stats),
+         |top AS (
+         |  SELECT rel, row_number() OVER (ORDER BY score_e4 DESC, doc_id ASC)
+         |    AS rank
+         |  FROM scored ORDER BY score_e4 DESC, doc_id ASC LIMIT 10),
+         |ideal AS (
+         |  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id ASC)
+         |    AS rank
+         |  FROM scored ORDER BY rel DESC, doc_id ASC LIMIT 10),
+         |dcg AS (
+         |  SELECT CAST(sum(((1 << rel) - 1) * ($duckDisc)) AS BIGINT) AS dcg_e6
+         |  FROM top),
+         |idcg AS (
+         |  SELECT CAST(sum(((1 << rel) - 1) * ($duckDisc)) AS BIGINT) AS idcg_e6
+         |  FROM ideal)
+         |SELECT dcg_e6, idcg_e6,
+         |  CAST(dcg_e6 * 10000 // idcg_e6 AS BIGINT) AS ndcg_bp
+         |FROM dcg, idcg""".stripMargin
+    },
     "search_bm25_fields" -> {
       val tfCols = Bm25Fields.flatMap { case (f, _, _) =>
         val tok = DuckBm25FieldTok(f)

@@ -554,6 +554,44 @@ private[queries] object TextCurationQueries {
       .orderBy("source")
   }
 
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken
+    * 2003, the MOSS algorithm — the published LOCAL fingerprint
+    * selection with a guarantee the rolling-hash `text_fingerprint`
+    * lacks: any shared substring of length ≥ w+k-1 tokens is caught,
+    * because every window of w consecutive k-gram hashes selects its
+    * minimum — rightmost on ties — and matching text yields matching
+    * windows): per doc, k-gram hashes via the engine-portable
+    * `graft_str_fp` char fold (NOT the 64-bit FNV shingle key — its
+    * wrapping multiply has no overflow-free DuckDB twin; the mod-P
+    * fold does), then the per-window argmin selection as nested HOFs,
+    * then the DISTINCT selected positions are the fingerprint set.
+    * Everything is per-row projection work — no shuffle until the
+    * final orderBy; at 100 TB the fingerprint sets feed the same
+    * banded equi-joins the MinHash pipeline uses, with the winnowing
+    * guarantee in place of probabilistic recall. Selection arithmetic
+    * is pure integer compares, so both engines agree exactly. */
+  private val textWinnowFp: Q = (s, d) => {
+    val K = 3; val W = 4
+    Tables.documents(s, d)
+      .withColumn("tokens", split(col("text"), " "))
+      // guard BEFORE the HOFs: Spark's sequence(1, n) flips descending
+      // for n < 1, which would feed slice() illegal starts on short docs
+      .filter(size(col("tokens")) >= K + W - 1)
+      .withColumn("hashes", expr(
+        s"transform(sequence(1, size(tokens) - ${K - 1}), " +
+          s"i -> graft_str_fp(concat_ws(' ', slice(tokens, i, $K))))"))
+      .withColumn("sels", expr(
+        s"array_distinct(transform(sequence(1, size(hashes) - ${W - 1}), " +
+          s"j -> array_max(filter(sequence(j, j + ${W - 1}), " +
+          s"i -> element_at(hashes, i) = array_min(slice(hashes, j, $W))))))"))
+      .selectExpr("doc_id",
+        "CAST(size(hashes) AS BIGINT) AS n_grams",
+        "CAST(size(sels) AS BIGINT) AS n_fps",
+        "CAST(aggregate(sels, 0L, (a, p) -> a + p) AS BIGINT) AS pos_sum",
+        "CAST(aggregate(sels, 0L, (a, p) -> a + element_at(hashes, p)) AS BIGINT) AS fp_sum")
+      .orderBy("doc_id")
+  }
+
   /** Epoch/up-sampling MIX planner — the third leg of the mixture
     * family (domain_mix down-samples by rate, temperature_mix reshapes
     * the distribution; this one plans UP-sampling): given target
@@ -588,6 +626,7 @@ private[queries] object TextCurationQueries {
   }
 
   val queries: Seq[(String, Q)] = Seq(
+    "text_winnow_fp" -> textWinnowFp,
     "split_epoch_mix" -> splitEpochMix,
     "split_temperature_mix" -> splitTemperatureMix,
     "text_html_strip" -> textHtmlStrip,
@@ -611,6 +650,28 @@ private[queries] object TextCurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_winnow_fp" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, len(tokens) - 2),
+         |      i -> ${duckFp("array_to_string(tokens[i:i+2], ' ')")}) AS hashes
+         |  FROM t WHERE len(tokens) >= 6),
+         |f AS (
+         |  SELECT doc_id, hashes,
+         |    list_distinct(list_transform(generate_series(1, len(hashes) - 3),
+         |      j -> list_max(list_filter(generate_series(j, j + 3),
+         |        i2 -> hashes[i2] = list_min(hashes[j:j+3]))))) AS sels
+         |  FROM g)
+         |SELECT doc_id, CAST(len(hashes) AS BIGINT) AS n_grams,
+         |  CAST(len(sels) AS BIGINT) AS n_fps,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), sels),
+         |    (ap, pp) -> ap + pp) AS BIGINT) AS pos_sum,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(sels, p2 -> hashes[p2])),
+         |    (ah, xh) -> ah + xh) AS BIGINT) AS fp_sum
+         |FROM f ORDER BY doc_id""".stripMargin,
     "split_epoch_mix" ->
       """WITH a AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

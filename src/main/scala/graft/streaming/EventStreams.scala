@@ -516,6 +516,50 @@ object EventStreams {
       }
       .start()
 
+  /** STREAMING SCD TYPE-2 apply — the stream twin of the batch
+    * `i9_scd2_history`: each micro-batch of feed rows
+    * (key, attr, eff) diffs against the dimension's CURRENT rows by
+    * real attribute compare; new keys open a row, changed keys close
+    * the current row in place (valid_to = the feed row's effective
+    * date) and open a new one, unchanged keys are untouched. All three
+    * row classes land in ONE TableMerge upsert keyed
+    * (key, valid_from) — a single copy-on-write commit per batch, so a
+    * point-in-time reader never sees a half-applied day. Per-batch
+    * cost is O(batch + current rows of touched keys); history size
+    * never enters the merge. Within-batch duplicates of a key are the
+    * caller's to resolve (one effective row per key per batch). */
+  def scd2Sink(feed: DataFrame, dimPath: String,
+               checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    feed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          import graft.operators.TableMerge
+          val s = batch.sparkSession
+          val rows = batch.select("key", "attr", "eff")
+          def open(src: DataFrame, attr: org.apache.spark.sql.Column): DataFrame =
+            src.select(col("key"), attr.as("attr"), col("eff").as("valid_from"),
+              lit(null).cast("string").as("valid_to"), lit(true).as("is_current"))
+          if (!TableMerge.exists(dimPath)) TableMerge.createOrReplace(open(rows, col("attr")), dimPath)
+          else {
+            val current = TableMerge.read(s, dimPath).filter(col("is_current"))
+            val j = rows.alias("f").join(current.alias("c"), Seq("key"), "left")
+            val newRows = open(j.filter(col("c.valid_from").isNull), col("f.attr"))
+            val changed = j.filter(col("c.valid_from").isNotNull &&
+              col("f.attr") =!= col("c.attr"))
+            val closed = changed.select(col("key"), col("c.attr").as("attr"),
+              col("c.valid_from").as("valid_from"), col("eff").as("valid_to"),
+              lit(false).as("is_current"))
+            val opened = open(changed, col("f.attr"))
+            TableMerge.upsert(s, dimPath,
+              newRows.unionByName(closed).unionByName(opened),
+              Seq("key", "valid_from"))
+          }
+        }
+      }
+      .start()
+
   final case class SessionState(start: Timestamp, last: Timestamp, n_events: Long)
 
   final case class ClosedSession(

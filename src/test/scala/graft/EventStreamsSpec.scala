@@ -360,6 +360,39 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD2 sink: history accumulates closes/opens across batches, unchanged keys untouched") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-scd2")
+    val dim = dir.resolve("dim").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val stream = MemoryStream[(Long, Long, String)]
+    val feed = stream.toDF().toDF("key", "attr", "eff")
+    val q = EventStreams.scd2Sink(feed, dim, ckpt)
+    try {
+      stream.addData((1L, 100L, "2024-01-01"), (2L, 200L, "2024-01-01"))
+      q.processAllAvailable()
+      // change key 1, insert key 3, re-send key 2 UNCHANGED
+      stream.addData((1L, 150L, "2024-02-01"), (3L, 300L, "2024-02-01"),
+        (2L, 200L, "2024-02-01"))
+      q.processAllAvailable()
+      // second change for key 1 — its history grows to three rows
+      stream.addData((1L, 175L, "2024-03-01"))
+      q.processAllAvailable()
+      val got = graft.operators.TableMerge.read(spark, dim)
+        .select("key", "attr", "valid_from", "valid_to", "is_current")
+        .as[(Long, Long, String, Option[String], Boolean)]
+        .collect().toSeq.sortBy(r => (r._1, r._3))
+      val want = Seq(
+        (1L, 100L, "2024-01-01", Some("2024-02-01"), false),
+        (1L, 150L, "2024-02-01", Some("2024-03-01"), false),
+        (1L, 175L, "2024-03-01", None, true),
+        (2L, 200L, "2024-01-01", None, true), // unchanged re-send: NOT re-dated
+        (3L, 300L, "2024-02-01", None, true))
+      assert(got == want, s"SCD2 history mismatch:\n got=$got\nwant=$want")
+    } finally q.stop()
+  }
+
   test("upsert sink micro-batch rewrites only touched buckets (O(batch), not O(state))") {
     import spark.implicits._
     import java.nio.file.{Files, Path, Paths}
