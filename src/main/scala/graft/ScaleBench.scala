@@ -87,7 +87,14 @@ object ScaleBench {
     // integer-space k-means (3 assigns + 2 driver syncs — each a
     // broadcast-scan), bigram LM scoring (two count aggs + equi-joins),
     // and the funnel-BPE-pack composition
-    "sim_kmeans_train", "text_bigram_logprob", "e2e_token_budget")
+    "sim_kmeans_train", "text_bigram_logprob", "e2e_token_budget",
+    // r12 batch 2: symspell fuzzy join (vocab grows ~xf since each
+    // copy's prefixed words are new — the deletion-neighborhood
+    // expansion is O(sum of word lengths), the join a hash shuffle on
+    // the variant), winnowing fingerprints (pure per-row projection),
+    // the histogram-sketch rollup (state O(sources x buckets), constant
+    // in rows), and WAV PCM decode (mapPartitions CPU, no shuffle)
+    "dedup_symspell_join", "text_winnow_fp", "agg_hist_quantile", "mm_audio_stats")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -490,6 +490,47 @@ private[queries] object DedupQueries {
           .cast("long").as("len_sum"))
   }
 
+  /** WINNOWING near-dup PAIRS — the fingerprint family's third member
+    * (MinHash: probabilistic Jaccard recall; SimHash: Hamming-ball
+    * recall; winnowing: a GUARANTEE — any pair sharing a substring of
+    * ≥ w+k−1 tokens shares a selected fingerprint, Schleimer et al.
+    * 2003 §3). Fixture injects shifted near-dups (docs %20 re-appear
+    * with their first token dropped): a shift breaks every MinHash
+    * band with probability ~1 per permutation decorrelation but leaves
+    * all interior k-gram windows INTACT, so winnowing catches each
+    * pair by construction. Pipeline: per-doc winnowed (hash) set
+    * (positions dropped — matching is by content, not offset), explode,
+    * hash-keyed self-join (the same banded equi-join shape as every
+    * LSH pipeline — candidate volume bounded by per-print bucket
+    * sizes, never |corpus|²), pair-count ≥ 2 prints. Output pins the
+    * pair census: total pairs, how many are the injected truth
+    * (d1 = d0+100000), and the shared-print mass. */
+  private val dedupWinnowPairs: Q = (s, d) => {
+    val K = 3; val W = 4; val T = 2
+    val base = Tables.documents(s, d).select("doc_id", "text")
+    val corpus = base.unionByName(
+      base.filter(col("doc_id") % 20 === 0).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        expr("concat_ws(' ', slice(split(text, ' '), 2, size(split(text, ' ')) - 1))")
+          .as("text")))
+    val fps = corpus
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= K + W - 1)
+      .withColumn("hashes", expr(winnowHashesExpr(K)))
+      .withColumn("sels", expr(winnowSelsExpr(W)))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sels, p -> element_at(hashes, p)))")).as("h"))
+    fps.as("l").join(fps.as("r"), col("l.h") === col("r.h"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("d0"), col("r.doc_id").as("d1"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= T)
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("d1") === col("d0") + 100000, 1L).otherwise(0L)), lit(0L))
+          .as("n_true"),
+        coalesce(sum("shared"), lit(0L)).as("shared_sum"))
+  }
+
   private val duckMinh = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
     s"list_min(list_transform(tokens, w -> ($a * ${duckFp("w")} + $b) % $P)) AS minh${i + 1}"
   }
@@ -508,9 +549,37 @@ private[queries] object DedupQueries {
     "dedup_span_rewrite" -> dedupSpanRewrite,
     "dedup_novel_filter" -> dedupNovelFilter,
     "dedup_symspell_join" -> dedupSymspellJoin,
+    "dedup_winnow_pairs" -> dedupWinnowPairs,
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_winnow_pairs" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id,
+         |    array_to_string(string_split(text, ' ')[2:], ' ') AS text
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tokens FROM base),
+         |g AS (
+         |  SELECT doc_id, ${duckWinnowHashes(3)} AS hashes
+         |  FROM t WHERE len(tokens) >= 6),
+         |f AS (
+         |  SELECT doc_id, hashes, ${duckWinnowSels(4)} AS sels
+         |  FROM g),
+         |fp AS (
+         |  SELECT DISTINCT doc_id, u.h
+         |  FROM f, UNNEST(list_transform(sels, p -> hashes[p])) u(h)),
+         |pairs AS (
+         |  SELECT l.doc_id AS d0, r.doc_id AS d1, count(*) AS shared
+         |  FROM fp l JOIN fp r ON l.h = r.h AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(coalesce(sum(CASE WHEN d1 = d0 + 100000 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_true,
+         |  CAST(coalesce(sum(shared), 0) AS BIGINT) AS shared_sum
+         |FROM pairs""".stripMargin,
     "dedup_symspell_join" ->
       // honest brute force: quadratic levenshtein over the vocab — the
       // delete-neighborhood join must reproduce it exactly

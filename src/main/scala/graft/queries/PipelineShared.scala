@@ -58,6 +58,43 @@ private[graft] object PipelineShared {
       "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x)"
 
 
+  // ------------------------------------------------ winnowing kernels
+
+  /** Winnowing k-gram hash array over a `tokens` column (Schleimer et
+    * al. 2003): element i is the mod-P char-fold hash of tokens
+    * [i, i+k-1]. Shared by `text_winnow_fp` and `dedup_winnow_pairs`
+    * so the fingerprint definition cannot drift between the profile
+    * and the pair join. Caller must pre-filter size(tokens) >= k+w-1
+    * (Spark's sequence(1, n) flips descending for n < 1). */
+  def winnowHashesExpr(k: Int): String =
+    s"transform(sequence(1, size(tokens) - ${k - 1}), " +
+      s"i -> graft_str_fp(concat_ws(' ', slice(tokens, i, $k))))"
+
+  /** Per-window argmin selection over a `hashes` column: for each of
+    * the size-w windows, the RIGHTMOST position holding the window
+    * minimum; distinct positions = the winnowing fingerprint set.
+    * Each window's minimum is materialized ONCE (zip_with pairs the
+    * window index with its min) instead of re-evaluating
+    * array_min(slice) inside the position filter — O(n·w), not
+    * O(n·w²); the oracle's naive form pins the semantics. */
+  def winnowSelsExpr(w: Int): String = {
+    val idx = s"sequence(1, size(hashes) - ${w - 1})"
+    s"array_distinct(zip_with($idx, " +
+      s"transform($idx, j -> array_min(slice(hashes, j, $w))), " +
+      s"(j, m) -> array_max(filter(sequence(j, j + ${w - 1}), " +
+      s"i -> element_at(hashes, i) = m))))"
+  }
+
+  /** DuckDB twins (list-HOF forms of the same two kernels). */
+  def duckWinnowHashes(k: Int): String =
+    s"list_transform(generate_series(1, len(tokens) - ${k - 1}), " +
+      s"i -> ${duckFp(s"array_to_string(tokens[i:i+${k - 1}], ' ')")})"
+
+  def duckWinnowSels(w: Int): String =
+    s"list_distinct(list_transform(generate_series(1, len(hashes) - ${w - 1}), " +
+      s"j -> list_max(list_filter(generate_series(j, j + ${w - 1}), " +
+      s"i2 -> hashes[i2] = list_min(hashes[j:j+${w - 1}])))))"
+
   /** Pinned-golden digest rider for the rows-only entries (VERDICT r8
     * #2): the five queries here whose semantics no SQL oracle can
     * express (chunker / summarizer / matcher logic) get an

@@ -577,13 +577,8 @@ private[queries] object TextCurationQueries {
       // guard BEFORE the HOFs: Spark's sequence(1, n) flips descending
       // for n < 1, which would feed slice() illegal starts on short docs
       .filter(size(col("tokens")) >= K + W - 1)
-      .withColumn("hashes", expr(
-        s"transform(sequence(1, size(tokens) - ${K - 1}), " +
-          s"i -> graft_str_fp(concat_ws(' ', slice(tokens, i, $K))))"))
-      .withColumn("sels", expr(
-        s"array_distinct(transform(sequence(1, size(hashes) - ${W - 1}), " +
-          s"j -> array_max(filter(sequence(j, j + ${W - 1}), " +
-          s"i -> element_at(hashes, i) = array_min(slice(hashes, j, $W))))))"))
+      .withColumn("hashes", expr(winnowHashesExpr(K)))
+      .withColumn("sels", expr(winnowSelsExpr(W)))
       .selectExpr("doc_id",
         "CAST(size(hashes) AS BIGINT) AS n_grams",
         "CAST(size(sels) AS BIGINT) AS n_fps",
@@ -654,15 +649,10 @@ private[queries] object TextCurationQueries {
       s"""WITH t AS (
          |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
          |g AS (
-         |  SELECT doc_id,
-         |    list_transform(generate_series(1, len(tokens) - 2),
-         |      i -> ${duckFp("array_to_string(tokens[i:i+2], ' ')")}) AS hashes
+         |  SELECT doc_id, ${duckWinnowHashes(3)} AS hashes
          |  FROM t WHERE len(tokens) >= 6),
          |f AS (
-         |  SELECT doc_id, hashes,
-         |    list_distinct(list_transform(generate_series(1, len(hashes) - 3),
-         |      j -> list_max(list_filter(generate_series(j, j + 3),
-         |        i2 -> hashes[i2] = list_min(hashes[j:j+3]))))) AS sels
+         |  SELECT doc_id, hashes, ${duckWinnowSels(4)} AS sels
          |  FROM g)
          |SELECT doc_id, CAST(len(hashes) AS BIGINT) AS n_grams,
          |  CAST(len(sels) AS BIGINT) AS n_fps,

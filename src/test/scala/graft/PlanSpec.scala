@@ -333,6 +333,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("text_winnow_fp: selection is pure projection — only the output sort exchanges") {
+    // the winnowing kernel must stay per-row HOF work; any hash
+    // exchange would mean the selection was rewritten through a shuffle
+    val p = plan("text_winnow_fp")
+    val hashEx = collect(p) { case e: ShuffleExchangeExec
+      if e.outputPartitioning.toString.contains("hashpartitioning") => e }
+    assert(hashEx.isEmpty, s"winnow selection should not hash-shuffle:\n$p")
+  }
+
+  test("dedup_winnow_pairs: candidate join is an equi-join on the print, no nested loop") {
+    val p = plan("dedup_winnow_pairs")
+    val bnl = collect(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: CartesianProductExec => c
+    }
+    assert(bnl.isEmpty, s"winnow pair join degenerated to a non-equi join:\n$p")
+  }
+
   test("j19_bloom_semi_join: the fact side never shuffles unpruned") {
     // join-path twin of the decontam assertion: every exchange whose
     // subtree scans lineitem must already carry the bloom prune below
