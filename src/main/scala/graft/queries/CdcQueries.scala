@@ -317,6 +317,47 @@ object CdcQueries {
       .orderBy("is_current", "valid_from")
   }
 
+  /** J21 — POINT-IN-TIME join over the SCD2 history: the consumer side
+    * of `i9_scd2_history` — facts carrying an as-of date join the
+    * dimension version VALID at that date (valid_from <= date <
+    * valid_to, open-ended rows unbounded). The at-scale shape is an
+    * EQUI-join on the dimension key with the validity range as a
+    * residual filter: per-key version counts are small (a dimension
+    * row changes a handful of times), so candidates per fact row are
+    * bounded by history depth — no binning needed, unlike the
+    * event-time range join (J17) where both sides are dense in time.
+    * History is derived inline from the same fixture formulas i9 pins
+    * (balance uplift for %4==1 effective 2024-02-01); probe dates
+    * alternate around the change date, so facts on the SAME key hit
+    * DIFFERENT versions. The n_matched == n_facts guard (every fact
+    * matches exactly one version — the SCD2 no-gap/no-overlap
+    * invariant) rides in the output. */
+  private val j21PitJoin: Q = (s, d) => {
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"),
+      expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("bal_e2"))
+    val unchanged = cust.filter(col("c_custkey") % 4 =!= 1)
+      .select(col("c_custkey"), col("bal_e2"),
+        lit("2024-01-01").as("valid_from"), lit(null).cast("string").as("valid_to"))
+    val closed = cust.filter(col("c_custkey") % 4 === 1)
+      .select(col("c_custkey"), col("bal_e2"),
+        lit("2024-01-01").as("valid_from"), lit("2024-02-01").as("valid_to"))
+    val reopened = cust.filter(col("c_custkey") % 4 === 1)
+      .select(col("c_custkey"), (col("bal_e2") + 50000L).as("bal_e2"),
+        lit("2024-02-01").as("valid_from"), lit(null).cast("string").as("valid_to"))
+    val dim = unchanged.unionByName(closed).unionByName(reopened)
+    val facts = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      when(col("o_orderkey") % 2 === 0, lit("2024-01-15"))
+        .otherwise(lit("2024-02-15")).as("as_of"))
+    facts.join(dim, col("o_custkey") === col("c_custkey") &&
+        col("valid_from") <= col("as_of") &&
+        (col("valid_to").isNull || col("as_of") < col("valid_to")), "left")
+      .groupBy("as_of")
+      .agg(count(lit(1)).as("n_facts"),
+        count(col("c_custkey")).as("n_matched"),
+        sum("bal_e2").as("sum_bal_e2"))
+      .orderBy("as_of")
+  }
+
   /** K11 — CHANGE DATA FEED between table versions (the Delta CDF /
     * Iceberg changelog read downstream incremental consumers subscribe
     * to — i8's matview delta is exactly such a consumer): v1 is
@@ -372,6 +413,7 @@ object CdcQueries {
     "i6_index_incremental" -> i6IndexIncremental,
     "i8_matview_delta" -> i8MatviewDelta,
     "i9_scd2_history" -> i9Scd2History,
+    "j21_pit_join" -> j21PitJoin,
     "k11_change_feed" -> k11ChangeFeed,
     "k1_merge_upsert" -> k1MergeUpsert,
     "k2_merge_delete" -> k2MergeDelete,
@@ -430,6 +472,34 @@ object CdcQueries {
         |  CAST(2 AS BIGINT) AS n_expired,
         |  CAST(1 AS BIGINT) AS versions_after
         |FROM live GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "j21_pit_join" ->
+      """WITH cust AS (
+        |  SELECT c_custkey,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_e2
+        |  FROM customer),
+        |dim AS (
+        |  SELECT c_custkey, bal_e2, '2024-01-01' AS valid_from,
+        |    CAST(NULL AS VARCHAR) AS valid_to
+        |  FROM cust WHERE c_custkey % 4 <> 1
+        |  UNION ALL
+        |  SELECT c_custkey, bal_e2, '2024-01-01', '2024-02-01'
+        |  FROM cust WHERE c_custkey % 4 = 1
+        |  UNION ALL
+        |  SELECT c_custkey, bal_e2 + 50000, '2024-02-01', NULL
+        |  FROM cust WHERE c_custkey % 4 = 1),
+        |facts AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN '2024-01-15'
+        |      ELSE '2024-02-15' END AS as_of
+        |  FROM orders)
+        |SELECT as_of, CAST(count(*) AS BIGINT) AS n_facts,
+        |  CAST(count(d.c_custkey) AS BIGINT) AS n_matched,
+        |  CAST(sum(d.bal_e2) AS BIGINT) AS sum_bal_e2
+        |FROM facts f LEFT JOIN dim d
+        |  ON f.o_custkey = d.c_custkey
+        |  AND d.valid_from <= f.as_of
+        |  AND (d.valid_to IS NULL OR f.as_of < d.valid_to)
+        |GROUP BY as_of ORDER BY as_of""".stripMargin,
     "i9_scd2_history" ->
       """WITH cust AS (
         |  SELECT c_custkey, c_mktsegment,

@@ -516,6 +516,26 @@ object EventStreams {
       }
       .start()
 
+  /** Native `session_window` aggregate — the built-in sessionization
+    * the batch battery pins via `w5_session_window`, exposed as the
+    * usual source-free transform so the IDENTICAL plan runs bounded or
+    * unbounded: under `readStream` + this watermark, Spark keeps one
+    * merging session state per (user, open window) and emits a session
+    * in append mode once the watermark passes its end — the managed
+    * alternative to the hand-rolled flatMapGroupsWithState
+    * [[sessionize]] (which remains the pin for custom 0..n-emission
+    * semantics the built-in cannot express). State is bounded by
+    * watermark × active users, shuffle key user_id — same as every
+    * batch job. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+                       watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum("event_id").as("sum_event_id"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_event_id"))
+
   /** STREAMING SCD TYPE-2 apply — the stream twin of the batch
     * `i9_scd2_history`: each micro-batch of feed rows
     * (key, attr, eff) diffs against the dimension's CURRENT rows by

@@ -47,6 +47,43 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session_window stream emits closed sessions equal to the batch twin") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val stream = MemoryStream[Event]
+    // user 1: two events 10 min apart (one session) then a 2h gap
+    // (second session); user 2: one lone event
+    val events = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:10:00"), 1, "click", 1.0),
+      Event(3, ts("2024-01-01 10:05:00"), 2, "view", 2.0),
+      Event(4, ts("2024-01-01 12:30:00"), 1, "click", 1.0))
+    stream.addData(events: _*)
+    val q = EventStreams.sessionWindowAgg(stream.toDF())
+      .writeStream.format("memory").queryName("sess_win").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // watermark far past everything closes all sessions
+      stream.addData(Event(99, ts("2024-01-03 00:00:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      stream.addData(Event(100, ts("2024-01-04 00:00:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_win")
+        .filter($"user_id" =!= 9)
+        .select("user_id", "session_start", "session_end", "n_events", "sum_event_id")
+        .as[(Long, Timestamp, Timestamp, Long, Long)].collect().toSeq
+        .sortBy(r => (r._1, r._2.getTime))
+      // batch twin: the SAME transform over the same bounded frame
+      val batch = EventStreams.sessionWindowAgg(events.toDF())
+        .select("user_id", "session_start", "session_end", "n_events", "sum_event_id")
+        .as[(Long, Timestamp, Timestamp, Long, Long)].collect().toSeq
+        .sortBy(r => (r._1, r._2.getTime))
+      assert(got == batch, s"stream sessions $got != batch sessions $batch")
+      assert(got.map(r => (r._1, r._4)).sorted == Seq((1L, 1L), (1L, 2L), (2L, 1L)),
+        s"unexpected session shapes: $got")
+    } finally q.stop()
+  }
+
   test("streaming novelty filter: stream-static band anti-join equals the batch twin") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
