@@ -94,7 +94,12 @@ object ScaleBench {
     // the variant), winnowing fingerprints (pure per-row projection),
     // the histogram-sketch rollup (state O(sources x buckets), constant
     // in rows), and WAV PCM decode (mapPartitions CPU, no shuffle)
-    "dedup_symspell_join", "text_winnow_fp", "agg_hist_quantile", "mm_audio_stats")
+    "dedup_symspell_join", "text_winnow_fp", "agg_hist_quantile", "mm_audio_stats",
+    // r12 batch 3: the winnow pair join (hash-keyed candidate join,
+    // bucket-bounded), the per-source corpus card (four per-source
+    // aggregates + a digest census — all single-shuffle), and the RAG
+    // assembly (broadcast-stats scan + constant-size pack)
+    "dedup_winnow_pairs", "e2e_corpus_card", "search_rag_context")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -123,6 +123,54 @@ private[queries] object ComposedQueries {
       .orderBy("reason")
 
 
+  /** RAG CONTEXT ASSEMBLY — the reference chatbot's actual serving
+    * path (chatbot_api.py: retrieve top-k → drop unusable passages →
+    * concatenate into the prompt until the context budget is spent),
+    * as one relational query: BM25-rank the corpus, take the top-20
+    * shortlist, apply the same usability rules `search_context_filter`
+    * censuses, then GREEDILY pack survivors in rank order while the
+    * running token total before each doc is under the 1,000-token
+    * budget (the last doc may overflow — the rule the reference's
+    * string-concat loop implements). The pack is a sequential fold,
+    * but over a ≤20-row shortlist: sort_array(collect_list) collapses
+    * it to one array and a single `aggregate` HOF walks it — no
+    * single-partition global window, no driver loop; everything before
+    * the LIMIT is the same broadcast-stats corpus scan as
+    * `search_bm25`. Output pins the whole assembly: candidate/kept/
+    * packed counts, packed token mass, and the packed id-sum (a
+    * different pack order or off-by-one budget breaks it). */
+  private val searchRagContext: Q = (s, d) => {
+    val budget = 1000L
+    val withTf = Tables.documents(s, d)
+      .select(col("doc_id") +: col("text") +: Bm25Scoring.tfCols: _*)
+    val stats = withTf.agg(Bm25Scoring.nDocsAgg, Bm25Scoring.statAggs: _*)
+    val top = withTf.crossJoin(broadcast(stats))
+      .withColumn("score_e4", floor(expr(Bm25Scoring.scoreExpr) * 10000).cast("long"))
+      .withColumn("n_tokens", col("dl").cast("long"))
+      .withColumn("usable",
+        length(col("text")) >= 60 &&
+          regexp_count(col("text"), lit("[{};=]")) < 3 && col("n_tokens") >= 10)
+      .select(col("doc_id"), col("score_e4"), col("n_tokens"), col("usable"))
+      .orderBy(col("score_e4").desc, col("doc_id").asc)
+      .limit(20)
+    top.withColumn("ns", -col("score_e4"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sort_array(collect_list(when(col("usable"),
+          struct(col("ns"), col("doc_id"), col("n_tokens"))))).as("a"))
+      .selectExpr("n_candidates", "size(a) AS n_kept",
+        s"""aggregate(a,
+           |  named_struct('cum', 0L, 'n', 0L, 'ids', 0L, 'toks', 0L),
+           |  (s, x) -> named_struct(
+           |    'cum', s.cum + x.n_tokens,
+           |    'n',   s.n   + IF(s.cum < $budget, 1L, 0L),
+           |    'ids', s.ids + IF(s.cum < $budget, x.doc_id, 0L),
+           |    'toks', s.toks + IF(s.cum < $budget, x.n_tokens, 0L))
+           |) AS pk""".stripMargin)
+      .select(col("n_candidates"), col("n_kept"),
+        col("pk.n").as("n_packed"), col("pk.toks").as("context_tokens"),
+        col("pk.ids").as("packed_id_sum"))
+  }
+
   /** F14 — SubjectMatcher applied distributed: the TF-IDF+lexical model
     * is fit once on the driver from a dim-sized subject corpus and
     * shipped via `sc.broadcast` (the reference broadcasts the same way,
@@ -446,6 +494,7 @@ private[queries] object ComposedQueries {
     "search_hybrid_lang" -> searchHybridLang,
     "search_hybrid_rrf" -> searchHybridRrf,
     "search_context_filter" -> searchContextFilter,
+    "search_rag_context" -> searchRagContext,
     "subject_match_topk" -> subjectMatchTopk,
     "chunk_paragraph" -> chunkParagraph,
     "chunk_hierarchical" -> chunkHierarchical,
@@ -538,6 +587,38 @@ private[queries] object ComposedQueries {
          |  CAST(floor((w_lex * lex_n + (CAST(1.0 AS DOUBLE) - w_lex) * vec_n) * 1000000)
          |    AS BIGINT) AS fused_e6
          |FROM weighted ORDER BY fused_e6 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "search_rag_context" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, text, ${Bm25Scoring.duckTfCols.mkString(",\n    ")}
+         |  FROM documents),
+         |stats AS (
+         |  SELECT ${Bm25Scoring.duckStatCols.mkString(",\n    ")}
+         |  FROM tf),
+         |top AS (
+         |  SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
+         |    (length(text) >= 60
+         |      AND len(regexp_extract_all(text, '[{};=]')) < 3
+         |      AND dl >= 10) AS usable,
+         |    CAST(floor((
+         |      ${Bm25Scoring.duckScore}
+         |    ) * 10000) AS BIGINT) AS score_e4
+         |  FROM tf, stats
+         |  ORDER BY score_e4 DESC, doc_id ASC LIMIT 20),
+         |kept AS (
+         |  SELECT doc_id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (ORDER BY score_e4 DESC, doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_before
+         |  FROM top WHERE usable)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM top) AS n_candidates,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept,
+         |  CAST(coalesce(sum(CASE WHEN cum_before < 1000 THEN 1 END), 0)
+         |    AS BIGINT) AS n_packed,
+         |  CAST(coalesce(sum(CASE WHEN cum_before < 1000 THEN n_tokens END), 0)
+         |    AS BIGINT) AS context_tokens,
+         |  CAST(coalesce(sum(CASE WHEN cum_before < 1000 THEN doc_id END), 0)
+         |    AS BIGINT) AS packed_id_sum
+         |FROM kept""".stripMargin,
     "search_context_filter" ->
       """SELECT CASE WHEN length(text) < 60 THEN 'too_short'
         |  WHEN len(regexp_extract_all(text, '[{};=]')) >= 3 THEN 'code_heavy'

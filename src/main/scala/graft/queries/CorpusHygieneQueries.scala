@@ -120,12 +120,108 @@ private[graft] object CorpusHygieneQueries {
         expr("coalesce(n_inter, 0) * 10000 div greatest(n_union, 1)").as("true_jaccard_bp"))
   }
 
+  /** CORPUS CARD — the per-source datasheet a training-data owner
+    * reads before mixing a source in (Gebru et al. "Datasheets for
+    * Datasets", reduced to the relationally-derivable rows): volume
+    * (docs, whitespace tokens), exact-duplication rate (corpus-wide
+    * digest multiplicity, attributed per source, in basis points),
+    * language profile (distinct langs + dominant lang, ties to the
+    * lexicographically larger code on both engines), and the median
+    * length bucket (the agg_hist_quantile grid). One wide row per
+    * source, every cell an already-verified metric recomputed through
+    * its own aggregate — the composition pins the JOINS between them.
+    * Scale: four per-source aggregates + one digest census, each a
+    * single hash shuffle; the final assembly joins 4-row frames. */
+  private val e2eCorpusCard: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        sha2(col("text"), 256).as("digest"),
+        least(expr("n_chars div 200"), lit(29L)).as("bucket"))
+    val dupDigests = base.groupBy("digest").agg(count(lit(1)).as("m"))
+      .filter(col("m") > 1).select("digest")
+    val vol = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("n_tokens"),
+      countDistinct("lang").as("n_langs"))
+    val dups = base.join(dupDigests, Seq("digest"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_dup_docs"))
+    val topLang = base.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(max(struct(col("c"), col("lang"))).getField("lang").as("top_lang"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("bucket")
+    val p50 = base.groupBy("source", "bucket").agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum("n").over(w))
+      .withColumn("total", sum("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .groupBy("source")
+      .agg(min(when(col("cum") * 2 >= col("total"), col("bucket"))).as("p50_bucket"))
+    vol.join(dups, Seq("source"), "left")
+      .join(topLang, Seq("source"))
+      .join(p50, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        expr("coalesce(n_dup_docs, 0L) * 10000 DIV n_docs").as("dup_bp"),
+        col("n_langs"), col("top_lang"),
+        ((col("p50_bucket") + 1) * 200).as("p50_len_upper"))
+      .orderBy("source")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "e2e_corpus_card" -> e2eCorpusCard,
     "text_boilerplate" -> textBoilerplate,
     "corpus_jaccard_sketch" -> corpusJaccardSketch,
   )
 
   val oracles: Map[String, String] = Map(
+    "e2e_corpus_card" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    sha256(text) AS digest,
+        |    least(n_chars // 200, 29) AS bucket
+        |  FROM documents),
+        |dupd AS (
+        |  SELECT digest FROM base GROUP BY digest HAVING count(*) > 1),
+        |vol AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |  FROM base GROUP BY source),
+        |dups AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_dup_docs
+        |  FROM base WHERE digest IN (SELECT digest FROM dupd)
+        |  GROUP BY source),
+        |lc AS (
+        |  SELECT source, lang, count(*) AS c FROM base GROUP BY 1, 2),
+        |tl AS (
+        |  SELECT source, lang AS top_lang FROM (
+        |    SELECT source, lang,
+        |      row_number() OVER (PARTITION BY source
+        |        ORDER BY c DESC, lang DESC) AS rn
+        |    FROM lc) WHERE rn = 1),
+        |h AS (
+        |  SELECT source, bucket, count(*) AS n FROM base GROUP BY 1, 2),
+        |c AS (
+        |  SELECT source, bucket, n,
+        |    sum(n) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+        |    sum(n) OVER (PARTITION BY source) AS total
+        |  FROM h),
+        |p50 AS (
+        |  SELECT source,
+        |    min(CASE WHEN cum * 2 >= total THEN bucket END) AS p50_bucket
+        |  FROM c GROUP BY source)
+        |SELECT v.source, v.n_docs, v.n_tokens,
+        |  CAST(coalesce(d.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+        |  CAST(coalesce(d.n_dup_docs, 0) * 10000 // v.n_docs AS BIGINT) AS dup_bp,
+        |  v.n_langs, t.top_lang,
+        |  CAST((p.p50_bucket + 1) * 200 AS BIGINT) AS p50_len_upper
+        |FROM vol v
+        |LEFT JOIN dups d ON v.source = d.source
+        |JOIN tl t ON v.source = t.source
+        |JOIN p50 p ON v.source = p.source
+        |ORDER BY v.source""".stripMargin,
     "text_boilerplate" ->
       s"""WITH docs AS (
          |  SELECT doc_id, source, text FROM documents),

@@ -619,6 +619,57 @@ object CoverageQueries {
     * the skipping argument rests on); at 100 TB the same z expression
     * feeds `repartitionByRange(z).sortWithinPartitions(z)` before the
     * write. Straight-line integer bit arithmetic on both engines. */
+  /** Hilbert-curve clustering key — the locality-improved sibling of
+    * `layout_zorder` (the curve Delta/Iceberg clustering literature
+    * prefers: unlike Z, the Hilbert curve never jumps across the
+    * space, so equal-count buckets cover tighter rectangles — measured
+    * against z-order on the same normalized dims in LayoutSpec). The
+    * classic iterative xy→d walk (rotate-and-accumulate per bit level,
+    * the public-domain algorithm) is UNROLLED: 8 bit levels become 8
+    * chained projections emitted by one Scala builder for BOTH engines
+    * — the same discipline as the k-means/BPE loop unrolls, so every
+    * rotation step is under the oracle hash. Pure per-row integer
+    * arithmetic inside codegen; the groupBy is the only shuffle. */
+  /** Emits the 8 unrolled xy→d Hilbert levels as chained sub-selects
+    * (innermost = level s=128). `xor` abstracts the one syntax the two
+    * engines disagree on (Spark `a ^ b`, DuckDB `xor(a, b)`); every
+    * other token is common SQL. Grid is 256×256 (order 8). */
+  private[graft] def hilbertWalkSql(from: String,
+                                      xor: (String, String) => String): String =
+    Seq(128, 64, 32, 16, 8, 4, 2, 1).foldLeft(
+      s"SELECT x, y, x AS ox, y AS oy, CAST(0 AS BIGINT) AS hd FROM $from") {
+      (inner, s) =>
+        s"""SELECT
+           |  hd + ${s.toLong * s} * ${xor("(3 * rx)", "ry")} AS hd,
+           |  CASE WHEN ry = 1 THEN x WHEN rx = 0 THEN y ELSE 255 - y END AS x,
+           |  CASE WHEN ry = 1 THEN y WHEN rx = 0 THEN x ELSE 255 - x END AS y,
+           |  ox, oy
+           |FROM (
+           |  SELECT hd, x, y, ox, oy,
+           |    CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+           |    CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+           |  FROM ($inner))""".stripMargin
+    }
+
+  /** Hilbert extents query body shared by the battery entry and
+    * LayoutSpec's locality measurement. */
+  private[graft] def hilbertExtents(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      s"""WITH pts AS (
+         |  SELECT CAST(o_custkey % 256 AS BIGINT) AS x,
+         |    CAST(datediff(o_orderdate, DATE '1992-01-01') % 256 AS BIGINT) AS y
+         |  FROM orders),
+         |h AS (${hilbertWalkSql("pts", (a, b) => s"($a ^ $b)")})
+         |SELECT CAST(hd DIV 1024 AS BIGINT) AS h_bucket,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(min(ox) AS BIGINT) AS min_x, CAST(max(ox) AS BIGINT) AS max_x,
+         |  CAST(min(oy) AS BIGINT) AS min_y, CAST(max(oy) AS BIGINT) AS max_y
+         |FROM h GROUP BY h_bucket ORDER BY h_bucket""".stripMargin)
+  }
+
+  private val layoutHilbert: Q = (s, d) => hilbertExtents(s, d)
+
   private val layoutZorder: Q = (s, d) => {
     val sparkZ = (0 until 16).map(i =>
       s"shiftleft(shiftright(x, $i) & 1, ${2 * i}) + shiftleft(shiftright(y, $i) & 1, ${2 * i + 1})")
@@ -666,9 +717,23 @@ object CoverageQueries {
     "qc_quality_log" -> qcQualityLog,
     "profile_numeric" -> profileNumeric,
     "layout_zorder" -> layoutZorder,
+    "layout_hilbert" -> layoutHilbert,
   )
 
   val oracles: Map[String, String] = Map(
+    "layout_hilbert" -> {
+      s"""WITH pts AS (
+         |  SELECT CAST(o_custkey % 256 AS BIGINT) AS x,
+         |    CAST(date_diff('day', DATE '1992-01-01', o_orderdate) % 256
+         |      AS BIGINT) AS y
+         |  FROM orders),
+         |h AS (${hilbertWalkSql("pts", (a, b) => s"xor($a, $b)")})
+         |SELECT CAST(hd // 1024 AS BIGINT) AS h_bucket,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(min(ox) AS BIGINT) AS min_x, CAST(max(ox) AS BIGINT) AS max_x,
+         |  CAST(min(oy) AS BIGINT) AS min_y, CAST(max(oy) AS BIGINT) AS max_y
+         |FROM h GROUP BY h_bucket ORDER BY h_bucket""".stripMargin
+    },
     "layout_zorder" -> {
       val duckZ = (0 until 16).map(i =>
         s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")

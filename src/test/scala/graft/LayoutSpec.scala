@@ -47,6 +47,42 @@ class LayoutSpec extends AnyFunSuite {
     assert(lx < zx, "sanity: single-column sort should have the best x-locality")
   }
 
+  test("hilbert curve walks the full grid in unit steps; z-order jumps") {
+    // the published locality law the clustering key buys: CONSECUTIVE
+    // Hilbert positions are spatially ADJACENT (Manhattan distance
+    // exactly 1 — a range scan along the curve never leaves its
+    // neighborhood), while the z curve takes long jumps (worst case
+    // crossing half the grid). Verified exhaustively over the whole
+    // 256x256 grid via an equi self-join on hd+1 — no global window.
+    val s = SparkTestBase.spark
+    s.range(256).selectExpr("id AS x")
+      .crossJoin(s.range(256).selectExpr("id AS y"))
+      .createOrReplaceTempView("grid_pts")
+    s.sql(s"WITH w AS (${graft.queries.CoverageQueries
+        .hilbertWalkSql("grid_pts", (a, b) => s"($a ^ $b)")}) " +
+      "SELECT hd, ox, oy FROM w").createOrReplaceTempView("hw")
+    val maxHilbertStep = s.sql(
+      """SELECT max(abs(a.ox - b.ox) + abs(a.oy - b.oy))
+        |FROM hw a JOIN hw b ON a.hd + 1 = b.hd""".stripMargin)
+      .head.getLong(0)
+    assert(maxHilbertStep == 1L,
+      s"hilbert adjacent positions must be unit steps, got $maxHilbertStep")
+    // bijectivity: 65536 distinct d values on the 256x256 grid
+    val nDistinct = s.sql("SELECT count(DISTINCT hd) FROM hw").head.getLong(0)
+    assert(nDistinct == 65536L, s"hilbert walk not a bijection: $nDistinct")
+    val zExpr = (0 until 8).map(i =>
+      s"shiftleft(shiftright(x, $i) & 1, ${2 * i}) + shiftleft(shiftright(y, $i) & 1, ${2 * i + 1})")
+      .mkString("(", " + ", ")")
+    s.sql(s"SELECT x AS ox, y AS oy, $zExpr AS zd FROM grid_pts")
+      .createOrReplaceTempView("zw")
+    val maxZStep = s.sql(
+      """SELECT max(abs(a.ox - b.ox) + abs(a.oy - b.oy))
+        |FROM zw a JOIN zw b ON a.zd + 1 = b.zd""".stripMargin)
+      .head.getLong(0)
+    assert(maxZStep > 100L,
+      s"expected z-order to take long jumps on the full grid, got $maxZStep")
+  }
+
   test("IVF-bucketed layout: probe filter prunes partitions at the scan, same results") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val dir = Files.createTempDirectory("graft-ivf").resolve("emb").toString
