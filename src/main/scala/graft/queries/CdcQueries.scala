@@ -406,8 +406,44 @@ object CdcQueries {
       .orderBy("op")
   }
 
+  /** K12 — PARTITION OVERWRITE (`INSERT OVERWRITE PARTITION` /
+    * dynamic-partition-overwrite, the backfill/restatement op K1's
+    * keyed upsert cannot express: the restated partition's old rows
+    * must vanish EVEN IF the source carries no row for their keys —
+    * replacement is by PARTITION membership, not by key): rewrite the
+    * 'click' partition with a restated subset (even users only, values
+    * doubled) via `replaceKeys` with dropGroups = the partition value,
+    * which takes TableMerge's partition-scoped path — only the click
+    * directory is rewritten, every other partition hard-links
+    * (TableMergeSpec pins the inode claim). The disappeared-keys
+    * half is what the oracle pins: a keyed merge would leave odd
+    * users' click rows alive and break the hash. State wiped per
+    * run. */
+  private val k12PartitionOverwrite: Q = (s, d) => {
+    val path = statePath("k12_partition_overwrite")
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(path))
+    val events = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("user_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("value_e2"))
+    TableMerge.createOrReplace(events, path, partitionCols = Seq("event_type"))
+    val restated = events
+      .filter(col("event_type") === "click" && col("user_id") % 2 === 0)
+      .withColumn("value_e2", col("value_e2") * 2)
+    TableMerge.replaceKeys(s, path, restated,
+      dropGroups = restated.select("event_type"),
+      groupKeys = Seq("event_type"), partitionCols = Seq("event_type"))
+    TableMerge.read(s, path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value_e2").as("sum_value_e2"))
+      .orderBy("event_type")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "i2_asset_cdc" -> i2AssetCdc,
+    "k12_partition_overwrite" -> k12PartitionOverwrite,
     "i3_tombstones" -> i3Tombstones,
     "i4_state_memo" -> i4StateMemo,
     "i6_index_incremental" -> i6IndexIncremental,
@@ -472,6 +508,20 @@ object CdcQueries {
         |  CAST(2 AS BIGINT) AS n_expired,
         |  CAST(1 AS BIGINT) AS versions_after
         |FROM live GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "k12_partition_overwrite" ->
+      // by-partition replacement: click rows for ODD users must be GONE
+      """WITH ev AS (
+        |  SELECT event_type, event_id, user_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_e2
+        |  FROM events),
+        |post AS (
+        |  SELECT event_type, value_e2 FROM ev WHERE event_type <> 'click'
+        |  UNION ALL
+        |  SELECT event_type, value_e2 * 2 FROM ev
+        |  WHERE event_type = 'click' AND user_id % 2 = 0)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value_e2) AS BIGINT) AS sum_value_e2
+        |FROM post GROUP BY event_type ORDER BY event_type""".stripMargin,
     "j21_pit_join" ->
       """WITH cust AS (
         |  SELECT c_custkey,
