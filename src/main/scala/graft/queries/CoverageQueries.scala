@@ -27,22 +27,6 @@ object CoverageQueries {
 
   private val StopSql = "('the', 'a', 'is', 'of', 'and', 'to', 'in')"
 
-  /** Multi-field BM25 query terms with ES "AUTO" fuzziness edit budgets
-    * (chatbot_api.py:206: term length 3-5 → 1 edit, ≥6 → 2). */
-  private val Bm25Terms = Seq(("spark", 1), ("join", 1), ("filter", 2))
-
-  /** (field, Spark token expr, boost) — order drives the generated score
-    * sum on BOTH engines, so the float accumulation order is identical.
-    * Boosts mirror chatbot_api.py:207-208 (title 10, chapter_title 5). */
-  private val Bm25Fields = Seq(
-    ("title", "slice(split(text, ' '), 1, 3)", "10.0"),
-    ("chapter", "slice(split(text, ' '), 4, 3)", "5.0"),
-    ("body", "split(text, ' ')", "1.0"))
-
-  private val DuckBm25FieldTok = Map(
-    "title" -> "string_split(text, ' ')[1:3]",
-    "chapter" -> "string_split(text, ' ')[4:6]",
-    "body" -> "string_split(text, ' ')")
 
   // ---------------------------------------------------------------- sources
 
@@ -180,70 +164,6 @@ object CoverageQueries {
       .orderBy("source", "rk")
   }
 
-  // ---------------------------------------------------------------- search
-
-  /** Q1 — BM25 lexical scoring (chatbot_api.py:202-217 re-expressed as
-    * real BM25, k1=1.2 b=0.75): corpus stats (N, avgdl, per-term df) come
-    * from one aggregate broadcast back over the scan — two passes, no
-    * window over a single partition. dl sums are integers in doubles, so
-    * the stats are exact and engine-independent. Scorer shared with the
-    * hybrid fusion queries via [[Bm25Scoring]]. */
-  private val searchBm25: Q = (s, d) => {
-    val withTf = Tables.documents(s, d)
-      .select(col("doc_id") +: Bm25Scoring.tfCols: _*)
-    val stats = withTf.agg(Bm25Scoring.nDocsAgg, Bm25Scoring.statAggs: _*)
-    withTf.crossJoin(broadcast(stats))
-      .withColumn("score_e4", floor(expr(Bm25Scoring.scoreExpr) * 10000).cast("long"))
-      .select("doc_id", "score_e4")
-      .orderBy(col("score_e4").desc, col("doc_id").asc)
-      .limit(20)
-  }
-
-  /** NDCG@10 ranking-quality EVAL of the BM25 ranking — the measured
-    * number a search owner watches per index rebuild (the reference
-    * ships rankings but never scores them; this closes the eval loop):
-    * graded relevance = how many distinct query terms a doc contains
-    * (0..3, derived from the same tf columns the scorer uses), gain =
-    * 2^rel − 1, discounts 1/log2(rank+1) PRE-QUANTIZED to an e6
-    * integer literal table shared verbatim by both engines — so
-    * DCG/IDCG are exact BIGINT sums and NDCG is an integer basis-point
-    * division, no float log anywhere near the hash. Rank assignment
-    * avoids a global window (PlanSpec's single-partition-window ban):
-    * the top-10 rows collapse via sort_array(collect_list(struct)) +
-    * posexplode — a 10-element array in one tiny aggregate. Scale: the
-    * corpus pass is the same broadcast-stats scan as `search_bm25`;
-    * everything after the two LIMIT 10s is constant-size. */
-  private val searchNdcg: Q = (s, d) => {
-    val discCase = Seq(1 -> 1000000L, 2 -> 630929L, 3 -> 500000L, 4 -> 430676L,
-      5 -> 386852L, 6 -> 356207L, 7 -> 333333L, 8 -> 315464L, 9 -> 301029L,
-      10 -> 289064L)
-      .map { case (r, v) => s"WHEN $r THEN ${v}L" }
-      .mkString("CASE rank ", " ", " END")
-    val relExpr = Bm25Scoring.Terms.map(t => s"CAST(tf_$t > 0 AS INT)").mkString(" + ")
-    val withTf = Tables.documents(s, d)
-      .select(col("doc_id") +: Bm25Scoring.tfCols: _*)
-    val stats = withTf.agg(Bm25Scoring.nDocsAgg, Bm25Scoring.statAggs: _*)
-    val scored = withTf.crossJoin(broadcast(stats))
-      .withColumn("score_e4", floor(expr(Bm25Scoring.scoreExpr) * 10000).cast("long"))
-      .withColumn("rel", expr(relExpr).cast("long"))
-      .select("doc_id", "score_e4", "rel")
-    def rankedGainSum(ordered: DataFrame, alias: String): DataFrame = ordered
-      .limit(10)
-      .agg(sort_array(collect_list(struct(col("ns"), col("doc_id"), col("rel")))).as("arr"))
-      .select(posexplode(col("arr")).as(Seq("pos", "row")))
-      .select((col("pos") + 1).as("rank"), col("row.rel").as("rel"))
-      .agg(sum(expr(s"(shiftleft(1L, CAST(rel AS INT)) - 1L) * ($discCase)"))
-        .as(alias))
-    val dcg = rankedGainSum(
-      scored.withColumn("ns", -col("score_e4"))
-        .orderBy(col("ns").asc, col("doc_id").asc), "dcg_e6")
-    val idcg = rankedGainSum(
-      scored.withColumn("ns", -col("rel"))
-        .orderBy(col("ns").asc, col("doc_id").asc), "idcg_e6")
-    dcg.crossJoin(idcg)
-      .select(col("dcg_e6"), col("idcg_e6"),
-        expr("dcg_e6 * 10000 DIV idcg_e6").as("ndcg_bp"))
-  }
 
   /** Q4 — keyword extraction: stopword strip, first-3 keywords
     * (chatbot_api.py:92-119). */
@@ -253,59 +173,6 @@ object CoverageQueries {
       .selectExpr("doc_id", "size(kw) AS n_keywords",
         "concat_ws(' ', slice(kw, 1, 3)) AS top_keywords")
       .orderBy("doc_id")
-
-  /** Q1 fidelity — multi-field BM25 with per-field boosts and AUTO
-    * fuzziness, mirroring the reference's ES `should` clause
-    * (chatbot_api.py:202-217: title boost 10, chapter_title boost 5,
-    * body unboosted, `fuzziness: "AUTO"`, `minimum_should_match: 1`).
-    * Fields are synthesized deterministically from `documents` (title =
-    * tokens 1-3, chapter = tokens 4-6, body = all); a term matches a
-    * token when levenshtein ≤ AUTO's edit budget (len 3-5 → 1 edit,
-    * ≥6 → 2). Field/term tables drive BOTH engines' generated SQL so the
-    * float-sum order is identical; dl/df sums are integers in doubles,
-    * hence exact, and the score lands on a floor grid.
-    *
-    * Scale posture: same two-pass shape as search_bm25 — one aggregate
-    * for corpus stats broadcast back over the scan; the levenshtein
-    * probe is per-token CPU inside whole-stage codegen, no extra
-    * shuffle. */
-  private val searchBm25Fields: Q = (s, d) => {
-    // fuzzy tf via the native [[graft.expressions.FuzzyTokenCount]]
-    // (length-gated early-exit DP in one compiled loop) — the
-    // filter()+levenshtein HOF form is interpreted per token × term ×
-    // field; the oracle keeps that declarative form, which counts the
-    // same tokens (lev ≥ |len delta|, so the gate is semantics-free)
-    val withTf = Tables.documents(s, d)
-      .select(col("doc_id") +: Bm25Fields.flatMap { case (f, tokExpr, _) =>
-        expr(s"CAST(size($tokExpr) AS DOUBLE)").as(s"dl_$f") +:
-          Bm25Terms.map { case (t, edits) =>
-            expr(s"CAST(graft_fuzzy_tf($tokExpr, '$t', $edits) AS DOUBLE)")
-              .as(s"tf_${f}_$t")
-          }
-      }: _*)
-    val statAggs = Bm25Fields.flatMap { case (f, _, _) =>
-      avg(s"dl_$f").as(s"avgdl_$f") +:
-        Bm25Terms.map { case (t, _) =>
-          sum(when(col(s"tf_${f}_$t") > 0, 1.0).otherwise(0.0)).as(s"df_${f}_$t")
-        }
-    }
-    val stats = withTf.agg(count(lit(1)).cast("double").as("n_docs"), statAggs: _*)
-    val scoreExpr = Bm25Fields.map { case (f, _, boost) =>
-      Bm25Terms.map { case (t, _) =>
-        s"${boost}D * ln(1.0D + (n_docs - df_${f}_$t + 0.5D) / (df_${f}_$t + 0.5D)) * " +
-          s"(tf_${f}_$t * 2.2D) / (tf_${f}_$t + 1.2D * (0.25D + 0.75D * dl_$f / avgdl_$f))"
-      }.mkString(" + ")
-    }.mkString(" + ")
-    val anyMatch = Bm25Fields
-      .flatMap { case (f, _, _) => Bm25Terms.map { case (t, _) => s"tf_${f}_$t" } }
-      .mkString(" + ")
-    withTf.crossJoin(broadcast(stats))
-      .filter(expr(s"($anyMatch) > 0")) // minimum_should_match = 1
-      .withColumn("score_e4", floor(expr(scoreExpr) * 10000).cast("long"))
-      .select("doc_id", "score_e4")
-      .orderBy(col("score_e4").desc, col("doc_id").asc)
-      .limit(20)
-  }
 
   /** Q4 fidelity — query-expansion map before lexical scoring
     * (chatbot_api.py:174-185): a "book/textbook …" question has its
@@ -688,7 +555,7 @@ object CoverageQueries {
 
   // ---------------------------------------------------------------- registry
 
-  val queries: Seq[(String, Q)] = Seq(
+  val queries: Seq[(String, Q)] = SearchQueries.queries ++ Seq(
     "s2_file_lineage" -> s2FileLineage,
     "s6_typed_flatmap" -> s6TypedFlatmap,
     "s7_single_row" -> s7SingleRow,
@@ -699,9 +566,6 @@ object CoverageQueries {
     "a8_observe_metrics" -> a8ObserveMetrics,
     "w2_max_by" -> w2MaxBy,
     "o3_topk_per_group" -> o3TopkPerGroup,
-    "search_bm25" -> searchBm25,
-    "search_bm25_fields" -> searchBm25Fields,
-    "search_ndcg" -> searchNdcg,
     "q4_keywords" -> q4Keywords,
     "q4_query_expansion" -> q4QueryExpansion,
     "f5_lang_code" -> f5LangCode,
@@ -720,7 +584,7 @@ object CoverageQueries {
     "layout_hilbert" -> layoutHilbert,
   )
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = SearchQueries.oracles ++ Map(
     "layout_hilbert" -> {
       s"""WITH pts AS (
          |  SELECT CAST(o_custkey % 256 AS BIGINT) AS x,
@@ -856,90 +720,6 @@ object CoverageQueries {
         |  FROM documents)
         |SELECT source, CAST(rk AS INT) AS rk, doc_id, n_chars
         |FROM ranked WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
-    "search_bm25" ->
-      s"""WITH tf AS (
-         |  SELECT doc_id, ${Bm25Scoring.duckTfCols.mkString(",\n    ")}
-         |  FROM documents),
-         |stats AS (
-         |  SELECT ${Bm25Scoring.duckStatCols.mkString(",\n    ")}
-         |  FROM tf)
-         |SELECT doc_id, CAST(floor((
-         |    ${Bm25Scoring.duckScore}
-         |  ) * 10000) AS BIGINT) AS score_e4
-         |FROM tf, stats
-         |ORDER BY score_e4 DESC, doc_id ASC LIMIT 20""".stripMargin,
-    "search_ndcg" -> {
-      val duckDisc = Seq(1 -> 1000000L, 2 -> 630929L, 3 -> 500000L, 4 -> 430676L,
-        5 -> 386852L, 6 -> 356207L, 7 -> 333333L, 8 -> 315464L, 9 -> 301029L,
-        10 -> 289064L)
-        .map { case (r, v) => s"WHEN $r THEN $v" }
-        .mkString("CASE rank ", " ", " END")
-      val duckRel = Bm25Scoring.Terms
-        .map(t => s"CAST(tf_$t > 0 AS BIGINT)").mkString(" + ")
-      s"""WITH tf AS (
-         |  SELECT doc_id, ${Bm25Scoring.duckTfCols.mkString(",\n    ")}
-         |  FROM documents),
-         |stats AS (
-         |  SELECT ${Bm25Scoring.duckStatCols.mkString(",\n    ")}
-         |  FROM tf),
-         |scored AS (
-         |  SELECT doc_id, CAST(floor((
-         |      ${Bm25Scoring.duckScore}
-         |    ) * 10000) AS BIGINT) AS score_e4,
-         |    $duckRel AS rel
-         |  FROM tf, stats),
-         |top AS (
-         |  SELECT rel, row_number() OVER (ORDER BY score_e4 DESC, doc_id ASC)
-         |    AS rank
-         |  FROM scored ORDER BY score_e4 DESC, doc_id ASC LIMIT 10),
-         |ideal AS (
-         |  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id ASC)
-         |    AS rank
-         |  FROM scored ORDER BY rel DESC, doc_id ASC LIMIT 10),
-         |dcg AS (
-         |  SELECT CAST(sum(((1 << rel) - 1) * ($duckDisc)) AS BIGINT) AS dcg_e6
-         |  FROM top),
-         |idcg AS (
-         |  SELECT CAST(sum(((1 << rel) - 1) * ($duckDisc)) AS BIGINT) AS idcg_e6
-         |  FROM ideal)
-         |SELECT dcg_e6, idcg_e6,
-         |  CAST(dcg_e6 * 10000 // idcg_e6 AS BIGINT) AS ndcg_bp
-         |FROM dcg, idcg""".stripMargin
-    },
-    "search_bm25_fields" -> {
-      val tfCols = Bm25Fields.flatMap { case (f, _, _) =>
-        val tok = DuckBm25FieldTok(f)
-        s"CAST(len($tok) AS DOUBLE) AS dl_$f" +:
-          Bm25Terms.map { case (t, e) =>
-            s"CAST(len(list_filter($tok, x -> " +
-              s"abs(length(x) - ${t.length}) <= $e AND levenshtein(x, '$t') <= $e)) AS DOUBLE) AS tf_${f}_$t"
-          }
-      }
-      val statCols = Bm25Fields.flatMap { case (f, _, _) =>
-        s"avg(dl_$f) AS avgdl_$f" +:
-          Bm25Terms.map { case (t, _) =>
-            s"sum(CASE WHEN tf_${f}_$t > 0 THEN 1.0 ELSE 0.0 END) AS df_${f}_$t"
-          }
-      }
-      val score = Bm25Fields.map { case (f, _, boost) =>
-        Bm25Terms.map { case (t, _) =>
-          s"$boost * ln(1.0 + (n_docs - df_${f}_$t + 0.5) / (df_${f}_$t + 0.5)) * " +
-            s"(tf_${f}_$t * 2.2) / (tf_${f}_$t + 1.2 * (0.25 + 0.75 * dl_$f / avgdl_$f))"
-        }.mkString(" + ")
-      }.mkString(" + ")
-      val anyMatch = Bm25Fields
-        .flatMap { case (f, _, _) => Bm25Terms.map { case (t, _) => s"tf_${f}_$t" } }
-        .mkString(" + ")
-      s"""WITH tf AS (
-         |  SELECT doc_id, ${tfCols.mkString(",\n    ")}
-         |  FROM documents),
-         |stats AS (
-         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, ${statCols.mkString(",\n    ")}
-         |  FROM tf)
-         |SELECT doc_id, CAST(floor(($score) * 10000) AS BIGINT) AS score_e4
-         |FROM tf, stats WHERE ($anyMatch) > 0
-         |ORDER BY score_e4 DESC, doc_id ASC LIMIT 20""".stripMargin
-    },
     "q4_query_expansion" ->
       // expansion strings interpolated from TextFunctions.QueryExpansions
       // (the spec-pinned source of truth) so all three copies of the map

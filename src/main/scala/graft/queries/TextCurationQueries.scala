@@ -11,9 +11,10 @@ import graft.queries.PipelineShared._
   * quality scoring and Gopher/C4 rules, language-ID, token counts,
   * fingerprints, PII masking, benchmark decontamination, OOV rate,
   * HTML stripping, the deterministic split/mixture samplers
-  * (stratified / domain / temperature), sequence packing, and the
-  * end-to-end curation funnel. Every entry is hash-verified against
-  * the DuckDB oracles below.
+  * (stratified / domain / temperature / epoch), sequence packing, and
+  * winnowing fingerprints. Every entry is hash-verified against the
+  * DuckDB oracles below (the composed funnel lives in
+  * [[ComposedQueries]] since the r12 split).
   */
 private[queries] object TextCurationQueries {
 
@@ -503,57 +504,6 @@ private[queries] object TextCurationQueries {
       .orderBy("source")
   }
 
-  /** END-TO-END curation funnel — the composed flagship of the
-    * training-data tier (what `e2e_silver_gold` is to the reference's
-    * lifecycle): raw corpus (+injected exact duplicates) → quality
-    * floor (≥ 10 tokens) → exact-dedup KEEP (min doc_id per content
-    * digest, computed only among quality survivors) → temperature
-    * resampling of the survivors (α = 1/2 on the integer grid, 80%
-    * budget) → per-source funnel report with stage counts and the
-    * surviving token mass. One row per source; every stage's math is
-    * the already-verified building block, composed.
-    *
-    * Shape (PlanSpec-pinned): the per-source rate derivation embeds the
-    * flagged subtree twice (once under the global srt total, once under
-    * the rates themselves), and exchange REUSE collapses one of the
-    * digest-window shuffles — the executed plan carries two hash(digest)
-    * exchanges, three tiny hash(source)/SinglePartition aggregate
-    * exchanges, and the output range sort. At 100 TB the remaining
-    * duplicate corpus pass is what `localCheckpoint` after `flagged`
-    * removes (the SilverPipeline pattern); kept declarative here so the
-    * oracle sees the same lazy frame the driver hashes. */
-  private val e2eCurationFunnel: Q = (s, d) => {
-    val docs = Tables.documents(s, d).select("doc_id", "source", "text")
-    val corpus = docs.union(
-      docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 300000).as("doc_id"), col("source"), col("text")))
-    val flagged = corpus
-      .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
-      .withColumn("digest", sha2(col("text"), 256))
-      .withColumn("q", col("n_words") >= 10)
-      .withColumn("keeper_id",
-        min(when(col("q"), col("doc_id"))).over(Window.partitionBy("digest")))
-      .withColumn("u", col("q") && col("doc_id") === col("keeper_id"))
-    val rates = flagged.filter(col("u"))
-      .groupBy("source").agg(count(lit(1)).as("n"))
-      .withColumn("srt", floor(sqrt(col("n")) * 1000000).cast("long"))
-    val total = rates.agg(sum("srt").as("total"))
-    val rateBp = rates.crossJoin(broadcast(total))
-      .withColumn("rate_bp", expr("(8000 * srt) DIV total"))
-      .select("source", "rate_bp")
-    flagged
-      .join(broadcast(rateBp), Seq("source"), "left")
-      .withColumn("keep", col("u") &&
-        expr("graft_str_fp(concat('cur||', CAST(doc_id AS STRING))) % 10000") < col("rate_bp"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_corpus"),
-        sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
-        sum(when(col("u"), 1L).otherwise(0L)).as("n_unique"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
-        coalesce(sum(when(col("keep"), col("n_words"))), lit(0L)).as("sampled_tokens"))
-      .orderBy("source")
-  }
-
   /** WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken
     * 2003, the MOSS algorithm — the published LOCAL fingerprint
     * selection with a guarantee the rolling-hash `text_fingerprint`
@@ -626,7 +576,6 @@ private[queries] object TextCurationQueries {
     "split_temperature_mix" -> splitTemperatureMix,
     "text_html_strip" -> textHtmlStrip,
     "text_oov_rate" -> textOovRate,
-    "e2e_curation_funnel" -> e2eCurationFunnel,
     "text_quality" -> textQuality,
     "text_quality_calibrate" -> textQualityCalibrate,
     "text_unigram_logprob" -> textUnigramLogprob,
@@ -850,43 +799,6 @@ private[queries] object TextCurationQueries {
         |SELECT doc_id, n_tokens, n_oov,
         |  CAST(floor(n_oov * 10000.0 / n_tokens) AS BIGINT) AS oov_bp
         |FROM per ORDER BY doc_id""".stripMargin,
-    "e2e_curation_funnel" ->
-      s"""WITH corpus AS (
-         |  SELECT doc_id, source, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 300000 AS doc_id, source, text FROM documents
-         |  WHERE doc_id % 10 = 0),
-         |flagged AS (
-         |  SELECT doc_id, source,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-         |    sha256(text) AS digest,
-         |    len(string_split(text, ' ')) >= 10 AS q
-         |  FROM corpus),
-         |kept AS (
-         |  SELECT *,
-         |    min(CASE WHEN q THEN doc_id END)
-         |      OVER (PARTITION BY digest) AS keeper_id
-         |  FROM flagged),
-         |u AS (SELECT *, q AND doc_id = keeper_id AS uniq FROM kept),
-         |counts AS (
-         |  SELECT source, count(*) AS n,
-         |    CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS srt
-         |  FROM u WHERE uniq GROUP BY source),
-         |t AS (SELECT CAST(sum(srt) AS BIGINT) AS total FROM counts),
-         |r AS (SELECT source, (8000 * srt) // total AS rate_bp FROM counts, t),
-         |sampled AS (
-         |  SELECT u.*,
-         |    u.uniq AND (${duckFp("'cur||' || CAST(doc_id AS VARCHAR)")} % 10000
-         |      < r.rate_bp) AS keep
-         |  FROM u LEFT JOIN r USING (source))
-         |SELECT source,
-         |  CAST(count(*) AS BIGINT) AS n_corpus,
-         |  CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
-         |  CAST(sum(CASE WHEN uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
-         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-         |  CAST(coalesce(sum(CASE WHEN keep THEN n_words END), 0) AS BIGINT)
-         |    AS sampled_tokens
-         |FROM sampled GROUP BY source ORDER BY source""".stripMargin,
     "text_html_strip" ->
       s"""WITH w AS (
          |  SELECT doc_id, source,
