@@ -178,9 +178,48 @@ object TableMerge {
     * Underscore-prefixed, so Spark's file readers ignore it as data. */
   private val SchemaFile = "_graft_schema.json"
 
+  /** Per-commit application metadata sidecar (the Delta `txn`
+    * appId/version analogue): small string map written into the
+    * version dir BEFORE the pointer swap, so meta and data commit
+    * atomically — a reader either sees both or neither. Underscore-
+    * prefixed so Spark's file readers ignore it. Tab-separated lines
+    * (keys/values here are identifiers — batch ids, version names —
+    * never free text). */
+  private val TxnFile = "_graft_txn.tsv"
+
   private def writeSchemaSidecar(version: Path,
                                  schema: org.apache.spark.sql.types.StructType): Unit =
     Files.writeString(version.resolve(SchemaFile), schema.json)
+
+  private def writeTxnSidecar(version: Path, meta: Map[String, String]): Unit =
+    if (meta.nonEmpty)
+      Files.writeString(version.resolve(TxnFile),
+        meta.map { case (k, v) => s"$k\t$v" }.mkString("\n"))
+
+  /** Commit metadata of a retained version ([[versions]] entry); empty
+    * map when the commit carried none. */
+  def versionMeta(tablePath: String, version: String): Map[String, String] = {
+    val p = Paths.get(tablePath, version, TxnFile)
+    if (!Files.exists(p)) Map.empty
+    else Files.readString(p).linesIterator.filter(_.contains('\t')).map { l =>
+      val i = l.indexOf('\t'); l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+  }
+
+  /** Commit metadata of the LIVE version (empty when the live commit
+    * carried none, or the table uses the legacy unversioned layout). */
+  def commitMeta(tablePath: String): Map[String, String] =
+    currentVersionName(tablePath).map(versionMeta(tablePath, _)).getOrElse(Map.empty)
+
+  /** Newest retained committed version whose metadata has `key -> value`
+    * — the replay-detection lookup for exactly-once sinks: a foreachBatch
+    * writer tags each commit with its batchId and asks this before
+    * re-applying. Bounded by retention (one prior version + prune
+    * grace), which covers the prompt-restart replay window; a replay
+    * older than retention gets None and must fail loudly rather than
+    * silently re-apply. */
+  def findVersionByMeta(tablePath: String, key: String, value: String): Option[String] =
+    versions(tablePath).find(v => versionMeta(tablePath, v).get(key).contains(value))
 
   /** Read a snapshot dir: its sidecar schema when present (exact even
     * for zero-row/partition-empty snapshots), legacy mergeSchema scan
@@ -256,8 +295,9 @@ object TableMerge {
   /** K3 — full replace with atomic pointer swap (unconditional: the
     * result is independent of the base, so last-writer-wins is the
     * correct replace semantics). */
-  def createOrReplace(df: DataFrame, tablePath: String, partitionCols: Seq[String] = Seq.empty): Unit =
-    writeVersion(df, tablePath, partitionCols, AnyParent)
+  def createOrReplace(df: DataFrame, tablePath: String, partitionCols: Seq[String] = Seq.empty,
+                      meta: Map[String, String] = Map.empty): Unit =
+    writeVersion(df, tablePath, partitionCols, AnyParent, meta)
 
   /** Resolve the snapshot a merge reads: live version dir (or the
     * legacy top-level layout when no pointer exists) + its DataFrame.
@@ -273,12 +313,14 @@ object TableMerge {
 
   /** Write `df` as a complete new version dir, then commit under `expect`. */
   private def writeVersion(df: DataFrame, tablePath: String,
-                           partitionCols: Seq[String], expect: Expect): Unit = {
+                           partitionCols: Seq[String], expect: Expect,
+                           meta: Map[String, String] = Map.empty): Unit = {
     val version = newVersionDir(tablePath)
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(version.toString)
     writeSchemaSidecar(version, df.schema)
+    writeTxnSidecar(version, meta)
     commitVersion(tablePath, version, expect)
   }
 
@@ -290,14 +332,15 @@ object TableMerge {
     * enforce it cheaply with a `dropDuplicates(keys)`.
     */
   def upsert(spark: SparkSession, tablePath: String, source: DataFrame,
-             keys: Seq[String], partitionCols: Seq[String] = Seq.empty): Unit =
+             keys: Seq[String], partitionCols: Seq[String] = Seq.empty,
+             meta: Map[String, String] = Map.empty): Unit =
     retryOnConflict(CommitRetries) {
       require(keys.nonEmpty, "merge keys required")
       val src = source.dropDuplicates(keys)
       val base = currentVersionName(tablePath)
       if (base.isEmpty && !exists(tablePath)) {
         // bootstrap: committed iff no concurrent bootstrap won the race
-        writeVersion(src, tablePath, partitionCols, Parent(None))
+        writeVersion(src, tablePath, partitionCols, Parent(None), meta)
       } else conflictIfBaseMoved(tablePath, base) {
         // resolve the merge base ONCE; everything below reads this snapshot
         val (liveDir, target) = baseSnapshot(spark, tablePath, base)
@@ -314,11 +357,12 @@ object TableMerge {
           val version = newVersionDir(tablePath)
           merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(version.toString)
           writeSchemaSidecar(version, merged.schema)
+          writeTxnSidecar(version, meta)
           carryUntouchedPartitions(liveDir, version, partitionCols,
             touchedPartitionDirs(touched))
           commitVersion(tablePath, version, Parent(base))
         } else {
-          writeVersion(mergeRows(target, src, keys), tablePath, partitionCols, Parent(base))
+          writeVersion(mergeRows(target, src, keys), tablePath, partitionCols, Parent(base), meta)
         }
       }
     }

@@ -473,24 +473,80 @@ object EventStreams {
     * O(users in batch) rows. Nothing scans the full base table.
     * Within-batch duplicates of a key are the caller's to resolve
     * (dedup upstream); across batches re-delivery is the supported
-    * path. */
+    * path.
+    *
+    * Exactly-once under at-least-once replay (the Delta txn-appId
+    * pattern over TableMerge commit metadata): foreachBatch may
+    * re-deliver a batch after a partial failure, and the dangerous
+    * replay is "base upsert committed, view upsert didn't" — naively
+    * re-diffing then yields pre == post, delta 0, and the view loses
+    * the batch forever. So (a) the base commit is TAGGED with its
+    * batchId and the pre-version it diffed against, atomically with
+    * the data; a replay that finds its batchId already on a base
+    * commit skips the upsert and re-derives the SAME delta from the
+    * recorded (pre, post) pair; (b) the view commit is tagged with
+    * the batchId it applied; a replay that finds the view already at
+    * this batchId is a full no-op. Retention bounds the replay
+    * window (one prior version + the prune grace); a stale replay
+    * whose recorded pre-version was expired fails loudly
+    * (readVersion require) instead of silently zeroing the delta.
+    * Single-writer per base/view path (the streaming query owns its
+    * tables — checkpointed queries are already serial per sink). */
+  /** Commit-metadata keys for [[matviewDeltaSink]]'s exactly-once
+    * protocol (namespaced so unrelated writers to the same table can
+    * carry their own tags). */
+  private[graft] val MatviewBatchKey = "graft.matview.batch"
+  private[graft] val MatviewPreKey = "graft.matview.pre"
+
   def matviewDeltaSink(facts: DataFrame, basePath: String, viewPath: String,
                        checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     facts.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMatviewBatch(batch, batchId, basePath, viewPath)
+      }
+      .start()
+
+  /** The per-micro-batch apply of [[matviewDeltaSink]], factored out so
+    * the replay protocol is testable without crashing a real query:
+    * calling it twice with the same batchId — or after a simulated
+    * partial failure (base committed, view not) — must yield the same
+    * view as one clean apply. */
+  private[graft] def applyMatviewBatch(batch: DataFrame, batchId: Long,
+                                       basePath: String, viewPath: String): Unit = {
+        val alreadyApplied = {
+          import graft.operators.TableMerge
+          TableMerge.exists(viewPath) &&
+            TableMerge.commitMeta(viewPath).get(MatviewBatchKey).exists(_.toLong >= batchId)
+        }
+        if (!batch.isEmpty && !alreadyApplied) {
           import graft.operators.TableMerge
           val s = batch.sparkSession
+          val bid = batchId.toString
           val rows = batch.select("event_id", "user_id", "value_e2")
-          val preVersion =
-            if (TableMerge.exists(basePath)) TableMerge.versions(basePath).headOption
-            else None
-          if (preVersion.isDefined) TableMerge.upsert(s, basePath, rows, Seq("event_id"))
-          else TableMerge.createOrReplace(rows, basePath)
+          // Resolve (pre, post) for THIS batch: replay-aware. A base
+          // commit already tagged with bid means the upsert happened on
+          // a previous attempt — reuse its recorded pre instead of
+          // diffing head-vs-head (which would be zero).
+          val (preVersion, postVersion) =
+            TableMerge.findVersionByMeta(basePath, MatviewBatchKey, bid) match {
+              case Some(tagged) =>
+                (TableMerge.versionMeta(basePath, tagged).get(MatviewPreKey), tagged)
+              case None =>
+                val pre =
+                  if (TableMerge.exists(basePath)) TableMerge.versions(basePath).headOption
+                  else None
+                val tag = Map(MatviewBatchKey -> bid) ++ pre.map(MatviewPreKey -> _)
+                if (pre.isDefined)
+                  TableMerge.upsert(s, basePath, rows, Seq("event_id"), meta = tag)
+                else TableMerge.createOrReplace(rows, basePath, meta = tag)
+                (pre, TableMerge.findVersionByMeta(basePath, MatviewBatchKey, bid)
+                  .getOrElse(sys.error(s"matview base commit for batch $bid not found")))
+            }
           val keys = rows.select("event_id").distinct()
-          val postTouched = TableMerge.read(s, basePath).join(keys, Seq("event_id"))
+          val postTouched = TableMerge.readVersion(s, basePath, postVersion)
+            .join(keys, Seq("event_id"))
           val preTouched = preVersion match {
             case Some(v) => TableMerge.readVersion(s, basePath, v).join(keys, Seq("event_id"))
             case None    => postTouched.limit(0)
@@ -510,11 +566,12 @@ object EventStreams {
             .select(col("user_id"),
               (col("d.d_n") + coalesce(col("c.n"), lit(0L))).as("n"),
               (col("d.d_sum") + coalesce(col("c.sum_value_e2"), lit(0L))).as("sum_value_e2"))
-          if (TableMerge.exists(viewPath)) TableMerge.upsert(s, viewPath, updated, Seq("user_id"))
-          else TableMerge.createOrReplace(updated, viewPath)
+          val viewTag = Map(MatviewBatchKey -> bid)
+          if (TableMerge.exists(viewPath))
+            TableMerge.upsert(s, viewPath, updated, Seq("user_id"), meta = viewTag)
+          else TableMerge.createOrReplace(updated, viewPath, meta = viewTag)
         }
-      }
-      .start()
+  }
 
   /** Native `session_window` aggregate — the built-in sessionization
     * the batch battery pins via `w5_session_window`, exposed as the
@@ -547,7 +604,19 @@ object EventStreams {
     * point-in-time reader never sees a half-applied day. Per-batch
     * cost is O(batch + current rows of touched keys); history size
     * never enters the merge. Within-batch duplicates of a key are the
-    * caller's to resolve (one effective row per key per batch). */
+    * caller's to resolve (one effective row per key per batch).
+    *
+    * Change detection is NULL-SAFE (`<=>`): an attr transitioning to
+    * or from NULL is a real change and must version, where a naive
+    * `=!=` evaluates to NULL and silently drops the update. And the
+    * no-gap/no-overlap invariant point-in-time consumers rely on
+    * (exactly one row with valid_from <= as_of < valid_to) requires
+    * effective dates to move FORWARD per key: a feed row with
+    * eff <= the current row's valid_from would close the current row
+    * before it opened and create an overlapping version, so such
+    * out-of-order rows are rejected (filtered) — late history
+    * restatement is a batch rebuild concern, not a streaming-apply
+    * one. */
   def scd2Sink(feed: DataFrame, dimPath: String,
                checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     feed.writeStream
@@ -567,7 +636,8 @@ object EventStreams {
             val j = rows.alias("f").join(current.alias("c"), Seq("key"), "left")
             val newRows = open(j.filter(col("c.valid_from").isNull), col("f.attr"))
             val changed = j.filter(col("c.valid_from").isNotNull &&
-              col("f.attr") =!= col("c.attr"))
+              !(col("f.attr") <=> col("c.attr")) &&
+              col("eff") > col("c.valid_from"))
             val closed = changed.select(col("key"), col("c.attr").as("attr"),
               col("c.valid_from").as("valid_from"), col("eff").as("valid_to"),
               lit(false).as("is_current"))

@@ -397,6 +397,72 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("matview replay: base-committed-view-not partial failure re-derives the lost delta; full replay is a no-op") {
+    import spark.implicits._
+    import graft.operators.TableMerge
+    val dir = java.nio.file.Files.createTempDirectory("graft-matview-replay")
+    val base = dir.resolve("base").toString
+    val view = dir.resolve("view").toString
+    def rows(t: (Long, Long, Long)*): org.apache.spark.sql.DataFrame =
+      t.toDF("event_id", "user_id", "value_e2")
+    // batch 0: clean apply
+    EventStreams.applyMatviewBatch(rows((1L, 1L, 100L), (2L, 2L, 10L)), 0L, base, view)
+    // batch 1 PARTIAL FAILURE: the base upsert committed (tagged with its
+    // batchId + pre-version, exactly as the sink writes it) but the driver
+    // died before the view upsert — reproduce that intermediate state by
+    // hand, then deliver the foreachBatch replay.
+    val pre = TableMerge.versions(base).head
+    TableMerge.upsert(spark, base, rows((1L, 1L, 500L), (3L, 2L, 7L)), Seq("event_id"),
+      meta = Map(EventStreams.MatviewBatchKey -> "1", EventStreams.MatviewPreKey -> pre))
+    EventStreams.applyMatviewBatch(rows((1L, 1L, 500L), (3L, 2L, 7L)), 1L, base, view)
+    def viewState(): Seq[(Long, Long, Long)] = TableMerge.read(spark, view)
+      .select("user_id", "n", "sum_value_e2")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val afterReplay = viewState()
+    // the naive head-vs-head diff would see pre==post and lose batch 1:
+    // user 1 stuck at 100, user 2 missing event 3. The tagged replay
+    // recovers the true delta (update 100→500, insert 7).
+    assert(afterReplay == Seq((1L, 1L, 500L), (2L, 2L, 17L)),
+      s"partial-failure replay lost the batch: $afterReplay")
+    // FULL replay of an applied batch (crash after view commit, before
+    // checkpoint): view commit meta says batch 1 applied → no-op.
+    EventStreams.applyMatviewBatch(rows((1L, 1L, 500L), (3L, 2L, 7L)), 1L, base, view)
+    assert(viewState() == afterReplay, "full replay double-applied the delta")
+  }
+
+  test("streaming SCD2 sink: NULL attr transitions version (null-safe compare), out-of-order eff rejected") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-scd2null")
+    val dim = dir.resolve("dim").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val stream = MemoryStream[(Long, Option[Long], String)]
+    val feed = stream.toDF().toDF("key", "attr", "eff")
+    val q = EventStreams.scd2Sink(feed, dim, ckpt)
+    try {
+      stream.addData((1L, Some(100L), "2024-01-01"), (2L, None, "2024-01-01"))
+      q.processAllAvailable()
+      // key 1: value → NULL; key 2: NULL → value. Both are real changes
+      // a null-unsafe =!= silently drops (predicate evaluates to NULL).
+      stream.addData((1L, None, "2024-02-01"), (2L, Some(200L), "2024-02-01"))
+      q.processAllAvailable()
+      // out-of-order restatement: eff BEFORE key 1's open row's
+      // valid_from would create an overlapping version — rejected.
+      stream.addData((1L, Some(999L), "2024-01-15"))
+      q.processAllAvailable()
+      val got = graft.operators.TableMerge.read(spark, dim)
+        .select("key", "attr", "valid_from", "valid_to", "is_current")
+        .as[(Long, Option[Long], String, Option[String], Boolean)]
+        .collect().toSeq.sortBy(r => (r._1, r._3))
+      val want = Seq(
+        (1L, Some(100L), "2024-01-01", Some("2024-02-01"), false),
+        (1L, None, "2024-02-01", None, true), // 2024-01-15 restatement rejected
+        (2L, None, "2024-01-01", Some("2024-02-01"), false),
+        (2L, Some(200L), "2024-02-01", None, true))
+      assert(got == want, s"SCD2 null-transition mismatch:\n got=$got\nwant=$want")
+    } finally q.stop()
+  }
+
   test("streaming SCD2 sink: history accumulates closes/opens across batches, unchanged keys untouched") {
     import spark.implicits._
     implicit val sql = spark.sqlContext

@@ -30,6 +30,32 @@ class TableMergeSpec extends AnyFunSuite {
     assert(TableMerge.read(spark, path).as[(Int, String)].collect().toSeq == Seq((3, "c")))
   }
 
+  test("commit metadata: atomic with the commit, queryable by value, absent on untagged commits") {
+    import spark.implicits._
+    val path = tmpTable("meta")
+    TableMerge.createOrReplace(Seq((1, "a")).toDF("id", "v"), path,
+      meta = Map("app.batch" -> "0"))
+    assert(TableMerge.commitMeta(path) == Map("app.batch" -> "0"))
+    // tagged upsert (flat path): meta rides the new commit, old version keeps its own
+    TableMerge.upsert(spark, path, Seq((2, "b")).toDF("id", "v"), Seq("id"),
+      meta = Map("app.batch" -> "1", "app.pre" -> TableMerge.versions(path).head))
+    assert(TableMerge.commitMeta(path).get("app.batch").contains("1"))
+    val v1 = TableMerge.findVersionByMeta(path, "app.batch", "1")
+    val v0 = TableMerge.findVersionByMeta(path, "app.batch", "0")
+    assert(v1.isDefined && v0.isDefined && v1 != v0)
+    assert(TableMerge.versionMeta(path, v1.get).get("app.pre") == v0.map(identity))
+    // untagged commit: head meta is empty, the tagged versions remain findable
+    TableMerge.upsert(spark, path, Seq((3, "c")).toDF("id", "v"), Seq("id"))
+    assert(TableMerge.commitMeta(path).isEmpty)
+    assert(TableMerge.findVersionByMeta(path, "app.batch", "1") == v1)
+    // partition-scoped branch also carries meta
+    val ppath = tmpTable("meta-part")
+    TableMerge.createOrReplace(Seq((1, "x", "p0")).toDF("id", "v", "p"), ppath, Seq("p"))
+    TableMerge.upsert(spark, ppath, Seq((2, "y", "p1")).toDF("id", "v", "p"),
+      keys = Seq("p", "id"), partitionCols = Seq("p"), meta = Map("app.batch" -> "7"))
+    assert(TableMerge.commitMeta(ppath).get("app.batch").contains("7"))
+  }
+
   test("K1 upsert updates matched keys and inserts new ones") {
     import spark.implicits._
     val path = tmpTable("upsert")
