@@ -108,9 +108,17 @@ object Bench {
     val isoCompact = isolated.map { case (k, v) => s""""${esc(k)}":${r3(v)}""" }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${sorted.length},"omitted":$omitted,"queries":{${kept.mkString(",")}},"isolated":$isoCompact,"errors":$es,"sf":"$sfDir"}"""
     println(line)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
-      (fullLine + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () } // bench result > bookkeeping
+    // Persist to the repo root regardless of the invoker's cwd (the
+    // driver's per-round artifact keeps only the compact stdout line;
+    // this file is the complete full-precision map the judge diffs) —
+    // plus a cwd copy when cwd isn't the repo root.
+    val repoRoot = java.nio.file.Paths.get("/root/repo")
+    val targets = Seq(repoRoot.resolve("BENCH_full.json"),
+      java.nio.file.Paths.get("BENCH_full.json").toAbsolutePath).distinct
+    targets.foreach { p =>
+      try java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () } // bench result > bookkeeping
+    }
     spark.stop()
     if (results.isEmpty || errors.nonEmpty) sys.exit(1)
   }

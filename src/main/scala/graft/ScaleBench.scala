@@ -51,7 +51,15 @@ object ScaleBench {
     * are reported separately as the tuning cost. */
   private val DeepFactor = 32
   private val DeepQueries = Seq(
-    "dedup_semantic_keep", "sim_embed_neardup", "sim_ivf_topk", "e2e_curation_funnel")
+    "dedup_semantic_keep", "sim_embed_neardup", "sim_ivf_topk", "e2e_curation_funnel",
+    // r13 additions (VERDICT r12 #9): the partition-scoped lifecycle ops
+    // whose ×32 slope substantiates the "cost tracks the batch/partition,
+    // not the table" claims — index maintenance, BPE training (distinct
+    // vocab grows ~×f), partition overwrite restatement — plus the
+    // df-capped winnow join whose candidate volume the cap must hold
+    // ~linear under the ×32 corpus (VERDICT r12 #3)
+    "sim_index_maintain", "text_bpe_merges", "k12_partition_overwrite",
+    "dedup_winnow_capped")
 
   /** The two width-lever pipelines also get the fixed-width ×32 point. */
   private val FixedWidthDoc = Seq("dedup_semantic_keep", "sim_embed_neardup")
@@ -99,7 +107,9 @@ object ScaleBench {
     // bucket-bounded), the per-source corpus card (four per-source
     // aggregates + a digest census — all single-shuffle), and the RAG
     // assembly (broadcast-stats scan + constant-size pack)
-    "dedup_winnow_pairs", "e2e_corpus_card", "search_rag_context")
+    "dedup_winnow_pairs", "e2e_corpus_card", "search_rag_context",
+    // r13: the skew-capped fingerprint joins (VERDICT r12 #3)
+    "dedup_winnow_capped", "dedup_symspell_capped")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -207,6 +217,38 @@ object ScaleBench {
       f -> (row.getLong(0), row.getLong(1), row.getLong(2))
     }.toMap
 
+    // winnow df-cap census (VERDICT r12 #3): at ×f the query's boilerplate
+    // footer is shared across ALL copies (the fixture appends it AFTER the
+    // per-copy token prefixing), so hot-print df grows ×f and UNCAPPED
+    // candidate volume grows quadratically — the capped volume must stay
+    // ~linear for the cap to be the claimed skew guard. Reported: the
+    // candidate-pair sums Σ df·(df−1)/2 with and without the df ≤ 32 cap,
+    // and the hottest print's df.
+    val winnowStats: Map[Int, (Long, Long, Long)] = Seq(8, DeepFactor).map { f =>
+      val boiler = "all rights reserved contact the site administrator for removal details"
+      val base = spark.read.parquet(s"${dirs(f)}/documents.parquet")
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" " + boiler)))
+            .otherwise(col("text")).as("text"))
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") % 20 === 0).select(
+          (col("doc_id") + 100000).as("doc_id"),
+          expr("concat_ws(' ', slice(split(text, ' '), 2, size(split(text, ' ')) - 1))")
+            .as("text")))
+      val fps = corpus.withColumn("tokens", split(col("text"), " "))
+        .filter(size(col("tokens")) >= 6)
+        .withColumn("hashes", expr(graft.queries.PipelineShared.winnowHashesExpr(3)))
+        .withColumn("sels", expr(graft.queries.PipelineShared.winnowSelsExpr(4)))
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sels, p -> element_at(hashes, p)))")).as("h"))
+      val row = fps.groupBy("h").agg(count(lit(1)).as("df"))
+        .agg(sum(expr("df * (df - 1) DIV 2")).as("cand_uncapped"),
+          sum(expr("CASE WHEN df <= 32 THEN df * (df - 1) DIV 2 ELSE 0 END"))
+            .as("cand_capped"),
+          max("df").as("max_df")).head()
+      f -> ((row.getLong(0), row.getLong(1), row.getLong(2)))
+    }.toMap
+
     def r3(v: Double): String = f"$v%.3f"
     val perQuery = Queries.map { q =>
       val t1 = times((q, 1)); val t8 = times((q, 8))
@@ -234,10 +276,15 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     val t1Total = Queries.map(q => times((q, 1))).sum
     val t8Total = Queries.map(q => times((q, 8))).sum
+    val winnowJson = Seq(8, DeepFactor).map { f =>
+      val (unc, cap, maxDf) = winnowStats(f)
+      s""""x$f":{"cand_uncapped":$unc,"cand_capped":$cap,"max_df":$maxDf}"""
+    }.mkString("{", ",", "}")
     val line = s"""{"metric":"scale_slope","base":"$base","factors":[1,8,$DeepFactor],""" +
       s""""total_x1":${r3(t1Total)},"total_x8":${r3(t8Total)},""" +
       s""""total_ratio":${r3(t8Total / t1Total)},"queries":$perQuery,""" +
-      s""""deep":$deepJson,"lsh_census":$lshJson,"minhash_bands":$bands}"""
+      s""""deep":$deepJson,"lsh_census":$lshJson,"minhash_bands":$bands,""" +
+      s""""winnow_cap":$winnowJson}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_scale.json"),
       (line + "\n").getBytes("UTF-8"))

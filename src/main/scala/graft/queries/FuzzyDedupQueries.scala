@@ -68,7 +68,16 @@ private[queries] object FuzzyDedupQueries {
     * LSH pipeline — candidate volume bounded by per-print bucket
     * sizes, never |corpus|²), pair-count ≥ 2 prints. Output pins the
     * pair census: total pairs, how many are the injected truth
-    * (d1 = d0+100000), and the shared-print mass. */
+    * (d1 = d0+100000), and the shared-print mass.
+    *
+    * PRECISION CAVEAT (ADVICE r12): the ≥ 2-shared-prints threshold
+    * (T=2) deliberately trades the single-window guarantee for
+    * precision — a pair sharing EXACTLY one selected fingerprint is
+    * dropped, so the Schleimer bound holds here only for substrings
+    * long enough to span two selected prints. The T=1 member of the
+    * family — where the ≥ w+k−1-token guarantee holds in full, made
+    * skew-safe by a document-frequency cap on boilerplate prints —
+    * is [[dedupWinnowCapped]]. */
   private val dedupWinnowPairs: Q = (s, d) => {
     val K = 3; val W = 4; val T = 2
     val base = Tables.documents(s, d).select("doc_id", "text")
@@ -95,9 +104,123 @@ private[queries] object FuzzyDedupQueries {
         coalesce(sum("shared"), lit(0L)).as("shared_sum"))
   }
 
+  /** Document-frequency cap for winnow prints: a print shared by more
+    * than this many docs is boilerplate (license footers, navigation
+    * chrome), and joining through it costs O(df²) pairs for evidence
+    * that is weak anyway — MOSS drops such prints for the same reason.
+    * At 100 TB this is THE skew guard: a single viral k-gram otherwise
+    * turns the self-join into a quadratic hot key, exactly the failure
+    * raw LSH bands had before the census tuner. */
+  private val WinnowDfCap = 32L
+
+  /** Variant-bucket cap for the SymSpell join: a deletion variant
+    * claimed by more than this many distinct words is a hot bucket
+    * (short function words, or adversarial near-identical families)
+    * whose pair fan-out is O(bucket²). */
+  private val SymspellBucketCap = 16L
+
+  /** WINNOWING pairs, T=1 + df-cap — the SKEW-SAFE full-guarantee
+    * member (VERDICT r12 #3): one shared selected print suffices
+    * (restoring the Schleimer ≥ w+k−1-token substring guarantee in
+    * full for uncapped prints), and prints with document frequency
+    * > [[WinnowDfCap]] are dropped BEFORE the self-join. The fixture
+    * is adversarial on purpose: besides the shifted near-dups
+    * (docs %20 re-appear minus their first token), every doc %3 gets
+    * the SAME boilerplate footer appended, so its k-gram prints land
+    * in ~1/3 of the corpus — uncapped, the self-join on those prints
+    * alone would be ~(N/3)² candidate rows, dwarfing the true signal;
+    * capped, candidate volume is bounded by df-cap² per print while
+    * the interior prints (df ≈ 2) still catch every injected pair.
+    * The capped-print census rides the output row, so the oracle
+    * hash also pins HOW MANY prints the cap removed. One extra
+    * aggregation (the df census) vs the uncapped query — the same
+    * price [[graft.operators.LshTuner]] pays, for the same reason. */
+  private val dedupWinnowCapped: Q = (s, d) => {
+    val K = 3; val W = 4
+    val boiler = "all rights reserved contact the site administrator for removal details"
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, concat(col("text"), lit(" " + boiler)))
+        .otherwise(col("text")).as("text"))
+    val corpus = base.unionByName(
+      base.filter(col("doc_id") % 20 === 0).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        expr("concat_ws(' ', slice(split(text, ' '), 2, size(split(text, ' ')) - 1))")
+          .as("text")))
+    val fps = corpus
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= K + W - 1)
+      .withColumn("hashes", expr(winnowHashesExpr(K)))
+      .withColumn("sels", expr(winnowSelsExpr(W)))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sels, p -> element_at(hashes, p)))")).as("h"))
+    val dfCensus = fps.groupBy("h").agg(count(lit(1)).as("df"))
+    val nCapped = dfCensus.filter(col("df") > WinnowDfCap)
+      .agg(count(lit(1)).as("n_capped_prints"))
+    val cold = fps.join(dfCensus.filter(col("df") <= WinnowDfCap).select("h"), Seq("h"))
+    cold.as("l").join(cold.as("r"), col("l.h") === col("r.h"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("d0"), col("r.doc_id").as("d1"))
+      .agg(count(lit(1)).as("shared"))
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("d1") === col("d0") + 100000, 1L).otherwise(0L)), lit(0L))
+          .as("n_true"),
+        coalesce(sum("shared"), lit(0L)).as("shared_sum"))
+      .crossJoin(broadcast(nCapped))
+  }
+
+  /** SymSpell join with HOT-BUCKET cap (VERDICT r12 #3): deletion
+    * variants claimed by more than [[SymspellBucketCap]] distinct
+    * words are excluded from the candidate join. The fixture injects
+    * the adversarial case the cap exists for: a 26-word family
+    * `zq{a..z}hot` that all collapse onto ONE deletion variant
+    * (`zqhot`) — a genuine distance-1 clique whose 325 pairs are
+    * discoverable ONLY through that hot bucket, so the capped join
+    * correctly drops them while the bucket census (riding the output)
+    * records the exclusion. A second 4-word family `xv{a..d}hot`
+    * shares a bucket of size 4 — well under the cap — so its 6 pairs
+    * SURVIVE, pinning both sides of the threshold in one hash. This is the scale trade stated honestly:
+    * at 100 TB a viral bucket's O(bucket²) fan-out is paid in dropped
+    * recall on that bucket, never in shuffle volume; the uncapped
+    * [[dedupSymspellJoin]] beside it keeps the brute-force-oracle
+    * exactness story for natural vocab. The oracle mirrors the capped
+    * join shape (candidates through cold buckets, then exact
+    * levenshtein residual) — for THIS query the join shape IS the
+    * semantics, the uncapped twin keeps the honest quadratic truth. */
+  private val dedupSymspellCapped: Q = (s, d) => {
+    val natural = Tables.documents(s, d)
+      .filter(col("doc_id") % 50 === 0)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 4)
+    val injected = s.range(26).select(
+      concat(lit("zq"), expr("chr(id + 97)"), lit("hot")).as("w"))
+    val coldFamily = s.range(4).select(
+      concat(lit("xv"), expr("chr(id + 97)"), lit("hot")).as("w"))
+    val words = natural.unionByName(injected).unionByName(coldFamily).distinct()
+    val variants = words.select(col("w"), explode(concat(
+        array(col("w")),
+        expr("transform(sequence(1, length(w)), " +
+          "i -> concat(substring(w, 1, i - 1), substring(w, i + 1, length(w) - i)))")
+      )).as("v"))
+      .distinct()
+    val buckets = variants.groupBy("v").agg(count(lit(1)).as("bsz"))
+    val nCapped = buckets.filter(col("bsz") > SymspellBucketCap)
+      .agg(count(lit(1)).as("n_capped_buckets"))
+    val cold = variants.join(buckets.filter(col("bsz") <= SymspellBucketCap).select("v"), Seq("v"))
+    val cands = cold.as("l").join(cold.as("r"), col("l.v") === col("r.v"))
+      .filter(col("l.w") < col("r.w"))
+      .select(col("l.w").as("w1"), col("r.w").as("w2"))
+      .distinct()
+    cands.filter(levenshtein(col("w1"), col("w2")) === 1)
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(expr("graft_str_fp(concat(w1, '|', w2))")), lit(0L)).as("fp_sum"))
+      .crossJoin(broadcast(nCapped))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "dedup_symspell_join" -> dedupSymspellJoin,
+    "dedup_symspell_capped" -> dedupSymspellCapped,
     "dedup_winnow_pairs" -> dedupWinnowPairs,
+    "dedup_winnow_capped" -> dedupWinnowCapped,
   )
 
   val oracles: Map[String, String] = Map(
@@ -128,6 +251,79 @@ private[queries] object FuzzyDedupQueries {
          |    AS BIGINT) AS n_true,
          |  CAST(coalesce(sum(shared), 0) AS BIGINT) AS shared_sum
          |FROM pairs""".stripMargin,
+    "dedup_winnow_capped" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN text ||
+         |      ' all rights reserved contact the site administrator for removal details'
+         |      ELSE text END AS text
+         |  FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, text FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id,
+         |    array_to_string(string_split(text, ' ')[2:], ' ') AS text
+         |  FROM base WHERE doc_id % 20 = 0),
+         |t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
+         |g AS (
+         |  SELECT doc_id, ${duckWinnowHashes(3)} AS hashes
+         |  FROM t WHERE len(tokens) >= 6),
+         |f AS (
+         |  SELECT doc_id, hashes, ${duckWinnowSels(4)} AS sels
+         |  FROM g),
+         |fp AS (
+         |  SELECT DISTINCT doc_id, u.h
+         |  FROM f, UNNEST(list_transform(sels, p -> hashes[p])) u(h)),
+         |census AS (
+         |  SELECT h, count(*) AS df FROM fp GROUP BY 1),
+         |capped AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_capped_prints
+         |  FROM census WHERE df > 32),
+         |cold AS (
+         |  SELECT fp.doc_id, fp.h FROM fp JOIN census USING (h) WHERE df <= 32),
+         |pairs AS (
+         |  SELECT l.doc_id AS d0, r.doc_id AS d1, count(*) AS shared
+         |  FROM cold l JOIN cold r ON l.h = r.h AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(coalesce(sum(CASE WHEN d1 = d0 + 100000 THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS n_true,
+         |    CAST(coalesce(sum(shared), 0) AS BIGINT) AS shared_sum
+         |  FROM pairs)
+         |SELECT n_pairs, n_true, shared_sum, n_capped_prints FROM agg, capped""".stripMargin,
+    "dedup_symspell_capped" ->
+      s"""WITH nat AS (
+         |  SELECT DISTINCT u.w FROM documents,
+         |    UNNEST(string_split(text, ' ')) u(w)
+         |  WHERE doc_id % 50 = 0 AND len(u.w) >= 4),
+         |inj AS (
+         |  SELECT 'zq' || chr(CAST(97 + i AS INTEGER)) || 'hot' AS w
+         |  FROM generate_series(0, 25) t(i)),
+         |inj2 AS (
+         |  SELECT 'xv' || chr(CAST(97 + i AS INTEGER)) || 'hot' AS w
+         |  FROM generate_series(0, 3) t(i)),
+         |words AS (SELECT w FROM nat UNION SELECT w FROM inj UNION SELECT w FROM inj2),
+         |vars AS (
+         |  SELECT DISTINCT w, u.v FROM words,
+         |    UNNEST(list_append(list_transform(generate_series(1, len(w)),
+         |      i -> substring(w, 1, i - 1) || substring(w, i + 1, len(w) - i)), w)) u(v)),
+         |buckets AS (SELECT v, count(*) AS bsz FROM vars GROUP BY 1),
+         |capped AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_capped_buckets
+         |  FROM buckets WHERE bsz > 16),
+         |cold AS (
+         |  SELECT vars.w, vars.v FROM vars JOIN buckets USING (v) WHERE bsz <= 16),
+         |cands AS (
+         |  SELECT DISTINCT l.w AS w1, r.w AS w2
+         |  FROM cold l JOIN cold r ON l.v = r.v AND l.w < r.w),
+         |p AS (SELECT w1, w2 FROM cands WHERE levenshtein(w1, w2) = 1),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(coalesce(sum(${duckFp("w1 || '|' || w2")}), 0) AS BIGINT) AS fp_sum
+         |  FROM p)
+         |SELECT n_pairs, fp_sum, n_capped_buckets FROM agg, capped""".stripMargin,
     "dedup_symspell_join" ->
       // honest brute force: quadratic levenshtein over the vocab — the
       // delete-neighborhood join must reproduce it exactly
