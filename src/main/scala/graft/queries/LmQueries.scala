@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Higher-order LM scoring tier (r13) — completes the CCNet-style
+  * perplexity-filter family above TextCurationQueries' unigram/bigram
+  * entries (Wenzek et al. 2020 filter CommonCrawl with a 5-gram KenLM;
+  * these are the relational mechanics at order 3 and with Kneser-Ney
+  * smoothing, the smoothing KenLM actually uses).
+  *
+  * Shared determinism discipline (same as the 1/2-gram entries): all
+  * counts are exact integers from corpus aggregates; each token's
+  * probability is combined in ONE fixed IEEE expression order; ln
+  * collapses to an e6 fixed-point INTEGER per token BEFORE the per-doc
+  * sum, so aggregation order can never move the cross-engine hash.
+  *
+  * Scale shape (both queries): explode → n-gram count aggregates
+  * (partial/final map-side combine), then equi-joins of the exploded
+  * corpus against its own count tables — at 100 TB each join is one
+  * hash shuffle keyed by the n-gram; the count tables are the big dims
+  * and co-partition with the occurrence side. No windows, no driver
+  * state.
+  */
+private[queries] object LmQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exploded positions with 1- and 2-back context, shared by both
+    * queries. posexplode is 0-based; element_at is 1-based, so
+    * element_at(t, pos) is the PREVIOUS token. */
+  private def positions(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "split(text, ' ') AS t")
+      .selectExpr("doc_id", "posexplode(t) AS (pos, tok)", "t")
+      .selectExpr("doc_id", "pos", "tok",
+        "CASE WHEN pos = 0 THEN NULL ELSE element_at(t, pos) END AS prev",
+        "CASE WHEN pos <= 1 THEN NULL ELSE element_at(t, pos - 1) END AS prev2")
+
+  /** Interpolated TRIGRAM log-prob — order 3 of the Jelinek-Mercer
+    * ladder: token i ≥ 3 scores p = 0.6·P(wᵢ|wᵢ₋₂wᵢ₋₁) + 0.3·P(wᵢ|wᵢ₋₁)
+    * + 0.1·P(wᵢ), the second token the bigram mix, the first its
+    * unigram. The model is corpus-derived, so every n-gram being scored
+    * exists in its count table (count ≥ 1 from this very occurrence) —
+    * the left joins only pass NULL through the short-context branches.
+    * Context denominators: P(w|uv) = c(uvw)/c(uv) with c(uv) from the
+    * bigram table (always present — the pair occurs at positions
+    * i−2,i−1 of this document). */
+  private val textTrigramLogprob: Q = (s, d) => {
+    val pos = positions(s, d)
+    val uni = pos.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum("cu").as("nt"))
+    val bi = pos.filter(col("prev").isNotNull)
+      .groupBy("prev", "tok").agg(count(lit(1)).as("cb"))
+    val tri = pos.filter(col("prev2").isNotNull)
+      .groupBy("prev2", "prev", "tok").agg(count(lit(1)).as("ct"))
+    pos
+      .join(uni, "tok")
+      .join(uni.select(col("tok").as("prev"), col("cu").as("cp")), Seq("prev"), "left")
+      .join(bi, Seq("prev", "tok"), "left")
+      .join(bi.select(col("prev").as("prev2"), col("tok").as("prev"),
+        col("cb").as("cbp")), Seq("prev2", "prev"), "left")
+      .join(tri, Seq("prev2", "prev", "tok"), "left")
+      .crossJoin(broadcast(tot))
+      .selectExpr("doc_id",
+        "CAST(floor(ln(CASE WHEN prev IS NULL THEN CAST(cu AS DOUBLE) / nt " +
+          "WHEN prev2 IS NULL THEN 0.7D * (CAST(cb AS DOUBLE) / cp) " +
+          "+ 0.3D * (CAST(cu AS DOUBLE) / nt) " +
+          "ELSE 0.6D * (CAST(ct AS DOUBLE) / cbp) " +
+          "+ 0.3D * (CAST(cb AS DOUBLE) / cp) " +
+          "+ 0.1D * (CAST(cu AS DOUBLE) / nt) END) " +
+          "* 1000000) AS BIGINT) AS lp_e6")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lp_e6").as("sum_lp_e6"))
+      .selectExpr("doc_id", "n_tokens",
+        "CAST(floor(CAST(-sum_lp_e6 AS DOUBLE) / n_tokens / 100.0D) AS BIGINT) AS nll_e4")
+      .orderBy("doc_id")
+  }
+
+  /** Interpolated KNESER-NEY bigram log-prob — the smoothing real LM
+    * filters use (Kneser & Ney 1995; KenLM's default). Absolute
+    * discounting with D = 0.75 moves mass from seen bigrams to a
+    * CONTINUATION distribution (how many distinct contexts a word
+    * follows — "Francisco" is frequent but follows only "San", so its
+    * continuation probability is tiny):
+    *
+    *   P(w|v) = max(c(vw) − D, 0)/c(v) + D·N₁₊(v·)/c(v) · N₁₊(·w)/N₁₊(··)
+    *
+    * All inputs are integer counts and D = 3/4, so the probability is
+    * the exact rational [max(100·c(vw)−75, 0)·N₁₊(··) + 75·N₁₊(v·)·N₁₊(·w)]
+    * / [100·c(v)·N₁₊(··)] — numerator and denominator are computed in
+    * BIGINT (one e2 grid absorbs the discount) and meet the double
+    * world only in the final division, so both engines ln() the
+    * IDENTICAL double. c(v) = Σ_w c(vw) (true context mass, not the
+    * unigram count — the distinction matters at document ends). First
+    * tokens score their unigram MLE. */
+  private val textKnLogprob: Q = (s, d) => {
+    val pos = positions(s, d).drop("prev2")
+    val uni = pos.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum("cu").as("nt"))
+    val bi = pos.filter(col("prev").isNotNull)
+      .groupBy("prev", "tok").agg(count(lit(1)).as("cb"))
+    val ctx = bi.groupBy("prev").agg(sum("cb").as("cv"), count(lit(1)).as("n1v"))
+    val cont = bi.groupBy("tok").agg(count(lit(1)).as("n1w"))
+    val n1tot = bi.agg(count(lit(1)).as("n1tot"))
+    pos
+      .join(uni, "tok")
+      .join(bi, Seq("prev", "tok"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .join(cont, Seq("tok"), "left")
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(n1tot))
+      .selectExpr("doc_id",
+        "CAST(floor(ln(CASE WHEN prev IS NULL THEN CAST(cu AS DOUBLE) / nt " +
+          "ELSE CAST(greatest(100 * cb - 75, 0) * n1tot + 75 * n1v * n1w AS DOUBLE) " +
+          "/ CAST(100 * cv * n1tot AS DOUBLE) END) " +
+          "* 1000000) AS BIGINT) AS lp_e6")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lp_e6").as("sum_lp_e6"))
+      .selectExpr("doc_id", "n_tokens",
+        "CAST(floor(CAST(-sum_lp_e6 AS DOUBLE) / n_tokens / 100.0D) AS BIGINT) AS nll_e4")
+      .orderBy("doc_id")
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+    "text_trigram_logprob" -> textTrigramLogprob,
+    "text_kn_logprob" -> textKnLogprob,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_trigram_logprob" ->
+      // unrolled-CTE twin in the identical IEEE expression order; every
+      // scored n-gram exists in its count table (corpus-derived model)
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (
+        |  SELECT doc_id, ii.i AS pos, t[ii.i] AS tok,
+        |    CASE WHEN ii.i = 1 THEN NULL ELSE t[ii.i - 1] END AS prev,
+        |    CASE WHEN ii.i <= 2 THEN NULL ELSE t[ii.i - 2] END AS prev2
+        |  FROM toks, UNNEST(generate_series(1, len(t))) ii(i)),
+        |uni AS (SELECT tok, count(*) AS cu FROM pos GROUP BY tok),
+        |tot AS (SELECT sum(cu) AS nt FROM uni),
+        |bi AS (
+        |  SELECT prev, tok, count(*) AS cb FROM pos
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tri AS (
+        |  SELECT prev2, prev, tok, count(*) AS ct FROM pos
+        |  WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    CAST(floor(ln(CASE WHEN p.prev IS NULL THEN CAST(u.cu AS DOUBLE) / t.nt
+        |      WHEN p.prev2 IS NULL THEN 0.7 * (CAST(b.cb AS DOUBLE) / up.cu)
+        |        + 0.3 * (CAST(u.cu AS DOUBLE) / t.nt)
+        |      ELSE 0.6 * (CAST(tr.ct AS DOUBLE) / bp.cb)
+        |        + 0.3 * (CAST(b.cb AS DOUBLE) / up.cu)
+        |        + 0.1 * (CAST(u.cu AS DOUBLE) / t.nt) END) * 1000000) AS BIGINT) AS lp_e6
+        |  FROM pos p
+        |  JOIN uni u ON u.tok = p.tok
+        |  LEFT JOIN uni up ON up.tok = p.prev
+        |  LEFT JOIN bi b ON b.prev = p.prev AND b.tok = p.tok
+        |  LEFT JOIN bi bp ON bp.prev = p.prev2 AND bp.tok = p.prev
+        |  LEFT JOIN tri tr ON tr.prev2 = p.prev2 AND tr.prev = p.prev AND tr.tok = p.tok
+        |  CROSS JOIN tot t),
+        |per_doc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    sum(lp_e6) AS sum_lp_e6
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor(CAST(-sum_lp_e6 AS DOUBLE) / n_tokens / 100.0) AS BIGINT) AS nll_e4
+        |FROM per_doc ORDER BY doc_id""".stripMargin,
+    "text_kn_logprob" ->
+      // the KN rational is assembled in BIGINT on both sides; the only
+      // double op before ln is the single final division
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (
+        |  SELECT doc_id, ii.i AS pos, t[ii.i] AS tok,
+        |    CASE WHEN ii.i = 1 THEN NULL ELSE t[ii.i - 1] END AS prev
+        |  FROM toks, UNNEST(generate_series(1, len(t))) ii(i)),
+        |uni AS (SELECT tok, count(*) AS cu FROM pos GROUP BY tok),
+        |tot AS (SELECT sum(cu) AS nt FROM uni),
+        |bi AS (
+        |  SELECT prev, tok, count(*) AS cb FROM pos
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |ctx AS (SELECT prev, sum(cb) AS cv, count(*) AS n1v FROM bi GROUP BY prev),
+        |cont AS (SELECT tok, count(*) AS n1w FROM bi GROUP BY tok),
+        |n1t AS (SELECT count(*) AS n1tot FROM bi),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    CAST(floor(ln(CASE WHEN p.prev IS NULL THEN CAST(u.cu AS DOUBLE) / t.nt
+        |      ELSE CAST(greatest(100 * b.cb - 75, 0) * n.n1tot
+        |          + 75 * cx.n1v * co.n1w AS DOUBLE)
+        |        / CAST(100 * cx.cv * n.n1tot AS DOUBLE) END) * 1000000) AS BIGINT) AS lp_e6
+        |  FROM pos p
+        |  JOIN uni u ON u.tok = p.tok
+        |  LEFT JOIN bi b ON b.prev = p.prev AND b.tok = p.tok
+        |  LEFT JOIN ctx cx ON cx.prev = p.prev
+        |  LEFT JOIN cont co ON co.tok = p.tok
+        |  CROSS JOIN tot t CROSS JOIN n1t n),
+        |per_doc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    sum(lp_e6) AS sum_lp_e6
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor(CAST(-sum_lp_e6 AS DOUBLE) / n_tokens / 100.0) AS BIGINT) AS nll_e4
+        |FROM per_doc ORDER BY doc_id""".stripMargin,
+  )
+}
