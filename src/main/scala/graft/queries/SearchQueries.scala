@@ -149,13 +149,130 @@ private[queries] object SearchQueries {
       .limit(20)
   }
 
+  /** MMR-DIVERSIFIED RAG packing (VERDICT r12 #5) — `search_rag_context`
+    * packs purely by BM25 rank, so three near-identical top passages
+    * burn the whole context budget on one fact; production RAG
+    * diversifies with MAXIMAL MARGINAL RELEVANCE (Carbonell & Goldstein
+    * 1998): greedily select argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s)
+    * until K=10 picks. Determinism discipline: relevance collapses to
+    * e4 BM25 fixed point and every pairwise cosine of the ≤20-row
+    * shortlist to e6 BEFORE the selection loop, so the λ=0.7 trade-off
+    * (score = 7·rel_e4·100 − 3·max_sim_e6, one integer per candidate
+    * per step, ties to the smaller doc_id) is EXACT integer arithmetic
+    * on both engines — the Spark side folds a SQL HOF `aggregate` over
+    * the collected shortlist (no global window, no driver loop; the
+    * only non-scan work after the broadcast-stats pass is a 20×20
+    * integer matrix), the oracle walks the identical selection as a
+    * recursive CTE. The output pins the selection ORDER (a rolling
+    * ·31+id fingerprint): swap any two picks, or nudge λ, and the hash
+    * breaks. Scale: everything before the top-20 LIMIT is the same
+    * single-pass broadcast-stats corpus scan as `search_bm25`; the MMR
+    * stage is O(K·shortlist²) on ≤20 rows — constant, per query. */
+  private val searchRagMmr: Q = (s, d) => {
+    val withTf = Tables.documents(s, d)
+      .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"), "inner")
+      .select(col("doc_id") +: col("embedding") +: Bm25Scoring.tfCols: _*)
+    val stats = withTf.agg(Bm25Scoring.nDocsAgg, Bm25Scoring.statAggs: _*)
+    val short = withTf.crossJoin(broadcast(stats))
+      .withColumn("rel_e4", floor(expr(Bm25Scoring.scoreExpr) * 10000).cast("long"))
+      .select("doc_id", "rel_e4", "embedding")
+      .orderBy(col("rel_e4").desc, col("doc_id").asc)
+      .limit(20)
+    val sims = short.select(col("doc_id").as("a"), col("embedding").as("ea"))
+      .join(broadcast(short.select(col("doc_id").as("b"), col("embedding").as("eb"))),
+        col("a") =!= col("b"))
+      .selectExpr("a", "b",
+        "CAST(floor(graft_cosine(ea, eb) * 1000000) AS BIGINT) AS sim_e6")
+    val relRow = short
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("rel_e4")))).as("rel"))
+    val simRow = sims
+      .agg(sort_array(collect_list(struct(col("a"), col("b"), col("sim_e6")))).as("sims"))
+    relRow.crossJoin(broadcast(simRow))
+      .selectExpr("rel", "sims",
+        """aggregate(
+          |  sequence(1, 10),
+          |  CAST(array() AS array<bigint>),
+          |  (sel, step) -> IF(size(sel) >= size(rel), sel,
+          |    array_append(sel,
+          |      aggregate(
+          |        transform(
+          |          filter(rel, r -> NOT array_contains(sel, r.doc_id)),
+          |          c -> named_struct('bid', c.doc_id, 'bs',
+          |            7 * (c.rel_e4 * 100) - 3 * IF(size(sel) = 0, 0L,
+          |              aggregate(
+          |                filter(sims, p -> p.a = c.doc_id AND array_contains(sel, p.b)),
+          |                CAST(-9000000000 AS BIGINT),
+          |                (m, p2) -> greatest(m, p2.sim_e6))))),
+          |        named_struct('bid', CAST(-1 AS BIGINT),
+          |          'bs', CAST(-9000000000000000000 AS BIGINT)),
+          |        (b, c2) -> IF(c2.bs > b.bs OR (c2.bs = b.bs AND c2.bid < b.bid),
+          |          c2, b)).bid))) AS sel""".stripMargin)
+      .selectExpr(
+        "CAST(size(rel) AS BIGINT) AS n_candidates",
+        "CAST(size(sel) AS BIGINT) AS n_selected",
+        "aggregate(sel, CAST(7 AS BIGINT), (a2, x2) -> (a2 * 31 + x2) % 2147483647) AS order_fp",
+        "aggregate(sel, CAST(0 AS BIGINT), (a3, x3) -> a3 + x3) AS sel_id_sum",
+        "aggregate(filter(rel, r2 -> array_contains(sel, r2.doc_id)), " +
+          "CAST(0 AS BIGINT), (a4, r3) -> a4 + r3.rel_e4) AS sel_rel_sum")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "search_bm25" -> searchBm25,
     "search_bm25_fields" -> searchBm25Fields,
     "search_ndcg" -> searchNdcg,
+    "search_rag_mmr" -> searchRagMmr,
   )
 
   val oracles: Map[String, String] = Map(
+    "search_rag_mmr" ->
+      // identical integer MMR walk as a recursive CTE: same e4/e6
+      // collapse before selection, same λ=0.7 integer score, same
+      // smaller-id tie-break (ORDER BY score DESC, doc_id ASC LIMIT 1)
+      s"""WITH RECURSIVE tf AS (
+         |  SELECT doc_id, embedding, ${Bm25Scoring.duckTfCols.mkString(",\n    ")}
+         |  FROM documents JOIN embeddings ON doc_id = vec_id),
+         |stats AS (
+         |  SELECT ${Bm25Scoring.duckStatCols.mkString(",\n    ")}
+         |  FROM tf),
+         |short AS (
+         |  SELECT doc_id, CAST(floor((
+         |    ${Bm25Scoring.duckScore}
+         |  ) * 10000) AS BIGINT) AS rel_e4, embedding
+         |  FROM tf, stats
+         |  ORDER BY rel_e4 DESC, doc_id ASC LIMIT 20),
+         |sims AS (
+         |  SELECT sa.doc_id AS a, sb.doc_id AS b,
+         |    CAST(floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(list_zip(sa.embedding, sb.embedding),
+         |          pz -> CAST(pz[1] AS DOUBLE) * CAST(pz[2] AS DOUBLE))),
+         |        (af, xf) -> af + xf)
+         |      / (sqrt(${PipelineShared.duckSumSqOf("sa.embedding")})
+         |         * sqrt(${PipelineShared.duckSumSqOf("sb.embedding")})))
+         |      * 1000000) AS BIGINT) AS sim_e6
+         |  FROM short sa JOIN short sb ON sa.doc_id <> sb.doc_id),
+         |m AS (
+         |  SELECT 0 AS step, []::BIGINT[] AS sel
+         |  UNION ALL
+         |  SELECT step + 1,
+         |    CASE WHEN len(sel) >= (SELECT count(*) FROM short) THEN sel
+         |    ELSE list_append(sel, (
+         |      SELECT r.doc_id FROM short r WHERE NOT list_contains(m.sel, r.doc_id)
+         |      ORDER BY 7 * (r.rel_e4 * 100) - 3 * (CASE WHEN len(m.sel) = 0 THEN 0
+         |          ELSE (SELECT max(p.sim_e6) FROM sims p
+         |                WHERE p.a = r.doc_id AND list_contains(m.sel, p.b)) END) DESC,
+         |        r.doc_id ASC LIMIT 1)) END
+         |  FROM m WHERE step < 10),
+         |fin AS (SELECT sel FROM m WHERE step = 10)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM short) AS n_candidates,
+         |  CAST(len(sel) AS BIGINT) AS n_selected,
+         |  CAST(list_reduce(list_prepend(CAST(7 AS BIGINT), sel),
+         |    (a2, x2) -> (a2 * 31 + x2) % 2147483647) AS BIGINT) AS order_fp,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), sel),
+         |    (a3, x3) -> a3 + x3) AS BIGINT) AS sel_id_sum,
+         |  (SELECT CAST(sum(rel_e4) AS BIGINT) FROM short
+         |   WHERE list_contains(fin.sel, doc_id)) AS sel_rel_sum
+         |FROM fin""".stripMargin,
     "search_bm25" ->
       s"""WITH tf AS (
          |  SELECT doc_id, ${Bm25Scoring.duckTfCols.mkString(",\n    ")}
