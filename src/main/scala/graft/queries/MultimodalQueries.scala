@@ -128,8 +128,80 @@ private[graft] object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** GIF fixture: dims and index formula distinct from the PNG tier so
+    * a copy-paste decode bug cannot cross-satisfy; palette entry i =
+    * ((i·3+7)%256, (i·7+11)%256, (i·13+5)%256). Exposed for
+    * GifCodecSpec. */
+  private def gifDims(docId: Long): (Int, Int) =
+    ((docId % 12 + 5).toInt, (docId % 9 + 5).toInt)
+
+  private[graft] def gifPalette: Array[Byte] = {
+    val p = new Array[Byte](768)
+    var i = 0
+    while (i < 256) {
+      p(3 * i) = ((i * 3 + 7) % 256).toByte
+      p(3 * i + 1) = ((i * 7 + 11) % 256).toByte
+      p(3 * i + 2) = ((i * 13 + 5) % 256).toByte
+      i += 1
+    }
+    p
+  }
+
+  private[graft] def fixtureGif(docId: Long): Array[Byte] = {
+    val (w, h) = gifDims(docId)
+    val idx = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        idx(y * w + x) = ((docId * 5 + x * 7 + y * 11) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    graft.multimodal.GifCodec.encode(w, h, idx, gifPalette)
+  }
+
+  /** mm_pixel_stats_gif (VERDICT r12 #6) — per-image statistics decoded
+    * from REAL GIF bytes by [[graft.multimodal.GifCodec]]'s LZW: the
+    * engine runs encode → LZW compress → sub-block framing → LZW
+    * decompress → palette lookup → aggregate, and the oracle predicts
+    * every number from the index/palette formulas alone. The RGB sums
+    * go through the palette DECODED FROM THE FILE (not the formula), so
+    * a flipped palette byte or a desynced code width moves a sum and
+    * breaks the hash. Same mapPartitions no-shuffle posture as the
+    * PNG/WAV tiers. */
+  private val mmPixelStatsGif: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val bytes = fixtureGif(id)
+          val (w, h, pal, idx) = graft.multimodal.GifCodec.decode(bytes)
+            .getOrElse(throw new IllegalStateException(s"self-encoded GIF undecodable for doc $id"))
+          var sIdx = 0L; var sr = 0L; var sg = 0L; var sb = 0L
+          var mn = 255L; var mx = 0L
+          var i = 0
+          while (i < idx.length) {
+            val v = idx(i) & 0xff
+            sIdx += v
+            sr += pal(3 * v) & 0xff
+            sg += pal(3 * v + 1) & 0xff
+            sb += pal(3 * v + 2) & 0xff
+            mn = math.min(mn, v); mx = math.max(mx, v)
+            i += 1
+          }
+          (id, w.toLong, h.toLong, w.toLong * h, sIdx, sr, sg, sb, mn, mx)
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_pixels",
+        "sum_idx", "sum_r", "sum_g", "sum_b", "min_idx", "max_idx")
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "mm_pixel_stats" -> mmPixelStats,
+    "mm_pixel_stats_gif" -> mmPixelStatsGif,
     "mm_audio_stats" -> mmAudioStats,
   )
 
@@ -157,6 +229,25 @@ private[graft] object MultimodalQueries {
         |  CAST(min(least(r, g, b)) AS BIGINT) AS min_px,
         |  CAST(max(greatest(r, g, b)) AS BIGINT) AS max_px
         |FROM vals GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    "mm_pixel_stats_gif" ->
+      // index + palette formulas evaluated relationally — no GIF bytes
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 12 + 5 AS BIGINT) AS w,
+        |    CAST(doc_id % 9 + 5 AS BIGINT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    (doc_id * 5 + xs.x * 7 + ys.y * 11) % 256 AS idx
+        |  FROM d, UNNEST(generate_series(0, w - 1)) xs(x),
+        |       UNNEST(generate_series(0, h - 1)) ys(y))
+        |SELECT doc_id, w AS width, h AS height, w * h AS n_pixels,
+        |  CAST(sum(idx) AS BIGINT) AS sum_idx,
+        |  CAST(sum((idx * 3 + 7) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((idx * 7 + 11) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((idx * 13 + 5) % 256) AS BIGINT) AS sum_b,
+        |  CAST(min(idx) AS BIGINT) AS min_idx,
+        |  CAST(max(idx) AS BIGINT) AS max_idx
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
     "mm_audio_stats" ->
       // the sample formula evaluated relationally — no WAV bytes anywhere
       """WITH d AS (
