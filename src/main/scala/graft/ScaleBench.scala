@@ -108,8 +108,11 @@ object ScaleBench {
     // aggregates + a digest census — all single-shuffle), and the RAG
     // assembly (broadcast-stats scan + constant-size pack)
     "dedup_winnow_pairs", "e2e_corpus_card", "search_rag_context",
-    // r13: the skew-capped fingerprint joins (VERDICT r12 #3)
-    "dedup_winnow_capped", "dedup_symspell_capped")
+    // r13: the skew-capped fingerprint joins (VERDICT r12 #3) and the
+    // funnel with the near-dup stage (VERDICT r12 #1 — the added cost
+    // is one band shuffle over exact-unique survivors + the
+    // bucket-bounded candidate join)
+    "dedup_winnow_capped", "dedup_symspell_capped", "e2e_curation_funnel_v2")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

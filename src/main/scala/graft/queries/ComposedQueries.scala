@@ -224,6 +224,98 @@ private[queries] object ComposedQueries {
         col("pk.ids").as("packed_id_sum"))
   }
 
+  /** END-TO-END curation funnel V2 (VERDICT r12 #1) — the flagship
+    * composition with the FUZZY stage the v1 funnel lacked: raw corpus
+    * (+injected EXACT duplicates %10→+300000 AND injected NEAR-dups
+    * %15→+400000, first token dropped — invisible to the digest) →
+    * quality floor (≥ 10 tokens) → exact-dedup KEEP (min doc_id per
+    * digest) → **MinHash-band NEAR-DUP removal** (the
+    * `dedup_minhash_pairs` pipeline — 3-shingle sets, r=2/b=2 bands,
+    * banded candidate equi-join, exact shingle-Jaccard ≥ 0.6 confirm —
+    * with the SemDeDup keep-lowest survivor rule `dedup_semantic_keep`
+    * uses: the LARGER id of every confirmed pair drops; pairwise, not
+    * transitive — a chain a~b~c with a<b<c keeps only a, since both b
+    * and c appear as a larger side) → temperature resampling (α = 1/2,
+    * 80% budget) of the near-dup survivors → per-source report with
+    * the new n_neardup_kept tier between n_unique and n_sampled.
+    *
+    * This is `silver/transformer.py:1508-1514`'s latest-wins record
+    * dedup generalized corpus-wide: records drop by key equality,
+    * documents drop by similarity, and the funnel now exercises both.
+    *
+    * Scale shape: the near-dup stage adds exactly the pair pipeline's
+    * cost — one band shuffle keyed (band_idx, band_val) over the
+    * EXACT-UNIQUE SURVIVORS only (already ~halved by the digest stage),
+    * a bucket-bounded candidate join, and a shingle fetch AFTER the
+    * pair distinct; the removal anti-joins back on doc_id. Nothing
+    * all-pairs, no new global window — at 100 TB the stage inherits
+    * the same census-tunable band width as every LSH pipeline. */
+  private val e2eCurationFunnelV2: Q = (s, d) => {
+    val spec = DedupQueries.MinhashPairParams.map { case (a, b) => s"$a,$b" }.mkString(";")
+    val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+    val corpus = docs
+      .union(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"), col("source"), col("text")))
+      .union(docs.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"), col("source"),
+          expr("concat_ws(' ', slice(split(text, ' '), 2, size(split(text, ' ')) - 1))")
+            .as("text")))
+    val flagged = corpus
+      .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+      .withColumn("digest", sha2(col("text"), 256))
+      .withColumn("q", col("n_words") >= 10)
+      .withColumn("keeper_id",
+        min(when(col("q"), col("doc_id"))).over(Window.partitionBy("digest")))
+      .withColumn("u", col("q") && col("doc_id") === col("keeper_id"))
+    val shingled = flagged.filter(col("u"))
+      .selectExpr("doc_id", "split(text, ' ') AS tokens")
+      .filter(size(col("tokens")) >= 3)
+      .selectExpr("doc_id", "graft_shingle_set(graft_word_fps(tokens)) AS shset")
+    val sigs = shingled.selectExpr("doc_id", s"graft_minhash(shset, '$spec') AS sig")
+      .selectExpr("doc_id",
+        s"(sig[0] * 31 + sig[1]) % $P AS band_0",
+        s"(sig[2] * 31 + sig[3]) % $P AS band_1")
+    val bandRows = sigs.selectExpr("doc_id",
+      "posexplode(array(band_0, band_1)) AS (band_idx, band_val)")
+    val candidates = bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val removed = candidates
+      .join(shingled.select(col("doc_id").as("id_a"), col("shset").as("set_a")), "id_a")
+      .join(shingled.select(col("doc_id").as("id_b"), col("shset").as("set_b")), "id_b")
+      .selectExpr("id_b",
+        "CAST(size(array_intersect(set_a, set_b)) AS DOUBLE) / " +
+          "(size(set_a) + size(set_b) - size(array_intersect(set_a, set_b))) AS j")
+      .filter(col("j") >= 0.6)
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("nd_removed", lit(true))
+    val withNd = flagged.join(removed, Seq("doc_id"), "left")
+      .withColumn("nd", col("u") && col("nd_removed").isNull)
+    val rates = withNd.filter(col("nd"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("srt", floor(sqrt(col("n")) * 1000000).cast("long"))
+    val total = rates.agg(sum("srt").as("total"))
+    val rateBp = rates.crossJoin(broadcast(total))
+      .withColumn("rate_bp", expr("(8000 * srt) DIV total"))
+      .select("source", "rate_bp")
+    withNd
+      .join(broadcast(rateBp), Seq("source"), "left")
+      .withColumn("keep", col("nd") &&
+        expr("graft_str_fp(concat('cur||', CAST(doc_id AS STRING))) % 10000") < col("rate_bp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_corpus"),
+        sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("u"), 1L).otherwise(0L)).as("n_unique"),
+        sum(when(col("nd"), 1L).otherwise(0L)).as("n_neardup_kept"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+        coalesce(sum(when(col("keep"), col("n_words"))), lit(0L)).as("sampled_tokens"))
+      .orderBy("source")
+  }
+
   /** F14 — SubjectMatcher applied distributed: the TF-IDF+lexical model
     * is fit once on the driver from a dim-sized subject corpus and
     * shipped via `sc.broadcast` (the reference broadcasts the same way,
@@ -549,6 +641,7 @@ private[queries] object ComposedQueries {
     "search_context_filter" -> searchContextFilter,
     "search_rag_context" -> searchRagContext,
     "e2e_curation_funnel" -> e2eCurationFunnel,
+    "e2e_curation_funnel_v2" -> e2eCurationFunnelV2,
     "subject_match_topk" -> subjectMatchTopk,
     "chunk_paragraph" -> chunkParagraph,
     "chunk_hierarchical" -> chunkHierarchical,
@@ -600,6 +693,84 @@ private[queries] object ComposedQueries {
          |  CAST(coalesce(sum(CASE WHEN keep THEN n_words END), 0) AS BIGINT)
          |    AS sampled_tokens
          |FROM sampled GROUP BY source ORDER BY source""".stripMargin,
+    "e2e_curation_funnel_v2" -> {
+      val duckMinhV2 = DedupQueries.MinhashPairParams.zipWithIndex.map { case ((a, b), i) =>
+        s"list_min(list_transform(shset, x -> ($a * x + $b) % $P)) AS minh${i + 1}"
+      }
+      s"""WITH corpus AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 300000 AS doc_id, source, text FROM documents
+         |  WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 400000 AS doc_id, source,
+         |    array_to_string(string_split(text, ' ')[2:], ' ') AS text
+         |  FROM documents WHERE doc_id % 15 = 0),
+         |flagged AS (
+         |  SELECT doc_id, source, text,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    sha256(text) AS digest,
+         |    len(string_split(text, ' ')) >= 10 AS q
+         |  FROM corpus),
+         |kept AS (
+         |  SELECT *,
+         |    min(CASE WHEN q THEN doc_id END)
+         |      OVER (PARTITION BY digest) AS keeper_id
+         |  FROM flagged),
+         |u AS (SELECT *, q AND doc_id = keeper_id AS uniq FROM kept),
+         |wf AS (
+         |  SELECT doc_id, list_transform(string_split(text, ' '),
+         |    w -> ${duckFp("w")}) AS wfps
+         |  FROM u WHERE uniq AND len(string_split(text, ' ')) >= 3),
+         |shingled AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, len(wfps) - 2),
+         |    i -> (wfps[i] * 961 + wfps[i + 1] * 31 + wfps[i + 2]) % $P)) AS shset
+         |  FROM wf),
+         |sigs AS (
+         |  SELECT doc_id, (minh1 * 31 + minh2) % $P AS band_0,
+         |    (minh3 * 31 + minh4) % $P AS band_1
+         |  FROM (SELECT doc_id, ${duckMinhV2.mkString(", ")} FROM shingled)),
+         |cand AS (
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM sigs x JOIN sigs y ON x.band_0 = y.band_0 AND x.doc_id < y.doc_id
+         |  UNION
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM sigs x JOIN sigs y ON x.band_1 = y.band_1 AND x.doc_id < y.doc_id),
+         |confirmed AS (
+         |  SELECT id_a, id_b,
+         |    CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE)
+         |      / (len(sa.shset) + len(sb.shset)
+         |         - len(list_intersect(sa.shset, sb.shset))) AS j
+         |  FROM cand
+         |  JOIN shingled sa ON sa.doc_id = id_a
+         |  JOIN shingled sb ON sb.doc_id = id_b),
+         |removed AS (
+         |  SELECT DISTINCT id_b AS doc_id FROM confirmed WHERE j >= 0.6),
+         |nd AS (
+         |  SELECT u.*, uniq AND removed.doc_id IS NULL AS ndk
+         |  FROM u LEFT JOIN removed USING (doc_id)),
+         |counts AS (
+         |  SELECT source, count(*) AS n,
+         |    CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS srt
+         |  FROM nd WHERE ndk GROUP BY source),
+         |t AS (SELECT CAST(sum(srt) AS BIGINT) AS total FROM counts),
+         |r AS (SELECT source, (8000 * srt) // total AS rate_bp FROM counts, t),
+         |sampled AS (
+         |  SELECT nd.*,
+         |    nd.ndk AND (${duckFp("'cur||' || CAST(doc_id AS VARCHAR)")} % 10000
+         |      < r.rate_bp) AS keep
+         |  FROM nd LEFT JOIN r USING (source))
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_corpus,
+         |  CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(sum(CASE WHEN uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  CAST(sum(CASE WHEN ndk THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_kept,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  CAST(coalesce(sum(CASE WHEN keep THEN n_words END), 0) AS BIGINT)
+         |    AS sampled_tokens
+         |FROM sampled GROUP BY source ORDER BY source""".stripMargin
+    },
     "search_hybrid" ->
       s"""WITH tf AS (
          |  SELECT doc_id, ${Bm25Scoring.duckTfCols.mkString(",\n    ")},
