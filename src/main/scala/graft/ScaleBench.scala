@@ -112,7 +112,10 @@ object ScaleBench {
     // funnel with the near-dup stage (VERDICT r12 #1 — the added cost
     // is one band shuffle over exact-unique survivors + the
     // bucket-bounded candidate join)
-    "dedup_winnow_capped", "dedup_symspell_capped", "e2e_curation_funnel_v2")
+    "dedup_winnow_capped", "dedup_symspell_capped", "e2e_curation_funnel_v2",
+    // r13: the full drift->retrain->rebuild lifecycle (kmeans pass +
+    // one partitioned rewrite — the expensive branch, priced honestly)
+    "sim_index_retrain")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -196,25 +196,30 @@ private[graft] object VectorIndexQueries {
     * k-row broadcast — no shuffle), an argmin window keyed by vec_id,
     * and a (k·dim)-group partial-aggregated sum — the MLlib k-means
     * sync pattern, with k·dim = 512 longs on the driver per round. */
-  private val simKmeansTrain: Q = (s, d) => {
+  /** Nearest-centroid assignment under the e6 integer metric: one
+    * broadcast of k·dim ints, map-side distance scan, argmin window
+    * keyed vec_id with (dist, centroid_id) tie-break. */
+  private def assignTo(s: SparkSession, eqDf: DataFrame,
+                       cents: Seq[(Int, Seq[Long])]): DataFrame = {
     import s.implicits._
-    val eq = Tables.embeddings(s, d)
-      .selectExpr("vec_id",
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS eq")
-      .localCheckpoint()
-    def assign(cents: Seq[(Int, Seq[Long])]): DataFrame = {
-      val cdf = cents.toDF("centroid_id", "cvec")
-      val dists = eq.crossJoin(broadcast(cdf))
-        .selectExpr("vec_id", "centroid_id",
-          "aggregate(zip_with(eq, cvec, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x) AS dist")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("dist"), col("centroid_id"))
-      dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select("vec_id", "centroid_id", "dist")
-    }
-    var cents: Seq[(Int, Seq[Long])] = (0 until KmeansK).map(j => j -> gridCentroidE6(j))
-    for (_ <- 1 to KmeansIters) {
-      val comps = assign(cents).join(eq, "vec_id")
+    val cdf = cents.toDF("centroid_id", "cvec")
+    val dists = eqDf.crossJoin(broadcast(cdf))
+      .selectExpr("vec_id", "centroid_id",
+        "aggregate(zip_with(eq, cvec, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x) AS dist")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("dist"), col("centroid_id"))
+    dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "centroid_id", "dist")
+  }
+
+  /** Lloyd's iterations in e6 integer space (grid init, floor(sum/n)
+    * update, empty-cluster carry) — shared by the training benchmark
+    * and the retrain lifecycle. Driver state is k·dim longs per round. */
+  private def lloydTrain(s: SparkSession, eqDf: DataFrame, k: Int,
+                         iters: Int): Seq[(Int, Seq[Long])] = {
+    var cents: Seq[(Int, Seq[Long])] = (0 until k).map(j => j -> gridCentroidE6(j))
+    for (_ <- 1 to iters) {
+      val comps = assignTo(s, eqDf, cents).join(eqDf, "vec_id")
         .select(col("centroid_id"), posexplode(col("eq")).as(Seq("pos", "v")))
         .groupBy("centroid_id", "pos")
         .agg(sum("v").as("sv"), count(lit(1)).as("n"))
@@ -227,7 +232,17 @@ private[graft] object VectorIndexQueries {
       // empty cluster: carry the previous centroid
       cents = cents.map { case (cid, prev) => cid -> updated.getOrElse(cid, prev) }
     }
-    val finalAssign = assign(cents)
+    cents
+  }
+
+  private val simKmeansTrain: Q = (s, d) => {
+    import s.implicits._
+    val eq = Tables.embeddings(s, d)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS eq")
+      .localCheckpoint()
+    val cents = lloydTrain(s, eq, KmeansK, KmeansIters)
+    val finalAssign = assignTo(s, eq, cents)
     val stats = finalAssign.groupBy("centroid_id")
       .agg(count(lit(1)).as("n_members"), sum("dist").as("inertia"))
     val fps = cents.map { case (cid, v) => (cid, v.sum) }.toDF("centroid_id", "centroid_fp")
@@ -239,10 +254,100 @@ private[graft] object VectorIndexQueries {
       .orderBy("centroid_id")
   }
 
+  private val RetrainK = Nlist
+  private val DriftThresholdBp = 500L
+
+  /** DRIFT-TRIGGERED RE-TRAIN (VERDICT r12 #2) — closes the ANN
+    * lifecycle loop `MIGRATION_E5.md:69` schedules as a blanket
+    * re-index: maintain (create + partition-scoped merge) → measure
+    * drift (fraction of live vectors that arrived or changed list
+    * since the pre-merge snapshot, one bounded 2-long driver read) →
+    * threshold decision at [[DriftThresholdBp]] → if drifted, re-train
+    * the coarse quantizer with [[lloydTrain]] ON THE LIVE INDEX
+    * CONTENT (grid init = the old quantizer, so training is a
+    * refinement), re-assign every vector and rebuild the layout via
+    * ONE `replaceKeys` commit (readers never see a half-moved index),
+    * then answer the probed top-k with probes = the 4 trained
+    * centroids nearest the query point.
+    *
+    * The fixture's batch (10% inserts + 5% re-embeds) always trips the
+    * threshold, so the oracle — a from-scratch SQL replay of merge +
+    * drift arithmetic + the unrolled k-means + probe selection + cosine
+    * top-k — pins the TAKEN branch end-to-end, drift_bp and the
+    * decision flag riding the output hash. The NO-drift branch's
+    * contract (zero partitions touched, no new version) is pinned by
+    * AnnLifecycleSpec's inode claim, the same proof TableMergeSpec
+    * uses for untouched-partition hard-links.
+    *
+    * Scale: drift is a key-only join of two retained snapshots; the
+    * retrain pass costs iters·(broadcast k·dim ints + map-side scan +
+    * argmin window + (k·dim)-group partial agg) — the MLlib sync
+    * pattern — and the rebuild is one partitioned rewrite whose
+    * shuffle key is the NEW list id. Nothing here scans more than the
+    * index content. */
+  /** The lifecycle step: measure drift (live vs the retained pre-merge
+    * snapshot), decide at `thresholdBp`, and when drifted re-train +
+    * rebuild in one replaceKeys commit. Returns (driftBp, retrained,
+    * probe set for the follow-up read). Factored out so
+    * AnnLifecycleSpec can pin the NO-drift branch's zero-touch
+    * contract (no new version, partition file inodes unchanged) —
+    * the branch the oracle-green query never takes on its fixture. */
+  private[graft] def retrainIfDrifted(s: SparkSession, path: String,
+      thresholdBp: Long = DriftThresholdBp): (Long, Boolean, Seq[Int]) = {
+    val versions = TableMerge.versions(path)
+    val pre = TableMerge.readVersion(s, path, versions.last)
+      .select(col("vec_id"), col("centroid_id").cast("int").as("pre_c"))
+    val live = TableMerge.read(s, path)
+      .select(col("vec_id"), col("embedding"), col("centroid_id").cast("int").as("live_c"))
+    // decision input: 2 longs on the driver (bounded by design)
+    val dr = live.join(pre, Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pre_c").isNull || col("pre_c") =!= col("live_c"), 1L)
+          .otherwise(0L)).as("chg"))
+      .head()
+    val driftBp = dr.getLong(1) * 10000L / math.max(dr.getLong(0), 1L)
+    val retrained = driftBp >= thresholdBp
+    val probes: Seq[Int] =
+      if (!retrained) VectorQueries.IvfProbes // grid quantizer stays; nothing touched
+      else {
+        val eq = live.selectExpr("vec_id",
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS eq")
+          .localCheckpoint()
+        val cents = lloydTrain(s, eq, RetrainK, KmeansIters)
+        val newAssign = assignTo(s, eq, cents)
+          .join(live.select("vec_id", "embedding"), "vec_id")
+          .select(col("vec_id"), col("embedding"), col("centroid_id").cast("long").as("centroid_id"))
+        val dropGroups = live.select(col("live_c").cast("long").as("centroid_id"), col("vec_id"))
+          .union(newAssign.select("centroid_id", "vec_id"))
+        TableMerge.replaceKeys(s, path, newAssign, dropGroups,
+          Seq("centroid_id", "vec_id"), Seq("centroid_id"))
+        val q = Seq.fill(Dim)(100000L)
+        cents.map { case (cid, v) =>
+          (cid, v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }.sortBy { case (cid, dist) => (dist, cid) }.take(4).map(_._1)
+      }
+    (driftBp, retrained, probes)
+  }
+
+  private val simIndexRetrain: Q = (s, d) => {
+    val path = buildMaintainedIndex(s, d, "retrain")
+    val (driftBp, retrained, probes) = retrainIfDrifted(s, path)
+    TableMerge.read(s, path)
+      .filter(col("centroid_id").isin(probes: _*))
+      .selectExpr("vec_id", "CAST(centroid_id AS INT) AS centroid_id",
+        "CAST(floor(graft_cosine(embedding, array_repeat(CAST(0.1 AS DOUBLE), 64)) " +
+          "* 1000000) AS BIGINT) AS cos_e6")
+      .orderBy(col("cos_e6").desc, col("vec_id").asc)
+      .limit(20)
+      .withColumn("drift_bp", lit(driftBp))
+      .withColumn("retrained", lit(if (retrained) 1L else 0L))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "sim_index_maintain" -> simIndexMaintain,
     "sim_index_compact" -> simIndexCompact,
     "sim_index_drift" -> simIndexDrift,
+    "sim_index_retrain" -> simIndexRetrain,
     "sim_kmeans_train" -> simKmeansTrain,
   )
 
@@ -276,7 +381,11 @@ private[graft] object VectorIndexQueries {
   /** The k-means train loop unrolled as SQL — same e6 integer space,
     * same (dist, cid) argmin, same floor(sum/count) update, same
     * empty-cluster carry. */
-  private def duckKmeans: String = {
+  /** The k-means train loop unrolled as a CTE chain over `src` with k
+    * centroids: `eq`, `cent0` … `cent$KmeansIters`, assignments `a0` …
+    * `a$KmeansIters` (the final one is the trained assignment). Shared
+    * by the training oracle and the retrain-lifecycle oracle. */
+  private def duckKmeansChain(src: String, k: Int): String = {
     val dist = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(generate_series(1, $Dim), " +
       "i -> (e.eq[i] - c.cvec[i]) * (e.eq[i] - c.cvec[i]))), (a, x) -> a + x)"
@@ -306,16 +415,20 @@ private[graft] object VectorIndexQueries {
          |  FROM cent$n c LEFT JOIN u$n u USING (cid))""".stripMargin
     val rounds = (0 until KmeansIters).map(n => assignCte(n) + ",\n" + updCte(n))
       .mkString(",\n")
-    s"""WITH eq AS (
+    s"""eq AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS eq
-       |  FROM embeddings),
+       |  FROM $src),
        |cent0 AS (
        |  SELECT j AS cid, list_transform(generate_series(0, ${Dim - 1}),
        |    i -> CAST((((j * 31 + i * 17) % 19) - 9) * 100000 AS BIGINT)) AS cvec
-       |  FROM generate_series(0, ${KmeansK - 1}) t(j)),
+       |  FROM generate_series(0, ${k - 1}) t(j)),
        |$rounds,
-       |${assignCte(KmeansIters)},
+       |${assignCte(KmeansIters)}""".stripMargin
+  }
+
+  private def duckKmeans: String =
+    s"""WITH ${duckKmeansChain("embeddings", KmeansK)},
        |stats AS (
        |  SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
        |    CAST(sum(dist) AS BIGINT) AS inertia
@@ -330,10 +443,54 @@ private[graft] object VectorIndexQueries {
        |  f.centroid_fp
        |FROM fp f LEFT JOIN stats s USING (cid)
        |ORDER BY centroid_id""".stripMargin
-  }
+
+  /** From-scratch replay of the whole retrain lifecycle: merge, grid
+    * drift arithmetic, the unrolled k-means over the merged corpus,
+    * query-nearest probe selection, cosine top-k — with drift_bp and
+    * the decision flag riding the hash. */
+  private def duckRetrain: String =
+    s"""WITH $duckMerged,
+       |${duckKmeansChain("merged", RetrainK)},
+       |pre AS (
+       |  SELECT vec_id,
+       |    CAST(list_position(c, list_min(c)) - 1 AS INT) AS pre_c
+       |  FROM (SELECT vec_id, $duckAssign AS c FROM embeddings
+       |        WHERE vec_id % 10 <> 0)),
+       |live AS (
+       |  SELECT vec_id,
+       |    CAST(list_position(c, list_min(c)) - 1 AS INT) AS live_c
+       |  FROM (SELECT vec_id, $duckAssign AS c FROM merged)),
+       |drift AS (
+       |  SELECT CAST((sum(CASE WHEN p.pre_c IS NULL OR p.pre_c <> l.live_c
+       |      THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS drift_bp
+       |  FROM live l LEFT JOIN pre p ON l.vec_id = p.vec_id),
+       |probes AS (
+       |  SELECT cid FROM (
+       |    SELECT cid, row_number() OVER (ORDER BY qdist, cid) AS rn
+       |    FROM (SELECT cid, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(generate_series(1, $Dim),
+       |          i -> (cvec[i] - 100000) * (cvec[i] - 100000))),
+       |        (a, x) -> a + x) AS qdist
+       |      FROM cent$KmeansIters) pq) pr
+       |  WHERE rn <= 4),
+       |probed AS (
+       |  SELECT m.vec_id, a.cid AS centroid_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(m.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x) AS dot,
+       |    ${duckSumSqOf("m.embedding")} AS na,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(m.embedding,
+       |      x -> CAST(0.1 AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x) AS nb
+       |  FROM a$KmeansIters a JOIN merged m USING (vec_id)
+       |  WHERE a.cid IN (SELECT cid FROM probes))
+       |SELECT vec_id, CAST(centroid_id AS INT) AS centroid_id,
+       |  CAST(floor(dot / (sqrt(na) * sqrt(nb)) * 1000000) AS BIGINT) AS cos_e6,
+       |  (SELECT drift_bp FROM drift) AS drift_bp,
+       |  CAST(1 AS BIGINT) AS retrained
+       |FROM probed ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20""".stripMargin
 
   private lazy val oracles0: Map[String, String] = Map(
     "sim_kmeans_train" -> duckKmeans,
+    "sim_index_retrain" -> duckRetrain,
     "sim_index_maintain" ->
       // from-scratch build over the merged corpus = what incremental
       // maintenance must be hash-identical to; probe + cosine folds
