@@ -216,14 +216,113 @@ private[queries] object FuzzyDedupQueries {
       .crossJoin(broadcast(nCapped))
   }
 
+  /** Shingle document frequency cap for the containment join — same
+    * boilerplate-shingle rationale as [[WinnowDfCap]]. */
+  private val ContainDfCap = 32L
+
+  /** CONTAINMENT near-dup join (r13) — the ASYMMETRIC similarity the
+    * Jaccard family is blind to: an EXCERPT (a quote, an abstract, a
+    * syndicated fragment) has containment |A∩B|/min(|A|,|B|) ≈ 1
+    * against its source while Jaccard |A∩B|/|A∪B| ≈ |A|/|B| is tiny,
+    * so MinHash bands — which estimate Jaccard — structurally miss it
+    * (Broder's original resemblance/containment distinction). The
+    * fixture injects exactly that: docs %12 re-appear as a 10-token
+    * interior slice (doc_id+500000); their shingle sets are strict
+    * subsets of the source's. Candidates come from the shingle
+    * INVERTED join (explode shingle sets, df-cap hot shingles,
+    * equi-join on the shingle) — the shared-shingle count IS |A∩B|,
+    * so no set re-fetch for the intersection; set SIZES (uncapped)
+    * join in for the denominator, confirm at containment ≥ 0.8.
+    * Scale shape: the shingle is the shuffle key, candidate volume is
+    * Σ df² bounded by the cap — identical posture to the winnow join;
+    * the capped-shingle census rides the output hash. */
+  private val dedupContainment: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .selectExpr("doc_id", "split(text, ' ') AS tokens")
+    val corpus = base.unionByName(
+      base.filter(col("doc_id") % 12 === 0 && size(col("tokens")) >= 12)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          expr("slice(tokens, 3, 10)").as("tokens")))
+      .filter(size(col("tokens")) >= 3)
+    val shingled = corpus.selectExpr("doc_id",
+      "graft_shingle_set(graft_word_fps(tokens)) AS shset")
+    val sizes = shingled.select(col("doc_id"), size(col("shset")).cast("long").as("nsh"))
+    val sh = shingled.select(col("doc_id"), explode(col("shset")).as("sh"))
+    val census = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val nCapped = census.filter(col("df") > ContainDfCap)
+      .agg(count(lit(1)).as("n_capped_shingles"))
+    val cold = sh.join(census.filter(col("df") <= ContainDfCap).select("sh"), Seq("sh"))
+    cold.as("l").join(cold.as("r"), col("l.sh") === col("r.sh"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("d0"), col("r.doc_id").as("d1"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("d0"), col("nsh").as("n0")), "d0")
+      .join(sizes.select(col("doc_id").as("d1"), col("nsh").as("n1")), "d1")
+      .selectExpr("d0", "d1",
+        "CAST(floor(CAST(shared AS DOUBLE) / least(n0, n1) * 10000) AS BIGINT) AS cont_e4")
+      .filter(col("cont_e4") >= 8000)
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("d1") === col("d0") + 500000, 1L).otherwise(0L)), lit(0L))
+          .as("n_true"),
+        coalesce(sum("cont_e4"), lit(0L)).as("cont_sum_e4"))
+      .crossJoin(broadcast(nCapped))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "dedup_symspell_join" -> dedupSymspellJoin,
     "dedup_symspell_capped" -> dedupSymspellCapped,
     "dedup_winnow_pairs" -> dedupWinnowPairs,
     "dedup_winnow_capped" -> dedupWinnowCapped,
+    "dedup_containment" -> dedupContainment,
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_containment" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, tokens FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 500000 AS doc_id, tokens[3:12] AS tokens
+         |  FROM base WHERE doc_id % 12 = 0 AND len(tokens) >= 12),
+         |ok AS (SELECT doc_id, tokens FROM corpus WHERE len(tokens) >= 3),
+         |wf AS (
+         |  SELECT doc_id, list_transform(tokens, w -> ${duckFp("w")}) AS wfps
+         |  FROM ok),
+         |shingled AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, len(wfps) - 2),
+         |    i -> (wfps[i] * 961 + wfps[i + 1] * 31 + wfps[i + 2]) % $P)) AS shset
+         |  FROM wf),
+         |sizes AS (
+         |  SELECT doc_id, CAST(len(shset) AS BIGINT) AS nsh FROM shingled),
+         |shx AS (SELECT doc_id, u.sh FROM shingled, UNNEST(shset) u(sh)),
+         |census AS (SELECT sh, count(*) AS df FROM shx GROUP BY 1),
+         |capped AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_capped_shingles
+         |  FROM census WHERE df > 32),
+         |cold AS (
+         |  SELECT shx.doc_id, shx.sh FROM shx JOIN census USING (sh)
+         |  WHERE df <= 32),
+         |pairs AS (
+         |  SELECT l.doc_id AS d0, r.doc_id AS d1, count(*) AS shared
+         |  FROM cold l JOIN cold r ON l.sh = r.sh AND l.doc_id < r.doc_id
+         |  GROUP BY 1, 2),
+         |conf AS (
+         |  SELECT d0, d1,
+         |    CAST(floor(CAST(shared AS DOUBLE) / least(s0.nsh, s1.nsh) * 10000)
+         |      AS BIGINT) AS cont_e4
+         |  FROM pairs
+         |  JOIN sizes s0 ON s0.doc_id = d0
+         |  JOIN sizes s1 ON s1.doc_id = d1),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(coalesce(sum(CASE WHEN d1 = d0 + 500000 THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS n_true,
+         |    CAST(coalesce(sum(cont_e4), 0) AS BIGINT) AS cont_sum_e4
+         |  FROM conf WHERE cont_e4 >= 8000)
+         |SELECT n_pairs, n_true, cont_sum_e4, n_capped_shingles
+         |FROM agg, capped""".stripMargin,
     "dedup_winnow_pairs" ->
       s"""WITH base AS (
          |  SELECT doc_id, text FROM documents

@@ -96,7 +96,9 @@ private[queries] object LmQueries {
     * IDENTICAL double. c(v) = Σ_w c(vw) (true context mass, not the
     * unigram count — the distinction matters at document ends). First
     * tokens score their unigram MLE. */
-  private val textKnLogprob: Q = (s, d) => {
+  /** Per-doc KN scores (doc_id, n_tokens, nll_e4), shared by the
+    * scoring entry and the percentile bucketing entry. */
+  private def knPerDoc(s: SparkSession, d: String): DataFrame = {
     val pos = positions(s, d).drop("prev2")
     val uni = pos.groupBy("tok").agg(count(lit(1)).as("cu"))
     val tot = uni.agg(sum("cu").as("nt"))
@@ -121,12 +123,38 @@ private[queries] object LmQueries {
       .agg(count(lit(1)).as("n_tokens"), sum("lp_e6").as("sum_lp_e6"))
       .selectExpr("doc_id", "n_tokens",
         "CAST(floor(CAST(-sum_lp_e6 AS DOUBLE) / n_tokens / 100.0D) AS BIGINT) AS nll_e4")
-      .orderBy("doc_id")
+  }
+
+  private val textKnLogprob: Q = (s, d) => knPerDoc(s, d).orderBy("doc_id")
+
+  /** CCNet perplexity BUCKETING — what Wenzek et al. actually ship:
+    * each language/source split into head/middle/tail THIRDS by LM
+    * perplexity (head = most fluent third, what pretraining keeps or
+    * up-weights; tail = the gibberish end). Relationally: the KN
+    * per-doc scores, percentile-split WITHIN each source by
+    * ntile(3) over the total order (nll_e4, doc_id) — the window
+    * partitions on source, so rank work is per-source and scale-safe,
+    * no global sort (same discipline as `text_quality_calibrate`).
+    * Output: per (source, bucket) doc/token counts and the NLL range
+    * the bucket spans — the mass table a mixture planner consumes. */
+  private val textPplBuckets: Q = (s, d) => {
+    val scored = knPerDoc(s, d)
+      .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("nll_e4"), col("doc_id"))
+    scored.withColumn("bucket", ntile(3).over(w).cast("long"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        min("nll_e4").as("nll_min_e4"),
+        max("nll_e4").as("nll_max_e4"))
+      .orderBy("source", "bucket")
   }
 
   val queries: Seq[(String, Q)] = Seq(
     "text_trigram_logprob" -> textTrigramLogprob,
     "text_kn_logprob" -> textKnLogprob,
+    "text_ppl_buckets" -> textPplBuckets,
   )
 
   val oracles: Map[String, String] = Map(
@@ -173,38 +201,56 @@ private[queries] object LmQueries {
     "text_kn_logprob" ->
       // the KN rational is assembled in BIGINT on both sides; the only
       // double op before ln is the single final division
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |pos AS (
-        |  SELECT doc_id, ii.i AS pos, t[ii.i] AS tok,
-        |    CASE WHEN ii.i = 1 THEN NULL ELSE t[ii.i - 1] END AS prev
-        |  FROM toks, UNNEST(generate_series(1, len(t))) ii(i)),
-        |uni AS (SELECT tok, count(*) AS cu FROM pos GROUP BY tok),
-        |tot AS (SELECT sum(cu) AS nt FROM uni),
-        |bi AS (
-        |  SELECT prev, tok, count(*) AS cb FROM pos
-        |  WHERE prev IS NOT NULL GROUP BY 1, 2),
-        |ctx AS (SELECT prev, sum(cb) AS cv, count(*) AS n1v FROM bi GROUP BY prev),
-        |cont AS (SELECT tok, count(*) AS n1w FROM bi GROUP BY tok),
-        |n1t AS (SELECT count(*) AS n1tot FROM bi),
-        |scored AS (
-        |  SELECT p.doc_id,
-        |    CAST(floor(ln(CASE WHEN p.prev IS NULL THEN CAST(u.cu AS DOUBLE) / t.nt
-        |      ELSE CAST(greatest(100 * b.cb - 75, 0) * n.n1tot
-        |          + 75 * cx.n1v * co.n1w AS DOUBLE)
-        |        / CAST(100 * cx.cv * n.n1tot AS DOUBLE) END) * 1000000) AS BIGINT) AS lp_e6
-        |  FROM pos p
-        |  JOIN uni u ON u.tok = p.tok
-        |  LEFT JOIN bi b ON b.prev = p.prev AND b.tok = p.tok
-        |  LEFT JOIN ctx cx ON cx.prev = p.prev
-        |  LEFT JOIN cont co ON co.tok = p.tok
-        |  CROSS JOIN tot t CROSS JOIN n1t n),
-        |per_doc AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |    sum(lp_e6) AS sum_lp_e6
-        |  FROM scored GROUP BY doc_id)
-        |SELECT doc_id, n_tokens,
-        |  CAST(floor(CAST(-sum_lp_e6 AS DOUBLE) / n_tokens / 100.0) AS BIGINT) AS nll_e4
-        |FROM per_doc ORDER BY doc_id""".stripMargin,
+      s"""WITH $duckKnPerDoc
+         |SELECT doc_id, n_tokens, nll_e4
+         |FROM kn ORDER BY doc_id""".stripMargin,
+    "text_ppl_buckets" ->
+      s"""WITH $duckKnPerDoc,
+         |ranked AS (
+         |  SELECT k.doc_id, k.n_tokens, k.nll_e4, dd.source,
+         |    CAST(ntile(3) OVER (PARTITION BY dd.source
+         |      ORDER BY k.nll_e4, k.doc_id) AS BIGINT) AS bucket
+         |  FROM kn k JOIN documents dd ON dd.doc_id = k.doc_id)
+         |SELECT source, bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(min(nll_e4) AS BIGINT) AS nll_min_e4,
+         |  CAST(max(nll_e4) AS BIGINT) AS nll_max_e4
+         |FROM ranked GROUP BY source, bucket
+         |ORDER BY source, bucket""".stripMargin,
   )
+
+  /** KN per-doc scoring CTE chain ending in `kn(doc_id, n_tokens,
+    * nll_e4)` — the SQL twin of [[knPerDoc]], shared by both oracles. */
+  private def duckKnPerDoc: String =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |pos AS (
+      |  SELECT doc_id, ii.i AS pos, t[ii.i] AS tok,
+      |    CASE WHEN ii.i = 1 THEN NULL ELSE t[ii.i - 1] END AS prev
+      |  FROM toks, UNNEST(generate_series(1, len(t))) ii(i)),
+      |uni AS (SELECT tok, count(*) AS cu FROM pos GROUP BY tok),
+      |tot AS (SELECT sum(cu) AS nt FROM uni),
+      |bi AS (
+      |  SELECT prev, tok, count(*) AS cb FROM pos
+      |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |ctx AS (SELECT prev, sum(cb) AS cv, count(*) AS n1v FROM bi GROUP BY prev),
+      |cont AS (SELECT tok, count(*) AS n1w FROM bi GROUP BY tok),
+      |n1t AS (SELECT count(*) AS n1tot FROM bi),
+      |scored AS (
+      |  SELECT p.doc_id,
+      |    CAST(floor(ln(CASE WHEN p.prev IS NULL THEN CAST(u.cu AS DOUBLE) / t.nt
+      |      ELSE CAST(greatest(100 * b.cb - 75, 0) * n.n1tot
+      |          + 75 * cx.n1v * co.n1w AS DOUBLE)
+      |        / CAST(100 * cx.cv * n.n1tot AS DOUBLE) END) * 1000000) AS BIGINT) AS lp_e6
+      |  FROM pos p
+      |  JOIN uni u ON u.tok = p.tok
+      |  LEFT JOIN bi b ON b.prev = p.prev AND b.tok = p.tok
+      |  LEFT JOIN ctx cx ON cx.prev = p.prev
+      |  LEFT JOIN cont co ON co.tok = p.tok
+      |  CROSS JOIN tot t CROSS JOIN n1t n),
+      |kn AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(floor(CAST(-sum(lp_e6) AS DOUBLE) / count(*) / 100.0) AS BIGINT) AS nll_e4
+      |  FROM scored GROUP BY doc_id)""".stripMargin
 }

@@ -302,8 +302,8 @@ private[graft] object VectorIndexQueries {
     // decision input: 2 longs on the driver (bounded by design)
     val dr = live.join(pre, Seq("vec_id"), "left")
       .agg(count(lit(1)).as("n"),
-        sum(when(col("pre_c").isNull || col("pre_c") =!= col("live_c"), 1L)
-          .otherwise(0L)).as("chg"))
+        coalesce(sum(when(col("pre_c").isNull || col("pre_c") =!= col("live_c"), 1L)
+          .otherwise(0L)), lit(0L)).as("chg")) // empty table: sum is NULL, drift 0
       .head()
     val driftBp = dr.getLong(1) * 10000L / math.max(dr.getLong(0), 1L)
     val retrained = driftBp >= thresholdBp

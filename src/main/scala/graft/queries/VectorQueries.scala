@@ -351,6 +351,33 @@ private[graft] object VectorQueries {
       .orderBy("vec_id")
   }
 
+  /** EMBEDDING NORM CENSUS (r13) — the vector-quality gate a pipeline
+    * runs BEFORE indexing or cosine math trusts the embeddings:
+    * degenerate norms (near-zero vectors from empty inputs, inflated
+    * norms from a mis-scaled encoder batch) poison cosine similarity
+    * silently. Per source: count, L2-norm mass/extremes in e6 fixed
+    * point, and outlier counts against the GLOBAL mean norm (low =
+    * below 80%, high = above 120% — the flag comparison is exact
+    * integer cross-multiplication, no division). One scan + a 1-row
+    * broadcast + one per-source aggregate; at 100 TB the norm fold is
+    * map-side codegen and the only shuffle is the final groupBy. */
+  private val simNormCensus: Q = (s, d) => {
+    val norms = Tables.embeddings(s, d)
+      .join(Tables.documents(s, d).selectExpr("doc_id AS vec_id", "source"), Seq("vec_id"))
+      .selectExpr("source",
+        s"CAST(floor(sqrt($sumSqExpr) * 1000000) AS BIGINT) AS norm_e6")
+    val glob = norms.agg(expr("sum(norm_e6) DIV count(1)").as("mean_e6"))
+    norms.crossJoin(broadcast(glob))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("norm_e6").as("norm_sum_e6"),
+        min("norm_e6").as("norm_min_e6"),
+        max("norm_e6").as("norm_max_e6"),
+        sum(when(col("norm_e6") * 100 < col("mean_e6") * 80, 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("norm_e6") * 100 > col("mean_e6") * 120, 1L).otherwise(0L)).as("n_high"))
+      .orderBy("source")
+  }
+
   private[queries] def duckLshBits(emb: String) = (0 until 8).map { b =>
     s"(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(generate_series(0, 63), i -> CAST($emb[i + 1] AS DOUBLE) * " +
@@ -369,6 +396,7 @@ private[graft] object VectorQueries {
     "sim_ivfpq_rerank" -> simIvfPqRerank,
     "sim_recall_at_k" -> simRecallAtK,
     "sim_quantize_i8" -> simQuantizeI8,
+    "sim_norm_census" -> simNormCensus,
     "sim_pq_codes" -> simPqCodes,
     "sim_pq_adc_topk" -> simPqAdcTopk,
   )
@@ -653,6 +681,24 @@ private[graft] object VectorQueries {
          |FROM methods m LEFT JOIN gt g ON m.vec_id = g.vec_id
          |GROUP BY m.method ORDER BY m.method""".stripMargin
     },
+    "sim_norm_census" ->
+      s"""WITH norms AS (
+         |  SELECT dd.source,
+         |    CAST(floor(sqrt(${duckSumSqOf("e.embedding")}) * 1000000) AS BIGINT)
+         |      AS norm_e6
+         |  FROM embeddings e JOIN documents dd ON dd.doc_id = e.vec_id),
+         |gstats AS (
+         |  SELECT CAST(sum(norm_e6) // count(*) AS BIGINT) AS mean_e6 FROM norms)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(norm_e6) AS BIGINT) AS norm_sum_e6,
+         |  CAST(min(norm_e6) AS BIGINT) AS norm_min_e6,
+         |  CAST(max(norm_e6) AS BIGINT) AS norm_max_e6,
+         |  CAST(sum(CASE WHEN norm_e6 * 100 < mean_e6 * 80 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_low,
+         |  CAST(sum(CASE WHEN norm_e6 * 100 > mean_e6 * 120 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_high
+         |FROM norms, gstats GROUP BY source ORDER BY source""".stripMargin,
     "sim_quantize_i8" -> {
       val q = "CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS BIGINT)"
       val e = s"(CAST(x AS DOUBLE) - $q * mx / 127.0)"
