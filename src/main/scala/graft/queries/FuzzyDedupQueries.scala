@@ -93,6 +93,7 @@ private[queries] object FuzzyDedupQueries {
       .withColumn("sels", expr(winnowSelsExpr(W)))
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sels, p -> element_at(hashes, p)))")).as("h"))
+      .localCheckpoint() // winnow once, not once per self-join side
     fps.as("l").join(fps.as("r"), col("l.h") === col("r.h"))
       .filter(col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("d0"), col("r.doc_id").as("d1"))
@@ -153,6 +154,11 @@ private[queries] object FuzzyDedupQueries {
       .withColumn("sels", expr(winnowSelsExpr(W)))
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sels, p -> element_at(hashes, p)))")).as("h"))
+      // the per-row winnowing HOFs are the expensive part and this frame
+      // feeds THREE consumers (census + both join sides) — materialize
+      // once instead of re-winnowing per subtree (same localCheckpoint
+      // pattern as the k-means trainer's quantized frame)
+      .localCheckpoint()
     val dfCensus = fps.groupBy("h").agg(count(lit(1)).as("df"))
     val nCapped = dfCensus.filter(col("df") > WinnowDfCap)
       .agg(count(lit(1)).as("n_capped_prints"))
@@ -247,7 +253,10 @@ private[queries] object FuzzyDedupQueries {
     val shingled = corpus.selectExpr("doc_id",
       "graft_shingle_set(graft_word_fps(tokens)) AS shset")
     val sizes = shingled.select(col("doc_id"), size(col("shset")).cast("long").as("nsh"))
+    // shingling feeds four consumers (census + both join sides + sizes
+    // via shingled) — materialize the exploded frame once
     val sh = shingled.select(col("doc_id"), explode(col("shset")).as("sh"))
+      .localCheckpoint()
     val census = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val nCapped = census.filter(col("df") > ContainDfCap)
       .agg(count(lit(1)).as("n_capped_shingles"))
