@@ -143,6 +143,16 @@ object ScaleBench {
             s"slice(embedding, 1, $i))"))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      // events for the CDC-tier deep queries (k12 partition overwrite):
+      // id/user offsets keep copies disjoint, the raw ts column is
+      // copied untouched so Tables.events' type normalization still
+      // sees the original physical type
+      val evs = spark.read.parquet(s"$base/events.parquet")
+      (0 until f).map { i =>
+        evs.withColumn("event_id", col("event_id") + lit(i * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(i * 1000000L))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
       f -> dir
     }.toMap
 
