@@ -151,10 +151,41 @@ private[queries] object LmQueries {
       .orderBy("source", "bucket")
   }
 
+  /** ZIPF / HEAPS corpus-naturalness census — the sanity gate before
+    * any frequency-derived model (LM counts, BPE merges, OOV cutoffs)
+    * is trusted: natural language has freq(rank)·rank ≈ const (Zipf);
+    * machine-generated or template-spam corpora visibly violate it.
+    * Output: the top-64 vocabulary with rank, count, and the Zipf
+    * ratio cnt·rank/cnt₁ in e4 fixed point (exact integer division),
+    * plus the global type/token counts (the Heaps-law pair). Rank is
+    * computed as 1 + |strictly better| via a broadcast self-join over
+    * the 64-row head — the RRF-rank pattern, no global window; the
+    * top-64 itself is a distributed heap top-k, and the vocab count
+    * is one partial/final aggregate. */
+  private val textZipfCensus: Q = (s, d) => {
+    val vocab = Tables.documents(s, d)
+      .selectExpr("explode(split(text, ' ')) AS tok")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val totals = vocab.agg(count(lit(1)).as("n_types"), sum("cnt").as("n_tokens"))
+    val top = vocab.orderBy(col("cnt").desc, col("tok").asc).limit(64)
+    val rhs = top.select(col("cnt").as("b_cnt"), col("tok").as("b_tok"))
+    val ranked = top.join(broadcast(rhs),
+        col("b_cnt") > col("cnt") ||
+          (col("b_cnt") === col("cnt") && col("b_tok") < col("tok")), "left")
+      .groupBy("tok", "cnt").agg((count(col("b_tok")) + lit(1L)).as("rank"))
+    val head = ranked.filter(col("rank") === 1).select(col("cnt").as("top_cnt"))
+    ranked.crossJoin(broadcast(head)).crossJoin(broadcast(totals))
+      .selectExpr("rank", "tok", "cnt",
+        "(cnt * rank * 10000) DIV top_cnt AS zipf_ratio_e4",
+        "n_types", "n_tokens")
+      .orderBy("rank")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "text_trigram_logprob" -> textTrigramLogprob,
     "text_kn_logprob" -> textKnLogprob,
     "text_ppl_buckets" -> textPplBuckets,
+    "text_zipf_census" -> textZipfCensus,
   )
 
   val oracles: Map[String, String] = Map(
@@ -198,6 +229,25 @@ private[queries] object LmQueries {
         |SELECT doc_id, n_tokens,
         |  CAST(floor(CAST(-sum_lp_e6 AS DOUBLE) / n_tokens / 100.0) AS BIGINT) AS nll_e4
         |FROM per_doc ORDER BY doc_id""".stripMargin,
+    "text_zipf_census" ->
+      // row_number over the unique (cnt desc, tok) total order equals
+      // the engine's 1 + |strictly better| broadcast-join rank
+      """WITH vocab AS (
+        |  SELECT u.tok, count(*) AS cnt FROM documents,
+        |    UNNEST(string_split(text, ' ')) u(tok) GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(cnt) AS BIGINT) AS n_tokens FROM vocab),
+        |top AS (SELECT tok, cnt FROM vocab ORDER BY cnt DESC, tok ASC LIMIT 64),
+        |ranked AS (
+        |  SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT) AS rank
+        |  FROM top),
+        |hd AS (SELECT cnt AS top_cnt FROM ranked WHERE rank = 1)
+        |SELECT rank, tok, cnt,
+        |  CAST((cnt * rank * 10000) // top_cnt AS BIGINT) AS zipf_ratio_e4,
+        |  n_types, n_tokens
+        |FROM ranked, hd, tot ORDER BY rank""".stripMargin,
     "text_kn_logprob" ->
       // the KN rational is assembled in BIGINT on both sides; the only
       // double op before ln is the single final division

@@ -343,12 +343,79 @@ private[graft] object VectorIndexQueries {
       .withColumn("retrained", lit(if (retrained) 1L else 0L))
   }
 
+  /** PQ SUB-CODEBOOK training (r13) — the "same loop trains PQ
+    * sub-codebooks" promise of [[simKmeansTrain]] made real (FAISS
+    * ProductQuantizer::train): the 64-dim space splits into m=4
+    * 16-dim subspaces, and each subspace's k=4 codebook runs one
+    * Lloyd step from the deterministic PQ grid `sim_pq_codes` uses
+    * (so training REFINES the shipped codebook). The subspace id is
+    * part of the RELATIONAL KEY — one chain trains all four codebooks
+    * simultaneously: assignment argmin windows partition by
+    * (m, vec_id), centroid updates group by (m, cid, pos) — rather
+    * than four driver-sequenced loops. Same e6 integer space as the
+    * coarse trainer, so DuckDB replays identical iterations. Driver
+    * state: 16 centroids × 16 ints per round.
+    *
+    * Scale: per iteration one broadcast of the 16-row codebook dim,
+    * one map-side distance scan of the m-exploded corpus (4 rows per
+    * vector), an argmin window keyed (m, vec_id), and a 256-group
+    * partial aggregate — nothing scans more than 4× the embedding
+    * column, and the explode is projection-only (16 of 64 dims per
+    * row). */
+  private val simPqTrain: Q = (s, d) => {
+    import s.implicits._
+    val SubK = 4; val SubDim = 16; val Iters = 1
+    val eq = Tables.embeddings(s, d)
+      .selectExpr("vec_id", "embedding", "explode(array(0, 1, 2, 3)) AS m")
+      .selectExpr("m", "vec_id",
+        s"transform(slice(embedding, m * $SubDim + 1, $SubDim), " +
+          "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS eq")
+      .localCheckpoint()
+    def grid(m: Int, k: Int): Seq[Long] =
+      Seq.tabulate(SubDim)(i => (((m * 131 + k * 31 + i * 17) % 19) - 9) * 100000L)
+    def assign(cents: Seq[(Int, Int, Seq[Long])]): DataFrame = {
+      val cdf = cents.toDF("m", "cid", "cvec")
+      val dists = eq.join(broadcast(cdf), Seq("m"))
+        .selectExpr("m", "vec_id", "cid",
+          "aggregate(zip_with(eq, cvec, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x) AS dist")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("m", "vec_id").orderBy(col("dist"), col("cid"))
+      dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("m", "vec_id", "cid", "dist")
+    }
+    var cents: Seq[(Int, Int, Seq[Long])] =
+      for (m <- 0 until 4; k <- 0 until SubK) yield (m, k, grid(m, k))
+    for (_ <- 1 to Iters) {
+      val comps = assign(cents).join(eq, Seq("m", "vec_id"))
+        .select(col("m"), col("cid"), posexplode(col("eq")).as(Seq("pos", "v")))
+        .groupBy("m", "cid", "pos")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .select(col("m"), col("cid"), col("pos"),
+          floor(col("sv").cast("double") / col("n")).cast("long").as("comp"))
+        .collect()
+      val updated = comps.groupBy(r => (r.getInt(0), r.getInt(1))).map { case (key, rows) =>
+        key -> rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq
+      }
+      cents = cents.map { case (m, k, prev) => (m, k, updated.getOrElse((m, k), prev)) }
+    }
+    val stats = assign(cents).groupBy("m", "cid")
+      .agg(count(lit(1)).as("n_members"), sum("dist").as("inertia"))
+    val fps = cents.map { case (m, k, v) => (m, k, v.sum) }.toDF("m", "cid", "cb_fp")
+    fps.join(broadcast(stats), Seq("m", "cid"), "left")
+      .select(col("m").cast("long").as("m"), col("cid").cast("long").as("cid"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("inertia"), lit(0L)).as("inertia"),
+        col("cb_fp"))
+      .orderBy("m", "cid")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "sim_index_maintain" -> simIndexMaintain,
     "sim_index_compact" -> simIndexCompact,
     "sim_index_drift" -> simIndexDrift,
     "sim_index_retrain" -> simIndexRetrain,
     "sim_kmeans_train" -> simKmeansTrain,
+    "sim_pq_train" -> simPqTrain,
   )
 
   /** IVF assignment cost list over 64-dim vectors of relation column
@@ -488,9 +555,68 @@ private[graft] object VectorIndexQueries {
        |  CAST(1 AS BIGINT) AS retrained
        |FROM probed ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20""".stripMargin
 
+  /** Subspace-keyed PQ training replay: one iteration unrolled with
+    * (m, cid) composite keys over the 16-dim slices. */
+  private def duckPqTrain: String = {
+    val dist = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(generate_series(1, 16), " +
+      "i -> (e.eq[i] - c.cvec[i]) * (e.eq[i] - c.cvec[i]))), (a, x) -> a + x)"
+    def assignCte(n: Int): String =
+      s"""pa$n AS (
+         |  SELECT m, vec_id, cid, dist FROM (
+         |    SELECT m, vec_id, cid, dist,
+         |      row_number() OVER (PARTITION BY m, vec_id ORDER BY dist, cid) AS rn
+         |    FROM (SELECT e.m, e.vec_id, c.cid, $dist AS dist
+         |          FROM peq e JOIN pcent$n c USING (m)) pd$n) pr$n
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH peq AS (
+       |  SELECT mm.m, vec_id,
+       |    list_transform(embedding[mm.m * 16 + 1 : mm.m * 16 + 16],
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS eq
+       |  FROM embeddings, (SELECT unnest([0, 1, 2, 3]) AS m) mm),
+       |pcent0 AS (
+       |  SELECT mj.m, kj.k AS cid, list_transform(generate_series(0, 15),
+       |    i -> CAST((((mj.m * 131 + kj.k * 31 + i * 17) % 19) - 9) * 100000
+       |      AS BIGINT)) AS cvec
+       |  FROM (SELECT unnest([0, 1, 2, 3]) AS m) mj,
+       |       (SELECT unnest([0, 1, 2, 3]) AS k) kj),
+       |${assignCte(0)},
+       |ps0 AS (
+       |  SELECT a.m, a.cid, ii.i AS pos, CAST(sum(e.eq[ii.i]) AS BIGINT) AS sv,
+       |    count(*) AS n
+       |  FROM pa0 a JOIN peq e USING (m, vec_id),
+       |       UNNEST(generate_series(1, 16)) ii(i)
+       |  GROUP BY 1, 2, 3),
+       |pu0 AS (
+       |  SELECT m, cid, list(comp ORDER BY pos) AS cvec
+       |  FROM (SELECT m, cid, pos,
+       |          CAST(floor(CAST(sv AS DOUBLE) / n) AS BIGINT) AS comp
+       |        FROM ps0) pq0
+       |  GROUP BY m, cid),
+       |pcent1 AS (
+       |  SELECT c.m, c.cid, coalesce(u.cvec, c.cvec) AS cvec
+       |  FROM pcent0 c LEFT JOIN pu0 u USING (m, cid)),
+       |${assignCte(1)},
+       |pstats AS (
+       |  SELECT m, cid, CAST(count(*) AS BIGINT) AS n_members,
+       |    CAST(sum(dist) AS BIGINT) AS inertia
+       |  FROM pa1 GROUP BY m, cid),
+       |pfp AS (
+       |  SELECT m, cid, CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), cvec),
+       |    (a, x) -> a + x) AS BIGINT) AS cb_fp
+       |  FROM pcent1)
+       |SELECT CAST(f.m AS BIGINT) AS m, CAST(f.cid AS BIGINT) AS cid,
+       |  coalesce(s.n_members, 0) AS n_members,
+       |  coalesce(s.inertia, 0) AS inertia,
+       |  f.cb_fp
+       |FROM pfp f LEFT JOIN pstats s USING (m, cid)
+       |ORDER BY m, cid""".stripMargin
+  }
+
   private lazy val oracles0: Map[String, String] = Map(
     "sim_kmeans_train" -> duckKmeans,
     "sim_index_retrain" -> duckRetrain,
+    "sim_pq_train" -> duckPqTrain,
     "sim_index_maintain" ->
       // from-scratch build over the merged corpus = what incremental
       // maintenance must be hash-identical to; probe + cosine folds

@@ -182,6 +182,38 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("e2e_curation_funnel_v2: rate dim broadcasts, near-dup candidate join is an equi-join") {
+    val p = plan("e2e_curation_funnel_v2")
+    assert(collect(p) { case c: CartesianProductExec => c }.isEmpty,
+      "funnel v2 plans a cartesian")
+    // exactly ONE nested loop: the 1-row srt-total broadcast cross join
+    // (the sanctioned stats pattern); the band candidate join itself
+    // must stay an equi-join
+    val bnl = collect(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bnl.size == 1,
+      s"expected only the 1-row total cross join to nest, got ${bnl.size}")
+    // the per-source rate dim rides a broadcast join, not a shuffle
+    assert(collect(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "rate_bp dim did not broadcast")
+  }
+
+  test("search_rag_mmr: only the bounded shortlist self-join nests; corpus side never does") {
+    val p = plan("search_rag_mmr")
+    assert(collect(p) { case c: CartesianProductExec => c }.isEmpty)
+    // five bounded nested loops, none corpus×corpus: the 1-row
+    // BM25-stats broadcast under each of the two shortlist subtrees,
+    // the <= 20-row shortlist pairwise-sim inequality join, and the two
+    // 1-row collected rel/sims frames meeting for the MMR fold. Every
+    // build side is a broadcast (no CartesianProduct anywhere), and
+    // nothing corpus-sized sits on BOTH sides of any of them.
+    val bnl = collect(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bnl.size <= 5, s"unexpected extra nested loops: ${bnl.size}")
+  }
+
   test("dedup_ngram_jaccard: shingle self-join is an equi-join, no nested loop") {
     val p = plan("dedup_ngram_jaccard")
     // equi-join on the hashed shingle — SMJ or shuffled-hash acceptable
