@@ -115,7 +115,16 @@ object ScaleBench {
     "dedup_winnow_capped", "dedup_symspell_capped", "e2e_curation_funnel_v2",
     // r13: the full drift->retrain->rebuild lifecycle (kmeans pass +
     // one partitioned rewrite — the expensive branch, priced honestly)
-    "sim_index_retrain")
+    "sim_index_retrain",
+    // r13 batch 2: containment inverted join (df-capped shingle key),
+    // subspace-keyed PQ training, the 1/2/3-gram+KN LM family's new
+    // rungs (n-gram count aggs + equi-joins), perplexity bucketing
+    // (per-source window), MMR (corpus side is one broadcast-stats
+    // scan; the walk is O(1)), norm census, GIF decode (mapPartitions
+    // CPU), and the Zipf head (heap top-k + broadcast rank)
+    "dedup_containment", "sim_pq_train", "text_trigram_logprob",
+    "text_kn_logprob", "text_ppl_buckets", "search_rag_mmr",
+    "sim_norm_census", "mm_pixel_stats_gif", "text_zipf_census")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
