@@ -168,13 +168,128 @@ private[graft] object CorpusHygieneQueries {
       .orderBy("source")
   }
 
+  /** N-GRAM ENTROPY census (r13) — the corpus-DIVERSITY metric the
+    * dedup family cannot see: a corpus can be pairwise-unique yet
+    * collapsed onto a few templates (the failure mode of synthetic /
+    * model-generated data), and trigram Shannon entropy measures
+    * exactly that. Exact-integer evaluation: H = ln T − (Σ c·ln c)/T,
+    * each ln collapsing to an e6 INTEGER per trigram type BEFORE the
+    * cross-row sum (the LM-family discipline), so the per-source
+    * entropy is an exact integer both engines share. Shape: one
+    * (source, trigram)-keyed count aggregate (partial/final — the hot
+    * keys are per-source, no global state), one per-source rollup. */
+  private val textNgramEntropy: Q = (s, d) => {
+    val tri = Tables.documents(s, d)
+      .selectExpr("source", "split(text, ' ') AS t")
+      .filter(size(col("t")) >= 3)
+      .selectExpr("source",
+        "explode(transform(sequence(1, size(t) - 2), i -> concat_ws(' ', slice(t, i, 3)))) AS g")
+      .groupBy("source", "g").agg(count(lit(1)).as("c"))
+    tri.groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        sum("c").as("n_grams"),
+        sum(expr("c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)")).as("hb"))
+      .selectExpr("source", "n_types", "n_grams",
+        "CAST(floor(ln(CAST(n_grams AS DOUBLE)) * 1000000) AS BIGINT) " +
+          "- hb DIV n_grams AS entropy_e6")
+      .orderBy("source")
+  }
+
+  /** LENGTH-DISTRIBUTION DRIFT (r13) — the data-drift monitor between
+    * two corpus versions (here the deterministic even/odd doc_id
+    * halves standing in for yesterday/today): symmetric KL divergence
+    * over add-one-smoothed word-count histograms (21 buckets of 10,
+    * capped). Drift detection is the gate that decides whether a
+    * trained filter/mixture still applies to a new snapshot. Exact
+    * integers: per bucket t = c_p·(ln c_p + ln T_q − ln c_q − ln T_p)
+    * with every ln e6-floored per value, KL_e6 = Σt / T_p — both
+    * engines sum identical integers. Shape: one bucket aggregate per
+    * half over the 21-row broadcast domain, a 1-row totals broadcast,
+    * one final fold. */
+  private val textDistDrift: Q = (s, d) => {
+    val buck = Tables.documents(s, d)
+      .selectExpr("doc_id % 2 = 0 AS even",
+        "CAST(least(size(split(text, ' ')) DIV 10, 20) AS INT) AS bucket")
+    val dom = s.range(21).select(col("id").cast("int").as("bucket"))
+    def side(even: Boolean, name: String): DataFrame = dom
+      .join(buck.filter(col("even") === even).groupBy("bucket")
+        .agg(count(lit(1)).as("raw")), Seq("bucket"), "left")
+      .select(col("bucket"), (coalesce(col("raw"), lit(0L)) + 1L).as(name))
+    val joined = side(even = true, "cp").join(side(even = false, "cq"), "bucket")
+    val totals = joined.agg(sum("cp").as("tp"), sum("cq").as("tq"))
+    joined.crossJoin(broadcast(totals))
+      .selectExpr("cp", "cq", "tp", "tq",
+        "cp * (CAST(floor(ln(CAST(cp AS DOUBLE)) * 1000000) AS BIGINT) " +
+          "+ CAST(floor(ln(CAST(tq AS DOUBLE)) * 1000000) AS BIGINT) " +
+          "- CAST(floor(ln(CAST(cq AS DOUBLE)) * 1000000) AS BIGINT) " +
+          "- CAST(floor(ln(CAST(tp AS DOUBLE)) * 1000000) AS BIGINT)) AS tpq",
+        "cq * (CAST(floor(ln(CAST(cq AS DOUBLE)) * 1000000) AS BIGINT) " +
+          "+ CAST(floor(ln(CAST(tp AS DOUBLE)) * 1000000) AS BIGINT) " +
+          "- CAST(floor(ln(CAST(cp AS DOUBLE)) * 1000000) AS BIGINT) " +
+          "- CAST(floor(ln(CAST(tq AS DOUBLE)) * 1000000) AS BIGINT)) AS tqp")
+      .agg(max("tp").as("n_even_sm"), max("tq").as("n_odd_sm"),
+        sum("tpq").as("spq"), sum("tqp").as("sqp"))
+      // KL >= 0 mathematically; the per-value e6 floors can leave a tiny
+      // negative residue, clamped BEFORE the division (Spark DIV
+      // truncates, DuckDB // floors — they differ only below zero)
+      .selectExpr("n_even_sm - 21 AS n_even", "n_odd_sm - 21 AS n_odd",
+        "greatest(spq, 0L) DIV n_even_sm AS kl_pq_e6",
+        "greatest(sqp, 0L) DIV n_odd_sm AS kl_qp_e6")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "e2e_corpus_card" -> e2eCorpusCard,
     "text_boilerplate" -> textBoilerplate,
     "corpus_jaccard_sketch" -> corpusJaccardSketch,
+    "text_ngram_entropy" -> textNgramEntropy,
+    "text_dist_drift" -> textDistDrift,
   )
 
   val oracles: Map[String, String] = Map(
+    "text_ngram_entropy" ->
+      """WITH tri AS (
+        |  SELECT source, g, count(*) AS c FROM (
+        |    SELECT source, array_to_string(t[u.i:u.i + 2], ' ') AS g
+        |    FROM (SELECT source, string_split(text, ' ') AS t FROM documents) x,
+        |      UNNEST(generate_series(1, len(t) - 2)) u(i)
+        |    WHERE len(t) >= 3) y
+        |  GROUP BY source, g)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(c) AS BIGINT) AS n_grams,
+        |  CAST(floor(ln(CAST(sum(c) AS DOUBLE)) * 1000000) AS BIGINT)
+        |    - CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+        |      AS BIGINT) // CAST(sum(c) AS BIGINT) AS entropy_e6
+        |FROM tri GROUP BY source ORDER BY source""".stripMargin,
+    "text_dist_drift" -> {
+      def l(x: String) = s"CAST(floor(ln(CAST($x AS DOUBLE)) * 1000000) AS BIGINT)"
+      s"""WITH buck AS (
+         |  SELECT doc_id % 2 = 0 AS even,
+         |    CAST(least(len(string_split(text, ' ')) // 10, 20) AS INT) AS bucket
+         |  FROM documents),
+         |dom AS (SELECT CAST(b AS INT) AS bucket FROM generate_series(0, 20) t(b)),
+         |p AS (
+         |  SELECT dom.bucket, CAST(coalesce(r.raw, 0) + 1 AS BIGINT) AS cp
+         |  FROM dom LEFT JOIN (SELECT bucket, count(*) AS raw FROM buck
+         |    WHERE even GROUP BY 1) r USING (bucket)),
+         |q AS (
+         |  SELECT dom.bucket, CAST(coalesce(r.raw, 0) + 1 AS BIGINT) AS cq
+         |  FROM dom LEFT JOIN (SELECT bucket, count(*) AS raw FROM buck
+         |    WHERE NOT even GROUP BY 1) r USING (bucket)),
+         |j AS (SELECT p.bucket, cp, cq FROM p JOIN q USING (bucket)),
+         |tot AS (
+         |  SELECT CAST(sum(cp) AS BIGINT) AS tp, CAST(sum(cq) AS BIGINT) AS tq
+         |  FROM j),
+         |terms AS (
+         |  SELECT cp, cq, tp, tq,
+         |    cp * (${l("cp")} + ${l("tq")} - ${l("cq")} - ${l("tp")}) AS tpq,
+         |    cq * (${l("cq")} + ${l("tp")} - ${l("cp")} - ${l("tq")}) AS tqp
+         |  FROM j, tot)
+         |SELECT CAST(max(tp) - 21 AS BIGINT) AS n_even,
+         |  CAST(max(tq) - 21 AS BIGINT) AS n_odd,
+         |  CAST(greatest(sum(tpq), 0) // max(tp) AS BIGINT) AS kl_pq_e6,
+         |  CAST(greatest(sum(tqp), 0) // max(tq) AS BIGINT) AS kl_qp_e6
+         |FROM terms""".stripMargin
+    },
     "e2e_corpus_card" ->
       """WITH base AS (
         |  SELECT doc_id, source, lang,

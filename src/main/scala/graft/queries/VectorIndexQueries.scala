@@ -409,6 +409,42 @@ private[graft] object VectorIndexQueries {
       .orderBy("m", "cid")
   }
 
+  /** TOPIC CENSUS (r13) — the corpus-exploration composition a curator
+    * runs before planning mixtures: k-means clusters over the
+    * embeddings (the SAME integer-exact Lloyd train as
+    * `sim_kmeans_train`, so the oracle replays it), each cluster
+    * joined back to its documents and labeled with its most frequent
+    * non-stopword token. The output is the "what is in this corpus"
+    * table: cluster sizes + dominant term. Shape: the trainer's
+    * broadcast-scan rounds, one doc join keyed vec_id, one
+    * (cluster, token) count aggregate, a cluster-keyed top-1 window —
+    * nothing global. */
+  private val e2eTopicCensus: Q = (s, d) => {
+    val eq = Tables.embeddings(s, d)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS eq")
+      .localCheckpoint()
+    val cents = lloydTrain(s, eq, KmeansK, KmeansIters)
+    val assign = assignTo(s, eq, cents).select("vec_id", "centroid_id")
+    val stop = PipelineShared.Stopwords
+    val counts = Tables.documents(s, d)
+      .selectExpr("doc_id AS vec_id", "split(text, ' ') AS t")
+      .join(assign, "vec_id")
+      .selectExpr("centroid_id", "explode(t) AS tok")
+      .filter(!col("tok").isin(stop: _*))
+      .groupBy("centroid_id", "tok").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("centroid_id").orderBy(col("cnt").desc, col("tok").asc)
+    val kw = counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("centroid_id"), col("tok").as("top_token"),
+        col("cnt").as("top_token_cnt"))
+    assign.groupBy("centroid_id").agg(count(lit(1)).as("n_docs"))
+      .join(kw, Seq("centroid_id"), "left")
+      .select(col("centroid_id").cast("long").as("centroid_id"), col("n_docs"),
+        col("top_token"), coalesce(col("top_token_cnt"), lit(0L)).as("top_token_cnt"))
+      .orderBy("centroid_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "sim_index_maintain" -> simIndexMaintain,
     "sim_index_compact" -> simIndexCompact,
@@ -416,6 +452,7 @@ private[graft] object VectorIndexQueries {
     "sim_index_retrain" -> simIndexRetrain,
     "sim_kmeans_train" -> simKmeansTrain,
     "sim_pq_train" -> simPqTrain,
+    "e2e_topic_census" -> e2eTopicCensus,
   )
 
   /** IVF assignment cost list over 64-dim vectors of relation column
@@ -613,10 +650,36 @@ private[graft] object VectorIndexQueries {
        |ORDER BY m, cid""".stripMargin
   }
 
+  /** Topic census replay: the kmeans chain's final assignment joined to
+    * documents, stopword-filtered token counts, top-1 per cluster. */
+  private def duckTopicCensus: String = {
+    val stopList = PipelineShared.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH ${duckKmeansChain("embeddings", KmeansK)},
+       |toks AS (
+       |  SELECT a.cid, u.tok
+       |  FROM a$KmeansIters a JOIN documents dd ON dd.doc_id = a.vec_id,
+       |    UNNEST(string_split(dd.text, ' ')) u(tok)
+       |  WHERE u.tok NOT IN ($stopList)),
+       |counts AS (SELECT cid, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+       |kw AS (
+       |  SELECT cid, tok AS top_token, cnt AS top_token_cnt FROM (
+       |    SELECT cid, tok, cnt,
+       |      row_number() OVER (PARTITION BY cid ORDER BY cnt DESC, tok ASC) AS rn
+       |    FROM counts) r WHERE rn = 1),
+       |sizes AS (
+       |  SELECT cid, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM a$KmeansIters GROUP BY cid)
+       |SELECT CAST(s.cid AS BIGINT) AS centroid_id, s.n_docs,
+       |  k.top_token, CAST(coalesce(k.top_token_cnt, 0) AS BIGINT) AS top_token_cnt
+       |FROM sizes s LEFT JOIN kw k USING (cid)
+       |ORDER BY centroid_id""".stripMargin
+  }
+
   private lazy val oracles0: Map[String, String] = Map(
     "sim_kmeans_train" -> duckKmeans,
     "sim_index_retrain" -> duckRetrain,
     "sim_pq_train" -> duckPqTrain,
+    "e2e_topic_census" -> duckTopicCensus,
     "sim_index_maintain" ->
       // from-scratch build over the merged corpus = what incremental
       // maintenance must be hash-identical to; probe + cosine folds
