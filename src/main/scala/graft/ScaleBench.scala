@@ -124,7 +124,12 @@ object ScaleBench {
     // CPU), and the Zipf head (heap top-k + broadcast rank)
     "dedup_containment", "sim_pq_train", "text_trigram_logprob",
     "text_kn_logprob", "text_ppl_buckets", "search_rag_mmr",
-    "sim_norm_census", "mm_pixel_stats_gif", "text_zipf_census")
+    "sim_norm_census", "mm_pixel_stats_gif", "text_zipf_census",
+    // r13 batch 3: asymmetric batch⋈index containment (the daily-crawl
+    // shape), trigram entropy (one n-gram agg), histogram KL (constant
+    // state), and the kmeans+keyword topic census
+    "dedup_containment_incr", "text_ngram_entropy", "text_dist_drift",
+    "e2e_topic_census")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -277,15 +277,115 @@ private[queries] object FuzzyDedupQueries {
       .crossJoin(broadcast(nCapped))
   }
 
+  /** INCREMENTAL containment — the daily-batch shape of
+    * [[dedupContainment]] (the asymmetric sibling of
+    * `dedup_incremental`): a new crawl batch is checked against the
+    * ESTABLISHED corpus's shingle inverted index — batch never pairs
+    * with itself, corpus never re-pairs with itself, so a day's cost
+    * is O(batch shingles ⋈ matching index entries). The index side is
+    * df-capped (boilerplate shingles dropped, same cap as the batch
+    * variant); the coverage decision is containment of the BATCH doc
+    * in a corpus doc ≥ 0.8 — "this new document is already
+    * substantially inside the corpus, don't ingest it". Fixture: the
+    * held-out %10 docs plus interior 10-token excerpts of corpus docs
+    * (+600000) that must be flagged covered. Every number is pure
+    * integer arithmetic — (shared·10000) DIV |batch shingles| — no
+    * doubles anywhere. At 100 TB the corpus side is the persisted
+    * signature table the band-index sinks maintain. */
+  private val dedupContainmentIncr: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .selectExpr("doc_id", "split(text, ' ') AS tokens")
+    val corpus = base.filter(col("doc_id") % 10 =!= 0)
+    val batch = base.filter(col("doc_id") % 10 === 0)
+      .unionByName(corpus
+        .filter(col("doc_id") % 14 === 0 && size(col("tokens")) >= 11)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          expr("slice(tokens, 2, 10)").as("tokens")))
+    def shingles(df: DataFrame): DataFrame = df
+      .filter(size(col("tokens")) >= 3)
+      .selectExpr("doc_id", "graft_shingle_set(graft_word_fps(tokens)) AS shset")
+    val cs = shingles(corpus)
+    val bs = shingles(batch)
+    val csh = cs.select(col("doc_id").as("cid"), explode(col("shset")).as("sh"))
+    val census = csh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val nCapped = census.filter(col("df") > ContainDfCap)
+      .agg(count(lit(1)).as("n_capped_shingles"))
+    val cold = csh.join(census.filter(col("df") <= ContainDfCap).select("sh"), Seq("sh"))
+    val bsh = bs.select(col("doc_id").as("bid"), explode(col("shset")).as("sh"))
+    val nBatch = bs.agg(count(lit(1)).as("n_batch"))
+    val pairs = bsh.join(cold, Seq("sh"))
+      .groupBy("bid", "cid").agg(count(lit(1)).as("shared"))
+      .join(bs.select(col("doc_id").as("bid"),
+        size(col("shset")).cast("long").as("nb")), "bid")
+      .selectExpr("bid", "cid", "(shared * 10000) DIV nb AS cont_e4")
+      .filter(col("cont_e4") >= 8000)
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("bid")).as("n_covered"),
+        coalesce(sum(when(col("bid") === col("cid") + 600000, 1L).otherwise(0L)), lit(0L))
+          .as("n_true"))
+      .crossJoin(broadcast(nBatch))
+      .crossJoin(broadcast(nCapped))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "dedup_symspell_join" -> dedupSymspellJoin,
     "dedup_symspell_capped" -> dedupSymspellCapped,
     "dedup_winnow_pairs" -> dedupWinnowPairs,
     "dedup_winnow_capped" -> dedupWinnowCapped,
     "dedup_containment" -> dedupContainment,
+    "dedup_containment_incr" -> dedupContainmentIncr,
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_containment_incr" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+         |corpus AS (SELECT doc_id, tokens FROM base WHERE doc_id % 10 <> 0),
+         |batch AS (
+         |  SELECT doc_id, tokens FROM base WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 600000 AS doc_id, tokens[2:11] AS tokens
+         |  FROM corpus WHERE doc_id % 14 = 0 AND len(tokens) >= 11),
+         |cwf AS (
+         |  SELECT doc_id, list_transform(tokens, w -> ${duckFp("w")}) AS wfps
+         |  FROM corpus WHERE len(tokens) >= 3),
+         |cshg AS (
+         |  SELECT doc_id AS cid, list_distinct(list_transform(
+         |    generate_series(1, len(wfps) - 2),
+         |    i -> (wfps[i] * 961 + wfps[i + 1] * 31 + wfps[i + 2]) % $P)) AS shset
+         |  FROM cwf),
+         |bwf AS (
+         |  SELECT doc_id, list_transform(tokens, w -> ${duckFp("w")}) AS wfps
+         |  FROM batch WHERE len(tokens) >= 3),
+         |bshg AS (
+         |  SELECT doc_id AS bid, list_distinct(list_transform(
+         |    generate_series(1, len(wfps) - 2),
+         |    i -> (wfps[i] * 961 + wfps[i + 1] * 31 + wfps[i + 2]) % $P)) AS shset
+         |  FROM bwf),
+         |csh AS (SELECT cid, u.sh FROM cshg, UNNEST(shset) u(sh)),
+         |census AS (SELECT sh, count(*) AS df FROM csh GROUP BY 1),
+         |capped AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_capped_shingles
+         |  FROM census WHERE df > 32),
+         |cold AS (
+         |  SELECT csh.cid, csh.sh FROM csh JOIN census USING (sh) WHERE df <= 32),
+         |bsh AS (SELECT bid, u.sh FROM bshg, UNNEST(shset) u(sh)),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_batch FROM bshg),
+         |pairs AS (
+         |  SELECT b.bid, c.cid, count(*) AS shared
+         |  FROM bsh b JOIN cold c ON b.sh = c.sh GROUP BY 1, 2),
+         |conf AS (
+         |  SELECT p.bid, p.cid,
+         |    (p.shared * 10000) // CAST(len(g.shset) AS BIGINT) AS cont_e4
+         |  FROM pairs p JOIN bshg g ON g.bid = p.bid),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(count(DISTINCT bid) AS BIGINT) AS n_covered,
+         |    CAST(coalesce(sum(CASE WHEN bid = cid + 600000 THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS n_true
+         |  FROM conf WHERE cont_e4 >= 8000)
+         |SELECT n_pairs, n_covered, n_true, n_batch, n_capped_shingles
+         |FROM agg, nb, capped""".stripMargin,
     "dedup_containment" ->
       s"""WITH base AS (
          |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
