@@ -199,6 +199,67 @@ object EventStreams {
       }
       .start()
 
+  /** Per-doc distinct winnowing prints (k-gram winnowed selection,
+    * Schleimer et al.) — the batch kernel [[winnowIndexSink]] persists
+    * and [[winnowMatches]] probes; identical expressions to the batch
+    * battery's `text_winnow_fp`/`dedup_winnow_*` via PipelineShared,
+    * so stream and batch cannot drift. */
+  def winnowPrintIndex(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    docs.selectExpr("doc_id", "split(text, ' ') AS tokens")
+      .filter(size(col("tokens")) >= k + w - 1)
+      .withColumn("hashes", expr(graft.queries.PipelineShared.winnowHashesExpr(k)))
+      .withColumn("sels", expr(graft.queries.PipelineShared.winnowSelsExpr(w)))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sels, p -> element_at(hashes, p)))")).as("h"))
+
+  /** STREAMING maintenance of the persisted WINNOW-PRINT index — the
+    * guaranteed-recall sibling of [[bandIndexSink]]: each micro-batch
+    * replaces its documents' print SETS in the doc-hash-bucketed
+    * TableMerge table. Unlike band signatures (fixed band_idx slots,
+    * update-in-place under the same key), a re-scrape CHANGES THE SET
+    * of prints — so the merge is `replaceKeys` with dropGroups = the
+    * batch's (bucket, doc_id) pairs: all old prints of re-scraped docs
+    * drop, the new set inserts, in ONE partition-scoped commit (quiet
+    * buckets hard-link; inodes pinned by the spec). dropGroups derives
+    * from the BATCH doc list, not the print rows, so a re-scrape to a
+    * too-short text correctly CLEARS the doc's prints. Per-batch cost
+    * O(batch + touched-bucket state), independent of index size. */
+  def winnowIndexSink(docs: DataFrame, tablePath: String, checkpointDir: String,
+                      k: Int = 3, w: Int = 4,
+                      nBuckets: Int = 32): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          import graft.operators.TableMerge
+          val rows = winnowPrintIndex(batch, k, w)
+            .withColumn("bucket", pmod(hash(col("doc_id")), lit(nBuckets)))
+          val dropGroups = batch.select("doc_id").distinct()
+            .withColumn("bucket", pmod(hash(col("doc_id")), lit(nBuckets)))
+            .select("bucket", "doc_id")
+          TableMerge.replaceKeys(batch.sparkSession, tablePath, rows, dropGroups,
+            groupKeys = Seq("bucket", "doc_id"), partitionCols = Seq("bucket"))
+        }
+      }
+      .start()
+
+  /** Probe documents against a winnow-print index (stream-built or
+    * batch-built): df-cap the index side (the boilerplate guard of
+    * `dedup_winnow_capped`), equi-join on the print, T=1 — any probe
+    * doc sharing one uncapped selected print with a corpus doc
+    * surfaces, which carries the Schleimer ≥ (w+k−1)-token substring
+    * guarantee. Returns (probe_id, corpus_id, shared). */
+  def winnowMatches(probe: DataFrame, index: DataFrame, k: Int = 3, w: Int = 4,
+                    dfCap: Long = 32L): DataFrame = {
+    val census = index.groupBy("h").agg(count(lit(1)).as("df"))
+    val cold = index.join(census.filter(col("df") <= dfCap).select("h"), Seq("h"))
+    winnowPrintIndex(probe, k, w)
+      .select(col("doc_id").as("probe_id"), col("h"))
+      .join(cold.select(col("doc_id").as("corpus_id"), col("h")), Seq("h"))
+      .groupBy("probe_id", "corpus_id").agg(count(lit(1)).as("shared"))
+  }
+
   /** STREAMING maintenance of the persisted IVF-bucketed ANN index —
     * the stream twin of the batch `sim_index_maintain` (and the vector
     * sibling of [[bandIndexSink]]): each micro-batch of (vec_id,

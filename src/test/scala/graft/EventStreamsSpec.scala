@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{count, lit, sum}
+import org.apache.spark.sql.functions.{count, hash, lit, pmod, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.EventStreams
@@ -675,6 +675,72 @@ class EventStreamsSpec extends AnyFunSuite {
         .select("doc_id", "band_idx", "band_val")
       val novel = EventStreams.novelDocuments(probe, idx, spec).as[Long].collect().toSet
       assert(novel == Set(11L))
+    } finally q.stop()
+  }
+
+  test("winnow-print index sink: stream == batch, re-scrape replaces the print SET, shifted near-dup caught") {
+    import spark.implicits._
+    import java.nio.file.{Files, Path, Paths}
+    implicit val sql = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream-winnow")
+    val table = dir.resolve("idx").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val nBuckets = 32
+    def bucketOf(id: Long): Int = spark.range(1)
+      .select(pmod(hash(lit(id)), lit(nBuckets))).head().getInt(0)
+    def inodesOf(bucket: Int): Set[Long] = {
+      val live = Paths.get(table, Files.readString(Paths.get(table, "_current")).trim)
+      val bdir = live.resolve(s"bucket=$bucket")
+      val files = scala.collection.mutable.Set[Long]()
+      if (Files.exists(bdir)) Files.walk(bdir).forEach { p: Path =>
+        if (Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+          files += Files.getAttribute(p, "unix:ino").asInstanceOf[Long]
+      }
+      files.toSet
+    }
+    val batch1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog end"),
+      (2L, "pack my box with five dozen liquor jugs today friend"),
+      (3L, "sphinx of black quartz judge my vow right now ok"))
+    // batch 2: a new doc + a RE-SCRAPE of doc 1 whose text change
+    // CHANGES ITS PRINT SET (stale prints must vanish, not linger)
+    val batch2 = Seq(
+      (4L, "another fresh document with its own vocabulary stream here"),
+      (1L, "totally rewritten content with nothing shared at all anymore"))
+    val stream = MemoryStream[(Long, String)]
+    val q = EventStreams.winnowIndexSink(
+      stream.toDF().toDF("doc_id", "text"), table, ckpt, nBuckets = nBuckets)
+    try {
+      stream.addData(batch1: _*)
+      q.processAllAvailable()
+      val touched2 = batch2.map(t => bucketOf(t._1)).toSet
+      val quiet = batch1.map(t => bucketOf(t._1)).toSet -- touched2
+      assert(quiet.nonEmpty, "fixture degenerate: every bucket touched by batch 2")
+      val quietBefore = quiet.map(b => b -> inodesOf(b)).toMap
+      stream.addData(batch2: _*)
+      q.processAllAvailable()
+      quiet.foreach { b =>
+        assert(inodesOf(b) == quietBefore(b), s"quiet bucket $b rewritten")
+      }
+      // stream-built == batch-built over the latest text per doc — in
+      // particular doc 1's ORIGINAL prints are gone (set replace, not
+      // key-slot update)
+      val latest = (batch1 ++ batch2).groupBy(_._1).map(_._2.last).toSeq
+      val expected = EventStreams.winnowPrintIndex(latest.toDF("doc_id", "text"))
+        .as[(Long, Long)].collect().toSet
+      val got = graft.operators.TableMerge.read(spark, table)
+        .select("doc_id", "h").as[(Long, Long)].collect().toSet
+      assert(got == expected, "stream-maintained print set != batch-built")
+      // probe through the STREAM-built index: a first-token-dropped
+      // near-dup of doc 2 must match doc 2 (the interior-window
+      // guarantee); a fresh-vocabulary doc must match nothing
+      val probe = Seq(
+        (20L, "my box with five dozen liquor jugs today friend"),
+        (21L, "entirely different sentence with brand new words only here")).toDF("doc_id", "text")
+      val idx = graft.operators.TableMerge.read(spark, table).select("doc_id", "h")
+      val matches = EventStreams.winnowMatches(probe, idx)
+        .select("probe_id", "corpus_id").as[(Long, Long)].collect().toSet
+      assert(matches == Set((20L, 2L)), s"winnow match set wrong: $matches")
     } finally q.stop()
   }
 
