@@ -199,9 +199,90 @@ private[graft] object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** JPEG fixture: the SAME pixel formula as the PNG tier, compressed
+    * through the JDK's own JPEG encoder at quality 0.9 — the one
+    * remaining raster format whose pixel decode was stubbed. Exposed
+    * for spec use. */
+  private[graft] def fixtureJpeg(docId: Long): Array[Byte] = {
+    val (w, h) = dims(docId)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = rgbAt(docId, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(0.9f)
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    writer.setOutput(out)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    writer.dispose(); out.close()
+    baos.toByteArray
+  }
+
+  /** mm_pixel_stats_jpeg (r13) — REAL JPEG pixel decode through the
+    * JDK's ImageIO (the platform's actual DCT decoder, public JDK
+    * machinery — spec-reimplementing lossy JPEG adds no engineering
+    * signal the PNG/GIF codecs didn't already pin). JPEG is LOSSY, so
+    * no SQL oracle can predict the decoded values arithmetically; the
+    * entry is rows-only under the FATAL per-sf golden digest (the
+    * chunker-family gate), and the output additionally carries the
+    * mean absolute error vs the source formula in e4 — pinning the
+    * distortion magnitude itself: a decoder swap, a quality drift, or
+    * a channel-order bug all move mae_e4 and trip the digest. Same
+    * mapPartitions no-shuffle posture as the PNG/GIF/WAV tiers.
+    * Digest caveat: the pinned constants reflect this JDK's encoder
+    * (17.0.20) — a JDK upgrade re-pins them, same class of dependency
+    * as every golden constant. */
+  private val mmPixelStatsJpeg: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val bytes = fixtureJpeg(id)
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"JDK ImageIO refused our JPEG for doc $id")
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L; var err = 0L
+          var mn = 255L; var mx = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+              sr += r; sg += g; sb += b
+              mn = math.min(mn, math.min(r, math.min(g, b)))
+              mx = math.max(mx, math.max(r, math.max(g, b)))
+              val (er, eg, eb) = rgbAt(id, x, y)
+              err += math.abs(r - er) + math.abs(g - eg) + math.abs(b - eb)
+              x += 1
+            }
+            y += 1
+          }
+          (id, w.toLong, h.toLong, w.toLong * h, sr, sg, sb, mn, mx,
+            err * 10000L / (3L * w * h))
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_pixels",
+        "sum_r", "sum_g", "sum_b", "min_px", "max_px", "mae_e4")
+      .orderBy("doc_id")
+    PipelineShared.withGoldenDigest(base, d, "mm_pixel_stats_jpeg")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "mm_pixel_stats" -> mmPixelStats,
     "mm_pixel_stats_gif" -> mmPixelStatsGif,
+    "mm_pixel_stats_jpeg" -> mmPixelStatsJpeg,
     "mm_audio_stats" -> mmAudioStats,
   )
 

@@ -160,6 +160,11 @@ private[graft] object PipelineShared {
       "sf0.01" -> 250508629023L, // sf0.001/sf0.01 share doc_ids 0-499 and
       // every doc summarizes to 1 sentence — equal digests are genuine
       "sf0.1" -> 2492689638523L),
+    "mm_pixel_stats_jpeg" -> Map(
+      "sf0.001" -> 257023099803L,
+      "sf0.01" -> 257023099803L, // sf0.001/sf0.01 share doc_ids 0-499;
+      // the image formula depends only on doc_id — equal digests genuine
+      "sf0.1" -> 2515954677239L),
     "sim_semantic_match" -> Map(
       "sf0.001" -> 5081089278L,
       "sf0.01" -> 7166123759L,
