@@ -129,7 +129,7 @@ object ScaleBench {
     // shape), trigram entropy (one n-gram agg), histogram KL (constant
     // state), and the kmeans+keyword topic census
     "dedup_containment_incr", "text_ngram_entropy", "text_dist_drift",
-    "e2e_topic_census")
+    "e2e_topic_census", "mm_pixel_stats_jpeg")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
