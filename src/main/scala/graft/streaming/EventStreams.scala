@@ -233,8 +233,13 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           import graft.operators.TableMerge
+          // dropDuplicates guards the literal duplicate-row case (the
+          // same doc twice in one micro-batch); which TEXT wins for a
+          // same-batch re-scrape is the caller's to resolve upstream,
+          // the same within-batch contract as every keyed sink here
           val rows = winnowPrintIndex(batch, k, w)
             .withColumn("bucket", pmod(hash(col("doc_id")), lit(nBuckets)))
+            .dropDuplicates("bucket", "doc_id", "h")
           val dropGroups = batch.select("doc_id").distinct()
             .withColumn("bucket", pmod(hash(col("doc_id")), lit(nBuckets)))
             .select("bucket", "doc_id")
