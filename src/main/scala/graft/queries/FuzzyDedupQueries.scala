@@ -252,11 +252,13 @@ private[queries] object FuzzyDedupQueries {
       .filter(size(col("tokens")) >= 3)
     val shingled = corpus.selectExpr("doc_id",
       "graft_shingle_set(graft_word_fps(tokens)) AS shset")
-    val sizes = shingled.select(col("doc_id"), size(col("shset")).cast("long").as("nsh"))
-    // shingling feeds four consumers (census + both join sides + sizes
-    // via shingled) — materialize the exploded frame once
+    // shingling feeds four consumers (census + both join sides + set
+    // sizes) — materialize the exploded frame once and derive the
+    // sizes FROM it (the explode is of the distinct set, so the
+    // per-doc row count equals size(shset))
     val sh = shingled.select(col("doc_id"), explode(col("shset")).as("sh"))
       .localCheckpoint()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val census = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val nCapped = census.filter(col("df") > ContainDfCap)
       .agg(count(lit(1)).as("n_capped_shingles"))
@@ -304,19 +306,23 @@ private[queries] object FuzzyDedupQueries {
     def shingles(df: DataFrame): DataFrame = df
       .filter(size(col("tokens")) >= 3)
       .selectExpr("doc_id", "graft_shingle_set(graft_word_fps(tokens)) AS shset")
-    val cs = shingles(corpus)
-    val bs = shingles(batch)
-    val csh = cs.select(col("doc_id").as("cid"), explode(col("shset")).as("sh"))
+    // both exploded frames feed multiple consumers — materialize once
+    // and derive sizes/counts from the materialized rows
+    val csh = shingles(corpus)
+      .select(col("doc_id").as("cid"), explode(col("shset")).as("sh"))
+      .localCheckpoint()
+    val bsh = shingles(batch)
+      .select(col("doc_id").as("bid"), explode(col("shset")).as("sh"))
+      .localCheckpoint()
     val census = csh.groupBy("sh").agg(count(lit(1)).as("df"))
     val nCapped = census.filter(col("df") > ContainDfCap)
       .agg(count(lit(1)).as("n_capped_shingles"))
     val cold = csh.join(census.filter(col("df") <= ContainDfCap).select("sh"), Seq("sh"))
-    val bsh = bs.select(col("doc_id").as("bid"), explode(col("shset")).as("sh"))
-    val nBatch = bs.agg(count(lit(1)).as("n_batch"))
+    val bSizes = bsh.groupBy("bid").agg(count(lit(1)).as("nb"))
+    val nBatch = bSizes.agg(count(lit(1)).as("n_batch"))
     val pairs = bsh.join(cold, Seq("sh"))
       .groupBy("bid", "cid").agg(count(lit(1)).as("shared"))
-      .join(bs.select(col("doc_id").as("bid"),
-        size(col("shset")).cast("long").as("nb")), "bid")
+      .join(bSizes, "bid")
       .selectExpr("bid", "cid", "(shared * 10000) DIV nb AS cont_e4")
       .filter(col("cont_e4") >= 8000)
     pairs.agg(count(lit(1)).as("n_pairs"),
