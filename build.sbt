@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through raw (no "[info] " prefix):
+// the driver parses Bench's one-line JSON from captured stdout, and 13
+// rounds of `parsed: null` trace to sbt's log decoration breaking
+// line-oriented JSON parsers. StdoutOutput emits program output as-is.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -158,10 +158,17 @@ object GifCodec {
       while (i < b.length && b(i) != 0) i += 1 + (b(i) & 0xff)
       i += 1 // sub-block terminator
     }
-    if (i >= b.length || (b(i) & 0xff) != 0x2c) return None
+    // descriptor (10B) + min-code-size byte must fit before reading them:
+    // a truncated extension chain otherwise walks i past the array and
+    // leU16/b(i+9) throw instead of returning None (ADVICE r13)
+    if (i + 11 > b.length || (b(i) & 0xff) != 0x2c) return None
     val iw = leU16(i + 5); val ih = leU16(i + 7)
     val ipacked = b(i + 9) & 0xff
     if ((ipacked & 0xc0) != 0) return None // local table / interlace unsupported
+    // iw*ih overflows Int for dims up to 65535×65535 (negative array
+    // size); cap at 64M pixels — far above any in-product fixture
+    val nPix = iw.toLong * ih.toLong
+    if (nPix <= 0 || nPix > (1L << 26)) return None
     i += 10
     val mcs = b(i) & 0xff; i += 1
     if (mcs != Mcs) return None
@@ -181,15 +188,18 @@ object GifCodec {
     var next = EndCode + 1
     var codeSize = Mcs + 1
     var prev = -1
-    def emitString(code: Int): Int = { // writes string(code), returns first byte
+    // writes string(code); returns first byte, or -1 when the stream
+    // encodes MORE pixels than the descriptor declares — clamping there
+    // would let a corrupt stream still satisfy the final outPos check
+    // and be accepted as valid (ADVICE r13): overflow is a desync.
+    def emitString(code: Int): Int = {
       var stack = List.empty[Byte]
       var c = code
       while (c >= ClearCode + 2) { stack = suffix(c) :: stack; c = prefix(c) }
       val first = c.toByte // root codes are literal palette indices
       stack = first :: stack
-      stack.foreach { s =>
-        if (outPos < out.length) { out(outPos) = s; outPos += 1 }
-      }
+      if (outPos + stack.length > out.length) return -1
+      stack.foreach { s => out(outPos) = s; outPos += 1 }
       first & 0xff
     }
     var done = false
@@ -200,7 +210,7 @@ object GifCodec {
         next = EndCode + 1; codeSize = Mcs + 1; prev = -1
       } else if (prev == -1) {
         if (code >= ClearCode) return None // first code must be a root
-        emitString(code)
+        if (emitString(code) < 0) return None
         prev = code
       } else {
         if (code > next) return None // desynced stream
@@ -209,9 +219,10 @@ object GifCodec {
           var c = prev
           while (c >= ClearCode + 2) c = prefix(c)
           prefix(next) = prev; suffix(next) = c.toByte; next += 1
-          emitString(next - 1)
+          if (emitString(next - 1) < 0) return None
         } else {
           val f = emitString(code)
+          if (f < 0) return None
           if (next < MaxCode) { prefix(next) = prev; suffix(next) = f.toByte; next += 1 }
         }
         if (next == (1 << codeSize) && codeSize < 12) codeSize += 1

@@ -376,12 +376,13 @@ object TableMerge {
     * table rewrite instead of two. */
   def replaceKeys(spark: SparkSession, tablePath: String, source: DataFrame,
                   dropGroups: DataFrame, groupKeys: Seq[String],
-                  partitionCols: Seq[String] = Seq.empty): Unit =
+                  partitionCols: Seq[String] = Seq.empty,
+                  meta: Map[String, String] = Map.empty): Unit =
     retryOnConflict(CommitRetries) {
       require(groupKeys.nonEmpty, "group keys required")
       val base = currentVersionName(tablePath)
       if (base.isEmpty && !exists(tablePath))
-        writeVersion(source, tablePath, partitionCols, Parent(None))
+        writeVersion(source, tablePath, partitionCols, Parent(None), meta)
       else conflictIfBaseMoved(tablePath, base) {
         val (liveDir, target) = baseSnapshot(spark, tablePath, base)
         val drops = dropGroups.select(groupKeys.map(col): _*).distinct()
@@ -401,13 +402,14 @@ object TableMerge {
           val version = newVersionDir(tablePath)
           merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(version.toString)
           writeSchemaSidecar(version, merged.schema)
+          writeTxnSidecar(version, meta)
           carryUntouchedPartitions(liveDir, version, partitionCols,
             touchedPartitionDirs(touched))
           commitVersion(tablePath, version, Parent(base))
         } else {
           val remaining = target.join(drops, groupKeys, "left_anti")
           val merged = remaining.unionByName(source, allowMissingColumns = true)
-          writeVersion(merged, tablePath, partitionCols, Parent(base))
+          writeVersion(merged, tablePath, partitionCols, Parent(base), meta)
         }
       }
     }

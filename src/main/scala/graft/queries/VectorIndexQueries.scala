@@ -79,10 +79,50 @@ private[graft] object VectorIndexQueries {
       .join(batch.select("vec_id"), Seq("vec_id"), "left_semi")
       .select("centroid_id", "vec_id")
     val dropGroups = oldPos.union(batch.select("centroid_id", "vec_id"))
+    // Tag the merge commit with the pre-merge snapshot name (ADVICE r13:
+    // drift must be measured against the IMMEDIATELY-PRIOR snapshot, not
+    // the oldest retained one — after a retrain commits its own version,
+    // or under repeated maintenance cycles within the prune grace,
+    // versions.last is a stale baseline that overstates drift and
+    // re-triggers retrains forever). Same commit-metadata channel
+    // matviewDeltaSink uses for exactly-once replay detection.
+    val preMerge = TableMerge.versions(path).headOption.getOrElse("")
     TableMerge.replaceKeys(s, path, batch, dropGroups,
-      Seq("centroid_id", "vec_id"), Seq("centroid_id"))
+      Seq("centroid_id", "vec_id"), Seq("centroid_id"),
+      meta = Map(PreMergeKey -> preMerge))
     path
   }
+
+  /** Commit-metadata key naming the snapshot a maintenance merge read
+    * as its base — the drift baseline for [[retrainIfDrifted]]. */
+  private[graft] val PreMergeKey = "graft.premergeVersion"
+
+  /** Drift baseline = the snapshot the live merge was applied over:
+    * preferentially the version named in the live commit's metadata
+    * (written by the maintenance merge), else the second-newest
+    * retained version. NOT versions.last — the oldest retained version
+    * is only the pre-merge snapshot in the 2-version fixture; in
+    * repeated maintenance cycles (or after a retrain commits its own
+    * replaceKeys version) it is a stale baseline that overstates
+    * drift_bp and re-triggers a full retrain every cycle (ADVICE r13). */
+  private[graft] def driftBaseline(path: String): String = {
+    val versions = TableMerge.versions(path)
+    val liveMeta = TableMerge.commitMeta(path)
+    // A retrain commit IS its own baseline: it re-assigned every vector
+    // to freshly-trained centroids, so comparing it against any
+    // pre-retrain snapshot reads as ~100% drift and would re-trigger a
+    // retrain every cycle. Drift is zero until the next merge moves
+    // vectors relative to the retrained quantizer.
+    if (liveMeta.contains(SelfBaselineKey)) versions.head
+    else liveMeta.get(PreMergeKey)
+      .filter(v => v.nonEmpty && versions.contains(v))
+      .orElse(versions.lift(1))
+      .getOrElse(versions.last)
+  }
+
+  /** Commit-metadata marker a retrain writes on its replaceKeys commit:
+    * the committed snapshot is its own drift baseline. */
+  private[graft] val SelfBaselineKey = "graft.selfBaseline"
 
   /** Probed top-k read back through the MAINTAINED index — same query
     * vector, probe set, and output contract as `sim_ivf_topk`, so the
@@ -133,7 +173,7 @@ private[graft] object VectorIndexQueries {
   private val simIndexDrift: Q = (s, d) => {
     val path = buildMaintainedIndex(s, d, "drift")
     val versions = TableMerge.versions(path)
-    val pre = TableMerge.readVersion(s, path, versions.last)
+    val pre = TableMerge.readVersion(s, path, driftBaseline(path))
       .select(col("vec_id"), col("centroid_id").cast("int").as("pre_c"))
     val live = TableMerge.read(s, path)
       .select(col("vec_id"), col("centroid_id").cast("int").as("live_c"))
@@ -294,8 +334,7 @@ private[graft] object VectorIndexQueries {
     * the branch the oracle-green query never takes on its fixture. */
   private[graft] def retrainIfDrifted(s: SparkSession, path: String,
       thresholdBp: Long = DriftThresholdBp): (Long, Boolean, Seq[Int]) = {
-    val versions = TableMerge.versions(path)
-    val pre = TableMerge.readVersion(s, path, versions.last)
+    val pre = TableMerge.readVersion(s, path, driftBaseline(path))
       .select(col("vec_id"), col("centroid_id").cast("int").as("pre_c"))
     val live = TableMerge.read(s, path)
       .select(col("vec_id"), col("embedding"), col("centroid_id").cast("int").as("live_c"))
@@ -320,7 +359,8 @@ private[graft] object VectorIndexQueries {
         val dropGroups = live.select(col("live_c").cast("long").as("centroid_id"), col("vec_id"))
           .union(newAssign.select("centroid_id", "vec_id"))
         TableMerge.replaceKeys(s, path, newAssign, dropGroups,
-          Seq("centroid_id", "vec_id"), Seq("centroid_id"))
+          Seq("centroid_id", "vec_id"), Seq("centroid_id"),
+          meta = Map(SelfBaselineKey -> "1"))
         val q = Seq.fill(Dim)(100000L)
         cents.map { case (cid, v) =>
           (cid, v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)

@@ -583,8 +583,15 @@ object EventStreams {
                                        basePath: String, viewPath: String): Unit = {
         val alreadyApplied = {
           import graft.operators.TableMerge
+          // Scan ALL retained view commits, not just the live one
+          // (ADVICE r13): an untagged commit between apply and replay —
+          // a second writer, a manual repair — would otherwise hide the
+          // applied batch's tag and the delta would be double-applied.
+          // >= comparison: a later batch's tag also proves this one ran.
           TableMerge.exists(viewPath) &&
-            TableMerge.commitMeta(viewPath).get(MatviewBatchKey).exists(_.toLong >= batchId)
+            TableMerge.versions(viewPath).exists(v =>
+              TableMerge.versionMeta(viewPath, v).get(MatviewBatchKey)
+                .exists(_.toLong >= batchId))
         }
         if (!batch.isEmpty && !alreadyApplied) {
           import graft.operators.TableMerge
