@@ -1,0 +1,281 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.PipelineShared._
+
+/** Split / mixture SAMPLER tier (split from TextCurationQueries in r14
+  * — registry names and oracles unchanged): the deterministic
+  * train/val/test splitter, per-source quota sampling, sequence
+  * packing, and the domain / temperature / epoch mixture planners.
+  * Every entry is hash-verified against the DuckDB oracles below.
+  */
+private[queries] object SamplerQueries {
+
+  /** Deterministic stratified train/val/test split — the
+    * training-data-curation operator every corpus pipeline needs:
+    * assignment is a pure function of the stable doc key (rolling-hash
+    * fingerprint mod 100 → 80/10/10), so it is reproducible across
+    * runs, engines, and cluster sizes, never samples twice into
+    * different sets, and needs NO shuffle to assign (the groupBy here
+    * only verifies the per-stratum composition). Keying on
+    * doc_id||source keeps the split independent of row order —
+    * `rand(seed)` splits are partition-order-dependent and break on
+    * repartition. Output pins every assignment (counts + id-sums per
+    * source × split). */
+  private val splitStratified: Q = (s, d) =>
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "source",
+        "graft_str_fp(concat(CAST(doc_id AS STRING), '||', source)) % 100 AS bucket")
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_doc_id"))
+      .orderBy("source", "split")
+
+  /** Deterministic per-source QUOTA sample — exactly k docs per group,
+    * chosen by the portable rolling-hash key, so the sample is
+    * reproducible across runs, engines, partitionings and cluster
+    * sizes (`rand()`/TABLESAMPLE are none of those, and re-sampling a
+    * grown corpus keeps previously-chosen docs stable except where a
+    * smaller key displaces them). Third sampling mode next to
+    * `split_stratified` (rate) and `split_domain_mix` (weights): quota
+    * — "exactly 1000 docs per domain for the eval set". The
+    * window+filter(rn ≤ k) shape plans into the TopKPerKeyExec bounded
+    * heap (O(groups × k) memory, no full per-group sort; asserted in
+    * TopKPerKeySpec), and DuckDB replicates the fp key, so exact
+    * sample MEMBERSHIP is hash-pinned, not just counts. */
+  private val sampleBottomk: Q = (s, d) => {
+    val k = 5
+    val w = Window.partitionBy("source").orderBy(col("samp_key"), col("doc_id"))
+    Tables.documents(s, d)
+      .selectExpr("doc_id", "source",
+        "graft_str_fp(concat(CAST(doc_id AS STRING), '||sample')) AS samp_key")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .selectExpr("source", "doc_id", "samp_key", "CAST(rn AS BIGINT) AS rn")
+      .orderBy("source", "rn")
+  }
+
+  /** Concat-and-split sequence packing — how pretraining actually fills
+    * context windows: documents are laid out in a deterministic order
+    * (doc_id within source) into a continuous token stream, and each
+    * doc records which pack (context window) its first token lands in
+    * and at what offset. One running-total window per source partition
+    * (the w3 shape — shuffle key source, never a global sort); packing
+    * is pure arithmetic on the cumsum, so it reproduces bit-identically
+    * across cluster sizes. */
+  private val packSequences: Q = (s, d) => {
+    val capacity = 512L
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / capacity).cast("long").as("pack_id"),
+        ((col("cum") - col("n_tokens")) % capacity).as("pack_offset"))
+      .orderBy("source", "doc_id")
+  }
+
+  /** Domain-mixture sampler — hit a target per-domain mixture (weights
+    * in basis points, broadcast dim) by hash-deterministic Bernoulli
+    * keep decisions: keep iff fp(doc) mod 10000 < weight. Shuffle-free
+    * assignment (the split_stratified shape), so re-runs, engines, and
+    * cluster sizes agree row-for-row; output is the per-source audit
+    * (kept counts + achieved rate vs target). */
+  private val splitDomainMix: Q = (s, d) => {
+    import s.implicits._
+    val weights = Seq(("src0", 9000L), ("src1", 7500L), ("src2", 5000L), ("src3", 2500L))
+      .toDF("source", "weight_bp")
+    Tables.documents(s, d)
+      .join(broadcast(weights), Seq("source"), "left")
+      .withColumn("wbp", coalesce(col("weight_bp"), lit(1000L)))
+      .withColumn("keep",
+        expr("graft_str_fp(concat('mix||', CAST(doc_id AS STRING))) % 10000") < col("wbp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id"))).as("kept_id_sum"),
+        first(col("wbp")).as("target_bp"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        floor(col("n_kept") * 10000 / col("n_docs")).as("kept_bp"),
+        col("target_bp"), coalesce(col("kept_id_sum"), lit(0L)).as("sum_kept_id"))
+      .orderBy("source")
+  }
+
+  /** Temperature-based mixture RESAMPLING (w_s ∝ n_s^α, the standard
+    * multilingual/domain rebalancing rule; α = 1/2 here): per-source
+    * keep-rates derived FROM the observed counts, flattening the head
+    * and boosting the tail, with a global budget of 60% — unlike
+    * `split_domain_mix`, whose weights are a fixed config. Engine
+    * determinism: α = 1/2 because sqrt is IEEE-754 correctly-rounded in
+    * BOTH engines (pow is not); the tempered weight then moves onto an
+    * integer grid immediately — srt = floor(sqrt(n)·10^6) — so the
+    * budget split `6000·srt DIV Σsrt` and the hash-Bernoulli keep are
+    * pure integer arithmetic that cannot straddle a float ulp. Scale:
+    * the weights table is one row per source (broadcast); assignment is
+    * shuffle-free per-row hashing, same as the stratified split. */
+  private val splitTemperatureMix: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("srt", floor(sqrt(col("n")) * 1000000).cast("long"))
+    val total = counts.agg(sum("srt").as("total"))
+    val rates = counts.crossJoin(broadcast(total))
+      .withColumn("rate_bp", expr("(6000 * srt) DIV total"))
+      .select("source", "rate_bp")
+    Tables.documents(s, d)
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("keep",
+        expr("graft_str_fp(concat('tmix||', CAST(doc_id AS STRING))) % 10000") < col("rate_bp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id"))).as("kept_id_sum"),
+        first(col("rate_bp")).as("rate_bp"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        floor(col("n_kept") * 10000 / col("n_docs")).as("kept_bp"),
+        col("rate_bp"), coalesce(col("kept_id_sum"), lit(0L)).as("sum_kept_id"))
+      .orderBy("source")
+  }
+
+  /** Epoch/up-sampling MIX planner — the third leg of the mixture
+    * family (domain_mix down-samples by rate, temperature_mix reshapes
+    * the distribution; this one plans UP-sampling): given target
+    * mixture weights and a total token budget — the way a LLaMA-style
+    * mixture table is specified — compute, per source, how many full
+    * passes (epochs) over the source the budget demands and what
+    * fraction of the last pass is consumed. All integer arithmetic
+    * (targets are budget·w DIV Σw; epochs are ceiling division; the
+    * partial-epoch fraction is basis points), so both engines agree
+    * exactly. The plan is one aggregate over the corpus plus a
+    * broadcast of the 4-row weight table: at 100 TB the token census
+    * is the only scan, and it's the same partial-agg census every
+    * mixture op shares. */
+  private val splitEpochMix: Q = (s, d) => {
+    import s.implicits._
+    val weights = Seq(("src0", 40L), ("src1", 30L), ("src2", 20L), ("src3", 10L))
+      .toDF("source", "weight")
+    val budget = 2000000L
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("avail_tokens"))
+      .join(broadcast(weights), Seq("source"), "inner")
+      .withColumn("target_tokens", expr(s"($budget * weight) DIV 100"))
+      .withColumn("epochs",
+        expr("(target_tokens + avail_tokens - 1) DIV avail_tokens"))
+      .withColumn("last_epoch_bp",
+        expr("((target_tokens - (epochs - 1) * avail_tokens) * 10000) DIV avail_tokens"))
+      .select("source", "n_docs", "avail_tokens", "weight",
+        "target_tokens", "epochs", "last_epoch_bp")
+      .orderBy("source")
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+    "split_stratified" -> splitStratified,
+    "sample_bottomk" -> sampleBottomk,
+    "pack_sequences" -> packSequences,
+    "split_domain_mix" -> splitDomainMix,
+    "split_temperature_mix" -> splitTemperatureMix,
+    "split_epoch_mix" -> splitEpochMix,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "split_stratified" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |    ${duckFp("CAST(doc_id AS VARCHAR) || '||' || source")} % 100 AS bucket
+         |  FROM documents)
+         |SELECT source,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+         |FROM b GROUP BY source, split ORDER BY source, split""".stripMargin,
+    "sample_bottomk" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id, source,
+         |    ${duckFp("CAST(doc_id AS VARCHAR) || '||sample'")} AS samp_key
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id, samp_key,
+         |    row_number() OVER (PARTITION BY source ORDER BY samp_key, doc_id) AS rn
+         |  FROM keyed)
+         |SELECT source, doc_id, samp_key, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT source, doc_id, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id,
+        |  CAST((cum - n_tokens) % 512 AS BIGINT) AS pack_offset
+        |FROM c ORDER BY source, doc_id""".stripMargin,
+    "split_domain_mix" ->
+      s"""WITH k AS (
+         |  SELECT source, doc_id,
+         |    CASE source WHEN 'src0' THEN 9000 WHEN 'src1' THEN 7500
+         |      WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500 ELSE 1000 END AS wbp,
+         |    ${duckFp("'mix||' || CAST(doc_id AS VARCHAR)")} % 10000 AS h
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN h < wbp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(floor(sum(CASE WHEN h < wbp THEN 1 ELSE 0 END) * 10000
+         |    / count(*)) AS BIGINT) AS kept_bp,
+         |  CAST(max(wbp) AS BIGINT) AS target_bp,
+         |  CAST(coalesce(sum(CASE WHEN h < wbp THEN doc_id END), 0) AS BIGINT)
+         |    AS sum_kept_id
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "split_temperature_mix" ->
+      s"""WITH counts AS (
+         |  SELECT source, count(*) AS n FROM documents GROUP BY source),
+         |w AS (
+         |  SELECT source, n,
+         |    CAST(floor(sqrt(n) * 1000000) AS BIGINT) AS srt
+         |  FROM counts),
+         |t AS (SELECT CAST(sum(srt) AS BIGINT) AS total FROM w),
+         |r AS (SELECT source, (6000 * srt) // total AS rate_bp FROM w, t),
+         |k AS (
+         |  SELECT d.source, d.doc_id, r.rate_bp,
+         |    ${duckFp("'tmix||' || CAST(doc_id AS VARCHAR)")} % 10000 AS h
+         |  FROM documents d JOIN r USING (source))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN h < rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(floor(sum(CASE WHEN h < rate_bp THEN 1 ELSE 0 END) * 10000
+         |    / count(*)) AS BIGINT) AS kept_bp,
+         |  CAST(max(rate_bp) AS BIGINT) AS rate_bp,
+         |  CAST(coalesce(sum(CASE WHEN h < rate_bp THEN doc_id END), 0) AS BIGINT)
+         |    AS sum_kept_id
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+    "split_epoch_mix" ->
+      """WITH a AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT * FROM (VALUES ('src0', CAST(40 AS BIGINT)),
+        |    ('src1', 30), ('src2', 20), ('src3', 10)) t(source, weight)),
+        |plan AS (
+        |  SELECT a.source, n_docs, avail_tokens, weight,
+        |    (2000000 * weight) // 100 AS target_tokens
+        |  FROM a JOIN w ON a.source = w.source),
+        |ep AS (
+        |  SELECT *, (target_tokens + avail_tokens - 1) // avail_tokens AS epochs
+        |  FROM plan)
+        |SELECT source, n_docs, avail_tokens, weight, target_tokens, epochs,
+        |  CAST(((target_tokens - (epochs - 1) * avail_tokens) * 10000)
+        |    // avail_tokens AS BIGINT) AS last_epoch_bp
+        |FROM ep ORDER BY source""".stripMargin,
+  )
+}
