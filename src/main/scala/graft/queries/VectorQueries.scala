@@ -310,11 +310,18 @@ private[graft] object VectorQueries {
       .orderBy(col("adc_e4"), col("vec_id"))
       .limit(50).select("vec_id")
     val rerank = cosTopk(emb.join(broadcast(shortlist50), Seq("vec_id")))
+    // graph navigation at equal output budget: top-20 of the bounded
+    // beam walk's visited set (GraphAnnQueries) — prices HNSW-style
+    // recall against the IVF/PQ family in the same audit
+    val hnsw = GraphAnnQueries.visitedDf(s, d)
+      .orderBy(col("cos_e6").desc, col("vec_id").asc)
+      .limit(k).select("vec_id")
     val methods = ivf(1).withColumn("method", lit("ivf_nprobe1"))
       .unionByName(ivf(4).withColumn("method", lit("ivf_nprobe4")))
       .unionByName(pq.withColumn("method", lit("pq_adc")))
       .unionByName(ivfpq.withColumn("method", lit("ivfpq_nprobe4")))
       .unionByName(rerank.withColumn("method", lit("ivfpq_rerank")))
+      .unionByName(hnsw.withColumn("method", lit("hnsw_beam")))
     methods
       .join(gt.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
       .groupBy("method")
@@ -669,12 +676,17 @@ private[graft] object VectorQueries {
          |rerank AS (
          |  SELECT c.vec_id FROM cos c JOIN short50 s ON c.vec_id = s.vec_id
          |  ORDER BY c.cos_e6 DESC, c.vec_id ASC LIMIT 20),
+         |${GraphAnnQueries.duckVisitedCtes("h")},
+         |hnsw AS (
+         |  SELECT vec_id FROM hv${GraphAnnQueries.Hops}
+         |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20),
          |methods AS (
          |  SELECT 'ivf_nprobe1' AS method, vec_id FROM ivf1
          |  UNION ALL SELECT 'ivf_nprobe4' AS method, vec_id FROM ivf4
          |  UNION ALL SELECT 'pq_adc' AS method, vec_id FROM pq
          |  UNION ALL SELECT 'ivfpq_nprobe4' AS method, vec_id FROM ivfpq
-         |  UNION ALL SELECT 'ivfpq_rerank' AS method, vec_id FROM rerank)
+         |  UNION ALL SELECT 'ivfpq_rerank' AS method, vec_id FROM rerank
+         |  UNION ALL SELECT 'hnsw_beam' AS method, vec_id FROM hnsw)
          |SELECT m.method, CAST(count(*) AS BIGINT) AS n_returned,
          |  CAST(sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
          |  CAST(20 AS BIGINT) AS k
