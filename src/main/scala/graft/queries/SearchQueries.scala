@@ -216,14 +216,110 @@ private[queries] object SearchQueries {
           "CAST(0 AS BIGINT), (a4, r3) -> a4 + r3.rel_e4) AS sel_rel_sum")
   }
 
+  /** CROSS-ENCODER-STYLE RERANK (r14, VERDICT r13 #6) — the final
+    * serving hop the reference's chatbot applies in APP code after
+    * retrieval (`chatbot_api.py:244-343`): the fused shortlist passes
+    * quality gates (`_build_context` skips chunks under 60 chars,
+    * `chatbot_api.py:309-310`) and is re-scored with features richer
+    * than either retriever alone. Re-expressed relationally: stage 1 is
+    * the BM25 broadcast-stats shortlist (top-20 — the candidate set a
+    * cross-encoder would read); stage 2 re-scores ONLY those rows with
+    * a linear model over exact integer features — BM25 rel_e4, query
+    * cosine e6, distinct-query-term overlap, and a document-length
+    * penalty — all fixed-point, so the model score
+    * `5·rel_e4 + (3·cos_e6) div 100 + 20000·overlap − 10·dl` is exact
+    * integer arithmetic on both engines. The output pins the SELECTION
+    * ORDER (rank column via sort_array(collect_list)+posexplode — no
+    * global window, same discipline as `search_ndcg`): swapping any two
+    * reranked rows breaks the hash.
+    *
+    * Scale posture: everything before the LIMIT 20 is the same
+    * one-pass broadcast-stats corpus scan as `search_bm25`; the rerank
+    * stage touches 20 rows — constant per query, exactly the
+    * shortlist-only cost profile that makes cross-encoder rescoring
+    * affordable in production. */
+  private val searchRerank: Q = (s, d) => {
+    val nTermsExpr = Bm25Scoring.Terms
+      .map(t => s"CAST(tf_$t > 0 AS INT)").mkString(" + ")
+    val withTf = Tables.documents(s, d)
+      .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"), "inner")
+      .select(col("doc_id") +: col("text") +: col("embedding") +: Bm25Scoring.tfCols: _*)
+    val stats = withTf.agg(Bm25Scoring.nDocsAgg, Bm25Scoring.statAggs: _*)
+    val shortlist = withTf.crossJoin(broadcast(stats))
+      .withColumn("rel_e4", floor(expr(Bm25Scoring.scoreExpr) * 10000).cast("long"))
+      .orderBy(col("rel_e4").desc, col("doc_id").asc)
+      .limit(20)
+    val feats = shortlist
+      .filter(length(col("text")) >= 60) // _build_context's noise gate
+      .selectExpr("doc_id", "rel_e4",
+        "CAST(floor(graft_cosine(embedding, array_repeat(CAST(0.1 AS DOUBLE), 64)) " +
+          "* 1000000) AS BIGINT) AS cos_e6",
+        s"CAST($nTermsExpr AS BIGINT) AS n_terms",
+        "CAST(dl AS BIGINT) AS dl_i")
+      .withColumn("rr_score",
+        expr("5 * rel_e4 + (3 * cos_e6) DIV 100 + 20000 * n_terms - 10 * dl_i"))
+    feats
+      .agg(sort_array(collect_list(
+        struct((-col("rr_score")).as("ns"), col("doc_id"), col("rr_score"),
+          col("rel_e4"), col("cos_e6")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "row")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("row.doc_id").as("doc_id"), col("row.rr_score").as("rr_score"),
+        col("row.rel_e4").as("rel_e4"), col("row.cos_e6").as("cos_e6"))
+      .filter(col("rank") <= 10)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "search_bm25" -> searchBm25,
     "search_bm25_fields" -> searchBm25Fields,
     "search_ndcg" -> searchNdcg,
     "search_rag_mmr" -> searchRagMmr,
+    "search_rerank" -> searchRerank,
   )
 
   val oracles: Map[String, String] = Map(
+    "search_rerank" -> {
+      val duckNTerms = Bm25Scoring.Terms
+        .map(t => s"CAST(tf_$t > 0 AS BIGINT)").mkString(" + ")
+      s"""WITH tf AS (
+         |  SELECT doc_id, text, embedding,
+         |    ${Bm25Scoring.duckTfCols.mkString(",\n    ")}
+         |  FROM documents JOIN embeddings ON doc_id = vec_id),
+         |stats AS (
+         |  SELECT ${Bm25Scoring.duckStatCols.mkString(",\n    ")}
+         |  FROM tf),
+         |short AS (
+         |  SELECT doc_id, text, embedding, dl,
+         |    ${Bm25Scoring.Terms.map(t => s"tf_$t").mkString(", ")},
+         |    CAST(floor((
+         |      ${Bm25Scoring.duckScore}
+         |    ) * 10000) AS BIGINT) AS rel_e4
+         |  FROM tf, stats
+         |  ORDER BY rel_e4 DESC, doc_id ASC LIMIT 20),
+         |feats AS (
+         |  SELECT doc_id, rel_e4,
+         |    CAST(floor(
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding,
+         |        x -> CAST(x AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x)
+         |      / (sqrt(${PipelineShared.duckSumSqOf("embedding")})
+         |         * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |             list_transform(embedding,
+         |               x -> CAST(0.1 AS DOUBLE) * CAST(0.1 AS DOUBLE))),
+         |             (a, x) -> a + x)))
+         |      * 1000000) AS BIGINT) AS cos_e6,
+         |    $duckNTerms AS n_terms,
+         |    CAST(dl AS BIGINT) AS dl_i
+         |  FROM short WHERE length(text) >= 60),
+         |scored AS (
+         |  SELECT doc_id, rel_e4, cos_e6,
+         |    5 * rel_e4 + (3 * cos_e6) // 100 + 20000 * n_terms - 10 * dl_i
+         |      AS rr_score
+         |  FROM feats)
+         |SELECT CAST(row_number() OVER (ORDER BY rr_score DESC, doc_id ASC)
+         |    AS BIGINT) AS rank,
+         |  doc_id, rr_score, rel_e4, cos_e6
+         |FROM scored ORDER BY rr_score DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
     "search_rag_mmr" ->
       // identical integer MMR walk as a recursive CTE: same e4/e6
       // collapse before selection, same λ=0.7 integer score, same
