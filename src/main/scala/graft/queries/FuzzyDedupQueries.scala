@@ -333,6 +333,73 @@ private[queries] object FuzzyDedupQueries {
       .crossJoin(broadcast(nCapped))
   }
 
+  /** WINDOWED-vs-EXACT substring-dedup AUDIT (r14, VERDICT r13 #5) —
+    * the honesty check on the span family: `dedup_span_coverage`
+    * flags tokens via duplicated 5-gram windows, while Lee et al. 2021
+    * define substring dedup over suffix-array matches of length ≥ 50.
+    * This audit computes BOTH flag sets with the same positional
+    * kernel — truth = tokens covered by a duplicated 50-gram (exact
+    * for the ≥50 definition at ANY alignment, since every length-50
+    * sub-window of a longer shared span is itself a shared 50-gram) —
+    * and pins the measured agreement in basis points. Recall is 10000
+    * by containment (a shared 50-gram's sub-5-grams are shared), so
+    * the number that moves is PRECISION: the fraction of 5-gram-flagged
+    * tokens that a suffix-array run would also flag, degraded by the
+    * boilerplate decoy and coincidental short matches — measured, in
+    * the hash, per scale factor.
+    *
+    * Adversarial fixture: clone docs (id+200000) embed a 60-token span
+    * copied from offset 4 of the original between unique filler tokens
+    * — offset-SHIFTED both in source position and in target position,
+    * so any alignment assumption in the positional kernel would zero
+    * the truth set; decoy = a 7-token boilerplate appended to doc_id
+    * % 7 = 0 (≥ k, < L: windowed flags it, the ≥50 truth must not).
+    *
+    * Scale: two positional-shingle passes (8-byte keys; the 50-gram
+    * pass is the same O(n) window enumeration as the 5-gram one), the
+    * same min≠max duplicated-window reduction, and a per-doc coverage
+    * fold bounded by document length — the audit costs two
+    * span-coverage runs, no quadratic anything. */
+  private val dedupSpanRecall: Q = (s, d) => {
+    val K = 5; val L = 50
+    val boiler = "terms of use contact example dot org" // 7 tokens: >= K, < L
+    val base = Tables.documents(s, d).selectExpr("doc_id",
+      s"CASE WHEN doc_id % 7 = 0 THEN concat(text, ' ', '$boiler') ELSE text END AS text")
+    val docs = base.selectExpr("doc_id", "split(text, ' ') AS tokens")
+    val clones = docs.filter(col("doc_id") % 20 === 0 && size(col("tokens")) >= 70)
+      .selectExpr("doc_id + 200000 AS doc_id",
+        "concat(array(concat('fxa', doc_id), concat('fxb', doc_id), concat('fxc', doc_id)), " +
+          "slice(tokens, 4, 60), array(concat('fxd', doc_id))) AS tokens")
+    val corpus = docs.union(clones).filter(size(col("tokens")) >= K)
+      .selectExpr("doc_id", "CAST(size(tokens) AS BIGINT) AS n_tokens", "tokens")
+      .localCheckpoint() // feeds both shingle passes + the coverage join
+    def startsOf(k: Int, cname: String): DataFrame = {
+      val sh = corpus.select(col("doc_id"),
+        posexplode(expr(s"graft_shingle_hashes(tokens, $k)")).as(Seq("pos", "shingle")))
+        .filter(col("shingle").isNotNull)
+      val multi = sh.groupBy("shingle")
+        .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+        .filter(col("d0") =!= col("d1")).select("shingle")
+      sh.join(multi, Seq("shingle"), "left_semi")
+        .groupBy("doc_id").agg(sort_array(collect_list("pos")).as(cname))
+    }
+    val emptyInts = "CAST(array() AS ARRAY<INT>)"
+    val cov = corpus
+      .join(startsOf(L, "s50"), Seq("doc_id"), "left")
+      .join(startsOf(K, "s5"), Seq("doc_id"), "left")
+      .withColumn("c50", expr(
+        s"filter(sequence(0, n_tokens - 1), i -> exists(coalesce(s50, $emptyInts), p -> i >= p AND i < p + $L))"))
+      .withColumn("c5", expr(
+        s"filter(sequence(0, n_tokens - 1), i -> exists(coalesce(s5, $emptyInts), p -> i >= p AND i < p + $K))"))
+    cov.agg(count(lit(1)).as("n_docs"),
+        sum(expr("size(c50)")).cast("long").as("true_tokens"),
+        sum(expr("size(c5)")).cast("long").as("approx_tokens"),
+        sum(expr("size(array_intersect(c5, c50))")).cast("long").as("overlap_tokens"))
+      .selectExpr("n_docs", "true_tokens", "approx_tokens", "overlap_tokens",
+        "CASE WHEN true_tokens = 0 THEN -1 ELSE overlap_tokens * 10000 DIV true_tokens END AS recall_bp",
+        "CASE WHEN approx_tokens = 0 THEN -1 ELSE overlap_tokens * 10000 DIV approx_tokens END AS precision_bp")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "dedup_symspell_join" -> dedupSymspellJoin,
     "dedup_symspell_capped" -> dedupSymspellCapped,
@@ -340,9 +407,75 @@ private[queries] object FuzzyDedupQueries {
     "dedup_winnow_capped" -> dedupWinnowCapped,
     "dedup_containment" -> dedupContainment,
     "dedup_containment_incr" -> dedupContainmentIncr,
+    "dedup_span_recall" -> dedupSpanRecall,
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_span_recall" ->
+      // string k-grams stand in for the 8-byte kernel hashes (join keys
+      // only, same contract as dedup_span_coverage); DuckDB positions
+      // are 1-based vs the kernel's 0-based — the coverage predicate
+      // i ∈ [p, p+k) is base-consistent so the counts are identical
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN text || ' terms of use contact example dot org'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tokens FROM base),
+        |clones AS (
+        |  SELECT doc_id + 200000 AS doc_id,
+        |    list_concat(list_concat(
+        |      ['fxa' || doc_id, 'fxb' || doc_id, 'fxc' || doc_id],
+        |      tokens[4:63]), ['fxd' || doc_id]) AS tokens
+        |  FROM docs WHERE doc_id % 20 = 0 AND len(tokens) >= 70),
+        |corpus AS (
+        |  SELECT doc_id, tokens, CAST(len(tokens) AS BIGINT) AS n_tokens
+        |  FROM (SELECT * FROM docs UNION ALL SELECT * FROM clones)
+        |  WHERE len(tokens) >= 5),
+        |sh5 AS (
+        |  SELECT p.doc_id, p.pos,
+        |    array_to_string(c.tokens[p.pos:p.pos + 4], ' ') AS shingle
+        |  FROM (SELECT doc_id, unnest(generate_series(1, n_tokens - 4)) AS pos
+        |        FROM corpus) p
+        |  JOIN corpus c USING (doc_id)),
+        |m5 AS (SELECT shingle FROM sh5 GROUP BY shingle
+        |       HAVING count(DISTINCT doc_id) > 1),
+        |a5 AS (SELECT doc_id, list_sort(list(pos)) AS starts FROM sh5
+        |       WHERE shingle IN (SELECT shingle FROM m5) GROUP BY doc_id),
+        |sh50 AS (
+        |  SELECT p.doc_id, p.pos,
+        |    array_to_string(c.tokens[p.pos:p.pos + 49], ' ') AS shingle
+        |  FROM (SELECT doc_id, unnest(generate_series(1, n_tokens - 49)) AS pos
+        |        FROM corpus) p
+        |  JOIN corpus c USING (doc_id)),
+        |m50 AS (SELECT shingle FROM sh50 GROUP BY shingle
+        |        HAVING count(DISTINCT doc_id) > 1),
+        |a50 AS (SELECT doc_id, list_sort(list(pos)) AS starts FROM sh50
+        |        WHERE shingle IN (SELECT shingle FROM m50) GROUP BY doc_id),
+        |cov AS (
+        |  SELECT c.doc_id,
+        |    list_filter(generate_series(1, c.n_tokens),
+        |      i -> len(list_filter(coalesce(a50.starts, CAST([] AS BIGINT[])),
+        |        p -> i >= p AND i < p + 50)) > 0) AS c50,
+        |    list_filter(generate_series(1, c.n_tokens),
+        |      i -> len(list_filter(coalesce(a5.starts, CAST([] AS BIGINT[])),
+        |        p -> i >= p AND i < p + 5)) > 0) AS c5
+        |  FROM corpus c
+        |  LEFT JOIN a50 USING (doc_id)
+        |  LEFT JOIN a5 USING (doc_id))
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(c50)) AS BIGINT) AS true_tokens,
+        |  CAST(sum(len(c5)) AS BIGINT) AS approx_tokens,
+        |  CAST(sum(len(list_intersect(c5, c50))) AS BIGINT) AS overlap_tokens,
+        |  CAST(CASE WHEN sum(len(c50)) = 0 THEN -1
+        |    ELSE sum(len(list_intersect(c5, c50))) * 10000 // sum(len(c50))
+        |    END AS BIGINT) AS recall_bp,
+        |  CAST(CASE WHEN sum(len(c5)) = 0 THEN -1
+        |    ELSE sum(len(list_intersect(c5, c50))) * 10000 // sum(len(c5))
+        |    END AS BIGINT) AS precision_bp
+        |FROM cov""".stripMargin,
     "dedup_containment_incr" ->
       s"""WITH base AS (
          |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
