@@ -316,12 +316,16 @@ private[graft] object VectorQueries {
     val hnsw = GraphAnnQueries.visitedDf(s, d)
       .orderBy(col("cos_e6").desc, col("vec_id").asc)
       .limit(k).select("vec_id")
+    // trained-OPQ ADC at the same output budget: what the learned
+    // permutation + trained codebooks buy over the fixed-grid pq_adc row
+    val opq = VectorIndexQueries.opqAdcTopk(s, d, k)
     val methods = ivf(1).withColumn("method", lit("ivf_nprobe1"))
       .unionByName(ivf(4).withColumn("method", lit("ivf_nprobe4")))
       .unionByName(pq.withColumn("method", lit("pq_adc")))
       .unionByName(ivfpq.withColumn("method", lit("ivfpq_nprobe4")))
       .unionByName(rerank.withColumn("method", lit("ivfpq_rerank")))
       .unionByName(hnsw.withColumn("method", lit("hnsw_beam")))
+      .unionByName(opq.withColumn("method", lit("opq_adc")))
     methods
       .join(gt.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
       .groupBy("method")
@@ -680,13 +684,15 @@ private[graft] object VectorQueries {
          |hnsw AS (
          |  SELECT vec_id FROM hv${GraphAnnQueries.Hops}
          |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20),
+         |${VectorIndexQueries.duckOpqTopkCtes(20)},
          |methods AS (
          |  SELECT 'ivf_nprobe1' AS method, vec_id FROM ivf1
          |  UNION ALL SELECT 'ivf_nprobe4' AS method, vec_id FROM ivf4
          |  UNION ALL SELECT 'pq_adc' AS method, vec_id FROM pq
          |  UNION ALL SELECT 'ivfpq_nprobe4' AS method, vec_id FROM ivfpq
          |  UNION ALL SELECT 'ivfpq_rerank' AS method, vec_id FROM rerank
-         |  UNION ALL SELECT 'hnsw_beam' AS method, vec_id FROM hnsw)
+         |  UNION ALL SELECT 'hnsw_beam' AS method, vec_id FROM hnsw
+         |  UNION ALL SELECT 'opq_adc' AS method, vec_id FROM opqtop)
          |SELECT m.method, CAST(count(*) AS BIGINT) AS n_returned,
          |  CAST(sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
          |  CAST(20 AS BIGINT) AS k
