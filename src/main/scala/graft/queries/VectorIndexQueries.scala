@@ -573,7 +573,7 @@ private[graft] object VectorIndexQueries {
   }
 
   /** CTE fragment replaying [[opqAdcTopk]]; ends with `opqtop(vec_id)`.
-    * Names (e3/vstats/ranked/alloc/slots/o*/odt/opqtop) are disjoint
+    * Names (e3/vstats/ranked/alloc/slots/o-prefixed/odt/opqtop) are disjoint
     * from the recall oracle's. */
   private[queries] def duckOpqTopkCtes(k: Int): String =
     s"""$duckOpqAllocCtes,

@@ -16,6 +16,10 @@ import graft.queries.PipelineShared._
   */
 private[graft] object VectorQueries {
 
+  /** Shared top-k budget of the recall audit: the Spark query and its
+    * DuckDB replay both interpolate this so they can never desync. */
+  private[queries] val RecallK = 20
+
   /** Brute-force cosine top-k against a broadcast query vector (Q2,
     * `chatbot_api.py:227-242`). Query vector = 0.1·1⃗ so the oracle can
     * reproduce the identical fold: cos = 0.1·Σx / (‖x‖·0.1·√64). */
@@ -271,7 +275,7 @@ private[graft] object VectorQueries {
     * scan-local top-k (partial per-partition heap + single merge), and
     * the final overlap join moves ≤ 3k rows. */
   private val simRecallAtK: Q = (s, d) => {
-    val k = 20
+    val k = RecallK
     val cosE6 =
       "CAST(floor(graft_cosine(embedding, array_repeat(CAST(0.1 AS DOUBLE), 64)) " +
         "* 1000000) AS BIGINT) AS cos_e6"
@@ -644,13 +648,13 @@ private[graft] object VectorQueries {
          |               x -> CAST(0.1 AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x)))
          |      * 1000000) AS BIGINT) AS cos_e6
          |  FROM assigned),
-         |gt AS (SELECT vec_id FROM cos ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20),
+         |gt AS (SELECT vec_id FROM cos ORDER BY cos_e6 DESC, vec_id ASC LIMIT $RecallK),
          |ivf1 AS (
          |  SELECT vec_id FROM cos WHERE centroid_id IN (${ivfProbeList(1).mkString(", ")})
-         |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20),
+         |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT $RecallK),
          |ivf4 AS (
          |  SELECT vec_id FROM cos WHERE centroid_id IN (${ivfProbeList(4).mkString(", ")})
-         |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20),
+         |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT $RecallK),
          |dists AS (
          |  SELECT vec_id,
          |    $dCols
@@ -662,14 +666,14 @@ private[graft] object VectorQueries {
          |pq AS (
          |  SELECT vec_id FROM (
          |    SELECT vec_id, CAST(floor(($adcSql) * 10000) AS BIGINT) AS adc_e4 FROM codes)
-         |  ORDER BY adc_e4, vec_id LIMIT 20),
+         |  ORDER BY adc_e4, vec_id LIMIT $RecallK),
          |ivfpq AS (
          |  SELECT x.vec_id FROM (
          |    SELECT vec_id, CAST(floor(($adcSql) * 10000) AS BIGINT) AS adc_e4
          |    FROM codes) x
          |  JOIN assigned a ON a.vec_id = x.vec_id
          |  WHERE a.centroid_id IN (${ivfProbeList(4).mkString(", ")})
-         |  ORDER BY x.adc_e4, x.vec_id LIMIT 20),
+         |  ORDER BY x.adc_e4, x.vec_id LIMIT $RecallK),
          |short50 AS (
          |  SELECT x.vec_id FROM (
          |    SELECT vec_id, CAST(floor(($adcSql) * 10000) AS BIGINT) AS adc_e4
@@ -679,12 +683,12 @@ private[graft] object VectorQueries {
          |  ORDER BY x.adc_e4, x.vec_id LIMIT 50),
          |rerank AS (
          |  SELECT c.vec_id FROM cos c JOIN short50 s ON c.vec_id = s.vec_id
-         |  ORDER BY c.cos_e6 DESC, c.vec_id ASC LIMIT 20),
+         |  ORDER BY c.cos_e6 DESC, c.vec_id ASC LIMIT $RecallK),
          |${GraphAnnQueries.duckVisitedCtes("h")},
          |hnsw AS (
          |  SELECT vec_id FROM hv${GraphAnnQueries.Hops}
-         |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20),
-         |${VectorIndexQueries.duckOpqTopkCtes(20)},
+         |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT $RecallK),
+         |${VectorIndexQueries.duckOpqTopkCtes(RecallK)},
          |methods AS (
          |  SELECT 'ivf_nprobe1' AS method, vec_id FROM ivf1
          |  UNION ALL SELECT 'ivf_nprobe4' AS method, vec_id FROM ivf4
@@ -695,7 +699,7 @@ private[graft] object VectorQueries {
          |  UNION ALL SELECT 'opq_adc' AS method, vec_id FROM opqtop)
          |SELECT m.method, CAST(count(*) AS BIGINT) AS n_returned,
          |  CAST(sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-         |  CAST(20 AS BIGINT) AS k
+         |  CAST($RecallK AS BIGINT) AS k
          |FROM methods m LEFT JOIN gt g ON m.vec_id = g.vec_id
          |GROUP BY m.method ORDER BY m.method""".stripMargin
     },
