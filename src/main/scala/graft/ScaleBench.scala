@@ -59,7 +59,12 @@ object ScaleBench {
     // df-capped winnow join whose candidate volume the cap must hold
     // ~linear under the ×32 corpus (VERDICT r12 #3)
     "sim_index_maintain", "text_bpe_merges", "k12_partition_overwrite",
-    "dedup_winnow_capped")
+    "dedup_winnow_capped",
+    // r15: the graph-ANN build (k-NN edge table) and its incremental
+    // batch insert — both banded-LSH candidate joins whose width is the
+    // same census lever; at fixed 8 bits the build's candidate volume is
+    // N²/2⁸-shaped, so the deep tier runs them at the census width only
+    "sim_hnsw_topk", "sim_hnsw_maintain")
 
   /** The two width-lever pipelines also get the fixed-width ×32 point. */
   private val FixedWidthDoc = Seq("dedup_semantic_keep", "sim_embed_neardup")
@@ -129,7 +134,11 @@ object ScaleBench {
     // shape), trigram entropy (one n-gram agg), histogram KL (constant
     // state), and the kmeans+keyword topic census
     "dedup_containment_incr", "text_ngram_entropy", "text_dist_drift",
-    "e2e_topic_census", "mm_pixel_stats_jpeg")
+    "e2e_topic_census", "mm_pixel_stats_jpeg",
+    // r15: real MP4 sample demux (mapPartitions CPU, no shuffle until
+    // the final sort — the same embarrassingly-parallel shape as the
+    // pixel decodes)
+    "mm_mp4_samples")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -197,6 +206,10 @@ object ScaleBench {
           (s, d) => graft.queries.EmbedNeardupQueries.semanticKeep(s, d, 2, tuned(f)._1)
         case "sim_embed_neardup" =>
           (s, d) => graft.queries.EmbedNeardupQueries.embedNeardup(s, d, 2, tuned(f)._1)
+        case "sim_hnsw_topk" =>
+          (s, d) => graft.queries.GraphAnnQueries.hnswTopk(s, d, tuned(f)._1)
+        case "sim_hnsw_maintain" =>
+          (s, d) => graft.queries.GraphAnnQueries.hnswMaintain(s, d, tuned(f)._1)
         case other => SparkEntry.queries(other)
       }
 

@@ -236,6 +236,101 @@ object MediaStub {
     }
   }
 
+  /** One extracted MP4 sample: its position in the stream, the absolute
+    * byte range it occupies in the file, and the unsigned byte sum of
+    * the actual payload slice (the content pin). */
+  final case class Mp4Sample(frame_no: Int, byte_offset: Long, n_bytes: Int, byte_sum: Long)
+
+  /** REAL ISO-BMFF sample extraction (ISO/IEC 14496-12 §8.7): walk the
+    * first track whose `stbl` carries the full sample-table triple —
+    * `stsz` (per-sample sizes), `stsc` (samples-per-chunk runs), `stco`
+    * (absolute chunk offsets) — and materialize every sample's byte
+    * range exactly as a demuxer would: chunk base offset from stco,
+    * per-sample offsets cumulative within the chunk, run lengths from
+    * the stsc first_chunk intervals. The payload bytes themselves are
+    * read (summed), so a one-byte framing error anywhere in the walk
+    * changes the output. Codec decode of the sample bitstream (H.264
+    * etc.) remains out of scope — no codec libraries in this container —
+    * but the byte-accurate demux is what `mm_frame_resize`'s fixed-stride
+    * STUB previously faked. Malformed tables (overflowing slice, short
+    * box) yield Nil, never a partial fake. */
+  def mp4Samples(b: Array[Byte]): Seq[Mp4Sample] = {
+    val top = mp4Boxes(b, 0, b.length)
+    if (top.isEmpty || !Seq("ftyp", "moov", "styp").contains(top.head._1)) return Nil
+    val moov = top.find(_._1 == "moov").getOrElse(return Nil)
+    val traks = mp4Boxes(b, moov._2, moov._3).filter(_._1 == "trak")
+    traks.iterator.map { t =>
+      val stbl = for {
+        mdia <- mp4Boxes(b, t._2, t._3).find(_._1 == "mdia")
+        minf <- mp4Boxes(b, mdia._2, mdia._3).find(_._1 == "minf")
+        stbl <- mp4Boxes(b, minf._2, minf._3).find(_._1 == "stbl")
+      } yield mp4Boxes(b, stbl._2, stbl._3)
+      stbl.flatMap { boxes =>
+        for {
+          stsz <- boxes.find(_._1 == "stsz")
+          stsc <- boxes.find(_._1 == "stsc")
+          stco <- boxes.find(_._1 == "stco")
+          samples <- walkSampleTables(b, stsz, stsc, stco)
+        } yield samples
+      }
+    }.collectFirst { case Some(samples) => samples }.getOrElse(Nil)
+  }
+
+  private def walkSampleTables(
+      b: Array[Byte],
+      stsz: (String, Int, Int),
+      stsc: (String, Int, Int),
+      stco: (String, Int, Int)): Option[Seq[Mp4Sample]] = {
+    // stsz body: verflags(4) sample_size(4) sample_count(4) [size4]*
+    val (zs, ze) = (stsz._2, stsz._3)
+    if (zs + 12 > ze) return None
+    val fixedSize = beU32(b, zs + 4)
+    val nSamples = beU32(b, zs + 8).toInt
+    if (nSamples < 0) return None
+    val sizes: Int => Long =
+      if (fixedSize != 0) _ => fixedSize
+      else {
+        if (zs + 12 + 4L * nSamples > ze) return None
+        i => beU32(b, zs + 12 + 4 * i)
+      }
+    // stsc body: verflags(4) entry_count(4) [(first_chunk, spc, sdi)]*
+    val (cs, ce) = (stsc._2, stsc._3)
+    if (cs + 8 > ce) return None
+    val nRuns = math.min(beU32(b, cs + 4), (ce - cs - 8) / 12).toInt
+    val runs = (0 until nRuns).map { r =>
+      (beU32(b, cs + 8 + 12 * r).toInt, beU32(b, cs + 12 + 12 * r).toInt)
+    }
+    if (runs.isEmpty || runs.head._1 != 1 || runs.exists(_._2 < 0)) return None
+    // stco body: verflags(4) entry_count(4) [offset4]*
+    val (os, oe) = (stco._2, stco._3)
+    if (os + 8 > oe) return None
+    val nChunks = math.min(beU32(b, os + 4), (oe - os - 8) / 4).toInt
+    val out = scala.collection.mutable.ArrayBuffer[Mp4Sample]()
+    var sample = 0
+    var run = 0
+    var chunk = 1
+    while (sample < nSamples && chunk <= nChunks) {
+      while (run + 1 < runs.length && runs(run + 1)._1 <= chunk) run += 1
+      val spc = runs(run)._2
+      var off = beU32(b, os + 8 + 4 * (chunk - 1))
+      var k = 0
+      while (k < spc && sample < nSamples) {
+        val sz = sizes(sample)
+        if (sz < 0 || off < 0 || off + sz > b.length) return None
+        var sum = 0L
+        var p = off.toInt
+        val end = (off + sz).toInt
+        while (p < end) { sum += (b(p) & 0xff); p += 1 }
+        out += Mp4Sample(sample, off, sz.toInt, sum)
+        off += sz
+        sample += 1
+        k += 1
+      }
+      chunk += 1
+    }
+    if (sample < nSamples) None else Some(out.toSeq)
+  }
+
   /** Frame sampling: every `everyN`-th frame of each video/audio asset
     * as a (doc_id, frame_no, byte_offset) row — the downstream shape a
     * frame extractor would feed to a vision model. Single-frame assets
@@ -377,5 +472,59 @@ object MediaFixtures {
     val stts = box("stts", be32(0) ++ be32(1) ++ be32(nFrames) ++ be32(1))
     val trak = box("trak", tkhd ++ box("mdia", box("minf", box("stbl", stts))))
     ftyp ++ box("moov", mvhd ++ trak) ++ box("mdat", payload)
+  }
+
+  /** ISO-BMFF/MP4 with a FULL sample table: [[mp4]]'s box tree plus
+    * `stsz`/`stsc`/`stco`, the payload split into `nFrames` samples at
+    * boundaries s_i = ⌊i·L/n⌋ and laid out in chunks of
+    * `samplesPerChunk` (last chunk short), so the demux walk in
+    * [[MediaStub.mp4Samples]] must combine all three tables — a
+    * multi-entry stsc run, per-sample stsz sizes, absolute stco
+    * offsets — to recover the slices. Total size is arithmetic in
+    * (n = nFrames, L = payload length): mdat payload starts at
+    * 340 + 4n + 12e + 4c where c = ⌈n/7⌉ chunks and e ∈ {1,2} stsc
+    * entries — the constant the oracle SQL replays. */
+  def mp4Sampled(width: Int, height: Int, nFrames: Int, payload: Array[Byte],
+      samplesPerChunk: Int = 7): Array[Byte] = {
+    require(nFrames > 0 && samplesPerChunk > 0)
+    val n = nFrames
+    val l = payload.length.toLong
+    val bounds = (0 to n).map(i => (i * l / n).toInt)
+    val sizes = (0 until n).map(i => bounds(i + 1) - bounds(i))
+    val nChunks = (n + samplesPerChunk - 1) / samplesPerChunk
+    val rem = n - (nChunks - 1) * samplesPerChunk
+    val stscRuns: Seq[(Int, Int)] =
+      if (nChunks == 1 || rem == samplesPerChunk) Seq((1, math.min(n, samplesPerChunk)))
+      else Seq((1, samplesPerChunk), (nChunks, rem))
+    val stts = box("stts", be32(0) ++ be32(1) ++ be32(n) ++ be32(1))
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(n) ++
+      sizes.flatMap(be32).toArray)
+    val stsc = box("stsc", be32(0) ++ be32(stscRuns.length) ++
+      stscRuns.flatMap { case (fc, spc) => be32(fc) ++ be32(spc) ++ be32(1) }.toArray)
+    def stcoFor(mdatStart: Int): Array[Byte] = {
+      val chunkOffsets = (0 until nChunks).map { c =>
+        mdatStart + bounds(c * samplesPerChunk)
+      }
+      box("stco", be32(0) ++ be32(nChunks) ++ chunkOffsets.flatMap(be32).toArray)
+    }
+    def fileFor(mdatStart: Int): Array[Byte] = {
+      val ftyp = box("ftyp", "isom".getBytes ++ be32(0))
+      val mvhd = box("mvhd",
+        be32(0) ++ be32(0) ++ be32(0) ++ be32(600) ++ be32(n) ++
+          be32(0x10000) ++ be16(0x0100) ++ be16(0) ++
+          new Array[Byte](8) ++ Mp4UnityMatrix ++
+          new Array[Byte](24) ++ be32(2))
+      val tkhd = box("tkhd",
+        be32(7) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(n) ++
+          new Array[Byte](8) ++ be16(0) ++ be16(0) ++ be16(0) ++ be16(0) ++
+          Mp4UnityMatrix ++ be32(width << 16) ++ be32(height << 16))
+      val stbl = box("stbl", stts ++ stsz ++ stsc ++ stcoFor(mdatStart))
+      val trak = box("trak", tkhd ++ box("mdia", box("minf", stbl)))
+      ftyp ++ box("moov", mvhd ++ trak) ++ box("mdat", payload)
+    }
+    // stco holds absolute offsets but lives inside moov: build once with
+    // placeholder offsets to measure the header, then with the real base.
+    val headerLen = fileFor(0).length - payload.length // bytes before mdat payload
+    fileFor(headerLen)
   }
 }

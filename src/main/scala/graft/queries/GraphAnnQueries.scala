@@ -66,68 +66,116 @@ private[graft] object GraphAnnQueries {
     "CAST(floor(graft_cosine(embedding, array_repeat(CAST(0.1 AS DOUBLE), 64)) " +
       "* 1000000) AS BIGINT)"
 
-  /** Symmetrized pruned k-NN neighbor table: (src, dst), degree ≤ 2M. */
-  private[queries] def edgesDf(s: SparkSession, d: String): DataFrame = {
-    val sig = Tables.embeddings(s, d)
-      .selectExpr("vec_id", "embedding",
-        "element_at(graft_lsh_bands(embedding, 1, 8), 1) AS sig")
-      .localCheckpoint() // feeds both sides of the probe join once
-    val flips = (0 until 8).map(b => s"sig ^ ${1 << b}").mkString(", ")
-    val probes = sig.selectExpr("vec_id AS src", "embedding AS ea",
+  /** (vec_id, embedding, sig): the LSH partition key every graph stage
+    * joins on. */
+  private[queries] def sigOf(df: DataFrame, bits: Int = 8): DataFrame =
+    df.selectExpr("vec_id", "embedding",
+      s"element_at(graft_lsh_bands(embedding, 1, $bits), 1) AS sig")
+
+  private val edgeWindow =
+    Window.partitionBy("src").orderBy(col("pair_e6").desc, col("dst").asc)
+
+  /** Top-M out-edges of every `probe` node against the `index` side: the
+    * 9-key multiprobe candidate join (own bucket + 8 Hamming-1 buckets)
+    * scored by exact pairwise cosine. Probe and index sides are separate
+    * so incremental maintenance can probe a small batch against the
+    * whole corpus without re-pairing the corpus with itself. */
+  private def outEdges(probe: DataFrame, index: DataFrame, bits: Int = 8): DataFrame = {
+    val flips = (0 until bits).map(b => s"sig ^ ${1 << b}").mkString(", ")
+    val probes = probe.selectExpr("vec_id AS src", "embedding AS ea",
       s"explode(array(sig, $flips)) AS key")
-    val cand = probes
-      .join(sig.selectExpr("vec_id AS dst", "embedding AS eb", "sig AS key"),
+    probes
+      .join(index.selectExpr("vec_id AS dst", "embedding AS eb", "sig AS key"),
         Seq("key"))
       .filter(col("src") =!= col("dst"))
       .selectExpr("src", "dst",
         "CAST(floor(graft_cosine(ea, eb) * 1000000) AS BIGINT) AS pair_e6")
-    val w = Window.partitionBy("src").orderBy(col("pair_e6").desc, col("dst").asc)
-    val outEdges = cand.withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(edgeWindow))
       .filter(col("rn") <= M).select("src", "dst", "pair_e6")
-    // Symmetrize, then RE-PRUNE to 2M per node (HNSW's M_max shrink of
-    // incoming links): without it a hub landing in many nodes' top-M
-    // has unbounded degree and a single hop's expansion is unbounded
-    // too. Reversed edges carry the same pair score, so the mutual-edge
-    // duplicate collapses under distinct before the prune.
-    val sym = outEdges
-      .union(outEdges.select(col("dst").as("src"), col("src").as("dst"),
-        col("pair_e6")))
-      .distinct()
-    sym.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 2 * M).select("src", "dst")
   }
 
-  /** The visited set of the bounded beam walk: (vec_id, cos_e6). */
-  private[queries] def visitedDf(s: SparkSession, d: String): DataFrame = {
-    val edges = edgesDf(s, d).localCheckpoint() // traversed once per hop
-    val scored = Tables.embeddings(s, d)
-      .selectExpr("vec_id", s"$qCosE6 AS cos_e6")
-      .localCheckpoint() // arrival scoring for every hop
+  /** Union with reversed edges; the pair score is symmetric and
+    * deterministic, so the mutual-edge duplicate collapses under
+    * distinct. */
+  private def symmetrize(out: DataFrame): DataFrame =
+    out.union(out.select(col("dst").as("src"), col("src").as("dst"),
+      col("pair_e6"))).distinct()
+
+  /** RE-PRUNE to 2M per node (HNSW's M_max shrink of incoming links):
+    * without it a hub landing in many nodes' top-M has unbounded degree
+    * and a single hop's expansion is unbounded too. Keeps pair_e6 — the
+    * stored neighbor table carries the score so later maintenance can
+    * re-rank touched nodes without re-scoring. */
+  private def prune2M(edges: DataFrame): DataFrame =
+    edges.withColumn("rn", row_number().over(edgeWindow))
+      .filter(col("rn") <= 2 * M).select("src", "dst", "pair_e6")
+
+  /** Symmetrized pruned k-NN neighbor table: (src, dst), degree ≤ 2M. */
+  private[queries] def edgesDf(s: SparkSession, d: String, bits: Int = 8): DataFrame = {
+    val sig = sigOf(Tables.embeddings(s, d), bits)
+      .localCheckpoint() // feeds both sides of the probe join once
+    prune2M(symmetrize(outEdges(sig, sig, bits))).select("src", "dst")
+  }
+
+  /** Per-node query-cosine scores, the arrival scoring of every hop. */
+  private[queries] def scoredDf(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).selectExpr("vec_id", s"$qCosE6 AS cos_e6")
+
+  /** The bounded beam walk over a prebuilt (checkpointed) edge table and
+    * score table — factored out so the ef-sweep reuses one graph build
+    * across beam widths, exactly as a served index would. */
+  private[queries] def walkDf(edges: DataFrame, scored: DataFrame, beam: Int): DataFrame = {
     var visited = scored.filter(col("vec_id") % EntryStride === 0)
-      .orderBy(col("cos_e6").desc, col("vec_id").asc).limit(Beam)
+      .orderBy(col("cos_e6").desc, col("vec_id").asc).limit(beam)
+    // Expanded-set tracking (HNSW's candidate/visited split): each hop's
+    // frontier is the top-beam of visited nodes NOT yet expanded, so a
+    // hop always pushes into new territory instead of re-expanding the
+    // same global top-beam once the walk plateaus.
+    var expanded = visited.select(col("vec_id")).limit(0)
     for (_ <- 1 to Hops) {
       val frontier = visited
-        .orderBy(col("cos_e6").desc, col("vec_id").asc).limit(Beam)
-        .select(col("vec_id").as("src"))
-      val expand = edges.join(broadcast(frontier), Seq("src"))
+        .join(expanded, Seq("vec_id"), "left_anti")
+        .orderBy(col("cos_e6").desc, col("vec_id").asc).limit(beam)
+        .select("vec_id")
+        .localCheckpoint() // feeds both the expansion join and the expanded set
+      val expand = edges
+        .join(broadcast(frontier.select(col("vec_id").as("src"))), Seq("src"))
         .select(col("dst").as("vec_id")).distinct()
         .join(scored, Seq("vec_id"))
       visited = visited.union(expand).distinct()
+      expanded = expanded.union(frontier).distinct()
     }
     visited
   }
 
-  /** Graph-ANN top-k through the relational HNSW walk; the visited-set
-    * size rides the hash so the navigation itself is pinned, not only
-    * the final ranking. */
-  private val simHnswTopk: Q = (s, d) => {
-    val visited = visitedDf(s, d).localCheckpoint()
+  /** The visited set of the bounded beam walk: (vec_id, cos_e6). */
+  private[queries] def visitedDf(s: SparkSession, d: String): DataFrame =
+    walkDf(
+      edgesDf(s, d).localCheckpoint(), // traversed once per hop
+      scoredDf(s, d).localCheckpoint(), // arrival scoring for every hop
+      Beam)
+
+  /** Width-parameterized graph-ANN top-k — the ScaleBench deep-tier
+    * entry: the battery pins bits=8 for oracle determinism, while the
+    * scale runs feed the census-tuned width (the same `bandBits ∝
+    * log2 N` lever every banded pipeline uses; at fixed 8 bits the
+    * build's candidate volume is N²/2⁸-shaped and compounds at ×32). */
+  private[graft] def hnswTopk(s: SparkSession, d: String, bits: Int): DataFrame = {
+    val visited = walkDf(
+      edgesDf(s, d, bits).localCheckpoint(),
+      scoredDf(s, d).localCheckpoint(),
+      Beam).localCheckpoint()
     val nv = visited.agg(count(lit(1)).as("n_visited"))
     visited.crossJoin(broadcast(nv))
       .orderBy(col("cos_e6").desc, col("vec_id").asc)
       .limit(10)
       .select("vec_id", "cos_e6", "n_visited")
   }
+
+  /** Graph-ANN top-k through the relational HNSW walk; the visited-set
+    * size rides the hash so the navigation itself is pinned, not only
+    * the final ranking. */
+  private val simHnswTopk: Q = (s, d) => hnswTopk(s, d, 8)
 
   /** Build-side census: degree histogram of the symmetrized neighbor
     * table — pins the candidate join + top-M prune + symmetrize chain
@@ -139,9 +187,86 @@ private[graft] object GraphAnnQueries {
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
       .orderBy("degree")
 
+  /** ef-sweep: the beam walk at widths 4/8/16 over ONE graph build
+    * (exactly how a served index prices its ef knob — the graph is
+    * fixed, only the query-time beam varies). Per beam: visited-set
+    * size (the work) and top-k overlap with brute-force truth (the
+    * recall) — the measured recall-vs-cost curve that decides ef the
+    * way `sim_lsh_tuner` decides band widths. Scale posture: the edge
+    * and score tables build once; each walk moves O(beam·2M·Hops)
+    * rows, so the sweep is 3 cheap walks, not 3 index builds. */
+  private val simHnswEfSweep: Q = (s, d) => {
+    val k = 10
+    val edges = edgesDf(s, d).localCheckpoint()
+    val scored = scoredDf(s, d).localCheckpoint()
+    val gt = scored.orderBy(col("cos_e6").desc, col("vec_id").asc)
+      .limit(k).select("vec_id")
+    val perBeam = Seq(4, 8, 16).map { beam =>
+      val v = walkDf(edges, scored, beam).localCheckpoint()
+      val nv = v.agg(count(lit(1)).as("n_visited"))
+      v.orderBy(col("cos_e6").desc, col("vec_id").asc).limit(k)
+        .select("vec_id")
+        .withColumn("beam", lit(beam.toLong))
+        .crossJoin(broadcast(nv))
+    }.reduce(_ unionByName _)
+    perBeam
+      .join(gt.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
+      .groupBy("beam")
+      .agg(max("n_visited").as("n_visited"),
+        count(lit(1)).as("n_returned"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("k", lit(k.toLong))
+      .orderBy("beam")
+  }
+
+  /** INCREMENTAL graph maintenance — the daily-batch twin of the
+    * band-index / vector-index maintenance tier, for the neighbor table:
+    * the established corpus (vec_id %10 ≠ 0) owns a persisted graph; a
+    * new batch (%10 = 0) inserts by probing its LSH buckets against the
+    * WHOLE sig table (corpus + batch — never corpus×corpus again),
+    * taking top-M out-edges, reversing them into the touched nodes, and
+    * re-running only the 2M shrink over the merged edge set — untouched
+    * nodes keep their rows verbatim under the deterministic rank. The
+    * output also audits maintained-vs-rebuilt: n_common against a
+    * from-scratch build prices the drift incremental insertion accrues
+    * (real HNSW has the same property — insertion order matters).
+    * Scale posture: the day's cost is O(batch·probe-bucket) candidates
+    * + a shuffle of batch-adjacent edges; the corpus graph is read, not
+    * re-paired; the full rebuild here is the AUDIT truth (sampled at
+    * 100 TB, exactly like the recall audits). */
+  private[graft] def hnswMaintain(s: SparkSession, d: String, bits: Int): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val corpusSig = sigOf(emb.filter(col("vec_id") % 10 =!= 0), bits).localCheckpoint()
+    val batchSig = sigOf(emb.filter(col("vec_id") % 10 === 0), bits).localCheckpoint()
+    val allSig = corpusSig.unionByName(batchSig)
+    val gc = prune2M(symmetrize(outEdges(corpusSig, corpusSig, bits))).localCheckpoint()
+    val no = outEdges(batchSig, allSig, bits).localCheckpoint()
+    val maintained = prune2M(
+      gc.unionByName(no)
+        .unionByName(no.select(col("dst").as("src"), col("src").as("dst"),
+          col("pair_e6")))
+        .distinct())
+      .select("src", "dst").localCheckpoint()
+    val rebuilt = prune2M(symmetrize(outEdges(allSig, allSig, bits)))
+      .select("src", "dst").localCheckpoint()
+    val common = maintained.join(rebuilt, Seq("src", "dst"))
+      .agg(count(lit(1)).as("n_common"))
+    gc.agg(count(lit(1)).as("n_corpus_edges"))
+      .crossJoin(broadcast(no.agg(count(lit(1)).as("n_new_out"))))
+      .crossJoin(broadcast(no.filter(col("dst") % 10 =!= 0)
+        .agg(countDistinct(col("dst")).as("n_touched"))))
+      .crossJoin(broadcast(maintained.agg(count(lit(1)).as("n_maintained"))))
+      .crossJoin(broadcast(rebuilt.agg(count(lit(1)).as("n_rebuild"))))
+      .crossJoin(broadcast(common))
+  }
+
+  private val simHnswMaintain: Q = (s, d) => hnswMaintain(s, d, 8)
+
   val queries: Seq[(String, Q)] = Seq(
     "sim_hnsw_topk" -> simHnswTopk,
     "sim_hnsw_degree" -> simHnswDegree,
+    "sim_hnsw_ef_sweep" -> simHnswEfSweep,
+    "sim_hnsw_maintain" -> simHnswMaintain,
   )
 
   // ------------------------------------------------------- DuckDB replay
@@ -168,61 +293,88 @@ private[graft] object GraphAnnQueries {
        |           x -> CAST(0.1 AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x)))
        |  * 1000000) AS BIGINT)""".stripMargin
 
-  /** CTE chain through the symmetrized edge table, prefix-namespaced so
-    * it splices into other oracles (the recall audit) collision-free. */
-  private[queries] def duckEdgeCtes(p: String): String = {
-    val probeList = "sig" +: (0 until 8).map(b => s"xor(sig, ${1 << b})")
-    s"""${p}sig AS (
+  /** `$name(vec_id, embedding, sig)` over any embedding-shaped source. */
+  private def duckSigCte(name: String, src: String): String =
+    s"""$name AS (
        |  SELECT vec_id, embedding,
        |    ${VectorQueries.duckLshBits("embedding").mkString(" + ")} AS sig
-       |  FROM embeddings),
-       |${p}probes AS (
+       |  FROM $src)""".stripMargin
+
+  /** Probe + candidate + top-M chain (mirrors [[outEdges]]); final CTE
+    * is `${p}out(src, dst, pair_e6)`. */
+  private def duckOutCtes(p: String, probeSig: String, idxSig: String): String = {
+    val probeList = "sig" +: (0 until 8).map(b => s"xor(sig, ${1 << b})")
+    s"""${p}probes AS (
        |  SELECT vec_id, embedding, u.k AS key
-       |  FROM ${p}sig, UNNEST([${probeList.mkString(", ")}]) u(k)),
+       |  FROM $probeSig, UNNEST([${probeList.mkString(", ")}]) u(k)),
        |${p}cand AS (
        |  SELECT p.vec_id AS src, t.vec_id AS dst,
        |    ${duckPairCos("p.embedding", "t.embedding")} AS pair_e6
-       |  FROM ${p}probes p JOIN ${p}sig t
+       |  FROM ${p}probes p JOIN $idxSig t
        |    ON p.key = t.sig AND p.vec_id <> t.vec_id),
        |${p}out AS (
        |  SELECT src, dst, pair_e6 FROM (
        |    SELECT src, dst, pair_e6,
        |      row_number() OVER (PARTITION BY src ORDER BY pair_e6 DESC, dst ASC) AS rn
-       |    FROM ${p}cand) r WHERE rn <= $M),
-       |${p}sym AS (
-       |  SELECT DISTINCT src, dst, pair_e6 FROM (
-       |    SELECT src, dst, pair_e6 FROM ${p}out
-       |    UNION ALL SELECT dst AS src, src AS dst, pair_e6 FROM ${p}out) u2),
-       |${p}edges AS (
-       |  SELECT src, dst FROM (
-       |    SELECT src, dst,
-       |      row_number() OVER (PARTITION BY src ORDER BY pair_e6 DESC, dst ASC) AS rn
-       |    FROM ${p}sym) r2 WHERE rn <= ${2 * M})""".stripMargin
+       |    FROM ${p}cand) r WHERE rn <= $M)""".stripMargin
   }
 
-  /** CTE chain for the full walk: edges + per-node query cosine + the
-    * unrolled hops; the final visited set is `${p}v$Hops`. */
-  private[queries] def duckVisitedCtes(p: String): String = {
+  private def duckSymCte(name: String, out: String): String =
+    s"""$name AS (
+       |  SELECT DISTINCT src, dst, pair_e6 FROM (
+       |    SELECT src, dst, pair_e6 FROM $out
+       |    UNION ALL SELECT dst AS src, src AS dst, pair_e6 FROM $out) u2)""".stripMargin
+
+  private def duckPruneCte(name: String, src: String, cols: String): String =
+    s"""$name AS (
+       |  SELECT $cols FROM (
+       |    SELECT src, dst, pair_e6,
+       |      row_number() OVER (PARTITION BY src ORDER BY pair_e6 DESC, dst ASC) AS rn
+       |    FROM $src) r2 WHERE rn <= ${2 * M})""".stripMargin
+
+  /** CTE chain through the symmetrized edge table, prefix-namespaced so
+    * it splices into other oracles (the recall audit) collision-free. */
+  private[queries] def duckEdgeCtes(p: String): String =
+    s"""${duckSigCte(s"${p}sig", "embeddings")},
+       |${duckOutCtes(p, s"${p}sig", s"${p}sig")},
+       |${duckSymCte(s"${p}sym", s"${p}out")},
+       |${duckPruneCte(s"${p}edges", s"${p}sym", "src, dst")}""".stripMargin
+
+  /** Walk-only CTE chain over prebuilt edge/score CTEs (mirrors
+    * [[walkDf]]): entry scan, expanded-set chain, unrolled hops; the
+    * final visited set is `${p}v$Hops`. */
+  private[queries] def duckWalkCtes(p: String, edges: String, scored: String,
+      beam: Int): String = {
     val hops = (1 to Hops).map { h =>
       s"""${p}f$h AS (
          |  SELECT vec_id FROM ${p}v${h - 1}
-         |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT $Beam),
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM ${p}exp${h - 1})
+         |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT $beam),
+         |${p}exp$h AS (
+         |  SELECT vec_id FROM ${p}exp${h - 1}
+         |  UNION SELECT vec_id FROM ${p}f$h),
          |${p}x$h AS (
          |  SELECT DISTINCT s.vec_id, s.cos_e6
-         |  FROM ${p}f$h f JOIN ${p}edges e ON e.src = f.vec_id
-         |  JOIN ${p}scored s ON s.vec_id = e.dst),
+         |  FROM ${p}f$h f JOIN $edges e ON e.src = f.vec_id
+         |  JOIN $scored s ON s.vec_id = e.dst),
          |${p}v$h AS (
          |  SELECT DISTINCT vec_id, cos_e6 FROM (
          |    SELECT vec_id, cos_e6 FROM ${p}v${h - 1}
          |    UNION ALL SELECT vec_id, cos_e6 FROM ${p}x$h) u$h)""".stripMargin
     }.mkString(",\n")
-    s"""${duckEdgeCtes(p)},
-       |${p}scored AS (SELECT vec_id, $duckQCos AS cos_e6 FROM embeddings),
+    s"""${p}exp0 AS (SELECT CAST(NULL AS BIGINT) AS vec_id WHERE FALSE),
        |${p}v0 AS (
-       |  SELECT vec_id, cos_e6 FROM ${p}scored WHERE vec_id % $EntryStride = 0
-       |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT $Beam),
+       |  SELECT vec_id, cos_e6 FROM $scored WHERE vec_id % $EntryStride = 0
+       |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT $beam),
        |$hops""".stripMargin
   }
+
+  /** CTE chain for the full walk: edges + per-node query cosine + the
+    * unrolled hops; the final visited set is `${p}v$Hops`. */
+  private[queries] def duckVisitedCtes(p: String): String =
+    s"""${duckEdgeCtes(p)},
+       |${p}scored AS (SELECT vec_id, $duckQCos AS cos_e6 FROM embeddings),
+       |${duckWalkCtes(p, s"${p}edges", s"${p}scored", Beam)}""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "sim_hnsw_topk" ->
@@ -236,5 +388,58 @@ private[graft] object GraphAnnQueries {
          |        FROM gedges GROUP BY src)
          |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
          |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
+    "sim_hnsw_ef_sweep" -> {
+      val k = 10
+      val beams = Seq(4 -> "wa", 8 -> "wb", 16 -> "wc")
+      val walks = beams.map { case (beam, pp) =>
+        duckWalkCtes(pp, "wedges", "wscored", beam)
+      }.mkString(",\n")
+      val rows = beams.map { case (beam, pp) =>
+        s"""SELECT CAST($beam AS BIGINT) AS beam, vec_id,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM ${pp}v$Hops) AS n_visited
+           |FROM (SELECT vec_id FROM ${pp}v$Hops
+           |      ORDER BY cos_e6 DESC, vec_id ASC LIMIT $k) ${pp}top""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${duckEdgeCtes("w")},
+         |wscored AS (SELECT vec_id, $duckQCos AS cos_e6 FROM embeddings),
+         |$walks,
+         |gt AS (SELECT vec_id FROM wscored
+         |       ORDER BY cos_e6 DESC, vec_id ASC LIMIT $k),
+         |method_rows AS (
+         |$rows)
+         |SELECT m.beam, max(m.n_visited) AS n_visited,
+         |  CAST(count(*) AS BIGINT) AS n_returned,
+         |  CAST(sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hits,
+         |  CAST($k AS BIGINT) AS k
+         |FROM method_rows m LEFT JOIN gt g ON m.vec_id = g.vec_id
+         |GROUP BY m.beam ORDER BY m.beam""".stripMargin
+    },
+    "sim_hnsw_maintain" ->
+      s"""WITH corpus AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 0),
+         |batch AS (SELECT * FROM embeddings WHERE vec_id % 10 = 0),
+         |${duckSigCte("csig", "corpus")},
+         |${duckOutCtes("c", "csig", "csig")},
+         |${duckSymCte("csym", "cout")},
+         |${duckPruneCte("cgraph", "csym", "src, dst, pair_e6")},
+         |${duckSigCte("bsig", "batch")},
+         |asig AS (SELECT * FROM csig UNION ALL SELECT * FROM bsig),
+         |${duckOutCtes("b", "bsig", "asig")},
+         |merged AS (
+         |  SELECT DISTINCT src, dst, pair_e6 FROM (
+         |    SELECT src, dst, pair_e6 FROM cgraph
+         |    UNION ALL SELECT src, dst, pair_e6 FROM bout
+         |    UNION ALL SELECT dst AS src, src AS dst, pair_e6 FROM bout) um),
+         |${duckPruneCte("maint", "merged", "src, dst")},
+         |${duckEdgeCtes("g")}
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cgraph) AS n_corpus_edges,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM bout) AS n_new_out,
+         |  (SELECT CAST(count(DISTINCT dst) AS BIGINT) FROM bout
+         |     WHERE dst % 10 <> 0) AS n_touched,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM maint) AS n_maintained,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM gedges) AS n_rebuild,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM maint m JOIN gedges g
+         |     ON m.src = g.src AND m.dst = g.dst) AS n_common""".stripMargin,
   )
 }

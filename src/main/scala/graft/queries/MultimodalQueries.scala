@@ -279,14 +279,76 @@ private[graft] object MultimodalQueries {
     PipelineShared.withGoldenDigest(base, d, "mm_pixel_stats_jpeg")
   }
 
+  /** REAL MP4 demux (closes the last "frame samples are header-only"
+    * asterisk): every document becomes an ISO-BMFF file whose payload
+    * (the UTF-8 text bytes) is split into n = doc_id%240+1 samples laid
+    * out in 7-sample chunks, and [[graft.multimodal.MediaStub.mp4Samples]]
+    * must walk stsz+stsc+stco to recover every sample's ABSOLUTE byte
+    * range and actual bytes. The output pins all of it: the checksum is
+    * Σ (frame_no+1)·byte_sum over the REAL payload slices (an off-by-one
+    * in any table moves it), and first/last offsets pin the box-size
+    * arithmetic the oracle replays in closed form. Codec decode of the
+    * sample bitstream stays out of scope (no codec libs here); the demux
+    * is byte-exact. Scale posture: demux is mapPartitions CPU work over
+    * an opaque binary column, no shuffle before the final sort. */
+  private val mmMp4Samples: Q = (s, d) => {
+    import s.implicits._
+    import graft.multimodal.{MediaFixtures, MediaStub}
+    Tables.documents(s, d).select("doc_id", "text").as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val payload = Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val bytes = MediaFixtures.mp4Sampled(
+            (id % 624 + 16).toInt, (id % 464 + 16).toInt, (id % 240 + 1).toInt, payload)
+          val samples = MediaStub.mp4Samples(bytes)
+          val checksum = samples.iterator.map(x => (x.frame_no + 1).toLong * x.byte_sum).sum
+          (id, samples.length.toLong, samples.iterator.map(_.n_bytes.toLong).sum,
+            checksum,
+            if (samples.nonEmpty) samples.iterator.map(_.byte_offset).min else -1L,
+            if (samples.nonEmpty) samples.iterator.map(_.byte_offset).max else -1L)
+        }
+      }
+      .toDF("doc_id", "n_samples", "total_bytes", "checksum",
+        "first_offset", "last_offset")
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "mm_pixel_stats" -> mmPixelStats,
     "mm_pixel_stats_gif" -> mmPixelStatsGif,
     "mm_pixel_stats_jpeg" -> mmPixelStatsJpeg,
     "mm_audio_stats" -> mmAudioStats,
+    "mm_mp4_samples" -> mmMp4Samples,
   )
 
   val oracles: Map[String, String] = Map(
+    // the sample-table geometry in closed form: boundaries ⌊i·L/n⌋, byte
+    // sums via ord() over the ASCII payload, mdat start from the box-size
+    // constant 340 + 4n + 12e + 4c (see MediaFixtures.mp4Sampled)
+    "mm_mp4_samples" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CAST(doc_id % 240 + 1 AS BIGINT) AS n,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS len
+        |  FROM documents),
+        |calc AS (
+        |  SELECT doc_id, n, len,
+        |    340 + 4 * n
+        |      + 12 * (CASE WHEN n <= 7 OR n % 7 = 0 THEN 1 ELSE 2 END)
+        |      + 4 * ((n + 6) // 7) AS mdat_start,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(CAST(0 AS BIGINT), n - 1),
+        |        i -> (i + 1) * list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(generate_series((i * len) // n + 1, ((i + 1) * len) // n),
+        |            p -> CAST(ord(substr(text, CAST(p AS INT), 1)) AS BIGINT))),
+        |          (a, x) -> a + x))),
+        |      (a, x) -> a + x) AS checksum
+        |  FROM base)
+        |SELECT doc_id, n AS n_samples, len AS total_bytes, checksum,
+        |  mdat_start AS first_offset,
+        |  mdat_start + ((n - 1) * len) // n AS last_offset
+        |FROM calc ORDER BY doc_id""".stripMargin,
     "mm_pixel_stats" ->
       // the pixel formula evaluated relationally — no PNG bytes anywhere
       """WITH d AS (

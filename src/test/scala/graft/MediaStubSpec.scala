@@ -198,4 +198,50 @@ class MediaStubSpec extends AnyFunSuite {
       MediaStub.decodeMeta(recs.toDS().repartition(parts)).collect().sortBy(_.doc_id).toSeq
     assert(run(1) == run(8))
   }
+
+  test("MP4 sample demux: stsz/stsc/stco walk recovers the exact payload slices") {
+    val payload = (0 until 100).map(i => (i * 7 % 251).toByte).toArray
+    val n = 17 // 3 chunks of 7/7/3 ⇒ two stsc runs
+    val bytes = MediaFixtures.mp4Sampled(320, 240, n, payload)
+    val samples = MediaStub.mp4Samples(bytes)
+    assert(samples.map(_.frame_no) == (0 until n))
+    // boundaries ⌊i·L/n⌋ partition the payload exactly
+    val bounds = (0 to n).map(i => i * payload.length / n)
+    assert(samples.map(_.n_bytes) == (0 until n).map(i => bounds(i + 1) - bounds(i)))
+    assert(samples.map(_.n_bytes).sum == payload.length)
+    // each slice's byte sum matches the payload recomputed directly
+    (0 until n).foreach { i =>
+      val expect = payload.slice(bounds(i), bounds(i + 1)).map(_ & 0xff).map(_.toLong).sum
+      assert(samples(i).byte_sum == expect, s"sample $i")
+    }
+    // absolute offsets: sample bytes read back from the FILE equal the slice
+    samples.foreach { sm =>
+      val slice = bytes.slice(sm.byte_offset.toInt, sm.byte_offset.toInt + sm.n_bytes)
+      assert(slice.map(_ & 0xff).map(_.toLong).sum == sm.byte_sum)
+    }
+    // mdat payload start matches the closed-form constant the oracle uses
+    val c = (n + 6) / 7
+    val e = if (n <= 7 || n % 7 == 0) 1 else 2
+    assert(samples.head.byte_offset == 340 + 4 * n + 12 * e + 4 * c)
+    // header-only mp4 (no sample tables) and truncated files demux to Nil
+    assert(MediaStub.mp4Samples(MediaFixtures.mp4(320, 240, 5, payload)).isEmpty)
+    assert(MediaStub.mp4Samples(bytes.take(bytes.length - payload.length / 2)).isEmpty)
+    assert(MediaStub.mp4Samples(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("MP4 sample demux edge cases: empty payload, single chunk, n > L") {
+    // empty payload: n zero-size samples all at the mdat start
+    val empty = MediaStub.mp4Samples(MediaFixtures.mp4Sampled(16, 16, 5, Array.empty))
+    assert(empty.length == 5 && empty.forall(_.n_bytes == 0))
+    assert(empty.map(_.byte_offset).distinct.size == 1)
+    assert(empty.forall(_.byte_sum == 0L))
+    // single chunk (n <= 7): one stsc run
+    val one = MediaStub.mp4Samples(MediaFixtures.mp4Sampled(16, 16, 3, "abcdef".getBytes))
+    assert(one.map(_.n_bytes) == Seq(2, 2, 2))
+    assert(one.map(_.byte_sum).sum == "abcdef".getBytes.map(_.toLong).sum)
+    // more samples than bytes: some zero-size slices interleave
+    val sparse = MediaStub.mp4Samples(MediaFixtures.mp4Sampled(16, 16, 9, "xy".getBytes))
+    assert(sparse.length == 9 && sparse.map(_.n_bytes).sum == 2)
+    assert(sparse.map(_.byte_sum).sum == 'x'.toLong + 'y'.toLong)
+  }
 }
