@@ -68,7 +68,7 @@ private[graft] object GraphAnnQueries {
 
   /** (vec_id, embedding, sig): the LSH partition key every graph stage
     * joins on. */
-  private[queries] def sigOf(df: DataFrame, bits: Int = 8): DataFrame =
+  private[graft] def sigOf(df: DataFrame, bits: Int = 8): DataFrame =
     df.selectExpr("vec_id", "embedding",
       s"element_at(graft_lsh_bands(embedding, 1, $bits), 1) AS sig")
 
@@ -80,7 +80,7 @@ private[graft] object GraphAnnQueries {
     * scored by exact pairwise cosine. Probe and index sides are separate
     * so incremental maintenance can probe a small batch against the
     * whole corpus without re-pairing the corpus with itself. */
-  private def outEdges(probe: DataFrame, index: DataFrame, bits: Int = 8): DataFrame = {
+  private[graft] def outEdges(probe: DataFrame, index: DataFrame, bits: Int = 8): DataFrame = {
     val flips = (0 until bits).map(b => s"sig ^ ${1 << b}").mkString(", ")
     val probes = probe.selectExpr("vec_id AS src", "embedding AS ea",
       s"explode(array(sig, $flips)) AS key")
@@ -97,7 +97,7 @@ private[graft] object GraphAnnQueries {
   /** Union with reversed edges; the pair score is symmetric and
     * deterministic, so the mutual-edge duplicate collapses under
     * distinct. */
-  private def symmetrize(out: DataFrame): DataFrame =
+  private[graft] def symmetrize(out: DataFrame): DataFrame =
     out.union(out.select(col("dst").as("src"), col("src").as("dst"),
       col("pair_e6"))).distinct()
 
@@ -106,7 +106,7 @@ private[graft] object GraphAnnQueries {
     * and a single hop's expansion is unbounded too. Keeps pair_e6 — the
     * stored neighbor table carries the score so later maintenance can
     * re-rank touched nodes without re-scoring. */
-  private def prune2M(edges: DataFrame): DataFrame =
+  private[graft] def prune2M(edges: DataFrame): DataFrame =
     edges.withColumn("rn", row_number().over(edgeWindow))
       .filter(col("rn") <= 2 * M).select("src", "dst", "pair_e6")
 
@@ -262,11 +262,72 @@ private[graft] object GraphAnnQueries {
 
   private val simHnswMaintain: Q = (s, d) => hnswMaintain(s, d, 8)
 
+  /** SERVED beam walk over the PERSISTED src-bucketed neighbor table —
+    * the 100 TB read path the in-memory walk models: the graph lives as
+    * a TableMerge layout partitioned by `ebucket = src % 16` (what
+    * [[graft.streaming.EventStreams.graphIndexSink]] maintains), and
+    * each hop reads ONLY the frontier's buckets — the `isin` on the
+    * partition column resolves to partition pruning, so a hop's I/O is
+    * O(beam) partition dirs, never the table (GraphAnnSpec pins the
+    * pruned-scan shape). The ≤Beam frontier ids collect to the driver
+    * per hop — the same sanctioned bounded collect the k-means sync
+    * uses (Beam·Hops ≤ 24 ids total); everything else stays
+    * distributed. Output (and oracle) identical to `sim_hnsw_topk`:
+    * the layout changes WHERE bytes are read, not what the walk
+    * computes. */
+  private[graft] def hnswProbedTopk(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.TableMerge
+    val NB = 16
+    val stateDir = java.nio.file.Paths.get(
+      sys.props.getOrElse("graft.state.dir", "target/graft-state"))
+    java.nio.file.Files.createDirectories(stateDir)
+    val path = stateDir.resolve(s"hnswidx_${new java.io.File(d).getName}").toString
+    def wipe(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      p.delete(); ()
+    }
+    wipe(new java.io.File(path))
+    val sig = sigOf(Tables.embeddings(s, d)).localCheckpoint()
+    TableMerge.createOrReplace(
+      prune2M(symmetrize(outEdges(sig, sig)))
+        .withColumn("ebucket", pmod(col("src"), lit(NB))),
+      path, Seq("ebucket"))
+    val scored = scoredDf(s, d).localCheckpoint()
+    var visited = scored.filter(col("vec_id") % EntryStride === 0)
+      .orderBy(col("cos_e6").desc, col("vec_id").asc).limit(Beam)
+      .localCheckpoint()
+    var expandedIds = Set.empty[Long]
+    for (_ <- 1 to Hops) {
+      val unexpanded =
+        if (expandedIds.isEmpty) visited
+        else visited.filter(!col("vec_id").isin(expandedIds.toSeq: _*))
+      val frontierIds = unexpanded
+        .orderBy(col("cos_e6").desc, col("vec_id").asc).limit(Beam)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq // ≤ Beam rows
+      val buckets = frontierIds.map(_ % NB).distinct
+      val expand = TableMerge.read(s, path)
+        .filter(col("ebucket").isin(buckets: _*) &&
+          col("src").isin(frontierIds: _*))
+        .select(col("dst").as("vec_id")).distinct()
+        .join(scored, Seq("vec_id"))
+      visited = visited.union(expand).distinct().localCheckpoint()
+      expandedIds ++= frontierIds
+    }
+    val nv = visited.agg(count(lit(1)).as("n_visited"))
+    visited.crossJoin(broadcast(nv))
+      .orderBy(col("cos_e6").desc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "cos_e6", "n_visited")
+  }
+
+  private val simHnswProbed: Q = (s, d) => hnswProbedTopk(s, d)
+
   val queries: Seq[(String, Q)] = Seq(
     "sim_hnsw_topk" -> simHnswTopk,
     "sim_hnsw_degree" -> simHnswDegree,
     "sim_hnsw_ef_sweep" -> simHnswEfSweep,
     "sim_hnsw_maintain" -> simHnswMaintain,
+    "sim_hnsw_probed" -> simHnswProbed,
   )
 
   // ------------------------------------------------------- DuckDB replay
@@ -376,12 +437,17 @@ private[graft] object GraphAnnQueries {
        |${p}scored AS (SELECT vec_id, $duckQCos AS cos_e6 FROM embeddings),
        |${duckWalkCtes(p, s"${p}edges", s"${p}scored", Beam)}""".stripMargin
 
+  private val duckTopkWalk: String =
+    s"""WITH ${duckVisitedCtes("h")}
+       |SELECT vec_id, cos_e6,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM hv$Hops) AS n_visited
+       |FROM hv$Hops ORDER BY cos_e6 DESC, vec_id ASC LIMIT 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "sim_hnsw_topk" ->
-      s"""WITH ${duckVisitedCtes("h")}
-         |SELECT vec_id, cos_e6,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM hv$Hops) AS n_visited
-         |FROM hv$Hops ORDER BY cos_e6 DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // the probed read changes WHERE bytes come from, not the walk:
+    // same replay as sim_hnsw_topk
+    "sim_hnsw_probed" -> duckTopkWalk,
+    "sim_hnsw_topk" -> duckTopkWalk,
     "sim_hnsw_degree" ->
       s"""WITH ${duckEdgeCtes("g")},
          |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree

@@ -316,6 +316,105 @@ object EventStreams {
       }
       .start()
 
+  /** STREAMING maintenance of the persisted HNSW-style NEIGHBOR TABLE —
+    * the graph sibling of [[vectorIndexSink]], completing the index
+    * family (band / winnow / vector / graph). Two TableMerge tables:
+    * `<path>_vectors` (vec_id-bucketed, latest-wins — the sig side a
+    * probe needs) and the edge table (src-bucketed, SCORED rows so
+    * touched nodes re-rank without re-scoring).
+    *
+    * Per micro-batch of (vec_id, embedding):
+    *  1. upsert the batch's vectors (replaceKeys on (vbucket, vec_id) —
+    *     a re-embed replaces the old row);
+    *  2. probe the batch's sigs against the FULL updated sig table for
+    *     top-M out-edges (`GraphAnnQueries.outEdges`, never
+    *     corpus×corpus);
+    *  3. touched srcs = batch nodes ∪ endpoints of new edges ∪ every
+    *     node holding an edge INTO a batch node (its stored pair score
+    *     is stale after a re-embed);
+    *  4. touched nodes' lists rebuild as prune-to-2M over (their kept
+    *     edges with non-batch dst) ∪ (new edges both directions) — the
+    *     same shrink [[graft.queries.GraphAnnQueries]] documents;
+    *     untouched nodes' rows are never read, never rewritten;
+    *  5. one partition-scoped replaceKeys commit with dropGroups = the
+    *     touched (ebucket, src) pairs — quiet buckets hard-link.
+    *
+    * First batch degenerates to the full build: no prior edges ⇒
+    * touched = everything ⇒ prune2M(sym(outEdges(all, all))) — exactly
+    * `edgesDf`. A later batch over an established corpus produces
+    * byte-identical edges to the batch `hnswMaintain` audit query
+    * (GraphStreamSpec pins both). Per-batch cost is O(batch·probe
+    * buckets + state in touched srcs' buckets), independent of graph
+    * size. */
+  def graphIndexSink(vecs: DataFrame, tablePath: String, checkpointDir: String,
+                     bits: Int = 8,
+                     nBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          import graft.operators.TableMerge
+          import graft.queries.GraphAnnQueries._
+          val s = batch.sparkSession
+          val vecPath = s"${tablePath}_vectors"
+          val rows = batch.select("vec_id", "embedding")
+            .dropDuplicates("vec_id")
+            .withColumn("vbucket", pmod(col("vec_id"), lit(nBuckets)))
+            .localCheckpoint()
+          if (!TableMerge.exists(vecPath))
+            TableMerge.createOrReplace(rows, vecPath, Seq("vbucket"))
+          else
+            TableMerge.replaceKeys(s, vecPath, rows,
+              rows.select("vbucket", "vec_id"),
+              Seq("vbucket", "vec_id"), Seq("vbucket"))
+          val allSig = sigOf(
+            TableMerge.read(s, vecPath).select("vec_id", "embedding"), bits)
+            .localCheckpoint()
+          val batchSig = allSig
+            .join(rows.select("vec_id"), Seq("vec_id"), "left_semi")
+          val no = outEdges(batchSig, allSig, bits).localCheckpoint()
+          val batchIds = rows.select("vec_id")
+          val existing =
+            if (TableMerge.exists(tablePath))
+              TableMerge.read(s, tablePath).select("src", "dst", "pair_e6")
+                .localCheckpoint()
+            else s.emptyDataset(org.apache.spark.sql.Encoders
+              .product[(Long, Long, Long)]).toDF("src", "dst", "pair_e6")
+          val staleSrcs = existing
+            .join(batchIds.withColumnRenamed("vec_id", "dst"), Seq("dst"),
+              "left_semi")
+            .select("src")
+          val touched = batchIds.select(col("vec_id").as("src"))
+            .union(no.select("src"))
+            .union(no.select(col("dst").as("src")))
+            .union(staleSrcs)
+            .distinct().localCheckpoint()
+          // keep a touched node's edges only where NEITHER endpoint is a
+          // batch node: a re-embed stales every score involving it, both
+          // the edges INTO it (dst anti-join) and its own old out-list
+          // (src anti-join) — its fresh list comes from `no` ∪ rev(`no`)
+          val kept = existing
+            .join(touched, Seq("src"), "left_semi")
+            .join(batchIds.withColumnRenamed("vec_id", "dst"), Seq("dst"),
+              "left_anti")
+            .join(batchIds.withColumnRenamed("vec_id", "src"), Seq("src"),
+              "left_anti")
+            .select("src", "dst", "pair_e6")
+          val rebuilt = prune2M(
+            kept.unionByName(no)
+              .unionByName(no.select(col("dst").as("src"),
+                col("src").as("dst"), col("pair_e6")))
+              .distinct())
+            .withColumn("ebucket", pmod(col("src"), lit(nBuckets)))
+          TableMerge.replaceKeys(s, tablePath, rebuilt,
+            touched.select(pmod(col("src"), lit(nBuckets)).as("ebucket"),
+              col("src")),
+            Seq("ebucket", "src"), Seq("ebucket"))
+        }
+      }
+      .start()
+
   /** STREAMING BPE tokenization — the tokenizer-apply half of the
     * relational BPE operator run on an unbounded document stream: the
     * TRAINED merge table (a small driver-side artifact, the thing a

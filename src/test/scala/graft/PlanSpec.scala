@@ -563,4 +563,11 @@ class PlanSpec extends AnyFunSuite {
     assert(idxScan.get.selectedPartitions.partitionCount <= 4,
       s"pruning left ${idxScan.get.selectedPartitions.partitionCount} partitions")
   }
+
+  test("mm_mp4_samples: scan reads only doc_id and text") {
+    val scans = collect(plan("mm_mp4_samples")) { case s: FileSourceScanExec => s }
+    assert(scans.size == 1)
+    val cols = scans.head.output.map(_.name).toSet
+    assert(cols == Set("doc_id", "text"), s"scan reads $cols — pruning failed")
+  }
 }

@@ -73,6 +73,45 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(maintained <= corpus + 2 * newOut)
   }
 
+  test("every hop's frontier expansion plans as a broadcast join") {
+    // the ≤beam-row frontier is explicitly broadcast against the edge
+    // table each hop — an SMJ here would shuffle the whole edge table
+    // per hop at 100 TB
+    val scored = GraphAnnQueries.scoredDf(spark, sf).localCheckpoint()
+    val edges = GraphAnnQueries.edgesDf(spark, sf).localCheckpoint()
+    val walk = GraphAnnQueries.walkDf(edges, scored, GraphAnnQueries.Beam)
+    val bc = walk.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bc.size >= GraphAnnQueries.Hops,
+      s"expected ≥${GraphAnnQueries.Hops} broadcast hop joins, got ${bc.size}")
+  }
+
+  test("probed walk equals the in-memory walk and prunes hop scans to frontier buckets") {
+    import spark.implicits._
+    // same answer through the persisted layout
+    val probed = GraphAnnQueries.hnswProbedTopk(spark, sf)
+      .select("vec_id", "cos_e6", "n_visited")
+      .as[(Long, Long, Long)].collect().toSeq
+    val walked = GraphAnnQueries.hnswTopk(spark, sf, bits = 8)
+      .select("vec_id", "cos_e6", "n_visited")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(probed == walked)
+    // the hop read prunes: an isin on the partition column selects only
+    // those partition dirs (the table was just built by hnswProbedTopk)
+    val path = java.nio.file.Paths.get(
+      sys.props.getOrElse("graft.state.dir", "target/graft-state"))
+      .resolve("hnswidx_sf0.001").toString
+    val hopRead = graft.operators.TableMerge.read(spark, path)
+      .filter(org.apache.spark.sql.functions.col("ebucket").isin(3L, 7L))
+    val scans = hopRead.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.selectedPartitions.partitionCount <= 2,
+      s"pruning left ${scans.head.selectedPartitions.partitionCount} partitions")
+  }
+
   test("ef sweep: wider beam never visits fewer nodes at equal graph") {
     import spark.implicits._
     val scored = GraphAnnQueries.scoredDf(spark, sf).localCheckpoint()
