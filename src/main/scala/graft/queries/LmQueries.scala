@@ -181,14 +181,116 @@ private[queries] object LmQueries {
       .orderBy("rank")
   }
 
+  /** TRAINED Naive-Bayes quality classifier — the LEARNED complement to
+    * the rule-based quality tier: GPT-3/CCNet-style pipelines train a
+    * lightweight classifier (fastText in practice) to separate a
+    * high-quality slice from the crawl and score every document; the
+    * multinomial-NB reduction keeps it fully relational — two count
+    * aggregates ARE the training pass. Deterministic fixture: label =
+    * source-id parity (the wiki-vs-crawl stand-in), train on doc_id %5≠0,
+    * add-one smoothing over the train vocab. Integer discipline (the LM
+    * tier's): each word's log-weight lw = ⌊ln P(w|1)·e6⌋ − ⌊ln P(w|0)·e6⌋
+    * collapses PER TYPE before the per-doc weighted sum, OOV words take
+    * the smoothed-zero weight, the class prior joins as one e6 integer —
+    * so every margin is an exact BIGINT and the confusion census (doc
+    * counts + margin mass per truth/predicted cell) is hash-stable.
+    *
+    * Scale: two partial/final count aggregates over the train split;
+    * the weight table IS the model — a word-keyed dim the holdout join
+    * hash-partitions against; scoring = one equi-join + per-doc sum.
+    * No windows, no driver state beyond two 1-row broadcasts. */
+  private val textNbClassifier: Q = (s, d) => {
+    val docs = Tables.documents(s, d).selectExpr(
+      "doc_id", "split(text, ' ') AS tokens",
+      "CAST(substring(source, 4) AS INT) % 2 AS label")
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val hold = docs.filter(col("doc_id") % 5 === 0)
+    val cwy = train.select(col("label"), explode(col("tokens")).as("w"))
+      .groupBy("w").agg(
+        sum(when(col("label") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("label") === 0, 1L).otherwise(0L)).as("c0"))
+      .localCheckpoint() // feeds both the totals and the weight table
+    val scal = cwy.agg(sum("c1").as("t1"), sum("c0").as("t0"),
+        count(lit(1)).as("v"))
+      .crossJoin(train.agg(
+        sum(when(col("label") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("label") === 0, 1L).otherwise(0L)).as("n0")))
+      .selectExpr("t1", "t0", "v",
+        "CAST(floor(ln(1 / CAST(t1 + v AS DOUBLE)) * 1000000) AS BIGINT) - " +
+          "CAST(floor(ln(1 / CAST(t0 + v AS DOUBLE)) * 1000000) AS BIGINT) AS oov_lw",
+        "CAST(floor(ln(CAST(n1 AS DOUBLE) / n0) * 1000000) AS BIGINT) AS prior_e6")
+      .localCheckpoint() // 1 row
+    val weights = cwy.crossJoin(broadcast(scal.select("t1", "t0", "v")))
+      .selectExpr("w",
+        "CAST(floor(ln((c1 + 1) / CAST(t1 + v AS DOUBLE)) * 1000000) AS BIGINT) - " +
+          "CAST(floor(ln((c0 + 1) / CAST(t0 + v AS DOUBLE)) * 1000000) AS BIGINT) AS lw")
+    hold.select(col("doc_id"), col("label"), explode(col("tokens")).as("w"))
+      .groupBy("doc_id", "label", "w").agg(count(lit(1)).as("n"))
+      .join(weights, Seq("w"), "left")
+      .crossJoin(broadcast(scal.select("oov_lw")))
+      .selectExpr("doc_id", "label", "n * coalesce(lw, oov_lw) AS contrib")
+      .groupBy("doc_id", "label").agg(sum("contrib").as("sw"))
+      .crossJoin(broadcast(scal.select("prior_e6")))
+      .selectExpr("label AS true_label",
+        "CASE WHEN sw + prior_e6 >= 0 THEN 1 ELSE 0 END AS predicted",
+        "sw + prior_e6 AS margin_e6")
+      .groupBy("true_label", "predicted")
+      .agg(count(lit(1)).as("n_docs"), sum("margin_e6").as("margin_sum_e6"))
+      .orderBy("true_label", "predicted")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "text_trigram_logprob" -> textTrigramLogprob,
     "text_kn_logprob" -> textKnLogprob,
     "text_ppl_buckets" -> textPplBuckets,
     "text_zipf_census" -> textZipfCensus,
+    "text_nb_classifier" -> textNbClassifier,
   )
 
   val oracles: Map[String, String] = Map(
+    "text_nb_classifier" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tokens,
+        |    CAST(substring(source, 4) AS INT) % 2 AS label
+        |  FROM documents),
+        |train AS (SELECT * FROM docs WHERE doc_id % 5 <> 0),
+        |hold AS (SELECT * FROM docs WHERE doc_id % 5 = 0),
+        |cwy AS (
+        |  SELECT u.w,
+        |    sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS c0
+        |  FROM train, UNNEST(tokens) u(w) GROUP BY u.w),
+        |tot AS (SELECT sum(c1) AS t1, sum(c0) AS t0, count(*) AS v FROM cwy),
+        |pri AS (SELECT sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS n1,
+        |               sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS n0
+        |        FROM train),
+        |scal AS (SELECT
+        |    CAST(floor(ln(1 / CAST(t1 + v AS DOUBLE)) * 1000000) AS BIGINT)
+        |    - CAST(floor(ln(1 / CAST(t0 + v AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS oov_lw,
+        |    CAST(floor(ln(CAST(n1 AS DOUBLE) / n0) * 1000000) AS BIGINT)
+        |      AS prior_e6
+        |  FROM tot, pri),
+        |wts AS (
+        |  SELECT w,
+        |    CAST(floor(ln((c1 + 1) / CAST(t1 + v AS DOUBLE)) * 1000000) AS BIGINT)
+        |    - CAST(floor(ln((c0 + 1) / CAST(t0 + v AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS lw
+        |  FROM cwy, tot),
+        |hw AS (
+        |  SELECT doc_id, label, u.w, count(*) AS n
+        |  FROM hold, UNNEST(tokens) u(w) GROUP BY doc_id, label, u.w),
+        |m AS (
+        |  SELECT h.doc_id, h.label,
+        |    sum(h.n * coalesce(t.lw, (SELECT oov_lw FROM scal)))
+        |      + (SELECT prior_e6 FROM scal) AS margin_e6
+        |  FROM hw h LEFT JOIN wts t ON h.w = t.w
+        |  GROUP BY h.doc_id, h.label)
+        |SELECT CAST(label AS INT) AS true_label,
+        |  CAST(CASE WHEN margin_e6 >= 0 THEN 1 ELSE 0 END AS INT) AS predicted,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(margin_e6) AS BIGINT) AS margin_sum_e6
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_trigram_logprob" ->
       // unrolled-CTE twin in the identical IEEE expression order; every
       // scored n-gram exists in its count table (corpus-derived model)

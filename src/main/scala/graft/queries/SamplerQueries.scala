@@ -176,7 +176,50 @@ private[queries] object SamplerQueries {
       .orderBy("source")
   }
 
+  /** Size-targeted SHARD-EXPORT plan — the last step of a training-data
+    * pipeline: assign documents (in stable doc_id order) to output
+    * shards of ~8 KiB each, the fixed-size-file export every training
+    * run reads (shard = ⌊bytes-before / target⌋, so shard boundaries
+    * never split mid-document and file sizes stay within one doc of the
+    * target). The global running total is computed DISTRIBUTED — the
+    * w4 discipline: the bin is a pure function of doc_id (width from
+    * one tiny min/max collect), per-bin prefix sums run under a
+    * bin-partitioned window, and the ≤32-row bin-offset table (prefix
+    * of bin totals via the broadcast strictly-less self-join — no
+    * global window anywhere) broadcasts back. Output census pins the
+    * full assignment: per shard doc count, byte mass, and the doc-id
+    * range. At 100 TB the same plan writes each shard with
+    * partitionBy(shard) — the census IS the manifest. */
+  private val exportShardPlan: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val Bins = 32
+    val Target = 8192L
+    val docs = Tables.documents(s, d)
+      .selectExpr("doc_id", "CAST(octet_length(text) AS BIGINT) AS b")
+    val mm = docs.agg(min("doc_id"), max("doc_id")).collect().head // 2 longs
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val binW = math.max(1L, (hi - lo) / Bins + 1)
+    val binned = docs.selectExpr("doc_id", "b",
+      s"(doc_id - $lo) DIV $binW AS bin").localCheckpoint()
+    val w = Window.partitionBy("bin").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binTotals = binned.groupBy("bin").agg(sum("b").as("tot"))
+      .localCheckpoint() // ≤ Bins rows
+    val offsets = binTotals.as("a")
+      .join(broadcast(binTotals.as("o")), col("o.bin") < col("a.bin"), "left")
+      .groupBy(col("a.bin").as("bin"))
+      .agg(coalesce(sum(col("o.tot")), lit(0L)).as("off"))
+    binned.withColumn("run", sum("b").over(w))
+      .join(broadcast(offsets), Seq("bin"))
+      .selectExpr("doc_id", "b", s"(off + run - b) DIV $Target AS shard")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("b").as("n_bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "export_shard_plan" -> exportShardPlan,
     "split_stratified" -> splitStratified,
     "sample_bottomk" -> sampleBottomk,
     "pack_sequences" -> packSequences,
@@ -186,6 +229,22 @@ private[queries] object SamplerQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle may use the global window the engine side must avoid
+    "export_shard_plan" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS b
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, b,
+        |    coalesce(sum(b) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM s),
+        |a AS (SELECT doc_id, b, before // 8192 AS shard FROM c)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(b) AS BIGINT) AS n_bytes,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
     "split_stratified" ->
       s"""WITH b AS (
          |  SELECT doc_id, source,
