@@ -197,7 +197,9 @@ private[queries] object SamplerQueries {
     val docs = Tables.documents(s, d)
       .selectExpr("doc_id", "CAST(octet_length(text) AS BIGINT) AS b")
     val mm = docs.agg(min("doc_id"), max("doc_id")).collect().head // 2 longs
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    // zero-row corpus: min/max are NULL — any bin constants keep the
+    // empty plan well-formed (EmptyInputSpec sweeps this)
+    val (lo, hi) = if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
     val binW = math.max(1L, (hi - lo) / Bins + 1)
     val binned = docs.selectExpr("doc_id", "b",
       s"(doc_id - $lo) DIV $binW AS bin").localCheckpoint()
