@@ -262,6 +262,48 @@ private[graft] object GraphAnnQueries {
 
   private val simHnswMaintain: Q = (s, d) => hnswMaintain(s, d, 8)
 
+  /** The maintained graph for an (established corpus, inserted batch)
+    * sig split — the incremental-insert kernel hnswMaintain audits and
+    * the order audit runs twice with the roles swapped. */
+  private def maintainedEdges(corpusSig: DataFrame, batchSig: DataFrame): DataFrame = {
+    val gc = prune2M(symmetrize(outEdges(corpusSig, corpusSig)))
+    val no = outEdges(batchSig, corpusSig.unionByName(batchSig))
+    prune2M(
+      gc.unionByName(no)
+        .unionByName(no.select(col("dst").as("src"), col("src").as("dst"),
+          col("pair_e6")))
+        .distinct())
+  }
+
+  /** INSERTION-ORDER sensitivity audit — the honesty check on the
+    * incremental tier: real HNSW's graph depends on insertion order,
+    * and so does the relational reduction (an inserted batch probes
+    * the graphless sig table, it cannot receive the out-edges a full
+    * rebuild would give its nodes). The audit builds the SAME corpus
+    * twice — insert B over established A, then A over established B —
+    * plus the order-free rebuild, and hash-pins the three pairwise
+    * overlaps: how much graph the two orders disagree on, and how far
+    * each sits from the rebuild. At 100 TB this is the number that
+    * decides the periodic-rebuild cadence (the same role the ANN
+    * drift audit plays for the IVF layout). */
+  private val simHnswOrderAudit: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val a = sigOf(emb.filter(col("vec_id") % 2 === 0)).localCheckpoint()
+    val b = sigOf(emb.filter(col("vec_id") % 2 =!= 0)).localCheckpoint()
+    val gab = maintainedEdges(a, b).select("src", "dst").localCheckpoint()
+    val gba = maintainedEdges(b, a).select("src", "dst").localCheckpoint()
+    val all = a.unionByName(b).localCheckpoint()
+    val rebuilt = prune2M(symmetrize(outEdges(all, all)))
+      .select("src", "dst").localCheckpoint()
+    def n(df: DataFrame, name: String) = df.agg(count(lit(1)).as(name))
+    gab.agg(count(lit(1)).as("n_ab"))
+      .crossJoin(broadcast(n(gba, "n_ba")))
+      .crossJoin(broadcast(n(rebuilt, "n_rebuild")))
+      .crossJoin(broadcast(n(gab.join(gba, Seq("src", "dst")), "n_order_common")))
+      .crossJoin(broadcast(n(gab.join(rebuilt, Seq("src", "dst")), "n_ab_rebuild")))
+      .crossJoin(broadcast(n(gba.join(rebuilt, Seq("src", "dst")), "n_ba_rebuild")))
+  }
+
   /** SERVED beam walk over the PERSISTED src-bucketed neighbor table —
     * the 100 TB read path the in-memory walk models: the graph lives as
     * a TableMerge layout partitioned by `ebucket = src % 16` (what
@@ -328,6 +370,7 @@ private[graft] object GraphAnnQueries {
     "sim_hnsw_ef_sweep" -> simHnswEfSweep,
     "sim_hnsw_maintain" -> simHnswMaintain,
     "sim_hnsw_probed" -> simHnswProbed,
+    "sim_hnsw_order_audit" -> simHnswOrderAudit,
   )
 
   // ------------------------------------------------------- DuckDB replay
@@ -446,6 +489,39 @@ private[graft] object GraphAnnQueries {
   val oracles: Map[String, String] = Map(
     // the probed read changes WHERE bytes come from, not the walk:
     // same replay as sim_hnsw_topk
+    "sim_hnsw_order_audit" -> {
+      // one maintained-graph CTE chain, instantiated for both insertion
+      // orders (prefix c?/b? per role), plus the order-free rebuild
+      def maintChain(p: String, corpusSrc: String, batchSrc: String): String =
+        s"""${duckSigCte(s"${p}csig", corpusSrc)},
+           |${duckOutCtes(s"${p}c", s"${p}csig", s"${p}csig")},
+           |${duckSymCte(s"${p}csym", s"${p}cout")},
+           |${duckPruneCte(s"${p}cgraph", s"${p}csym", "src, dst, pair_e6")},
+           |${duckSigCte(s"${p}bsig", batchSrc)},
+           |${p}asig AS (SELECT * FROM ${p}csig UNION ALL SELECT * FROM ${p}bsig),
+           |${duckOutCtes(s"${p}b", s"${p}bsig", s"${p}asig")},
+           |${p}merged AS (
+           |  SELECT DISTINCT src, dst, pair_e6 FROM (
+           |    SELECT src, dst, pair_e6 FROM ${p}cgraph
+           |    UNION ALL SELECT src, dst, pair_e6 FROM ${p}bout
+           |    UNION ALL SELECT dst AS src, src AS dst, pair_e6 FROM ${p}bout) um),
+           |${duckPruneCte(s"${p}maint", s"${p}merged", "src, dst")}""".stripMargin
+      s"""WITH evens AS (SELECT * FROM embeddings WHERE vec_id % 2 = 0),
+         |odds AS (SELECT * FROM embeddings WHERE vec_id % 2 <> 0),
+         |${maintChain("x", "evens", "odds")},
+         |${maintChain("y", "odds", "evens")},
+         |${duckEdgeCtes("g")}
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM xmaint) AS n_ab,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ymaint) AS n_ba,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM gedges) AS n_rebuild,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM xmaint m JOIN ymaint o
+         |     ON m.src = o.src AND m.dst = o.dst) AS n_order_common,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM xmaint m JOIN gedges g
+         |     ON m.src = g.src AND m.dst = g.dst) AS n_ab_rebuild,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ymaint m JOIN gedges g
+         |     ON m.src = g.src AND m.dst = g.dst) AS n_ba_rebuild""".stripMargin
+    },
     "sim_hnsw_probed" -> duckTopkWalk,
     "sim_hnsw_topk" -> duckTopkWalk,
     "sim_hnsw_degree" ->
