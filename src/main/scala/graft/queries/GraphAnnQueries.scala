@@ -262,6 +262,57 @@ private[graft] object GraphAnnQueries {
 
   private val simHnswMaintain: Q = (s, d) => hnswMaintain(s, d, 8)
 
+  /** BATCHED multi-query beam walk — the serving shape a RELATIONAL
+    * graph index is uniquely good at: a pointer-chasing HNSW answers
+    * queries one at a time, while here a whole query batch walks the
+    * SAME graph simultaneously — the frontier carries a qid column,
+    * every hop is still ONE broadcast join (≤ NQ·Beam frontier rows),
+    * and per-query ordering is a qid-partitioned window, so the cost
+    * of a hop is amortized across the batch (the scan of the edge
+    * table and the arrival scoring never repeat per query). Query
+    * vectors are a deterministic grid q_i[j] = (((i·7+j·3) mod 19)−9)/10
+    * — the PQ-codebook discipline — evaluated as the same arithmetic
+    * expression in both engines, so no literals can drift. Output:
+    * per-query top-5 plus per-query visited-set size (the walk's work,
+    * pinned per qid). At 100 TB the batch dimension is how a Spark
+    * cluster serves ANN: thousands of queries per walk, one pass. */
+  private val simHnswBatch: Q = (s, d) => {
+    val NQ = 4
+    val qv = "transform(sequence(0, 63), " +
+      "j -> CAST(((qid * 7 + j * 3) % 19) - 9 AS DOUBLE) / 10.0D)"
+    val scored = Tables.embeddings(s, d)
+      .selectExpr("vec_id", "embedding",
+        s"explode(array(${(0 until NQ).mkString(", ")})) AS qid")
+      .selectExpr("qid", "vec_id",
+        s"CAST(floor(graft_cosine(embedding, $qv) * 1000000) AS BIGINT) AS cos_e6")
+      .localCheckpoint() // arrival scoring for every hop, all queries
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_e6").desc, col("vec_id").asc)
+    def topPerQ(df: DataFrame, k: Int): DataFrame =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+    val edges = edgesDf(s, d).localCheckpoint()
+    var visited = topPerQ(scored.filter(col("vec_id") % EntryStride === 0), Beam)
+    var expanded = visited.select("qid", "vec_id").limit(0)
+    for (_ <- 1 to Hops) {
+      val frontier =
+        topPerQ(visited.join(expanded, Seq("qid", "vec_id"), "left_anti"), Beam)
+          .select("qid", "vec_id")
+          .localCheckpoint() // feeds the hop join and the expanded set
+      val expand = edges
+        .join(broadcast(frontier.withColumnRenamed("vec_id", "src")), Seq("src"))
+        .select(col("qid"), col("dst").as("vec_id")).distinct()
+        .join(scored, Seq("qid", "vec_id"))
+        .select("qid", "vec_id", "cos_e6")
+      visited = visited.union(expand).distinct()
+      expanded = expanded.union(frontier).distinct()
+    }
+    val nv = visited.groupBy("qid").agg(count(lit(1)).as("n_visited"))
+    topPerQ(visited, 5)
+      .join(nv, Seq("qid"))
+      .select("qid", "vec_id", "cos_e6", "n_visited")
+      .orderBy(col("qid"), col("cos_e6").desc, col("vec_id").asc)
+  }
+
   /** The maintained graph for an (established corpus, inserted batch)
     * sig split — the incremental-insert kernel hnswMaintain audits and
     * the order audit runs twice with the roles swapped. */
@@ -371,6 +422,7 @@ private[graft] object GraphAnnQueries {
     "sim_hnsw_maintain" -> simHnswMaintain,
     "sim_hnsw_probed" -> simHnswProbed,
     "sim_hnsw_order_audit" -> simHnswOrderAudit,
+    "sim_hnsw_batch" -> simHnswBatch,
   )
 
   // ------------------------------------------------------- DuckDB replay
@@ -489,6 +541,60 @@ private[graft] object GraphAnnQueries {
   val oracles: Map[String, String] = Map(
     // the probed read changes WHERE bytes come from, not the walk:
     // same replay as sim_hnsw_topk
+    "sim_hnsw_batch" -> {
+      val beamHops = (1 to Hops).map { h =>
+        s"""bf$h AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT v.qid, v.vec_id,
+           |      row_number() OVER (PARTITION BY v.qid
+           |        ORDER BY v.cos_e6 DESC, v.vec_id ASC) AS rn
+           |    FROM bv${h - 1} v
+           |    WHERE NOT EXISTS (SELECT 1 FROM bexp${h - 1} x
+           |      WHERE x.qid = v.qid AND x.vec_id = v.vec_id)) r
+           |  WHERE rn <= $Beam),
+           |bexp$h AS (
+           |  SELECT qid, vec_id FROM bexp${h - 1}
+           |  UNION SELECT qid, vec_id FROM bf$h),
+           |bx$h AS (
+           |  SELECT DISTINCT f.qid, s.vec_id, s.cos_e6
+           |  FROM bf$h f JOIN gedges e ON e.src = f.vec_id
+           |  JOIN bscored s ON s.qid = f.qid AND s.vec_id = e.dst),
+           |bv$h AS (
+           |  SELECT DISTINCT qid, vec_id, cos_e6 FROM (
+           |    SELECT qid, vec_id, cos_e6 FROM bv${h - 1}
+           |    UNION ALL SELECT qid, vec_id, cos_e6 FROM bx$h) u$h)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH qs AS (SELECT CAST(q AS INT) AS qid FROM generate_series(0, 3) t(q)),
+         |qvs AS (SELECT qid, list_transform(generate_series(0, 63),
+         |  j -> CAST(((qid * 7 + j * 3) % 19) - 9 AS DOUBLE) / 10.0) AS qv
+         |  FROM qs),
+         |bscored AS (
+         |  SELECT q.qid, e.vec_id,
+         |    ${duckPairCos("e.embedding", "q.qv")} AS cos_e6
+         |  FROM embeddings e, qvs q),
+         |${duckEdgeCtes("g")},
+         |bexp0 AS (SELECT CAST(NULL AS INT) AS qid, CAST(NULL AS BIGINT) AS vec_id
+         |          WHERE FALSE),
+         |bv0 AS (
+         |  SELECT qid, vec_id, cos_e6 FROM (
+         |    SELECT qid, vec_id, cos_e6,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY cos_e6 DESC, vec_id ASC) AS rn
+         |    FROM bscored WHERE vec_id % $EntryStride = 0) r0
+         |  WHERE rn <= $Beam),
+         |$beamHops,
+         |bnv AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_visited
+         |        FROM bv$Hops GROUP BY qid)
+         |SELECT t.qid, t.vec_id, t.cos_e6, bnv.n_visited
+         |FROM (
+         |  SELECT qid, vec_id, cos_e6 FROM (
+         |    SELECT qid, vec_id, cos_e6,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY cos_e6 DESC, vec_id ASC) AS rn
+         |    FROM bv$Hops) rt WHERE rn <= 5) t
+         |JOIN bnv ON bnv.qid = t.qid
+         |ORDER BY t.qid, t.cos_e6 DESC, t.vec_id ASC""".stripMargin
+    },
     "sim_hnsw_order_audit" -> {
       // one maintained-graph CTE chain, instantiated for both insertion
       // orders (prefix c?/b? per role), plus the order-free rebuild
