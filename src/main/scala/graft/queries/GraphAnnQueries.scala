@@ -121,11 +121,12 @@ private[graft] object GraphAnnQueries {
   private[queries] def scoredDf(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).selectExpr("vec_id", s"$qCosE6 AS cos_e6")
 
-  /** The bounded beam walk over a prebuilt (checkpointed) edge table and
-    * score table — factored out so the ef-sweep reuses one graph build
-    * across beam widths, exactly as a served index would. */
-  private[queries] def walkDf(edges: DataFrame, scored: DataFrame, beam: Int): DataFrame = {
-    var visited = scored.filter(col("vec_id") % EntryStride === 0)
+  /** The bounded beam walk from an arbitrary entry set — the kernel
+    * [[walkDf]] seeds with the stride scan and the hierarchical descent
+    * seeds with the upper layer's result. */
+  private[queries] def walkFrom(entry: DataFrame, edges: DataFrame,
+      scored: DataFrame, beam: Int): DataFrame = {
+    var visited = entry
       .orderBy(col("cos_e6").desc, col("vec_id").asc).limit(beam)
     // Expanded-set tracking (HNSW's candidate/visited split): each hop's
     // frontier is the top-beam of visited nodes NOT yet expanded, so a
@@ -147,6 +148,12 @@ private[graft] object GraphAnnQueries {
     }
     visited
   }
+
+  /** The bounded beam walk over a prebuilt (checkpointed) edge table and
+    * score table, seeded by the stride entry scan — factored out so the
+    * ef-sweep reuses one graph build across beam widths. */
+  private[queries] def walkDf(edges: DataFrame, scored: DataFrame, beam: Int): DataFrame =
+    walkFrom(scored.filter(col("vec_id") % EntryStride === 0), edges, scored, beam)
 
   /** The visited set of the bounded beam walk: (vec_id, cos_e6). */
   private[queries] def visitedDf(s: SparkSession, d: String): DataFrame =
@@ -261,6 +268,41 @@ private[graft] object GraphAnnQueries {
   }
 
   private val simHnswMaintain: Q = (s, d) => hnswMaintain(s, d, 8)
+
+  /** TWO-LEVEL HIERARCHICAL descent — the actual HNSW layer structure,
+    * not just its entry-scan stand-in: level 1 is the 1/16 stride
+    * sample with ITS OWN neighbor table (same M/2M machinery over the
+    * sample's sigs — sparser nodes ⇒ longer-range edges, exactly
+    * HNSW's upper-layer role), entered from an exhaustive scan of the
+    * 1/256 sample; the level-1 walk's top-Beam result SEEDS the
+    * level-0 walk in place of `walkDf`'s N/16 entry scan. Exhaustive
+    * scoring drops from N/16 to N/256 + two bounded walks — each
+    * halving of the scan is another layer, the HNSW log-descent
+    * recurrence. Output pins BOTH walks: per-level visited-set sizes
+    * ride beside the final top-10. */
+  private val simHnswHier: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val scored = scoredDf(s, d).localCheckpoint()
+    val l1Scored = scored.filter(col("vec_id") % EntryStride === 0)
+      .localCheckpoint()
+    val l1Sig = sigOf(emb.filter(col("vec_id") % EntryStride === 0))
+      .localCheckpoint()
+    val l1Edges = prune2M(symmetrize(outEdges(l1Sig, l1Sig)))
+      .select("src", "dst").localCheckpoint()
+    val l1Entry = l1Scored
+      .filter(col("vec_id") % (EntryStride.toLong * EntryStride) === 0)
+    val l1Visited = walkFrom(l1Entry, l1Edges, l1Scored, Beam).localCheckpoint()
+    val seed = l1Visited
+      .orderBy(col("cos_e6").desc, col("vec_id").asc).limit(Beam)
+    val l0Visited = walkFrom(seed, edgesDf(s, d).localCheckpoint(), scored, Beam)
+      .localCheckpoint()
+    val counts = l1Visited.agg(count(lit(1)).as("n_visited_l1"))
+      .crossJoin(broadcast(l0Visited.agg(count(lit(1)).as("n_visited_l0"))))
+    l0Visited.crossJoin(broadcast(counts))
+      .orderBy(col("cos_e6").desc, col("vec_id").asc)
+      .limit(10)
+      .select("vec_id", "cos_e6", "n_visited_l1", "n_visited_l0")
+  }
 
   /** BATCHED multi-query beam walk — the serving shape a RELATIONAL
     * graph index is uniquely good at: a pointer-chasing HNSW answers
@@ -423,6 +465,7 @@ private[graft] object GraphAnnQueries {
     "sim_hnsw_probed" -> simHnswProbed,
     "sim_hnsw_order_audit" -> simHnswOrderAudit,
     "sim_hnsw_batch" -> simHnswBatch,
+    "sim_hnsw_hier" -> simHnswHier,
   )
 
   // ------------------------------------------------------- DuckDB replay
@@ -500,7 +543,11 @@ private[graft] object GraphAnnQueries {
     * [[walkDf]]): entry scan, expanded-set chain, unrolled hops; the
     * final visited set is `${p}v$Hops`. */
   private[queries] def duckWalkCtes(p: String, edges: String, scored: String,
-      beam: Int): String = {
+      beam: Int, entry: String = ""): String = {
+    val entrySql =
+      if (entry.nonEmpty) entry
+      else s"""SELECT vec_id, cos_e6 FROM $scored WHERE vec_id % $EntryStride = 0
+              |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT $beam""".stripMargin
     val hops = (1 to Hops).map { h =>
       s"""${p}f$h AS (
          |  SELECT vec_id FROM ${p}v${h - 1}
@@ -519,9 +566,7 @@ private[graft] object GraphAnnQueries {
          |    UNION ALL SELECT vec_id, cos_e6 FROM ${p}x$h) u$h)""".stripMargin
     }.mkString(",\n")
     s"""${p}exp0 AS (SELECT CAST(NULL AS BIGINT) AS vec_id WHERE FALSE),
-       |${p}v0 AS (
-       |  SELECT vec_id, cos_e6 FROM $scored WHERE vec_id % $EntryStride = 0
-       |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT $beam),
+       |${p}v0 AS ($entrySql),
        |$hops""".stripMargin
   }
 
@@ -541,6 +586,32 @@ private[graft] object GraphAnnQueries {
   val oracles: Map[String, String] = Map(
     // the probed read changes WHERE bytes come from, not the walk:
     // same replay as sim_hnsw_topk
+    "sim_hnsw_hier" -> {
+      val l1EdgeChain =
+        s"""l1 AS (SELECT * FROM embeddings WHERE vec_id % $EntryStride = 0),
+           |${duckSigCte("l1sig", "l1")},
+           |${duckOutCtes("l1", "l1sig", "l1sig")},
+           |${duckSymCte("l1sym", "l1out")},
+           |${duckPruneCte("l1edges", "l1sym", "src, dst")}""".stripMargin
+      val l1Entry =
+        s"""SELECT vec_id, cos_e6 FROM l1scored
+           |  WHERE vec_id % ${EntryStride.toLong * EntryStride} = 0
+           |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT $Beam""".stripMargin
+      val l0Entry =
+        s"""SELECT vec_id, cos_e6 FROM w1v$Hops
+           |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT $Beam""".stripMargin
+      s"""WITH hscored AS (SELECT vec_id, $duckQCos AS cos_e6 FROM embeddings),
+         |l1scored AS (SELECT vec_id, cos_e6 FROM hscored
+         |             WHERE vec_id % $EntryStride = 0),
+         |$l1EdgeChain,
+         |${duckWalkCtes("w1", "l1edges", "l1scored", Beam, l1Entry)},
+         |${duckEdgeCtes("g")},
+         |${duckWalkCtes("w0", "gedges", "hscored", Beam, l0Entry)}
+         |SELECT vec_id, cos_e6,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM w1v$Hops) AS n_visited_l1,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM w0v$Hops) AS n_visited_l0
+         |FROM w0v$Hops ORDER BY cos_e6 DESC, vec_id ASC LIMIT 10""".stripMargin
+    },
     "sim_hnsw_batch" -> {
       val beamHops = (1 to Hops).map { h =>
         s"""bf$h AS (
