@@ -322,7 +322,7 @@ private[graft] object VectorQueries {
       .limit(k).select("vec_id")
     // trained-OPQ ADC at the same output budget: what the learned
     // permutation + trained codebooks buy over the fixed-grid pq_adc row
-    val opq = VectorIndexQueries.opqAdcTopk(s, d, k)
+    val opq = PqQueries.opqAdcTopk(s, d, k)
     val methods = ivf(1).withColumn("method", lit("ivf_nprobe1"))
       .unionByName(ivf(4).withColumn("method", lit("ivf_nprobe4")))
       .unionByName(pq.withColumn("method", lit("pq_adc")))
@@ -688,7 +688,7 @@ private[graft] object VectorQueries {
          |hnsw AS (
          |  SELECT vec_id FROM hv${GraphAnnQueries.Hops}
          |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT $RecallK),
-         |${VectorIndexQueries.duckOpqTopkCtes(RecallK)},
+         |${PqQueries.duckOpqTopkCtes(RecallK)},
          |methods AS (
          |  SELECT 'ivf_nprobe1' AS method, vec_id FROM ivf1
          |  UNION ALL SELECT 'ivf_nprobe4' AS method, vec_id FROM ivf4
