@@ -96,7 +96,11 @@ object Bench {
     // rounded figures, slowest queries first, capped to a byte budget; the
     // complete full-precision set is persisted to BENCH_full.json below.
     def r3(v: Double): String = f"$v%.3f"
-    val budget = 1400 // leave ~300 chars for the "isolated" map (10 entries)
+    // Budget sized so line (~1150 chars incl. the ~300-char isolated map)
+    // + sbt's trailing "[success] …" both fit inside the driver's
+    // last-2000-chars capture with slack (r13/r14 parsed:null: a 1700-char
+    // line left no room for trailing output).
+    val budget = 700
     val sorted = results.filter(_._2 >= 0).sortBy(-_._2)
     val kept = scala.collection.mutable.ArrayBuffer[String]()
     var used = 0
@@ -107,7 +111,6 @@ object Bench {
     val omitted = sorted.length - kept.length
     val isoCompact = isolated.map { case (k, v) => s""""${esc(k)}":${r3(v)}""" }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${sorted.length},"omitted":$omitted,"queries":{${kept.mkString(",")}},"isolated":$isoCompact,"errors":$es,"sf":"$sfDir"}"""
-    println(line)
     // Persist to the repo root regardless of the invoker's cwd (the
     // driver's per-round artifact keeps only the compact stdout line;
     // this file is the complete full-precision map the judge diffs) —
@@ -119,7 +122,10 @@ object Bench {
       try java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () } // bench result > bookkeeping
     }
+    // Stop Spark BEFORE printing so no further framework output can push
+    // the JSON line out of the driver's tail capture.
     spark.stop()
+    println(line)
     if (results.isEmpty || errors.nonEmpty) sys.exit(1)
   }
 }
