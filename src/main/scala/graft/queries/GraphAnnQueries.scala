@@ -280,10 +280,13 @@ private[graft] object GraphAnnQueries {
     * halving of the scan is another layer, the HNSW log-descent
     * recurrence. Output pins BOTH walks: per-level visited-set sizes
     * ride beside the final top-10. */
-  private val simHnswHier: Q = (s, d) => {
+  /** The descent's two walks — (level-1 visited, level-0 visited), both
+    * checkpointed; the level-0 edge/score tables come in prebuilt so
+    * the recall audit shares one graph build with its flat-beam row. */
+  private[queries] def hierWalks(s: SparkSession, d: String,
+      edges0: DataFrame, scored0: DataFrame): (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(s, d)
-    val scored = scoredDf(s, d).localCheckpoint()
-    val l1Scored = scored.filter(col("vec_id") % EntryStride === 0)
+    val l1Scored = scored0.filter(col("vec_id") % EntryStride === 0)
       .localCheckpoint()
     val l1Sig = sigOf(emb.filter(col("vec_id") % EntryStride === 0))
       .localCheckpoint()
@@ -294,8 +297,13 @@ private[graft] object GraphAnnQueries {
     val l1Visited = walkFrom(l1Entry, l1Edges, l1Scored, Beam).localCheckpoint()
     val seed = l1Visited
       .orderBy(col("cos_e6").desc, col("vec_id").asc).limit(Beam)
-    val l0Visited = walkFrom(seed, edgesDf(s, d).localCheckpoint(), scored, Beam)
-      .localCheckpoint()
+    val l0Visited = walkFrom(seed, edges0, scored0, Beam).localCheckpoint()
+    (l1Visited, l0Visited)
+  }
+
+  private val simHnswHier: Q = (s, d) => {
+    val (l1Visited, l0Visited) = hierWalks(s, d,
+      edgesDf(s, d).localCheckpoint(), scoredDf(s, d).localCheckpoint())
     val counts = l1Visited.agg(count(lit(1)).as("n_visited_l1"))
       .crossJoin(broadcast(l0Visited.agg(count(lit(1)).as("n_visited_l0"))))
     l0Visited.crossJoin(broadcast(counts))
@@ -583,35 +591,43 @@ private[graft] object GraphAnnQueries {
        |  (SELECT CAST(count(*) AS BIGINT) FROM hv$Hops) AS n_visited
        |FROM hv$Hops ORDER BY cos_e6 DESC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** CTE fragment replaying the hierarchical descent — splice-safe
+    * names (yscored / l1* / w1* / g* / w0*, disjoint from the recall
+    * oracle's and [[duckVisitedCtes]]'s h-chain); the final level-0
+    * visited set is `w0v$Hops(vec_id, cos_e6)` and the level-1 set is
+    * `w1v$Hops`. */
+  private[queries] def duckHierChain: String = {
+    val l1EdgeChain =
+      s"""l1 AS (SELECT * FROM embeddings WHERE vec_id % $EntryStride = 0),
+         |${duckSigCte("l1sig", "l1")},
+         |${duckOutCtes("l1", "l1sig", "l1sig")},
+         |${duckSymCte("l1sym", "l1out")},
+         |${duckPruneCte("l1edges", "l1sym", "src, dst")}""".stripMargin
+    val l1Entry =
+      s"""SELECT vec_id, cos_e6 FROM l1scored
+         |  WHERE vec_id % ${EntryStride.toLong * EntryStride} = 0
+         |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT $Beam""".stripMargin
+    val l0Entry =
+      s"""SELECT vec_id, cos_e6 FROM w1v$Hops
+         |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT $Beam""".stripMargin
+    s"""yscored AS (SELECT vec_id, $duckQCos AS cos_e6 FROM embeddings),
+       |l1scored AS (SELECT vec_id, cos_e6 FROM yscored
+       |             WHERE vec_id % $EntryStride = 0),
+       |$l1EdgeChain,
+       |${duckWalkCtes("w1", "l1edges", "l1scored", Beam, l1Entry)},
+       |${duckEdgeCtes("g")},
+       |${duckWalkCtes("w0", "gedges", "yscored", Beam, l0Entry)}""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // the probed read changes WHERE bytes come from, not the walk:
     // same replay as sim_hnsw_topk
-    "sim_hnsw_hier" -> {
-      val l1EdgeChain =
-        s"""l1 AS (SELECT * FROM embeddings WHERE vec_id % $EntryStride = 0),
-           |${duckSigCte("l1sig", "l1")},
-           |${duckOutCtes("l1", "l1sig", "l1sig")},
-           |${duckSymCte("l1sym", "l1out")},
-           |${duckPruneCte("l1edges", "l1sym", "src, dst")}""".stripMargin
-      val l1Entry =
-        s"""SELECT vec_id, cos_e6 FROM l1scored
-           |  WHERE vec_id % ${EntryStride.toLong * EntryStride} = 0
-           |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT $Beam""".stripMargin
-      val l0Entry =
-        s"""SELECT vec_id, cos_e6 FROM w1v$Hops
-           |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT $Beam""".stripMargin
-      s"""WITH hscored AS (SELECT vec_id, $duckQCos AS cos_e6 FROM embeddings),
-         |l1scored AS (SELECT vec_id, cos_e6 FROM hscored
-         |             WHERE vec_id % $EntryStride = 0),
-         |$l1EdgeChain,
-         |${duckWalkCtes("w1", "l1edges", "l1scored", Beam, l1Entry)},
-         |${duckEdgeCtes("g")},
-         |${duckWalkCtes("w0", "gedges", "hscored", Beam, l0Entry)}
+    "sim_hnsw_hier" ->
+      s"""WITH $duckHierChain
          |SELECT vec_id, cos_e6,
          |  (SELECT CAST(count(*) AS BIGINT) FROM w1v$Hops) AS n_visited_l1,
          |  (SELECT CAST(count(*) AS BIGINT) FROM w0v$Hops) AS n_visited_l0
-         |FROM w0v$Hops ORDER BY cos_e6 DESC, vec_id ASC LIMIT 10""".stripMargin
-    },
+         |FROM w0v$Hops ORDER BY cos_e6 DESC, vec_id ASC LIMIT 10""".stripMargin,
     "sim_hnsw_batch" -> {
       val beamHops = (1 to Hops).map { h =>
         s"""bf$h AS (

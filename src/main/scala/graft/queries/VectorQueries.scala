@@ -316,8 +316,18 @@ private[graft] object VectorQueries {
     val rerank = cosTopk(emb.join(broadcast(shortlist50), Seq("vec_id")))
     // graph navigation at equal output budget: top-20 of the bounded
     // beam walk's visited set (GraphAnnQueries) — prices HNSW-style
-    // recall against the IVF/PQ family in the same audit
-    val hnsw = GraphAnnQueries.visitedDf(s, d)
+    // recall against the IVF/PQ family in the same audit; the edge and
+    // score tables build ONCE and feed both the flat-beam row and the
+    // hierarchical-descent row, so the two graph rows differ only in
+    // how they enter the graph
+    val gEdges = GraphAnnQueries.edgesDf(s, d).localCheckpoint()
+    val gScored = GraphAnnQueries.scoredDf(s, d).localCheckpoint()
+    val hnsw = GraphAnnQueries.walkDf(gEdges, gScored, GraphAnnQueries.Beam)
+      .orderBy(col("cos_e6").desc, col("vec_id").asc)
+      .limit(k).select("vec_id")
+    // two-level descent at the same output budget: what the 1/256-scan
+    // hierarchy gives up (or keeps) vs the N/16 entry scan
+    val hier = GraphAnnQueries.hierWalks(s, d, gEdges, gScored)._2
       .orderBy(col("cos_e6").desc, col("vec_id").asc)
       .limit(k).select("vec_id")
     // trained-OPQ ADC at the same output budget: what the learned
@@ -329,6 +339,7 @@ private[graft] object VectorQueries {
       .unionByName(ivfpq.withColumn("method", lit("ivfpq_nprobe4")))
       .unionByName(rerank.withColumn("method", lit("ivfpq_rerank")))
       .unionByName(hnsw.withColumn("method", lit("hnsw_beam")))
+      .unionByName(hier.withColumn("method", lit("hnsw_hier")))
       .unionByName(opq.withColumn("method", lit("opq_adc")))
     methods
       .join(gt.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
@@ -688,6 +699,10 @@ private[graft] object VectorQueries {
          |hnsw AS (
          |  SELECT vec_id FROM hv${GraphAnnQueries.Hops}
          |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT $RecallK),
+         |${GraphAnnQueries.duckHierChain},
+         |hier AS (
+         |  SELECT vec_id FROM w0v${GraphAnnQueries.Hops}
+         |  ORDER BY cos_e6 DESC, vec_id ASC LIMIT $RecallK),
          |${PqQueries.duckOpqTopkCtes(RecallK)},
          |methods AS (
          |  SELECT 'ivf_nprobe1' AS method, vec_id FROM ivf1
@@ -696,6 +711,7 @@ private[graft] object VectorQueries {
          |  UNION ALL SELECT 'ivfpq_nprobe4' AS method, vec_id FROM ivfpq
          |  UNION ALL SELECT 'ivfpq_rerank' AS method, vec_id FROM rerank
          |  UNION ALL SELECT 'hnsw_beam' AS method, vec_id FROM hnsw
+         |  UNION ALL SELECT 'hnsw_hier' AS method, vec_id FROM hier
          |  UNION ALL SELECT 'opq_adc' AS method, vec_id FROM opqtop)
          |SELECT m.method, CAST(count(*) AS BIGINT) AS n_returned,
          |  CAST(sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
