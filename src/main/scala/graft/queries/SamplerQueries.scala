@@ -220,7 +220,56 @@ private[queries] object SamplerQueries {
       .orderBy("shard")
   }
 
+  /** TOKEN-BUDGET WATERFILL — the mixture-planning step the rate/weight
+    * samplers assume has already happened: given per-domain token
+    * masses and a total training budget T (here 60% of the corpus, so
+    * the cap binds at every SF), find the uniform per-domain cap c with
+    * Σ min(tokens_d, c) ≈ T and allocate — small domains keep
+    * everything, over-represented domains are clipped to c. This is the
+    * classic "cap the crawl, keep the books" allocation (the Pile /
+    * LLaMA-style mixture tables), computed EXACTLY: domains sorted by
+    * mass ascending, prefix sums, candidate cap at rank k is
+    * (T − pre_k) DIV (n − k + 1), and the binding cap is the first
+    * candidate its own domain reaches — pure window arithmetic, no
+    * iteration, no floats.
+    *
+    * Scale: one token-count aggregate over documents (map-side
+    * partial), then ALL remaining work happens on n_domains rows —
+    * the global sort window costs nothing because the frame is
+    * domain-sized, never corpus-sized. */
+  private val sampleBudgetAlloc: Q = (s, d) => {
+    // the %7 slice splits off small "_rare" domains so BOTH branches are
+    // live at every SF: rare domains keep everything, big ones clip
+    val toks = Tables.documents(s, d)
+      .selectExpr(
+        "concat(source, CASE WHEN doc_id % 7 = 0 THEN '_rare' ELSE '' END) AS source",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS nt")
+      .groupBy("source").agg(sum("nt").as("tokens"))
+      .localCheckpoint() // n_domains rows; feeds totals, ranking, output
+    val tot = toks.agg(sum("tokens").as("total"),
+      count(lit(1)).as("n"))
+    val w = Window.orderBy(col("tokens").asc, col("source").asc)
+    val ranked = toks
+      .withColumn("k", row_number().over(w))
+      .withColumn("pre", coalesce(
+        sum("tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .selectExpr("source", "tokens", "k", "(total * 6) DIV 10 AS budget",
+        "((total * 6) DIV 10 - pre) DIV (n - k + 1) AS cand")
+    // the binding cap: first rank whose own mass reaches its candidate;
+    // NULL (budget ≥ total ⇒ nothing binds) → everything allocated
+    val cap = ranked.filter(col("tokens") >= col("cand"))
+      .agg(min_by(col("cand"), col("k")).as("cap"))
+    ranked.crossJoin(broadcast(cap))
+      .selectExpr("source", "tokens",
+        "least(tokens, coalesce(cap, tokens)) AS alloc_tokens",
+        "CAST(CASE WHEN cap IS NOT NULL AND tokens > cap THEN 1 ELSE 0 END AS BIGINT) AS capped",
+        "budget")
+      .orderBy("source")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "sample_budget_alloc" -> sampleBudgetAlloc,
     "export_shard_plan" -> exportShardPlan,
     "split_stratified" -> splitStratified,
     "sample_bottomk" -> sampleBottomk,
@@ -231,6 +280,33 @@ private[queries] object SamplerQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_budget_alloc" ->
+      """WITH toks AS (
+        |  SELECT source || CASE WHEN doc_id % 7 = 0 THEN '_rare' ELSE '' END
+        |      AS source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(tokens) AS BIGINT) AS total, count(*) AS n FROM toks),
+        |ranked AS (
+        |  SELECT source, tokens,
+        |    row_number() OVER (ORDER BY tokens ASC, source ASC) AS k,
+        |    coalesce(sum(tokens) OVER (ORDER BY tokens ASC, source ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM toks),
+        |cand AS (
+        |  SELECT r.source, r.tokens, r.k,
+        |    (t.total * 6) // 10 AS budget,
+        |    ((t.total * 6) // 10 - r.pre) // (t.n - r.k + 1) AS cand
+        |  FROM ranked r, tot t),
+        |cap AS (
+        |  SELECT min_by(cand, k) AS cap FROM cand WHERE tokens >= cand)
+        |SELECT c.source, c.tokens,
+        |  CAST(least(c.tokens, coalesce(p.cap, c.tokens)) AS BIGINT) AS alloc_tokens,
+        |  CAST(CASE WHEN p.cap IS NOT NULL AND c.tokens > p.cap
+        |    THEN 1 ELSE 0 END AS BIGINT) AS capped,
+        |  c.budget
+        |FROM cand c, cap p ORDER BY c.source""".stripMargin,
     // the oracle may use the global window the engine side must avoid
     "export_shard_plan" ->
       """WITH s AS (
