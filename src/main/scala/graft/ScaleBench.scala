@@ -64,7 +64,11 @@ object ScaleBench {
     // batch insert — both banded-LSH candidate joins whose width is the
     // same census lever; at fixed 8 bits the build's candidate volume is
     // N²/2⁸-shaped, so the deep tier runs them at the census width only
-    "sim_hnsw_topk", "sim_hnsw_maintain")
+    "sim_hnsw_topk", "sim_hnsw_maintain",
+    // r15: the batched multi-query walk and the two-level descent —
+    // both are graph BUILDS first (banded joins, same width lever);
+    // the walks themselves are bounded at any width
+    "sim_hnsw_batch", "sim_hnsw_hier")
 
   /** The two width-lever pipelines also get the fixed-width ×32 point. */
   private val FixedWidthDoc = Seq("dedup_semantic_keep", "sim_embed_neardup")
@@ -138,7 +142,20 @@ object ScaleBench {
     // r15: real MP4 sample demux (mapPartitions CPU, no shuffle until
     // the final sort — the same embarrassingly-parallel shape as the
     // pixel decodes)
-    "mm_mp4_samples")
+    "mm_mp4_samples",
+    // r15 batch 2: the batched multi-query beam walk (one graph build +
+    // NQ simultaneous frontiers — the serving-throughput claim), the
+    // two-level descent (builds BOTH layers' graphs — the build is the
+    // cost, the walks are bounded), OPQ training (variance census +
+    // two subspace trainers, all broadcast-scan), the shortlist rerank
+    // (hybrid scan + feature join on ≤100 rows), the windowed-span
+    // recall audit (its exact side is the bucketed 12-gram join), the
+    // NB classifier (two count aggs + a word-keyed scoring join), the
+    // shard-plan census (one byte aggregate + bin windows), and the
+    // waterfill allocator (one token aggregate + domain-sized windows)
+    "sim_opq_train", "search_rerank",
+    "dedup_span_recall", "text_nb_classifier", "export_shard_plan",
+    "sample_budget_alloc", "mm_audio_vad")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -210,6 +227,10 @@ object ScaleBench {
           (s, d) => graft.queries.GraphAnnQueries.hnswTopk(s, d, tuned(f)._1)
         case "sim_hnsw_maintain" =>
           (s, d) => graft.queries.GraphAnnQueries.hnswMaintain(s, d, tuned(f)._1)
+        case "sim_hnsw_batch" =>
+          (s, d) => graft.queries.GraphAnnQueries.hnswBatch(s, d, tuned(f)._1)
+        case "sim_hnsw_hier" =>
+          (s, d) => graft.queries.GraphAnnQueries.hnswHier(s, d, tuned(f)._1)
         case other => SparkEntry.queries(other)
       }
 

@@ -284,13 +284,14 @@ private[graft] object GraphAnnQueries {
     * checkpointed; the level-0 edge/score tables come in prebuilt so
     * the recall audit shares one graph build with its flat-beam row. */
   private[queries] def hierWalks(s: SparkSession, d: String,
-      edges0: DataFrame, scored0: DataFrame): (DataFrame, DataFrame) = {
+      edges0: DataFrame, scored0: DataFrame,
+      bits: Int = 8): (DataFrame, DataFrame) = {
     val emb = Tables.embeddings(s, d)
     val l1Scored = scored0.filter(col("vec_id") % EntryStride === 0)
       .localCheckpoint()
-    val l1Sig = sigOf(emb.filter(col("vec_id") % EntryStride === 0))
+    val l1Sig = sigOf(emb.filter(col("vec_id") % EntryStride === 0), bits)
       .localCheckpoint()
-    val l1Edges = prune2M(symmetrize(outEdges(l1Sig, l1Sig)))
+    val l1Edges = prune2M(symmetrize(outEdges(l1Sig, l1Sig, bits)))
       .select("src", "dst").localCheckpoint()
     val l1Entry = l1Scored
       .filter(col("vec_id") % (EntryStride.toLong * EntryStride) === 0)
@@ -301,9 +302,11 @@ private[graft] object GraphAnnQueries {
     (l1Visited, l0Visited)
   }
 
-  private val simHnswHier: Q = (s, d) => {
+  /** Width-parameterized descent (ScaleBench deep tier — BOTH layers'
+    * builds are banded joins, so both take the census width). */
+  private[graft] def hnswHier(s: SparkSession, d: String, bits: Int): DataFrame = {
     val (l1Visited, l0Visited) = hierWalks(s, d,
-      edgesDf(s, d).localCheckpoint(), scoredDf(s, d).localCheckpoint())
+      edgesDf(s, d, bits).localCheckpoint(), scoredDf(s, d).localCheckpoint(), bits)
     val counts = l1Visited.agg(count(lit(1)).as("n_visited_l1"))
       .crossJoin(broadcast(l0Visited.agg(count(lit(1)).as("n_visited_l0"))))
     l0Visited.crossJoin(broadcast(counts))
@@ -311,6 +314,8 @@ private[graft] object GraphAnnQueries {
       .limit(10)
       .select("vec_id", "cos_e6", "n_visited_l1", "n_visited_l0")
   }
+
+  private val simHnswHier: Q = (s, d) => hnswHier(s, d, 8)
 
   /** BATCHED multi-query beam walk — the serving shape a RELATIONAL
     * graph index is uniquely good at: a pointer-chasing HNSW answers
@@ -326,7 +331,10 @@ private[graft] object GraphAnnQueries {
     * per-query top-5 plus per-query visited-set size (the walk's work,
     * pinned per qid). At 100 TB the batch dimension is how a Spark
     * cluster serves ANN: thousands of queries per walk, one pass. */
-  private val simHnswBatch: Q = (s, d) => {
+  /** Width-parameterized batched walk, the ScaleBench deep-tier entry
+    * (the build is the banded join with the N²/2^bits volume; the NQ
+    * walks are bounded regardless of width). */
+  private[graft] def hnswBatch(s: SparkSession, d: String, bits: Int): DataFrame = {
     val NQ = 4
     val qv = "transform(sequence(0, 63), " +
       "j -> CAST(((qid * 7 + j * 3) % 19) - 9 AS DOUBLE) / 10.0D)"
@@ -340,7 +348,7 @@ private[graft] object GraphAnnQueries {
       .orderBy(col("cos_e6").desc, col("vec_id").asc)
     def topPerQ(df: DataFrame, k: Int): DataFrame =
       df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
-    val edges = edgesDf(s, d).localCheckpoint()
+    val edges = edgesDf(s, d, bits).localCheckpoint()
     var visited = topPerQ(scored.filter(col("vec_id") % EntryStride === 0), Beam)
     var expanded = visited.select("qid", "vec_id").limit(0)
     for (_ <- 1 to Hops) {
@@ -362,6 +370,8 @@ private[graft] object GraphAnnQueries {
       .select("qid", "vec_id", "cos_e6", "n_visited")
       .orderBy(col("qid"), col("cos_e6").desc, col("vec_id").asc)
   }
+
+  private val simHnswBatch: Q = (s, d) => hnswBatch(s, d, 8)
 
   /** The maintained graph for an (established corpus, inserted batch)
     * sig split — the incremental-insert kernel hnswMaintain audits and

@@ -314,11 +314,60 @@ private[graft] object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** mm_audio_vad — frame-level energy + voice-activity screening, the
+    * step a speech pipeline runs between decode and feature extraction
+    * (silence trim / segment selection): the REAL WAV decode feeds a
+    * 16-sample non-overlapping framer, per-frame energy Σs² gates at a
+    * fixed threshold, and the output pins per file the frame count,
+    * active count, active energy mass, and the LONGEST consecutive
+    * active run — the run statistic is order-sensitive twice over
+    * (sample order within frames, frame order within the file), so a
+    * permuted decode or a shuffled framer cannot pass. The DuckDB
+    * oracle predicts everything from the sample formula with a
+    * gaps-and-islands window — no WAV bytes anywhere.
+    *
+    * Scale: mapPartitions CPU over the blob column, no shuffle until
+    * the final per-doc row — the same embarrassingly-parallel posture
+    * as the pixel decodes; at 100 TB the framer streams each blob once
+    * with O(frame) state. */
+  private val mmAudioVad: Q = (s, d) => {
+    import s.implicits._
+    val FrameLen = 16
+    val Threshold = 5000000L
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val pcm = WavCodec.decode(fixtureWav(id))
+            .getOrElse(throw new IllegalStateException(s"self-encoded WAV undecodable for doc $id"))
+          val xs = pcm.samples
+          val nFrames = xs.length / FrameLen
+          var nActive = 0L; var activeEnergy = 0L
+          var run = 0L; var maxRun = 0L
+          var f = 0
+          while (f < nFrames) {
+            var e = 0L
+            var i = f * FrameLen
+            val end = i + FrameLen
+            while (i < end) { val v = xs(i).toLong; e += v * v; i += 1 }
+            if (e >= Threshold) {
+              nActive += 1; activeEnergy += e
+              run += 1; if (run > maxRun) maxRun = run
+            } else run = 0
+            f += 1
+          }
+          (id, nFrames.toLong, nActive, activeEnergy, maxRun)
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_active", "active_energy", "max_run")
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "mm_pixel_stats" -> mmPixelStats,
     "mm_pixel_stats_gif" -> mmPixelStatsGif,
     "mm_pixel_stats_jpeg" -> mmPixelStatsJpeg,
     "mm_audio_stats" -> mmAudioStats,
+    "mm_audio_vad" -> mmAudioVad,
     "mm_mp4_samples" -> mmMp4Samples,
   )
 
@@ -411,5 +460,39 @@ private[graft] object MultimodalQueries {
         |  CAST(sum(CASE WHEN s_prev * s < 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_zero_cross
         |FROM smp GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    "mm_audio_vad" ->
+      // frame energies from the sample formula; longest active run via
+      // gaps-and-islands (f - row_number over active frames)
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 37 + 50 AS BIGINT) AS n
+        |  FROM documents),
+        |smp AS (
+        |  SELECT doc_id, si.i // 16 AS f,
+        |    (doc_id * 31 + si.i * 7) % 2001 - 1000 AS s
+        |  FROM d, UNNEST(generate_series(0, n - 1)) si(i)
+        |  WHERE si.i // 16 < n // 16),
+        |fr AS (
+        |  SELECT doc_id, f, CAST(sum(s * s) AS BIGINT) AS e
+        |  FROM smp GROUP BY doc_id, f),
+        |act AS (
+        |  SELECT doc_id, f, e,
+        |    f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+        |  FROM fr WHERE e >= 5000000),
+        |runs AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS run
+        |  FROM act GROUP BY doc_id, grp),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_frames,
+        |    CAST(sum(CASE WHEN e >= 5000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_active,
+        |    CAST(coalesce(sum(CASE WHEN e >= 5000000 THEN e END), 0) AS BIGINT)
+        |      AS active_energy
+        |  FROM fr GROUP BY doc_id)
+        |SELECT a.doc_id, a.n_frames, a.n_active, a.active_energy,
+        |  CAST(coalesce(max(r.run), 0) AS BIGINT) AS max_run
+        |FROM agg a LEFT JOIN runs r USING (doc_id)
+        |GROUP BY a.doc_id, a.n_frames, a.n_active, a.active_energy
+        |ORDER BY a.doc_id""".stripMargin,
   )
 }

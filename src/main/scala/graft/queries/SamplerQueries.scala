@@ -237,15 +237,11 @@ private[queries] object SamplerQueries {
     * partial), then ALL remaining work happens on n_domains rows —
     * the global sort window costs nothing because the frame is
     * domain-sized, never corpus-sized. */
-  private val sampleBudgetAlloc: Q = (s, d) => {
-    // the %7 slice splits off small "_rare" domains so BOTH branches are
-    // live at every SF: rare domains keep everything, big ones clip
-    val toks = Tables.documents(s, d)
-      .selectExpr(
-        "concat(source, CASE WHEN doc_id % 7 = 0 THEN '_rare' ELSE '' END) AS source",
-        "CAST(size(split(text, ' ')) AS BIGINT) AS nt")
-      .groupBy("source").agg(sum("nt").as("tokens"))
-      .localCheckpoint() // n_domains rows; feeds totals, ranking, output
+  /** The waterfill core over a `(source, tokens)` frame at budget
+    * = total·num DIV den — exposed for SamplerSpec's branch sweep
+    * (budget ≥ total ⇒ nothing binds; budget = 0 ⇒ everything clips
+    * to 0). */
+  private[queries] def waterfill(toks: DataFrame, num: Long, den: Long): DataFrame = {
     val tot = toks.agg(sum("tokens").as("total"),
       count(lit(1)).as("n"))
     val w = Window.orderBy(col("tokens").asc, col("source").asc)
@@ -254,8 +250,8 @@ private[queries] object SamplerQueries {
       .withColumn("pre", coalesce(
         sum("tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .crossJoin(broadcast(tot))
-      .selectExpr("source", "tokens", "k", "(total * 6) DIV 10 AS budget",
-        "((total * 6) DIV 10 - pre) DIV (n - k + 1) AS cand")
+      .selectExpr("source", "tokens", "k", s"(total * $num) DIV $den AS budget",
+        s"((total * $num) DIV $den - pre) DIV (n - k + 1) AS cand")
     // the binding cap: first rank whose own mass reaches its candidate;
     // NULL (budget ≥ total ⇒ nothing binds) → everything allocated
     val cap = ranked.filter(col("tokens") >= col("cand"))
@@ -266,6 +262,18 @@ private[queries] object SamplerQueries {
         "CAST(CASE WHEN cap IS NOT NULL AND tokens > cap THEN 1 ELSE 0 END AS BIGINT) AS capped",
         "budget")
       .orderBy("source")
+  }
+
+  private val sampleBudgetAlloc: Q = (s, d) => {
+    // the %7 slice splits off small "_rare" domains so BOTH branches are
+    // live at every SF: rare domains keep everything, big ones clip
+    val toks = Tables.documents(s, d)
+      .selectExpr(
+        "concat(source, CASE WHEN doc_id % 7 = 0 THEN '_rare' ELSE '' END) AS source",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS nt")
+      .groupBy("source").agg(sum("nt").as("tokens"))
+      .localCheckpoint() // n_domains rows; feeds totals, ranking, output
+    waterfill(toks, 6, 10)
   }
 
   val queries: Seq[(String, Q)] = Seq(
