@@ -1,0 +1,345 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.PipelineShared._
+
+/** Sparse-vector ALL-PAIRS similarity join (APSS) — exact cosine ≥ θ
+  * over shingle TF-IDF vectors with Bayardo/Ma/Srikant prefix
+  * filtering (WWW'07), the lexical twin of the embedding near-dup
+  * tier: MinHash bands answer "Jaccard ≥ t, probabilistically";
+  * this answers "TF-IDF cosine ≥ θ, EXACTLY, with a provable
+  * no-miss candidate bound" — the join a curation pipeline runs when
+  * near-dup decisions must be auditable (every reported pair carries
+  * its exact score, every unreported pair is provably below θ).
+  *
+  * The filter: features are 3-token shingle fingerprints (the
+  * [[PipelineShared.winnowHashesExpr]] kernel, duplicates kept so tf
+  * is real); weights w = tf·⌊ln(N/df)·1e6⌋; per-doc terms sort by
+  * (df asc, sh asc) and the running CEIL-quantized bound
+  * tail(i) = Σ_{j≥i} ⌈wn_i·1e4⌉·max_corpus⌈wn·1e4⌉ marks a term
+  * PREFIX while tail ≥ θ·1e8. Ceil-quantization makes the bound an
+  * over-estimate of any true suffix dot product, so a qualifying pair
+  * (exact cos ≥ θ) always shares ≥1 prefix term of each member —
+  * candidates = prefix ⋈ postings on the shingle, never all-pairs
+  * (the lossless-ness is verified in SparseSimSpec against the brute
+  * join, and the census query pins the measured reduction under the
+  * oracle hash).
+  *
+  * Scale posture: candidate volume is Σ_t pdf(t)·df(t) where pdf
+  * counts prefix occurrences — common shingles have tiny idf, land in
+  * the suffix, and never key a join; rare shingles key joins against
+  * short posting lists. All arithmetic after the two ln/sqrt folds is
+  * BIGINT (the established floor-e6 discipline), both engines evaluate
+  * the identical expressions, and the verify stage touches only
+  * candidate pairs' shared postings. Fixture: %17 docs re-enter as
+  * doc_id+700000 with tokens[2..len-5] — truth pairs the audit column
+  * counts; the sf corpus also carries organic near-dups (the same ones
+  * the MinHash tier finds) so the output is not fixture-only.
+  */
+private[queries] object SparseSimQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** cos threshold, e6 (exact verify) / e8 (quantized prefix bound). */
+  private val ThetaE6 = 500000L
+  private val ThetaE8 = ThetaE6 * 100
+
+  /** Shared chain up to (post, norms, dfs): one struct per consumer. */
+  private case class Chain(post: DataFrame, norms: DataFrame, dfs: DataFrame,
+    prefix: DataFrame, cand: DataFrame, sim: DataFrame)
+
+  private def chain(s: SparkSession, d: String): Chain = {
+    val base = Tables.documents(s, d)
+      .selectExpr("doc_id", "split(text, ' ') AS tokens")
+    val corpus = base.unionByName(
+      base.filter(col("doc_id") % 17 === 0 && size(col("tokens")) >= 20)
+        .select((col("doc_id") + 700000).as("doc_id"),
+          expr("slice(tokens, 2, size(tokens) - 6)").as("tokens")))
+      .filter(size(col("tokens")) >= 3)
+    val sh = corpus
+      .withColumn("hashes", expr(winnowHashesExpr(3)))
+      .select(col("doc_id"), explode(col("hashes")).as("sh"))
+    val tf = sh.groupBy("doc_id", "sh").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds df census + N + weights
+    val dfs = tf.groupBy("sh").agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct(col("doc_id")).as("n"))
+    val w = tf.join(dfs, "sh").crossJoin(broadcast(n))
+      .selectExpr("doc_id", "sh", "df",
+        "tf * CAST(floor(ln(CAST(n AS DOUBLE) / df) * 1000000) AS BIGINT) AS w")
+    val norms = w.groupBy("doc_id")
+      .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+    val post = w.join(norms, "doc_id")
+      .selectExpr("doc_id", "sh", "df", "w", "nrm",
+        "CAST(ceil(CAST(w AS DOUBLE) * 10000 / nrm) AS BIGINT) AS cn")
+      .localCheckpoint() // feeds maxcn + bound + both join sides + verify
+    val maxcn = post.groupBy("sh").agg(max(col("cn")).as("mcn"))
+    // running suffix bound in (df asc, sh asc) order: accumulate from the
+    // common end, so each row sees the ceil-bound of itself + everything
+    // after it; prefix = rows whose remaining potential still reaches θ
+    val tailW = Window.partitionBy("doc_id")
+      .orderBy(col("df").desc, col("sh").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefix = post.join(maxcn, "sh")
+      .withColumn("tail_e8", sum(col("cn") * col("mcn")).over(tailW))
+      .filter(col("tail_e8") >= ThetaE8)
+      .select("doc_id", "sh")
+    val cand = prefix.as("p").join(post.as("f"), Seq("sh"))
+      .filter(col("p.doc_id") =!= col("f.doc_id"))
+      .select(least(col("p.doc_id"), col("f.doc_id")).as("d0"),
+        greatest(col("p.doc_id"), col("f.doc_id")).as("d1"))
+      .distinct()
+    val dots = cand
+      .join(post.select(col("doc_id").as("d0"), col("sh"), col("w").as("w0")), Seq("d0"))
+      .join(post.select(col("doc_id").as("d1"), col("sh"), col("w").as("w1")),
+        Seq("d1", "sh"))
+      .groupBy("d0", "d1").agg(sum(col("w0") * col("w1")).as("dot"))
+    val sim = dots
+      .join(norms.select(col("doc_id").as("d0"), col("nrm").as("n0")), Seq("d0"))
+      .join(norms.select(col("doc_id").as("d1"), col("nrm").as("n1")), Seq("d1"))
+      .selectExpr("d0", "d1",
+        "CAST(floor(CAST(dot AS DOUBLE) / (n0 * n1) * 1000000) AS BIGINT) AS cos_e6")
+      .filter(col("cos_e6") >= ThetaE6)
+    Chain(post, norms, dfs, prefix, cand, sim)
+  }
+
+  /** Pair-level output: every exact-cosine-≥θ pair with its score. */
+  private val simApssPairs: Q = (s, d) =>
+    chain(s, d).sim.orderBy(col("cos_e6").desc, col("d0").asc, col("d1").asc)
+
+  /** One-row census pinning the no-miss reduction claim: posting /
+    * prefix volumes, the uncapped inverted-join pair bound Σdf(df−1)/2,
+    * the measured prefix-filtered candidate count, verified pairs, and
+    * the fixture-truth recall column. */
+  private val simApssCensus: Q = (s, d) => {
+    val c = chain(s, d)
+    val cs = c.post.agg(count(lit(1)).as("n_postings"))
+      .crossJoin(broadcast(c.prefix.agg(count(lit(1)).as("n_prefix"))))
+      .crossJoin(broadcast(c.dfs.agg(
+        coalesce(sum(col("df") * (col("df") - 1) / 2), lit(0L))
+          .cast("long").as("full_pairs"))))
+      .crossJoin(broadcast(c.cand.agg(count(lit(1)).as("n_cand"))))
+    val ver = c.sim.agg(count(lit(1)).as("n_verified"),
+      coalesce(sum(when(col("d1") === col("d0") + 700000, 1L).otherwise(0L)), lit(0L))
+        .as("n_true"),
+      coalesce(sum("cos_e6"), lit(0L)).as("cos_sum_e6"))
+    cs.crossJoin(broadcast(ver))
+  }
+
+  /** INCREMENTAL APSS — the daily-crawl shape (the family pattern of
+    * `dedup_containment_incr`): batch docs (%10 = 0, plus excerpt
+    * fixtures +800000) score against the ESTABLISHED corpus (%10 ≠ 0)
+    * only; corpus×corpus never re-pairs. The prefix filter needs only
+    * the BATCH side's prefixes — a qualifying pair shares ≥1 prefix
+    * term of EACH member, so batch-prefix ⋈ corpus-postings already
+    * catches every pair — and the corpus side contributes just its
+    * (persisted, at 100 TB) posting + maxcn tables. df/idf/maxcn come
+    * from the combined corpus so batch and full-build weights agree.
+    * One asymmetry matters for the bound: maxcn must cover BOTH sides
+    * (a batch term's best partner may be a corpus doc and vice versa),
+    * which the combined census provides. */
+  private val simApssIncr: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .selectExpr("doc_id", "split(text, ' ') AS tokens")
+    val isBatch = col("doc_id") % 10 === 0
+    val corpus0 = base.filter(!isBatch)
+    val batch0 = base.filter(isBatch).unionByName(
+      corpus0.filter(col("doc_id") % 17 === 0 && size(col("tokens")) >= 20)
+        .select((col("doc_id") + 800000).as("doc_id"),
+          expr("slice(tokens, 2, size(tokens) - 6)").as("tokens")))
+    val all = corpus0.withColumn("side", lit("c"))
+      .unionByName(batch0.withColumn("side", lit("b")))
+      .filter(size(col("tokens")) >= 3)
+    val sh = all.withColumn("hashes", expr(winnowHashesExpr(3)))
+      .select(col("doc_id"), col("side"), explode(col("hashes")).as("sh"))
+    val tf = sh.groupBy("doc_id", "side", "sh").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfs = tf.groupBy("sh").agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct(col("doc_id")).as("n"))
+    val w = tf.join(dfs, "sh").crossJoin(broadcast(n))
+      .selectExpr("doc_id", "side", "sh", "df",
+        "tf * CAST(floor(ln(CAST(n AS DOUBLE) / df) * 1000000) AS BIGINT) AS w")
+    val norms = w.groupBy("doc_id")
+      .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+    val post = w.join(norms, "doc_id")
+      .selectExpr("doc_id", "side", "sh", "df", "w", "nrm",
+        "CAST(ceil(CAST(w AS DOUBLE) * 10000 / nrm) AS BIGINT) AS cn")
+      .localCheckpoint()
+    val maxcn = post.groupBy("sh").agg(max(col("cn")).as("mcn"))
+    val tailW = Window.partitionBy("doc_id")
+      .orderBy(col("df").desc, col("sh").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bPrefix = post.filter(col("side") === "b").join(maxcn, "sh")
+      .withColumn("tail_e8", sum(col("cn") * col("mcn")).over(tailW))
+      .filter(col("tail_e8") >= ThetaE8)
+      .select(col("doc_id").as("bid"), col("sh"))
+    val cPost = post.filter(col("side") === "c")
+    val cand = bPrefix
+      .join(cPost.select(col("doc_id").as("cid"), col("sh")), Seq("sh"))
+      .select("bid", "cid").distinct()
+    val dots = cand
+      .join(post.select(col("doc_id").as("bid"), col("sh"), col("w").as("wb")), Seq("bid"))
+      .join(post.select(col("doc_id").as("cid"), col("sh"), col("w").as("wc")),
+        Seq("cid", "sh"))
+      .groupBy("bid", "cid").agg(sum(col("wb") * col("wc")).as("dot"))
+    val sim = dots
+      .join(norms.select(col("doc_id").as("bid"), col("nrm").as("nb")), Seq("bid"))
+      .join(norms.select(col("doc_id").as("cid"), col("nrm").as("nc")), Seq("cid"))
+      .selectExpr("bid", "cid",
+        "CAST(floor(CAST(dot AS DOUBLE) / (nb * nc) * 1000000) AS BIGINT) AS cos_e6")
+      .filter(col("cos_e6") >= ThetaE6)
+    sim.agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("bid")).as("n_dup_batch"),
+        coalesce(sum(when(col("bid") === col("cid") + 800000, 1L).otherwise(0L)), lit(0L))
+          .as("n_true"),
+        coalesce(sum("cos_e6"), lit(0L)).as("cos_sum_e6"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+  }
+
+  private[queries] lazy val queries: Seq[(String, Q)] = Seq(
+    "sim_apss_pairs" -> simApssPairs,
+    "sim_apss_census" -> simApssCensus,
+    "sim_apss_incr" -> simApssIncr)
+
+  // ------------------------------------------------------------- oracles
+
+  /** CTE chain shared by both oracles (mirrors [[chain]] stage for
+    * stage; the fixture slice tokens[2:len-5] = Spark's
+    * slice(tokens, 2, size-6) — 2-based start, drop first + last 5). */
+  private def duckChain: String =
+    s"""base AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, tokens FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 700000 AS doc_id, tokens[2:len(tokens)-5] AS tokens
+       |  FROM base WHERE doc_id % 17 = 0 AND len(tokens) >= 20),
+       |sh0 AS (
+       |  SELECT doc_id, u.sh
+       |  FROM (SELECT doc_id, ${duckWinnowHashes(3)} AS hashes
+       |        FROM corpus WHERE len(tokens) >= 3),
+       |    UNNEST(hashes) u(sh)),
+       |tfq AS (SELECT doc_id, sh, CAST(count(*) AS BIGINT) AS tf FROM sh0 GROUP BY 1, 2),
+       |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tfq),
+       |dfs AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM tfq GROUP BY sh),
+       |wq AS (
+       |  SELECT t.doc_id, t.sh, d.df,
+       |    t.tf * CAST(floor(ln(CAST(n AS DOUBLE) / df) * 1000000) AS BIGINT) AS w
+       |  FROM tfq t JOIN dfs d USING (sh), nn),
+       |norms AS (
+       |  SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm FROM wq GROUP BY doc_id),
+       |post AS (
+       |  SELECT w.doc_id, w.sh, w.df, w.w, n.nrm,
+       |    CAST(ceil(CAST(w.w AS DOUBLE) * 10000 / n.nrm) AS BIGINT) AS cn
+       |  FROM wq w JOIN norms n USING (doc_id)),
+       |maxcn AS (SELECT sh, max(cn) AS mcn FROM post GROUP BY sh),
+       |bounded AS (
+       |  SELECT p.doc_id, p.sh,
+       |    sum(p.cn * m.mcn) OVER (PARTITION BY p.doc_id
+       |      ORDER BY p.df DESC, p.sh DESC ROWS UNBOUNDED PRECEDING) AS tail_e8
+       |  FROM post p JOIN maxcn m USING (sh)),
+       |pref AS (SELECT doc_id, sh FROM bounded WHERE tail_e8 >= $ThetaE8),
+       |cand AS (
+       |  SELECT DISTINCT least(p.doc_id, f.doc_id) AS d0,
+       |    greatest(p.doc_id, f.doc_id) AS d1
+       |  FROM pref p JOIN post f USING (sh) WHERE p.doc_id <> f.doc_id),
+       |dots AS (
+       |  SELECT c.d0, c.d1, sum(l.w * r.w) AS dot
+       |  FROM cand c
+       |  JOIN post l ON l.doc_id = c.d0
+       |  JOIN post r ON r.doc_id = c.d1 AND r.sh = l.sh
+       |  GROUP BY 1, 2),
+       |sim AS (
+       |  SELECT d.d0, d.d1,
+       |    CAST(floor(CAST(d.dot AS DOUBLE) / (a.nrm * b.nrm) * 1000000) AS BIGINT)
+       |      AS cos_e6
+       |  FROM dots d JOIN norms a ON a.doc_id = d.d0
+       |  JOIN norms b ON b.doc_id = d.d1
+       |  WHERE CAST(floor(CAST(d.dot AS DOUBLE) / (a.nrm * b.nrm) * 1000000) AS BIGINT)
+       |    >= $ThetaE6)""".stripMargin
+
+  /** Incremental-variant CTE chain (i-prefixed names, splice-safe). */
+  private def duckIncrChain: String =
+    s"""ibase AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+       |icorp AS (SELECT doc_id, tokens FROM ibase WHERE doc_id % 10 <> 0),
+       |ibatch AS (
+       |  SELECT doc_id, tokens FROM ibase WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 800000 AS doc_id, tokens[2:len(tokens)-5] AS tokens
+       |  FROM icorp WHERE doc_id % 17 = 0 AND len(tokens) >= 20),
+       |iall AS (
+       |  SELECT doc_id, 'c' AS side, tokens FROM icorp
+       |  UNION ALL SELECT doc_id, 'b' AS side, tokens FROM ibatch),
+       |ish0 AS (
+       |  SELECT doc_id, side, u.sh
+       |  FROM (SELECT doc_id, side, ${duckWinnowHashes(3)} AS hashes
+       |        FROM iall WHERE len(tokens) >= 3),
+       |    UNNEST(hashes) u(sh)),
+       |itf AS (SELECT doc_id, side, sh, CAST(count(*) AS BIGINT) AS tf
+       |  FROM ish0 GROUP BY 1, 2, 3),
+       |inn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM itf),
+       |idfs AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM itf GROUP BY sh),
+       |iw AS (
+       |  SELECT t.doc_id, t.side, t.sh, d.df,
+       |    t.tf * CAST(floor(ln(CAST(n AS DOUBLE) / df) * 1000000) AS BIGINT) AS w
+       |  FROM itf t JOIN idfs d USING (sh), inn),
+       |inorms AS (
+       |  SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nrm FROM iw GROUP BY doc_id),
+       |ipost AS (
+       |  SELECT w.doc_id, w.side, w.sh, w.df, w.w, n.nrm,
+       |    CAST(ceil(CAST(w.w AS DOUBLE) * 10000 / n.nrm) AS BIGINT) AS cn
+       |  FROM iw w JOIN inorms n USING (doc_id)),
+       |imaxcn AS (SELECT sh, max(cn) AS mcn FROM ipost GROUP BY sh),
+       |ibound AS (
+       |  SELECT p.doc_id, p.sh,
+       |    sum(p.cn * m.mcn) OVER (PARTITION BY p.doc_id
+       |      ORDER BY p.df DESC, p.sh DESC ROWS UNBOUNDED PRECEDING) AS tail_e8
+       |  FROM ipost p JOIN imaxcn m USING (sh) WHERE p.side = 'b'),
+       |ipref AS (SELECT doc_id AS bid, sh FROM ibound WHERE tail_e8 >= $ThetaE8),
+       |icand AS (
+       |  SELECT DISTINCT p.bid, f.doc_id AS cid
+       |  FROM ipref p JOIN ipost f USING (sh) WHERE f.side = 'c'),
+       |idots AS (
+       |  SELECT c.bid, c.cid, sum(l.w * r.w) AS dot
+       |  FROM icand c
+       |  JOIN ipost l ON l.doc_id = c.bid
+       |  JOIN ipost r ON r.doc_id = c.cid AND r.sh = l.sh
+       |  GROUP BY 1, 2),
+       |isim AS (
+       |  SELECT d.bid, d.cid,
+       |    CAST(floor(CAST(d.dot AS DOUBLE) / (a.nrm * b.nrm) * 1000000) AS BIGINT)
+       |      AS cos_e6
+       |  FROM idots d JOIN inorms a ON a.doc_id = d.bid
+       |  JOIN inorms b ON b.doc_id = d.cid
+       |  WHERE CAST(floor(CAST(d.dot AS DOUBLE) / (a.nrm * b.nrm) * 1000000) AS BIGINT)
+       |    >= $ThetaE6)""".stripMargin
+
+  private[queries] lazy val oracles: Map[String, String] = Map(
+    "sim_apss_incr" ->
+      s"""WITH $duckIncrChain
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM isim) AS n_pairs,
+         |  (SELECT CAST(count(DISTINCT bid) AS BIGINT) FROM isim) AS n_dup_batch,
+         |  (SELECT CAST(coalesce(sum(CASE WHEN bid = cid + 800000 THEN 1 ELSE 0 END), 0)
+         |     AS BIGINT) FROM isim) AS n_true,
+         |  (SELECT CAST(coalesce(sum(cos_e6), 0) AS BIGINT) FROM isim) AS cos_sum_e6,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM icand) AS n_cand""".stripMargin,
+    "sim_apss_pairs" ->
+      s"""WITH $duckChain
+         |SELECT d0, d1, cos_e6 FROM sim
+         |ORDER BY cos_e6 DESC, d0 ASC, d1 ASC""".stripMargin,
+    "sim_apss_census" ->
+      s"""WITH $duckChain
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM post) AS n_postings,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM pref) AS n_prefix,
+         |  (SELECT CAST(coalesce(sum(df * (df - 1) // 2), 0) AS BIGINT) FROM dfs)
+         |    AS full_pairs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sim) AS n_verified,
+         |  (SELECT CAST(coalesce(sum(CASE WHEN d1 = d0 + 700000 THEN 1 ELSE 0 END), 0)
+         |     AS BIGINT) FROM sim) AS n_true,
+         |  (SELECT CAST(coalesce(sum(cos_e6), 0) AS BIGINT) FROM sim) AS cos_sum_e6""".stripMargin)
+}
