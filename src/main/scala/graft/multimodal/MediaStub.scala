@@ -486,10 +486,26 @@ object MediaFixtures {
     * entries — the constant the oracle SQL replays. */
   def mp4Sampled(width: Int, height: Int, nFrames: Int, payload: Array[Byte],
       samplesPerChunk: Int = 7): Array[Byte] = {
-    require(nFrames > 0 && samplesPerChunk > 0)
-    val n = nFrames
+    require(nFrames > 0)
     val l = payload.length.toLong
-    val bounds = (0 to n).map(i => (i * l / n).toInt)
+    val bounds = (0 to nFrames).map(i => (i * l / nFrames).toInt)
+    mp4Frames(width, height,
+      (0 until nFrames).map(i => payload.slice(bounds(i), bounds(i + 1))),
+      samplesPerChunk)
+  }
+
+  /** ISO-BMFF/MP4 whose samples are EXPLICIT per-frame byte arrays
+    * (each a complete encoded frame — the MJPEG-in-MP4 layout): same
+    * box tree as [[mp4Sampled]], with stsz carrying the true frame
+    * sizes. `mp4Sampled` delegates here with arithmetic-boundary
+    * slices, so its byte layout (and every golden digest over it) is
+    * unchanged. */
+  def mp4Frames(width: Int, height: Int, frames: Seq[Array[Byte]],
+      samplesPerChunk: Int = 7): Array[Byte] = {
+    require(frames.nonEmpty && samplesPerChunk > 0)
+    val n = frames.length
+    val payload = frames.flatten.toArray
+    val bounds = frames.scanLeft(0)(_ + _.length)
     val sizes = (0 until n).map(i => bounds(i + 1) - bounds(i))
     val nChunks = (n + samplesPerChunk - 1) / samplesPerChunk
     val rem = n - (nChunks - 1) * samplesPerChunk

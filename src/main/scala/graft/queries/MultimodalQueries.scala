@@ -205,13 +205,20 @@ private[graft] object MultimodalQueries {
     * for spec use. */
   private[graft] def fixtureJpeg(docId: Long): Array[Byte] = {
     val (w, h) = dims(docId)
+    encodeJpeg(docId, w, h)
+  }
+
+  /** JPEG-encode the formula image for an arbitrary (seed, w, h) —
+    * shared by the single-image fixture and the MJPEG frame fixture
+    * (per-frame seed = docId·31 + frame_no, so frames differ). */
+  private[graft] def encodeJpeg(seed: Long, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val (r, g, b) = rgbAt(docId, x, y)
+        val (r, g, b) = rgbAt(seed, x, y)
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }
@@ -314,6 +321,70 @@ private[graft] object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** MJPEG-in-MP4 fixture: nF = doc_id%6+2 JPEG frames (per-frame seed
+    * docId·31+f, the single-image formula family) packed as explicit
+    * samples in 3-sample chunks — stsz carries the REAL encoded frame
+    * sizes, so the demux walk is load-bearing, not arithmetic. */
+  private[graft] def fixtureMp4Mjpeg(docId: Long): Array[Byte] = {
+    val (w, h) = dims(docId)
+    val nF = (docId % 6 + 2).toInt
+    graft.multimodal.MediaFixtures.mp4Frames(w, h,
+      (0 until nF).map(f => encodeJpeg(docId * 31 + f, w, h)),
+      samplesPerChunk = 3)
+  }
+
+  /** mm_mp4_frames (r15) — REAL VIDEO FRAME DECODE, closing the last
+    * multimodal asterisk ("MP4 samples are byte ranges, not frames"):
+    * each document becomes an MJPEG-in-MP4 file whose samples are
+    * complete JPEG frames; the engine demuxes stsz+stsc+stco to the
+    * per-sample byte ranges, decodes EACH range through the JDK JPEG
+    * decoder, and aggregates per file — frame-order-pinned (checksum
+    * weights frame f by f+1, so a chunk-table transposition moves it)
+    * and distortion-pinned (mae_e4 vs the per-frame formula). JPEG is
+    * lossy → rows-only under the FATAL golden digest, like
+    * `mm_pixel_stats_jpeg`. Scale posture: mapPartitions CPU over the
+    * blob, one pass per file, no shuffle before the final sort — the
+    * 100 TB shape is "decode where the bytes live". */
+  private val mmMp4Frames: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.documents(s, d).select("doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val bytes = fixtureMp4Mjpeg(id)
+          val samples = graft.multimodal.MediaStub.mp4Samples(bytes)
+          require(samples.nonEmpty, s"MJPEG demux came back empty for doc $id")
+          var nPix = 0L; var checksum = 0L; var err = 0L
+          samples.foreach { sm =>
+            val off = sm.byte_offset.toInt
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes, off, sm.n_bytes))
+            require(img != null, s"JDK ImageIO refused frame ${sm.frame_no} of doc $id")
+            val w = img.getWidth; val h = img.getHeight
+            var luma = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+                luma += r + g + b
+                val (er, eg, eb) = rgbAt(id * 31 + sm.frame_no, x, y)
+                err += math.abs(r - er) + math.abs(g - eg) + math.abs(b - eb)
+                x += 1
+              }
+              y += 1
+            }
+            checksum += (sm.frame_no + 1).toLong * luma
+            nPix += w.toLong * h
+          }
+          (id, samples.length.toLong, nPix, checksum, err * 10000L / (3L * nPix))
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_pixels", "luma_checksum", "mae_e4")
+      .orderBy("doc_id")
+    PipelineShared.withGoldenDigest(base, d, "mm_mp4_frames")
+  }
+
   /** mm_audio_vad — frame-level energy + voice-activity screening, the
     * step a speech pipeline runs between decode and feature extraction
     * (silence trim / segment selection): the REAL WAV decode feeds a
@@ -368,6 +439,7 @@ private[graft] object MultimodalQueries {
     "mm_pixel_stats_jpeg" -> mmPixelStatsJpeg,
     "mm_audio_stats" -> mmAudioStats,
     "mm_audio_vad" -> mmAudioVad,
+    "mm_mp4_frames" -> mmMp4Frames,
     "mm_mp4_samples" -> mmMp4Samples,
   )
 

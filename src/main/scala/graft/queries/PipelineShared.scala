@@ -165,6 +165,10 @@ private[graft] object PipelineShared {
       "sf0.01" -> 257023099803L, // sf0.001/sf0.01 share doc_ids 0-499;
       // the image formula depends only on doc_id — equal digests genuine
       "sf0.1" -> 2515954677239L),
+    "mm_mp4_frames" -> Map(
+      "sf0.001" -> 241078487508L,
+      "sf0.01" -> 241078487508L, // doc_id-only formula, shared ids — see above
+      "sf0.1" -> 2491278782749L),
     "sim_semantic_match" -> Map(
       "sf0.001" -> 5081089278L,
       "sf0.01" -> 7166123759L,
