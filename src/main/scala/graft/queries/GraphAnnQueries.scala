@@ -475,7 +475,50 @@ private[graft] object GraphAnnQueries {
 
   private val simHnswProbed: Q = (s, d) => hnswProbedTopk(s, d)
 
+  /** PageRank rounds (fixed ⇒ static plan in both engines). */
+  private[queries] val PrIters = 5
+
+  /** GRAPH CENTRALITY over the k-NN neighbor table — PageRank on the
+    * same symmetrized 2M-pruned graph the beam walks traverse (Page/
+    * Brin/Motwani/Winograd 1999): a training-data pipeline uses it for
+    * CANONICAL/coreset selection — the highest-rank node of a near-dup
+    * or topic cluster is the best-connected representative, not an
+    * arbitrary min-id survivor. Pure integer recurrence: r₀ = 1e6,
+    * rₜ₊₁(v) = 150000 + ⌊85·Σ_{u→v}⌊rₜ(u)/deg(u)⌋ / 100⌋ — floor
+    * division at both steps, so both engines walk bit-identical BIGINT
+    * states, no float anywhere. $PrIters unrolled rounds = one static
+    * plan (the kmeans-chain discipline). Scale posture: each round is
+    * one shuffle of the edge table keyed by src then dst — degree is
+    * capped at 2M by construction, so a round moves O(N·2M) rows and
+    * a hub can never blow up a partition; ranks stay (vec_id, BIGINT)
+    * — the 100 TB shape is iterate-over-edges with AQE handling the
+    * residual skew. Isolated vectors (no LSH candidate at all) have no
+    * edges and are out of scope of a graph ranking by definition. */
+  private val simGraphPagerank: Q = (s, d) => {
+    val edges = edgesDf(s, d).localCheckpoint() // feeds deg + every round
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // joined into every round's contribution
+    var ranks = deg.select(col("src").as("vec_id"), lit(1000000L).as("r"))
+    for (_ <- 1 to PrIters) {
+      ranks = edges
+        .join(ranks.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .selectExpr("dst", "r DIV deg AS contrib")
+        .groupBy("dst")
+        .agg(expr("150000 + (85 * sum(contrib)) DIV 100").as("r"))
+        .select(col("dst").as("vec_id"), col("r"))
+    }
+    val n = ranks.agg(count(lit(1)).as("n_nodes"),
+      sum("r").as("rank_mass_e6"))
+    ranks.crossJoin(broadcast(n))
+      .orderBy(col("r").desc, col("vec_id").asc)
+      .limit(20)
+      .select(col("vec_id"), col("r").as("rank_e6"),
+        col("n_nodes"), col("rank_mass_e6"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "graph_pagerank" -> simGraphPagerank,
     "sim_hnsw_topk" -> simHnswTopk,
     "sim_hnsw_degree" -> simHnswDegree,
     "sim_hnsw_ef_sweep" -> simHnswEfSweep,
@@ -629,7 +672,31 @@ private[graft] object GraphAnnQueries {
        |${duckWalkCtes("w0", "gedges", "yscored", Beam, l0Entry)}""".stripMargin
   }
 
+  /** Unrolled integer PageRank rounds over the g-chain edge CTEs. */
+  private def duckPagerankCtes: String = {
+    val rounds = (1 to PrIters).map { t =>
+      s"""pr$t AS (
+         |  SELECT e.dst AS vec_id,
+         |    150000 + (85 * sum(r.r // d.deg)) // 100 AS r
+         |  FROM gedges e
+         |  JOIN pr${t - 1} r ON r.vec_id = e.src
+         |  JOIN gdeg d ON d.src = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""${duckEdgeCtes("g")},
+       |gdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM gedges GROUP BY src),
+       |pr0 AS (SELECT src AS vec_id, CAST(1000000 AS BIGINT) AS r FROM gdeg),
+       |$rounds""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH $duckPagerankCtes,
+         |nmass AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(sum(r) AS BIGINT) AS rank_mass_e6 FROM pr$PrIters)
+         |SELECT p.vec_id, p.r AS rank_e6, m.n_nodes, m.rank_mass_e6
+         |FROM pr$PrIters p, nmass m
+         |ORDER BY p.r DESC, p.vec_id ASC LIMIT 20""".stripMargin,
     // the probed read changes WHERE bytes come from, not the walk:
     // same replay as sim_hnsw_topk
     "sim_hnsw_hier" ->
