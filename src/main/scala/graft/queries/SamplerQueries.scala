@@ -244,11 +244,20 @@ private[queries] object SamplerQueries {
   private[queries] def waterfill(toks: DataFrame, num: Long, den: Long): DataFrame = {
     val tot = toks.agg(sum("tokens").as("total"),
       count(lit(1)).as("n"))
-    val w = Window.orderBy(col("tokens").asc, col("source").asc)
-    val ranked = toks
-      .withColumn("k", row_number().over(w))
-      .withColumn("pre", coalesce(
-        sum("tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // Global rank + prefix sum WITHOUT a single-partition window (the
+    // PlanSpec ban): the frame is domain-sized, so the strictly-before
+    // set attaches via a broadcast theta-join — k = 1 + |before|,
+    // pre = Σ tokens(before) — the exportShardPlan offsets idiom.
+    // O(n_domains²) broadcast work, never corpus-sized.
+    val ord = toks.select(col("source").as("o_source"),
+      col("tokens").as("o_tokens"))
+    val ranked = toks.join(broadcast(ord),
+        col("o_tokens") < col("tokens") ||
+          (col("o_tokens") === col("tokens") && col("o_source") < col("source")),
+        "left")
+      .groupBy("source", "tokens")
+      .agg((count(col("o_source")) + lit(1L)).as("k"),
+        coalesce(sum("o_tokens"), lit(0L)).as("pre"))
       .crossJoin(broadcast(tot))
       .selectExpr("source", "tokens", "k", s"(total * $num) DIV $den AS budget",
         s"((total * $num) DIV $den - pre) DIV (n - k + 1) AS cand")
@@ -261,6 +270,57 @@ private[queries] object SamplerQueries {
         "least(tokens, coalesce(cap, tokens)) AS alloc_tokens",
         "CAST(CASE WHEN cap IS NOT NULL AND tokens > cap THEN 1 ELSE 0 END AS BIGINT) AS capped",
         "budget")
+      .orderBy("source")
+  }
+
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") — the
+    * model-free data-selection step between the rule filters and the
+    * mixture planners: pick raw-pool documents whose hashed-n-gram
+    * feature distribution looks like a TARGET domain. Features are
+    * bigrams hashed into 64 buckets (the paper's hashed n-gram feature
+    * space); target ('src0') and raw (every other source) corpora each
+    * induce a +1-smoothed multinomial over the SAME observed-bucket
+    * vocabulary; a doc's log importance weight is
+    * Σ_b n_b·(⌊ln p_t(b)·e6⌋ − ⌊ln p_r(b)·e6⌋) — the NB-classifier
+    * integer-log discipline ([[LmQueries]]), so the weight is an exact
+    * BIGINT — and the selection is the global top-50 raw docs by
+    * (weight desc, doc_id asc). Raw docs with no bigram (single-token)
+    * have no features and cannot rank, in both engines alike.
+    * Output census pins selected membership per source (count, id-sum,
+    * weight range).
+    *
+    * Scale: the feature census is a 64-key partial agg, the weight
+    * table broadcasts 64 rows, per-doc weights are one
+    * (doc_id, bucket) partial-agg groupBy, and the top-50 is a
+    * TakeOrdered — no global sort materializes, nothing is all-pairs. */
+  private val sampleDsir: Q = (s, d) => {
+    val B = 64L
+    val feats = Tables.documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .selectExpr("doc_id", "source",
+        // sequence(1, 0) flips descending in Spark — guard short docs
+        "CASE WHEN size(t) < 2 THEN array() ELSE transform(sequence(1, size(t) - 1), " +
+          "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) END AS bgs")
+      .select(col("doc_id"), col("source"), explode(col("bgs")).as("bg"))
+      .selectExpr("doc_id", "source", s"graft_str_fp(bg) % $B AS b")
+    val census = feats.groupBy("b").agg(
+      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"),
+      sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("cr"))
+    val tot = census.agg(sum("ct").as("tt"), sum("cr").as("tr"),
+      count(lit(1)).as("nb"))
+    val wts = census.crossJoin(broadcast(tot))
+      .selectExpr("b",
+        "CAST(floor(ln((ct + 1) / CAST(tt + nb AS DOUBLE)) * 1000000) AS BIGINT) - " +
+          "CAST(floor(ln((cr + 1) / CAST(tr + nb AS DOUBLE)) * 1000000) AS BIGINT) AS lw")
+    val top = feats.filter(col("source") =!= "src0")
+      .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("n"))
+      .join(broadcast(wts), Seq("b"))
+      .groupBy("doc_id", "source").agg(sum(col("n") * col("lw")).as("w_e6"))
+      .orderBy(col("w_e6").desc, col("doc_id").asc).limit(50)
+    top.groupBy("source")
+      .agg(count(lit(1)).as("n_selected"), sum("doc_id").as("sum_doc_id"),
+        min("w_e6").as("min_w_e6"), max("w_e6").as("max_w_e6"))
       .orderBy("source")
   }
 
@@ -285,6 +345,7 @@ private[queries] object SamplerQueries {
     "split_domain_mix" -> splitDomainMix,
     "split_temperature_mix" -> splitTemperatureMix,
     "split_epoch_mix" -> splitEpochMix,
+    "sample_dsir" -> sampleDsir,
   )
 
   val oracles: Map[String, String] = Map(
@@ -422,5 +483,37 @@ private[queries] object SamplerQueries {
         |  CAST(((target_tokens - (epochs - 1) * avail_tokens) * 10000)
         |    // avail_tokens AS BIGINT) AS last_epoch_bp
         |FROM ep ORDER BY source""".stripMargin,
+    "sample_dsir" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+         |feats AS (
+         |  SELECT doc_id, source,
+         |    ${duckFp("t[i] || ' ' || t[i + 1]")} % 64 AS b
+         |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) u(i)),
+         |census AS (
+         |  SELECT b,
+         |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+         |    sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cr
+         |  FROM feats GROUP BY b),
+         |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr, count(*) AS nb FROM census),
+         |wts AS (
+         |  SELECT b,
+         |    CAST(floor(ln((ct + 1) / CAST(tt + nb AS DOUBLE)) * 1000000) AS BIGINT)
+         |    - CAST(floor(ln((cr + 1) / CAST(tr + nb AS DOUBLE)) * 1000000) AS BIGINT)
+         |      AS lw
+         |  FROM census, tot),
+         |docw AS (
+         |  SELECT doc_id, source, b, count(*) AS n
+         |  FROM feats WHERE source <> 'src0' GROUP BY 1, 2, 3),
+         |scored AS (
+         |  SELECT doc_id, source, CAST(sum(n * lw) AS BIGINT) AS w_e6
+         |  FROM docw JOIN wts USING (b) GROUP BY 1, 2),
+         |top AS (
+         |  SELECT * FROM scored ORDER BY w_e6 DESC, doc_id ASC LIMIT 50)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+         |  CAST(min(w_e6) AS BIGINT) AS min_w_e6,
+         |  CAST(max(w_e6) AS BIGINT) AS max_w_e6
+         |FROM top GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -42,6 +42,16 @@ class SamplerSpec extends AnyFunSuite {
     assert(got == Map("a" -> ((0L, 1L)), "b" -> ((0L, 1L))))
   }
 
+  test("dsir: target domain is never selected and at most 50 docs win") {
+    val q = SamplerQueries.queries.toMap.apply("sample_dsir")
+    val rows = q(spark, "/root/testdata/sf0.001").collect()
+    val sources = rows.map(_.getString(0))
+    assert(!sources.contains("src0"), "target corpus leaked into selection")
+    assert(rows.map(_.getLong(1)).sum <= 50L)
+    // weight range sanity: per-source min never exceeds its max
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(4)))
+  }
+
   test("integer remainder: cap keeps total within n_domains of the budget") {
     val masses = Seq("a" -> 7L, "b" -> 13L, "c" -> 101L, "d" -> 97L, "e" -> 55L)
     val got = alloc(masses, 1, 3) // budget = 273/3 = 91
