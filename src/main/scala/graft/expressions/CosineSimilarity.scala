@@ -297,6 +297,21 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(children(1), "numBits"), intLit(children(2), "numHashes"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_cms_agg"),
+      new ExpressionInfo(classOf[CmsAgg].getName, "graft_cms_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_cms_agg(tok, depth, width) takes exactly 3 arguments")
+        def intLit(e: Expression, what: String): Int = e match {
+          case l if l.foldable && l.dataType == IntegerType =>
+            Option(l.eval()).map(_.asInstanceOf[Int]).getOrElse(
+              throw new IllegalArgumentException(s"graft_cms_agg: $what must not be NULL"))
+          case other => throw new IllegalArgumentException(
+            s"graft_cms_agg: $what must be an INT literal, got $other")
+        }
+        CmsAgg(children.head, intLit(children(1), "depth"), intLit(children(2), "width"))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_hll_agg"),
       new ExpressionInfo(classOf[HllAgg].getName, "graft_hll_agg"),
       (children: Seq[Expression]) => {

@@ -264,6 +264,46 @@ private[queries] object DistAggQueries {
       .orderBy("event_type")
   }
 
+  /** COUNT-MIN frequency estimation — the frequency member of the
+    * mergeable-sketch tier ([[graft.expressions.CmsAgg]]): one global
+    * 4×256 counter sketch over every document token (map-side partial
+    * merge, 8 KiB state at any corpus size), then the true top-20
+    * tokens read their point estimates back out of the sketch with
+    * `element_at` + `least` — min over the 4 row-salted hash cells.
+    * The CMS contract (estimate ≥ true count, always) raises in-plan
+    * on violation, and because the row-salted hash is the DuckDB-
+    * replayable rolling fingerprint, the ESTIMATES themselves — not
+    * just the exact counts — are oracle-pinned: a drift anywhere in
+    * update/merge/eval flips the hash.
+    *
+    * Scale posture: the sketch is a single fixed-size aggregate (no
+    * shuffle wider than one 8 KiB buffer per partition); the top-20 is
+    * a TakeOrdered over the token partial-agg; the estimate probe is a
+    * 20-row broadcast cross join. */
+  private val aggCmsEstimate: Q = (s, d) => {
+    val D = 4
+    val W = 256
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val sketch = toks.agg(expr(s"graft_cms_agg(tok, $D, $W)").as("cms"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("tok").asc).limit(20)
+    val cells = (0 until D).map { dd =>
+      expr(s"element_at(cms, CAST($dd * $W + " +
+        s"graft_str_fp(concat('$dd|', tok)) % $W AS INT) + 1)")
+    }
+    top.crossJoin(broadcast(sketch))
+      .withColumn("est_cnt", least(cells: _*))
+      .select(col("tok"), col("true_cnt"),
+        when(col("est_cnt") >= col("true_cnt"), col("est_cnt"))
+          .otherwise(raise_error(concat(
+            lit("CMS undercount: "), col("tok"), lit(" est "),
+            col("est_cnt"), lit(" < true "), col("true_cnt"))))
+          .as("est_cnt"),
+        (col("est_cnt") - col("true_cnt")).as("overcount"))
+      .orderBy(col("true_cnt").desc, col("tok").asc)
+  }
+
   /** Mergeable-HISTOGRAM quantile rollup — the quantile sibling of the
     * persisted-HLL rollup above: exact global quantiles need a full
     * sort (a total exchange at 100 TB), but an equi-width histogram is
@@ -347,6 +387,7 @@ private[queries] object DistAggQueries {
     "agg_skew_salted" -> aggSkewSalted,
     "agg_topk_freq" -> aggTopkFreq,
     "agg_hll_distinct" -> aggHllDistinct,
+    "agg_cms_estimate" -> aggCmsEstimate,
     "agg_hist_quantile" -> aggHistQuantile,
     "stream_window_agg" -> streamWindowAgg,
     "sessionize_batch" -> sessionizeBatch,
@@ -376,6 +417,25 @@ private[queries] object DistAggQueries {
         |  string_agg(event_type || ':' || CAST(cnt AS VARCHAR), '|'
         |    ORDER BY cnt DESC, event_type) AS top_events
         |FROM r WHERE rn <= 3 GROUP BY cohort ORDER BY cohort""".stripMargin,
+    "agg_cms_estimate" ->
+      s"""WITH tks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM tks GROUP BY 1),
+         |dd AS (SELECT * FROM (VALUES (0), (1), (2), (3)) v(d)),
+         |cell AS (
+         |  SELECT d, ${duckFp("CAST(d AS VARCHAR) || '|' || tok")} % 256 AS bkt,
+         |    sum(n) AS cnt
+         |  FROM tc, dd GROUP BY 1, 2),
+         |top AS (SELECT tok, n FROM tc ORDER BY n DESC, tok ASC LIMIT 20),
+         |est AS (
+         |  SELECT t.tok, t.n, min(c.cnt) AS est
+         |  FROM top t JOIN dd ON TRUE
+         |  JOIN cell c ON c.d = dd.d
+         |    AND c.bkt = ${duckFp("CAST(dd.d AS VARCHAR) || '|' || t.tok")} % 256
+         |  GROUP BY 1, 2)
+         |SELECT tok, n AS true_cnt, CAST(est AS BIGINT) AS est_cnt,
+         |  CAST(est - n AS BIGINT) AS overcount
+         |FROM est ORDER BY true_cnt DESC, tok ASC""".stripMargin,
     "agg_hll_distinct" ->
       // exact distincts + the guard EXPECTATION: the Spark side computes
       // est_ok from its sketches and raise_errors outside 500 bp, so a
