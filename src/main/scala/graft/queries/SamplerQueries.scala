@@ -13,7 +13,7 @@ import graft.queries.PipelineShared._
   * packing, and the domain / temperature / epoch mixture planners.
   * Every entry is hash-verified against the DuckDB oracles below.
   */
-private[queries] object SamplerQueries {
+private[graft] object SamplerQueries {
 
   /** Deterministic stratified train/val/test split — the
     * training-data-curation operator every corpus pipeline needs:
@@ -294,29 +294,43 @@ private[queries] object SamplerQueries {
     * table broadcasts 64 rows, per-doc weights are one
     * (doc_id, bucket) partial-agg groupBy, and the top-50 is a
     * TakeOrdered — no global sort materializes, nothing is all-pairs. */
-  private val sampleDsir: Q = (s, d) => {
-    val B = 64L
-    val feats = Tables.documents(s, d)
-      .withColumn("t", split(col("text"), " "))
+  /** DSIR feature extraction: one `(doc_id, source, b)` row per hashed
+    * bigram occurrence — shared by the battery row and the streaming
+    * selection twin ([[graft.streaming.DsirStream]]), so they cannot
+    * drift. */
+  private[graft] def dsirFeats(docs: DataFrame): DataFrame =
+    docs.withColumn("t", split(col("text"), " "))
       .selectExpr("doc_id", "source",
         // sequence(1, 0) flips descending in Spark — guard short docs
         "CASE WHEN size(t) < 2 THEN array() ELSE transform(sequence(1, size(t) - 1), " +
           "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) END AS bgs")
       .select(col("doc_id"), col("source"), explode(col("bgs")).as("bg"))
-      .selectExpr("doc_id", "source", s"graft_str_fp(bg) % $B AS b")
+      .selectExpr("doc_id", "source", "graft_str_fp(bg) % 64 AS b")
+
+  /** The +1-smoothed target-vs-raw log weight table (`(b, lw)`,
+    * ≤ 64 rows — always broadcastable). */
+  private[graft] def dsirWeights(feats: DataFrame): DataFrame = {
     val census = feats.groupBy("b").agg(
       sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"),
       sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("cr"))
     val tot = census.agg(sum("ct").as("tt"), sum("cr").as("tr"),
       count(lit(1)).as("nb"))
-    val wts = census.crossJoin(broadcast(tot))
+    census.crossJoin(broadcast(tot))
       .selectExpr("b",
         "CAST(floor(ln((ct + 1) / CAST(tt + nb AS DOUBLE)) * 1000000) AS BIGINT) - " +
           "CAST(floor(ln((cr + 1) / CAST(tr + nb AS DOUBLE)) * 1000000) AS BIGINT) AS lw")
-    val top = feats.filter(col("source") =!= "src0")
+  }
+
+  /** Per-raw-doc importance weights against a weight table. */
+  private[graft] def dsirScore(feats: DataFrame, wts: DataFrame): DataFrame =
+    feats.filter(col("source") =!= "src0")
       .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("n"))
       .join(broadcast(wts), Seq("b"))
       .groupBy("doc_id", "source").agg(sum(col("n") * col("lw")).as("w_e6"))
+
+  private val sampleDsir: Q = (s, d) => {
+    val feats = dsirFeats(Tables.documents(s, d))
+    val top = dsirScore(feats, dsirWeights(feats))
       .orderBy(col("w_e6").desc, col("doc_id").asc).limit(50)
     top.groupBy("source")
       .agg(count(lit(1)).as("n_selected"), sum("doc_id").as("sum_doc_id"),
