@@ -177,6 +177,32 @@ private[graft] object BpeQueries {
       .orderBy("doc_id")
   }
 
+  /** TOKENIZER FERTILITY census — the per-domain health metric a
+    * tokenizer owner tracks (fertility = subword tokens per whitespace
+    * word; compression = chars per subword token): a domain whose
+    * fertility drifts high is being shredded by the merge table (wrong
+    * script, OOV jargon) and costs proportionally more training budget
+    * per word. Integer-e4 fixed point, corpus-trained merges — the
+    * same vocab chain as `text_bpe_tokens`, aggregated per source.
+    * Scale posture: one explode + vocab join (word-keyed, the vocab is
+    * corpus-bounded) + a per-source partial agg. */
+  private val textBpeFertility: Q = (s, d) => {
+    val (_, voc) = learnMerges(s, d)
+    val wordTok = voc.select(col("w"), size(col("t")).cast("long").as("n_tok"))
+    Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(wordTok, Seq("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(col("n_tok")).as("n_bpe_tokens"))
+      .selectExpr("source", "n_words", "n_chars", "n_bpe_tokens",
+        "(n_bpe_tokens * 10000) DIV n_words AS fertility_e4",
+        "(n_chars * 10000) DIV n_bpe_tokens AS chars_per_tok_e4")
+      .orderBy("source")
+  }
+
   /** `pack_sequences` over BPE counts (the verdict's composition):
     * greedy in-order packing of documents into fixed-capacity training
     * sequences, budgeted by SUBWORD tokens — the unit the model
@@ -257,6 +283,7 @@ private[graft] object BpeQueries {
   val queries: Seq[(String, Q)] = Seq(
     "text_bpe_merges" -> textBpeMerges,
     "text_bpe_tokens" -> textBpeTokens,
+    "text_bpe_fertility" -> textBpeFertility,
     "pack_bpe_sequences" -> packBpeSequences,
     "e2e_token_budget" -> e2eTokenBudget,
   )
@@ -335,6 +362,21 @@ private[graft] object BpeQueries {
          |  CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens
          |FROM dw JOIN wt USING (w)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_bpe_fertility" ->
+      s"""WITH $duckRounds,
+         |$duckWordTok,
+         |sdw AS (
+         |  SELECT source, w
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents) x
+         |  WHERE w <> '')
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(length(w)) AS BIGINT) AS n_chars,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+         |  CAST((sum(n_tok) * 10000) // count(*) AS BIGINT) AS fertility_e4,
+         |  CAST((sum(length(w)) * 10000) // sum(n_tok) AS BIGINT)
+         |    AS chars_per_tok_e4
+         |FROM sdw JOIN wt USING (w)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "e2e_token_budget" ->
       // funnel CTEs mirror e2e_curation_funnel; BPE CTEs mirror
       // text_bpe_tokens; the pack window mirrors pack_bpe_sequences —
