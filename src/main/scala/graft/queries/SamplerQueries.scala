@@ -338,6 +338,55 @@ private[graft] object SamplerQueries {
       .orderBy("source")
   }
 
+  /** CURRICULUM schedule — deterministic easy-to-hard training order
+    * (Bengio et al. 2009): difficulty is the per-doc mean unigram
+    * surprisal (the corpus-derived nll_e4 of the LM-filter tier), the
+    * order is the exact global rank by (nll_e4 asc, doc_id asc), and
+    * stages are the 10 global deciles of that order. Output pins every
+    * stage boundary: per (stage, source) doc counts, id-sum, and the
+    * nll range — an off-by-one anywhere in the global rank moves a doc
+    * across a decile edge and flips the hash.
+    *
+    * The global rank computes DISTRIBUTED (the exportShardPlan idiom,
+    * PlanSpec's no-global-window rule): difficulty values bin by
+    * nll_e4 DIV 1000 (monotone, so bin order = value order), per-bin
+    * ranks are a bin-partitioned window, and cross-bin offsets attach
+    * via a broadcast theta-join over the ≤O(100)-row bin census. At
+    * 100 TB no stage of this plan moves all rows to one task. */
+  private val sampleCurriculum: Q = (s, d) => {
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+    val uni = tk.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum("cu").as("nt"))
+    val perDoc = tk.join(uni, "tok").crossJoin(broadcast(tot))
+      .selectExpr("doc_id", "source",
+        "CAST(floor(ln(CAST(cu AS DOUBLE) / nt) * 1000000) AS BIGINT) AS lp_e6")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tokens"), sum("lp_e6").as("slp"))
+      .selectExpr("doc_id", "source",
+        "CAST(floor(CAST(-slp AS DOUBLE) / n_tokens / 100.0D) AS BIGINT) AS nll_e4")
+      .localCheckpoint() // feeds the bin census AND the ranked walk
+    val binned = perDoc.withColumn("bin", expr("nll_e4 DIV 1000"))
+    val binCounts = binned.groupBy("bin").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // O(value-range/1000) rows
+    val offsets = binCounts.as("a")
+      .join(broadcast(binCounts.as("o")), col("o.bin") < col("a.bin"), "left")
+      .groupBy(col("a.bin").as("bin"))
+      .agg(coalesce(sum(col("o.c")), lit(0L)).as("off"))
+    val nTot = perDoc.agg(count(lit(1)).as("n_total"))
+    val w = Window.partitionBy("bin").orderBy(col("nll_e4"), col("doc_id"))
+    binned.withColumn("rn", row_number().over(w))
+      .join(broadcast(offsets), Seq("bin"))
+      .crossJoin(broadcast(nTot))
+      .selectExpr("source", "nll_e4",
+        "((off + rn - 1) * 10) DIV n_total AS stage")
+      .groupBy("stage", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        min("nll_e4").as("min_nll_e4"), max("nll_e4").as("max_nll_e4"))
+      .orderBy("stage", "source")
+  }
+
   private val sampleBudgetAlloc: Q = (s, d) => {
     // the %7 slice splits off small "_rare" domains so BOTH branches are
     // live at every SF: rare domains keep everything, big ones clip
@@ -360,6 +409,7 @@ private[graft] object SamplerQueries {
     "split_temperature_mix" -> splitTemperatureMix,
     "split_epoch_mix" -> splitEpochMix,
     "sample_dsir" -> sampleDsir,
+    "sample_curriculum" -> sampleCurriculum,
   )
 
   val oracles: Map[String, String] = Map(
@@ -529,5 +579,31 @@ private[graft] object SamplerQueries {
          |  CAST(min(w_e6) AS BIGINT) AS min_w_e6,
          |  CAST(max(w_e6) AS BIGINT) AS max_w_e6
          |FROM top GROUP BY source ORDER BY source""".stripMargin,
+    // the oracle may use the global window the engine side must avoid
+    "sample_curriculum" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS nt FROM uni),
+        |per AS (
+        |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CAST(floor(ln(CAST(cu AS DOUBLE) / nt) * 1000000)
+        |      AS BIGINT)) AS BIGINT) AS slp
+        |  FROM tk JOIN uni USING (tok), tot GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor(CAST(-slp AS DOUBLE) / n_tokens / 100.0) AS BIGINT)
+        |      AS nll_e4
+        |  FROM per),
+        |rk AS (
+        |  SELECT *, row_number() OVER (ORDER BY nll_e4, doc_id) AS rn,
+        |    count(*) OVER () AS n_total
+        |  FROM scored)
+        |SELECT CAST(((rn - 1) * 10) // n_total AS BIGINT) AS stage, source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(nll_e4) AS BIGINT) AS min_nll_e4,
+        |  CAST(max(nll_e4) AS BIGINT) AS max_nll_e4
+        |FROM rk GROUP BY 1, 2 ORDER BY stage, source""".stripMargin,
   )
 }
