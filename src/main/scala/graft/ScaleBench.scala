@@ -155,7 +155,15 @@ object ScaleBench {
     // waterfill allocator (one token aggregate + domain-sized windows)
     "sim_opq_train", "search_rerank",
     "dedup_span_recall", "text_nb_classifier", "export_shard_plan",
-    "sample_budget_alloc", "mm_audio_vad")
+    "sample_budget_alloc", "mm_audio_vad",
+    // r15 batch 3: the trained-selection tier — DSIR (two 64-key count
+    // aggs + a broadcast weight join), the batch perceptron (Epochs ×
+    // two checkpointed-feature scans — the slope prices the iterative
+    // loop), the CMS sketch (one fixed-size aggregate), the curriculum
+    // global rank (bin windows + broadcast offsets), and the BPE
+    // fertility census (vocab join + per-source agg)
+    "sample_dsir", "text_perceptron", "agg_cms_estimate",
+    "sample_curriculum", "text_bpe_fertility")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

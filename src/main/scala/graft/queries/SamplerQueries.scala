@@ -338,6 +338,68 @@ private[graft] object SamplerQueries {
       .orderBy("source")
   }
 
+  /** LEARNABILITY-weighted mixture — the DoReMi idea (Xie et al. 2023,
+    * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining") in its one-shot relational form: up-weight domains
+    * where a BETTER model helps most. The excess-loss proxy is the
+    * per-domain gap between the unigram and bigram corpus LMs
+    * (nll_uni − nll_bi, integer e4 — how much adding context improves
+    * fit = how much structure the domain has left to learn); domain
+    * weights are excess/Σexcess in basis points, sampling rates scale
+    * the max-excess domain to 80%, and the kept-doc census uses the
+    * battery's deterministic hash-threshold keep. greatest(excess, 1)
+    * keeps every domain alive — DoReMi's uniform-mixing floor.
+    *
+    * Scale posture: token scoring is the LmQueries join shape (n-gram
+    * count partial aggs + word-keyed joins); everything after the
+    * per-source aggregate runs on n_domains rows; the keep pass is one
+    * broadcast join + partial agg over documents. */
+  private val splitLearnabilityMix: Q = (s, d) => {
+    val pos = Tables.documents(s, d)
+      .selectExpr("doc_id", "source", "split(text, ' ') AS t")
+      .selectExpr("doc_id", "source", "posexplode(t) AS (pos, tok)", "t")
+      .selectExpr("doc_id", "source", "tok",
+        "CASE WHEN pos = 0 THEN NULL ELSE element_at(t, pos) END AS prev")
+    val uni = pos.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum("cu").as("nt"))
+    val bi = pos.filter(col("prev").isNotNull)
+      .groupBy("prev", "tok").agg(count(lit(1)).as("cb"))
+    val perSrc = pos
+      .join(uni, "tok")
+      .join(uni.select(col("tok").as("prev"), col("cu").as("cp")), Seq("prev"), "left")
+      .join(bi, Seq("prev", "tok"), "left")
+      .crossJoin(broadcast(tot))
+      .selectExpr("source",
+        "CAST(floor(ln(CAST(cu AS DOUBLE) / nt) * 1000000) AS BIGINT) AS lpu",
+        "CAST(floor(ln(CASE WHEN prev IS NULL THEN CAST(cu AS DOUBLE) / nt " +
+          "ELSE CAST(cb AS DOUBLE) / cp END) * 1000000) AS BIGINT) AS lpb")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"), sum("lpu").as("su"), sum("lpb").as("sb"))
+      .selectExpr("source",
+        "CAST(floor(CAST(-su AS DOUBLE) / n_tokens / 100.0D) AS BIGINT) AS nll_uni_e4",
+        "CAST(floor(CAST(-sb AS DOUBLE) / n_tokens / 100.0D) AS BIGINT) AS nll_bi_e4")
+      .selectExpr("source", "nll_uni_e4", "nll_bi_e4",
+        "greatest(nll_uni_e4 - nll_bi_e4, 1) AS excess_e4")
+      .localCheckpoint() // n_domains rows; feeds totals and the rate join
+    val totals = perSrc.agg(sum("excess_e4").as("te"), max("excess_e4").as("me"))
+    val rates = perSrc.crossJoin(broadcast(totals))
+      .selectExpr("source", "excess_e4",
+        "(10000 * excess_e4) DIV te AS weight_bp",
+        "(8000 * excess_e4) DIV me AS rate_bp")
+    Tables.documents(s, d).select("doc_id", "source")
+      .join(broadcast(rates), Seq("source"))
+      .withColumn("keep",
+        expr("graft_str_fp(concat('lmix||', CAST(doc_id AS STRING))) % 10000")
+          < col("rate_bp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(col("keep"), col("doc_id"))), lit(0L)).as("sum_kept_id"),
+        max("excess_e4").as("excess_e4"),
+        max("weight_bp").as("weight_bp"), max("rate_bp").as("rate_bp"))
+      .orderBy("source")
+  }
+
   /** CURRICULUM schedule — deterministic easy-to-hard training order
     * (Bengio et al. 2009): difficulty is the per-doc mean unigram
     * surprisal (the corpus-derived nll_e4 of the LM-filter tier), the
@@ -410,6 +472,7 @@ private[graft] object SamplerQueries {
     "split_epoch_mix" -> splitEpochMix,
     "sample_dsir" -> sampleDsir,
     "sample_curriculum" -> sampleCurriculum,
+    "split_learnability_mix" -> splitLearnabilityMix,
   )
 
   val oracles: Map[String, String] = Map(
@@ -605,5 +668,60 @@ private[graft] object SamplerQueries {
         |  CAST(min(nll_e4) AS BIGINT) AS min_nll_e4,
         |  CAST(max(nll_e4) AS BIGINT) AS max_nll_e4
         |FROM rk GROUP BY 1, 2 ORDER BY stage, source""".stripMargin,
+    "split_learnability_mix" ->
+      s"""WITH tk AS (
+         |  SELECT s.doc_id, s.source, s.t[u.i] AS tok,
+         |    CASE WHEN u.i = 1 THEN NULL ELSE s.t[u.i - 1] END AS prev
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS t
+         |        FROM documents) s,
+         |    UNNEST(generate_series(1, len(s.t))) u(i)),
+         |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM tk GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS nt FROM uni),
+         |bi AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS cb
+         |  FROM tk WHERE prev IS NOT NULL GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT tk.source,
+         |    CAST(floor(ln(CAST(u1.cu AS DOUBLE) / nt) * 1000000) AS BIGINT)
+         |      AS lpu,
+         |    CAST(floor(ln(CASE WHEN tk.prev IS NULL
+         |        THEN CAST(u1.cu AS DOUBLE) / nt
+         |        ELSE CAST(bi.cb AS DOUBLE) / u2.cu END) * 1000000) AS BIGINT)
+         |      AS lpb
+         |  FROM tk
+         |  JOIN uni u1 ON u1.tok = tk.tok
+         |  LEFT JOIN uni u2 ON u2.tok = tk.prev
+         |  LEFT JOIN bi ON bi.prev = tk.prev AND bi.tok = tk.tok
+         |  CROSS JOIN tot),
+         |per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(lpu) AS BIGINT) AS su, CAST(sum(lpb) AS BIGINT) AS sb
+         |  FROM scored GROUP BY 1),
+         |ex AS (
+         |  SELECT source,
+         |    greatest(
+         |      CAST(floor(CAST(-su AS DOUBLE) / n_tokens / 100.0) AS BIGINT)
+         |      - CAST(floor(CAST(-sb AS DOUBLE) / n_tokens / 100.0) AS BIGINT),
+         |      1) AS excess_e4
+         |  FROM per),
+         |tots AS (SELECT CAST(sum(excess_e4) AS BIGINT) AS te,
+         |  CAST(max(excess_e4) AS BIGINT) AS me FROM ex),
+         |rates AS (
+         |  SELECT source, excess_e4,
+         |    (10000 * excess_e4) // te AS weight_bp,
+         |    (8000 * excess_e4) // me AS rate_bp
+         |  FROM ex, tots),
+         |keeps AS (
+         |  SELECT d.source, d.doc_id, r.excess_e4, r.weight_bp, r.rate_bp,
+         |    ${duckFp("'lmix||' || CAST(d.doc_id AS VARCHAR)")} % 10000
+         |      < r.rate_bp AS keep
+         |  FROM documents d JOIN rates r USING (source))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(sum(CASE WHEN keep THEN doc_id END), 0) AS BIGINT)
+         |    AS sum_kept_id,
+         |  CAST(max(excess_e4) AS BIGINT) AS excess_e4,
+         |  CAST(max(weight_bp) AS BIGINT) AS weight_bp,
+         |  CAST(max(rate_bp) AS BIGINT) AS rate_bp
+         |FROM keeps GROUP BY source ORDER BY source""".stripMargin,
   )
 }
