@@ -338,6 +338,38 @@ private[graft] object SamplerQueries {
       .orderBy("source")
   }
 
+  /** WEIGHTED sampling WITHOUT replacement — Efraimidis & Spirakis 2006
+    * ("Weighted random sampling with a reservoir"): each doc draws
+    * u ∈ (0,1] from the deterministic hash grid and ranks by
+    * ln(u)/w (w = token count), and the per-source top-5 of that key
+    * IS a w-proportional sample without replacement — the
+    * one-pass/distributed-safe construction (rank keys merge like any
+    * top-k; order and partitioning can't change the sample). The
+    * sampler tier's upgrade from the uniform `sample_bottomk`: big
+    * documents are proportionally likelier, never certain.
+    *
+    * Arithmetic discipline: u's log is floored onto the e9 integer
+    * grid FIRST; the only float op after that is one bigint/bigint
+    * division — identical IEEE doubles in both engines — and the
+    * pinned output key is its e6 floor. Same plan shape as
+    * sample_bottomk (source-partitioned top-k ⇒ the bounded-heap
+    * TopKPerKey operator), so no global sort and no skew exposure. */
+  private val sampleWeighted: Q = (s, d) => {
+    val keyed = Tables.documents(s, d)
+      .selectExpr("doc_id", "source",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens",
+        "graft_str_fp(concat('wsamp||', CAST(doc_id AS STRING))) % 1000000 AS h")
+      .selectExpr("doc_id", "source", "n_tokens",
+        "CAST(floor(ln((h + 1) / 1000000.0D) * 1000000000) AS BIGINT) AS lnu_e9")
+      .withColumn("skey", expr("lnu_e9 / n_tokens"))
+    val w = Window.partitionBy("source").orderBy(col("skey").desc, col("doc_id").asc)
+    keyed.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .selectExpr("source", "doc_id", "n_tokens",
+        "CAST(floor(skey / 1000.0D) AS BIGINT) AS key_e6",
+        "CAST(rn AS BIGINT) AS rn")
+      .orderBy("source", "rn")
+  }
+
   /** LEARNABILITY-weighted mixture — the DoReMi idea (Xie et al. 2023,
     * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
     * Pretraining") in its one-shot relational form: up-weight domains
@@ -473,6 +505,7 @@ private[graft] object SamplerQueries {
     "sample_dsir" -> sampleDsir,
     "sample_curriculum" -> sampleCurriculum,
     "split_learnability_mix" -> splitLearnabilityMix,
+    "sample_weighted" -> sampleWeighted,
   )
 
   val oracles: Map[String, String] = Map(
@@ -723,5 +756,25 @@ private[graft] object SamplerQueries {
          |  CAST(max(weight_bp) AS BIGINT) AS weight_bp,
          |  CAST(max(rate_bp) AS BIGINT) AS rate_bp
          |FROM keeps GROUP BY source ORDER BY source""".stripMargin,
+    "sample_weighted" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    ${duckFp("'wsamp||' || CAST(doc_id AS VARCHAR)")} % 1000000 AS h
+         |  FROM documents),
+         |l AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(floor(ln((h + 1) / 1000000.0) * 1000000000) AS BIGINT)
+         |      AS lnu_e9
+         |  FROM k),
+         |r AS (
+         |  SELECT *, lnu_e9 / n_tokens AS skey,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY lnu_e9 / n_tokens DESC, doc_id ASC) AS rn
+         |  FROM l)
+         |SELECT source, doc_id, n_tokens,
+         |  CAST(floor(skey / 1000.0) AS BIGINT) AS key_e6,
+         |  CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 5 ORDER BY source, rn""".stripMargin,
   )
 }
