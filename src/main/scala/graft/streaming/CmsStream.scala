@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** STREAMING COUNT-MIN maintenance — the stream twin of
+  * `agg_cms_estimate`: a persisted one-row counter table
+  * (`cms ARRAY<BIGINT>`, depth×width ≈ 8 KiB) absorbs each
+  * micro-batch's sketch by element-wise addition. Counter addition is
+  * the sketch's own merge, so the maintained table is BIT-IDENTICAL to
+  * the batch sketch over everything ingested at any batch boundary —
+  * but unlike the bottom-k/top-k samplers, ADDITION IS NOT IDEMPOTENT:
+  * a replayed batch would double-count. Exactly-once therefore rides
+  * the [[EventStreams]] matview protocol — each commit is tagged with
+  * its batchId in [[graft.operators.TableMerge]] commit metadata, and
+  * a replay that finds its id (or a later one) already committed is a
+  * full no-op (CmsStreamSpec drives the replay path directly).
+  *
+  * This is the 100 TB heavy-hitter monitor shape: per-batch cost is
+  * one fixed-size aggregate over the BATCH plus an 8 KiB read-modify-
+  * write; the state never grows with the corpus, and any point's
+  * frequency estimate reads off the live row with `element_at`+`least`.
+  */
+object CmsStream {
+
+  /** Commit-metadata key for the exactly-once batch tag. */
+  private[graft] val CmsBatchKey = "graft.cms.batch"
+
+  /** One-row `(cms ARRAY<BIGINT>)` sketch of a docs frame's tokens —
+    * the same expression as the battery row, so stream and batch
+    * cannot drift. */
+  def batchSketch(docs: DataFrame, depth: Int = 4, width: Int = 256): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("tok"))
+      .agg(expr(s"graft_cms_agg(tok, $depth, $width)").as("cms"))
+
+  /** The per-micro-batch apply, factored out so the replay protocol is
+    * testable without crashing a real query: applying the same batchId
+    * twice must leave the counters unchanged. */
+  private[graft] def applyCmsBatch(batch: DataFrame, batchId: Long,
+      tablePath: String, depth: Int, width: Int): Unit = {
+    import graft.operators.TableMerge
+    val already = TableMerge.exists(tablePath) &&
+      TableMerge.versions(tablePath).exists(v =>
+        TableMerge.versionMeta(tablePath, v).get(CmsBatchKey)
+          .exists(_.toLong >= batchId))
+    if (!batch.isEmpty && !already) {
+      val s = batch.sparkSession
+      val add = batchSketch(batch, depth, width)
+      val merged =
+        if (TableMerge.exists(tablePath))
+          TableMerge.read(s, tablePath).select(col("cms").as("cur"))
+            .crossJoin(add.select(col("cms").as("nxt")))
+            .selectExpr("zip_with(cur, nxt, (a, b) -> a + b) AS cms")
+        else add
+      TableMerge.createOrReplace(merged, tablePath,
+        meta = Map(CmsBatchKey -> batchId.toString))
+    }
+  }
+
+  /** Streaming maintenance of the persisted counter table. */
+  def sketchSink(docs: DataFrame, tablePath: String, checkpointDir: String,
+                 depth: Int = 4,
+                 width: Int = 256): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCmsBatch(batch, batchId, tablePath, depth, width)
+      }
+      .start()
+}
