@@ -290,7 +290,7 @@ private[queries] object DedupQueries {
     * sizes is per-document (not dim-sized), so AQE decides broadcast vs
     * shuffle from actual runtime size. */
   /** Shared pair derivation for the Jaccard dedup + clustering queries. */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private[queries] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .selectExpr("doc_id", "split(text, ' ') AS tokens")
     val dups = docs.filter(col("doc_id") % 20 === 0)
@@ -875,37 +875,44 @@ private[queries] object DedupQueries {
         |  ${duckFp("array_to_string(kept, ' ')")} AS kept_fp
         |FROM rewritten ORDER BY doc_id""".stripMargin,
     "dedup_connected_components" ->
-      """WITH RECURSIVE docs AS (
-        |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, tokens[2:] AS tokens
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
-        |  WHERE doc_id % 20 = 0),
-        |corpus AS (SELECT * FROM docs WHERE len(tokens) >= 3),
-        |shingles AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    generate_series(1, len(tokens) - 2),
-        |    i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]))) AS shingle
-        |  FROM corpus),
-        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-        |  FROM shingles a JOIN shingles b
-        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |kept AS (
-        |  SELECT id_a, id_b FROM pairs
-        |  JOIN sizes sa ON sa.doc_id = id_a
-        |  JOIN sizes sb ON sb.doc_id = id_b
-        |  WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.6),
-        |edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM kept
-        |  UNION SELECT id_b AS a, id_a AS b FROM kept),
-        |reach(id, r) AS (
-        |  SELECT DISTINCT a, a FROM edges
-        |  UNION
-        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
-        |SELECT id, min(r) AS cluster_id, id = min(r) AS is_representative
-        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+      s"""WITH RECURSIVE $duckCcChain
+         |SELECT id, min(r) AS cluster_id, id = min(r) AS is_representative
+         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
   )
+
+  /** The injected-corpus Jaccard-pairs + transitive-closure CTE chain
+    * (final CTE: `reach(id, r)`) — shared by the components oracle and
+    * the canonical-representative composition
+    * ([[GraphMetricsQueries]]). Splices into a `WITH RECURSIVE`. */
+  private[queries] def duckCcChain: String =
+    """docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, tokens[2:] AS tokens
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)
+      |  WHERE doc_id % 20 = 0),
+      |corpus AS (SELECT * FROM docs WHERE len(tokens) >= 3),
+      |shingles AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(tokens) - 2),
+      |    i -> tokens[i] || ' ' || tokens[i + 1] || ' ' || tokens[i + 2]))) AS shingle
+      |  FROM corpus),
+      |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |  FROM shingles a JOIN shingles b
+      |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |kept AS (
+      |  SELECT id_a, id_b FROM pairs
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.6),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM kept
+      |  UNION SELECT id_b AS a, id_a AS b FROM kept),
+      |reach(id, r) AS (
+      |  SELECT DISTINCT a, a FROM edges
+      |  UNION
+      |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)""".stripMargin
 }

@@ -494,7 +494,10 @@ private[graft] object GraphAnnQueries {
     * — the 100 TB shape is iterate-over-edges with AQE handling the
     * residual skew. Isolated vectors (no LSH candidate at all) have no
     * edges and are out of scope of a graph ranking by definition. */
-  private val simGraphPagerank: Q = (s, d) => {
+  /** The rank table `(vec_id, r)` after [[PrIters]] rounds — shared by
+    * the centrality battery row and the canonical-representative
+    * composition ([[GraphMetricsQueries]]). */
+  private[queries] def pagerankRanks(s: SparkSession, d: String): DataFrame = {
     val edges = edgesDf(s, d).localCheckpoint() // feeds deg + every round
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint() // joined into every round's contribution
@@ -508,6 +511,11 @@ private[graft] object GraphAnnQueries {
         .agg(expr("150000 + (85 * sum(contrib)) DIV 100").as("r"))
         .select(col("dst").as("vec_id"), col("r"))
     }
+    ranks
+  }
+
+  private val simGraphPagerank: Q = (s, d) => {
+    val ranks = pagerankRanks(s, d)
     val n = ranks.agg(count(lit(1)).as("n_nodes"),
       sum("r").as("rank_mass_e6"))
     ranks.crossJoin(broadcast(n))
@@ -673,7 +681,7 @@ private[graft] object GraphAnnQueries {
   }
 
   /** Unrolled integer PageRank rounds over the g-chain edge CTEs. */
-  private def duckPagerankCtes: String = {
+  private[queries] def duckPagerankCtes: String = {
     val rounds = (1 to PrIters).map { t =>
       s"""pr$t AS (
          |  SELECT e.dst AS vec_id,

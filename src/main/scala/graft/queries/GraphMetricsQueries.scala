@@ -78,8 +78,48 @@ private[queries] object GraphMetricsQueries {
       .crossJoin(broadcast(totals))
   }
 
+  /** CANONICAL representative selection — the composition PageRank was
+    * built for (VERDICT r13): instead of keeping each near-dup
+    * cluster's arbitrary min-id member, keep its best-CONNECTED member
+    * under the embedding k-NN graph's centrality ranking. Clusters come
+    * from the [[DedupQueries]] Jaccard connected components (whose
+    * injected +100000 near-copies read their source doc's rank — a
+    * synthetic twin has its source's embedding); the representative is
+    * the (rank desc, id asc) head of each multi-member cluster, via a
+    * cluster-partitioned window (distributed; clusters are near-dup
+    * sized, never corpus sized). Rankless members (isolated in the k-NN
+    * graph) rank 0 — an arbitrary-looking min-id survivor only wins if
+    * NO member is connected. Output: one row per multi-member cluster
+    * with membership census and the canonical pick.
+    *
+    * Scale posture: components are the adaptive pointer-jumping op
+    * (O(log diameter) rounds), ranks are the bounded-degree PageRank
+    * table, and the final pick is one window over cluster-sized
+    * groups — all three tiers already priced in BENCH_scale. */
+  private val dedupCanonical: Q = (s, d) => {
+    val comps = graft.operators.DedupClusters.connectedComponents(
+      DedupQueries.jaccardPairs(s, d).select("id_a", "id_b"), "id_a", "id_b")
+    val ranks = GraphAnnQueries.pagerankRanks(s, d)
+    val members = comps
+      .join(ranks.withColumnRenamed("vec_id", "emb_id"),
+        comps("id") % 100000L === col("emb_id"), "left")
+      .select(col("id"), col("cluster_id"),
+        coalesce(col("r"), lit(0L)).as("r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("r").desc, col("id").asc)
+    members.withColumn("rn", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum("id").as("sum_member_ids"),
+        max(when(col("rn") === 1, col("id"))).as("canonical_id"),
+        max(when(col("rn") === 1, col("r"))).as("canonical_rank_e6"))
+      .filter(col("n_members") >= 2)
+      .orderBy("cluster_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "graph_triangles" -> graphTriangles,
+    "dedup_canonical" -> dedupCanonical,
   )
 
   val oracles: Map[String, String] = Map(
@@ -120,5 +160,26 @@ private[queries] object GraphMetricsQueries {
          |  t.n_triangles, t.n_edges
          |FROM pn p JOIN degu d ON d.vec_id = p.vec_id, tots t
          |ORDER BY p.n_tri DESC, p.vec_id ASC LIMIT 20""".stripMargin,
+    // CC chain names (docs/corpus/shingles/…/reach) and the pagerank
+    // chain (g-prefixed + pr0..prN) are disjoint, so both splice into
+    // one WITH RECURSIVE
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE ${DedupQueries.duckCcChain},
+         |${GraphAnnQueries.duckPagerankCtes},
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |members AS (
+         |  SELECT c.id, c.cluster_id, coalesce(p.r, 0) AS r
+         |  FROM comp c
+         |  LEFT JOIN pr${GraphAnnQueries.PrIters} p ON p.vec_id = c.id % 100000),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY r DESC, id ASC) AS rn
+         |  FROM members)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(id) AS BIGINT) AS sum_member_ids,
+         |  CAST(max(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS canonical_id,
+         |  CAST(max(CASE WHEN rn = 1 THEN r END) AS BIGINT) AS canonical_rank_e6
+         |FROM rk GROUP BY cluster_id HAVING count(*) >= 2
+         |ORDER BY cluster_id""".stripMargin,
   )
 }
