@@ -564,6 +564,42 @@ class PlanSpec extends AnyFunSuite {
       s"pruning left ${idxScan.get.selectedPartitions.partitionCount} partitions")
   }
 
+  test("sample_dsir: the 64-row weight table attaches via broadcast, no shuffle") {
+    val joins = collect(plan("sample_dsir")) { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty, "weight table did not broadcast")
+  }
+
+  test("text_perceptron: the final weight join broadcasts (epoch plans materialize at checkpoint time with the same shape)") {
+    // each epoch's weights are localCheckpointed during construction, so
+    // the returned plan carries only the FINAL scoring pass — its
+    // broadcast shape is the one every materialized epoch shared
+    val joins = collect(plan("text_perceptron")) { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty, "final weight join did not broadcast")
+  }
+
+  test("sample_curriculum: bin offsets broadcast; the rank window is bin-partitioned, not global") {
+    val p = plan("sample_curriculum")
+    assert(collect(p) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "offset fix-up did not broadcast")
+    val global = SparkEntry.queries("sample_curriculum")(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+    assert(global.isEmpty, "curriculum rank fell back to a global window")
+  }
+
+  test("graph_triangles: all three triangle legs are equi-joins, no nested loop on graph data") {
+    val p = plan("graph_triangles")
+    assert(collect(p) { case c: CartesianProductExec => c }.isEmpty)
+    // the only BNLs are the two sanctioned 1-row scalar attaches
+    // (triangle total × edge total, then totals onto the census)
+    val bnl = collect(p) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bnl.size <= 2, s"unexpected nested-loop joins: ${bnl.size}")
+  }
+
   test("mm_mp4_samples: scan reads only doc_id and text") {
     val scans = collect(plan("mm_mp4_samples")) { case s: FileSourceScanExec => s }
     assert(scans.size == 1)
