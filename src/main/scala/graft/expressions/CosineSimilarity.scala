@@ -214,6 +214,22 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleHashesK(children.head, k)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_fps"),
+      new ExpressionInfo(classOf[ShingleFpsK].getName, "graft_shingle_fps"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_shingle_fps(tokens, k) takes exactly 2 arguments")
+        val k = children(1) match {
+          case l if l.foldable && l.dataType == IntegerType =>
+            Option(l.eval()).map(_.asInstanceOf[Int]).getOrElse(
+              throw new IllegalArgumentException(
+                "graft_shingle_fps: k must not be NULL"))
+          case other => throw new IllegalArgumentException(
+            s"graft_shingle_fps: k must be an INT literal, got $other")
+        }
+        ShingleFpsK(children.head, k)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash"),
       (children: Seq[Expression]) => {

@@ -67,8 +67,13 @@ private[graft] object PipelineShared {
     * and the pair join. Caller must pre-filter size(tokens) >= k+w-1
     * (Spark's sequence(1, n) flips descending for n < 1). */
   def winnowHashesExpr(k: Int): String =
-    s"transform(sequence(1, size(tokens) - ${k - 1}), " +
-      s"i -> graft_str_fp(concat_ws(' ', slice(tokens, i, $k))))"
+    // the native allocation-free kernel; BIT-IDENTICAL values to the
+    // former `transform(sequence(1, size(tokens) - (k-1)), i ->
+    // graft_str_fp(concat_ws(' ', slice(tokens, i, k))))` HOF incl.
+    // concat_ws null-skipping (TextSketchSpec equates them), so every
+    // winnow-family oracle hash is unchanged — measured 6.5 s → <1 s
+    // on the sf0.1 APSS posting build
+    s"graft_shingle_fps(tokens, $k)"
 
   /** Per-window argmin selection over a `hashes` column: for each of
     * the size-w windows, the RIGHTMOST position holding the window

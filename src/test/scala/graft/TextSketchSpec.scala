@@ -233,6 +233,30 @@ class TextSketchSpec extends AnyFunSuite {
     assert(edge.getLong(2) == 4L) // café = 4 codepoints, not 5 bytes
   }
 
+  test("graft_shingle_fps == the concat_ws/slice HOF it replaced, incl. null/empty/non-ASCII") {
+    import spark.implicits._
+    val rows: Seq[Seq[String]] = Seq(
+      Seq("the", "quick", "brown", "fox"),
+      Seq("café", "naïve", "中文", "😀", "x"),
+      Seq("a", null, "b", "c", "d"), // concat_ws SKIPS the null
+      Seq(null, null, null, "tail"), // all-null window folds '' -> 7
+      Seq("", "empty", "", "tokens"), // empties still separated
+      Seq("a", "b"), // shorter than k -> empty array
+      Seq("solo", "pair", "tri"))
+    val df = rows.toDF("tokens")
+    val k = 3
+    val hof = df.selectExpr(
+      s"CASE WHEN size(tokens) < $k THEN CAST(array() AS array<bigint>) " +
+        s"ELSE transform(sequence(1, size(tokens) - ${k - 1}), " +
+        s"i -> graft_str_fp(concat_ws(' ', slice(tokens, i, $k)))) END AS fps")
+      .collect().map(_.getSeq[Any](0))
+    val native = df.selectExpr(s"graft_shingle_fps(tokens, $k) AS fps")
+      .collect().map(_.getSeq[Any](0))
+    hof.zip(native).zipWithIndex.foreach { case ((h, n), i) =>
+      assert(h == n, s"row $i: HOF $h != native $n")
+    }
+  }
+
   test("whole-stage codegen keeps the stopword census fused") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .selectExpr("graft_stopword_stats(split(text, ' '), 'the,a,is')[0] AS hits")
