@@ -115,12 +115,16 @@ object Bench {
     // driver's per-round artifact keeps only the compact stdout line;
     // this file is the complete full-precision map the judge diffs) —
     // plus a cwd copy when cwd isn't the repo root.
-    val repoRoot = java.nio.file.Paths.get("/root/repo")
-    val targets = Seq(repoRoot.resolve("BENCH_full.json"),
-      java.nio.file.Paths.get("BENCH_full.json").toAbsolutePath).distinct
-    targets.foreach { p =>
-      try java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
-      catch { case _: Throwable => () } // bench result > bookkeeping
+    // Filtered runs (targeted local timing) must NOT clobber the
+    // committed full-battery map — only the no-args battery persists.
+    if (nameFilter.isEmpty) {
+      val repoRoot = java.nio.file.Paths.get("/root/repo")
+      val targets = Seq(repoRoot.resolve("BENCH_full.json"),
+        java.nio.file.Paths.get("BENCH_full.json").toAbsolutePath).distinct
+      targets.foreach { p =>
+        try java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
+        catch { case _: Throwable => () } // bench result > bookkeeping
+      }
     }
     // Stop Spark BEFORE printing so no further framework output can push
     // the JSON line out of the driver's tail capture.
