@@ -28,11 +28,11 @@ object PipelineQueries {
     * with cross-tier plumbing in [[PipelineShared]]. */
   val queries: Seq[(String, Q)] =
     DedupQueries.queries ++ SimHashQueries.queries ++ VectorQueries.queries ++ EmbedNeardupQueries.queries ++ VectorIndexQueries.queries ++ PqQueries.queries ++ GraphAnnQueries.queries ++ GraphMetricsQueries.queries ++
-      TextCurationQueries.queries ++ SamplerQueries.queries ++ LmQueries.queries ++ ClassifierQueries.queries ++ CorpusHygieneQueries.queries ++ BpeQueries.queries ++ TunerQueries.queries ++ MultimodalQueries.queries ++ ComposedQueries.queries ++ DistAggQueries.queries ++ SparseSimQueries.queries
+      TextCurationQueries.queries ++ SamplerQueries.queries ++ LmQueries.queries ++ ClassifierQueries.queries ++ CorpusHygieneQueries.queries ++ BpeQueries.queries ++ TunerQueries.queries ++ MultimodalQueries.queries ++ ComposedQueries.queries ++ DistAggQueries.queries ++ SparseSimQueries.queries ++ EventAnalyticsQueries.queries
 
   val oracles: Map[String, String] =
     DedupQueries.oracles ++ SimHashQueries.oracles ++ VectorQueries.oracles ++ EmbedNeardupQueries.oracles ++ VectorIndexQueries.oracles ++ PqQueries.oracles ++ GraphAnnQueries.oracles ++ GraphMetricsQueries.oracles ++
-      TextCurationQueries.oracles ++ SamplerQueries.oracles ++ LmQueries.oracles ++ ClassifierQueries.oracles ++ CorpusHygieneQueries.oracles ++ BpeQueries.oracles ++ TunerQueries.oracles ++ MultimodalQueries.oracles ++ ComposedQueries.oracles ++ DistAggQueries.oracles ++ SparseSimQueries.oracles
+      TextCurationQueries.oracles ++ SamplerQueries.oracles ++ LmQueries.oracles ++ ClassifierQueries.oracles ++ CorpusHygieneQueries.oracles ++ BpeQueries.oracles ++ TunerQueries.oracles ++ MultimodalQueries.oracles ++ ComposedQueries.oracles ++ DistAggQueries.oracles ++ SparseSimQueries.oracles ++ EventAnalyticsQueries.oracles
 
   private[queries] val IvfProbes: Seq[Int] = VectorQueries.IvfProbes
 
