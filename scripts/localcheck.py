@@ -12,12 +12,16 @@ compare with a tiny float tolerance report so near-misses are visible.
 import glob
 import json
 import math
+import re
 import sys
 
 import duckdb
 
 SFDIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUTDIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft-verify"
+# Optional 3rd arg: regex over query names — check only the queries a
+# filtered `graft.Verify` run actually produced.
+FILTER = re.compile(sys.argv[3]) if len(sys.argv) > 3 else None
 
 con = duckdb.connect()
 for f in glob.glob(f"{SFDIR}/*.parquet"):
@@ -58,6 +62,8 @@ def cell_eq(a, b):
 ok_n = 0
 fail = []
 names = sorted(set(oracle) | {p.split("/")[-1] for p in glob.glob(f"{OUTDIR}/*") if not p.endswith(".json")})
+if FILTER is not None:
+    names = [n for n in names if FILTER.search(n)]
 for name in names:
     res_glob = glob.glob(f"{OUTDIR}/{name}/*.parquet")
     if not res_glob:
@@ -82,6 +88,29 @@ for name in names:
         continue
     if sorted(s_cols) != sorted(d_cols):
         fail.append((name, f"schema: spark={sorted(s_cols)} duck={sorted(d_cols)}"))
+        continue
+    # Type-strict lint: the driver's hash is sensitive to the physical column
+    # type, so an oracle column DuckDB types HUGEINT/DECIMAL (e.g. an un-CAST
+    # sum-derived expression) hash-mismatches a value-identical Spark BIGINT.
+    # Compare DESCRIBE output per column name and reject any wide numeric.
+    try:
+        s_types = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{res_glob[0]}')").fetchall()}
+        d_types = {r[0]: r[1] for r in con.execute(f"DESCRIBE {oracle[name]}").fetchall()}
+    except Exception as e:
+        fail.append((name, f"describe error: {str(e)[:300]}"))
+        continue
+    type_bad = None
+    for c in sorted(d_cols):
+        dt, st = d_types.get(c, "?"), s_types.get(c, "?")
+        if "HUGEINT" in dt or dt.startswith("DECIMAL"):
+            type_bad = f"oracle col {c} is {dt} (driver hash is type-sensitive; CAST it)"
+            break
+        if dt != st:
+            type_bad = f"col {c} type: spark={st} duck={dt}"
+            break
+    if type_bad:
+        fail.append((name, f"type: {type_bad}"))
         continue
     if len(s_rows) != len(d_rows):
         fail.append((name, f"rowcount: spark={len(s_rows)} duck={len(d_rows)}"))

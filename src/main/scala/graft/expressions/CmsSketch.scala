@@ -34,7 +34,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object CmsSketch {
 
-  /** The row-salted hash: rolling fingerprint of "{d}|{tok}" mod width. */
+  /** The row-salted hash: rolling fingerprint of "{d}|{tok}" mod width.
+    * Reference semantics; the aggregate hot path uses [[prefixAccs]] +
+    * [[foldFrom]] to decode the token once per row instead of once per
+    * depth row. */
   def bucket(d: Int, tok: UTF8String, width: Int): Int = {
     val s = d.toString + "|" + tok.toString
     var acc = 7L
@@ -46,6 +49,31 @@ object CmsSketch {
       i += Character.charCount(cp)
     }
     (acc % width).toInt
+  }
+
+  /** Per-depth seed: the fold of "{d}|"'s codepoints from 7 — hoisted
+    * so update() folds only the token per depth row. */
+  def prefixAccs(depth: Int): Array[Long] =
+    Array.tabulate(depth) { d =>
+      val s = d.toString + "|"
+      var acc = 7L
+      var i = 0
+      while (i < s.length) {
+        acc = (acc * 31 + s.charAt(i)) % TextSketch.P
+        i += 1
+      }
+      acc
+    }
+
+  /** Continue the rolling fold over pre-decoded codepoints. */
+  def foldFrom(seed: Long, cps: Array[Int]): Long = {
+    var acc = seed
+    var i = 0
+    while (i < cps.length) {
+      acc = (acc * 31 + cps(i)) % TextSketch.P
+      i += 1
+    }
+    acc
   }
 }
 
@@ -78,13 +106,18 @@ case class CmsAgg(
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](depth * width)
 
+  // Hoisted "{d}|" hash seeds: update() decodes the token's codepoints
+  // ONCE and folds the pre-decoded array per depth row, instead of
+  // building + re-decoding a "{d}|{tok}" String depth times per input.
+  @transient private lazy val prefixAcc: Array[Long] = CmsSketch.prefixAccs(depth)
+
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val tok = v.asInstanceOf[UTF8String]
+      val cps = v.asInstanceOf[UTF8String].toString.codePoints().toArray
       var d = 0
       while (d < depth) {
-        buf(d * width + CmsSketch.bucket(d, tok, width)) += 1L
+        buf(d * width + (CmsSketch.foldFrom(prefixAcc(d), cps) % width).toInt) += 1L
         d += 1
       }
     }

@@ -702,7 +702,7 @@ private[graft] object GraphAnnQueries {
       s"""WITH $duckPagerankCtes,
          |nmass AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
          |  CAST(sum(r) AS BIGINT) AS rank_mass_e6 FROM pr$PrIters)
-         |SELECT p.vec_id, p.r AS rank_e6, m.n_nodes, m.rank_mass_e6
+         |SELECT p.vec_id, CAST(p.r AS BIGINT) AS rank_e6, m.n_nodes, m.rank_mass_e6
          |FROM pr$PrIters p, nmass m
          |ORDER BY p.r DESC, p.vec_id ASC LIMIT 20""".stripMargin,
     // the probed read changes WHERE bytes come from, not the walk:

@@ -476,10 +476,10 @@ private[graft] object SamplerQueries {
     binned.withColumn("rn", row_number().over(w))
       .join(broadcast(offsets), Seq("bin"))
       .crossJoin(broadcast(nTot))
-      .selectExpr("source", "nll_e4",
+      .selectExpr("doc_id", "source", "nll_e4",
         "((off + rn - 1) * 10) DIV n_total AS stage")
       .groupBy("stage", "source")
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_doc_id"),
         min("nll_e4").as("min_nll_e4"), max("nll_e4").as("max_nll_e4"))
       .orderBy("stage", "source")
   }
@@ -549,7 +549,7 @@ private[graft] object SamplerQueries {
         |    coalesce(sum(b) OVER (ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
         |  FROM s),
-        |a AS (SELECT doc_id, b, before // 8192 AS shard FROM c)
+        |a AS (SELECT doc_id, b, CAST(before // 8192 AS BIGINT) AS shard FROM c)
         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(b) AS BIGINT) AS n_bytes,
         |  CAST(min(doc_id) AS BIGINT) AS first_doc,
@@ -701,6 +701,7 @@ private[graft] object SamplerQueries {
         |  FROM scored)
         |SELECT CAST(((rn - 1) * 10) // n_total AS BIGINT) AS stage, source,
         |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
         |  CAST(min(nll_e4) AS BIGINT) AS min_nll_e4,
         |  CAST(max(nll_e4) AS BIGINT) AS max_nll_e4
         |FROM rk GROUP BY 1, 2 ORDER BY stage, source""".stripMargin,

@@ -26,6 +26,14 @@ object CmsStream {
   /** Commit-metadata key for the exactly-once batch tag. */
   private[graft] val CmsBatchKey = "graft.cms.batch"
 
+  /** Commit-metadata key for the owning run (checkpoint) id. BatchIds
+    * are only monotone WITHIN one checkpoint lineage — if the
+    * checkpoint is reset while the counter table is kept, ids restart
+    * at 0 and a bare `>= batchId` skip would silently drop every new
+    * batch forever. The run id scopes the skip to its own lineage; a
+    * foreign lineage over a non-empty table fails loudly instead. */
+  private[graft] val CmsRunKey = "graft.cms.run"
+
   /** One-row `(cms ARRAY<BIGINT>)` sketch of a docs frame's tokens —
     * the same expression as the battery row, so stream and batch
     * cannot drift. */
@@ -37,12 +45,20 @@ object CmsStream {
     * testable without crashing a real query: applying the same batchId
     * twice must leave the counters unchanged. */
   private[graft] def applyCmsBatch(batch: DataFrame, batchId: Long,
-      tablePath: String, depth: Int, width: Int): Unit = {
+      tablePath: String, depth: Int, width: Int, runId: String): Unit = {
     import graft.operators.TableMerge
-    val already = TableMerge.exists(tablePath) &&
-      TableMerge.versions(tablePath).exists(v =>
-        TableMerge.versionMeta(tablePath, v).get(CmsBatchKey)
-          .exists(_.toLong >= batchId))
+    val tagged = if (TableMerge.exists(tablePath))
+      TableMerge.versions(tablePath).flatMap { v =>
+        val m = TableMerge.versionMeta(tablePath, v)
+        m.get(CmsBatchKey).map(b => (m.getOrElse(CmsRunKey, ""), b.toLong))
+      } else Seq.empty
+    val foreign = tagged.collect { case (r, _) if r != runId => r }.distinct
+    require(foreign.isEmpty,
+      s"CMS counter table $tablePath was built by run(s) ${foreign.mkString(",")} " +
+        s"but this query's run id is $runId — a reset checkpoint over kept counters " +
+        "would double-count (replayed source) or silently drop batches (restarted " +
+        "ids). Point the query at a fresh table or delete the stale one.")
+    val already = tagged.exists { case (_, b) => b >= batchId }
     if (!batch.isEmpty && !already) {
       val s = batch.sparkSession
       val add = batchSketch(batch, depth, width)
@@ -53,11 +69,13 @@ object CmsStream {
             .selectExpr("zip_with(cur, nxt, (a, b) -> a + b) AS cms")
         else add
       TableMerge.createOrReplace(merged, tablePath,
-        meta = Map(CmsBatchKey -> batchId.toString))
+        meta = Map(CmsBatchKey -> batchId.toString, CmsRunKey -> runId))
     }
   }
 
-  /** Streaming maintenance of the persisted counter table. */
+  /** Streaming maintenance of the persisted counter table. The
+    * checkpoint path is the run id: same checkpoint → same batchId
+    * lineage → the replay skip is sound. */
   def sketchSink(docs: DataFrame, tablePath: String, checkpointDir: String,
                  depth: Int = 4,
                  width: Int = 256): org.apache.spark.sql.streaming.StreamingQuery =
@@ -65,7 +83,7 @@ object CmsStream {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyCmsBatch(batch, batchId, tablePath, depth, width)
+        applyCmsBatch(batch, batchId, tablePath, depth, width, checkpointDir)
       }
       .start()
 }

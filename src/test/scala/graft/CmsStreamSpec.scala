@@ -55,10 +55,18 @@ class CmsStreamSpec extends AnyFunSuite {
     val lastId = graft.operators.TableMerge.versions(table)
       .flatMap(v => graft.operators.TableMerge.versionMeta(table, v)
         .get(CmsStream.CmsBatchKey)).map(_.toLong).max
-    CmsStream.applyCmsBatch(b3.toDF("doc_id", "text"), lastId, table, 4, 256)
+    CmsStream.applyCmsBatch(b3.toDF("doc_id", "text"), lastId, table, 4, 256, ckpt)
     assert(counters(table) == before, "replayed batch double-counted")
     // an EARLIER id is also a no-op (>= comparison)
-    CmsStream.applyCmsBatch(b1.toDF("doc_id", "text"), lastId - 1, table, 4, 256)
+    CmsStream.applyCmsBatch(b1.toDF("doc_id", "text"), lastId - 1, table, 4, 256, ckpt)
     assert(counters(table) == before, "stale replay double-counted")
+    // a RESET checkpoint (batchIds restart at 0 under a new run id) must
+    // fail loudly, not silently drop the batch as a "replay"
+    val e = intercept[IllegalArgumentException] {
+      CmsStream.applyCmsBatch(b1.toDF("doc_id", "text"), 0L, table, 4, 256,
+        dir.resolve("ckpt-reset").toString)
+    }
+    assert(e.getMessage.contains("run id"), s"unexpected message: ${e.getMessage}")
+    assert(counters(table) == before, "foreign-run batch mutated the counters")
   }
 }
