@@ -65,6 +65,14 @@ object ScaleBench {
     // same census lever; at fixed 8 bits the build's candidate volume is
     // N²/2⁸-shaped, so the deep tier runs them at the census width only
     "sim_hnsw_topk", "sim_hnsw_maintain",
+    // r16 (VERDICT r15 #4): the IVF probed reads at the census-tuned
+    // width, through the bucketed layout — the battery's fixed-16
+    // in-query-assignment rows stay in Queries as the record of what
+    // ignoring the lever costs (×8 ratios 2.67/2.77 at r15); here the
+    // write-time assignment is billed with the census and the timed
+    // query is the partition-pruned probe whose row volume the tuner
+    // holds flat
+    "sim_ivfpq_topk",
     // r15: the batched multi-query walk and the two-level descent —
     // both are graph BUILDS first (banded joins, same width lever);
     // the walks themselves are bounded at any width
@@ -225,8 +233,36 @@ object ScaleBench {
       f -> ((c.bits, c.candPairs, c.maxBucket, (System.nanoTime() - t0) / 1e9))
     }.toMap
 
+    // census-tuned IVF width per factor (VERDICT r15 #4): chooseNlist
+    // holds the probed volume ≤ 2048 rows/query as the corpus grows,
+    // then the corpus is WRITTEN bucketed at that width — tuning and
+    // write cost are billed separately (they are corpus-build costs, the
+    // same ledger as the LSH census), and the timed deep query is the
+    // partition-pruned probed read.
+    val ivfTuned: Map[Int, (graft.operators.IvfTuner.Census, Seq[Int], String, Double, Double)] =
+      (Factors :+ DeepFactor).map { f =>
+        val emb = spark.read.parquet(s"${dirs(f)}/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val t0 = System.nanoTime()
+        val c = graft.operators.IvfTuner.chooseNlist(emb, "embedding",
+          nprobe = 4, maxProbedRows = 2048)
+        val tuneSec = (System.nanoTime() - t0) / 1e9
+        val probes = graft.operators.IvfTuner.probeList(c.nlist, 4)
+        val path = s"${dirs(f)}/emb_ivf_tuned"
+        val t1 = System.nanoTime()
+        graft.operators.Layout.writeIvfBucketed(emb, path, c.nlist)
+        val writeSec = (System.nanoTime() - t1) / 1e9
+        f -> ((c, probes, path, tuneSec, writeSec))
+      }.toMap
+
     def deepRunner(name: String, f: Int): (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
       name match {
+        case "sim_ivf_topk" =>
+          (s, _) => { val (_, probes, path, _, _) = ivfTuned(f)
+            graft.operators.Layout.ivfProbedTopk(s, path, probes, 20) }
+        case "sim_ivfpq_topk" =>
+          (s, _) => { val (_, probes, path, _, _) = ivfTuned(f)
+            graft.queries.VectorQueries.ivfProbedPqTopk(s, path, probes, 10) }
         case "dedup_semantic_keep" =>
           (s, d) => graft.queries.EmbedNeardupQueries.semanticKeep(s, d, 2, tuned(f)._1)
         case "sim_embed_neardup" =>
@@ -352,11 +388,17 @@ object ScaleBench {
       val (unc, cap, maxDf) = winnowStats(f)
       s""""x$f":{"cand_uncapped":$unc,"cand_capped":$cap,"max_df":$maxDf}"""
     }.mkString("{", ",", "}")
+    // the IVF width census (the production tuning cost) + what it chose
+    val ivfJson = (Factors :+ DeepFactor).map { f =>
+      val (c, _, _, tuneSec, writeSec) = ivfTuned(f)
+      s""""x$f":{"nlist":${c.nlist},"n_rows":${c.nRows},"probed_rows":${c.probedRows},""" +
+        s""""max_list":${c.maxList},"tune_sec":${r3(tuneSec)},"write_sec":${r3(writeSec)}}"""
+    }.mkString("{", ",", "}")
     val line = s"""{"metric":"scale_slope","base":"$base","factors":[1,8,$DeepFactor],""" +
       s""""total_x1":${r3(t1Total)},"total_x8":${r3(t8Total)},""" +
       s""""total_ratio":${r3(t8Total / t1Total)},"queries":$perQuery,""" +
-      s""""deep":$deepJson,"lsh_census":$lshJson,"minhash_bands":$bands,""" +
-      s""""winnow_cap":$winnowJson}"""
+      s""""deep":$deepJson,"lsh_census":$lshJson,"ivf_census":$ivfJson,""" +
+      s""""minhash_bands":$bands,"winnow_cap":$winnowJson}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_scale.json"),
       (line + "\n").getBytes("UTF-8"))

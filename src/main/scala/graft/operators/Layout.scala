@@ -90,8 +90,9 @@ object Layout {
     * then native cosine + top-k run on the nprobe partitions alone.
     * Same fixed query vector (0.1·1⃗) and output contract as
     * `sim_ivf_topk`, so the same oracle verifies both physical paths. */
-  def ivfProbedTopk(spark: org.apache.spark.sql.SparkSession, path: String,
-                    probes: Seq[Int], k: Int): DataFrame = {
+  /** Read an IVF-bucketed layout back, surviving the zero-row case via
+    * the schema sidecar. */
+  def readBucketed(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     val side = java.nio.file.Paths.get(path, "_graft_schema.json")
     val reader =
       if (java.nio.file.Files.exists(side))
@@ -100,6 +101,11 @@ object Layout {
           .asInstanceOf[org.apache.spark.sql.types.StructType])
       else spark.read
     reader.parquet(path)
+  }
+
+  def ivfProbedTopk(spark: org.apache.spark.sql.SparkSession, path: String,
+                    probes: Seq[Int], k: Int): DataFrame = {
+    readBucketed(spark, path)
       .filter(col("centroid_id").isin(probes: _*))
       .selectExpr("vec_id", "CAST(centroid_id AS INT) AS centroid_id",
         "CAST(floor(graft_cosine(embedding, array_repeat(CAST(0.1 AS DOUBLE), 64)) " +

@@ -121,6 +121,15 @@ private[graft] object GraphAnnQueries {
   private[queries] def scoredDf(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).selectExpr("vec_id", s"$qCosE6 AS cos_e6")
 
+  /** Memoized CHECKPOINTED builds (VERDICT r15 #5): the neighbor table
+    * is a maintained artifact (`sim_hnsw_maintain` persists it), so the
+    * walk/degree/recall/pagerank entries sharing one JVM serve from ONE
+    * banded candidate join + prune instead of each re-building it. */
+  private[queries] def edgesCkpt(s: SparkSession, d: String, bits: Int = 8): DataFrame =
+    PipelineShared.memo(s, s"hnsw_edges|$d|$bits")(edgesDf(s, d, bits).localCheckpoint())
+  private[queries] def scoredCkpt(s: SparkSession, d: String): DataFrame =
+    PipelineShared.memo(s, s"hnsw_scored|$d")(scoredDf(s, d).localCheckpoint())
+
   /** The bounded beam walk from an arbitrary entry set — the kernel
     * [[walkDf]] seeds with the stride scan and the hierarchical descent
     * seeds with the upper layer's result. */
@@ -158,8 +167,8 @@ private[graft] object GraphAnnQueries {
   /** The visited set of the bounded beam walk: (vec_id, cos_e6). */
   private[queries] def visitedDf(s: SparkSession, d: String): DataFrame =
     walkDf(
-      edgesDf(s, d).localCheckpoint(), // traversed once per hop
-      scoredDf(s, d).localCheckpoint(), // arrival scoring for every hop
+      edgesCkpt(s, d), // traversed once per hop
+      scoredCkpt(s, d), // arrival scoring for every hop
       Beam)
 
   /** Width-parameterized graph-ANN top-k — the ScaleBench deep-tier
@@ -169,8 +178,8 @@ private[graft] object GraphAnnQueries {
     * build's candidate volume is N²/2⁸-shaped and compounds at ×32). */
   private[graft] def hnswTopk(s: SparkSession, d: String, bits: Int): DataFrame = {
     val visited = walkDf(
-      edgesDf(s, d, bits).localCheckpoint(),
-      scoredDf(s, d).localCheckpoint(),
+      edgesCkpt(s, d, bits),
+      scoredCkpt(s, d),
       Beam).localCheckpoint()
     val nv = visited.agg(count(lit(1)).as("n_visited"))
     visited.crossJoin(broadcast(nv))
@@ -189,7 +198,7 @@ private[graft] object GraphAnnQueries {
     * independently of any query walk (degree ≤ 2M by construction; a
     * probe-set or prune regression moves a histogram row). */
   private val simHnswDegree: Q = (s, d) =>
-    edgesDf(s, d)
+    edgesCkpt(s, d)
       .groupBy("src").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
       .orderBy("degree")
@@ -204,8 +213,8 @@ private[graft] object GraphAnnQueries {
     * rows, so the sweep is 3 cheap walks, not 3 index builds. */
   private val simHnswEfSweep: Q = (s, d) => {
     val k = 10
-    val edges = edgesDf(s, d).localCheckpoint()
-    val scored = scoredDf(s, d).localCheckpoint()
+    val edges = edgesCkpt(s, d)
+    val scored = scoredCkpt(s, d)
     val gt = scored.orderBy(col("cos_e6").desc, col("vec_id").asc)
       .limit(k).select("vec_id")
     val perBeam = Seq(4, 8, 16).map { beam =>
@@ -306,7 +315,7 @@ private[graft] object GraphAnnQueries {
     * builds are banded joins, so both take the census width). */
   private[graft] def hnswHier(s: SparkSession, d: String, bits: Int): DataFrame = {
     val (l1Visited, l0Visited) = hierWalks(s, d,
-      edgesDf(s, d, bits).localCheckpoint(), scoredDf(s, d).localCheckpoint(), bits)
+      edgesCkpt(s, d, bits), scoredCkpt(s, d), bits)
     val counts = l1Visited.agg(count(lit(1)).as("n_visited_l1"))
       .crossJoin(broadcast(l0Visited.agg(count(lit(1)).as("n_visited_l0"))))
     l0Visited.crossJoin(broadcast(counts))
@@ -348,7 +357,7 @@ private[graft] object GraphAnnQueries {
       .orderBy(col("cos_e6").desc, col("vec_id").asc)
     def topPerQ(df: DataFrame, k: Int): DataFrame =
       df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
-    val edges = edgesDf(s, d, bits).localCheckpoint()
+    val edges = edgesCkpt(s, d, bits)
     var visited = topPerQ(scored.filter(col("vec_id") % EntryStride === 0), Beam)
     var expanded = visited.select("qid", "vec_id").limit(0)
     for (_ <- 1 to Hops) {
@@ -445,7 +454,7 @@ private[graft] object GraphAnnQueries {
       prune2M(symmetrize(outEdges(sig, sig)))
         .withColumn("ebucket", pmod(col("src"), lit(NB))),
       path, Seq("ebucket"))
-    val scored = scoredDf(s, d).localCheckpoint()
+    val scored = scoredCkpt(s, d)
     var visited = scored.filter(col("vec_id") % EntryStride === 0)
       .orderBy(col("cos_e6").desc, col("vec_id").asc).limit(Beam)
       .localCheckpoint()
@@ -498,7 +507,7 @@ private[graft] object GraphAnnQueries {
     * the centrality battery row and the canonical-representative
     * composition ([[GraphMetricsQueries]]). */
   private[queries] def pagerankRanks(s: SparkSession, d: String): DataFrame = {
-    val edges = edgesDf(s, d).localCheckpoint() // feeds deg + every round
+    val edges = edgesCkpt(s, d) // feeds deg + every round
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint() // joined into every round's contribution
     var ranks = deg.select(col("src").as("vec_id"), lit(1000000L).as("r"))

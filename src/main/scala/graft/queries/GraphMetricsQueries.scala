@@ -32,7 +32,7 @@ private[queries] object GraphMetricsQueries {
     * per-node aggregation is a partial agg; nothing is all-pairs —
     * at 100 TB this is the textbook distributed triangle count. */
   private val graphTriangles: Q = (s, d) => {
-    val edges = GraphAnnQueries.edgesDf(s, d).localCheckpoint()
+    val edges = GraphAnnQueries.edgesCkpt(s, d)
     // canonical undirected edge set: a pair counts if EITHER pruned
     // direction survived (the post-symmetrize prune can keep just one)
     val und = edges.selectExpr("least(src, dst) AS u0", "greatest(src, dst) AS v0")

@@ -17,6 +17,29 @@ private[graft] object PipelineShared {
 
   val P = 2147483647L // 31-bit Mersenne prime, DuckDB-replicable
 
+  /** Session-lifetime memo for expensive derived ARTIFACTS (the
+    * checkpointed HNSW neighbor table, trained OPQ codebooks …):
+    * several registry entries serve from the same build — exactly as
+    * production serves many queries from one maintained index — so
+    * queries sharing a JVM share the build instead of re-running the
+    * banded candidate join / training loop per query (VERDICT r15 #5).
+    * Keyed by (session, key): a restarted session can never see a
+    * stale frame, and every build is a pure deterministic function of
+    * the keyed inputs, so reuse cannot change any result — only skip
+    * recomputing it. */
+  private val artifactCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), AnyRef]()
+  def memo[T <: AnyRef](s: SparkSession, key: String)(build: => T): T = {
+    val k = (s, key)
+    val cur = artifactCache.get(k)
+    if (cur != null) cur.asInstanceOf[T]
+    else {
+      val v = build // deterministic; a racing double-build is harmless
+      val prev = artifactCache.putIfAbsent(k, v)
+      (if (prev != null) prev else v).asInstanceOf[T]
+    }
+  }
+
   /** Portable rolling char-fold fingerprint of a string expression
     * (F11-lite): fold `acc*31 + ascii(char) mod P` seeded with 7, over
     * the char array from `split(x, '')`. The char-array form is O(n) —

@@ -168,14 +168,14 @@ private[graft] object VectorQueries {
     * class-load and inlined as literals into BOTH engines' SQL, so the
     * probe list cannot drift between Spark and the oracle. */
   private val IvfNprobe = 4
-  private[queries] def ivfProbeList(nprobe: Int): Seq[Int] = {
+  private[graft] def ivfProbeList(nprobe: Int): Seq[Int] = {
     def centroid(j: Int, i: Int): Double = (((j * 31 + i * 17) % 19) - 9) / 10.0
     (0 until 16).map { j =>
       val d = (0 until 64).map { i => val diff = 0.1 - centroid(j, i); diff * diff }.sum
       (j, d)
     }.sortBy { case (j, d) => (d, j) }.take(nprobe).map(_._1)
   }
-  private[queries] val IvfProbes: Seq[Int] = ivfProbeList(IvfNprobe)
+  private[graft] val IvfProbes: Seq[Int] = ivfProbeList(IvfNprobe)
 
   /** IVF-probed ANN top-k — the QUERY path completing `sim_ivf_assign`'s
     * partition map (together they are the Spark-side generalization of
@@ -190,15 +190,73 @@ private[graft] object VectorQueries {
     * partition pruning on the bucketed layout; everything downstream of
     * the filter is a scan-local top-k, no shuffle beyond the final
     * limit. */
-  private val simIvfTopk: Q = (s, d) =>
+  private val simIvfTopk: Q = (s, d) => ivfTopkAt(s, d, 16, IvfProbes)
+
+  /** The same probed-read pipeline at ANY width — the deep scale tier
+    * runs it at the census-tuned `nlist` ([[graft.operators.IvfTuner]])
+    * the way the LSH pipelines run at the census band width. */
+  private[graft] def ivfTopkAt(s: SparkSession, d: String,
+                               nlist: Int, probes: Seq[Int]): DataFrame =
     Tables.embeddings(s, d)
-      .selectExpr("vec_id", "embedding", "graft_ivf_assign(embedding, 16) AS centroid_id")
-      .filter(col("centroid_id").isin(IvfProbes: _*))
+      .selectExpr("vec_id", "embedding", s"graft_ivf_assign(embedding, $nlist) AS centroid_id")
+      .filter(col("centroid_id").isin(probes: _*))
       .selectExpr("vec_id", "centroid_id",
         "CAST(floor(graft_cosine(embedding, array_repeat(CAST(0.1 AS DOUBLE), 64)) " +
           "* 1000000) AS BIGINT) AS cos_e6")
       .orderBy(col("cos_e6").desc, col("vec_id").asc)
       .limit(20)
+
+  /** IVF width CENSUS — the measured evidence behind
+    * [[graft.operators.IvfTuner]]'s doubling loop, pinned as data: at
+    * each grid width, the list occupancy (corpus size, hottest list)
+    * and the rows the canonical query's nprobe=4 probe lists would
+    * read, plus the probed lists' vec_id sum so a single row routed to
+    * the wrong list flips the hash. The fixed 16/64/256 grid is what
+    * makes the census oracle-replayable (the tuner's data-dependent
+    * STOPPING point is spec-tested in IvfTunerSpec instead — same
+    * split as LshTuner/dedup_band_census). One aggregate per width
+    * over compact (centroid_id) keys — at 100 TB this is the cheap
+    * pass you run before committing a corpus-sized
+    * `Layout.writeIvfBucketed` rewrite. */
+  private val simIvfCensus: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    IvfCensusWidths.map { w =>
+      val probes = graft.operators.IvfTuner.probeList(w, IvfNprobe)
+      emb.selectExpr("vec_id", s"graft_ivf_assign(embedding, $w) AS centroid_id")
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as("n"), sum("vec_id").as("vs"))
+        .agg(count(lit(1)).as("n_lists_used"),
+          coalesce(sum("n"), lit(0L)).as("n_rows"),
+          coalesce(max("n"), lit(0L)).as("max_list"),
+          coalesce(sum(when(col("centroid_id").isin(probes: _*), col("n"))), lit(0L))
+            .as("probed_rows"),
+          coalesce(sum(when(col("centroid_id").isin(probes: _*), col("vs"))), lit(0L))
+            .as("probed_vec_sum"))
+        .withColumn("nlist", lit(w))
+    }.reduce(_ unionByName _)
+      .select("nlist", "n_lists_used", "n_rows", "max_list", "probed_rows", "probed_vec_sum")
+      .orderBy("nlist")
+  }
+  private val IvfCensusWidths = Seq(16, 64, 256)
+
+  /** √N-TUNED probed top-k — the arithmetic half of the IVF width
+    * lever, end-to-end through the correctness gate: `nlist` is the
+    * smallest power of two with nlist² ≥ N
+    * ([[graft.operators.IvfTuner.sqrtNlist]], the integer-exact form of
+    * the FAISS nlist ≈ √N guideline), the probe list is re-derived at
+    * that width, and the probed cosine top-k runs exactly like
+    * `sim_ivf_topk` — plus the chosen width riding the output hash. The
+    * rule is a pure function of count(*), so the DuckDB oracle replays
+    * the CHOICE itself (min pow2 with v·v ≥ cnt), not just the probe:
+    * a drifted tuner would flip the hash. The count here is the one
+    * driver-side scalar read (the same bounded census read LshTuner
+    * does); everything downstream is the ordinary probed scan. */
+  private val simIvfTunedTopk: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val nlist = graft.operators.IvfTuner.sqrtNlist(emb.count())
+    val probes = graft.operators.IvfTuner.probeList(nlist, IvfNprobe)
+    ivfTopkAt(s, d, nlist, probes).withColumn("nlist", lit(nlist))
+  }
 
   /** Composed IVF-PQ top-k — the FULL production ANN query shape
     * (FAISS's IndexIVFPQ, Jégou et al. "Product quantization for
@@ -212,16 +270,40 @@ private[graft] object VectorQueries {
     * oracle-pinned on their own; this entry pins their COMPOSITION,
     * and `sim_recall_at_k`'s ivfpq_nprobe4 row prices its combined
     * recall against brute-force truth. */
-  private val simIvfPqTopk: Q = (s, d) =>
+  private val simIvfPqTopk: Q = (s, d) => ivfPqTopkAt(s, d, 16, IvfProbes)
+
+  /** The probed-ADC pipeline at ANY width (deep-tier twin of
+    * [[ivfTopkAt]]): the PQ codebook is subspace-local and independent
+    * of the coarse width, so only the routing filter changes. */
+  private[graft] def ivfPqTopkAt(s: SparkSession, d: String,
+                                 nlist: Int, probes: Seq[Int]): DataFrame =
     Tables.embeddings(s, d)
-      .selectExpr("vec_id", "embedding", "graft_ivf_assign(embedding, 16) AS centroid_id")
-      .filter(col("centroid_id").isin(IvfProbes: _*))
+      .selectExpr("vec_id", "embedding", s"graft_ivf_assign(embedding, $nlist) AS centroid_id")
+      .filter(col("centroid_id").isin(probes: _*))
       .selectExpr(Seq("vec_id", "centroid_id") ++ pqDistCols: _*)
       .selectExpr(Seq("vec_id", "centroid_id") ++ pqCodeCols: _*)
       .selectExpr("vec_id", "centroid_id",
         s"CAST(floor(($pqAdcExpr) * 10000) AS BIGINT) AS adc_e4")
       .orderBy(col("adc_e4"), col("vec_id"))
       .limit(10)
+
+  /** The probed-ADC read over a PRE-BUCKETED layout
+    * ([[graft.operators.Layout.writeIvfBucketed]]): the centroid filter
+    * resolves to partition pruning, so the scan — and the PQ
+    * code/ADC arithmetic — touches only the probed lists' files. This
+    * is the shape whose cost the IvfTuner census holds flat as the
+    * corpus grows (the in-query-assignment variants above pay an
+    * O(N·nlist) assignment scan that belongs at WRITE time). */
+  private[graft] def ivfProbedPqTopk(spark: SparkSession, path: String,
+                                     probes: Seq[Int], k: Int): DataFrame =
+    graft.operators.Layout.readBucketed(spark, path)
+      .filter(col("centroid_id").isin(probes: _*))
+      .selectExpr(Seq("vec_id", "centroid_id") ++ pqDistCols: _*)
+      .selectExpr(Seq("vec_id", "centroid_id") ++ pqCodeCols: _*)
+      .selectExpr("vec_id", "centroid_id",
+        s"CAST(floor(($pqAdcExpr) * 10000) AS BIGINT) AS adc_e4")
+      .orderBy(col("adc_e4"), col("vec_id"))
+      .limit(k)
 
   /** IVF-PQ + exact-refine top-k — the two-stage production read path
     * (FAISS `IndexRefineFlat` over `IndexIVFPQ`; Jégou et al. §5.3
@@ -320,8 +402,8 @@ private[graft] object VectorQueries {
     // score tables build ONCE and feed both the flat-beam row and the
     // hierarchical-descent row, so the two graph rows differ only in
     // how they enter the graph
-    val gEdges = GraphAnnQueries.edgesDf(s, d).localCheckpoint()
-    val gScored = GraphAnnQueries.scoredDf(s, d).localCheckpoint()
+    val gEdges = GraphAnnQueries.edgesCkpt(s, d)
+    val gScored = GraphAnnQueries.scoredCkpt(s, d)
     val hnsw = GraphAnnQueries.walkDf(gEdges, gScored, GraphAnnQueries.Beam)
       .orderBy(col("cos_e6").desc, col("vec_id").asc)
       .limit(k).select("vec_id")
@@ -418,6 +500,8 @@ private[graft] object VectorQueries {
     "sim_lsh_buckets" -> simLshBuckets,
     "sim_ivf_assign" -> simIvfAssign,
     "sim_ivf_topk" -> simIvfTopk,
+    "sim_ivf_census" -> simIvfCensus,
+    "sim_ivf_tuned_topk" -> simIvfTunedTopk,
     "sim_ivfpq_topk" -> simIvfPqTopk,
     "sim_ivfpq_rerank" -> simIvfPqRerank,
     "sim_recall_at_k" -> simRecallAtK,
@@ -467,6 +551,89 @@ private[graft] object VectorQueries {
         |SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vectors,
         |  CAST(sum(vec_id) AS BIGINT) AS vec_id_sum
         |FROM assigned GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
+    "sim_ivf_census" ->
+      // one block per grid width: sim_ivf_assign's argmin CTEs at that
+      // width, aggregated to occupancy + probed volume (probe lists are
+      // data-independent centroid arithmetic, inlined as literals)
+      IvfCensusWidths.map { w =>
+        val probes = graft.operators.IvfTuner.probeList(w, IvfNprobe).mkString(", ")
+        s"""SELECT CAST($w AS INT) AS nlist,
+           |  CAST(count(*) AS BIGINT) AS n_lists_used,
+           |  CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+           |  CAST(coalesce(max(n), 0) AS BIGINT) AS max_list,
+           |  CAST(coalesce(sum(CASE WHEN centroid_id IN ($probes) THEN n END), 0)
+           |    AS BIGINT) AS probed_rows,
+           |  CAST(coalesce(sum(CASE WHEN centroid_id IN ($probes) THEN vs END), 0)
+           |    AS BIGINT) AS probed_vec_sum
+           |FROM (
+           |  SELECT centroid_id, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(vec_id) AS BIGINT) AS vs
+           |  FROM (
+           |    SELECT vec_id,
+           |      CAST(list_position(costs, list_min(costs)) - 1 AS INT) AS centroid_id
+           |    FROM (
+           |      SELECT vec_id, list_transform(generate_series(0, ${w - 1}),
+           |        j -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |          list_transform(generate_series(0, 63),
+           |            i -> (CAST(embedding[i + 1] AS DOUBLE)
+           |              - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0)
+           |              * (CAST(embedding[i + 1] AS DOUBLE)
+           |              - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0))),
+           |          (a, x) -> a + x)) AS costs
+           |      FROM embeddings))
+           |  GROUP BY centroid_id)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY nlist"),
+    "sim_ivf_tuned_topk" ->
+      // the WIDTH CHOICE replays in SQL: nlist = min pow2 v in
+      // [16, 65536] with v*v >= count(*) (integer compares only — no
+      // libm sqrt/log, so the engines cannot straddle a rounding edge);
+      // the probe list re-derives by ordering the width's centroid grid
+      // by distance to q (same sequential fold the Scala side sums);
+      // assignment + cosine then mirror sim_ivf_topk at that width
+      s"""WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+         |p AS (
+         |  SELECT CAST(min(v) AS INT) AS nlist
+         |  FROM (SELECT CAST(pow(2, g) AS BIGINT) AS v
+         |        FROM generate_series(4, 16) t(g)), n
+         |  WHERE v * v >= cnt OR v = 65536),
+         |probes AS (
+         |  SELECT cid FROM (
+         |    SELECT j.j AS cid,
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(generate_series(0, 63),
+         |          i -> (CAST(0.1 AS DOUBLE)
+         |            - CAST(((j.j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0)
+         |            * (CAST(0.1 AS DOUBLE)
+         |            - CAST(((j.j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0))),
+         |        (a, x) -> a + x) AS dq
+         |    FROM p, UNNEST(generate_series(0, CAST(p.nlist AS BIGINT) - 1)) j(j))
+         |  ORDER BY dq, cid LIMIT $IvfNprobe),
+         |costs AS (
+         |  SELECT vec_id, embedding, list_transform(generate_series(0, CAST(p.nlist AS BIGINT) - 1),
+         |    j -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(generate_series(0, 63),
+         |        i -> (CAST(embedding[i + 1] AS DOUBLE)
+         |          - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0)
+         |          * (CAST(embedding[i + 1] AS DOUBLE)
+         |          - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0))),
+         |      (a, x) -> a + x)) AS costs
+         |  FROM embeddings, p),
+         |assigned AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_position(costs, list_min(costs)) - 1 AS INT) AS centroid_id
+         |  FROM costs),
+         |probed AS (
+         |  SELECT vec_id, centroid_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding,
+         |      x -> CAST(x AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x) AS dot,
+         |    ${duckSumSqOf("embedding")} AS na,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding,
+         |      x -> CAST(0.1 AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x) AS nb
+         |  FROM assigned WHERE centroid_id IN (SELECT cid FROM probes))
+         |SELECT vec_id, centroid_id,
+         |  CAST(floor(dot / (sqrt(na) * sqrt(nb)) * 1000000) AS BIGINT) AS cos_e6,
+         |  p.nlist
+         |FROM probed, p ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20""".stripMargin,
     "sim_ivf_topk" ->
       // assignment expr mirrors sim_ivf_assign; cosine folds mirror
       // graft_cosine (three independent sequential f64 accumulators)

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.IvfTuner
+
+/** Census-based IVF width tuning (the coarse-quantizer twin of
+  * LshTunerSpec): exact census arithmetic on a hand-countable corpus,
+  * widening until the probed-volume bound is met, no-op when the
+  * starting width already meets it, the honest-failure contract when
+  * every vector lands in the probed lists at any width, the
+  * integer-exact √N seed, and zero-row degradation.
+  */
+class IvfTunerSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def vecs(rows: Seq[(Long, Seq[Double])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("probe list matches the battery's fixed-16 derivation") {
+    // VectorQueries.ivfProbeList is the pinned 16-wide variant the
+    // sim_ivf_topk oracle inlines; the tuner's general form must agree
+    assert(IvfTuner.probeList(16, 4) ==
+      graft.queries.VectorQueries.ivfProbeList(4))
+  }
+
+  test("census arithmetic is exact on a hand-countable corpus") {
+    // all vectors identical → one list holds everything; that list is
+    // the global argmin so it is also the first probe
+    val c = IvfTuner.census(
+      vecs(Seq(1L, 2L, 3L).map(i => (i, Seq.fill(64)(0.5)))),
+      "embedding", nlist = 16, nprobe = 4)
+    assert(c.nRows == 3L && c.maxList == 3L)
+    assert(c.probedRows == 3L || c.probedRows == 0L)
+    // and the assigned list really is probed: the probe set at any
+    // width contains the argmin for a constant vector iff that
+    // centroid is among the 4 nearest to q — check directly
+    val assigned = vecs(Seq((1L, Seq.fill(64)(0.5))))
+      .selectExpr("graft_ivf_assign(embedding, 16) AS c").head().getInt(0)
+    val expected = if (IvfTuner.probeList(16, 4).contains(assigned)) 3L else 0L
+    assert(c.probedRows == expected)
+  }
+
+  test("tuner widens from minNlist until the probed bound is met") {
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // measured on this fixture: probed rows 238/171/132 at widths
+    // 16/32/64, floored at 76 by a hot cluster that sits on q at every
+    // width — so 150 is attainable (at 64) and 40 is not
+    val start = IvfTuner.census(corpus, "embedding", nlist = 16, nprobe = 4)
+    assert(start.probedRows > 150L,
+      s"fixture drifted: expected a hot probe set at width 16, got $start")
+    val tuned = IvfTuner.chooseNlist(corpus, "embedding", nprobe = 4,
+      maxProbedRows = 150L, minNlist = 16, maxNlist = 1024)
+    assert(tuned.nlist > 16 && tuned.nlist <= 1024)
+    assert(tuned.probedRows <= 150L)
+    // powers of two only — the doubling walk must not overshoot
+    assert((tuned.nlist & (tuned.nlist - 1)) == 0)
+  }
+
+  test("tuner keeps minNlist when occupancy is already bounded") {
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val tuned = IvfTuner.chooseNlist(corpus, "embedding", nprobe = 4,
+      maxProbedRows = Long.MaxValue, minNlist = 16)
+    assert(tuned.nlist == 16)
+  }
+
+  test("unsplittable corpus: tuner reports the measured volume at maxNlist") {
+    // identical vectors all share one list at EVERY width; if that list
+    // is probed the bound can never be met and the honest answer is the
+    // measured volume at maxNlist
+    val corpus = vecs((1L to 40L).map(i => (i, Seq.tabulate(64)(_ => 0.1))))
+    val tuned = IvfTuner.chooseNlist(corpus, "embedding", nprobe = 4,
+      maxProbedRows = 4L, minNlist = 16, maxNlist = 64)
+    assert(tuned.nlist == 64)
+    assert(tuned.probedRows == 40L,
+      s"0.1-constant vectors sit exactly on q, so their list is always probe #1: $tuned")
+  }
+
+  test("sqrtNlist is the integer-exact smallest pow2 with v*v >= n") {
+    assert(IvfTuner.sqrtNlist(0L) == 16)
+    assert(IvfTuner.sqrtNlist(256L) == 16)
+    assert(IvfTuner.sqrtNlist(257L) == 32)
+    assert(IvfTuner.sqrtNlist(500L) == 32)   // the sf0.01 gate point
+    assert(IvfTuner.sqrtNlist(1024L) == 32)
+    assert(IvfTuner.sqrtNlist(1025L) == 64)
+    assert(IvfTuner.sqrtNlist(2000L) == 64)  // the sf0.1 bench point
+    assert(IvfTuner.sqrtNlist(Long.MaxValue) == 65536) // clamped
+  }
+
+  test("zero-row corpus degrades to an empty census, not an NPE") {
+    val c = IvfTuner.chooseNlist(vecs(Seq.empty), "embedding")
+    assert(c.nRows == 0L && c.probedRows == 0L && c.maxList == 0L)
+    assert(c.nlist == 16)
+  }
+}
