@@ -126,6 +126,26 @@ object TocExtractor {
     finalize("flat", 0.50, flatToc(totalPages, cfg), totalPages)
   }
 
+  /** The BYTE-LAYER entry (the reference's `extract(pdf_bytes)`,
+    * toc_extractor.py:49-95): decode real PDF bytes through
+    * [[graft.multimodal.PdfCodec]] — xref walk, FlateDecode content
+    * streams, outline-tree flatten with /Dest page resolution — then
+    * run the same cascade with the REAL outline as method 1 and the
+    * real extracted page texts under methods 2–4. Undecodable bytes
+    * degrade to the reference's zero-page result (its
+    * PyPDF2-unavailable / parse-exception path). */
+  def extractFromPdf(bytes: Array[Byte], cfg: Config = Config()): TocResult =
+    graft.multimodal.PdfCodec.decode(bytes) match {
+      case None =>
+        TocResult("flat", 0.0, Vector.empty, 0, structureValid = false)
+      case Some(doc) =>
+        extract(
+          doc.pages.zipWithIndex.map { case (t, i) => (i + 1) -> t }.toMap,
+          doc.totalPages,
+          doc.outline.map { case (lv, t, p) => OutlineEntry(lv, t, p) },
+          cfg)
+    }
+
   /** Method 1 — a provided outline: top-level entries with pages become
     * chapters, deeper entries sections of the current chapter. */
   private def parseOutline(outline: Seq[OutlineEntry], totalPages: Int): Vector[TocChapter] = {

@@ -433,7 +433,63 @@ private[graft] object MultimodalQueries {
       .orderBy("doc_id")
   }
 
+  /** Fixture PDF for one doc: 3–7 pages whose texts carry real document
+    * tokens, and an outline of one chapter per two pages, each with one
+    * section. Exposed for PdfCodecSpec/HierarchySpec-style reuse. */
+  private[graft] def fixturePdf(docId: Long, text: String): Array[Byte] = {
+    import graft.multimodal.PdfCodec.OutlineNode
+    val toks = text.split(" ", -1)
+    val totalPages = (docId % 5 + 3).toInt
+    val pages = (1 to totalPages).map { p =>
+      val slice = toks.slice((p - 1) * 4, (p - 1) * 4 + 4)
+      if (slice.isEmpty) s"pg$p" else s"pg$p " + slice.mkString(" ")
+    }
+    val outline = (1 to (totalPages + 1) / 2).map { c =>
+      OutlineNode(s"Chapter $c", 2 * c - 1,
+        Seq(OutlineNode(s"Sec $c.1", 2 * c - 1)))
+    }
+    graft.multimodal.PdfCodec.encode(pages, outline)
+  }
+
+  /** mm_pdf_outline — the PDF byte tier through the correctness gate
+    * (VERDICT r15 missing #1): every document becomes a REAL PDF
+    * (Flate-compressed content streams, a linked outline tree, an
+    * offset-exact xref), and the engine must run the full
+    * encode → xref walk → inflate → outline flatten → /Dest resolve →
+    * TOC cascade path ([[graft.chunk.TocExtractor.extractFromPdf]]) to
+    * reproduce numbers the oracle derives from the fixture formula
+    * alone: chapter geometry from the page count arithmetic, and the
+    * decoded page-text fingerprint sum — one wrong inflated byte or a
+    * one-off xref offset moves text_fp or a page sum and breaks the
+    * hash. Method/confidence pin that the REAL outline won the cascade
+    * at conf .95 (toc_extractor.py:61-116 semantics). */
+  private val mmPdfOutline: Q = (s, d) => {
+    import s.implicits._
+    import graft.chunk.TocExtractor
+    Tables.documents(s, d).select("doc_id", "text").as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val pdf = fixturePdf(id, text)
+          val doc = graft.multimodal.PdfCodec.decode(pdf)
+            .getOrElse(throw new IllegalStateException(
+              s"self-encoded PDF undecodable for doc $id"))
+          val r = TocExtractor.extractFromPdf(pdf)
+          val textFp = doc.pages.map(p => graft.expressions.TextSketch
+            .tokenFp(org.apache.spark.unsafe.types.UTF8String.fromString(p))).sum
+          (id, r.method, math.round(r.confidence * 10000),
+            r.totalPages.toLong, r.structureValid,
+            r.toc.size.toLong, r.toc.map(_.sections.size.toLong).sum,
+            r.toc.map(_.pageStart.toLong).sum, r.toc.map(_.pageEnd.toLong).sum,
+            textFp)
+        }
+      }
+      .toDF("doc_id", "method", "conf_bp", "total_pages", "structure_valid",
+        "n_chapters", "n_sections", "chap_start_sum", "chap_end_sum", "text_fp")
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "mm_pdf_outline" -> mmPdfOutline,
     "mm_pixel_stats" -> mmPixelStats,
     "mm_pixel_stats_gif" -> mmPixelStatsGif,
     "mm_pixel_stats_jpeg" -> mmPixelStatsJpeg,
@@ -444,6 +500,40 @@ private[graft] object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the fixture formula evaluated relationally — no PDF bytes
+    // anywhere: page texts rebuilt from the token slices, chapter
+    // geometry from the page-count arithmetic (starts 1,3,5,… ends
+    // next-start−1 / totalPages), the decoded-text fingerprint via the
+    // shared duckFp fold
+    "mm_pdf_outline" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |    CAST(doc_id % 5 + 3 AS BIGINT) AS tp
+         |  FROM documents),
+         |pages AS (
+         |  SELECT doc_id, tp, p.p AS p,
+         |    CASE WHEN len(toks[CAST((p.p - 1) * 4 + 1 AS BIGINT)
+         |        : CAST((p.p - 1) * 4 + 4 AS BIGINT)]) = 0
+         |      THEN 'pg' || CAST(p.p AS VARCHAR)
+         |      ELSE 'pg' || CAST(p.p AS VARCHAR) || ' ' ||
+         |        array_to_string(toks[CAST((p.p - 1) * 4 + 1 AS BIGINT)
+         |          : CAST((p.p - 1) * 4 + 4 AS BIGINT)], ' ')
+         |    END AS ptext
+         |  FROM base, UNNEST(generate_series(1, tp)) p(p)),
+         |fp AS (
+         |  SELECT doc_id, CAST(sum(${PipelineShared.duckFp("ptext")}) AS BIGINT)
+         |    AS text_fp
+         |  FROM pages GROUP BY doc_id)
+         |SELECT b.doc_id, 'pdf_outline' AS method,
+         |  CAST(9500 AS BIGINT) AS conf_bp,
+         |  b.tp AS total_pages, true AS structure_valid,
+         |  CAST((b.tp + 1) // 2 AS BIGINT) AS n_chapters,
+         |  CAST((b.tp + 1) // 2 AS BIGINT) AS n_sections,
+         |  CAST(((b.tp + 1) // 2) * ((b.tp + 1) // 2) AS BIGINT) AS chap_start_sum,
+         |  CAST(((b.tp + 1) // 2) * ((b.tp + 1) // 2 - 1) + b.tp AS BIGINT)
+         |    AS chap_end_sum,
+         |  f.text_fp
+         |FROM base b JOIN fp f USING (doc_id) ORDER BY b.doc_id""".stripMargin,
     // the sample-table geometry in closed form: boundaries ⌊i·L/n⌋, byte
     // sums via ord() over the ASCII payload, mdat start from the box-size
     // constant 340 + 4n + 12e + 4c (see MediaFixtures.mp4Sampled)

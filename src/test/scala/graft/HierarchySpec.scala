@@ -109,6 +109,64 @@ class HierarchySpec extends AnyFunSuite {
     assert(TocExtractor.isSectionTitle("2.3 Subnetting"))
   }
 
+  // ------------------------------------------- F22 on REAL PDF bytes (r16)
+
+  import graft.multimodal.PdfCodec
+  import graft.multimodal.PdfCodec.OutlineNode
+
+  test("F22 real PDF bytes: the parsed outline tree wins at 0.95") {
+    val pdf = PdfCodec.encode(
+      (1 to 80).map(i => s"body of page $i"),
+      Seq(
+        OutlineNode("Chapter 1 Intro", 1, Seq(OutlineNode("1.1 Basics", 2))),
+        OutlineNode("Chapter 2 Joins", 40)))
+    val r = TocExtractor.extractFromPdf(pdf)
+    assert(r.method == "pdf_outline" && r.confidence == 0.95)
+    assert(r.totalPages == 80)
+    assert(r.toc.map(_.pageStart) == Vector(1, 40))
+    assert(r.toc(0).pageEnd == 39 && r.toc(1).pageEnd == 80)
+    assert(r.toc(0).sections.map(_.sectionNumber) == Vector("1.1"))
+    assert(r.structureValid)
+  }
+
+  test("F22 real PDF bytes without an outline: contents-page parse at 0.85") {
+    val toc =
+      """Table of Contents
+        |Chapter 1 Storage Engines ........ 1
+        |1.1 Heap Files ........ 2
+        |Chapter 2 Query Processing ........ 10
+        |""".stripMargin
+    val texts = (1 to 60).map {
+      case 1 => toc
+      case 4 => "Chapter 1 Storage Engines\nActual storage engines chapter body"
+      case 13 => "Chapter 2 Query Processing\nquery processing body"
+      case i => s"plain body $i"
+    }
+    val r = TocExtractor.extractFromPdf(PdfCodec.encode(texts))
+    assert(r.method == "toc_page" && r.confidence == 0.85)
+    assert(r.toc.map(_.pageStart) == Vector(4, 13)) // offset estimated from real pages
+    assert(r.toc(0).sections.size == 1)
+  }
+
+  test("F22 real PDF bytes: regex rung, then flat, then undecodable → 0 pages") {
+    val regexed = TocExtractor.extractFromPdf(PdfCodec.encode(
+      (1 to 60).map {
+        case 2 => "Chapter 1 Intro\nbody"
+        case 30 => "Chapter 2 More\nbody"
+        case i => s"noise $i"
+      }))
+    assert(regexed.method == "regex" && regexed.confidence == 0.70)
+    assert(regexed.toc.map(_.pageStart) == Vector(2, 30))
+
+    val flat = TocExtractor.extractFromPdf(
+      PdfCodec.encode((1 to 120).map(i => s"nothing special $i")))
+    assert(flat.method == "flat" && flat.confidence == 0.50)
+    assert(flat.toc.map(_.pageStart) == Vector(1, 51, 101))
+
+    val broken = TocExtractor.extractFromPdf("%PDF-1.4 but truncated".getBytes)
+    assert(broken.method == "flat" && broken.totalPages == 0 && !broken.structureValid)
+  }
+
   // ---------------------------------------------------------- F21 hierarchy
 
   private val chapterBody =
