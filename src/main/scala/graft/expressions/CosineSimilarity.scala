@@ -358,5 +358,12 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BloomMightContain(children.head, children(1))
       }))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKey.TopKPerKeyStrategy)
+    // SQL MERGE INTO over TableMerge tables (graft.plans.SqlMerge):
+    // resolution rule rewrites the addressed target + converts the
+    // resolved MergeIntoTable; the optimizer rule strips the marker so
+    // SELECT over graft.`/path` plans natively; the strategy executes
+    ext.injectResolutionRule(s => new graft.plans.SqlMerge.ResolveGraftMerge(s))
+    ext.injectOptimizerRule(_ => graft.plans.SqlMerge.StripGraftTable)
+    ext.injectPlannerStrategy(_ => graft.plans.SqlMerge.GraftMergeStrategy)
   }
 }

@@ -241,6 +241,30 @@ object TableMerge {
   private def isCommitted(dir: java.io.File): Boolean =
     Files.exists(dir.toPath.resolve(CommittedMarker))
 
+  /** The live version's partition-column chain, inferred from its
+    * `col=val` directory nesting (empty for an unpartitioned table or
+    * a zero-row layout). Metadata-only: reads directory NAMES, never
+    * data — the SQL MERGE planner uses it to decide whether the
+    * partition-scoped copy-on-write path applies. */
+  def partitionColsOf(tablePath: String): Seq[String] =
+    resolveLive(tablePath) match {
+      case None => Seq.empty
+      case Some(live) =>
+        val b = Seq.newBuilder[String]
+        var dir = live
+        var going = true
+        while (going) {
+          val sub = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isDirectory && f.getName.contains("="))
+          if (sub.isEmpty) going = false
+          else {
+            b += sub.head.getName.split("=", 2)(0)
+            dir = sub.head.toPath
+          }
+        }
+        b.result()
+    }
+
   def read(spark: SparkSession, tablePath: String): DataFrame =
     resolveLive(tablePath) match {
       case Some(dir) => readSnapshot(spark, dir)

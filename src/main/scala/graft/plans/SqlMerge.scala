@@ -1,0 +1,241 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graft.bridge.{columnOf => exprCol, dataFrameOf}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions._
+
+/** SQL `MERGE INTO` surface over TableMerge tables (VERDICT r15 #2 /
+  * next-round #7) — the reference merges via the literal statement
+  * (`silver/transformer.py:2427-2458`: `MERGE INTO … WHEN MATCHED THEN
+  * UPDATE SET * WHEN NOT MATCHED THEN INSERT *`), and until now a user
+  * typing that shape had no entry point: [[graft.operators.TableMerge]]
+  * reproduces the semantics only as a library API.
+  *
+  * Mechanism — the (c) ladder rung of the engine's extension policy
+  * (custom `LogicalPlan` + `Rule` + `SparkStrategy` via
+  * `SparkSessionExtensions`, the [[TopKPerKey]] precedent):
+  *
+  *  1. Spark's OWN parser produces the `MergeIntoTable` AST — the
+  *     statement shape is verbatim Spark SQL, nothing re-parsed here.
+  *  2. [[ResolveGraftMerge]] (injected resolution rule) substitutes a
+  *     target relation addressed as `` graft.`/path` `` or
+  *     `` `graft:/path` `` with the table's live-version parquet plan
+  *     (wrapped in a [[GraftTable]] marker), letting the ANALYZER
+  *     resolve the merge condition, the assignments, and the
+  *     `SET * / INSERT *` star expansion with its own rules.
+  *  3. Once the node is fully resolved, the same rule converts it to
+  *     [[GraftMergeCommand]]; [[GraftMergeStrategy]] plans that to
+  *     [[GraftMergeExec]], which computes the merge result with
+  *     ordinary DataFrame algebra and commits through
+  *     `TableMerge.replaceKeys` — the PARTITION-SCOPED copy-on-write
+  *     path: only partitions holding matched / inserted /
+  *     by-source-affected rows rewrite, untouched partitions hard-link
+  *     into the new version (TableMergeSpec pins the inodes).
+  *
+  * Why not DSv2 `SupportsRowLevelOperations`: that interface requires
+  * the table to ship its own scan/write stack; these tables are plain
+  * parquet directories whose scan/write IS Spark's parquet path, so the
+  * plan-level rewrite reuses it wholesale while keeping the native
+  * parser/analyzer semantics. The marker node never reaches execution —
+  * an optimizer rule strips it, which also makes
+  * `SELECT … FROM graft.`/path`` read the live table version.
+  *
+  * Clause semantics (Delta/Spark): first matching WHEN clause wins per
+  * row; a target row matched by MORE than one source row is rejected at
+  * runtime (the nondeterministic-merge error, checked with one count
+  * aggregate); WHEN NOT MATCHED BY SOURCE UPDATE/DELETE is supported.
+  */
+object SqlMerge {
+
+  /** Pass-through marker binding a resolved plan to its table path. */
+  final case class GraftTable(path: String, child: LogicalPlan) extends UnaryNode {
+    override def output: Seq[Attribute] = child.output
+    override protected def withNewChildInternal(c: LogicalPlan): GraftTable = copy(child = c)
+  }
+
+  final case class GraftMergeCommand(
+      path: String,
+      target: LogicalPlan,
+      source: LogicalPlan,
+      condition: Expression,
+      matchedActions: Seq[MergeAction],
+      notMatchedActions: Seq[MergeAction],
+      notMatchedBySourceActions: Seq[MergeAction]) extends BinaryCommand {
+    override def left: LogicalPlan = target
+    override def right: LogicalPlan = source
+    override def output: Seq[Attribute] = Nil
+    override protected def withNewChildrenInternal(
+        newLeft: LogicalPlan, newRight: LogicalPlan): GraftMergeCommand =
+      copy(target = newLeft, source = newRight)
+  }
+
+  /** `graft.`path`` (two-part) or `` `graft:path` `` (one-part). */
+  private def graftPath(u: UnresolvedRelation): Option[String] =
+    u.multipartIdentifier match {
+      case Seq(one) if one.startsWith("graft:") => Some(one.stripPrefix("graft:"))
+      case Seq("graft", p) => Some(p)
+      case _ => None
+    }
+
+  final class ResolveGraftMerge(spark: SparkSession) extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.resolveOperatorsUp {
+        // substitute the addressed relation with the table's live
+        // parquet plan (marker-wrapped); analysis proceeds natively
+        case u: UnresolvedRelation if graftPath(u).isDefined =>
+          val p = graftPath(u).get
+          SubqueryAlias(u.multipartIdentifier.last,
+            GraftTable(p, graft.operators.TableMerge.read(spark, p)
+              .queryExecution.analyzed))
+        // fully resolved merge over a marked target → our command
+        case m: MergeIntoTable if m.resolved && markerOf(m.targetTable).isDefined =>
+          GraftMergeCommand(
+            markerOf(m.targetTable).get,
+            m.targetTable.transformUp { case GraftTable(_, c) => c },
+            m.sourceTable, m.mergeCondition,
+            m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions)
+      }
+
+    private def markerOf(t: LogicalPlan): Option[String] =
+      t.collectFirst { case GraftTable(p, _) => p }
+  }
+
+  /** Strips the marker so SELECT paths plan the child natively. */
+  object StripGraftTable extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.transformUp { case GraftTable(_, c) => c }
+  }
+
+  object GraftMergeStrategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case cmd: GraftMergeCommand => GraftMergeExec(cmd) :: Nil
+      case GraftTable(_, child) => planLater(child) :: Nil
+      case _ => Nil
+    }
+  }
+
+  final case class GraftMergeExec(cmd: GraftMergeCommand) extends LeafExecNode {
+    override def output: Seq[Attribute] = Nil
+    override protected def doExecute(): RDD[InternalRow] = {
+      SqlMerge.run(session, cmd)
+      sparkContext.emptyRDD
+    }
+  }
+
+  /** Evaluate one WHEN chain (first clause wins) over `df`, returning
+    * the 1-based index of the firing clause (0 = none). */
+  private def clauseIdx(actions: Seq[MergeAction]): Column = {
+    actions.zipWithIndex.foldRight(lit(0)) { case ((a, i), rest) =>
+      val c = a.condition.map(exprCol).getOrElse(lit(true))
+      when(c, lit(i + 1)).otherwise(rest)
+    }
+  }
+
+  /** The merged value of target column `attr` under a fired
+    * UPDATE clause, else the current target value (`fallback`). */
+  private def mergedValue(attr: Attribute, actions: Seq[MergeAction],
+                          idx: Column, fallback: Column): Column =
+    actions.zipWithIndex.foldRight(fallback) { case ((a, i), rest) =>
+      a match {
+        case u: UpdateAction =>
+          val assigned = u.assignments.collectFirst {
+            case Assignment(k: Attribute, v) if k.exprId == attr.exprId => exprCol(v)
+          }
+          assigned.map(v => when(idx === (i + 1), v).otherwise(rest)).getOrElse(rest)
+        case _ => rest
+      }
+    }
+
+  private def deleteFired(actions: Seq[MergeAction], idx: Column): Column =
+    actions.zipWithIndex.collect { case (_: DeleteAction, i) => idx === (i + 1) }
+      .foldLeft(lit(false))(_ || _)
+
+  private[graft] def run(spark: SparkSession, cmd: GraftMergeCommand): Unit = {
+    import graft.operators.TableMerge
+    val tgtAttrs = cmd.target.output
+    val cols = tgtAttrs.map(_.name)
+    val t0 = dataFrameOf(spark, cmd.target)
+    val src = dataFrameOf(spark, cmd.source)
+    // freeze a row id on the target so "same row" survives the join
+    // algebra (a production engine keys on file+row-position metadata;
+    // the checkpoint stands in for that stable row identity here)
+    val t = t0.withColumn("__tid", monotonically_increasing_id()).localCheckpoint()
+    val cond = exprCol(cmd.condition)
+
+    val pairs = t.join(src, cond, "inner")
+    // nondeterministic-merge guard: >1 source row per target row
+    if (cmd.matchedActions.nonEmpty) {
+      val dup = pairs.groupBy("__tid").count().filter(col("count") > 1).limit(1).count()
+      require(dup == 0L,
+        "MERGE INTO: a target row matched more than one source row " +
+          "(nondeterministic merge); make the ON condition selective")
+    }
+
+    def tCol(a: Attribute): Column = exprCol(a)
+
+    val matchedOut = pairs
+      .withColumn("__idx", clauseIdx(cmd.matchedActions))
+      .withColumn("__del", deleteFired(cmd.matchedActions, col("__idx")))
+      .filter(!col("__del"))
+      .select(Seq(col("__tid"), col("__idx")) ++ tgtAttrs.map(a =>
+        mergedValue(a, cmd.matchedActions, col("__idx"), tCol(a)).as(a.name)): _*)
+
+    val unmatchedT = t.join(src, cond, "left_anti")
+    val unmatchedOut = unmatchedT
+      .withColumn("__idx", clauseIdx(cmd.notMatchedBySourceActions))
+      .withColumn("__del", deleteFired(cmd.notMatchedBySourceActions, col("__idx")))
+      .filter(!col("__del"))
+      .select(Seq(col("__tid"), col("__idx")) ++ tgtAttrs.map(a =>
+        mergedValue(a, cmd.notMatchedBySourceActions, col("__idx"),
+          tCol(a)).as(a.name)): _*)
+
+    val inserted = src.join(t, cond, "left_anti")
+      .withColumn("__idx", clauseIdx(cmd.notMatchedActions))
+      .filter(col("__idx") > 0)
+      .select(Seq(lit(null).cast("long").as("__tid"), col("__idx")) ++ tgtAttrs.map { a =>
+        cmd.notMatchedActions.zipWithIndex.foldRight(lit(null).cast(a.dataType)) {
+          case ((ins: InsertAction, i), rest) =>
+            ins.assignments.collectFirst {
+              case Assignment(k: Attribute, v) if k.exprId == a.exprId => exprCol(v)
+            }.map(v => when(col("__idx") === (i + 1), v).otherwise(rest)).getOrElse(rest)
+          case (_, rest) => rest
+        }.as(a.name)
+      }: _*)
+
+    val result = matchedOut.unionByName(unmatchedOut).unionByName(inserted)
+      .drop("__tid", "__idx")
+
+    // partition-scoped copy-on-write: if the live version is laid out
+    // in col=val directories, rewrite only the partitions that hold an
+    // affected row (old home of every fired-clause row, new home of
+    // every updated/inserted row) and hard-link the rest through
+    // TableMerge.replaceKeys' partitionScoped branch; unpartitioned
+    // tables restate wholesale.
+    val partCols = TableMerge.partitionColsOf(cmd.path)
+    if (partCols.nonEmpty && partCols.forall(cols.contains)) {
+      val partAttrs = partCols.map(c => tgtAttrs.find(_.name == c).get)
+      val oldHomes = pairs
+        .filter(clauseIdx(cmd.matchedActions) > 0)
+        .select(partAttrs.map(a => tCol(a).as(a.name)): _*)
+        .unionByName(unmatchedT
+          .filter(clauseIdx(cmd.notMatchedBySourceActions) > 0)
+          .select(partAttrs.map(a => tCol(a).as(a.name)): _*))
+      val newHomes = matchedOut.filter(col("__idx") > 0).select(partCols.map(col): _*)
+        .unionByName(unmatchedOut.filter(col("__idx") > 0).select(partCols.map(col): _*))
+        .unionByName(inserted.select(partCols.map(col): _*))
+      val touched = oldHomes.unionByName(newHomes).distinct().localCheckpoint()
+      val newRows = result.join(broadcast(touched), partCols, "left_semi")
+      TableMerge.replaceKeys(spark, cmd.path, newRows, touched,
+        groupKeys = partCols, partitionCols = partCols)
+    } else {
+      TableMerge.createOrReplace(result, cmd.path)
+    }
+  }
+}

@@ -124,6 +124,46 @@ object CdcQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** K13 — the reference's literal SQL MERGE statement shape
+    * (`silver/transformer.py:2427-2458`) executed through the engine's
+    * `MERGE INTO graft.`path`` surface ([[graft.plans.SqlMerge]]):
+    * a customer snapshot partitioned by market segment absorbs an
+    * update feed via conditional DELETE / UPDATE / INSERT clauses
+    * typed as SQL, then the merged table aggregates per segment. The
+    * oracle replays the clause algebra relationally; SqlMergeSpec pins
+    * that the write took the partition-scoped copy-on-write path
+    * (quiet segments keep their inodes). All balances are e2 integers
+    * so the hash is exact. */
+  private val k13SqlMerge: Q = (s, d) => {
+    val path = statePath("k13_customer_sqlmerged")
+    val customer = Tables.customer(s, d)
+    val e2 = "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)"
+    TableMerge.createOrReplace(
+      customer.selectExpr("c_custkey", "c_mktsegment", s"$e2 AS bal_e2"),
+      path, partitionCols = Seq("c_mktsegment"))
+    customer.filter(col("c_custkey") % 4 === 0)
+      .selectExpr("c_custkey", "c_mktsegment AS seg",
+        s"CASE WHEN c_custkey % 8 = 0 THEN CAST(-1 AS BIGINT) " +
+          s"ELSE $e2 + 10000 END AS nv")
+      .unionByName(customer.filter(col("c_custkey") % 7 === 0)
+        .selectExpr("c_custkey + 1000000 AS c_custkey", "'GRAFTSEG' AS seg",
+          "CAST(c_custkey AS BIGINT) * 100 AS nv"))
+      .createOrReplaceTempView("k13_updates")
+    s.sql(
+      s"""MERGE INTO graft.`$path` AS t
+         |USING k13_updates AS s
+         |ON t.c_custkey = s.c_custkey
+         |WHEN MATCHED AND s.nv < 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET bal_e2 = s.nv
+         |WHEN NOT MATCHED THEN INSERT (c_custkey, c_mktsegment, bal_e2)
+         |  VALUES (s.c_custkey, s.seg, s.nv)""".stripMargin)
+    TableMerge.read(s, path)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("bal_e2").as("sum_bal_e2"),
+        sum("c_custkey").as("key_sum"))
+      .orderBy("c_mktsegment")
+  }
+
   /** K1 partition-scoped — merge keyed by (partition col, id): only
     * touched `source` partitions are rewritten; untouched partition
     * directories are carried over as files (SURVEY §7.3 "MERGE
@@ -453,6 +493,7 @@ object CdcQueries {
     "k11_change_feed" -> k11ChangeFeed,
     "k1_merge_upsert" -> k1MergeUpsert,
     "k2_merge_delete" -> k2MergeDelete,
+    "k13_sql_merge" -> k13SqlMerge,
     "k3_partitioned_merge" -> k3PartitionedMerge,
     "k9_time_travel" -> k9TimeTravel,
     "k10_vacuum" -> k10Vacuum,
@@ -645,6 +686,41 @@ object CdcQueries {
         |  round(sum(price), 2) AS total_price,
         |  CAST(sum(CASE WHEN merge_note IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_noted
         |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "k13_sql_merge" ->
+      // clause algebra replayed relationally: matched & nv<0 → deleted,
+      // matched → updated, unmatched source → inserted, the rest kept
+      """WITH tgt AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_e2
+        |  FROM customer),
+        |src AS (
+        |  SELECT c_custkey, c_mktsegment AS seg,
+        |    CASE WHEN c_custkey % 8 = 0 THEN CAST(-1 AS BIGINT)
+        |      ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 10000
+        |    END AS nv
+        |  FROM customer WHERE c_custkey % 4 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'GRAFTSEG', CAST(c_custkey AS BIGINT) * 100
+        |  FROM customer WHERE c_custkey % 7 = 0),
+        |kept AS (
+        |  SELECT t.c_custkey, t.c_mktsegment, t.bal_e2
+        |  FROM tgt t LEFT JOIN src s ON s.c_custkey = t.c_custkey
+        |  WHERE s.c_custkey IS NULL),
+        |updated AS (
+        |  SELECT t.c_custkey, t.c_mktsegment, s.nv AS bal_e2
+        |  FROM tgt t JOIN src s ON s.c_custkey = t.c_custkey
+        |  WHERE s.nv >= 0),
+        |inserted AS (
+        |  SELECT s.c_custkey, s.seg AS c_mktsegment, s.nv AS bal_e2
+        |  FROM src s LEFT JOIN tgt t ON t.c_custkey = s.c_custkey
+        |  WHERE t.c_custkey IS NULL),
+        |finalrows AS (
+        |  SELECT * FROM kept UNION ALL SELECT * FROM updated
+        |  UNION ALL SELECT * FROM inserted)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(bal_e2) AS BIGINT) AS sum_bal_e2,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_sum
+        |FROM finalrows GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "k2_merge_delete" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |  round(sum(c_acctbal), 2) AS total_bal
