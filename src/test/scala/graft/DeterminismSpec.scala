@@ -36,10 +36,22 @@ class DeterminismSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("registry size is pinned (a future split cannot silently shrink the sweeps)") {
+    // the three registry-wide sweeps (this suite, EmptyInputSpec,
+    // NullInputSpec) enumerate SparkEntry.all — pin its size so a
+    // refactor that drops a tier from the concatenation fails HERE,
+    // loudly, instead of quietly running fewer robustness tests.
+    // Update the number when a round adds entries (r16: 243).
+    assert(SparkEntry.all.size == 243,
+      s"registry has ${SparkEntry.all.size} entries, expected 243 — " +
+        "if entries were added, bump this pin; if it SHRANK, a tier was lost")
+  }
+
   private val skip = Set(
     // CdcQueries: state mutators
     "i2_asset_cdc", "i3_tombstones", "i4_state_memo", "i6_index_incremental",
     "k1_merge_upsert", "k2_merge_delete", "k3_partitioned_merge", "k9_time_travel",
+    "k13_sql_merge",
     // SinkQueries: file/sink materializers
     "e2e_silver_gold", "gold_star_oracle", "s1_multiline_json", "s8_sql_dump",
     "s9_json_reference", "k4_full_refresh", "s10_orc_roundtrip", "s11_csv_scan",
