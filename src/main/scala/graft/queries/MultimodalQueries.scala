@@ -438,7 +438,8 @@ private[graft] object MultimodalQueries {
     * section. Exposed for PdfCodecSpec/HierarchySpec-style reuse. */
   private[graft] def fixturePdf(docId: Long, text: String): Array[Byte] = {
     import graft.multimodal.PdfCodec.OutlineNode
-    val toks = text.split(" ", -1)
+    // null-safe: a nulled text chunks like an empty one (both engines)
+    val toks = Option(text).getOrElse("").split(" ", -1)
     val totalPages = (docId % 5 + 3).toInt
     val pages = (1 to totalPages).map { p =>
       val slice = toks.slice((p - 1) * 4, (p - 1) * 4 + 4)
@@ -507,7 +508,7 @@ private[graft] object MultimodalQueries {
     // shared duckFp fold
     "mm_pdf_outline" ->
       s"""WITH base AS (
-         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks,
          |    CAST(doc_id % 5 + 3 AS BIGINT) AS tp
          |  FROM documents),
          |pages AS (

@@ -29,6 +29,11 @@ private[graft] object PipelineShared {
     * recomputing it. */
   private val artifactCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), AnyRef]()
+  /** Test hook: DeterminismSpec clears the memo between its two
+    * shuffle-partition runs so the BUILDS re-run under both widths —
+    * otherwise the second run would reuse the first's checkpoint and
+    * the sweep would no longer prove build partition-independence. */
+  private[graft] def clearMemo(): Unit = artifactCache.clear()
   def memo[T <: AnyRef](s: SparkSession, key: String)(build: => T): T = {
     val k = (s, key)
     val cur = artifactCache.get(k)

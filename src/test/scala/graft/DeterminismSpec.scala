@@ -63,6 +63,10 @@ class DeterminismSpec extends AnyFunSuite {
   private def canon(name: String, parts: Int): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    // drop memoized artifact builds (HNSW edges, OPQ codebooks) so the
+    // build itself re-runs under THIS partition count — reuse would
+    // silently shrink what this sweep proves
+    graft.queries.PipelineShared.clearMemo()
     try {
       SparkEntry.all.toMap.apply(name)(spark, sf).collect().toSeq.map { r =>
         r.toSeq.map {
