@@ -101,12 +101,15 @@ for name in names:
         fail.append((name, f"describe error: {str(e)[:300]}"))
         continue
     type_bad = None
+    INT_WIDTHS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
     for c in sorted(d_cols):
         dt, st = d_types.get(c, "?"), s_types.get(c, "?")
         if "HUGEINT" in dt or dt.startswith("DECIMAL"):
             type_bad = f"oracle col {c} is {dt} (driver hash is type-sensitive; CAST it)"
             break
-        if dt != st:
+        # int WIDTH differences are the one driver-tolerated case (values
+        # hash identically); HUGEINT/DECIMAL above are not
+        if dt != st and not (dt in INT_WIDTHS and st in INT_WIDTHS):
             type_bad = f"col {c} type: spark={st} duck={dt}"
             break
     if type_bad:

@@ -207,7 +207,7 @@ private[queries] object ComposedQueries {
       .agg(count(lit(1)).as("n_candidates"),
         sort_array(collect_list(when(col("usable"),
           struct(col("ns"), col("doc_id"), col("n_tokens"))))).as("a"))
-      .selectExpr("n_candidates", "size(a) AS n_kept",
+      .selectExpr("n_candidates", "CAST(size(a) AS BIGINT) AS n_kept",
         s"""aggregate(a,
            |  named_struct('cum', 0L, 'n', 0L, 'ids', 0L, 'toks', 0L),
            |  (s, x) -> named_struct(
