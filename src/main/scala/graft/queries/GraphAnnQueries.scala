@@ -166,10 +166,15 @@ private[graft] object GraphAnnQueries {
 
   /** The visited set of the bounded beam walk: (vec_id, cos_e6). */
   private[queries] def visitedDf(s: SparkSession, d: String): DataFrame =
-    walkDf(
-      edgesCkpt(s, d), // traversed once per hop
-      scoredCkpt(s, d), // arrival scoring for every hop
-      Beam)
+    walkCkpt(s, d, 8, Beam)
+
+  /** Memoized checkpointed WALK result (same rationale as [[edgesCkpt]]:
+    * the default-parameter walk over a maintained graph is itself a
+    * deterministic served artifact — topk / recall-audit / hier entries
+    * sharing a JVM run it once). */
+  private[queries] def walkCkpt(s: SparkSession, d: String, bits: Int, beam: Int): DataFrame =
+    PipelineShared.memo(s, s"hnsw_walk|$d|$bits|$beam")(
+      walkDf(edgesCkpt(s, d, bits), scoredCkpt(s, d), beam).localCheckpoint())
 
   /** Width-parameterized graph-ANN top-k — the ScaleBench deep-tier
     * entry: the battery pins bits=8 for oracle determinism, while the
@@ -177,10 +182,7 @@ private[graft] object GraphAnnQueries {
     * log2 N` lever every banded pipeline uses; at fixed 8 bits the
     * build's candidate volume is N²/2⁸-shaped and compounds at ×32). */
   private[graft] def hnswTopk(s: SparkSession, d: String, bits: Int): DataFrame = {
-    val visited = walkDf(
-      edgesCkpt(s, d, bits),
-      scoredCkpt(s, d),
-      Beam).localCheckpoint()
+    val visited = walkCkpt(s, d, bits, Beam)
     val nv = visited.agg(count(lit(1)).as("n_visited"))
     visited.crossJoin(broadcast(nv))
       .orderBy(col("cos_e6").desc, col("vec_id").asc)

@@ -404,7 +404,7 @@ private[graft] object VectorQueries {
     // how they enter the graph
     val gEdges = GraphAnnQueries.edgesCkpt(s, d)
     val gScored = GraphAnnQueries.scoredCkpt(s, d)
-    val hnsw = GraphAnnQueries.walkDf(gEdges, gScored, GraphAnnQueries.Beam)
+    val hnsw = GraphAnnQueries.walkCkpt(s, d, 8, GraphAnnQueries.Beam)
       .orderBy(col("cos_e6").desc, col("vec_id").asc)
       .limit(k).select("vec_id")
     // two-level descent at the same output budget: what the 1/256-scan
