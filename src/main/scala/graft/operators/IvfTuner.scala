@@ -79,10 +79,16 @@ object IvfTuner {
   }
 
   /** Smallest power-of-two width in [minNlist, maxNlist] whose measured
-    * probed volume is ≤ `maxProbedRows`; returns the last census if even
-    * maxNlist exceeds the bound (the caller sees the measured volume
-    * either way). Probing from the bottom keeps recall maximal AND the
-    * write-time assignment cost (∝ nlist per vector) minimal. */
+    * probed volume is ≤ `maxProbedRows` — with a PLATEAU stop: when a
+    * doubling fails to cut the probed volume by ≥10%, an unsplittable
+    * hot set (near-identical vectors sitting on the query) is flooring
+    * it, and every further doubling would only cost recall, write-time
+    * assignment (∝ nlist per vector), and census passes — the r16 ×32
+    * scale harness measured exactly this, escalating 16→65536 for a
+    * 113 s census that never met the bound. On plateau the PRE-plateau
+    * census returns (same probed volume, narrower width, more recall);
+    * the caller sees the measured volume either way. Probing from the
+    * bottom keeps recall maximal and the write cheapest. */
   def chooseNlist(corpus: DataFrame, embCol: String, nprobe: Int = 4,
                   maxProbedRows: Long = 4096,
                   minNlist: Int = 16, maxNlist: Int = 65536): Census = {
@@ -90,12 +96,12 @@ object IvfTuner {
       s"bad tuning range ($minNlist, $maxNlist)")
     require(nprobe >= 1 && nprobe <= minNlist,
       s"nprobe $nprobe must be in [1, minNlist $minNlist]")
-    var nlist = minNlist
-    var last = census(corpus, embCol, nlist, nprobe)
-    while (last.probedRows > maxProbedRows && nlist < maxNlist) {
-      nlist = math.min(nlist << 1, maxNlist)
-      last = census(corpus, embCol, nlist, nprobe)
+    var cur = census(corpus, embCol, minNlist, nprobe)
+    while (cur.probedRows > maxProbedRows && cur.nlist < maxNlist) {
+      val next = census(corpus, embCol, math.min(cur.nlist << 1, maxNlist), nprobe)
+      if (next.probedRows > (cur.probedRows * 9) / 10) return cur // plateau
+      cur = next
     }
-    last
+    cur
   }
 }

@@ -54,8 +54,11 @@ import org.apache.spark.sql.functions._
   */
 object SqlMerge {
 
-  /** Pass-through marker binding a resolved plan to its table path. */
-  final case class GraftTable(path: String, child: LogicalPlan) extends UnaryNode {
+  /** Pass-through marker binding a resolved plan to its table path
+    * (and pinned snapshot version for `path@v-…` time-travel reads —
+    * read-only: DML against a pinned snapshot is rejected). */
+  final case class GraftTable(path: String, version: Option[String],
+                              child: LogicalPlan) extends UnaryNode {
     override def output: Seq[Attribute] = child.output
     override protected def withNewChildInternal(c: LogicalPlan): GraftTable = copy(child = c)
   }
@@ -76,13 +79,40 @@ object SqlMerge {
       copy(target = newLeft, source = newRight)
   }
 
-  /** `graft.`path`` (two-part) or `` `graft:path` `` (one-part). */
-  private def graftPath(u: UnresolvedRelation): Option[String] =
-    u.multipartIdentifier match {
+  final case class GraftUpdateCommand(
+      path: String,
+      target: LogicalPlan,
+      assignments: Seq[Assignment],
+      condition: Option[Expression]) extends UnaryCommand {
+    override def child: LogicalPlan = target
+    override def output: Seq[Attribute] = Nil
+    override protected def withNewChildInternal(c: LogicalPlan): GraftUpdateCommand =
+      copy(target = c)
+  }
+
+  final case class GraftDeleteCommand(
+      path: String,
+      target: LogicalPlan,
+      condition: Expression) extends UnaryCommand {
+    override def child: LogicalPlan = target
+    override def output: Seq[Attribute] = Nil
+    override protected def withNewChildInternal(c: LogicalPlan): GraftDeleteCommand =
+      copy(target = c)
+  }
+
+  /** `graft.`path`` (two-part) or `` `graft:path` `` (one-part);
+    * a `@v-…` suffix pins a retained snapshot (read-only). */
+  private def graftPath(u: UnresolvedRelation): Option[(String, Option[String])] = {
+    val raw = u.multipartIdentifier match {
       case Seq(one) if one.startsWith("graft:") => Some(one.stripPrefix("graft:"))
       case Seq("graft", p) => Some(p)
       case _ => None
     }
+    raw.map { r =>
+      val at = r.lastIndexOf("@v-")
+      if (at > 0) (r.substring(0, at), Some(r.substring(at + 1))) else (r, None)
+    }
+  }
 
   final class ResolveGraftMerge(spark: SparkSession) extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan =
@@ -90,33 +120,56 @@ object SqlMerge {
         // substitute the addressed relation with the table's live
         // parquet plan (marker-wrapped); analysis proceeds natively
         case u: UnresolvedRelation if graftPath(u).isDefined =>
-          val p = graftPath(u).get
+          val (p, version) = graftPath(u).get
+          val df = version match {
+            case Some(v) => graft.operators.TableMerge.readVersion(spark, p, v)
+            case None => graft.operators.TableMerge.read(spark, p)
+          }
           SubqueryAlias(u.multipartIdentifier.last,
-            GraftTable(p, graft.operators.TableMerge.read(spark, p)
-              .queryExecution.analyzed))
+            GraftTable(p, version, df.queryExecution.analyzed))
         // fully resolved merge over a marked target → our command
         case m: MergeIntoTable if m.resolved && markerOf(m.targetTable).isDefined =>
           GraftMergeCommand(
-            markerOf(m.targetTable).get,
-            m.targetTable.transformUp { case GraftTable(_, c) => c },
+            writablePath(m.targetTable, "MERGE INTO"),
+            m.targetTable.transformUp { case GraftTable(_, _, c) => c },
             m.sourceTable, m.mergeCondition,
             m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions)
+        case up: UpdateTable if up.resolved && markerOf(up.table).isDefined =>
+          GraftUpdateCommand(
+            writablePath(up.table, "UPDATE"),
+            up.table.transformUp { case GraftTable(_, _, c) => c },
+            up.assignments, up.condition)
+        case del: DeleteFromTable if del.resolved && markerOf(del.table).isDefined =>
+          GraftDeleteCommand(
+            writablePath(del.table, "DELETE"),
+            del.table.transformUp { case GraftTable(_, _, c) => c },
+            del.condition)
       }
 
-    private def markerOf(t: LogicalPlan): Option[String] =
-      t.collectFirst { case GraftTable(p, _) => p }
+    private def markerOf(t: LogicalPlan): Option[(String, Option[String])] =
+      t.collectFirst { case GraftTable(p, v, _) => (p, v) }
+
+    private def writablePath(t: LogicalPlan, stmt: String): String = {
+      val (p, v) = markerOf(t).get
+      require(v.isEmpty,
+        s"$stmt cannot target the pinned snapshot $p@${v.get} — " +
+          "time-travel reads are read-only; target the live table")
+      p
+    }
   }
 
   /** Strips the marker so SELECT paths plan the child natively. */
   object StripGraftTable extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan =
-      plan.transformUp { case GraftTable(_, c) => c }
+      plan.transformUp { case GraftTable(_, _, c) => c }
   }
 
   object GraftMergeStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case cmd: GraftMergeCommand => GraftMergeExec(cmd) :: Nil
-      case GraftTable(_, child) => planLater(child) :: Nil
+      case cmd: GraftUpdateCommand => GraftUpdateExec(cmd) :: Nil
+      case cmd: GraftDeleteCommand => GraftDeleteExec(cmd) :: Nil
+      case GraftTable(_, _, child) => planLater(child) :: Nil
       case _ => Nil
     }
   }
@@ -125,6 +178,22 @@ object SqlMerge {
     override def output: Seq[Attribute] = Nil
     override protected def doExecute(): RDD[InternalRow] = {
       SqlMerge.run(session, cmd)
+      sparkContext.emptyRDD
+    }
+  }
+
+  final case class GraftUpdateExec(cmd: GraftUpdateCommand) extends LeafExecNode {
+    override def output: Seq[Attribute] = Nil
+    override protected def doExecute(): RDD[InternalRow] = {
+      SqlMerge.runUpdate(session, cmd)
+      sparkContext.emptyRDD
+    }
+  }
+
+  final case class GraftDeleteExec(cmd: GraftDeleteCommand) extends LeafExecNode {
+    override def output: Seq[Attribute] = Nil
+    override protected def doExecute(): RDD[InternalRow] = {
+      SqlMerge.runDelete(session, cmd)
       sparkContext.emptyRDD
     }
   }
@@ -156,6 +225,59 @@ object SqlMerge {
   private def deleteFired(actions: Seq[MergeAction], idx: Column): Column =
     actions.zipWithIndex.collect { case (_: DeleteAction, i) => idx === (i + 1) }
       .foldLeft(lit(false))(_ || _)
+
+  /** Partition-scoped copy-on-write commit shared by UPDATE/DELETE:
+    * rewrite only the partitions in `touched`, hard-link the rest; an
+    * unpartitioned table restates wholesale. */
+  private def commitScoped(spark: SparkSession, path: String,
+                           result: DataFrame, touched: DataFrame,
+                           partCols: Seq[String]): Unit = {
+    import graft.operators.TableMerge
+    if (partCols.nonEmpty) {
+      val t = touched.distinct().localCheckpoint()
+      TableMerge.replaceKeys(spark, path,
+        result.join(broadcast(t), partCols, "left_semi"), t,
+        groupKeys = partCols, partitionCols = partCols)
+    } else TableMerge.createOrReplace(result, path)
+  }
+
+  private[graft] def runUpdate(spark: SparkSession, cmd: GraftUpdateCommand): Unit = {
+    import graft.operators.TableMerge
+    val tgtAttrs = cmd.target.output
+    val target = dataFrameOf(spark, cmd.target)
+    val fires = cmd.condition.map(exprCol).getOrElse(lit(true))
+    def updated(a: Attribute): Column = {
+      val v = cmd.assignments.collectFirst {
+        case Assignment(k: Attribute, value) if k.exprId == a.exprId => exprCol(value)
+      }.getOrElse(exprCol(a))
+      when(coalesce(fires, lit(false)), v).otherwise(exprCol(a))
+    }
+    val result = target.select(tgtAttrs.map(a => updated(a).as(a.name)): _*)
+    val pcs = TableMerge.partitionColsOf(cmd.path)
+    val partCols = if (pcs.forall(c => tgtAttrs.exists(_.name == c))) pcs else Seq.empty
+    if (partCols.nonEmpty) {
+      val hit = target.filter(coalesce(fires, lit(false)))
+      val touched = hit.select(partCols.map(c => exprCol(
+          tgtAttrs.find(_.name == c).get).as(c)): _*)
+        .unionByName(hit.select(tgtAttrs.map(a => updated(a).as(a.name)): _*)
+          .select(partCols.map(col): _*))
+      commitScoped(spark, cmd.path, result, touched, partCols)
+    } else commitScoped(spark, cmd.path, result, result.limit(0), Seq.empty)
+  }
+
+  private[graft] def runDelete(spark: SparkSession, cmd: GraftDeleteCommand): Unit = {
+    import graft.operators.TableMerge
+    val tgtAttrs = cmd.target.output
+    val target = dataFrameOf(spark, cmd.target)
+    val fires = coalesce(exprCol(cmd.condition), lit(false))
+    val result = target.filter(!fires)
+    val partCols = TableMerge.partitionColsOf(cmd.path)
+    if (partCols.nonEmpty && partCols.forall(c => tgtAttrs.exists(_.name == c))) {
+      val touched = target.filter(fires).select(partCols.map(c => exprCol(
+        tgtAttrs.find(_.name == c).get).as(c)): _*)
+      commitScoped(spark, cmd.path, result, touched, partCols)
+    } else commitScoped(spark, cmd.path, result, result.limit(0), Seq.empty)
+  }
 
   private[graft] def run(spark: SparkSession, cmd: GraftMergeCommand): Unit = {
     import graft.operators.TableMerge

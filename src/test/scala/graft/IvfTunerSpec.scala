@@ -72,14 +72,16 @@ class IvfTunerSpec extends AnyFunSuite {
     assert(tuned.nlist == 16)
   }
 
-  test("unsplittable corpus: tuner reports the measured volume at maxNlist") {
-    // identical vectors all share one list at EVERY width; if that list
-    // is probed the bound can never be met and the honest answer is the
-    // measured volume at maxNlist
+  test("unsplittable corpus: the plateau stop keeps the narrow width, not maxNlist") {
+    // identical vectors all share one list at EVERY width; the first
+    // doubling buys nothing, so the tuner must STOP (escalating to
+    // maxNlist would cost recall + write-time assignment for the same
+    // measured volume — the r16 ×32 harness measured a 113 s census
+    // runaway before this guard) and report the floor honestly
     val corpus = vecs((1L to 40L).map(i => (i, Seq.tabulate(64)(_ => 0.1))))
     val tuned = IvfTuner.chooseNlist(corpus, "embedding", nprobe = 4,
-      maxProbedRows = 4L, minNlist = 16, maxNlist = 64)
-    assert(tuned.nlist == 64)
+      maxProbedRows = 4L, minNlist = 16, maxNlist = 1024)
+    assert(tuned.nlist == 16, s"plateau must stop the doubling walk: $tuned")
     assert(tuned.probedRows == 40L,
       s"0.1-constant vectors sit exactly on q, so their list is always probe #1: $tuned")
   }

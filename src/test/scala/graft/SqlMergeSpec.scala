@@ -135,6 +135,70 @@ class SqlMergeSpec extends AnyFunSuite {
       s"unexpected: $e")
   }
 
+  test("SQL UPDATE: conditional assignment, cross-partition move, quiet inodes") {
+    import spark.implicits._
+    val path = tmpTable("update")
+    TableMerge.createOrReplace(
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (5L, "q", 50L))
+        .toDF("id", "part", "v"), path, partitionCols = Seq("part"))
+    def live = java.nio.file.Paths.get(path).resolve(
+      Files.readString(java.nio.file.Paths.get(path, "_current")).trim)
+    def inodes(p: String): Set[Long] =
+      Option(live.resolve(s"part=$p").toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => Files.getAttribute(f.toPath, "unix:ino").asInstanceOf[Long]).toSet
+    val quietQ = inodes("q")
+    spark.sql(s"UPDATE graft.`$path` SET v = v * 10 WHERE id < 3")
+    assert(rows(path) == Set(
+      (1L, "a", 100L), (2L, "a", 200L), (3L, "b", 30L), (5L, "q", 50L)))
+    assert(inodes("q") == quietQ, "quiet partition rewritten by SQL UPDATE")
+    // partition-moving update: both old and new homes rewrite
+    spark.sql(s"UPDATE graft.`$path` SET part = 'b' WHERE id = 1")
+    assert(rows(path) == Set(
+      (1L, "b", 100L), (2L, "a", 200L), (3L, "b", 30L), (5L, "q", 50L)))
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$path` WHERE id = 1")
+      .head().getLong(0) == 1, "moved row duplicated or lost")
+  }
+
+  test("SQL DELETE: predicate delete with quiet-partition inodes") {
+    import spark.implicits._
+    val path = tmpTable("delete")
+    TableMerge.createOrReplace(
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (5L, "q", 50L))
+        .toDF("id", "part", "v"), path, partitionCols = Seq("part"))
+    def live = java.nio.file.Paths.get(path).resolve(
+      Files.readString(java.nio.file.Paths.get(path, "_current")).trim)
+    def inodes(p: String): Set[Long] =
+      Option(live.resolve(s"part=$p").toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => Files.getAttribute(f.toPath, "unix:ino").asInstanceOf[Long]).toSet
+    val quietB = inodes("b")
+    val quietQ = inodes("q")
+    spark.sql(s"DELETE FROM graft.`$path` WHERE part = 'a' AND v >= 20")
+    assert(rows(path) == Set((1L, "a", 10L), (3L, "b", 30L), (5L, "q", 50L)))
+    assert(inodes("b") == quietB && inodes("q") == quietQ,
+      "quiet partitions rewritten by SQL DELETE")
+  }
+
+  test("SQL time travel: graft.`path@v-…` reads the pinned snapshot; DML on it is rejected") {
+    import spark.implicits._
+    val path = tmpTable("tt")
+    TableMerge.createOrReplace(
+      Seq((1L, "a", 10L), (2L, "a", 20L)).toDF("id", "part", "v"),
+      path, partitionCols = Seq("part"))
+    val v1 = TableMerge.versions(path).head
+    spark.sql(s"DELETE FROM graft.`$path` WHERE id = 2")
+    assert(spark.sql(s"SELECT sum(v) FROM graft.`$path`").head().getLong(0) == 10L)
+    assert(spark.sql(s"SELECT sum(v) FROM graft.`$path@$v1`").head().getLong(0) == 30L,
+      "time-travel read must see the pre-delete snapshot")
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM graft.`$path@$v1` WHERE id = 1")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("read-only")), s"unexpected: $e")
+  }
+
   test("SELECT over graft.`path` reads the live version (and sees merges)") {
     import spark.implicits._
     val path = tmpTable("select")
