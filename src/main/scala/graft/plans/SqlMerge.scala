@@ -79,6 +79,18 @@ object SqlMerge {
       copy(target = newLeft, source = newRight)
   }
 
+  final case class GraftInsertCommand(
+      path: String,
+      targetSchema: org.apache.spark.sql.types.StructType,
+      query: LogicalPlan,
+      overwrite: Boolean,
+      byName: Boolean) extends UnaryCommand {
+    override def child: LogicalPlan = query
+    override def output: Seq[Attribute] = Nil
+    override protected def withNewChildInternal(c: LogicalPlan): GraftInsertCommand =
+      copy(query = c)
+  }
+
   final case class GraftUpdateCommand(
       path: String,
       target: LogicalPlan,
@@ -120,13 +132,29 @@ object SqlMerge {
         // substitute the addressed relation with the table's live
         // parquet plan (marker-wrapped); analysis proceeds natively
         case u: UnresolvedRelation if graftPath(u).isDefined =>
-          val (p, version) = graftPath(u).get
-          val df = version match {
-            case Some(v) => graft.operators.TableMerge.readVersion(spark, p, v)
-            case None => graft.operators.TableMerge.read(spark, p)
+          substitute(u)
+        // INSERT's target is a constructor FIELD, not a tree child —
+        // substitute it explicitly, then convert once the query side
+        // is resolved (the V1/V2 insert planners never see it)
+        case i: InsertIntoStatement =>
+          i.table match {
+            case u: UnresolvedRelation if graftPath(u).isDefined =>
+              i.copy(table = substitute(u))
+            case t if i.query.resolved && markerOf(t).isDefined =>
+              require(i.partitionSpec.isEmpty && !i.ifPartitionNotExists,
+                "INSERT into graft tables does not take a static PARTITION spec " +
+                  "(partition columns are ordinary data columns)")
+              require(i.userSpecifiedCols.isEmpty,
+                "INSERT into graft tables lists no column subset; insert full rows " +
+                  "(or use MERGE INTO for partial-column writes)")
+              GraftInsertCommand(
+                writablePath(t, "INSERT INTO"),
+                org.apache.spark.sql.types.StructType(
+                  t.output.map(a => org.apache.spark.sql.types.StructField(
+                    a.name, a.dataType, a.nullable))),
+                i.query, i.overwrite, i.byName)
+            case _ => i
           }
-          SubqueryAlias(u.multipartIdentifier.last,
-            GraftTable(p, version, df.queryExecution.analyzed))
         // fully resolved merge over a marked target → our command
         case m: MergeIntoTable if m.resolved && markerOf(m.targetTable).isDefined =>
           GraftMergeCommand(
@@ -145,6 +173,16 @@ object SqlMerge {
             del.table.transformUp { case GraftTable(_, _, c) => c },
             del.condition)
       }
+
+    private def substitute(u: UnresolvedRelation): LogicalPlan = {
+      val (p, version) = graftPath(u).get
+      val df = version match {
+        case Some(v) => graft.operators.TableMerge.readVersion(spark, p, v)
+        case None => graft.operators.TableMerge.read(spark, p)
+      }
+      SubqueryAlias(u.multipartIdentifier.last,
+        GraftTable(p, version, df.queryExecution.analyzed))
+    }
 
     private def markerOf(t: LogicalPlan): Option[(String, Option[String])] =
       t.collectFirst { case GraftTable(p, v, _) => (p, v) }
@@ -167,6 +205,7 @@ object SqlMerge {
   object GraftMergeStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case cmd: GraftMergeCommand => GraftMergeExec(cmd) :: Nil
+      case cmd: GraftInsertCommand => GraftInsertExec(cmd) :: Nil
       case cmd: GraftUpdateCommand => GraftUpdateExec(cmd) :: Nil
       case cmd: GraftDeleteCommand => GraftDeleteExec(cmd) :: Nil
       case GraftTable(_, _, child) => planLater(child) :: Nil
@@ -178,6 +217,14 @@ object SqlMerge {
     override def output: Seq[Attribute] = Nil
     override protected def doExecute(): RDD[InternalRow] = {
       SqlMerge.run(session, cmd)
+      sparkContext.emptyRDD
+    }
+  }
+
+  final case class GraftInsertExec(cmd: GraftInsertCommand) extends LeafExecNode {
+    override def output: Seq[Attribute] = Nil
+    override protected def doExecute(): RDD[InternalRow] = {
+      SqlMerge.runInsert(session, cmd)
       sparkContext.emptyRDD
     }
   }
@@ -239,6 +286,34 @@ object SqlMerge {
         result.join(broadcast(t), partCols, "left_semi"), t,
         groupKeys = partCols, partitionCols = partCols)
     } else TableMerge.createOrReplace(result, path)
+  }
+
+  private[graft] def runInsert(spark: SparkSession, cmd: GraftInsertCommand): Unit = {
+    import graft.operators.TableMerge
+    val q = dataFrameOf(spark, cmd.query)
+    require(q.columns.length == cmd.targetSchema.length,
+      s"INSERT INTO: ${cmd.targetSchema.length} target columns, " +
+        s"got ${q.columns.length}")
+    // positional (or by-name) alignment with casts to the table schema
+    val aligned =
+      if (cmd.byName) q.select(cmd.targetSchema.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
+      else q.select(q.columns.zip(cmd.targetSchema.toSeq).map { case (c, f) =>
+        col(c).cast(f.dataType).as(f.name) }: _*)
+    val partCols = TableMerge.partitionColsOf(cmd.path)
+    if (cmd.overwrite) {
+      TableMerge.createOrReplace(aligned, cmd.path, partitionCols = partCols)
+    } else if (partCols.nonEmpty) {
+      // partition-scoped append: replaceKeys with nothing to drop
+      // rewrites only the partitions the new rows land in
+      val touched = aligned.select(partCols.map(col): _*).distinct().localCheckpoint()
+      TableMerge.replaceKeys(spark, cmd.path, aligned, touched.limit(0),
+        groupKeys = partCols, partitionCols = partCols)
+    } else {
+      TableMerge.createOrReplace(
+        dataFrameOf(spark, TableMerge.read(spark, cmd.path).queryExecution.analyzed)
+          .unionByName(aligned), cmd.path)
+    }
   }
 
   private[graft] def runUpdate(spark: SparkSession, cmd: GraftUpdateCommand): Unit = {

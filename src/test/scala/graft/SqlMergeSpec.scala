@@ -180,6 +180,35 @@ class SqlMergeSpec extends AnyFunSuite {
       "quiet partitions rewritten by SQL DELETE")
   }
 
+  test("SQL INSERT INTO appends partition-scoped; INSERT OVERWRITE restates") {
+    import spark.implicits._
+    val path = tmpTable("insert")
+    TableMerge.createOrReplace(
+      Seq((1L, "a", 10L), (3L, "b", 30L), (5L, "q", 50L)).toDF("id", "part", "v"),
+      path, partitionCols = Seq("part"))
+    def live = java.nio.file.Paths.get(path).resolve(
+      Files.readString(java.nio.file.Paths.get(path, "_current")).trim)
+    def inodes(p: String): Set[Long] =
+      Option(live.resolve(s"part=$p").toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => Files.getAttribute(f.toPath, "unix:ino").asInstanceOf[Long]).toSet
+    val quietB = inodes("b")
+    val quietQ = inodes("q")
+    // canonical positional order = read-back schema (partition cols LAST,
+    // the Hive/Spark convention for partitioned inserts)
+    spark.sql(s"INSERT INTO graft.`$path` VALUES (7, 70, 'a'), (8, 80, 'a')")
+    assert(rows(path) == Set((1L, "a", 10L), (3L, "b", 30L), (5L, "q", 50L),
+      (7L, "a", 70L), (8L, "a", 80L)))
+    assert(inodes("b") == quietB && inodes("q") == quietQ,
+      "append must rewrite only the partitions the new rows land in")
+    spark.sql(s"INSERT OVERWRITE graft.`$path` VALUES (9, 90, 'z')")
+    assert(rows(path) == Set((9L, "z", 90L)))
+    // the pre-overwrite snapshot stays time-travel-readable
+    val prev = TableMerge.versions(path)(1)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$path@$prev`")
+      .head().getLong(0) == 5L)
+  }
+
   test("SQL time travel: graft.`path@v-…` reads the pinned snapshot; DML on it is rejected") {
     import spark.implicits._
     val path = tmpTable("tt")
