@@ -188,8 +188,17 @@ object TableMerge {
   private val TxnFile = "_graft_txn.tsv"
 
   private def writeSchemaSidecar(version: Path,
-                                 schema: org.apache.spark.sql.types.StructType): Unit =
-    Files.writeString(version.resolve(SchemaFile), schema.json)
+                                 schema: org.apache.spark.sql.types.StructType,
+                                 partitionCols: Seq[String] = Seq.empty): Unit =
+    // store the READ-BACK column order (data columns, then partition
+    // columns — how Spark reconstructs a partitioned layout) so a
+    // zero-row table presents the same schema it will have once data
+    // lands; before r16 the sidecar kept the pre-partitionBy write
+    // order and positional SQL INSERTs against empty tables misaligned
+    Files.writeString(version.resolve(SchemaFile),
+      org.apache.spark.sql.types.StructType(
+        schema.filterNot(f => partitionCols.contains(f.name)) ++
+          partitionCols.flatMap(c => schema.find(_.name == c))).json)
 
   private def writeTxnSidecar(version: Path, meta: Map[String, String]): Unit =
     if (meta.nonEmpty)
@@ -343,7 +352,7 @@ object TableMerge {
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(version.toString)
-    writeSchemaSidecar(version, df.schema)
+    writeSchemaSidecar(version, df.schema, partitionCols)
     writeTxnSidecar(version, meta)
     commitVersion(tablePath, version, expect)
   }
@@ -380,7 +389,7 @@ object TableMerge {
           val merged = mergeRows(targetTouched, src, keys)
           val version = newVersionDir(tablePath)
           merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(version.toString)
-          writeSchemaSidecar(version, merged.schema)
+          writeSchemaSidecar(version, merged.schema, partitionCols)
           writeTxnSidecar(version, meta)
           carryUntouchedPartitions(liveDir, version, partitionCols,
             touchedPartitionDirs(touched))
@@ -425,7 +434,7 @@ object TableMerge {
             .unionByName(source, allowMissingColumns = true)
           val version = newVersionDir(tablePath)
           merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(version.toString)
-          writeSchemaSidecar(version, merged.schema)
+          writeSchemaSidecar(version, merged.schema, partitionCols)
           writeTxnSidecar(version, meta)
           carryUntouchedPartitions(liveDir, version, partitionCols,
             touchedPartitionDirs(touched))

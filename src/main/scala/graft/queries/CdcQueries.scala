@@ -164,6 +164,36 @@ object CdcQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** K14 — the rest of the SQL DML surface under the oracle gate
+    * (`k13_sql_merge` covers MERGE): an orders snapshot partitioned by
+    * status absorbs, IN ORDER, an `INSERT INTO … SELECT` (partition-
+    * scoped append), an `UPDATE … WHERE` (scoped CoW rewrite of touched
+    * partitions), and a `DELETE … WHERE` — all typed as SQL statements
+    * against `graft.`path``; the oracle replays the three statements'
+    * algebra in sequence, so a clause mis-executing or applying out of
+    * order flips the hash. */
+  private val k14SqlDml: Q = (s, d) => {
+    val path = statePath("k14_orders_sqldml")
+    val orders = Tables.orders(s, d)
+    val e2 = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    TableMerge.createOrReplace(
+      orders.selectExpr("o_orderkey", "o_orderstatus", s"$e2 AS price_e2"),
+      path, partitionCols = Seq("o_orderstatus"))
+    orders.filter(col("o_orderkey") % 11 === 0)
+      // positional order = the table's read-back schema (partition col last)
+      .selectExpr("o_orderkey + 10000000 AS o_orderkey",
+        "CAST(o_orderkey * 10 AS BIGINT) AS price_e2", "'Z' AS o_orderstatus")
+      .createOrReplaceTempView("k14_new_orders")
+    s.sql(s"INSERT INTO graft.`$path` SELECT * FROM k14_new_orders")
+    s.sql(s"UPDATE graft.`$path` SET price_e2 = price_e2 + 500 WHERE o_orderkey % 3 = 0")
+    s.sql(s"DELETE FROM graft.`$path` WHERE o_orderkey % 10 = 7")
+    TableMerge.read(s, path)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("price_e2").as("sum_price_e2"),
+        sum("o_orderkey").as("key_sum"))
+      .orderBy("o_orderstatus")
+  }
+
   /** K1 partition-scoped — merge keyed by (partition col, id): only
     * touched `source` partitions are rewritten; untouched partition
     * directories are carried over as files (SURVEY §7.3 "MERGE
@@ -494,6 +524,7 @@ object CdcQueries {
     "k1_merge_upsert" -> k1MergeUpsert,
     "k2_merge_delete" -> k2MergeDelete,
     "k13_sql_merge" -> k13SqlMerge,
+    "k14_sql_dml" -> k14SqlDml,
     "k3_partitioned_merge" -> k3PartitionedMerge,
     "k9_time_travel" -> k9TimeTravel,
     "k10_vacuum" -> k10Vacuum,
@@ -721,6 +752,28 @@ object CdcQueries {
         |  CAST(sum(bal_e2) AS BIGINT) AS sum_bal_e2,
         |  CAST(sum(c_custkey) AS BIGINT) AS key_sum
         |FROM finalrows GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "k14_sql_dml" ->
+      // the three statements' algebra replayed in order:
+      // insert, then update (applies to inserted rows too), then delete
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_e2
+        |  FROM orders),
+        |ins AS (
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, 'Z' AS o_orderstatus,
+        |    CAST(o_orderkey * 10 AS BIGINT) AS price_e2
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |allr AS (SELECT * FROM base UNION ALL SELECT * FROM ins),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN price_e2 + 500 ELSE price_e2 END
+        |      AS price_e2
+        |  FROM allr),
+        |fin AS (SELECT * FROM upd WHERE o_orderkey % 10 <> 7)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price_e2) AS BIGINT) AS sum_price_e2,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "k2_merge_delete" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |  round(sum(c_acctbal), 2) AS total_bal
