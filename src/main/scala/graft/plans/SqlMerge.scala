@@ -367,22 +367,34 @@ object SqlMerge {
     val cond = exprCol(cmd.condition)
 
     val pairs = t.join(src, cond, "inner")
-    // nondeterministic-merge guard: >1 source row per target row
-    if (cmd.matchedActions.nonEmpty) {
-      val dup = pairs.groupBy("__tid").count().filter(col("count") > 1).limit(1).count()
-      require(dup == 0L,
-        "MERGE INTO: a target row matched more than one source row " +
-          "(nondeterministic merge); make the ON condition selective")
-    }
 
     def tCol(a: Attribute): Column = exprCol(a)
 
-    val matchedOut = pairs
+    // Delta semantics (ADVICE r16): a target row matched by several
+    // source rows is legal as long as at most ONE of them fires a
+    // matched clause — insert-only merges and fully conditional matched
+    // clauses pass; only a row that would be updated/deleted twice is
+    // the nondeterministic-merge error. Matched rows with no firing
+    // clause pass through unchanged, ONCE (never one copy per match).
+    val fired = pairs
       .withColumn("__idx", clauseIdx(cmd.matchedActions))
+      .filter(col("__idx") > 0)
+    if (cmd.matchedActions.nonEmpty) {
+      val dup = fired.groupBy("__tid").count().filter(col("count") > 1).limit(1).count()
+      require(dup == 0L,
+        "MERGE INTO: a target row would be updated or deleted by more than " +
+          "one source row (nondeterministic merge); make the ON condition selective")
+    }
+    val firedOut = fired
       .withColumn("__del", deleteFired(cmd.matchedActions, col("__idx")))
       .filter(!col("__del"))
       .select(Seq(col("__tid"), col("__idx")) ++ tgtAttrs.map(a =>
         mergedValue(a, cmd.matchedActions, col("__idx"), tCol(a)).as(a.name)): _*)
+    val passThrough = t.join(src, cond, "left_semi")
+      .join(fired.select("__tid"), Seq("__tid"), "left_anti")
+      .select(Seq(col("__tid"), lit(0).as("__idx")) ++ tgtAttrs.map(a =>
+        tCol(a).as(a.name)): _*)
+    val matchedOut = firedOut.unionByName(passThrough)
 
     val unmatchedT = t.join(src, cond, "left_anti")
     val unmatchedOut = unmatchedT

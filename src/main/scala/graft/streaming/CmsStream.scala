@@ -73,17 +73,52 @@ object CmsStream {
     }
   }
 
-  /** Streaming maintenance of the persisted counter table. The
-    * checkpoint path is the run id: same checkpoint → same batchId
-    * lineage → the replay skip is sound. */
+  /** Name of the nonce file that IS the run id. The checkpoint PATH is
+    * not a sound run id (ADVICE r16): the most common reset — delete
+    * and recreate the checkpoint at the same path — would keep the
+    * same id while batchIds restart at 0, so `>= batchId` would
+    * silently drop every new batch, the exact failure the lineage
+    * guard exists to catch. A nonce file created WITH the checkpoint
+    * changes identity on every wipe: a reset lineage over kept
+    * counters now trips the loud foreign-run require. */
+  private[graft] val RunNonceFile = "_graft_cms_run"
+
+  /** Run id for a checkpoint dir: the persisted nonce, created on
+    * first use (i.e. together with the checkpoint lineage itself). */
+  private[graft] def runIdFor(checkpointDir: String): String = {
+    val dir = java.nio.file.Paths.get(checkpointDir)
+    java.nio.file.Files.createDirectories(dir)
+    val nonce = dir.resolve(RunNonceFile)
+    if (!java.nio.file.Files.exists(nonce)) {
+      val id = java.util.UUID.randomUUID().toString
+      val tmp = dir.resolve(s".$RunNonceFile.tmp-${System.nanoTime()}")
+      java.nio.file.Files.writeString(tmp, id)
+      try java.nio.file.Files.move(tmp, nonce,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { // concurrent creator won: adopt its nonce
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp): Unit
+      }
+    }
+    java.nio.file.Files.readString(nonce).trim
+  }
+
+  /** Streaming maintenance of the persisted counter table. The run id
+    * is a nonce persisted INSIDE the checkpoint dir (created with it,
+    * wiped with it), so the batchId replay skip is scoped to exactly
+    * one checkpoint lineage — same checkpoint → same nonce → sound
+    * skip; wiped-and-recreated checkpoint → fresh nonce → loud
+    * foreign-lineage failure instead of silent drops. */
   def sketchSink(docs: DataFrame, tablePath: String, checkpointDir: String,
                  depth: Int = 4,
-                 width: Int = 256): org.apache.spark.sql.streaming.StreamingQuery =
+                 width: Int = 256): org.apache.spark.sql.streaming.StreamingQuery = {
+    val runId = runIdFor(checkpointDir)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyCmsBatch(batch, batchId, tablePath, depth, width, checkpointDir)
+        applyCmsBatch(batch, batchId, tablePath, depth, width, runId)
       }
       .start()
+  }
 }

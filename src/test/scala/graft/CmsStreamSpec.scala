@@ -50,21 +50,31 @@ class CmsStreamSpec extends AnyFunSuite {
       assert(counters(table) == sketchOf(docs), "final: counters drifted")
     } finally q.stop()
     // replay the LAST batch id directly (foreachBatch's at-least-once
-    // failure mode): addition would double-count without the tag
+    // failure mode): addition would double-count without the tag. The
+    // run id is the nonce persisted inside the live checkpoint.
+    val runId = CmsStream.runIdFor(ckpt)
     val before = counters(table)
     val lastId = graft.operators.TableMerge.versions(table)
       .flatMap(v => graft.operators.TableMerge.versionMeta(table, v)
         .get(CmsStream.CmsBatchKey)).map(_.toLong).max
-    CmsStream.applyCmsBatch(b3.toDF("doc_id", "text"), lastId, table, 4, 256, ckpt)
+    CmsStream.applyCmsBatch(b3.toDF("doc_id", "text"), lastId, table, 4, 256, runId)
     assert(counters(table) == before, "replayed batch double-counted")
     // an EARLIER id is also a no-op (>= comparison)
-    CmsStream.applyCmsBatch(b1.toDF("doc_id", "text"), lastId - 1, table, 4, 256, ckpt)
+    CmsStream.applyCmsBatch(b1.toDF("doc_id", "text"), lastId - 1, table, 4, 256, runId)
     assert(counters(table) == before, "stale replay double-counted")
-    // a RESET checkpoint (batchIds restart at 0 under a new run id) must
-    // fail loudly, not silently drop the batch as a "replay"
+    // the COMMON reset (ADVICE r16): wipe and recreate the checkpoint at
+    // the SAME path — batchIds restart at 0 but the fresh nonce changes
+    // the run id, so the guard fails loudly instead of silently dropping
+    // every new batch as a "replay"
+    def wipe(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).getOrElse(Array.empty).foreach(wipe)
+      p.delete(); ()
+    }
+    wipe(new java.io.File(ckpt))
+    val resetRunId = CmsStream.runIdFor(ckpt)
+    assert(resetRunId != runId, "wiped checkpoint must mint a fresh run nonce")
     val e = intercept[IllegalArgumentException] {
-      CmsStream.applyCmsBatch(b1.toDF("doc_id", "text"), 0L, table, 4, 256,
-        dir.resolve("ckpt-reset").toString)
+      CmsStream.applyCmsBatch(b1.toDF("doc_id", "text"), 0L, table, 4, 256, resetRunId)
     }
     assert(e.getMessage.contains("run id"), s"unexpected message: ${e.getMessage}")
     assert(counters(table) == before, "foreign-run batch mutated the counters")

@@ -131,8 +131,58 @@ class SqlMergeSpec extends AnyFunSuite {
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("matched more than one source row")),
+    assert(msgs(e).exists(_.contains("more than one source row")),
       s"unexpected: $e")
+  }
+
+  test("insert-only merge: duplicate source matches keep the target row ONCE") {
+    import spark.implicits._
+    val path = tmpTable("insonly")
+    TableMerge.createOrReplace(
+      Seq((1L, "a", 10L), (3L, "b", 30L)).toDF("id", "part", "v"),
+      path, partitionCols = Seq("part"))
+    // id=1 matched by TWO source rows — legal for an insert-only merge
+    // (no matched clause can fire); Delta keeps the target row once
+    Seq((1L, "a", 111L), (1L, "a", 222L), (4L, "c", 40L))
+      .toDF("id", "part", "v").createOrReplaceTempView("sqlmerge_insonly_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$path` AS t USING sqlmerge_insonly_src AS s
+         |ON t.id = s.id
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(rows(path) == Set((1L, "a", 10L), (3L, "b", 30L), (4L, "c", 40L)),
+      "duplicate-matched target row must survive exactly once, unchanged")
+    assert(TableMerge.read(spark, path).filter($"id" === 1).count() == 1,
+      "insert-only merge duplicated a multi-matched target row")
+  }
+
+  test("conditional matched clauses: duplicate matches legal when at most one fires") {
+    import spark.implicits._
+    val path = tmpTable("conddup")
+    TableMerge.createOrReplace(
+      Seq((1L, "a", 10L), (2L, "a", 20L)).toDF("id", "part", "v"),
+      path, partitionCols = Seq("part"))
+    // id=1: two matches, only nv=100 passes the clause condition → legal,
+    // updates once; id=2: two matches, BOTH fire → nondeterministic, error
+    Seq((1L, 100L), (1L, 5L)).toDF("id", "nv")
+      .createOrReplaceTempView("sqlmerge_conddup_ok")
+    spark.sql(
+      s"""MERGE INTO graft.`$path` AS t USING sqlmerge_conddup_ok AS s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.nv >= 50 THEN UPDATE SET v = s.nv""".stripMargin)
+    assert(rows(path) == Set((1L, "a", 100L), (2L, "a", 20L)))
+    Seq((2L, 100L), (2L, 200L)).toDF("id", "nv")
+      .createOrReplaceTempView("sqlmerge_conddup_bad")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.`$path` AS t USING sqlmerge_conddup_bad AS s
+           |ON t.id = s.id
+           |WHEN MATCHED AND s.nv >= 50 THEN UPDATE SET v = s.nv""".stripMargin)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("more than one source row")), s"unexpected: $e")
+    assert(rows(path) == Set((1L, "a", 100L), (2L, "a", 20L)),
+      "failed merge must not mutate the table")
   }
 
   test("SQL UPDATE: conditional assignment, cross-partition move, quiet inodes") {
