@@ -76,7 +76,12 @@ object ScaleBench {
     // r15: the batched multi-query walk and the two-level descent —
     // both are graph BUILDS first (banded joins, same width lever);
     // the walks themselves are bounded at any width
-    "sim_hnsw_batch", "sim_hnsw_hier")
+    "sim_hnsw_batch", "sim_hnsw_hier",
+    // r17 (VERDICT r16 #1): the persisted-index retrain lifecycle at
+    // the census width — the maintain row above also switches to the
+    // census width here (the battery row keeps the oracle-replayable
+    // √N width as its record)
+    "sim_index_retrain")
 
   /** The two width-lever pipelines also get the fixed-width ×32 point. */
   private val FixedWidthDoc = Seq("dedup_semantic_keep", "sim_embed_neardup")
@@ -271,6 +276,10 @@ object ScaleBench {
           (s, d) => graft.queries.GraphAnnQueries.hnswTopk(s, d, tuned(f)._1)
         case "sim_hnsw_maintain" =>
           (s, d) => graft.queries.GraphAnnQueries.hnswMaintain(s, d, tuned(f)._1)
+        case "sim_index_maintain" =>
+          (s, d) => graft.queries.VectorIndexQueries.maintainAt(s, d, ivfTuned(f)._1.nlist)
+        case "sim_index_retrain" =>
+          (s, d) => graft.queries.VectorIndexQueries.retrainAt(s, d, ivfTuned(f)._1.nlist)
         case "sim_hnsw_batch" =>
           (s, d) => graft.queries.GraphAnnQueries.hnswBatch(s, d, tuned(f)._1)
         case "sim_hnsw_hier" =>

@@ -164,6 +164,14 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
         IvfAssign(children.head, nlist)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_argmin_sq"),
+      new ExpressionInfo(classOf[ArgminSq].getName, "graft_argmin_sq"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_argmin_sq(vec, cents) takes exactly 2 arguments")
+        ArgminSq(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_fuzzy_tf"),
       new ExpressionInfo(classOf[FuzzyTokenCount].getName, "graft_fuzzy_tf"),
       (children: Seq[Expression]) => {

@@ -385,8 +385,17 @@ object TableMerge {
           // snapshot keeps its files for in-flight readers) and rewrite only
           // the touched ones.
           val touched = src.select(partitionCols.map(col): _*).distinct()
+            .localCheckpoint() // see replaceKeys: broadcast + link-planner reuse
           val targetTouched = target.join(broadcast(touched), partitionCols, "left_semi")
           val merged = mergeRows(targetTouched, src, keys)
+            // cluster by the partition columns before the partitioned
+            // write: each output dir is then written by ONE task (≤ one
+            // file per dir per commit) instead of every shuffle task
+            // writing a sliver into every dir it holds — tasks×dirs
+            // small files is what made maintained-index reads and
+            // rewrites degrade with width (r17 probe: 1,953 files for a
+            // 64k-row table; subsequent scans pay per-file open cost)
+            .repartition(partitionCols.map(col): _*)
           val version = newVersionDir(tablePath)
           merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(version.toString)
           writeSchemaSidecar(version, merged.schema, partitionCols)
@@ -427,11 +436,18 @@ object TableMerge {
           // [[upsert]]. This is the ANN-index maintenance shape: moving a
           // vector across centroids drops (old_centroid, id) and inserts
           // (new_centroid, id), rewriting only those two partitions.
+          // freeze the touched-partition set (≤ #partitions rows): it is
+          // referenced by the broadcast semi-join AND the hard-link
+          // planner's collect, and recomputing it re-evaluates the whole
+          // dropGroups ∪ source lineage each time
           val touched = drops.select(partitionCols.map(col): _*)
             .union(source.select(partitionCols.map(col): _*)).distinct()
+            .localCheckpoint()
           val targetTouched = target.join(broadcast(touched), partitionCols, "left_semi")
           val merged = targetTouched.join(drops, groupKeys, "left_anti")
             .unionByName(source, allowMissingColumns = true)
+            // one writer task per output dir — see the upsert branch
+            .repartition(partitionCols.map(col): _*)
           val version = newVersionDir(tablePath)
           merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(version.toString)
           writeSchemaSidecar(version, merged.schema, partitionCols)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.TableMerge
+import graft.operators.{IvfTuner, TableMerge}
 import graft.queries.PipelineShared._
 
 /** PERSISTED ANN-index maintenance (VERDICT r10 #1 / r11 #3) — the
@@ -26,43 +26,71 @@ import graft.queries.PipelineShared._
   * partition column, so untouched centroid partitions are hard-linked
   * (never read or rewritten) — `TableMergeSpec` asserts the inodes.
   *
+  * Quantizer WIDTH (r17, VERDICT r16 #1): the lifecycle no longer pins
+  * `nlist = 16`. The width derives from the corpus size via
+  * [[graft.operators.IvfTuner.sqrtNlist]] — the integer-exact pow2 form
+  * of the FAISS `nlist ≈ √N` rule — so every inverted list, and with it
+  * every touched-partition rewrite and probed read, stops growing
+  * linearly with the corpus. The CHOICE rides the correctness gate: a
+  * `nlist` column is part of every lifecycle query's output and the
+  * DuckDB oracle re-derives the width from `count(*)` with integer
+  * compares only (the `sim_ivf_tuned_topk` pattern), re-derives the
+  * probe set at that width from the closed-form centroid grid, and
+  * replays assignment/drift/retrain at the same width — a drifted tuner
+  * flips the hash. The deep scale tier additionally runs the lifecycle
+  * at the measured census width ([[IvfTuner.chooseNlist]]), the
+  * production knob when occupancy — not arithmetic — should pick it.
+  *
   * Scale posture: at 100 TB the index holds the corpus itself (the
   * bucketed layout IS the table); a daily batch touches ≤ nlist
   * partitions plus the moved vectors' old lists, the old-position
   * lookup is a broadcast-able semi-join of batch ids against the live
-  * index, and the rewrite shuffles only the touched partitions' rows.
-  * Probed reads (`ivfProbedTopk` shape) prune to nprobe partition
-  * dirs before a row is decoded, identically on the maintained and
-  * the from-scratch layout — which is exactly what the oracle pins.
+  * index, and the rewrite shuffles only the touched partitions' rows —
+  * clustered one writer task per partition dir, so file count tracks
+  * `nlist`, not tasks×dirs. Probed reads (`ivfProbedTopk` shape) prune
+  * to nprobe partition dirs before a row is decoded, identically on
+  * the maintained and the from-scratch layout — which is exactly what
+  * the oracle pins.
   */
 private[graft] object VectorIndexQueries {
 
-  private val Nlist = 16
+  private val Nprobe = 4
+
+  /** Derived quantizer width for a dataset: `sqrtNlist(count)` — the
+    * smallest power of two in [16, 65536] whose square covers the
+    * embeddings count. Memoized per (session, dir): one bounded count
+    * job per battery run (the LshTuner census-read precedent). */
+  private[graft] def nlistFor(s: SparkSession, d: String): Int =
+    PipelineShared.memo(s, s"ivfidx_nlist_$d") {
+      java.lang.Integer.valueOf(
+        IvfTuner.sqrtNlist(Tables.embeddings(s, d).count()))
+    }.intValue
 
   /** Fixture shared by both entries: corpus = vec_id %10 != 0; batch =
     * inserts (%10 == 0, original embedding) + re-embeds (%20 == 5,
     * REVERSED embedding — deterministic, DuckDB-replicable, and moves
     * most re-embedded vectors to a different centroid so the
     * cross-partition path is genuinely exercised). */
-  private def assigned(df: DataFrame): DataFrame =
+  private def assigned(df: DataFrame, nlist: Int): DataFrame =
     df.selectExpr("vec_id", "embedding",
-      s"graft_ivf_assign(embedding, $Nlist) AS centroid_id")
+      s"graft_ivf_assign(embedding, $nlist) AS centroid_id")
 
-  private def corpusOf(emb: DataFrame): DataFrame =
-    assigned(emb.filter(col("vec_id") % 10 =!= 0))
+  private def corpusOf(emb: DataFrame, nlist: Int): DataFrame =
+    assigned(emb.filter(col("vec_id") % 10 =!= 0), nlist)
 
-  private def batchOf(emb: DataFrame): DataFrame =
+  private def batchOf(emb: DataFrame, nlist: Int): DataFrame =
     assigned(
       emb.filter(col("vec_id") % 10 === 0).select("vec_id", "embedding")
         .union(emb.filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 20 === 5)
-          .selectExpr("vec_id", "reverse(embedding) AS embedding")))
+          .selectExpr("vec_id", "reverse(embedding) AS embedding")), nlist)
 
   /** Build the index at `d`'s state path: create from corpus, then
     * merge the batch via partition-scoped replaceKeys (drop old + new
     * positions of every batch vec_id, insert the batch rows). State is
     * sf-keyed and wiped per run so repeated bench passes measure one
     * deterministic create+merge, not a version pileup. */
-  private def buildMaintainedIndex(s: SparkSession, d: String, tag: String): String = {
+  private def buildMaintainedIndex(s: SparkSession, d: String, tag: String,
+                                   nlist: Int): String = {
     val stateDir = java.nio.file.Paths.get(
       sys.props.getOrElse("graft.state.dir", "target/graft-state"))
     java.nio.file.Files.createDirectories(stateDir)
@@ -73,11 +101,21 @@ private[graft] object VectorIndexQueries {
     }
     wipe(new java.io.File(path))
     val emb = Tables.embeddings(s, d)
-    TableMerge.createOrReplace(corpusOf(emb), path, Seq("centroid_id"))
-    val batch = batchOf(emb)
+    // bulk load clustered by the partition column: `nlist` initial
+    // files, not tasks×dirs (the same one-writer-per-dir discipline
+    // TableMerge's scoped merges apply internally)
+    TableMerge.createOrReplace(
+      corpusOf(emb, nlist).repartition(col("centroid_id")),
+      path, Seq("centroid_id"))
+    // freeze the batch (its width-wide assignment would otherwise
+    // re-run for every evaluation inside replaceKeys — the dropGroups
+    // union, the touched-partition set, and the write all reference it)
+    // and the old-position lookup; both are batch-bounded frames
+    val batch = batchOf(emb, nlist).localCheckpoint()
     val oldPos = TableMerge.read(s, path)
       .join(batch.select("vec_id"), Seq("vec_id"), "left_semi")
       .select("centroid_id", "vec_id")
+      .localCheckpoint()
     val dropGroups = oldPos.union(batch.select("centroid_id", "vec_id"))
     // Tag the merge commit with the pre-merge snapshot name (ADVICE r13:
     // drift must be measured against the IMMEDIATELY-PRIOR snapshot, not
@@ -124,42 +162,44 @@ private[graft] object VectorIndexQueries {
     * the committed snapshot is its own drift baseline. */
   private[graft] val SelfBaselineKey = "graft.selfBaseline"
 
+  /** Probed top-k read at `nlist`: partition-pruned to the Nprobe
+    * grid lists nearest the canonical query vector, cosine fold,
+    * bounded top-20 — with the derived width riding the hash. */
+  private def probedTopk(s: SparkSession, path: String, nlist: Int): DataFrame =
+    TableMerge.read(s, path)
+      .filter(col("centroid_id").isin(IvfTuner.probeList(nlist, Nprobe): _*))
+      .selectExpr("vec_id", "CAST(centroid_id AS INT) AS centroid_id",
+        "CAST(floor(graft_cosine(embedding, array_repeat(CAST(0.1 AS DOUBLE), 64)) " +
+          "* 1000000) AS BIGINT) AS cos_e6")
+      .orderBy(col("cos_e6").desc, col("vec_id").asc)
+      .limit(20)
+      .withColumn("nlist", lit(nlist.toLong))
+
   /** Probed top-k read back through the MAINTAINED index — same query
     * vector, probe set, and output contract as `sim_ivf_topk`, so the
     * oracle (a from-scratch build over the merged corpus in SQL)
     * pins that incremental maintenance and full rebuild are
     * hash-identical. The isin filter on the partition column is
-    * partition pruning on the versioned layout. */
-  private val simIndexMaintain: Q = (s, d) => {
-    val path = buildMaintainedIndex(s, d, "maintain")
-    TableMerge.read(s, path)
-      .filter(col("centroid_id").isin(VectorQueries.IvfProbes: _*))
-      .selectExpr("vec_id", "CAST(centroid_id AS INT) AS centroid_id",
-        "CAST(floor(graft_cosine(embedding, array_repeat(CAST(0.1 AS DOUBLE), 64)) " +
-          "* 1000000) AS BIGINT) AS cos_e6")
-      .orderBy(col("cos_e6").desc, col("vec_id").asc)
-      .limit(20)
-  }
+    * partition pruning on the versioned layout. The deep scale tier
+    * calls this at the census width (`ScaleBench`). */
+  private[graft] def maintainAt(s: SparkSession, d: String, nlist: Int): DataFrame =
+    probedTopk(s, buildMaintainedIndex(s, d, "maintain", nlist), nlist)
+
+  private val simIndexMaintain: Q = (s, d) => maintainAt(s, d, nlistFor(s, d))
 
   /** Maintenance + COMPACTION: the merged index accretes small files
-    * (each partition-scoped rewrite emits one file per shuffle task
-    * holding that centroid's rows), so the OPTIMIZE pass folds
-    * overflowing inverted lists back to one file each — and the probed
-    * top-k through the compacted layout must be hash-identical to the
-    * uncompacted read (same oracle as `sim_index_maintain`: compaction
-    * is a physical-layout operation with zero semantic surface).
+    * across commits, so the OPTIMIZE pass folds overflowing inverted
+    * lists back to one file each — and the probed top-k through the
+    * compacted layout must be hash-identical to the uncompacted read
+    * (same oracle as `sim_index_maintain`: compaction is a
+    * physical-layout operation with zero semantic surface).
     * Untouched lists are hard-linked by `TableMerge.compact`'s CAS
     * commit, same as every other maintenance op. */
   private val simIndexCompact: Q = (s, d) => {
-    val path = buildMaintainedIndex(s, d, "compact")
+    val nlist = nlistFor(s, d)
+    val path = buildMaintainedIndex(s, d, "compact", nlist)
     TableMerge.compact(s, path, Seq("centroid_id"), maxFiles = 1, targetFiles = 1)
-    TableMerge.read(s, path)
-      .filter(col("centroid_id").isin(VectorQueries.IvfProbes: _*))
-      .selectExpr("vec_id", "CAST(centroid_id AS INT) AS centroid_id",
-        "CAST(floor(graft_cosine(embedding, array_repeat(CAST(0.1 AS DOUBLE), 64)) " +
-          "* 1000000) AS BIGINT) AS cos_e6")
-      .orderBy(col("cos_e6").desc, col("vec_id").asc)
-      .limit(20)
+    probedTopk(s, path, nlist)
   }
 
   /** Centroid-DRIFT audit over the same maintenance cycle, via time
@@ -171,7 +211,8 @@ private[graft] object VectorIndexQueries {
     * enough from the coarse quantizer to warrant re-training — the
     * reference's "re-index everything" trigger, made measurable. */
   private val simIndexDrift: Q = (s, d) => {
-    val path = buildMaintainedIndex(s, d, "drift")
+    val nlist = nlistFor(s, d)
+    val path = buildMaintainedIndex(s, d, "drift", nlist)
     val versions = TableMerge.versions(path)
     val pre = TableMerge.readVersion(s, path, driftBaseline(path))
       .select(col("vec_id"), col("centroid_id").cast("int").as("pre_c"))
@@ -195,7 +236,7 @@ private[graft] object VectorIndexQueries {
     // drive from the full centroid domain (0..nlist-1) so the output
     // shape is independent of which lists happen to be populated —
     // keeps engine and oracle identical even for an emptied list
-    s.range(Nlist).select(col("id").cast("int").as("centroid_id"))
+    s.range(nlist).select(col("id").cast("int").as("centroid_id"))
       .join(nVec, Seq("centroid_id"), "left")
       .join(nIns, Seq("centroid_id"), "left")
       .join(nIn, Seq("centroid_id"), "left")
@@ -205,7 +246,8 @@ private[graft] object VectorIndexQueries {
         coalesce(col("n_inserted"), lit(0L)).as("n_inserted"),
         coalesce(col("n_moved_in"), lit(0L)).as("n_moved_in"),
         coalesce(col("n_moved_out"), lit(0L)).as("n_moved_out"),
-        lit(versions.size.toLong).as("n_versions"))
+        lit(versions.size.toLong).as("n_versions"),
+        lit(nlist.toLong).as("nlist"))
       .orderBy("centroid_id")
   }
 
@@ -231,26 +273,19 @@ private[graft] object VectorIndexQueries {
     * the double division (≪ 2^53), so DuckDB replays the identical
     * iterations to the identical centroids.
     *
-    * Scale shape per iteration: one broadcast of k·dim centroid ints,
-    * a map-side k-way distance scan (the crossJoin is against a
-    * k-row broadcast — no shuffle), an argmin window keyed by vec_id,
-    * and a (k·dim)-group partial-aggregated sum — the MLlib k-means
-    * sync pattern, with k·dim = 512 longs on the driver per round. */
-  /** Nearest-centroid assignment under the e6 integer metric: one
-    * broadcast of k·dim ints, map-side distance scan, argmin window
-    * keyed vec_id with (dist, centroid_id) tie-break. */
+    * Scale shape per iteration: the k·dim centroid ints ship as ONE
+    * array literal and each row computes its argmin in a single fused
+    * codegen'd loop (native [[graft.expressions.ArgminSq]], ties to
+    * the lowest id) — NO per-row explode, NO vec_id window, no shuffle
+    * until the (k·dim)-group partial-aggregated update sum — the MLlib
+    * k-means sync pattern, with k·dim longs on the driver per round.
+    * (r17: replaced the k-row crossJoin + row_number window, whose
+    * N·k-row shuffle dominated retrain cost at derived widths.) */
   private def assignTo(s: SparkSession, eqDf: DataFrame,
-                       cents: Seq[(Int, Seq[Long])]): DataFrame = {
-    import s.implicits._
-    val cdf = cents.toDF("centroid_id", "cvec")
-    val dists = eqDf.crossJoin(broadcast(cdf))
-      .selectExpr("vec_id", "centroid_id",
-        "aggregate(zip_with(eq, cvec, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x) AS dist")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("dist"), col("centroid_id"))
-    dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select("vec_id", "centroid_id", "dist")
-  }
+                       cents: Seq[(Int, Seq[Long])]): DataFrame =
+    eqDf.withColumn("__cv", typedLit(cents.sortBy(_._1).map(_._2)))
+      .selectExpr("vec_id", "graft_argmin_sq(eq, __cv) AS __am")
+      .selectExpr("vec_id", "__am.centroid_id AS centroid_id", "__am.dist AS dist")
 
   /** Lloyd's iterations in e6 integer space (grid init, floor(sum/n)
     * update, empty-cluster carry) — shared by the training benchmark
@@ -294,7 +329,6 @@ private[graft] object VectorIndexQueries {
       .orderBy("centroid_id")
   }
 
-  private val RetrainK = Nlist
   private val DriftThresholdBp = 500L
 
   /** DRIFT-TRIGGERED RE-TRAIN (VERDICT r12 #2) — closes the ANN
@@ -303,37 +337,30 @@ private[graft] object VectorIndexQueries {
     * drift (fraction of live vectors that arrived or changed list
     * since the pre-merge snapshot, one bounded 2-long driver read) →
     * threshold decision at [[DriftThresholdBp]] → if drifted, re-train
-    * the coarse quantizer with [[lloydTrain]] ON THE LIVE INDEX
-    * CONTENT (grid init = the old quantizer, so training is a
-    * refinement), re-assign every vector and rebuild the layout via
-    * ONE `replaceKeys` commit (readers never see a half-moved index),
-    * then answer the probed top-k with probes = the 4 trained
-    * centroids nearest the query point.
+    * the coarse quantizer with [[lloydTrain]] at the SAME derived width
+    * ON THE LIVE INDEX CONTENT (grid init = the old quantizer, so
+    * training is a refinement), re-assign every vector and rebuild the
+    * layout via ONE `replaceKeys` commit (readers never see a
+    * half-moved index), then answer the probed top-k with probes = the
+    * 4 trained centroids nearest the query point.
     *
     * The fixture's batch (10% inserts + 5% re-embeds) always trips the
     * threshold, so the oracle — a from-scratch SQL replay of merge +
     * drift arithmetic + the unrolled k-means + probe selection + cosine
-    * top-k — pins the TAKEN branch end-to-end, drift_bp and the
-    * decision flag riding the output hash. The NO-drift branch's
-    * contract (zero partitions touched, no new version) is pinned by
-    * AnnLifecycleSpec's inode claim, the same proof TableMergeSpec
-    * uses for untouched-partition hard-links.
+    * top-k, all at the re-derived width — pins the TAKEN branch
+    * end-to-end, drift_bp, the decision flag, and nlist riding the
+    * output hash. The NO-drift branch's contract (zero partitions
+    * touched, no new version) is pinned by AnnLifecycleSpec's inode
+    * claim, the same proof TableMergeSpec uses for untouched-partition
+    * hard-links.
     *
     * Scale: drift is a key-only join of two retained snapshots; the
-    * retrain pass costs iters·(broadcast k·dim ints + map-side scan +
-    * argmin window + (k·dim)-group partial agg) — the MLlib sync
-    * pattern — and the rebuild is one partitioned rewrite whose
-    * shuffle key is the NEW list id. Nothing here scans more than the
-    * index content. */
-  /** The lifecycle step: measure drift (live vs the retained pre-merge
-    * snapshot), decide at `thresholdBp`, and when drifted re-train +
-    * rebuild in one replaceKeys commit. Returns (driftBp, retrained,
-    * probe set for the follow-up read). Factored out so
-    * AnnLifecycleSpec can pin the NO-drift branch's zero-touch
-    * contract (no new version, partition file inodes unchanged) —
-    * the branch the oracle-green query never takes on its fixture. */
+    * retrain pass costs iters·(one k·dim-literal projection + a
+    * (k·dim)-group partial agg); and the rebuild is one partitioned
+    * rewrite whose shuffle key is the NEW list id. Nothing here scans
+    * more than the index content. */
   private[graft] def retrainIfDrifted(s: SparkSession, path: String,
-      thresholdBp: Long = DriftThresholdBp): (Long, Boolean, Seq[Int]) = {
+      k: Int = 16, thresholdBp: Long = DriftThresholdBp): (Long, Boolean, Seq[Int]) = {
     val pre = TableMerge.readVersion(s, path, driftBaseline(path))
       .select(col("vec_id"), col("centroid_id").cast("int").as("pre_c"))
     val live = TableMerge.read(s, path)
@@ -347,12 +374,12 @@ private[graft] object VectorIndexQueries {
     val driftBp = dr.getLong(1) * 10000L / math.max(dr.getLong(0), 1L)
     val retrained = driftBp >= thresholdBp
     val probes: Seq[Int] =
-      if (!retrained) VectorQueries.IvfProbes // grid quantizer stays; nothing touched
+      if (!retrained) IvfTuner.probeList(k, Nprobe) // grid quantizer stays; nothing touched
       else {
         val eq = live.selectExpr("vec_id",
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS eq")
           .localCheckpoint()
-        val cents = lloydTrain(s, eq, RetrainK, KmeansIters)
+        val cents = lloydTrain(s, eq, k, KmeansIters)
         val newAssign = assignTo(s, eq, cents)
           .join(live.select("vec_id", "embedding"), "vec_id")
           .select(col("vec_id"), col("embedding"), col("centroid_id").cast("long").as("centroid_id"))
@@ -364,14 +391,16 @@ private[graft] object VectorIndexQueries {
         val q = Seq.fill(Dim)(100000L)
         cents.map { case (cid, v) =>
           (cid, v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
-        }.sortBy { case (cid, dist) => (dist, cid) }.take(4).map(_._1)
+        }.sortBy { case (cid, dist) => (dist, cid) }.take(Nprobe).map(_._1)
       }
     (driftBp, retrained, probes)
   }
 
-  private val simIndexRetrain: Q = (s, d) => {
-    val path = buildMaintainedIndex(s, d, "retrain")
-    val (driftBp, retrained, probes) = retrainIfDrifted(s, path)
+  /** The full lifecycle at an explicit width — the deep scale tier
+    * calls this at the census width. */
+  private[graft] def retrainAt(s: SparkSession, d: String, nlist: Int): DataFrame = {
+    val path = buildMaintainedIndex(s, d, "retrain", nlist)
+    val (driftBp, retrained, probes) = retrainIfDrifted(s, path, nlist)
     TableMerge.read(s, path)
       .filter(col("centroid_id").isin(probes: _*))
       .selectExpr("vec_id", "CAST(centroid_id AS INT) AS centroid_id",
@@ -381,7 +410,10 @@ private[graft] object VectorIndexQueries {
       .limit(20)
       .withColumn("drift_bp", lit(driftBp))
       .withColumn("retrained", lit(if (retrained) 1L else 0L))
+      .withColumn("nlist", lit(nlist.toLong))
   }
+
+  private val simIndexRetrain: Q = (s, d) => retrainAt(s, d, nlistFor(s, d))
 
   /** TOPIC CENSUS (r13) — the corpus-exploration composition a curator
     * runs before planning mixtures: k-means clusters over the
@@ -428,10 +460,22 @@ private[graft] object VectorIndexQueries {
     "e2e_topic_census" -> e2eTopicCensus,
   )
 
+  /** Width re-derivation: min pow2 in [16, 65536] with v·v ≥
+    * count(embeddings) — the SQL replay of [[IvfTuner.sqrtNlist]],
+    * integer compares only (no libm). */
+  private val duckParams: String =
+    """params AS (
+      |  SELECT coalesce((SELECT min(v) FROM (VALUES (16), (32), (64), (128),
+      |      (256), (512), (1024), (2048), (4096), (8192), (16384), (32768),
+      |      (65536)) t(v)
+      |    WHERE CAST(v AS BIGINT) * v >= (SELECT count(*) FROM embeddings)),
+      |    65536) AS nlist)""".stripMargin
+
   /** IVF assignment cost list over 64-dim vectors of relation column
-    * `embedding` — mirrors the `sim_ivf_assign` oracle fragment. */
-  private def duckAssign: String =
-    s"""list_transform(generate_series(0, ${Nlist - 1}),
+    * `embedding` at width `nlistExpr` — mirrors the `graft_ivf_assign`
+    * fold order exactly; callers add `params p` to the FROM clause. */
+  private def duckAssignAt(nlistExpr: String): String =
+    s"""list_transform(generate_series(0, $nlistExpr - 1),
        |    j -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |      list_transform(generate_series(0, 63),
        |        i -> (CAST(embedding[i + 1] AS DOUBLE)
@@ -439,6 +483,26 @@ private[graft] object VectorIndexQueries {
        |          * (CAST(embedding[i + 1] AS DOUBLE)
        |          - CAST(((j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0))),
        |      (a, x) -> a + x))""".stripMargin
+
+  private def duckAssign: String = duckAssignAt("p.nlist")
+
+  /** Grid probe set at the derived width: the Nprobe centroids nearest
+    * (squared L2, ties to the lowest id) the canonical query 0.1·1⃗ —
+    * the SQL replay of [[IvfTuner.probeList]] (same ascending-i fold
+    * order, so exact ties on the period-19 repeated grid rows resolve
+    * identically). */
+  private val duckGridProbes: String =
+    s"""gridq AS (
+       |  SELECT t.j AS cid, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(generate_series(0, 63),
+       |      i -> (0.1 - CAST(((t.j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0)
+       |        * (0.1 - CAST(((t.j * 31 + i * 17) % 19) - 9 AS DOUBLE) / 10.0))),
+       |    (a, x) -> a + x) AS qd
+       |  FROM params p, UNNEST(generate_series(0, p.nlist - 1)) t(j)),
+       |gprobes AS (
+       |  SELECT cid FROM (
+       |    SELECT cid, row_number() OVER (ORDER BY qd, cid) AS rn FROM gridq) r
+       |  WHERE rn <= $Nprobe)""".stripMargin
 
   /** The merged (post-maintenance) corpus, from scratch: corpus minus
     * re-embedded originals, plus inserts, plus reversed re-embeds.
@@ -455,14 +519,15 @@ private[graft] object VectorIndexQueries {
       |      i -> embedding[64 - i]) AS embedding
       |  FROM embeddings WHERE vec_id % 10 <> 0 AND vec_id % 20 = 5)""".stripMargin
 
-  /** The k-means train loop unrolled as SQL — same e6 integer space,
-    * same (dist, cid) argmin, same floor(sum/count) update, same
-    * empty-cluster carry. */
-  /** The k-means train loop unrolled as a CTE chain over `src` with k
-    * centroids: `eq`, `cent0` … `cent$KmeansIters`, assignments `a0` …
-    * `a$KmeansIters` (the final one is the trained assignment). Shared
-    * by the training oracle and the retrain-lifecycle oracle. */
-  private def duckKmeansChain(src: String, k: Int): String = {
+  /** The k-means train loop unrolled as a CTE chain over `src`, with
+    * cent0's id domain supplied by `centFrom` (a literal
+    * `generate_series` for the fixed-k trainers, a params-driven
+    * UNNEST for the derived-width retrain): `eq`, `cent0` …
+    * `cent$KmeansIters`, assignments `a0` … `a$KmeansIters` (the final
+    * one is the trained assignment). Same e6 integer space, same
+    * (dist, cid) argmin, same floor(sum/count) update, same
+    * empty-cluster carry as [[lloydTrain]]. */
+  private def duckKmeansChain(src: String, centFrom: String): String = {
     val dist = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(generate_series(1, $Dim), " +
       "i -> (e.eq[i] - c.cvec[i]) * (e.eq[i] - c.cvec[i]))), (a, x) -> a + x)"
@@ -499,13 +564,13 @@ private[graft] object VectorIndexQueries {
        |cent0 AS (
        |  SELECT j AS cid, list_transform(generate_series(0, ${Dim - 1}),
        |    i -> CAST((((j * 31 + i * 17) % 19) - 9) * 100000 AS BIGINT)) AS cvec
-       |  FROM generate_series(0, ${k - 1}) t(j)),
+       |  FROM $centFrom),
        |$rounds,
        |${assignCte(KmeansIters)}""".stripMargin
   }
 
   private def duckKmeans: String =
-    s"""WITH ${duckKmeansChain("embeddings", KmeansK)},
+    s"""WITH ${duckKmeansChain("embeddings", s"generate_series(0, ${KmeansK - 1}) t(j)")},
        |stats AS (
        |  SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
        |    CAST(sum(dist) AS BIGINT) AS inertia
@@ -521,22 +586,25 @@ private[graft] object VectorIndexQueries {
        |FROM fp f LEFT JOIN stats s USING (cid)
        |ORDER BY centroid_id""".stripMargin
 
-  /** From-scratch replay of the whole retrain lifecycle: merge, grid
-    * drift arithmetic, the unrolled k-means over the merged corpus,
-    * query-nearest probe selection, cosine top-k — with drift_bp and
-    * the decision flag riding the hash. */
+  /** From-scratch replay of the whole retrain lifecycle: width
+    * derivation, merge, drift arithmetic at that width, the unrolled
+    * k-means over the merged corpus at that width, query-nearest probe
+    * selection, cosine top-k — with drift_bp, the decision flag, and
+    * nlist riding the hash. */
   private def duckRetrain: String =
-    s"""WITH $duckMerged,
-       |${duckKmeansChain("merged", RetrainK)},
+    s"""WITH $duckParams,
+       |$duckMerged,
+       |${duckKmeansChain("merged",
+          "params p, UNNEST(generate_series(0, p.nlist - 1)) t(j)")},
        |pre AS (
        |  SELECT vec_id,
        |    CAST(list_position(c, list_min(c)) - 1 AS INT) AS pre_c
-       |  FROM (SELECT vec_id, $duckAssign AS c FROM embeddings
+       |  FROM (SELECT vec_id, $duckAssign AS c FROM embeddings, params p
        |        WHERE vec_id % 10 <> 0)),
        |live AS (
        |  SELECT vec_id,
        |    CAST(list_position(c, list_min(c)) - 1 AS INT) AS live_c
-       |  FROM (SELECT vec_id, $duckAssign AS c FROM merged)),
+       |  FROM (SELECT vec_id, $duckAssign AS c FROM merged, params p)),
        |drift AS (
        |  SELECT CAST((sum(CASE WHEN p.pre_c IS NULL OR p.pre_c <> l.live_c
        |      THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS drift_bp
@@ -549,7 +617,7 @@ private[graft] object VectorIndexQueries {
        |          i -> (cvec[i] - 100000) * (cvec[i] - 100000))),
        |        (a, x) -> a + x) AS qdist
        |      FROM cent$KmeansIters) pq) pr
-       |  WHERE rn <= 4),
+       |  WHERE rn <= $Nprobe),
        |probed AS (
        |  SELECT m.vec_id, a.cid AS centroid_id,
        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(m.embedding,
@@ -562,14 +630,15 @@ private[graft] object VectorIndexQueries {
        |SELECT vec_id, CAST(centroid_id AS INT) AS centroid_id,
        |  CAST(floor(dot / (sqrt(na) * sqrt(nb)) * 1000000) AS BIGINT) AS cos_e6,
        |  (SELECT drift_bp FROM drift) AS drift_bp,
-       |  CAST(1 AS BIGINT) AS retrained
+       |  CAST(1 AS BIGINT) AS retrained,
+       |  (SELECT CAST(nlist AS BIGINT) FROM params) AS nlist
        |FROM probed ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20""".stripMargin
 
   /** Topic census replay: the kmeans chain's final assignment joined to
     * documents, stopword-filtered token counts, top-1 per cluster. */
   private def duckTopicCensus: String = {
     val stopList = PipelineShared.Stopwords.map(w => s"'$w'").mkString(", ")
-    s"""WITH ${duckKmeansChain("embeddings", KmeansK)},
+    s"""WITH ${duckKmeansChain("embeddings", s"generate_series(0, ${KmeansK - 1}) t(j)")},
        |toks AS (
        |  SELECT a.cid, u.tok
        |  FROM a$KmeansIters a JOIN documents dd ON dd.doc_id = a.vec_id,
@@ -595,12 +664,14 @@ private[graft] object VectorIndexQueries {
     "sim_index_retrain" -> duckRetrain,
     "e2e_topic_census" -> duckTopicCensus,
     "sim_index_maintain" ->
-      // from-scratch build over the merged corpus = what incremental
-      // maintenance must be hash-identical to; probe + cosine folds
-      // mirror the sim_ivf_topk oracle exactly
-      s"""WITH $duckMerged,
+      // from-scratch build over the merged corpus at the re-derived
+      // width = what incremental maintenance must be hash-identical
+      // to; probe + cosine folds mirror the sim_ivf_topk oracle exactly
+      s"""WITH $duckParams,
+         |$duckMerged,
+         |$duckGridProbes,
          |costs AS (
-         |  SELECT vec_id, embedding, $duckAssign AS costs FROM merged),
+         |  SELECT vec_id, embedding, $duckAssign AS costs FROM merged, params p),
          |assigned AS (
          |  SELECT vec_id, embedding,
          |    CAST(list_position(costs, list_min(costs)) - 1 AS INT) AS centroid_id
@@ -613,23 +684,26 @@ private[graft] object VectorIndexQueries {
          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding,
          |      x -> CAST(0.1 AS DOUBLE) * CAST(0.1 AS DOUBLE))), (a, x) -> a + x) AS nb
          |  FROM assigned
-         |  WHERE centroid_id IN (${VectorQueries.IvfProbes.mkString(", ")}))
+         |  WHERE centroid_id IN (SELECT cid FROM gprobes))
          |SELECT vec_id, centroid_id,
-         |  CAST(floor(dot / (sqrt(na) * sqrt(nb)) * 1000000) AS BIGINT) AS cos_e6
+         |  CAST(floor(dot / (sqrt(na) * sqrt(nb)) * 1000000) AS BIGINT) AS cos_e6,
+         |  (SELECT CAST(nlist AS BIGINT) FROM params) AS nlist
          |FROM probed ORDER BY cos_e6 DESC, vec_id ASC LIMIT 20""".stripMargin,
     "sim_index_drift" ->
       // pre = corpus assignment, live = merged assignment, joined on
-      // vec_id — the same full-outer aggregate structure as the engine
-      s"""WITH $duckMerged,
+      // vec_id — the same full-outer aggregate structure as the engine,
+      // at the re-derived width
+      s"""WITH $duckParams,
+         |$duckMerged,
          |pre AS (
          |  SELECT vec_id,
          |    CAST(list_position(c, list_min(c)) - 1 AS INT) AS pre_c
-         |  FROM (SELECT vec_id, $duckAssign AS c FROM embeddings
+         |  FROM (SELECT vec_id, $duckAssign AS c FROM embeddings, params p
          |        WHERE vec_id % 10 <> 0)),
          |live AS (
          |  SELECT vec_id,
          |    CAST(list_position(c, list_min(c)) - 1 AS INT) AS live_c
-         |  FROM (SELECT vec_id, $duckAssign AS c FROM merged)),
+         |  FROM (SELECT vec_id, $duckAssign AS c FROM merged, params p)),
          |j AS (
          |  SELECT coalesce(l.vec_id, p.vec_id) AS vec_id, live_c, pre_c
          |  FROM live l FULL OUTER JOIN pre p ON l.vec_id = p.vec_id),
@@ -652,8 +726,9 @@ private[graft] object VectorIndexQueries {
          |  CAST(coalesce(i.n_inserted, 0) AS BIGINT) AS n_inserted,
          |  CAST(coalesce(mi.n_moved_in, 0) AS BIGINT) AS n_moved_in,
          |  CAST(coalesce(mo.n_moved_out, 0) AS BIGINT) AS n_moved_out,
-         |  CAST(2 AS BIGINT) AS n_versions
-         |FROM generate_series(0, ${Nlist - 1}) dom(c)
+         |  CAST(2 AS BIGINT) AS n_versions,
+         |  (SELECT CAST(nlist AS BIGINT) FROM params) AS nlist
+         |FROM params p, UNNEST(generate_series(0, p.nlist - 1)) dom(c)
          |LEFT JOIN nvec v ON v.centroid_id = dom.c
          |LEFT JOIN nins i ON i.centroid_id = dom.c
          |LEFT JOIN nin mi ON mi.centroid_id = dom.c
