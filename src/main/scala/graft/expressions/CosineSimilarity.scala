@@ -373,5 +373,10 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(s => new graft.plans.SqlMerge.ResolveGraftMerge(s))
     ext.injectOptimizerRule(_ => graft.plans.SqlMerge.StripGraftTable)
     ext.injectPlannerStrategy(_ => graft.plans.SqlMerge.GraftMergeStrategy)
+    // DDL (CREATE / CTAS / ALTER ADD COLUMNS / DROP) converts at the
+    // parser: the analyzer's own ResolveSessionCatalog would otherwise
+    // claim the statement for the session catalog before any injected
+    // resolution rule runs (see SqlMerge.convertDdl)
+    ext.injectParser((_, parser) => new graft.plans.SqlMerge.GraftSqlParser(parser))
   }
 }

@@ -187,9 +187,15 @@ object TableMerge {
     * never free text). */
   private val TxnFile = "_graft_txn.tsv"
 
+  /** Per-version partition-column sidecar: directory inference
+    * ([[partitionColsOf]]'s fallback) cannot see the partitioning of a
+    * ZERO-ROW layout (a freshly CREATEd empty table has no `col=val`
+    * dirs yet), so the columns are persisted like the schema is. */
+  private val PartsFile = "_graft_parts.txt"
+
   private def writeSchemaSidecar(version: Path,
                                  schema: org.apache.spark.sql.types.StructType,
-                                 partitionCols: Seq[String] = Seq.empty): Unit =
+                                 partitionCols: Seq[String] = Seq.empty): Unit = {
     // store the READ-BACK column order (data columns, then partition
     // columns — how Spark reconstructs a partitioned layout) so a
     // zero-row table presents the same schema it will have once data
@@ -199,6 +205,9 @@ object TableMerge {
       org.apache.spark.sql.types.StructType(
         schema.filterNot(f => partitionCols.contains(f.name)) ++
           partitionCols.flatMap(c => schema.find(_.name == c))).json)
+    if (partitionCols.nonEmpty)
+      Files.writeString(version.resolve(PartsFile), partitionCols.mkString("\n")): Unit
+  }
 
   private def writeTxnSidecar(version: Path, meta: Map[String, String]): Unit =
     if (meta.nonEmpty)
@@ -258,6 +267,9 @@ object TableMerge {
   def partitionColsOf(tablePath: String): Seq[String] =
     resolveLive(tablePath) match {
       case None => Seq.empty
+      case Some(live) if Files.exists(live.resolve(PartsFile)) =>
+        Files.readString(live.resolve(PartsFile))
+          .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
       case Some(live) =>
         val b = Seq.newBuilder[String]
         var dir = live
@@ -514,16 +526,74 @@ object TableMerge {
               .coalesce(targetFiles)
               .write.mode(SaveMode.Overwrite).parquet(version.resolve(rel).toString)
           }
-          // compaction rewrites files, not schema: carry the sidecar over
-          val side = liveDir.resolve(SchemaFile)
-          if (Files.exists(side))
-            Files.copy(side, version.resolve(SchemaFile),
-              StandardCopyOption.REPLACE_EXISTING)
+          // compaction rewrites files, not schema: carry the sidecars over
+          Seq(SchemaFile, PartsFile).foreach { name =>
+            val side = liveDir.resolve(name)
+            if (Files.exists(side))
+              Files.copy(side, version.resolve(name),
+                StandardCopyOption.REPLACE_EXISTING): Unit
+          }
           carryUntouchedPartitions(liveDir, version, partitionCols, overflowing.toSet)
           commitVersion(tablePath, version, Parent(base))
         }
       }
     }
+
+  /** ALTER TABLE ADD COLUMNS as a METADATA-ONLY commit (the Iceberg
+    * schema-log analogue; reference shape `transformer.py:2421-2425`):
+    * the new version hard-links every data file and partition tree of
+    * the live snapshot and only the schema sidecar changes — existing
+    * parquet files simply lack the new columns and Spark's reader fills
+    * them with nulls on scan. Zero data read or rewrite at any table
+    * size; commits through the same CAS pointer swap as merges. Added
+    * columns must be nullable (there is no backfill to give a non-null
+    * default meaning) and append after the existing read-back order. */
+  def addColumns(spark: SparkSession, tablePath: String,
+                 newCols: Seq[org.apache.spark.sql.types.StructField]): Unit =
+    retryOnConflict(CommitRetries) {
+      require(newCols.nonEmpty, "no columns to add")
+      val base = currentVersionName(tablePath)
+      require(base.nonEmpty || exists(tablePath), s"no graft table at $tablePath")
+      conflictIfBaseMoved(tablePath, base) {
+        val (liveDir, df) = baseSnapshot(spark, tablePath, base)
+        val existing = df.schema
+        val dup = newCols.map(_.name)
+          .filter(n => existing.exists(_.name.equalsIgnoreCase(n)))
+        require(dup.isEmpty,
+          s"cannot add columns that already exist: ${dup.mkString(", ")}")
+        require(newCols.forall(_.nullable),
+          "added columns must be nullable (existing rows have no value to backfill)")
+        val version = newVersionDir(tablePath)
+        Files.createDirectories(version)
+        Option(liveDir.toFile.listFiles()).getOrElse(Array.empty)
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .foreach(f => linkTree(f.toPath, version.resolve(f.getName)))
+        // added columns land at the end of the DATA columns; partition
+        // columns keep the trailing position (the Hive/Spark read-back
+        // convention every later partitioned write re-establishes)
+        val partNames = partitionColsOf(tablePath).toSet
+        val (dataCols, partCols) = existing.partition(f => !partNames.contains(f.name))
+        Files.writeString(version.resolve(SchemaFile),
+          org.apache.spark.sql.types.StructType(dataCols ++ newCols ++ partCols).json)
+        val parts = liveDir.resolve(PartsFile)
+        if (Files.exists(parts))
+          Files.copy(parts, version.resolve(PartsFile),
+            StandardCopyOption.REPLACE_EXISTING): Unit
+        commitVersion(tablePath, version, Parent(base))
+      }
+    }
+
+  /** DROP TABLE: remove the whole table directory (all versions). Held
+    * under the commit lock so a concurrent writer's pointer swap cannot
+    * interleave with the delete. */
+  def drop(tablePath: String, ifExists: Boolean = false): Unit = {
+    val p = Paths.get(tablePath)
+    if (!Files.exists(p) || !(resolveLive(tablePath).isDefined || exists(tablePath))) {
+      require(ifExists, s"no graft table at $tablePath")
+    } else withCommitLock(tablePath) {
+      deleteRecursively(p)
+    }
+  }
 
   /** UPDATE-SET-* + INSERT-* semantics with union-by-name schema
     * evolution: result = (target ∖ source-keys) ⊎ source.

@@ -91,6 +91,31 @@ object SqlMerge {
       copy(query = c)
   }
 
+  final case class GraftCreateTableCommand(
+      path: String,
+      tableSchema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String],
+      ifNotExists: Boolean) extends LeafCommand
+
+  final case class GraftCtasCommand(
+      path: String,
+      partitionCols: Seq[String],
+      query: LogicalPlan,
+      orReplace: Boolean,
+      ifNotExists: Boolean) extends UnaryCommand {
+    override def child: LogicalPlan = query
+    override def output: Seq[Attribute] = Nil
+    override protected def withNewChildInternal(c: LogicalPlan): GraftCtasCommand =
+      copy(query = c)
+  }
+
+  final case class GraftAddColumnsCommand(
+      path: String,
+      cols: Seq[org.apache.spark.sql.types.StructField]) extends LeafCommand
+
+  final case class GraftDropTableCommand(
+      path: String, ifExists: Boolean) extends LeafCommand
+
   final case class GraftUpdateCommand(
       path: String,
       target: LogicalPlan,
@@ -114,8 +139,8 @@ object SqlMerge {
 
   /** `graft.`path`` (two-part) or `` `graft:path` `` (one-part);
     * a `@v-…` suffix pins a retained snapshot (read-only). */
-  private def graftPath(u: UnresolvedRelation): Option[(String, Option[String])] = {
-    val raw = u.multipartIdentifier match {
+  private def graftParts(parts: Seq[String]): Option[(String, Option[String])] = {
+    val raw = parts match {
       case Seq(one) if one.startsWith("graft:") => Some(one.stripPrefix("graft:"))
       case Seq("graft", p) => Some(p)
       case _ => None
@@ -124,6 +149,133 @@ object SqlMerge {
       val at = r.lastIndexOf("@v-")
       if (at > 0) (r.substring(0, at), Some(r.substring(at + 1))) else (r, None)
     }
+  }
+
+  private def graftPath(u: UnresolvedRelation): Option[(String, Option[String])] =
+    graftParts(u.multipartIdentifier)
+
+  /** Identifier parts of a DDL target, whether still unresolved or
+    * already claimed by the session catalog's resolver (the analyzer's
+    * own ResolveCatalogs may rewrite `UnresolvedIdentifier` to a
+    * session-catalog `ResolvedIdentifier` before an extension rule
+    * runs — the name parts survive either way). */
+  private def ddlIdent(p: LogicalPlan): Option[Seq[String]] = p match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+      Some(u.nameParts)
+    case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier =>
+      Some(r.identifier.namespace.toSeq :+ r.identifier.name)
+    case _ => None
+  }
+
+  /** A DDL statement's graft path: live-table only (no `@v-…`). */
+  private def ddlPath(p: LogicalPlan, stmt: String): Option[String] =
+    ddlIdent(p).flatMap(graftParts).map { case (path, v) =>
+      require(v.isEmpty,
+        s"$stmt cannot target the pinned snapshot $path@${v.get} — " +
+          "time-travel reads are read-only; target the live table")
+      path
+    }
+
+  /** PARTITIONED BY column names; rejects non-identity transforms
+    * (bucket/days/… have no meaning on the plain-parquet layout). */
+  private def partitionColsOf(transforms: Seq[org.apache.spark.sql.connector.expressions.Transform],
+                              stmt: String): Seq[String] =
+    transforms.map { t =>
+      val refs = t.references
+      if (t.name == "identity" && refs.length == 1 && refs.head.fieldNames.length == 1)
+        refs.head.fieldNames.head
+      else throw new IllegalArgumentException(
+        s"$stmt on graft tables supports only PARTITIONED BY (column, …); got $t")
+    }
+
+  /** graft tables are plain parquet: reject specs that ask for another
+    * provider, an external location, serde, or table constraints. */
+  private def checkTableSpec(spec: org.apache.spark.sql.catalyst.plans.logical.TableSpecBase,
+                             stmt: String): Unit = spec match {
+    case u: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec =>
+      require(u.provider.forall(_.equalsIgnoreCase("parquet")),
+        s"$stmt on graft tables supports only USING parquet (the table IS " +
+          s"a versioned parquet directory); got USING ${u.provider.get}")
+      require(u.location.isEmpty,
+        s"$stmt on graft tables takes no LOCATION — the graft.`path` identifier IS the location")
+      require(!u.external, s"$stmt on graft tables does not support EXTERNAL")
+      require(u.serde.isEmpty, s"$stmt on graft tables does not support serde clauses")
+    case _ => ()
+  }
+
+  /** Parse-time DDL conversion: CREATE / CTAS / ALTER ADD COLUMNS /
+    * DROP against a graft-addressed identifier become graft commands
+    * BEFORE analysis starts. This must happen at the parser, not in a
+    * resolution rule — the analyzer's own `ResolveSessionCatalog` runs
+    * ahead of injected resolution rules in the same batch and would
+    * claim the statement for the session catalog first (rejecting the
+    * path-shaped identifier). DML stays in [[ResolveGraftMerge]]
+    * because it needs the analyzer to resolve the target relation. */
+  private def convertDdl(plan: LogicalPlan): LogicalPlan = plan match {
+    case c: CreateTable if ddlPath(c.name, "CREATE TABLE").isDefined =>
+      checkTableSpec(c.tableSpec, "CREATE TABLE")
+      val schema = org.apache.spark.sql.types.StructType(c.columns.map(cd =>
+        org.apache.spark.sql.types.StructField(cd.name, cd.dataType, cd.nullable)))
+      val parts = partitionColsOf(c.partitioning, "CREATE TABLE")
+      parts.foreach(p => require(schema.exists(_.name.equalsIgnoreCase(p)),
+        s"PARTITIONED BY column $p is not in the column list"))
+      GraftCreateTableCommand(ddlPath(c.name, "CREATE TABLE").get, schema,
+        parts, c.ignoreIfExists)
+    case c: CreateTableAsSelect if ddlPath(c.name, "CREATE TABLE AS").isDefined =>
+      checkTableSpec(c.tableSpec, "CREATE TABLE AS")
+      GraftCtasCommand(ddlPath(c.name, "CREATE TABLE AS").get,
+        partitionColsOf(c.partitioning, "CREATE TABLE AS"),
+        c.query, orReplace = false, ifNotExists = c.ignoreIfExists)
+    case r: ReplaceTableAsSelect if ddlPath(r.name, "CREATE OR REPLACE TABLE AS").isDefined =>
+      checkTableSpec(r.tableSpec, "CREATE OR REPLACE TABLE AS")
+      GraftCtasCommand(ddlPath(r.name, "CREATE OR REPLACE TABLE AS").get,
+        partitionColsOf(r.partitioning, "CREATE OR REPLACE TABLE AS"),
+        r.query, orReplace = true, ifNotExists = false)
+    case AddColumns(t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable, colsToAdd)
+        if graftParts(t.multipartIdentifier).isDefined =>
+      val (path, v) = graftParts(t.multipartIdentifier).get
+      require(v.isEmpty,
+        s"ALTER TABLE cannot target the pinned snapshot $path@${v.getOrElse("")}")
+      val cols = colsToAdd.map { qc =>
+        require(qc.path.isEmpty,
+          "ALTER TABLE ADD COLUMNS on graft tables adds top-level columns only")
+        require(qc.position.isEmpty,
+          "ALTER TABLE ADD COLUMNS on graft tables appends at the end " +
+            "(no FIRST/AFTER \u2014 positions are the read-back sidecar order)")
+        require(qc.default.isEmpty,
+          "ALTER TABLE ADD COLUMNS on graft tables does not support DEFAULT " +
+            "(existing rows read back as NULL)")
+        org.apache.spark.sql.types.StructField(qc.colName, qc.dataType, qc.nullable)
+      }
+      GraftAddColumnsCommand(path, cols)
+    case DropTable(t, ifExists, _) if ddlIdent(t).exists(p => graftParts(p).isDefined) =>
+      val (path, v) = ddlIdent(t).flatMap(graftParts).get
+      require(v.isEmpty, s"DROP TABLE cannot target the pinned snapshot $path@${v.getOrElse("")}")
+      GraftDropTableCommand(path, ifExists)
+    case other => other
+  }
+
+  /** Session parser wrapper ([[GraftExtensions]] injects it): converts
+    * graft DDL statements at parse time, delegates everything else. */
+  final class GraftSqlParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
+    extends org.apache.spark.sql.catalyst.parser.ParserInterface {
+    override def parsePlan(sqlText: String): LogicalPlan =
+      convertDdl(delegate.parsePlan(sqlText))
+    override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+    override def parseExpression(sqlText: String): Expression =
+      delegate.parseExpression(sqlText)
+    override def parseTableIdentifier(sqlText: String): org.apache.spark.sql.catalyst.TableIdentifier =
+      delegate.parseTableIdentifier(sqlText)
+    override def parseFunctionIdentifier(sqlText: String): org.apache.spark.sql.catalyst.FunctionIdentifier =
+      delegate.parseFunctionIdentifier(sqlText)
+    override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+      delegate.parseMultipartIdentifier(sqlText)
+    override def parseTableSchema(sqlText: String): org.apache.spark.sql.types.StructType =
+      delegate.parseTableSchema(sqlText)
+    override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+      delegate.parseDataType(sqlText)
+    override def parseRoutineParam(sqlText: String): org.apache.spark.sql.types.StructType =
+      delegate.parseRoutineParam(sqlText)
   }
 
   final class ResolveGraftMerge(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -208,8 +360,24 @@ object SqlMerge {
       case cmd: GraftInsertCommand => GraftInsertExec(cmd) :: Nil
       case cmd: GraftUpdateCommand => GraftUpdateExec(cmd) :: Nil
       case cmd: GraftDeleteCommand => GraftDeleteExec(cmd) :: Nil
+      case cmd: GraftCreateTableCommand =>
+        GraftDdlExec(s => SqlMerge.runCreate(s, cmd)) :: Nil
+      case cmd: GraftCtasCommand =>
+        GraftDdlExec(s => SqlMerge.runCtas(s, cmd)) :: Nil
+      case cmd: GraftAddColumnsCommand =>
+        GraftDdlExec(s => graft.operators.TableMerge.addColumns(s, cmd.path, cmd.cols)) :: Nil
+      case cmd: GraftDropTableCommand =>
+        GraftDdlExec(_ => graft.operators.TableMerge.drop(cmd.path, cmd.ifExists)) :: Nil
       case GraftTable(_, _, child) => planLater(child) :: Nil
       case _ => Nil
+    }
+  }
+
+  final case class GraftDdlExec(run: SparkSession => Unit) extends LeafExecNode {
+    override def output: Seq[Attribute] = Nil
+    override protected def doExecute(): RDD[InternalRow] = {
+      run(session)
+      sparkContext.emptyRDD
     }
   }
 
@@ -286,6 +454,39 @@ object SqlMerge {
         result.join(broadcast(t), partCols, "left_semi"), t,
         groupKeys = partCols, partitionCols = partCols)
     } else TableMerge.createOrReplace(result, path)
+  }
+
+  /** CREATE TABLE (no AS): commit an EMPTY versioned table whose schema
+    * sidecar carries the declared columns in read-back order (data
+    * columns, then partition columns) — the zero-row snapshot the
+    * sidecar machinery exists for. */
+  private[graft] def runCreate(spark: SparkSession, cmd: GraftCreateTableCommand): Unit = {
+    import graft.operators.TableMerge
+    if (TableMerge.exists(cmd.path)) {
+      require(cmd.ifNotExists,
+        s"graft table already exists at ${cmd.path} (use IF NOT EXISTS, " +
+          "CREATE OR REPLACE … AS, or DROP TABLE first)")
+    } else {
+      val empty = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), cmd.tableSchema)
+      TableMerge.createOrReplace(empty, cmd.path, partitionCols = cmd.partitionCols)
+    }
+  }
+
+  /** CTAS / CREATE OR REPLACE TABLE AS: materialize the query as the
+    * table's first (or replacing) version. */
+  private[graft] def runCtas(spark: SparkSession, cmd: GraftCtasCommand): Unit = {
+    import graft.operators.TableMerge
+    if (!cmd.orReplace && TableMerge.exists(cmd.path)) {
+      require(cmd.ifNotExists,
+        s"graft table already exists at ${cmd.path} (use CREATE OR REPLACE TABLE … AS)")
+    } else {
+      cmd.partitionCols.foreach(p =>
+        require(cmd.query.output.exists(_.name.equalsIgnoreCase(p)),
+          s"PARTITIONED BY column $p is not produced by the AS SELECT query"))
+      TableMerge.createOrReplace(dataFrameOf(spark, cmd.query), cmd.path,
+        partitionCols = cmd.partitionCols)
+    }
   }
 
   private[graft] def runInsert(spark: SparkSession, cmd: GraftInsertCommand): Unit = {

@@ -194,6 +194,45 @@ object CdcQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** K15 — the reference's schema-bootstrap DDL statements typed as
+    * SQL against `graft.`path`` (`create_schema.py:237-358`'s
+    * `CREATE TABLE … PARTITIONED BY`; `transformer.py:2421-2425`'s
+    * `ALTER TABLE … ADD COLUMN`), end-to-end under the oracle hash:
+    * partitioned CREATE of an EMPTY table (sidecar schema + persisted
+    * partition columns), INSERT of a seed snapshot, METADATA-ONLY
+    * `ADD COLUMNS` (zero data files rewritten — SqlMergeSpec pins the
+    * inodes), a second INSERT carrying the evolved columns, and a
+    * read-back aggregation in which the pre-evolution rows' NULLs and
+    * the post-evolution rows' values are both visible — a mis-executed
+    * create, a rewriting ALTER, or a misaligned positional INSERT all
+    * flip the hash. */
+  private val k15SqlDdl: Q = (s, d) => {
+    val path = statePath("k15_customer_ddl")
+    TableMerge.drop(path, ifExists = true)
+    s.sql(s"CREATE TABLE graft.`$path` (c_custkey BIGINT, bal_e2 BIGINT, " +
+      "c_mktsegment STRING) PARTITIONED BY (c_mktsegment)")
+    val e2 = "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)"
+    Tables.customer(s, d).filter(col("c_custkey") % 2 === 0)
+      .selectExpr("c_custkey", s"$e2 AS bal_e2", "c_mktsegment")
+      .createOrReplaceTempView("k15_seed")
+    s.sql(s"INSERT INTO graft.`$path` SELECT * FROM k15_seed")
+    s.sql(s"ALTER TABLE graft.`$path` ADD COLUMNS (quality BIGINT, lang STRING)")
+    Tables.customer(s, d).filter(col("c_custkey") % 2 =!= 0)
+      .selectExpr("c_custkey", s"$e2 AS bal_e2",
+        "CAST(c_custkey % 5 AS BIGINT) AS quality",
+        "CASE WHEN c_custkey % 3 = 0 THEN 'en' ELSE 'vi' END AS lang",
+        "c_mktsegment")
+      .createOrReplaceTempView("k15_evolved")
+    s.sql(s"INSERT INTO graft.`$path` SELECT * FROM k15_evolved")
+    s.sql(
+      s"""SELECT c_mktsegment, count(*) AS n, sum(bal_e2) AS sum_bal_e2,
+         |  sum(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS n_pre_evolution,
+         |  coalesce(sum(quality), 0) AS quality_sum,
+         |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+         |FROM graft.`$path`
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
   /** K1 partition-scoped — merge keyed by (partition col, id): only
     * touched `source` partitions are rewritten; untouched partition
     * directories are carried over as files (SURVEY §7.3 "MERGE
@@ -525,6 +564,7 @@ object CdcQueries {
     "k2_merge_delete" -> k2MergeDelete,
     "k13_sql_merge" -> k13SqlMerge,
     "k14_sql_dml" -> k14SqlDml,
+    "k15_sql_ddl" -> k15SqlDdl,
     "k3_partitioned_merge" -> k3PartitionedMerge,
     "k9_time_travel" -> k9TimeTravel,
     "k10_vacuum" -> k10Vacuum,
@@ -774,6 +814,27 @@ object CdcQueries {
         |  CAST(sum(price_e2) AS BIGINT) AS sum_price_e2,
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "k15_sql_ddl" ->
+      // the DDL+DML sequence replayed relationally: seed rows carry
+      // NULL in the evolved columns (they predate the ALTER), evolved
+      // rows carry their inserted values
+      """WITH seed AS (
+        |  SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_e2,
+        |    c_mktsegment, CAST(NULL AS BIGINT) AS quality, CAST(NULL AS VARCHAR) AS lang
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |ev AS (
+        |  SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_e2,
+        |    c_mktsegment, CAST(c_custkey % 5 AS BIGINT) AS quality,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'en' ELSE 'vi' END AS lang
+        |  FROM customer WHERE c_custkey % 2 <> 0),
+        |allr AS (SELECT * FROM seed UNION ALL SELECT * FROM ev)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(bal_e2) AS BIGINT) AS sum_bal_e2,
+        |  CAST(sum(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pre_evolution,
+        |  CAST(coalesce(sum(quality), 0) AS BIGINT) AS quality_sum,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+        |FROM allr GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "k2_merge_delete" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |  round(sum(c_acctbal), 2) AS total_bal

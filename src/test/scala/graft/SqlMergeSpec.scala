@@ -278,6 +278,86 @@ class SqlMergeSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("read-only")), s"unexpected: $e")
   }
 
+  test("SQL DDL: partitioned CREATE, metadata-only ADD COLUMNS, insert, read back") {
+    import spark.implicits._
+    val path = tmpTable("ddl")
+    spark.sql(
+      s"CREATE TABLE graft.`$path` (id BIGINT, v BIGINT, part STRING) PARTITIONED BY (part)")
+    assert(TableMerge.read(spark, path).count() == 0, "created table must be empty")
+    assert(TableMerge.read(spark, path).columns.toSeq == Seq("id", "v", "part"),
+      "read-back order: data columns then partition columns")
+    // plain CREATE on an existing table fails; IF NOT EXISTS no-ops
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$path` (x BIGINT)")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("already exists")), s"unexpected: $e")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS graft.`$path` (x BIGINT)") // no-op
+    assert(TableMerge.read(spark, path).columns.length == 3)
+    spark.sql(s"INSERT INTO graft.`$path` VALUES (1, 10, 'a'), (2, 20, 'b')")
+    // ADD COLUMNS is metadata-only: data file inodes unchanged, old rows
+    // read back NULL in the new column
+    def live = java.nio.file.Paths.get(path).resolve(
+      Files.readString(java.nio.file.Paths.get(path, "_current")).trim)
+    def inodes(p: String): Set[Long] =
+      Option(live.resolve(s"part=$p").toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => Files.getAttribute(f.toPath, "unix:ino").asInstanceOf[Long]).toSet
+    val beforeA = inodes("a")
+    val beforeB = inodes("b")
+    assert(beforeA.nonEmpty && beforeB.nonEmpty)
+    spark.sql(s"ALTER TABLE graft.`$path` ADD COLUMNS (quality BIGINT, lang STRING)")
+    assert(inodes("a") == beforeA && inodes("b") == beforeB,
+      "ADD COLUMNS must not rewrite any data file")
+    val evolved = TableMerge.read(spark, path)
+    // added columns append after the existing DATA columns; the
+    // partition column keeps its trailing read-back position
+    assert(evolved.columns.toSeq == Seq("id", "v", "quality", "lang", "part"))
+    assert(evolved.filter($"quality".isNotNull || $"lang".isNotNull).count() == 0,
+      "pre-evolution rows must read back NULL in added columns")
+    // post-evolution insert carries the new columns end-to-end
+    spark.sql(s"INSERT INTO graft.`$path` VALUES (3, 30, 7, 'en', 'a')")
+    val got = spark.sql(
+      s"SELECT id, v, part, quality, lang FROM graft.`$path` ORDER BY id")
+      .as[(Long, Long, String, Option[Long], Option[String])].collect().toSeq
+    assert(got == Seq(
+      (1L, 10L, "a", None, None), (2L, 20L, "b", None, None),
+      (3L, 30L, "a", Some(7L), Some("en"))))
+    // incompatible redefinition: adding an existing column is rejected
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$path` ADD COLUMN v BIGINT")
+    }
+    assert(msgs(e2).exists(_.contains("already exist")), s"unexpected: $e2")
+  }
+
+  test("SQL DDL: CTAS, CREATE OR REPLACE AS, DROP TABLE") {
+    import spark.implicits._
+    val path = tmpTable("ctas")
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "part", "v")
+      .createOrReplaceTempView("sqlddl_ctas_src")
+    spark.sql(
+      s"""CREATE TABLE graft.`$path` PARTITIONED BY (part) AS
+         |SELECT id, v, part FROM sqlddl_ctas_src""".stripMargin)
+    assert(rows(path) == Set((1L, "a", 10L), (2L, "b", 20L)))
+    // plain CTAS on an existing table fails loudly
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$path` AS SELECT 1 AS x")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("already exists")), s"unexpected: $e")
+    spark.sql(
+      s"""CREATE OR REPLACE TABLE graft.`$path` AS
+         |SELECT id, part, v * 2 AS v FROM sqlddl_ctas_src""".stripMargin)
+    assert(rows(path) == Set((1L, "a", 20L), (2L, "b", 40L)))
+    spark.sql(s"DROP TABLE graft.`$path`")
+    assert(!TableMerge.exists(path), "DROP TABLE must remove the table")
+    spark.sql(s"DROP TABLE IF EXISTS graft.`$path`") // no-op
+    val e2 = intercept[Exception] { spark.sql(s"DROP TABLE graft.`$path`") }
+    assert(msgs(e2).exists(_.contains("no graft table")), s"unexpected: $e2")
+  }
+
   test("SELECT over graft.`path` reads the live version (and sees merges)") {
     import spark.implicits._
     val path = tmpTable("select")
