@@ -377,6 +377,6 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // parser: the analyzer's own ResolveSessionCatalog would otherwise
     // claim the statement for the session catalog before any injected
     // resolution rule runs (see SqlMerge.convertDdl)
-    ext.injectParser((_, parser) => new graft.plans.SqlMerge.GraftSqlParser(parser))
+    ext.injectParser((s, parser) => new graft.plans.SqlMerge.GraftSqlParser(s, parser))
   }
 }

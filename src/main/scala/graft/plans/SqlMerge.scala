@@ -137,17 +137,51 @@ object SqlMerge {
       copy(target = c)
   }
 
-  /** `graft.`path`` (two-part) or `` `graft:path` `` (one-part);
+  /** NAME→PATH catalog for `graft.db.table` addressing — the
+    * reference's `catalog.db.table` identifier shape
+    * (`silver/transformer.py:1339`, `gold_analytics.py:191`) over
+    * TableMerge paths. Explicit registrations win; unregistered names
+    * resolve under the warehouse root (session conf
+    * `spark.graft.warehouse`), so `CREATE TABLE graft.silver.docs …`
+    * works with zero setup and a production deploy points the root at
+    * its object-store prefix. Metadata-only and process-local by
+    * design: the TABLE state (versions, schema, partitioning) lives in
+    * the table directory itself, exactly like a Hive metastore path
+    * mapping — two sessions sharing a filesystem share the tables. */
+  object GraftCatalog {
+    private val reg = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    private def norm(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    def register(db: String, table: String, path: String): Unit = {
+      reg.put(norm(s"$db.$table"), path); ()
+    }
+    def unregister(db: String, table: String): Unit = {
+      reg.remove(norm(s"$db.$table")); ()
+    }
+    private[SqlMerge] def resolve(db: String, table: String): String =
+      Option(reg.get(norm(s"$db.$table"))).getOrElse {
+        val root = org.apache.spark.sql.SparkSession.getActiveSession
+          .flatMap(s => s.conf.getOption("spark.graft.warehouse"))
+          .getOrElse("target/graft-state/warehouse")
+        java.nio.file.Paths.get(root, db, table).toString
+      }
+  }
+
+  /** `graft.`path`` (two-part path), `` `graft:path` `` (one-part), or
+    * `graft.db.table` (three-part NAME through [[GraftCatalog]]);
     * a `@v-…` suffix pins a retained snapshot (read-only). */
   private def graftParts(parts: Seq[String]): Option[(String, Option[String])] = {
-    val raw = parts match {
-      case Seq(one) if one.startsWith("graft:") => Some(one.stripPrefix("graft:"))
-      case Seq("graft", p) => Some(p)
-      case _ => None
-    }
-    raw.map { r =>
+    def splitVersion(r: String): (String, Option[String]) = {
       val at = r.lastIndexOf("@v-")
       if (at > 0) (r.substring(0, at), Some(r.substring(at + 1))) else (r, None)
+    }
+    parts match {
+      case Seq(one) if one.startsWith("graft:") =>
+        Some(splitVersion(one.stripPrefix("graft:")))
+      case Seq("graft", p) => Some(splitVersion(p))
+      case Seq("graft", db, tbl) =>
+        val (name, v) = splitVersion(tbl)
+        Some((GraftCatalog.resolve(db, name), v))
+      case _ => None
     }
   }
 
@@ -255,12 +289,40 @@ object SqlMerge {
     case other => other
   }
 
+  /** Replace an addressed relation with the table's live (or pinned)
+    * parquet plan, marker-wrapped; shared by the resolution rule and
+    * the parser's 3-part-name substitution. */
+  private def substitute(spark: SparkSession, u: UnresolvedRelation): LogicalPlan = {
+    val (p, version) = graftPath(u).get
+    val df = version match {
+      case Some(v) => graft.operators.TableMerge.readVersion(spark, p, v)
+      case None => graft.operators.TableMerge.read(spark, p)
+    }
+    SubqueryAlias(u.multipartIdentifier.last,
+      GraftTable(p, version, df.queryExecution.analyzed))
+  }
+
   /** Session parser wrapper ([[GraftExtensions]] injects it): converts
-    * graft DDL statements at parse time, delegates everything else. */
-  final class GraftSqlParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
+    * graft DDL statements at parse time, and substitutes 3-part NAMED
+    * relations (`graft.db.table`) there too — the session catalog's
+    * relation resolver throws REQUIRES_SINGLE_PART_NAMESPACE on a
+    * 2-part namespace EAGERLY, before any injected resolution rule
+    * could claim the node (2-part path addressing stays in
+    * [[ResolveGraftMerge]]: an unknown 1-part namespace merely leaves
+    * the relation unresolved). Everything else delegates. */
+  final class GraftSqlParser(session: SparkSession,
+                             delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
     extends org.apache.spark.sql.catalyst.parser.ParserInterface {
+    private def named(u: UnresolvedRelation): Boolean =
+      u.multipartIdentifier.length == 3 && graftParts(u.multipartIdentifier).isDefined
     override def parsePlan(sqlText: String): LogicalPlan =
-      convertDdl(delegate.parsePlan(sqlText))
+      convertDdl(delegate.parsePlan(sqlText)).transformDown {
+        case u: UnresolvedRelation if named(u) => substitute(session, u)
+        case i: InsertIntoStatement => i.table match {
+          case u: UnresolvedRelation if named(u) => i.copy(table = substitute(session, u))
+          case _ => i
+        }
+      }
     override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
     override def parseExpression(sqlText: String): Expression =
       delegate.parseExpression(sqlText)
@@ -326,15 +388,8 @@ object SqlMerge {
             del.condition)
       }
 
-    private def substitute(u: UnresolvedRelation): LogicalPlan = {
-      val (p, version) = graftPath(u).get
-      val df = version match {
-        case Some(v) => graft.operators.TableMerge.readVersion(spark, p, v)
-        case None => graft.operators.TableMerge.read(spark, p)
-      }
-      SubqueryAlias(u.multipartIdentifier.last,
-        GraftTable(p, version, df.queryExecution.analyzed))
-    }
+    private def substitute(u: UnresolvedRelation): LogicalPlan =
+      SqlMerge.substitute(spark, u)
 
     private def markerOf(t: LogicalPlan): Option[(String, Option[String])] =
       t.collectFirst { case GraftTable(p, v, _) => (p, v) }

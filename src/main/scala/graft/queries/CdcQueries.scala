@@ -233,6 +233,46 @@ object CdcQueries {
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** K16 — NAMED-catalog addressing (`silver/transformer.py:1339`,
+    * `gold_analytics.py:191` address tables as `catalog.db.table`):
+    * the statement chain runs entirely through the registered name
+    * `graft.silver.k16_orders` — CREATE OR REPLACE … AS SELECT,
+    * MERGE INTO with update + insert clauses, and the read-back
+    * SELECT — with [[graft.plans.SqlMerge.GraftCatalog]] mapping the
+    * name to a state path (the metastore name→location mapping). The
+    * oracle replays the merge algebra; a broken name resolution fails
+    * the statements outright. */
+  private val k16SqlCatalog: Q = (s, d) => {
+    val path = statePath("k16_orders_named")
+    graft.plans.SqlMerge.GraftCatalog.register("silver", "k16_orders", path)
+    TableMerge.drop(path, ifExists = true)
+    val e2 = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    Tables.orders(s, d)
+      .selectExpr("o_orderkey", s"$e2 AS price_e2", "o_orderstatus")
+      .createOrReplaceTempView("k16_base")
+    s.sql(
+      """CREATE OR REPLACE TABLE graft.silver.k16_orders
+        |PARTITIONED BY (o_orderstatus) AS SELECT * FROM k16_base""".stripMargin)
+    Tables.orders(s, d).filter(col("o_orderkey") % 5 === 0)
+      .selectExpr("o_orderkey", s"$e2 + 10000 AS nv")
+      .unionByName(Tables.orders(s, d).filter(col("o_orderkey") % 13 === 0)
+        .selectExpr("o_orderkey + 20000000 AS o_orderkey",
+          "CAST(o_orderkey * 7 AS BIGINT) AS nv"))
+      .createOrReplaceTempView("k16_updates")
+    s.sql(
+      """MERGE INTO graft.silver.k16_orders AS t
+        |USING k16_updates AS s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET price_e2 = s.nv
+        |WHEN NOT MATCHED THEN INSERT (o_orderkey, price_e2, o_orderstatus)
+        |  VALUES (s.o_orderkey, s.nv, 'N')""".stripMargin)
+    s.sql(
+      """SELECT o_orderstatus, count(*) AS n, sum(price_e2) AS sum_price_e2,
+        |  sum(o_orderkey) AS key_sum
+        |FROM graft.silver.k16_orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** K1 partition-scoped — merge keyed by (partition col, id): only
     * touched `source` partitions are rewritten; untouched partition
     * directories are carried over as files (SURVEY §7.3 "MERGE
@@ -565,6 +605,7 @@ object CdcQueries {
     "k13_sql_merge" -> k13SqlMerge,
     "k14_sql_dml" -> k14SqlDml,
     "k15_sql_ddl" -> k15SqlDdl,
+    "k16_sql_catalog" -> k16SqlCatalog,
     "k3_partitioned_merge" -> k3PartitionedMerge,
     "k9_time_travel" -> k9TimeTravel,
     "k10_vacuum" -> k10Vacuum,
@@ -835,6 +876,32 @@ object CdcQueries {
         |  CAST(coalesce(sum(quality), 0) AS BIGINT) AS quality_sum,
         |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
         |FROM allr GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "k16_sql_catalog" ->
+      // the named-table merge replayed relationally: matched keys take
+      // the update value, unmatched update keys insert into status 'N'
+      """WITH base AS (
+        |  SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |    AS price_e2, o_orderstatus
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 10000 AS nv
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, CAST(o_orderkey * 7 AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |merged AS (
+        |  SELECT b.o_orderkey, coalesce(u.nv, b.price_e2) AS price_e2,
+        |    b.o_orderstatus
+        |  FROM base b LEFT JOIN upd u USING (o_orderkey)
+        |  UNION ALL
+        |  SELECT u.o_orderkey, u.nv, 'N' AS o_orderstatus
+        |  FROM upd u LEFT JOIN base b USING (o_orderkey)
+        |  WHERE b.o_orderkey IS NULL)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price_e2) AS BIGINT) AS sum_price_e2,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "k2_merge_delete" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
         |  round(sum(c_acctbal), 2) AS total_bal

@@ -41,9 +41,9 @@ class DeterminismSpec extends AnyFunSuite {
     // NullInputSpec) enumerate SparkEntry.all — pin its size so a
     // refactor that drops a tier from the concatenation fails HERE,
     // loudly, instead of quietly running fewer robustness tests.
-    // Update the number when a round adds entries (r17: 245).
-    assert(SparkEntry.all.size == 245,
-      s"registry has ${SparkEntry.all.size} entries, expected 245 — " +
+    // Update the number when a round adds entries (r17: 246).
+    assert(SparkEntry.all.size == 246,
+      s"registry has ${SparkEntry.all.size} entries, expected 246 — " +
         "if entries were added, bump this pin; if it SHRANK, a tier was lost")
   }
 
@@ -51,7 +51,7 @@ class DeterminismSpec extends AnyFunSuite {
     // CdcQueries: state mutators
     "i2_asset_cdc", "i3_tombstones", "i4_state_memo", "i6_index_incremental",
     "k1_merge_upsert", "k2_merge_delete", "k3_partitioned_merge", "k9_time_travel",
-    "k13_sql_merge", "k14_sql_dml",
+    "k13_sql_merge", "k14_sql_dml", "k15_sql_ddl", "k16_sql_catalog",
     // SinkQueries: file/sink materializers
     "e2e_silver_gold", "gold_star_oracle", "s1_multiline_json", "s8_sql_dump",
     "s9_json_reference", "k4_full_refresh", "s10_orc_roundtrip", "s11_csv_scan",

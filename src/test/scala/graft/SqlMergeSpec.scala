@@ -358,6 +358,40 @@ class SqlMergeSpec extends AnyFunSuite {
     assert(msgs(e2).exists(_.contains("no graft table")), s"unexpected: $e2")
   }
 
+  test("named-catalog addressing: graft.db.table resolves for DDL, DML, SELECT") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-warehouse")
+    spark.conf.set("spark.graft.warehouse", wh.toString)
+    try {
+      // warehouse-rooted name: zero registration needed
+      spark.sql("CREATE TABLE graft.silver.k16docs (id BIGINT, v BIGINT, part STRING) " +
+        "PARTITIONED BY (part)")
+      assert(Files.exists(wh.resolve("silver").resolve("k16docs")),
+        "named table must land under the warehouse root")
+      spark.sql("INSERT INTO graft.silver.k16docs VALUES (1, 10, 'a'), (2, 20, 'b')")
+      spark.sql("UPDATE graft.silver.k16docs SET v = v + 1 WHERE id = 1")
+      val got = spark.sql("SELECT id, v, part FROM graft.silver.k16docs ORDER BY id")
+        .as[(Long, Long, String)].collect().toSeq
+      assert(got == Seq((1L, 11L, "a"), (2L, 20L, "b")))
+      // explicit registration overrides the warehouse mapping
+      val path = tmpTable("named")
+      TableMerge.createOrReplace(
+        Seq((9L, "z", 90L)).toDF("id", "part", "v"), path, Seq("part"))
+      graft.plans.SqlMerge.GraftCatalog.register("silver", "elsewhere", path)
+      try {
+        assert(spark.sql("SELECT sum(v) AS sv FROM graft.silver.elsewhere")
+          .head().getLong(0) == 90L)
+        Seq((9L, 99L)).toDF("id", "nv").createOrReplaceTempView("k16spec_updates")
+        spark.sql(
+          """MERGE INTO graft.silver.elsewhere AS t USING k16spec_updates AS s
+            |ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+        assert(TableMerge.read(spark, path).select("v").head().getLong(0) == 99L,
+          "merge through the registered name must hit the registered path")
+      } finally graft.plans.SqlMerge.GraftCatalog.unregister("silver", "elsewhere")
+    } finally spark.conf.unset("spark.graft.warehouse")
+  }
+
   test("SELECT over graft.`path` reads the live version (and sees merges)") {
     import spark.implicits._
     val path = tmpTable("select")
