@@ -212,5 +212,12 @@ private[graft] object PipelineShared {
     "e2e_silver_gold" -> Map(
       "sf0.001" -> 9655746538L,
       "sf0.01" -> 9211674417L,
-      "sf0.1" -> 9491981771L))
+      "sf0.1" -> 9491981771L),
+    // the PDF-bytes silver composition (SinkQueries.e2eSilverPdf):
+    // 3 census rows per sf — tier 1/2/3 counts + token/order sums —
+    // derived r17 via the same Verify read-back procedure
+    "e2e_silver_pdf" -> Map(
+      "sf0.001" -> 2027965189L,
+      "sf0.01" -> 2048822739L,
+      "sf0.1" -> 1446433872L))
 }

@@ -84,6 +84,80 @@ object SilverPipeline {
     * StageBenchmarkLogger records the same shape). */
   def run(spark: SparkSession, bronze: DataFrame, cfg: Config,
           forceReprocess: Boolean = false): RunStats = {
+    val chunkCfg = graft.chunk.Chunker.Config(cfg.chunkMax, cfg.chunkMin, cfg.chunkOverlap)
+    runWith(spark, bronze, cfg, forceReprocess, textChunksOf(spark, _, chunkCfg))
+  }
+
+  /** The silver run whose chunk stage consumes REAL PDF BYTES
+    * (reference `transformer.py:1921-2025`: the chunk stage reads the
+    * downloaded asset, not pre-extracted text). Bronze must carry a
+    * `pdf BINARY` column beside `text`; see [[pdfChunksOf]] for the
+    * decode → TOC cascade → hierarchical chunking path and the
+    * broken-bytes fallthrough. */
+  def runPdf(spark: SparkSession, bronze: DataFrame, cfg: Config,
+             hier: graft.chunk.HierarchicalChunker.Config =
+               graft.chunk.HierarchicalChunker.Config(),
+             forceReprocess: Boolean = false): RunStats =
+    runWith(spark, bronze, cfg, forceReprocess, pdfChunksOf(spark, _, hier))
+
+  /** F19/F20 — flat sliding-window chunks over the pre-extracted text
+    * column (the original chunk stage). */
+  private def textChunksOf(spark: SparkSession, src: DataFrame,
+                           chunkCfg: graft.chunk.Chunker.Config): DataFrame = {
+    import spark.implicits._
+    src
+      .select("resource_uid", "resource_id", "language", "text")
+      // chunking is CPU-bound; the checkpointed CDC frame may carry
+      // fewer partitions than cores — fan out before the flatMap
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(String, String, String, String)]
+      .flatMap { case (uid, rid, lang, text) =>
+        val (rows, _) = graft.chunk.Chunker.chunkDocumentRecord(
+          uid, s"asset_$rid", lang, Seq(1 -> Option(text).getOrElse("")), chunkCfg)
+        rows
+      }
+      .toDF()
+  }
+
+  /** F21/F22 over bytes — the chunk stage of [[runPdf]]: decode the
+    * `pdf` column through [[graft.multimodal.PdfCodec]] (xref walk,
+    * FlateDecode, outline flatten), then chunk HIERARCHICALLY with the
+    * decoded page texts and outline driving the TOC cascade (tier 1
+    * doc summary / tier 2 chapter summaries / tier 3 section chunks).
+    * UNDECODABLE bytes degrade to single-page flat chunking over the
+    * bronze fallback `text` — the reference's PyPDF2 parse-exception
+    * fallthrough (`transformer.py:1921-2025`). mapPartitions-shaped
+    * typed flatMap: bytes decode where they live, no shuffle carries
+    * the binary column. */
+  private def pdfChunksOf(spark: SparkSession, src: DataFrame,
+                          hier: graft.chunk.HierarchicalChunker.Config): DataFrame = {
+    import spark.implicits._
+    import graft.chunk.{HierarchicalChunker, TocExtractor}
+    src
+      .select("resource_uid", "resource_id", "language", "pdf", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(String, String, String, Array[Byte], String)]
+      .flatMap { case (uid, rid, lang, pdf, fallback) =>
+        val asset = s"asset_$rid"
+        val (chunks, _, _) =
+          Option(pdf).flatMap(graft.multimodal.PdfCodec.decode) match {
+            case Some(doc) =>
+              HierarchicalChunker.chunkDocument(uid, asset, lang,
+                doc.pages.zipWithIndex.map { case (t, i) => (i + 1, t) },
+                doc.outline.map { case (lv, t, p) => TocExtractor.OutlineEntry(lv, t, p) },
+                hier)
+            case None =>
+              HierarchicalChunker.chunkDocument(uid, asset, lang,
+                Seq(1 -> Option(fallback).getOrElse("")), Seq.empty, hier)
+          }
+        chunks
+      }
+      .toDF()
+  }
+
+  private def runWith(spark: SparkSession, bronze: DataFrame, cfg: Config,
+                      forceReprocess: Boolean,
+                      chunksOf: DataFrame => DataFrame): RunStats = {
     import spark.implicits._
 
     // Stage counts ride the ONE materializing job as CollectMetrics
@@ -109,20 +183,8 @@ object SilverPipeline {
     val bronzeRows = obsBronze.get("n").asInstanceOf[Long]
     val dedupedN = obsDedup.get("n").asInstanceOf[Long]
 
-    // chunk only the changed documents (typed flatMap — F19/F20)
-    val chunkCfg = graft.chunk.Chunker.Config(cfg.chunkMax, cfg.chunkMin, cfg.chunkOverlap)
-    def chunksOf(src: DataFrame): DataFrame = src
-      .select("resource_uid", "resource_id", "language", "text")
-      // chunking is CPU-bound; the checkpointed CDC frame may carry
-      // fewer partitions than cores — fan out before the flatMap
-      .repartition(spark.sparkContext.defaultParallelism)
-      .as[(String, String, String, String)]
-      .flatMap { case (uid, rid, lang, text) =>
-        val (rows, _) = graft.chunk.Chunker.chunkDocumentRecord(
-          uid, s"asset_$rid", lang, Seq(1 -> Option(text).getOrElse("")), chunkCfg)
-        rows
-      }
-      .toDF()
+    // chunk only the changed documents (typed flatMap — the stage the
+    // caller picked: flat text chunks or the PDF-bytes hierarchy)
     if (changedN > 0) {
       TableMerge.upsert(spark, cfg.resourcesPath,
         changed, keys = Seq("resource_uid"))

@@ -41,9 +41,9 @@ class DeterminismSpec extends AnyFunSuite {
     // NullInputSpec) enumerate SparkEntry.all — pin its size so a
     // refactor that drops a tier from the concatenation fails HERE,
     // loudly, instead of quietly running fewer robustness tests.
-    // Update the number when a round adds entries (r17: 246).
-    assert(SparkEntry.all.size == 246,
-      s"registry has ${SparkEntry.all.size} entries, expected 246 — " +
+    // Update the number when a round adds entries (r17: 247).
+    assert(SparkEntry.all.size == 247,
+      s"registry has ${SparkEntry.all.size} entries, expected 247 — " +
         "if entries were added, bump this pin; if it SHRANK, a tier was lost")
   }
 
@@ -53,7 +53,7 @@ class DeterminismSpec extends AnyFunSuite {
     "k1_merge_upsert", "k2_merge_delete", "k3_partitioned_merge", "k9_time_travel",
     "k13_sql_merge", "k14_sql_dml", "k15_sql_ddl", "k16_sql_catalog",
     // SinkQueries: file/sink materializers
-    "e2e_silver_gold", "gold_star_oracle", "s1_multiline_json", "s8_sql_dump",
+    "e2e_silver_gold", "e2e_silver_pdf", "gold_star_oracle", "s1_multiline_json", "s8_sql_dump",
     "s9_json_reference", "k4_full_refresh", "s10_orc_roundtrip", "s11_csv_scan",
     "s12_corrupt_quarantine", "layout_ivf_prune", "k6_search_index",
     "k7_jsonl_export", "k8_saf_export",

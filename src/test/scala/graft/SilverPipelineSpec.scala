@@ -95,4 +95,47 @@ class SilverPipelineSpec extends AnyFunSuite {
     val stats = SilverPipeline.run(spark, bronzeDf(Seq(doc1)), cfg, forceReprocess = true)
     assert(stats.changed == 1)
   }
+
+  test("PDF-bytes run: outline PDF yields tier 1/2/3; broken bytes degrade to flat chunks") {
+    import spark.implicits._
+    import graft.multimodal.PdfCodec
+    import graft.multimodal.PdfCodec.OutlineNode
+    val cfg = freshCfg()
+    // r1: a real 4-page PDF with a 2-chapter outline (1 section each);
+    // r2: corrupted bytes — the reference's parse-exception fallthrough
+    val body = "Sorting and searching explained with many words here. " * 3
+    val goodPdf = PdfCodec.encode(
+      (1 to 4).map(p => s"Page $p. $body"),
+      Seq(OutlineNode("Chapter 1", 1, Seq(OutlineNode("Sec 1.1", 1))),
+        OutlineNode("Chapter 2", 3, Seq(OutlineNode("Sec 2.1", 3)))))
+    val badPdf = "definitely not a pdf".getBytes("UTF-8")
+    val bronze = bronzeDf(Seq(doc1, doc2)).withColumn("pdf",
+      when(col("resource_id") === "r1", lit(goodPdf)).otherwise(lit(badPdf)))
+    val hier = graft.chunk.HierarchicalChunker.Config(
+      sectionChunk = graft.chunk.Chunker.Config(
+        maxChars = 240, minChars = 40, overlapChars = 40))
+    val stats = SilverPipeline.runPdf(spark, bronze, cfg, hier)
+    assert(stats.changed == 2 && stats.chunksWritten > 0)
+    val chunks = TableMerge.read(spark, cfg.chunksPath)
+      .select("resource_uid", "chunk_tier", "chunk_type", "chunk_text")
+      .as[(String, Int, String, String)].collect().toSeq
+    val byUid = chunks.groupBy(_._1)
+    val r1Uid = byUid.keys.find(uid => byUid(uid).exists(_._4.contains("Page 1"))).get
+    val r1 = byUid(r1Uid)
+    // decodable: the full hierarchy from the REAL outline
+    assert(r1.map(_._2).toSet == Set(1, 2, 3),
+      s"outline PDF must produce tiers 1/2/3, got ${r1.map(_._2).toSet}")
+    assert(r1.count(_._3 == "doc_summary") == 1)
+    assert(r1.count(_._3 == "chapter_summary") == 2, "one summary per outline chapter")
+    assert(r1.exists(c => c._2 == 3 && c._4.contains("Page 3")),
+      "tier-3 chunks must carry the DECODED page text")
+    // broken: flat chunking over the bronze fallback text, no summaries
+    val r2 = (byUid - r1Uid).values.flatten.toSeq
+    assert(r2.nonEmpty, "broken PDF must still chunk from the fallback text")
+    assert(r2.map(_._2).toSet == Set(3),
+      s"broken PDF degrades to flat tier-3 chunks, got tiers ${r2.map(_._2).toSet}")
+    assert(r2.forall(c => c._3 != "doc_summary" && c._3 != "chapter_summary"))
+    assert(r2.exists(_._4.contains("organisms")),
+      "flat chunks must come from the bronze text column")
+  }
 }
