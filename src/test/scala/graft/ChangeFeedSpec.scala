@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TableMerge
+import graft.streaming.ChangeFeed
+
+/** The streaming change-data-feed SOURCE (VERDICT r16 #6): an
+  * incremental consumer subscribes to a TableMerge table's commits and
+  * receives version pairs, expands each into the classified row diff,
+  * and maintains a mirror — the streamed feed must equal the batch
+  * `k11_change_feed` classification across ≥3 commits, reconstruct the
+  * live table exactly, and tolerate a replayed micro-batch (the
+  * foreachBatch at-least-once failure mode) without drift.
+  */
+class ChangeFeedSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  test("streamed feed == batch classification over 3 commits; mirror converges; replay no-op") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cdf")
+    val path = dir.resolve("orders").toString
+    val mirror = dir.resolve("mirror").toString
+    val keys = Seq("o_orderkey")
+
+    def orders = spark.range(1, 101)
+      .select(col("id").as("o_orderkey"), (col("id") * 100).as("price_e2"))
+
+    // commit 1: evens
+    TableMerge.createOrReplace(orders.filter($"o_orderkey" % 2 === 0), path)
+    val v1 = TableMerge.versions(path).head
+
+    val seen = new java.util.concurrent.CopyOnWriteArrayList[(String, String)]()
+    val rows = new java.util.concurrent.CopyOnWriteArrayList[(Long, Option[Long], Option[Long], String, String)]()
+    val q = ChangeFeed.readStream(spark, path).writeStream
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val pairs = batch.select("base_version", "version")
+          .collect().map(r => (r.getString(0), r.getString(1)))
+          .sortBy(_._2.stripPrefix("v-").toLong)
+        pairs.foreach { case (base, v) =>
+          seen.add((base, v))
+          val d = ChangeFeed.diff(spark, path,
+            Some(base).filter(_.nonEmpty), v, keys).localCheckpoint()
+          d.select("o_orderkey", "pre_price_e2", "post_price_e2", "op", "commit_version")
+            .collect().foreach(r => rows.add((r.getLong(0),
+              if (r.isNullAt(1)) None else Some(r.getLong(1)),
+              if (r.isNullAt(2)) None else Some(r.getLong(2)),
+              r.getString(3), r.getString(4))))
+          ChangeFeed.applyTo(spark, mirror, d, keys)
+        }
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // commit 2: upsert %3 with +10000 (updates odd-multiples are inserts)
+      TableMerge.upsert(spark, path,
+        orders.filter($"o_orderkey" % 3 === 0)
+          .withColumn("price_e2", $"price_e2" + 10000L), keys)
+      q.processAllAvailable()
+      // commit 3: delete %10 == 4
+      TableMerge.delete(spark, path,
+        orders.filter($"o_orderkey" % 10 === 4).select("o_orderkey"), keys)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val pairs = seen.toArray(Array.empty[(String, String)]).toSeq
+    assert(pairs.size >= 3, s"expected >=3 version pairs, saw $pairs")
+    assert(pairs.head._1 == "", "first pair must bootstrap from the empty base")
+    assert(pairs.sliding(2).forall { case Seq(a, b) => b._1 == a._2; case _ => true },
+      s"pairs must chain base->version: $pairs")
+
+    // the mirror reconstructs the live table exactly
+    val live = TableMerge.read(spark, path)
+      .as[(Long, Long)].collect().toSet
+    val mirrored = TableMerge.read(spark, mirror)
+      .as[(Long, Long)].collect().toSet
+    assert(mirrored == live, "mirror diverged from the source table")
+
+    // streamed feed composed across the post-v1 pairs == the direct
+    // batch classification v1 -> live (what k11_change_feed computes)
+    val streamed = rows.toArray(Array.empty[(Long, Option[Long], Option[Long], String, String)])
+      .toSeq.filter(_._5 != v1) // drop the bootstrap pair ("" -> v1)
+      .sortBy(r => r._5.stripPrefix("v-").toLong)
+    val composed = streamed.groupBy(_._1).map { case (k, ds) =>
+      val pre = ds.head._2
+      val post = ds.last._3
+      val op =
+        if (pre.isEmpty && post.isEmpty) "unchanged" // inserted then deleted
+        else if (pre.isEmpty) "insert"
+        else if (post.isEmpty) "delete"
+        else if (pre != post) "update"
+        else "unchanged"
+      k -> op
+    }
+    val direct = ChangeFeed.diff(spark, path, Some(v1),
+      TableMerge.versions(path).head, keys)
+      .select("o_orderkey", "op").as[(Long, String)].collect().toMap
+    assert(composed == direct,
+      s"composed streamed feed diverged from the batch classification: " +
+        s"only-streamed=${(composed.toSet -- direct.toSet).take(3)} " +
+        s"only-batch=${(direct.toSet -- composed.toSet).take(3)}")
+
+    // replay the LAST pair (at-least-once delivery): mirror unchanged
+    val (lastBase, lastV) = pairs.last
+    ChangeFeed.applyTo(spark, mirror,
+      ChangeFeed.diff(spark, path, Some(lastBase).filter(_.nonEmpty), lastV, keys), keys)
+    val replayed = TableMerge.read(spark, mirror)
+      .as[(Long, Long)].collect().toSet
+    assert(replayed == live, "replayed pair mutated the mirror")
+  }
+}
