@@ -366,6 +366,34 @@ object ScaleBench {
       f -> ((row.getLong(0), row.getLong(1), row.getLong(2)))
     }.toMap
 
+    // containment df-cap census (VERDICT r16 #8): the containment join's
+    // candidate volume is Σ df(df−1)/2 over the shingle inverted index —
+    // the same skew law as the winnow join. At ×f every copy contributes
+    // its own disjoint shingle vocabulary (prefixed tokens), so TRUE df
+    // grows only on organically-hot shingles; the census prices what the
+    // ContainDfCap=32 guard drops and shows the capped volume staying
+    // ~linear while the uncapped bound compounds. Reported at the same
+    // factors as winnow_cap, with the capped volume at 16/32/64 so the
+    // battery's cap choice is a measured pick, not a constant of faith.
+    val containStats: Map[Int, (Long, Long, Long, Long, Long)] = Seq(8, DeepFactor).map { f =>
+      val base = spark.read.parquet(s"${dirs(f)}/documents.parquet")
+        .selectExpr("doc_id", "split(text, ' ') AS tokens")
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") % 12 === 0 && size(col("tokens")) >= 12)
+          .select((col("doc_id") + 500000).as("doc_id"),
+            expr("slice(tokens, 3, 10)").as("tokens")))
+        .filter(size(col("tokens")) >= 3)
+      val row = corpus
+        .selectExpr("doc_id", "explode(graft_shingle_set(graft_word_fps(tokens))) AS sh")
+        .groupBy("sh").agg(count(lit(1)).as("df"))
+        .agg(sum(expr("df * (df - 1) DIV 2")).as("cand_uncapped"),
+          sum(expr("CASE WHEN df <= 16 THEN df * (df - 1) DIV 2 ELSE 0 END")).as("cand_cap16"),
+          sum(expr("CASE WHEN df <= 32 THEN df * (df - 1) DIV 2 ELSE 0 END")).as("cand_cap32"),
+          sum(expr("CASE WHEN df <= 64 THEN df * (df - 1) DIV 2 ELSE 0 END")).as("cand_cap64"),
+          max("df").as("max_df")).head()
+      f -> ((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4)))
+    }.toMap
+
     def r3(v: Double): String = f"$v%.3f"
     val perQuery = Queries.map { q =>
       val t1 = times((q, 1)); val t8 = times((q, 8))
@@ -397,6 +425,11 @@ object ScaleBench {
       val (unc, cap, maxDf) = winnowStats(f)
       s""""x$f":{"cand_uncapped":$unc,"cand_capped":$cap,"max_df":$maxDf}"""
     }.mkString("{", ",", "}")
+    val containJson = Seq(8, DeepFactor).map { f =>
+      val (unc, c16, c32, c64, maxDf) = containStats(f)
+      s""""x$f":{"cand_uncapped":$unc,"cand_cap16":$c16,"cand_cap32":$c32,""" +
+        s""""cand_cap64":$c64,"max_df":$maxDf}"""
+    }.mkString("{", ",", "}")
     // the IVF width census (the production tuning cost) + what it chose
     val ivfJson = (Factors :+ DeepFactor).map { f =>
       val (c, _, _, tuneSec, writeSec) = ivfTuned(f)
@@ -407,7 +440,8 @@ object ScaleBench {
       s""""total_x1":${r3(t1Total)},"total_x8":${r3(t8Total)},""" +
       s""""total_ratio":${r3(t8Total / t1Total)},"queries":$perQuery,""" +
       s""""deep":$deepJson,"lsh_census":$lshJson,"ivf_census":$ivfJson,""" +
-      s""""minhash_bands":$bands,"winnow_cap":$winnowJson}"""
+      s""""minhash_bands":$bands,"winnow_cap":$winnowJson,""" +
+      s""""containment_cap":$containJson}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_scale.json"),
       (line + "\n").getBytes("UTF-8"))
