@@ -47,24 +47,32 @@ object Layout {
       floor((c.cast("double") - lo.toDouble) * (1L << bits).toDouble /
         (hi.toDouble - lo.toDouble + 1.0)).cast("long")))
 
-  /** Write `df` z-ordered on (`xCol`, `yCol`) into `numFiles` parquet
-    * files: normalize both dims to a common grid, range-partition on
-    * the interleaved z (contiguous z-slices per file), sort within
-    * each, drop the key. */
-  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
-                    numFiles: Int, bits: Int = 16): Unit = {
-    val r = df.agg(min(xCol), max(xCol), min(yCol), max(yCol)).head()
+  /** `df` z-ordered on (`xCol`, `yCol`) as `numFiles` contiguous
+    * z-slices: normalize both dims to a common grid, range-partition on
+    * the interleaved z, sort within each slice, drop the key. Written
+    * out, each file's parquet min/max stats then span a bounded
+    * rectangle set in (x, y) — the file-level data-skipping layout. */
+  def zOrdered(df: DataFrame, xCol: String, yCol: String,
+               numFiles: Int, bits: Int = 16): DataFrame = {
+    val r = df.agg(min(col(xCol).cast("long")), max(col(xCol).cast("long")),
+      min(col(yCol).cast("long")), max(col(yCol).cast("long"))).head()
     // zero-row frame: bounds are NULL; any grid works for an empty write
     val (xlo, xhi) = if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
     val (ylo, yhi) = if (r.isNullAt(2)) (0L, 0L) else (r.getLong(2), r.getLong(3))
     df.withColumn("__z", zValue(
-        gridded(col(xCol), xlo, xhi, bits),
-        gridded(col(yCol), ylo, yhi, bits), bits))
+        gridded(col(xCol).cast("long"), xlo, xhi, bits),
+        gridded(col(yCol).cast("long"), ylo, yhi, bits), bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
   }
+
+  /** Write `df` z-ordered on (`xCol`, `yCol`) into `numFiles` parquet
+    * files (see [[zOrdered]]). */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+                    numFiles: Int, bits: Int = 16): Unit =
+    zOrdered(df, xCol, yCol, numFiles, bits)
+      .write.mode("overwrite").parquet(path)
 
   /** Write an embeddings frame BUCKETED by its IVF coarse-centroid
     * assignment — the storage layout that turns the ANN probe filter

@@ -501,43 +501,269 @@ object TableMerge {
     * blocking the stream. At 100 TB, `targetFiles` is sized from
     * partition bytes / desired file size rather than a constant. */
   def compact(spark: SparkSession, tablePath: String, partitionCols: Seq[String],
-              maxFiles: Int = 4, targetFiles: Int = 1): Unit =
+              maxFiles: Int = 4, targetFiles: Int = 1): Int =
     retryOnConflict(CommitRetries) {
-      require(partitionCols.nonEmpty, "compaction is partition-scoped")
       val base = currentVersionName(tablePath)
-      if (base.nonEmpty || exists(tablePath)) conflictIfBaseMoved(tablePath, base) {
+      if (base.isEmpty && !exists(tablePath)) 0
+      else conflictIfBaseMoved(tablePath, base) {
         val (liveDir, _) = baseSnapshot(spark, tablePath, base)
-        // metadata-only walk: partition rel-paths with too many files
-        def walk(dir: Path, depth: Int, prefix: String): Seq[String] = {
+        if (partitionCols.isEmpty) {
+          // unpartitioned: the snapshot root is the one compaction unit —
+          // rewrite the whole table when its file count overflows
+          val n = Option(liveDir.toFile.listFiles()).getOrElse(Array.empty)
+            .count(_.getName.endsWith(".parquet"))
+          if (n > maxFiles) {
+            writeVersion(readSnapshot(spark, liveDir).coalesce(targetFiles),
+              tablePath, Seq.empty, Parent(base))
+            1
+          } else 0
+        } else {
+          // metadata-only walk: partition rel-paths with too many files
+          def walk(dir: Path, depth: Int, prefix: String): Seq[String] = {
+            val children = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+            if (depth == partitionCols.length)
+              if (children.count(_.getName.endsWith(".parquet")) > maxFiles) Seq(prefix)
+              else Seq.empty
+            else children.filter(f => f.isDirectory && f.getName.contains("="))
+              .flatMap(d => walk(d.toPath,  depth + 1,
+                if (prefix.isEmpty) d.getName else s"$prefix/${d.getName}")).toSeq
+          }
+          val overflowing = walk(liveDir, 0, "")
+          if (overflowing.nonEmpty) {
+            val version = newVersionDir(tablePath)
+            Files.createDirectories(version)
+            overflowing.foreach { rel =>
+              spark.read.parquet(liveDir.resolve(rel).toString)
+                .coalesce(targetFiles)
+                .write.mode(SaveMode.Overwrite).parquet(version.resolve(rel).toString)
+            }
+            // compaction rewrites files, not schema: carry the sidecars
+            // over (incl. range stats — untouched partitions hard-link
+            // so their ranges stay valid; compacted files get fresh
+            // names, so their orphaned stat rows match nothing and the
+            // new files read unconditionally — the safe fallback)
+            Seq(SchemaFile, PartsFile, StatsFile).foreach { name =>
+              val side = liveDir.resolve(name)
+              if (Files.exists(side))
+                Files.copy(side, version.resolve(name),
+                  StandardCopyOption.REPLACE_EXISTING): Unit
+            }
+            carryUntouchedPartitions(liveDir, version, partitionCols, overflowing.toSet)
+            commitVersion(tablePath, version, Parent(base))
+          }
+          overflowing.length
+        }
+      }
+    }
+
+  /** OPTIMIZE … ZORDER BY — rewrite EVERY compaction unit of the live
+    * snapshot (each leaf partition dir; the snapshot root when
+    * unpartitioned) with rows re-clustered by the interleaved z-order
+    * key of (`xCol`, `yCol`) via [[Layout.zOrdered]]: each unit keeps
+    * its file count, but files become contiguous z-slices, so parquet
+    * footer min/max stats span bounded rectangles in both columns and
+    * selective scans skip whole files instead of reading everything.
+    * Unlike [[compact]] there are no quiet units — re-clustering IS a
+    * full rewrite of the unit (Delta's `OPTIMIZE … ZORDER BY` has the
+    * same property); at scale the caller scopes it per partition by
+    * keeping partitions small. Content-invariant; commits through the
+    * same CAS pointer swap. Returns the number of units rewritten. */
+  def zorder(spark: SparkSession, tablePath: String, xCol: String, yCol: String,
+             bits: Int = 16, scope: Option[(String, String)] = None): Int =
+    retryOnConflict(CommitRetries) {
+      val base = currentVersionName(tablePath)
+      require(base.nonEmpty || exists(tablePath), s"no graft table at $tablePath")
+      conflictIfBaseMoved(tablePath, base) {
+        val (liveDir, _) = baseSnapshot(spark, tablePath, base)
+        val partitionCols = partitionColsOf(tablePath)
+        // a WHERE scope names a partition column: only its matching
+        // units rewrite; everything else hard-links through the commit
+        // (at scale you re-cluster the day's partition, not the table)
+        scope.foreach { case (c, _) =>
+          require(partitionCols.exists(_.equalsIgnoreCase(c)),
+            s"OPTIMIZE … WHERE supports only partition columns; $c is not one of " +
+              s"[${partitionCols.mkString(", ")}]")
+        }
+        // leaf units + their current file counts (metadata-only walk)
+        def walk(dir: Path, depth: Int, prefix: String): Seq[(String, Int)] = {
           val children = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
-          if (depth == partitionCols.length)
-            if (children.count(_.getName.endsWith(".parquet")) > maxFiles) Seq(prefix)
-            else Seq.empty
-          else children.filter(f => f.isDirectory && f.getName.contains("="))
-            .flatMap(d => walk(d.toPath,  depth + 1,
+          if (depth == partitionCols.length) {
+            val n = children.count(_.getName.endsWith(".parquet"))
+            if (n > 0) Seq(prefix -> n) else Seq.empty
+          } else children.filter(f => f.isDirectory && f.getName.contains("="))
+            .flatMap(d => walk(d.toPath, depth + 1,
               if (prefix.isEmpty) d.getName else s"$prefix/${d.getName}")).toSeq
         }
-        val overflowing = walk(liveDir, 0, "")
-        if (overflowing.nonEmpty) {
+        val units = walk(liveDir, 0, "").filter { case (rel, _) =>
+          scope.forall { case (c, v) => rel.split('/').contains(s"$c=$v") }
+        }
+        if (units.isEmpty) 0
+        else {
           val version = newVersionDir(tablePath)
           Files.createDirectories(version)
-          overflowing.foreach { rel =>
-            spark.read.parquet(liveDir.resolve(rel).toString)
-              .coalesce(targetFiles)
-              .write.mode(SaveMode.Overwrite).parquet(version.resolve(rel).toString)
+          val statRows = scala.collection.mutable.ArrayBuffer[String]()
+          units.foreach { case (rel, nFiles) =>
+            val src = if (rel.isEmpty) liveDir else liveDir.resolve(rel)
+            val dest = if (rel.isEmpty) version else version.resolve(rel)
+            Layout.zOrdered(spark.read.parquet(src.toString), xCol, yCol,
+                math.max(1, nFiles), bits)
+              .write.mode(SaveMode.Overwrite).parquet(dest.toString)
+            // per-file range stats of the freshly-written slices (the
+            // Delta per-file-stats analogue): one bounded scan of the
+            // unit just written; collect size = files per unit
+            spark.read.parquet(dest.toString)
+              .groupBy(input_file_name().as("f"))
+              .agg(min(col(xCol).cast("long")), max(col(xCol).cast("long")),
+                min(col(yCol).cast("long")), max(col(yCol).cast("long")))
+              .collect().foreach { r =>
+                val name = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
+                val relPath = if (rel.isEmpty) name else s"$rel/$name"
+                // an all-null column in a file has null min/max: record
+                // no range — readSkipping always reads stat-less files
+                if (!r.isNullAt(1))
+                  statRows += s"$relPath\t$xCol\t${r.getLong(1)}\t${r.getLong(2)}"
+                if (!r.isNullAt(3))
+                  statRows += s"$relPath\t$yCol\t${r.getLong(3)}\t${r.getLong(4)}"
+              }
           }
-          // compaction rewrites files, not schema: carry the sidecars over
+          // merge surviving stats of units NOT rewritten (their files
+          // hard-link through unchanged, so their ranges stay valid)
+          val rewritten = units.map { case (rel, _) =>
+            if (rel.isEmpty) "" else rel + "/" }.toSet
+          val oldStats = {
+            val p = liveDir.resolve(StatsFile)
+            if (!Files.exists(p)) Seq.empty
+            else Files.readString(p).linesIterator.filter { l =>
+              val rel = l.takeWhile(_ != '\t')
+              !rewritten.exists(pre => pre.isEmpty || rel.startsWith(pre))
+            }.toSeq
+          }
+          Files.writeString(version.resolve(StatsFile),
+            (oldStats ++ statRows).mkString("\n"))
+          // re-clustering rewrites files, not schema: carry sidecars over
           Seq(SchemaFile, PartsFile).foreach { name =>
             val side = liveDir.resolve(name)
             if (Files.exists(side))
               Files.copy(side, version.resolve(name),
                 StandardCopyOption.REPLACE_EXISTING): Unit
           }
-          carryUntouchedPartitions(liveDir, version, partitionCols, overflowing.toSet)
+          if (partitionCols.nonEmpty)
+            carryUntouchedPartitions(liveDir, version, partitionCols,
+              units.map(_._1).toSet)
           commitVersion(tablePath, version, Parent(base))
+          units.size
         }
       }
     }
+
+  /** Per-file column-range stats sidecar written by [[zorder]] (TSV:
+    * relPath, col, min, max). The file-level analogue of Delta's
+    * per-file stats in the transaction log. */
+  private val StatsFile = "_graft_stats.tsv"
+
+  /** Stats of the live snapshot: relPath → col → (min, max). Empty when
+    * the live version carries no sidecar (never z-ordered). */
+  def fileStats(tablePath: String): Map[String, Map[String, (Long, Long)]] = {
+    val live = resolveLive(tablePath).getOrElse(Paths.get(tablePath))
+    val p = live.resolve(StatsFile)
+    if (!Files.exists(p)) Map.empty
+    else Files.readString(p).linesIterator.flatMap { l =>
+      l.split('\t') match {
+        case Array(rel, c, lo, hi) => Some((rel, c, lo.toLong, hi.toLong))
+        case _ => None
+      }
+    }.toSeq.groupBy(_._1).map { case (rel, rows) =>
+      rel -> rows.map(r => r._2 -> ((r._3, r._4))).toMap
+    }
+  }
+
+  /** FILE-SKIPPING read: `read(path).filter(col BETWEEN lo AND hi)`,
+    * except files whose sidecar range provably misses [lo, hi] are
+    * dropped from the scan BEFORE any parquet footer is opened — the
+    * payoff of [[zorder]]'s clustered layout (each file's range is a
+    * bounded slice, so a selective predicate keeps few files). Files
+    * with no recorded stats are always read (safe fallback: a merge
+    * after the zorder adds files without stats; they scan normally).
+    * Semantically identical to the filtered full read at any layout. */
+  def readSkipping(spark: SparkSession, tablePath: String, column: String,
+                   lo: Long, hi: Long): DataFrame = {
+    val live = resolveLive(tablePath).getOrElse(Paths.get(tablePath))
+    val stats = fileStats(tablePath)
+    def files(dir: java.io.File, prefix: String): Seq[(String, String)] =
+      Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+        if (f.isDirectory && f.getName.contains("="))
+          files(f, if (prefix.isEmpty) f.getName else s"$prefix/${f.getName}")
+        else if (f.getName.endsWith(".parquet"))
+          Seq((if (prefix.isEmpty) f.getName else s"$prefix/${f.getName}", f.getPath))
+        else Seq.empty
+      }
+    val all = files(live.toFile, "")
+    val kept = all.filter { case (rel, _) =>
+      stats.get(rel).flatMap(_.get(column)) match {
+        case Some((fLo, fHi)) => fHi >= lo && fLo <= hi
+        case None => true // no stats recorded: must read
+      }
+    }
+    val pred = col(column).cast("long").between(lo, hi)
+    if (kept.isEmpty)
+      read(spark, tablePath).filter(pred).limit(0)
+    else
+      spark.read.option("basePath", live.toString)
+        .parquet(kept.map(_._2): _*).filter(pred)
+  }
+
+  /** RESTORE — roll the live table back to the retained snapshot
+    * `version` by committing a NEW version whose data files hard-link
+    * the snapshot's (Delta `RESTORE TABLE` semantics: history moves
+    * FORWARD — the restore is itself an auditable commit, the
+    * restored-from snapshot stays immutable, and a bad restore is
+    * undone by restoring again). Zero data rewrite at any table size:
+    * the new version links the snapshot's data tree and schema
+    * sidecars; only the commit marker and txn metadata are written
+    * fresh (hard-linking those would alias the inode, and the commit's
+    * write-through would corrupt the source snapshot's identity).
+    * Restoring the live version is a no-op. Returns the live version
+    * name after the call. */
+  def restore(tablePath: String, version: String): String =
+    retryOnConflict(CommitRetries) {
+      val src = Paths.get(tablePath, version)
+      require(Files.exists(src), s"version $version not retained at $tablePath")
+      require(isCommitted(src.toFile),
+        s"version $version at $tablePath is an in-flight staging dir, not a committed snapshot")
+      val base = currentVersionName(tablePath)
+      if (base.contains(version)) version
+      else {
+        val dest = newVersionDir(tablePath)
+        Files.createDirectories(dest)
+        Option(src.toFile.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName != CommittedMarker && f.getName != TxnFile)
+          .foreach(c => linkTree(c.toPath, dest.resolve(c.getName)))
+        writeTxnSidecar(dest, Map("restoredFrom" -> version))
+        commitVersion(tablePath, dest, Parent(base))
+        dest.getFileName.toString
+      }
+    }
+
+  /** Name of the LIVE version (None for legacy unversioned layouts). */
+  def liveVersion(tablePath: String): Option[String] = currentVersionName(tablePath)
+
+  /** Hard-link CLONE of a committed table into `dest` (replacing it) —
+    * the restore-from-snapshot bootstrap: version dirs are immutable
+    * after commit and the pointer file is only ever REPLACED by atomic
+    * move (never written through), so the clone shares every data file
+    * safely and the two tables diverge independently from the first
+    * commit in either. The commit lock is NOT linked — a shared lock
+    * inode would serialize the two tables' writers against each other.
+    * Zero data copy at any size (FS hard links; falls back to copy on
+    * filesystems without link support). */
+  def cloneTable(src: String, dest: String): Unit = {
+    require(exists(src), s"no graft table at $src")
+    deleteRecursively(Paths.get(dest))
+    Files.createDirectories(Paths.get(dest))
+    Option(Paths.get(src).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName != LockName && !f.getName.startsWith("."))
+      .foreach(c => linkTree(c.toPath, Paths.get(dest).resolve(c.getName)))
+  }
 
   /** ALTER TABLE ADD COLUMNS as a METADATA-ONLY commit (the Iceberg
     * schema-log analogue; reference shape `transformer.py:2421-2425`):

@@ -116,6 +116,51 @@ object SqlMerge {
   final case class GraftDropTableCommand(
       path: String, ifExists: Boolean) extends LeafCommand
 
+  // ---- maintenance statements (the Delta OPTIMIZE/VACUUM/RESTORE/
+  // DESCRIBE HISTORY surface over the versioned-parquet layout) ----
+
+  private def attr(name: String, dt: org.apache.spark.sql.types.DataType,
+                   nullable: Boolean = false): Attribute =
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(name, dt, nullable)()
+
+  /** `VACUUM graft.… [RETAIN n HOURS]` → expire retained snapshots older
+    * than the horizon (live always survives); returns the count. */
+  final case class GraftVacuumCommand(path: String, retainMs: Long) extends LeafCommand {
+    override val output: Seq[Attribute] =
+      Seq(attr("n_expired", org.apache.spark.sql.types.LongType))
+  }
+
+  /** `OPTIMIZE graft.… [ZORDER BY (x, y)]` → partition-scoped
+    * small-file compaction (unpartitioned tables compact wholesale);
+    * with ZORDER BY, every unit is rewritten re-clustered on the
+    * interleaved key instead (the file-level data-skipping layout).
+    * Returns the number of compaction units rewritten. */
+  final case class GraftOptimizeCommand(path: String, maxFiles: Int,
+                                        zorderBy: Option[(String, String)],
+                                        where: Option[(String, String)] = None) extends LeafCommand {
+    override val output: Seq[Attribute] =
+      Seq(attr("n_compacted", org.apache.spark.sql.types.LongType))
+  }
+
+  /** `RESTORE TABLE graft.… [TO] VERSION AS OF 'v-…'` → roll the live
+    * table back to a retained snapshot as a NEW commit (history moves
+    * forward); returns the live version name after the restore. */
+  final case class GraftRestoreCommand(path: String, version: String) extends LeafCommand {
+    override val output: Seq[Attribute] =
+      Seq(attr("live_version", org.apache.spark.sql.types.StringType))
+  }
+
+  /** `DESCRIBE HISTORY graft.…` → one row per retained committed
+    * snapshot, newest first: name, live flag, data-file count, and the
+    * commit's txn metadata rendered `k=v` comma-joined. */
+  final case class GraftHistoryCommand(path: String) extends LeafCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("version", org.apache.spark.sql.types.StringType),
+      attr("is_live", org.apache.spark.sql.types.BooleanType),
+      attr("n_files", org.apache.spark.sql.types.LongType),
+      attr("meta", org.apache.spark.sql.types.StringType))
+  }
+
   final case class GraftUpdateCommand(
       path: String,
       target: LogicalPlan,
@@ -315,14 +360,58 @@ object SqlMerge {
     extends org.apache.spark.sql.catalyst.parser.ParserInterface {
     private def named(u: UnresolvedRelation): Boolean =
       u.multipartIdentifier.length == 3 && graftParts(u.multipartIdentifier).isDefined
-    override def parsePlan(sqlText: String): LogicalPlan =
-      convertDdl(delegate.parsePlan(sqlText)).transformDown {
-        case u: UnresolvedRelation if named(u) => substitute(session, u)
-        case i: InsertIntoStatement => i.table match {
-          case u: UnresolvedRelation if named(u) => i.copy(table = substitute(session, u))
-          case _ => i
+
+    // Maintenance statements Spark's grammar doesn't know (the Delta
+    // OPTIMIZE/VACUUM/RESTORE/DESCRIBE HISTORY verbs). Matched at the
+    // text level BEFORE delegation — the delegate would throw a
+    // ParseException on the verb. Only a graft-addressed identifier is
+    // claimed; anything else falls through to the delegate's own error.
+    private val VacuumRe =
+      """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*$""".r
+    private val OptimizeRe =
+      ("""(?is)^\s*OPTIMIZE\s+(.+?)""" +
+        """(?:\s+WHERE\s+([A-Za-z_]\w*)\s*=\s*'([^']*)')?""" +
+        """(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s*\))?""" +
+        """\s*;?\s*$""").r
+    private val RestoreRe =
+      """(?is)^\s*RESTORE\s+TABLE\s+(.+?)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+('?)([^\s';]+)\2\s*;?\s*$""".r
+    private val HistoryRe = """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
+
+    /** Live-table graft path of a maintenance target, None when the
+      * identifier doesn't parse or isn't graft-addressed. */
+    private def maintPath(identText: String, stmt: String): Option[String] =
+      scala.util.Try(delegate.parseMultipartIdentifier(identText.trim)).toOption
+        .flatMap(graftParts).map { case (p, v) =>
+          require(v.isEmpty,
+            s"$stmt cannot target the pinned snapshot $p@${v.get} — " +
+              "snapshots are immutable; target the live table")
+          p
         }
-      }
+
+    private def parseMaintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
+      case VacuumRe(ident, hours) =>
+        maintPath(ident, "VACUUM").map(p => GraftVacuumCommand(p,
+          Option(hours).map(_.toLong * 3600 * 1000L).getOrElse(168L * 3600 * 1000L)))
+      case RestoreRe(ident, _, version) =>
+        maintPath(ident, "RESTORE TABLE").map(GraftRestoreCommand(_, version))
+      case HistoryRe(ident) =>
+        maintPath(ident, "DESCRIBE HISTORY").map(GraftHistoryCommand)
+      case OptimizeRe(ident, wc, wv, x, y) =>
+        val where = Option(wc).map(c => (c, wv))
+        val zo = Option(x).map(xc => (xc, y))
+        maintPath(ident, "OPTIMIZE").map(GraftOptimizeCommand(_, 4, zo, where))
+      case _ => None
+    }
+
+    override def parsePlan(sqlText: String): LogicalPlan =
+      parseMaintenance(sqlText).getOrElse(
+        convertDdl(delegate.parsePlan(sqlText)).transformDown {
+          case u: UnresolvedRelation if named(u) => substitute(session, u)
+          case i: InsertIntoStatement => i.table match {
+            case u: UnresolvedRelation if named(u) => i.copy(table = substitute(session, u))
+            case _ => i
+          }
+        })
     override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
     override def parseExpression(sqlText: String): Expression =
       delegate.parseExpression(sqlText)
@@ -423,8 +512,65 @@ object SqlMerge {
         GraftDdlExec(s => graft.operators.TableMerge.addColumns(s, cmd.path, cmd.cols)) :: Nil
       case cmd: GraftDropTableCommand =>
         GraftDdlExec(_ => graft.operators.TableMerge.drop(cmd.path, cmd.ifExists)) :: Nil
+      case cmd: GraftVacuumCommand =>
+        GraftMaintenanceExec(cmd.output, _ => Seq(org.apache.spark.sql.Row(
+          graft.operators.TableMerge.expireVersions(cmd.path, cmd.retainMs).toLong))) :: Nil
+      case cmd: GraftOptimizeCommand =>
+        GraftMaintenanceExec(cmd.output, s => Seq(org.apache.spark.sql.Row(
+          cmd.zorderBy match {
+            case Some((x, y)) =>
+              graft.operators.TableMerge.zorder(s, cmd.path, x, y,
+                scope = cmd.where).toLong
+            case None =>
+              require(cmd.where.isEmpty,
+                "OPTIMIZE … WHERE without ZORDER BY is not supported — plain " +
+                  "compaction is already unit-scoped (only overflowing units rewrite)")
+              graft.operators.TableMerge.compact(s, cmd.path,
+                graft.operators.TableMerge.partitionColsOf(cmd.path),
+                maxFiles = cmd.maxFiles, targetFiles = 1).toLong
+          }))) :: Nil
+      case cmd: GraftRestoreCommand =>
+        GraftMaintenanceExec(cmd.output, _ => Seq(org.apache.spark.sql.Row(
+          graft.operators.TableMerge.restore(cmd.path, cmd.version)))) :: Nil
+      case cmd: GraftHistoryCommand =>
+        GraftMaintenanceExec(cmd.output, _ => {
+          import graft.operators.TableMerge
+          val live = TableMerge.liveVersion(cmd.path)
+          TableMerge.versions(cmd.path).map { v =>
+            val dir = java.nio.file.Paths.get(cmd.path, v)
+            val nFiles = {
+              def walk(f: java.io.File): Long =
+                if (f.isDirectory)
+                  Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+                else if (f.getName.endsWith(".parquet")) 1L else 0L
+              walk(dir.toFile)
+            }
+            val meta = TableMerge.versionMeta(cmd.path, v).toSeq.sorted
+              .map { case (k, x) => s"$k=$x" }.mkString(",")
+            org.apache.spark.sql.Row(v, live.contains(v), nFiles, meta)
+          }
+        }) :: Nil
       case GraftTable(_, _, child) => planLater(child) :: Nil
       case _ => Nil
+    }
+  }
+
+  /** Driver-side maintenance runner with a row-valued result (the
+    * OPTIMIZE/VACUUM/RESTORE/HISTORY statements return small status
+    * rows the way Delta's do — version counts, names, file counts). */
+  final case class GraftMaintenanceExec(
+      outAttrs: Seq[Attribute],
+      body: SparkSession => Seq[org.apache.spark.sql.Row]) extends LeafExecNode {
+    override def output: Seq[Attribute] = outAttrs
+    override protected def doExecute(): RDD[InternalRow] = {
+      val schema = org.apache.spark.sql.types.StructType(outAttrs.map(a =>
+        org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(schema)
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(schema)
+      val rows: Seq[InternalRow] =
+        body(session).map(r => proj(conv(r).asInstanceOf[InternalRow]).copy())
+      sparkContext.parallelize(rows, 1)
     }
   }
 

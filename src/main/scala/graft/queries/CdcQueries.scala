@@ -590,6 +590,82 @@ object CdcQueries {
       .orderBy("event_type")
   }
 
+  /** K17 — SQL MAINTENANCE statements (the Delta OPTIMIZE / VACUUM /
+    * RESTORE / DESCRIBE HISTORY surface the reference's ops runbooks
+    * assume of an Iceberg-style table): the whole lifecycle runs as
+    * literal statements through [[graft.plans.SqlMerge.GraftSqlParser]].
+    * Chain: CTAS (v1) → INSERT odd keys (v2) → DELETE %7 (v3) →
+    * DESCRIBE HISTORY (3 rows) → RESTORE TABLE … TO VERSION AS OF v1
+    * (v4, content == v1, history moves FORWARD) → VACUUM RETAIN 0 HOURS
+    * (expires v1-v3; live v4 survives) → DESCRIBE HISTORY (1 row) →
+    * OPTIMIZE → OPTIMIZE … ZORDER BY (compaction + re-clustering
+    * commits; content invariant — their file-layout effects are pinned
+    * by SqlMergeSpec, not the oracle, because parquet file counts are
+    * task-layout-dependent). The oracle replays the
+    * content algebra (restore discards the INSERT and DELETE) and pins
+    * the four deterministic lifecycle integers. */
+  private val k17SqlMaintenance: Q = (s, d) => {
+    val path = statePath("k17_sql_maint")
+    TableMerge.drop(path, ifExists = true)
+    val e2 = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+      .selectExpr("o_orderkey", s"$e2 AS price_e2", "o_orderstatus")
+      .createOrReplaceTempView("k17_base")
+    s.sql(s"CREATE TABLE graft.`$path` PARTITIONED BY (o_orderstatus) " +
+      "AS SELECT * FROM k17_base")
+    Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+      .selectExpr("o_orderkey", s"$e2 AS price_e2", "o_orderstatus")
+      .createOrReplaceTempView("k17_more")
+    s.sql(s"INSERT INTO graft.`$path` SELECT * FROM k17_more")
+    s.sql(s"DELETE FROM graft.`$path` WHERE o_orderkey % 7 = 0")
+    val histBefore = s.sql(s"DESCRIBE HISTORY graft.`$path`").count()
+    val v1 = TableMerge.versions(path).last
+    s.sql(s"RESTORE TABLE graft.`$path` TO VERSION AS OF '$v1'")
+    val restoredOk =
+      if (TableMerge.commitMeta(path).get("restoredFrom").contains(v1)) 1L else 0L
+    val expired = s.sql(s"VACUUM graft.`$path` RETAIN 0 HOURS").head().getLong(0)
+    val histAfter = s.sql(s"DESCRIBE HISTORY graft.`$path`").count()
+    s.sql(s"OPTIMIZE graft.`$path`")
+    s.sql(s"OPTIMIZE graft.`$path` ZORDER BY (o_orderkey, price_e2)")
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n, sum(price_e2) AS sum_price_e2
+         |FROM graft.`$path` GROUP BY o_orderstatus""".stripMargin)
+      .withColumn("hist_before", lit(histBefore))
+      .withColumn("restored_ok", lit(restoredOk))
+      .withColumn("n_expired", lit(expired))
+      .withColumn("hist_after", lit(histAfter))
+      .orderBy("o_orderstatus")
+  }
+
+  /** K18 — Z-ORDER + FILE-SKIPPING read path: the lifecycle that
+    * monetizes `OPTIMIZE … ZORDER BY`. CTAS partitions events by type;
+    * the ZORDER statement rewrites each partition as contiguous
+    * z-slices of (user_id, value_e2) and records per-file range stats
+    * in the version's stats sidecar; `TableMerge.readSkipping` then
+    * answers a selective user_id range by dropping provably-missing
+    * files BEFORE any parquet footer is opened. The oracle replays the
+    * plain filtered aggregate — a readSkipping that wrongly drops (or
+    * keeps a stale range for) even one file breaks the hash. The
+    * PHYSICAL claim (fewer files actually scanned) is pinned by
+    * SqlMergeSpec on a fixed-file-count fixture, because file counts
+    * are task-layout-dependent. */
+  private val k18ZorderRead: Q = (s, d) => {
+    val path = statePath("k18_zorder_read")
+    TableMerge.drop(path, ifExists = true)
+    Tables.events(s, d)
+      .selectExpr("event_id", "user_id", "event_type",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_e2")
+      .createOrReplaceTempView("k18_events")
+    s.sql(s"CREATE TABLE graft.`$path` PARTITIONED BY (event_type) " +
+      "AS SELECT * FROM k18_events")
+    s.sql(s"OPTIMIZE graft.`$path` ZORDER BY (user_id, value_e2)")
+    TableMerge.readSkipping(s, path, "user_id", 100L, 400L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value_e2").as("sum_value_e2"),
+        sum("user_id").as("user_sum"))
+      .orderBy("event_type")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "i2_asset_cdc" -> i2AssetCdc,
     "k12_partition_overwrite" -> k12PartitionOverwrite,
@@ -606,12 +682,43 @@ object CdcQueries {
     "k14_sql_dml" -> k14SqlDml,
     "k15_sql_ddl" -> k15SqlDdl,
     "k16_sql_catalog" -> k16SqlCatalog,
+    "k17_sql_maintenance" -> k17SqlMaintenance,
+    "k18_zorder_read" -> k18ZorderRead,
     "k3_partitioned_merge" -> k3PartitionedMerge,
     "k9_time_travel" -> k9TimeTravel,
     "k10_vacuum" -> k10Vacuum,
   )
 
   val oracles: Map[String, String] = Map(
+    "k18_zorder_read" ->
+      // semantic contract of the skipping read: identical to the plain
+      // filtered aggregate at any physical layout
+      """WITH ev AS (
+        |  SELECT event_type, user_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_e2
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value_e2) AS BIGINT) AS sum_value_e2,
+        |  CAST(sum(user_id) AS BIGINT) AS user_sum
+        |FROM ev WHERE user_id BETWEEN 100 AND 400
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "k17_sql_maintenance" ->
+      // content == the CTAS snapshot (restore discards the INSERT and
+      // the DELETE); lifecycle integers are structural: 3 commits
+      // before restore, restore meta verified, 3 snapshots expired by
+      // VACUUM RETAIN 0, 1 retained after
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_e2,
+        |    o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price_e2) AS BIGINT) AS sum_price_e2,
+        |  CAST(3 AS BIGINT) AS hist_before,
+        |  CAST(1 AS BIGINT) AS restored_ok,
+        |  CAST(3 AS BIGINT) AS n_expired,
+        |  CAST(1 AS BIGINT) AS hist_after
+        |FROM base GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "k9_time_travel" ->
       """WITH v1 AS (
         |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer

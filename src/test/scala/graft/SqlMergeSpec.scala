@@ -402,4 +402,198 @@ class SqlMergeSpec extends AnyFunSuite {
       .as[(Long, Long)].head()
     assert(n == ((2L, 30L)))
   }
+
+  // ---- maintenance statements: OPTIMIZE / VACUUM / RESTORE / HISTORY ----
+
+  private def liveDir(path: String) = java.nio.file.Paths.get(path).resolve(
+    Files.readString(java.nio.file.Paths.get(path, "_current")).trim)
+
+  private def partFiles(path: String, part: String): Seq[java.io.File] =
+    Option(liveDir(path).resolve(s"part=$part").toFile.listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet")).toSeq
+
+  test("OPTIMIZE compacts only overflowing partitions; quiet ones keep inodes") {
+    import spark.implicits._
+    val path = tmpTable("optimize")
+    // partition a written as 6 files (repartition(6)); partition b as 1
+    val frag = (1L to 12L).map(i => (i, "a", i * 10L)).toDF("id", "part", "v")
+      .repartition(6)
+    TableMerge.createOrReplace(
+      frag.unionByName(Seq((99L, "b", 990L)).toDF("id", "part", "v")),
+      path, partitionCols = Seq("part"))
+    assert(partFiles(path, "a").size > 4, "fixture must overflow maxFiles=4")
+    val quietB = partFiles(path, "b")
+      .map(f => Files.getAttribute(f.toPath, "unix:ino").asInstanceOf[Long]).toSet
+    val before = rows(path)
+    val n = spark.sql(s"OPTIMIZE graft.`$path`").head().getLong(0)
+    assert(n == 1L, "exactly the overflowing partition compacts")
+    assert(partFiles(path, "a").size == 1, "compaction coalesces to one file")
+    assert(partFiles(path, "b").map(f =>
+      Files.getAttribute(f.toPath, "unix:ino").asInstanceOf[Long]).toSet == quietB,
+      "quiet partition rewritten by OPTIMIZE")
+    assert(rows(path) == before, "compaction must not change content")
+    // second run: nothing overflows, no commit
+    val v = TableMerge.liveVersion(path)
+    assert(spark.sql(s"OPTIMIZE graft.`$path`").head().getLong(0) == 0L)
+    assert(TableMerge.liveVersion(path) == v, "no-op OPTIMIZE must not commit")
+  }
+
+  test("RESTORE rolls content back as a NEW commit; VACUUM expires; HISTORY reports") {
+    import spark.implicits._
+    val path = tmpTable("restore")
+    TableMerge.createOrReplace(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "part", "v"),
+      path, partitionCols = Seq("part"))
+    val v1 = TableMerge.versions(path).head
+    spark.sql(s"DELETE FROM graft.`$path` WHERE id = 1")
+    assert(rows(path) == Set((2L, "b", 20L)))
+
+    // restore: content == v1, history moves FORWARD (v1 still retained)
+    val newLive = spark.sql(
+      s"RESTORE TABLE graft.`$path` TO VERSION AS OF '$v1'").head().getString(0)
+    assert(newLive != v1, "restore must commit a NEW version, not repoint")
+    assert(rows(path) == Set((1L, "a", 10L), (2L, "b", 20L)))
+    assert(TableMerge.commitMeta(path).get("restoredFrom").contains(v1))
+    val hist = spark.sql(s"DESCRIBE HISTORY graft.`$path`")
+      .as[(String, Boolean, Long, String)].collect().toSeq
+    assert(hist.size == 3, s"3 commits retained, got $hist")
+    assert(hist.head._1 == newLive && hist.head._2, "newest row is the live one")
+    assert(hist.count(_._2) == 1, "exactly one live version")
+    assert(hist.head._4.contains(s"restoredFrom=$v1"))
+    // restoring the live version is a no-op (no new commit)
+    assert(spark.sql(s"RESTORE TABLE graft.`$path` VERSION AS OF '$newLive'")
+      .head().getString(0) == newLive)
+    assert(TableMerge.versions(path).size == 3)
+
+    // vacuum: everything but live expires; expired snapshot unreadable
+    val expired = spark.sql(s"VACUUM graft.`$path` RETAIN 0 HOURS").head().getLong(0)
+    assert(expired == 2L)
+    assert(TableMerge.versions(path) == Seq(newLive))
+    assertThrows[IllegalArgumentException](TableMerge.readVersion(spark, path, v1))
+    assert(rows(path) == Set((1L, "a", 10L), (2L, "b", 20L)), "live survives VACUUM")
+  }
+
+  test("RESTORE hard-links data files (no rewrite) and rejects unknown versions") {
+    import spark.implicits._
+    val path = tmpTable("restorelink")
+    TableMerge.createOrReplace(
+      Seq((1L, "a", 10L)).toDF("id", "part", "v"), path, partitionCols = Seq("part"))
+    val v1 = TableMerge.versions(path).head
+    val v1Inodes = partFiles(path, "a")
+      .map(f => Files.getAttribute(f.toPath, "unix:ino").asInstanceOf[Long]).toSet
+    spark.sql(s"UPDATE graft.`$path` SET v = 99 WHERE id = 1")
+    spark.sql(s"RESTORE TABLE graft.`$path` TO VERSION AS OF '$v1'")
+    assert(partFiles(path, "a").map(f =>
+      Files.getAttribute(f.toPath, "unix:ino").asInstanceOf[Long]).toSet == v1Inodes,
+      "restore must hard-link the snapshot's data files")
+    // fresh commit identity: marker/txn files are NOT shared with v1
+    assert(TableMerge.versionMeta(path, v1).isEmpty,
+      "restore must not write through to the source snapshot's txn sidecar")
+    assertThrows[IllegalArgumentException](
+      spark.sql(s"RESTORE TABLE graft.`$path` TO VERSION AS OF 'v-0'"))
+    // a non-graft target falls through to Spark's own parse error
+    assertThrows[Exception](spark.sql("VACUUM some_table RETAIN 0 HOURS"))
+  }
+
+  test("OPTIMIZE ZORDER BY re-clusters files into bounded column ranges") {
+    import spark.implicits._
+    val path = tmpTable("zorder")
+    // 4096 rows on a 64×64 grid, written round-robin into 8 files: every
+    // file initially spans the FULL x range
+    val grid = (0L until 4096L).map(i => (i, i % 64L, (i / 64L) % 64L))
+      .toDF("id", "x", "y").repartition(8)
+    TableMerge.createOrReplace(grid, path)
+    def fileSpans(): Seq[(Long, Long)] = {
+      val files = Option(liveDir(path).toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).toSeq
+      files.map { f =>
+        val r = spark.read.parquet(f.getPath).agg(min("x"), max("x")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+    }
+    val before = fileSpans()
+    assert(before.size == 8 && before.forall { case (lo, hi) => hi - lo == 63L },
+      "round-robin fixture must start with full-range files")
+    val n = spark.sql(s"OPTIMIZE graft.`$path` ZORDER BY (x, y)").head().getLong(0)
+    assert(n == 1L, "one (unpartitioned) unit rewritten")
+    val after = fileSpans()
+    assert(after.size == 8, "zorder keeps the unit's file count")
+    // 8 contiguous z-slices split on (y-top, x-top, y-2nd) bits: most
+    // files halve their x span; range-boundary files may straddle, so
+    // assert a 25% shrink rather than the ideal halving
+    val spanSum = after.map { case (lo, hi) => hi - lo }.sum
+    assert(spanSum < 8L * 63 * 3 / 4,
+      s"z-clustering must shrink per-file x spans (footer-stat skipping); got $after")
+    // content invariant
+    assert(TableMerge.read(spark, path).as[(Long, Long, Long)].collect().toSet ==
+      (0L until 4096L).map(i => (i, i % 64L, (i / 64L) % 64L)).toSet)
+  }
+
+  test("readSkipping after ZORDER prunes files by sidecar stats, same answer") {
+    import spark.implicits._
+    val path = tmpTable("skipping")
+    val grid = (0L until 4096L).map(i => (i, i % 64L, (i / 64L) % 64L))
+      .toDF("id", "x", "y").repartition(8)
+    TableMerge.createOrReplace(grid, path)
+    spark.sql(s"OPTIMIZE graft.`$path` ZORDER BY (x, y)")
+    val stats = TableMerge.fileStats(path)
+    assert(stats.size == 8, s"stats sidecar must cover all 8 files, got ${stats.size}")
+    assert(stats.values.forall(_.keySet == Set("x", "y")))
+    // a narrow x slice: provably-missing files are dropped BEFORE read
+    val kept = stats.count { case (_, cols) =>
+      val (lo, hi) = cols("x"); hi >= 0L && lo <= 7L
+    }
+    assert(kept < 8, s"z-layout must let an x-slice skip files (kept=$kept)")
+    val viaSkip = TableMerge.readSkipping(spark, path, "x", 0L, 7L)
+      .agg(count(lit(1)), sum("id")).as[(Long, Long)].head()
+    val viaFull = TableMerge.read(spark, path).filter(col("x").between(0, 7))
+      .agg(count(lit(1)), sum("id")).as[(Long, Long)].head()
+    assert(viaSkip == viaFull, "skipping read must equal the filtered full read")
+    assert(viaSkip._1 == 512L)
+    // a table never z-ordered has no stats: skipping degrades to full read
+    val path2 = tmpTable("noskip")
+    TableMerge.createOrReplace(grid, path2)
+    assert(TableMerge.fileStats(path2).isEmpty)
+    assert(TableMerge.readSkipping(spark, path2, "x", 0L, 7L).count() == 512L)
+  }
+
+  test("partition-scoped OPTIMIZE … WHERE … ZORDER BY leaves other partitions linked") {
+    import spark.implicits._
+    val path = tmpTable("zscope")
+    val rows4k = (0L until 2048L).flatMap(i =>
+      Seq((i, "a", i % 64L, (i / 64L) % 32L), (i + 10000L, "b", i % 64L, (i / 64L) % 32L)))
+    TableMerge.createOrReplace(
+      rows4k.toDF("id", "part", "x", "y").repartition(4),
+      path, partitionCols = Seq("part"))
+    val quietB = partFiles(path, "b")
+      .map(f => Files.getAttribute(f.toPath, "unix:ino").asInstanceOf[Long]).toSet
+    val n = spark.sql(
+      s"OPTIMIZE graft.`$path` WHERE part = 'a' ZORDER BY (x, y)").head().getLong(0)
+    assert(n == 1L, "exactly the scoped partition rewrites")
+    assert(partFiles(path, "b").map(f =>
+      Files.getAttribute(f.toPath, "unix:ino").asInstanceOf[Long]).toSet == quietB,
+      "unscoped partition must hard-link through a scoped ZORDER")
+    val stats = TableMerge.fileStats(path)
+    assert(stats.nonEmpty && stats.keySet.forall(_.startsWith("part=a/")),
+      s"stats cover only the re-clustered partition, got ${stats.keySet}")
+    // content invariant + the skipping read stays correct across a
+    // mixed layout (stats on a, none on b)
+    assert(TableMerge.readSkipping(spark, path, "x", 0L, 3L).count() ==
+      TableMerge.read(spark, path).filter(col("x").between(0, 3)).count())
+    // WHERE on a non-partition column rejects
+    assertThrows[IllegalArgumentException](spark.sql(
+      s"OPTIMIZE graft.`$path` WHERE x = '1' ZORDER BY (x, y)"))
+  }
+
+  test("maintenance statements reject pinned-snapshot targets") {
+    import spark.implicits._
+    val path = tmpTable("maintpin")
+    TableMerge.createOrReplace(
+      Seq((1L, "a", 10L)).toDF("id", "part", "v"), path, partitionCols = Seq("part"))
+    val v1 = TableMerge.versions(path).head
+    assertThrows[IllegalArgumentException](
+      spark.sql(s"VACUUM graft.`$path@$v1` RETAIN 0 HOURS"))
+    assertThrows[IllegalArgumentException](
+      spark.sql(s"OPTIMIZE graft.`$path@$v1`"))
+  }
 }
