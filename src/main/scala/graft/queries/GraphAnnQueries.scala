@@ -269,11 +269,23 @@ private[graft] object GraphAnnQueries {
     val gc = PipelineShared.memo(s, s"hnswm_gc|$d|$bits")(
       prune2M(symmetrize(outEdges(corpusSig, corpusSig, bits))).localCheckpoint())
     val no = outEdges(batchSig, allSig, bits).localCheckpoint()
+    // The 2M shrink re-runs ONLY over touched nodes (batch srcs + the
+    // corpus nodes their edges reverse into): an untouched src gains no
+    // candidate rows, and its gc rows are already the top-2M of
+    // themselves under the same deterministic rank, so re-pruning them
+    // is the identity — keeping them verbatim is bit-identical (this is
+    // the "untouched nodes keep their rows" claim made real in the
+    // plan: the big corpus table crosses the shuffle ZERO times per
+    // maintenance cycle; only batch-adjacent rows do).
+    val reversed = no.select(col("dst").as("src"), col("src").as("dst"),
+      col("pair_e6"))
+    val touched = no.select(col("src")).unionByName(reversed.select(col("src")))
+      .distinct().localCheckpoint()
     val maintained = prune2M(
-      gc.unionByName(no)
-        .unionByName(no.select(col("dst").as("src"), col("src").as("dst"),
-          col("pair_e6")))
-        .distinct())
+      gc.join(broadcast(touched), Seq("src"), "left_semi")
+        .unionByName(no).unionByName(reversed).distinct())
+      .unionByName(gc.join(broadcast(touched), Seq("src"), "left_anti")
+        .select("src", "dst", "pair_e6"))
       .select("src", "dst").localCheckpoint()
     val rebuilt = PipelineShared.memo(s, s"hnswm_rebuilt|$d|$bits")(
       prune2M(symmetrize(outEdges(allSig, allSig, bits)))
