@@ -412,8 +412,9 @@ object TableMerge {
           merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(version.toString)
           writeSchemaSidecar(version, merged.schema, partitionCols)
           writeTxnSidecar(version, meta)
-          carryUntouchedPartitions(liveDir, version, partitionCols,
-            touchedPartitionDirs(touched))
+          val touchedDirs = touchedPartitionDirs(touched)
+          carryUntouchedPartitions(liveDir, version, partitionCols, touchedDirs)
+          carryStatsExcept(liveDir, version, touchedDirs)
           commitVersion(tablePath, version, Parent(base))
         } else {
           writeVersion(mergeRows(target, src, keys), tablePath, partitionCols, Parent(base), meta)
@@ -464,8 +465,9 @@ object TableMerge {
           merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(version.toString)
           writeSchemaSidecar(version, merged.schema, partitionCols)
           writeTxnSidecar(version, meta)
-          carryUntouchedPartitions(liveDir, version, partitionCols,
-            touchedPartitionDirs(touched))
+          val touchedDirs = touchedPartitionDirs(touched)
+          carryUntouchedPartitions(liveDir, version, partitionCols, touchedDirs)
+          carryStatsExcept(liveDir, version, touchedDirs)
           commitVersion(tablePath, version, Parent(base))
         } else {
           val remaining = target.join(drops, groupKeys, "left_anti")
@@ -538,17 +540,17 @@ object TableMerge {
                 .write.mode(SaveMode.Overwrite).parquet(version.resolve(rel).toString)
             }
             // compaction rewrites files, not schema: carry the sidecars
-            // over (incl. range stats — untouched partitions hard-link
-            // so their ranges stay valid; compacted files get fresh
-            // names, so their orphaned stat rows match nothing and the
-            // new files read unconditionally — the safe fallback)
-            Seq(SchemaFile, PartsFile, StatsFile).foreach { name =>
+            // over (range stats survive for untouched partitions only —
+            // compacted files get fresh names and read unconditionally,
+            // the safe fallback)
+            Seq(SchemaFile, PartsFile).foreach { name =>
               val side = liveDir.resolve(name)
               if (Files.exists(side))
                 Files.copy(side, version.resolve(name),
                   StandardCopyOption.REPLACE_EXISTING): Unit
             }
             carryUntouchedPartitions(liveDir, version, partitionCols, overflowing.toSet)
+            carryStatsExcept(liveDir, version, overflowing.toSet)
             commitVersion(tablePath, version, Parent(base))
           }
           overflowing.length
@@ -579,10 +581,15 @@ object TableMerge {
         // a WHERE scope names a partition column: only its matching
         // units rewrite; everything else hard-links through the commit
         // (at scale you re-cluster the day's partition, not the table)
-        scope.foreach { case (c, _) =>
-          require(partitionCols.exists(_.equalsIgnoreCase(c)),
-            s"OPTIMIZE … WHERE supports only partition columns; $c is not one of " +
-              s"[${partitionCols.mkString(", ")}]")
+        // canonicalize the scope column to the partition column's own
+        // case — dir names use the declared case, and a case-differing
+        // match would otherwise pass validation yet select zero units
+        val scopeNorm = scope.map { case (c, v) =>
+          val canon = partitionCols.find(_.equalsIgnoreCase(c)).getOrElse(
+            throw new IllegalArgumentException(
+              s"OPTIMIZE … WHERE supports only partition columns; $c is not one of " +
+                s"[${partitionCols.mkString(", ")}]"))
+          (canon, v)
         }
         // leaf units + their current file counts (metadata-only walk)
         def walk(dir: Path, depth: Int, prefix: String): Seq[(String, Int)] = {
@@ -595,17 +602,31 @@ object TableMerge {
               if (prefix.isEmpty) d.getName else s"$prefix/${d.getName}")).toSeq
         }
         val units = walk(liveDir, 0, "").filter { case (rel, _) =>
-          scope.forall { case (c, v) => rel.split('/').contains(s"$c=$v") }
+          scopeNorm.forall { case (c, v) => rel.split('/').contains(s"$c=$v") }
         }
         if (units.isEmpty) 0
         else {
           val version = newVersionDir(tablePath)
           Files.createDirectories(version)
+          // unit reads use the snapshot's sidecar schema (minus the
+          // partition columns, which live in the dir names): files
+          // predating an ALTER ADD COLUMNS lack the new columns and
+          // must read as typed NULLs, not fail resolution
+          val unitReader = {
+            val side = liveDir.resolve(SchemaFile)
+            if (Files.exists(side)) {
+              val full = org.apache.spark.sql.types.DataType
+                .fromJson(Files.readString(side))
+                .asInstanceOf[org.apache.spark.sql.types.StructType]
+              spark.read.schema(org.apache.spark.sql.types.StructType(
+                full.filterNot(f => partitionCols.contains(f.name))))
+            } else spark.read.option("mergeSchema", "true")
+          }
           val statRows = scala.collection.mutable.ArrayBuffer[String]()
           units.foreach { case (rel, nFiles) =>
             val src = if (rel.isEmpty) liveDir else liveDir.resolve(rel)
             val dest = if (rel.isEmpty) version else version.resolve(rel)
-            Layout.zOrdered(spark.read.parquet(src.toString), xCol, yCol,
+            Layout.zOrdered(unitReader.parquet(src.toString), xCol, yCol,
                 math.max(1, nFiles), bits)
               .write.mode(SaveMode.Overwrite).parquet(dest.toString)
             // per-file range stats of the freshly-written slices (the
@@ -707,9 +728,20 @@ object TableMerge {
     val pred = col(column).cast("long").between(lo, hi)
     if (kept.isEmpty)
       read(spark, tablePath).filter(pred).limit(0)
-    else
-      spark.read.option("basePath", live.toString)
+    else {
+      // read with the snapshot's SIDECAR schema, exactly like read():
+      // footer inference from an arbitrary kept file would drop columns
+      // added by a post-zorder ALTER on partitions whose files predate
+      // it — the skipping read must be column-identical to the full read
+      val side = live.resolve(SchemaFile)
+      val reader =
+        if (Files.exists(side)) spark.read.schema(
+          org.apache.spark.sql.types.DataType.fromJson(Files.readString(side))
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        else spark.read.option("mergeSchema", "true")
+      reader.option("basePath", live.toString)
         .parquet(kept.map(_._2): _*).filter(pred)
+    }
   }
 
   /** RESTORE — roll the live table back to the retained snapshot
@@ -760,9 +792,14 @@ object TableMerge {
     require(exists(src), s"no graft table at $src")
     deleteRecursively(Paths.get(dest))
     Files.createDirectories(Paths.get(dest))
-    Option(Paths.get(src).toFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName != LockName && !f.getName.startsWith("."))
-      .foreach(c => linkTree(c.toPath, Paths.get(dest).resolve(c.getName)))
+    // under the SOURCE's commit lock: without it, a concurrent commit
+    // between the dir listing and the pointer link could yield a clone
+    // whose pointer names a version dir the listing never saw
+    withCommitLock(src) {
+      Option(Paths.get(src).toFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName != LockName && !f.getName.startsWith("."))
+        .foreach(c => linkTree(c.toPath, Paths.get(dest).resolve(c.getName)))
+    }
   }
 
   /** ALTER TABLE ADD COLUMNS as a METADATA-ONLY commit (the Iceberg
@@ -805,6 +842,9 @@ object TableMerge {
         if (Files.exists(parts))
           Files.copy(parts, version.resolve(PartsFile),
             StandardCopyOption.REPLACE_EXISTING): Unit
+        // every data file hard-links name-unchanged, so per-file range
+        // stats stay valid verbatim through the metadata-only commit
+        carryStatsExcept(liveDir, version, Set.empty)
         commitVersion(tablePath, version, Parent(base))
       }
     }
@@ -886,6 +926,27 @@ object TableMerge {
           s"$tablePath: merge from base $base failed after a concurrent commit " +
             s"(${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)})")
     }
+
+  /** Carry the live snapshot's file-range stats into the staging
+    * version, minus entries under TOUCHED partition dirs: untouched
+    * partitions hard-link with file names intact, so their ranges stay
+    * valid; touched partitions' files are rewritten under fresh names,
+    * so their old entries must not survive (a stale range could
+    * wrongly skip a file). Keeps [[readSkipping]] effective across the
+    * maintenance lifecycle — a z-ordered table that takes daily merges
+    * loses skipping only where the merge actually landed. */
+  private def carryStatsExcept(live: Path, staging: Path,
+                               touchedDirs: Set[String]): Unit = {
+    val p = live.resolve(StatsFile)
+    if (Files.exists(p)) {
+      val rows = Files.readString(p).linesIterator.filter { l =>
+        val rel = l.takeWhile(_ != '\t')
+        !touchedDirs.exists(d => rel.startsWith(d + "/"))
+      }.toSeq
+      if (rows.nonEmpty)
+        Files.writeString(staging.resolve(StatsFile), rows.mkString("\n")): Unit
+    }
+  }
 
   /** Hive-style partition dir prefixes (`col=value`) touched by the merge. */
   private def touchedPartitionDirs(touched: DataFrame): Set[String] = {

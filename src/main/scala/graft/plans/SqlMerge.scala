@@ -513,8 +513,14 @@ object SqlMerge {
       case cmd: GraftDropTableCommand =>
         GraftDdlExec(_ => graft.operators.TableMerge.drop(cmd.path, cmd.ifExists)) :: Nil
       case cmd: GraftVacuumCommand =>
-        GraftMaintenanceExec(cmd.output, _ => Seq(org.apache.spark.sql.Row(
-          graft.operators.TableMerge.expireVersions(cmd.path, cmd.retainMs).toLong))) :: Nil
+        GraftMaintenanceExec(cmd.output, _ => {
+          // a typo'd path must error, not silently materialize an empty
+          // pseudo-table dir via the commit-lock acquisition
+          require(graft.operators.TableMerge.exists(cmd.path),
+            s"no graft table at ${cmd.path}")
+          Seq(org.apache.spark.sql.Row(
+            graft.operators.TableMerge.expireVersions(cmd.path, cmd.retainMs).toLong))
+        }) :: Nil
       case cmd: GraftOptimizeCommand =>
         GraftMaintenanceExec(cmd.output, s => Seq(org.apache.spark.sql.Row(
           cmd.zorderBy match {
@@ -778,9 +784,14 @@ object SqlMerge {
     // clauses pass; only a row that would be updated/deleted twice is
     // the nondeterministic-merge error. Matched rows with no firing
     // clause pass through unchanged, ONCE (never one copy per match).
+    // freeze the fired-clause rows (batch-bounded): they feed the
+    // dup-check count, the merged projection, the pass-through
+    // anti-join, AND the old-homes partition set — without the
+    // checkpoint the full target⋈source evaluation re-runs four times
     val fired = pairs
       .withColumn("__idx", clauseIdx(cmd.matchedActions))
       .filter(col("__idx") > 0)
+      .localCheckpoint()
     if (cmd.matchedActions.nonEmpty) {
       val dup = fired.groupBy("__tid").count().filter(col("count") > 1).limit(1).count()
       require(dup == 0L,
@@ -832,8 +843,7 @@ object SqlMerge {
     val partCols = TableMerge.partitionColsOf(cmd.path)
     if (partCols.nonEmpty && partCols.forall(cols.contains)) {
       val partAttrs = partCols.map(c => tgtAttrs.find(_.name == c).get)
-      val oldHomes = pairs
-        .filter(clauseIdx(cmd.matchedActions) > 0)
+      val oldHomes = fired
         .select(partAttrs.map(a => tCol(a).as(a.name)): _*)
         .unionByName(unmatchedT
           .filter(clauseIdx(cmd.notMatchedBySourceActions) > 0)

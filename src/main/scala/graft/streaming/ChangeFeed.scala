@@ -78,9 +78,17 @@ object ChangeFeed {
       .map(TableMerge.readVersion(spark, tablePath, _))
       .getOrElse(post0.limit(0))
     val dataCols = post0.columns.toSeq.filterNot(keys.contains)
-    def side(df: DataFrame, tag: String): DataFrame =
-      df.select(keys.map(col) ++ dataCols.map(c => col(c).as(s"${tag}_$c")) :+
-        lit(true).as(s"_${tag}_present"): _*)
+    // a pair can span a schema-evolution commit (ALTER ADD COLUMNS):
+    // columns the pre snapshot lacks read as typed NULLs — exactly what
+    // its rows would show after the evolution — so the diff classifies
+    // a later backfill as `update`, not a crash
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val have = df.columns.toSet
+      val typed = post0.schema.fields.map(f => f.name -> f.dataType).toMap
+      df.select(keys.map(col) ++ dataCols.map { c =>
+        (if (have(c)) col(c) else lit(null).cast(typed(c))).as(s"${tag}_$c")
+      } :+ lit(true).as(s"_${tag}_present"): _*)
+    }
     val joined = side(pre0, "pre").join(side(post0, "post"), keys, "full_outer")
     val changed = dataCols.map(c => !(col(s"pre_$c") <=> col(s"post_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))

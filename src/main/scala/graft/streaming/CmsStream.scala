@@ -93,12 +93,15 @@ object CmsStream {
       val id = java.util.UUID.randomUUID().toString
       val tmp = dir.resolve(s".$RunNonceFile.tmp-${System.nanoTime()}")
       java.nio.file.Files.writeString(tmp, id)
-      try java.nio.file.Files.move(tmp, nonce,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // exclusive-create via hard LINK, not rename: POSIX rename onto
+      // an existing target silently REPLACES it, so an ATOMIC_MOVE race
+      // would clobber the winner's nonce after the winner already read
+      // it — link(2) fails with EEXIST instead, and the loser adopts
+      try java.nio.file.Files.createLink(nonce, tmp)
       catch { // concurrent creator won: adopt its nonce
-        case _: java.nio.file.FileAlreadyExistsException =>
-          java.nio.file.Files.deleteIfExists(tmp): Unit
+        case _: java.nio.file.FileAlreadyExistsException => ()
       }
+      finally java.nio.file.Files.deleteIfExists(tmp): Unit
     }
     java.nio.file.Files.readString(nonce).trim
   }

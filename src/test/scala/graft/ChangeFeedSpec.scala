@@ -113,4 +113,28 @@ class ChangeFeedSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(replayed == live, "replayed pair mutated the mirror")
   }
+
+  test("a pair spanning ALTER ADD COLUMNS diffs with typed NULL pre-images") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cdf-evolve")
+    val path = dir.resolve("t").toString
+    TableMerge.createOrReplace(
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), path)
+    val v1 = TableMerge.versions(path).head
+    spark.sql(s"ALTER TABLE graft.`$path` ADD COLUMNS (score BIGINT)")
+    spark.sql(s"UPDATE graft.`$path` SET score = 7 WHERE id = 1")
+    val v3 = TableMerge.versions(path).head
+    // the pair spans the evolution commit: pre lacks `score` entirely —
+    // the diff must read it as NULL there, classify id 1 as update
+    // (NULL -> 7) and id 2 as unchanged (NULL <=> NULL), not crash
+    val d = ChangeFeed.diff(spark, path, Some(v1), v3, Seq("id"))
+      .select("id", "op", "pre_score", "post_score")
+      .as[(Long, String, Option[Long], Option[Long])].collect().toMap2
+    assert(d(1L) == (("update", None, Some(7L))))
+    assert(d(2L) == (("unchanged", None, None)))
+  }
+
+  private implicit class Tup4Ops[A, B, C, D](rows: Array[(A, B, C, D)]) {
+    def toMap2: Map[A, (B, C, D)] = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
 }

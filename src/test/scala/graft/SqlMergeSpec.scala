@@ -585,6 +585,57 @@ class SqlMergeSpec extends AnyFunSuite {
       s"OPTIMIZE graft.`$path` WHERE x = '1' ZORDER BY (x, y)"))
   }
 
+  test("file-range stats survive partition-scoped merges on untouched partitions") {
+    import spark.implicits._
+    val path = tmpTable("statcarry")
+    val rows = (0L until 1024L).flatMap(i =>
+      Seq((i, "a", i % 64L, i % 32L), (i + 10000L, "b", i % 64L, i % 32L)))
+    TableMerge.createOrReplace(rows.toDF("id", "part", "x", "y").repartition(4),
+      path, partitionCols = Seq("part"))
+    spark.sql(s"OPTIMIZE graft.`$path` ZORDER BY (x, y)")
+    val statsB = TableMerge.fileStats(path).filter(_._1.startsWith("part=b/"))
+    assert(statsB.nonEmpty)
+    // merge lands in partition a only: b's stats must carry verbatim,
+    // a's rewritten files must NOT inherit stale ranges
+    TableMerge.upsert(spark, path,
+      Seq((9999L, "a", 1L, 1L)).toDF("id", "part", "x", "y"),
+      keys = Seq("part", "id"), partitionCols = Seq("part"))
+    val after = TableMerge.fileStats(path)
+    assert(after.filter(_._1.startsWith("part=b/")) == statsB,
+      "untouched partition's stats must survive the merge")
+    assert(!after.keySet.exists(_.startsWith("part=a/")),
+      "rewritten partition must not keep stale ranges")
+    assert(TableMerge.readSkipping(spark, path, "x", 0L, 3L).count() ==
+      TableMerge.read(spark, path).filter(col("x").between(0, 3)).count())
+  }
+
+  test("ZORDER and readSkipping survive ALTER ADD COLUMNS (pre-evolution files)") {
+    import spark.implicits._
+    val path = tmpTable("zevolve")
+    TableMerge.createOrReplace(
+      (0L until 256L).map(i => (i, "a", i % 16L, i % 8L))
+        .toDF("id", "part", "x", "y").repartition(4),
+      path, partitionCols = Seq("part"))
+    spark.sql(s"OPTIMIZE graft.`$path` ZORDER BY (x, y)")
+    spark.sql(s"ALTER TABLE graft.`$path` ADD COLUMNS (score BIGINT)")
+    // stats survive the metadata-only commit (files hard-link unchanged)
+    assert(TableMerge.fileStats(path).nonEmpty,
+      "ALTER must carry the stats sidecar (files are name-unchanged links)")
+    // the skipping read sees the evolved schema: pre-evolution files
+    // read `score` as NULL, column set identical to the full read
+    val viaSkip = TableMerge.readSkipping(spark, path, "x", 0L, 3L)
+    assert(viaSkip.columns.contains("score"),
+      "skipping read must use the sidecar schema, not footer inference")
+    assert(viaSkip.filter(col("score").isNotNull).count() == 0L)
+    assert(viaSkip.count() ==
+      TableMerge.read(spark, path).filter(col("x").between(0, 3)).count())
+    // re-clustering on the ADDED column over pre-evolution files: the
+    // unit read must resolve `score` as typed NULLs, not fail
+    val n = spark.sql(s"OPTIMIZE graft.`$path` ZORDER BY (score, y)").head().getLong(0)
+    assert(n == 1L)
+    assert(TableMerge.read(spark, path).count() == 256L)
+  }
+
   test("maintenance statements reject pinned-snapshot targets") {
     import spark.implicits._
     val path = tmpTable("maintpin")
