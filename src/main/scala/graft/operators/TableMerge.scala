@@ -288,7 +288,19 @@ object TableMerge {
 
   def read(spark: SparkSession, tablePath: String): DataFrame =
     resolveLive(tablePath) match {
-      case Some(dir) => readSnapshot(spark, dir)
+      case Some(dir) =>
+        // a z-ordered snapshot carries per-file range stats: serve it
+        // through the stats-pruning FileIndex so EVERY read — SQL
+        // SELECT, DataFrame, a merge's target scan — skips files whose
+        // recorded range provably misses the pushed filters, with zero
+        // caller opt-in. Stats-less snapshots take the plain path.
+        val side = dir.resolve(SchemaFile)
+        if (Files.exists(dir.resolve(StatsFile)) && Files.exists(side))
+          org.apache.spark.sql.graft.bridge.statsPrunedRead(spark, dir.toString,
+            org.apache.spark.sql.types.DataType.fromJson(Files.readString(side))
+              .asInstanceOf[org.apache.spark.sql.types.StructType],
+            fileStatsOf(dir))
+        else readSnapshot(spark, dir)
       case None => spark.read.option("mergeSchema", "true").parquet(tablePath)
     }
 
@@ -684,8 +696,10 @@ object TableMerge {
 
   /** Stats of the live snapshot: relPath → col → (min, max). Empty when
     * the live version carries no sidecar (never z-ordered). */
-  def fileStats(tablePath: String): Map[String, Map[String, (Long, Long)]] = {
-    val live = resolveLive(tablePath).getOrElse(Paths.get(tablePath))
+  def fileStats(tablePath: String): Map[String, Map[String, (Long, Long)]] =
+    fileStatsOf(resolveLive(tablePath).getOrElse(Paths.get(tablePath)))
+
+  private def fileStatsOf(live: Path): Map[String, Map[String, (Long, Long)]] = {
     val p = live.resolve(StatsFile)
     if (!Files.exists(p)) Map.empty
     else Files.readString(p).linesIterator.flatMap { l =>

@@ -636,6 +636,38 @@ class SqlMergeSpec extends AnyFunSuite {
     assert(TableMerge.read(spark, path).count() == 256L)
   }
 
+  test("every read of a z-ordered table file-prunes automatically (scan metric)") {
+    import spark.implicits._
+    val path = tmpTable("autoskip")
+    TableMerge.createOrReplace(
+      (0L until 4096L).map(i => (i, i % 64L, (i / 64L) % 64L))
+        .toDF("id", "x", "y").repartition(8), path)
+    spark.sql(s"OPTIMIZE graft.`$path` ZORDER BY (x, y)")
+    def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.map(_.metrics("numFiles").value).sum
+    }
+    // full scan touches all 8 files; a narrow x slice through the SAME
+    // read() entry point — no readSkipping call anywhere — touches fewer
+    val full = filesScanned(TableMerge.read(spark, path))
+    assert(full == 8L, s"expected 8 files in the full scan, got $full")
+    val narrow = filesScanned(TableMerge.read(spark, path).filter(col("x") <= 3))
+    assert(narrow < 8L, s"pushed range filter must skip files, scanned $narrow")
+    // the SQL SELECT path prunes too, and the answer is exact
+    val viaSql = spark.sql(
+      s"SELECT count(*) AS n, sum(id) AS s FROM graft.`$path` WHERE x <= 3")
+      .as[(Long, Long)].head()
+    val expect = (0L until 4096L).filter(i => i % 64L <= 3L)
+    assert(viaSql == ((expect.size.toLong, expect.sum)))
+  }
+
   test("maintenance statements reject pinned-snapshot targets") {
     import spark.implicits._
     val path = tmpTable("maintpin")
