@@ -641,9 +641,12 @@ object CdcQueries {
     * monetizes `OPTIMIZE … ZORDER BY`. CTAS partitions events by type;
     * the ZORDER statement rewrites each partition as contiguous
     * z-slices of (user_id, value_e2) and records per-file range stats
-    * in the version's stats sidecar; `TableMerge.readSkipping` then
-    * answers a selective user_id range by dropping provably-missing
-    * files BEFORE any parquet footer is opened. The oracle replays the
+    * in the version's stats sidecar; a selective user_id range is then
+    * answered through BOTH skipping forms — the automatic stats-aware
+    * FileIndex behind a plain `read().filter` and the explicit
+    * `TableMerge.readSkipping` — each dropping provably-missing files
+    * BEFORE any parquet footer is opened, and both branches must agree
+    * exactly under the hash. The oracle replays the
     * plain filtered aggregate — a readSkipping that wrongly drops (or
     * keeps a stale range for) even one file breaks the hash. The
     * PHYSICAL claim (fewer files actually scanned) is pinned by
@@ -659,11 +662,24 @@ object CdcQueries {
     s.sql(s"CREATE TABLE graft.`$path` PARTITIONED BY (event_type) " +
       "AS SELECT * FROM k18_events")
     s.sql(s"OPTIMIZE graft.`$path` ZORDER BY (user_id, value_e2)")
-    TableMerge.readSkipping(s, path, "user_id", 100L, 400L)
+    // the AUTOMATIC pruning path: a plain filtered read over the
+    // z-ordered table goes through the stats-aware FileIndex (read()
+    // detects the sidecar), so the file-skipping scan itself sits
+    // under the oracle hash at every sf and in all three sweeps;
+    // readSkipping is the explicit twin, union'd as a cross-check —
+    // both branches must agree exactly for the hash to survive
+    val auto = TableMerge.read(s, path)
+      .filter(col("user_id").between(100L, 400L))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("value_e2").as("sum_value_e2"),
         sum("user_id").as("user_sum"))
-      .orderBy("event_type")
+    val explicit = TableMerge.readSkipping(s, path, "user_id", 100L, 400L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value_e2").as("sum_value_e2"),
+        sum("user_id").as("user_sum"))
+    auto.withColumn("via", lit("auto"))
+      .unionByName(explicit.withColumn("via", lit("explicit")))
+      .orderBy("via", "event_type")
   }
 
   val queries: Seq[(String, Q)] = Seq(
@@ -696,12 +712,17 @@ object CdcQueries {
       """WITH ev AS (
         |  SELECT event_type, user_id,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_e2
-        |  FROM events)
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(value_e2) AS BIGINT) AS sum_value_e2,
-        |  CAST(sum(user_id) AS BIGINT) AS user_sum
-        |FROM ev WHERE user_id BETWEEN 100 AND 400
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |  FROM events),
+        |agg AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(value_e2) AS BIGINT) AS sum_value_e2,
+        |    CAST(sum(user_id) AS BIGINT) AS user_sum
+        |  FROM ev WHERE user_id BETWEEN 100 AND 400
+        |  GROUP BY event_type)
+        |SELECT event_type, n, sum_value_e2, user_sum, 'auto' AS via FROM agg
+        |UNION ALL
+        |SELECT event_type, n, sum_value_e2, user_sum, 'explicit' AS via FROM agg
+        |ORDER BY via, event_type""".stripMargin,
     "k17_sql_maintenance" ->
       // content == the CTAS snapshot (restore discards the INSERT and
       // the DELETE); lifecycle integers are structural: 3 commits
