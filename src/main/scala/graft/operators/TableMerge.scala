@@ -239,18 +239,23 @@ object TableMerge {
   def findVersionByMeta(tablePath: String, key: String, value: String): Option[String] =
     versions(tablePath).find(v => versionMeta(tablePath, v).get(key).contains(value))
 
+  /** The snapshot's sidecar schema, None for pre-sidecar legacy dirs. */
+  private def sidecarSchema(dir: Path): Option[org.apache.spark.sql.types.StructType] = {
+    val side = dir.resolve(SchemaFile)
+    if (Files.exists(side))
+      Some(org.apache.spark.sql.types.DataType.fromJson(Files.readString(side))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    else None
+  }
+
   /** Read a snapshot dir: its sidecar schema when present (exact even
     * for zero-row/partition-empty snapshots), legacy mergeSchema scan
     * otherwise (pre-sidecar dirs always contain at least one file). */
-  private def readSnapshot(spark: SparkSession, dir: Path): DataFrame = {
-    val side = dir.resolve(SchemaFile)
-    if (Files.exists(side)) {
-      val schema = org.apache.spark.sql.types.DataType
-        .fromJson(Files.readString(side))
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-      spark.read.schema(schema).parquet(dir.toString)
-    } else spark.read.option("mergeSchema", "true").parquet(dir.toString)
-  }
+  private def readSnapshot(spark: SparkSession, dir: Path): DataFrame =
+    sidecarSchema(dir) match {
+      case Some(schema) => spark.read.schema(schema).parquet(dir.toString)
+      case None => spark.read.option("mergeSchema", "true").parquet(dir.toString)
+    }
 
   private def versionDirs(tablePath: String): Seq[java.io.File] =
     Option(Paths.get(tablePath).toFile.listFiles()).getOrElse(Array.empty)
@@ -294,13 +299,12 @@ object TableMerge {
         // SELECT, DataFrame, a merge's target scan — skips files whose
         // recorded range provably misses the pushed filters, with zero
         // caller opt-in. Stats-less snapshots take the plain path.
-        val side = dir.resolve(SchemaFile)
-        if (Files.exists(dir.resolve(StatsFile)) && Files.exists(side))
-          org.apache.spark.sql.graft.bridge.statsPrunedRead(spark, dir.toString,
-            org.apache.spark.sql.types.DataType.fromJson(Files.readString(side))
-              .asInstanceOf[org.apache.spark.sql.types.StructType],
-            fileStatsOf(dir))
-        else readSnapshot(spark, dir)
+        sidecarSchema(dir) match {
+          case Some(schema) if Files.exists(dir.resolve(StatsFile)) =>
+            org.apache.spark.sql.graft.bridge.statsPrunedRead(
+              spark, dir.toString, schema, fileStatsOf(dir))
+          case _ => readSnapshot(spark, dir)
+        }
       case None => spark.read.option("mergeSchema", "true").parquet(tablePath)
     }
 
@@ -624,16 +628,21 @@ object TableMerge {
           // partition columns, which live in the dir names): files
           // predating an ALTER ADD COLUMNS lack the new columns and
           // must read as typed NULLs, not fail resolution
-          val unitReader = {
-            val side = liveDir.resolve(SchemaFile)
-            if (Files.exists(side)) {
-              val full = org.apache.spark.sql.types.DataType
-                .fromJson(Files.readString(side))
-                .asInstanceOf[org.apache.spark.sql.types.StructType]
+          val fullSchema = sidecarSchema(liveDir)
+          val unitReader = fullSchema match {
+            case Some(full) =>
               spark.read.schema(org.apache.spark.sql.types.StructType(
                 full.filterNot(f => partitionCols.contains(f.name))))
-            } else spark.read.option("mergeSchema", "true")
+            case None => spark.read.option("mergeSchema", "true")
           }
+          // record stats under the schema's OWN column case: Catalyst
+          // resolves `col("USER_ID")` case-insensitively, so a
+          // case-differing ZORDER BY identifier must not key the
+          // sidecar under a name no pushed-filter attribute will match
+          def canon(c: String): String = fullSchema
+            .flatMap(_.find(_.name.equalsIgnoreCase(c)).map(_.name)).getOrElse(c)
+          val xName = canon(xCol)
+          val yName = canon(yCol)
           val statRows = scala.collection.mutable.ArrayBuffer[String]()
           units.foreach { case (rel, nFiles) =>
             val src = if (rel.isEmpty) liveDir else liveDir.resolve(rel)
@@ -654,9 +663,9 @@ object TableMerge {
                 // an all-null column in a file has null min/max: record
                 // no range — readSkipping always reads stat-less files
                 if (!r.isNullAt(1))
-                  statRows += s"$relPath\t$xCol\t${r.getLong(1)}\t${r.getLong(2)}"
+                  statRows += s"$relPath\t$xName\t${r.getLong(1)}\t${r.getLong(2)}"
                 if (!r.isNullAt(3))
-                  statRows += s"$relPath\t$yCol\t${r.getLong(3)}\t${r.getLong(4)}"
+                  statRows += s"$relPath\t$yName\t${r.getLong(3)}\t${r.getLong(4)}"
               }
           }
           // merge surviving stats of units NOT rewritten (their files
@@ -724,6 +733,11 @@ object TableMerge {
                    lo: Long, hi: Long): DataFrame = {
     val live = resolveLive(tablePath).getOrElse(Paths.get(tablePath))
     val stats = fileStats(tablePath)
+    // stats keys are canonical schema-case names; accept any case here
+    // (Spark column resolution is case-insensitive, the lookup must be)
+    val colKey = sidecarSchema(live)
+      .flatMap(_.find(_.name.equalsIgnoreCase(column)).map(_.name))
+      .getOrElse(column)
     def files(dir: java.io.File, prefix: String): Seq[(String, String)] =
       Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
         if (f.isDirectory && f.getName.contains("="))
@@ -734,7 +748,7 @@ object TableMerge {
       }
     val all = files(live.toFile, "")
     val kept = all.filter { case (rel, _) =>
-      stats.get(rel).flatMap(_.get(column)) match {
+      stats.get(rel).flatMap(_.get(colKey)) match {
         case Some((fLo, fHi)) => fHi >= lo && fLo <= hi
         case None => true // no stats recorded: must read
       }
@@ -747,12 +761,10 @@ object TableMerge {
       // footer inference from an arbitrary kept file would drop columns
       // added by a post-zorder ALTER on partitions whose files predate
       // it — the skipping read must be column-identical to the full read
-      val side = live.resolve(SchemaFile)
-      val reader =
-        if (Files.exists(side)) spark.read.schema(
-          org.apache.spark.sql.types.DataType.fromJson(Files.readString(side))
-            .asInstanceOf[org.apache.spark.sql.types.StructType])
-        else spark.read.option("mergeSchema", "true")
+      val reader = sidecarSchema(live) match {
+        case Some(schema) => spark.read.schema(schema)
+        case None => spark.read.option("mergeSchema", "true")
+      }
       reader.option("basePath", live.toString)
         .parquet(kept.map(_._2): _*).filter(pred)
     }

@@ -44,11 +44,19 @@ object bridge {
       "file:" + new java.io.File(liveDir).getAbsolutePath)
     val livePrefix = new java.io.File(liveDir).getAbsolutePath
 
-    def litLong(l: Literal): Option[Long] = l.value match {
-      case i: java.lang.Integer => Some(i.longValue)
-      case j: java.lang.Long => Some(j.longValue)
-      case s: java.lang.Short => Some(s.longValue)
-      case b: java.lang.Byte => Some(b.longValue)
+    // Only INTEGRAL-typed literals narrow bounds. The dataType check is
+    // load-bearing, not cosmetic: a TimestampType literal also holds a
+    // java.lang.Long — but in MICROseconds, while zorder's stats are
+    // `cast(col as long)` (epoch SECONDS for timestamps) — so accepting
+    // it by value class would compare scales 1e6 apart and wrongly
+    // prune every file. Non-integral comparisons keep the file.
+    def litLong(l: Literal): Option[Long] = l.dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        l.value match {
+          case n: java.lang.Number => Some(n.longValue)
+          case _ => None
+        }
       case _ => None
     }
     /** Conjunct-intersected [lo, hi] the filters allow for `c`. */
@@ -88,19 +96,27 @@ object bridge {
                              dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
         val base = super.listFiles(partitionFilters, dataFilters)
         if (dataFilters.isEmpty) base
-        else base.map { pd =>
-          pd.copy(files = pd.files.filter { f =>
-            val rel = f.getPath.toUri.getPath
-              .stripPrefix(livePrefix).stripPrefix("/")
-            stats.get(rel) match {
-              case None => true // no recorded range: must read
-              case Some(colRanges) => colRanges.forall { case (c, (fLo, fHi)) =>
-                val (qLo, qHi) = boundsOf(dataFilters, c)
-                fHi >= qLo && fLo <= qHi
+        else {
+          // bounds depend only on (filters, column): one walk per stats
+          // column per invocation, not per file (F files × C columns
+          // would re-traverse the same tree F·C times on big tables)
+          val qBounds: Map[String, (Long, Long)] =
+            stats.valuesIterator.flatMap(_.keysIterator).toSet[String]
+              .iterator.map(c => c -> boundsOf(dataFilters, c)).toMap
+          base.map { pd =>
+            pd.copy(files = pd.files.filter { f =>
+              val rel = f.getPath.toUri.getPath
+                .stripPrefix(livePrefix).stripPrefix("/")
+              stats.get(rel) match {
+                case None => true // no recorded range: must read
+                case Some(colRanges) => colRanges.forall { case (c, (fLo, fHi)) =>
+                  val (qLo, qHi) = qBounds(c)
+                  fHi >= qLo && fLo <= qHi
+                }
               }
-            }
-          })
-        }.filter(_.files.nonEmpty)
+            })
+          }.filter(_.files.nonEmpty)
+        }
       }
     }
     val partSchema = index.partitionSchema

@@ -668,6 +668,46 @@ class SqlMergeSpec extends AnyFunSuite {
     assert(viaSql == ((expect.size.toLong, expect.sum)))
   }
 
+  test("timestamp filters never prune by seconds-scale stats (scale mismatch guard)") {
+    import spark.implicits._
+    val path = tmpTable("tsguard")
+    // ts stats record cast(ts AS long) = epoch SECONDS; a pushed
+    // timestamp literal is MICROseconds — pruning must not compare them
+    val rows = (0L until 512L).map(i =>
+      (i, new java.sql.Timestamp(1700000000000L + i * 60000L), i % 16L))
+    TableMerge.createOrReplace(rows.toDF("id", "ts", "x").repartition(8), path)
+    spark.sql(s"OPTIMIZE graft.`$path` ZORDER BY (ts, x)")
+    assert(TableMerge.fileStats(path).values.exists(_.contains("ts")))
+    val cut = new java.sql.Timestamp(1700000000000L + 256L * 60000L)
+    val n = TableMerge.read(spark, path).filter(col("ts") >= lit(cut)).count()
+    assert(n == 256L,
+      s"timestamp-literal bounds must not narrow seconds-scale stats (got $n rows)")
+  }
+
+  test("case-differing ZORDER BY identifiers still produce matching stats") {
+    import spark.implicits._
+    val path = tmpTable("zcase")
+    TableMerge.createOrReplace(
+      (0L until 1024L).map(i => (i, i % 64L, i % 32L)).toDF("id", "x", "y")
+        .repartition(8), path)
+    spark.sql(s"OPTIMIZE graft.`$path` ZORDER BY (X, Y)")
+    assert(TableMerge.fileStats(path).values.forall(_.keySet == Set("x", "y")),
+      "stats must key under the schema's own column case")
+    // automatic pruning engages despite the case-differing statement
+    val df = TableMerge.read(spark, path).filter(col("x") <= 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scanned = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.map(_.metrics("numFiles").value).sum
+    assert(scanned < 8L, s"case-canonical stats must still skip files ($scanned)")
+    assert(TableMerge.readSkipping(spark, path, "X", 0L, 3L).count() == df.count())
+  }
+
   test("maintenance statements reject pinned-snapshot targets") {
     import spark.implicits._
     val path = tmpTable("maintpin")
