@@ -100,6 +100,17 @@ object CmsStream {
       try java.nio.file.Files.createLink(nonce, tmp)
       catch { // concurrent creator won: adopt its nonce
         case _: java.nio.file.FileAlreadyExistsException => ()
+        case _: UnsupportedOperationException =>
+          // no hard-link support on this filesystem (ADVICE r17): fall
+          // back to the pre-r17 ATOMIC_MOVE publication. Rename onto an
+          // existing target silently replaces it, so a raced loser could
+          // clobber the winner's nonce — acceptable only because BOTH
+          // racers are creating the same brand-new lineage (neither has
+          // read the nonce yet; the final readString below adopts
+          // whichever publication survived).
+          try java.nio.file.Files.move(tmp, nonce,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.io.IOException => () }
       }
       finally java.nio.file.Files.deleteIfExists(tmp): Unit
     }
