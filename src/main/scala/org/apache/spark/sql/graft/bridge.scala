@@ -33,10 +33,12 @@ object bridge {
     */
   def statsPrunedRead(spark: SparkSession, liveDir: String,
                       schema: org.apache.spark.sql.types.StructType,
-                      stats: Map[String, Map[String, (Long, Long)]]): DataFrame = {
+                      stats: Map[String, Map[String, graft.operators.TableMerge.ColRange]]): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.execution.datasources._
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.operators.TableMerge.{NumRange, StrRange}
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     // NOTE: not File.toURI — for directories it appends a trailing
     // slash, and a Hadoop Path built from such a URI lists ZERO files
@@ -44,46 +46,104 @@ object bridge {
       "file:" + new java.io.File(liveDir).getAbsolutePath)
     val livePrefix = new java.io.File(liveDir).getAbsolutePath
 
-    // Only INTEGRAL-typed literals narrow bounds. The dataType check is
-    // load-bearing, not cosmetic: a TimestampType literal also holds a
-    // java.lang.Long — but in MICROseconds, while zorder's stats are
-    // `cast(col as long)` (epoch SECONDS for timestamps) — so accepting
-    // it by value class would compare scales 1e6 apart and wrongly
-    // prune every file. Non-integral comparisons keep the file.
-    def litLong(l: Literal): Option[Long] = l.dataType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
-        l.value match {
-          case n: java.lang.Number => Some(n.longValue)
-          case _ => None
-        }
-      case _ => None
+    // A literal only narrows bounds when its TYPE matches the recorded
+    // stat kind — the check is load-bearing, not cosmetic: stats are in
+    // each column's own internal unit (kind `i` long value, `d` epoch
+    // days, `t` epoch micros), so e.g. a TimestampType literal (micros)
+    // must never compare against a legacy seconds-scale `i` row, and an
+    // integral literal must never compare against date days. Mismatched
+    // or unsupported comparisons keep the file.
+    def litFor(kind: Char)(l: Literal): Option[Long] = {
+      import org.apache.spark.sql.types._
+      val typeMatches = kind match {
+        case 'i' => l.dataType == ByteType || l.dataType == ShortType ||
+          l.dataType == IntegerType || l.dataType == LongType
+        case 'd' => l.dataType == DateType
+        case 't' => l.dataType == TimestampType || l.dataType == TimestampNTZType
+        case _ => false
+      }
+      if (!typeMatches) None
+      else l.value match {
+        case n: java.lang.Number => Some(n.longValue)
+        case _ => None
+      }
     }
-    /** Conjunct-intersected [lo, hi] the filters allow for `c`. */
-    def boundsOf(filters: Seq[Expression], c: String): (Long, Long) = {
+    // String literals narrow only under the DEFAULT (UTF8_BINARY)
+    // collation — the recorded ranges are UTF-8-binary min/max, and a
+    // non-binary collation orders differently (collation-unsafe
+    // comparisons keep the file).
+    def litStr(l: Literal): Option[UTF8String] =
+      if (l.dataType == org.apache.spark.sql.types.StringType) l.value match {
+        case u: UTF8String => Some(u)
+        case _ => None
+      } else None
+
+    /** Conjunct-intersected [lo, hi] the filters allow for `c`, under
+      * a kind-checked literal extractor. */
+    def boundsOf(filters: Seq[Expression], c: String,
+                 lit: Literal => Option[Long]): (Long, Long) = {
       var lo = Long.MinValue; var hi = Long.MaxValue
       def visit(e: Expression): Unit = e match {
         case And(l, r) => visit(l); visit(r)
         case GreaterThanOrEqual(a: AttributeReference, l: Literal) if a.name == c =>
-          litLong(l).foreach(v => lo = math.max(lo, v))
+          lit(l).foreach(v => lo = math.max(lo, v))
         case GreaterThan(a: AttributeReference, l: Literal) if a.name == c =>
-          litLong(l).foreach(v => lo = math.max(lo, v + 1))
+          lit(l).foreach(v => lo = math.max(lo, v + 1))
         case LessThanOrEqual(a: AttributeReference, l: Literal) if a.name == c =>
-          litLong(l).foreach(v => hi = math.min(hi, v))
+          lit(l).foreach(v => hi = math.min(hi, v))
         case LessThan(a: AttributeReference, l: Literal) if a.name == c =>
-          litLong(l).foreach(v => hi = math.min(hi, v - 1))
+          lit(l).foreach(v => hi = math.min(hi, v - 1))
         case EqualTo(a: AttributeReference, l: Literal) if a.name == c =>
-          litLong(l).foreach { v => lo = math.max(lo, v); hi = math.min(hi, v) }
+          lit(l).foreach { v => lo = math.max(lo, v); hi = math.min(hi, v) }
         case GreaterThanOrEqual(l: Literal, a: AttributeReference) if a.name == c =>
-          litLong(l).foreach(v => hi = math.min(hi, v))
+          lit(l).foreach(v => hi = math.min(hi, v))
         case GreaterThan(l: Literal, a: AttributeReference) if a.name == c =>
-          litLong(l).foreach(v => hi = math.min(hi, v - 1))
+          lit(l).foreach(v => hi = math.min(hi, v - 1))
         case LessThanOrEqual(l: Literal, a: AttributeReference) if a.name == c =>
-          litLong(l).foreach(v => lo = math.max(lo, v))
+          lit(l).foreach(v => lo = math.max(lo, v))
         case LessThan(l: Literal, a: AttributeReference) if a.name == c =>
-          litLong(l).foreach(v => lo = math.max(lo, v + 1))
+          lit(l).foreach(v => lo = math.max(lo, v + 1))
         case EqualTo(l: Literal, a: AttributeReference) if a.name == c =>
-          litLong(l).foreach { v => lo = math.max(lo, v); hi = math.min(hi, v) }
+          lit(l).foreach { v => lo = math.max(lo, v); hi = math.min(hi, v) }
+        case _ => ()
+      }
+      filters.foreach(visit)
+      (lo, hi)
+    }
+
+    /** Inclusive-widened UTF-8-binary string bounds for `c`: strict
+      * inequalities widen to their inclusive form (there is no "+1" on
+      * strings) — conservative, never prunes a boundary file wrongly. */
+    def strBoundsOf(filters: Seq[Expression], c: String)
+        : (Option[UTF8String], Option[UTF8String]) = {
+      var lo: Option[UTF8String] = None
+      var hi: Option[UTF8String] = None
+      def tightenLo(v: UTF8String): Unit =
+        if (lo.forall(_.binaryCompare(v) < 0)) lo = Some(v)
+      def tightenHi(v: UTF8String): Unit =
+        if (hi.forall(_.binaryCompare(v) > 0)) hi = Some(v)
+      def visit(e: Expression): Unit = e match {
+        case And(l, r) => visit(l); visit(r)
+        case GreaterThanOrEqual(a: AttributeReference, l: Literal) if a.name == c =>
+          litStr(l).foreach(tightenLo)
+        case GreaterThan(a: AttributeReference, l: Literal) if a.name == c =>
+          litStr(l).foreach(tightenLo)
+        case LessThanOrEqual(a: AttributeReference, l: Literal) if a.name == c =>
+          litStr(l).foreach(tightenHi)
+        case LessThan(a: AttributeReference, l: Literal) if a.name == c =>
+          litStr(l).foreach(tightenHi)
+        case EqualTo(a: AttributeReference, l: Literal) if a.name == c =>
+          litStr(l).foreach { v => tightenLo(v); tightenHi(v) }
+        case GreaterThanOrEqual(l: Literal, a: AttributeReference) if a.name == c =>
+          litStr(l).foreach(tightenHi)
+        case GreaterThan(l: Literal, a: AttributeReference) if a.name == c =>
+          litStr(l).foreach(tightenHi)
+        case LessThanOrEqual(l: Literal, a: AttributeReference) if a.name == c =>
+          litStr(l).foreach(tightenLo)
+        case LessThan(l: Literal, a: AttributeReference) if a.name == c =>
+          litStr(l).foreach(tightenLo)
+        case EqualTo(l: Literal, a: AttributeReference) if a.name == c =>
+          litStr(l).foreach { v => tightenLo(v); tightenHi(v) }
         case _ => ()
       }
       filters.foreach(visit)
@@ -97,21 +157,30 @@ object bridge {
         val base = super.listFiles(partitionFilters, dataFilters)
         if (dataFilters.isEmpty) base
         else {
-          // bounds depend only on (filters, column): one walk per stats
-          // column per invocation, not per file (F files × C columns
-          // would re-traverse the same tree F·C times on big tables)
-          val qBounds: Map[String, (Long, Long)] =
-            stats.valuesIterator.flatMap(_.keysIterator).toSet[String]
-              .iterator.map(c => c -> boundsOf(dataFilters, c)).toMap
+          // bounds depend only on (filters, column, kind): one walk per
+          // stats column per invocation, not per file (F files × C
+          // columns would re-traverse the tree F·C times on big tables)
+          val numBounds = scala.collection.mutable.Map[(String, Char), (Long, Long)]()
+          val strBounds =
+            scala.collection.mutable.Map[String, (Option[UTF8String], Option[UTF8String])]()
           base.map { pd =>
             pd.copy(files = pd.files.filter { f =>
               val rel = f.getPath.toUri.getPath
                 .stripPrefix(livePrefix).stripPrefix("/")
               stats.get(rel) match {
                 case None => true // no recorded range: must read
-                case Some(colRanges) => colRanges.forall { case (c, (fLo, fHi)) =>
-                  val (qLo, qHi) = qBounds(c)
-                  fHi >= qLo && fLo <= qHi
+                case Some(colRanges) => colRanges.forall {
+                  case (c, NumRange(kind, fLo, fHi)) =>
+                    val (qLo, qHi) = numBounds.getOrElseUpdate((c, kind),
+                      boundsOf(dataFilters, c, litFor(kind)))
+                    fHi >= qLo && fLo <= qHi
+                  case (c, StrRange(fLoS, fHiS)) =>
+                    val (qLo, qHi) = strBounds.getOrElseUpdate(c,
+                      strBoundsOf(dataFilters, c))
+                    val fLo = UTF8String.fromString(fLoS)
+                    val fHi = UTF8String.fromString(fHiS)
+                    qLo.forall(l => fHi.binaryCompare(l) >= 0) &&
+                      qHi.forall(h => fLo.binaryCompare(h) <= 0)
                 }
               }
             })

@@ -407,4 +407,71 @@ class TableMergeSpec extends AnyFunSuite {
     assert(TableMerge.read(spark, path).count() == 2)
     assert(!Files.exists(lock), "lock not released after commit")
   }
+
+  test("zorder rejects partition columns as z-columns up front") {
+    import spark.implicits._
+    val path = tmpTable("zpartcol")
+    TableMerge.createOrReplace(
+      (0L until 64L).map(i => (i, i % 4L, s"p${i % 2}")).toDF("id", "x", "part"),
+      path, partitionCols = Seq("part"))
+    val before = TableMerge.versions(path)
+    val e = intercept[IllegalArgumentException](
+      TableMerge.zorder(spark, path, "part", "x"))
+    assert(e.getMessage.contains("partition column"))
+    // case-differing spelling of the partition column is rejected too
+    intercept[IllegalArgumentException](TableMerge.zorder(spark, path, "x", "PART"))
+    assert(TableMerge.versions(path) == before,
+      "rejected zorder must not leave a staged or committed version behind")
+  }
+
+  test("cloneTable refuses overlapping source/dest paths") {
+    import spark.implicits._
+    val path = tmpTable("cloneguard")
+    TableMerge.createOrReplace(Seq((1L, "a")).toDF("id", "v"), path)
+    intercept[IllegalArgumentException](TableMerge.cloneTable(path, path))
+    intercept[IllegalArgumentException](
+      TableMerge.cloneTable(path, java.nio.file.Paths.get(path, "inner").toString))
+    intercept[IllegalArgumentException](
+      TableMerge.cloneTable(path, java.nio.file.Paths.get(path).getParent.toString))
+    // the source table is untouched by all three rejections
+    assert(TableMerge.read(spark, path).count() == 1L)
+  }
+
+  test("scoped merge past the partition threshold falls back to a full restatement") {
+    import spark.implicits._
+    val path = tmpTable("scope-cap")
+    val prop = "graft.merge.maxScopedPartitions"
+    TableMerge.createOrReplace(
+      (0L until 40L).map(i => (i, i % 8L, "seed")).toDF("id", "bucket", "v"),
+      path, partitionCols = Seq("bucket"))
+    sys.props(prop) = "4"
+    try {
+      // touches all 8 partitions > cap 4 → unscoped rewrite, recorded in meta
+      TableMerge.upsert(spark, path,
+        (0L until 8L).map(i => (i, i % 8L, "upd")).toDF("id", "bucket", "v"),
+        keys = Seq("bucket", "id"), partitionCols = Seq("bucket"))
+      val meta = TableMerge.commitMeta(path)
+      assert(meta.get(TableMerge.ScopeFallbackKey).exists(_.contains("touched=8")),
+        s"fallback decision must land in commit metadata, got $meta")
+      val got = TableMerge.read(spark, path).select("id", "v").as[(Long, String)]
+        .collect().toMap
+      assert(got.size == 40 && (0L until 8L).forall(got(_) == "upd") &&
+        (8L until 40L).forall(got(_) == "seed"))
+      // under the cap: scoped path, no fallback marker
+      TableMerge.upsert(spark, path,
+        Seq((100L, 0L, "new")).toDF("id", "bucket", "v"),
+        keys = Seq("bucket", "id"), partitionCols = Seq("bucket"))
+      assert(!TableMerge.commitMeta(path).contains(TableMerge.ScopeFallbackKey))
+      // replaceKeys takes the same guard
+      TableMerge.replaceKeys(spark, path,
+        (0L until 8L).map(i => (i + 200L, i % 8L, "r")).toDF("id", "bucket", "v"),
+        dropGroups = (0L until 8L).map(i => (i, i % 8L)).toDF("id", "bucket")
+          .select("bucket", "id"),
+        groupKeys = Seq("bucket", "id"), partitionCols = Seq("bucket"))
+      assert(TableMerge.commitMeta(path).get(TableMerge.ScopeFallbackKey)
+        .exists(_.contains("max=4")))
+      assert(TableMerge.read(spark, path).filter(col("v") === "r").count() == 8L)
+      assert(TableMerge.read(spark, path).filter(col("id") < 8L).count() == 0L)
+    } finally { sys.props.remove(prop); () }
+  }
 }
