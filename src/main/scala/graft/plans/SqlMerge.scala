@@ -161,6 +161,39 @@ object SqlMerge {
       attr("meta", org.apache.spark.sql.types.StringType))
   }
 
+  /** `ANALYZE TABLE graft.… COMPUTE STATISTICS FOR COLUMNS a, b` —
+    * declare per-FILE stat columns and compute their ranges
+    * ([[graft.operators.TableMerge.analyzeStats]]): a metadata-only
+    * commit + one column-pruned min/max scan; thereafter every write
+    * path maintains the ranges incrementally. */
+  final case class GraftAnalyzeCommand(path: String, cols: Seq[String])
+    extends LeafCommand
+
+  /** `SHOW DATABASES IN graft` — enumerate [[GraftCatalog]] database
+    * names (registrations ∪ warehouse subdirs); the reference verifies
+    * its schema bootstrap with exactly this statement
+    * (`create_schema.py:428-433`). */
+  final case class GraftShowDatabasesCommand() extends LeafCommand {
+    override val output: Seq[Attribute] =
+      Seq(attr("namespace", org.apache.spark.sql.types.StringType))
+  }
+
+  /** `SHOW TABLES IN graft.db` (`create_schema.py:434-441`). */
+  final case class GraftShowTablesCommand(db: String) extends LeafCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("namespace", org.apache.spark.sql.types.StringType),
+      attr("tableName", org.apache.spark.sql.types.StringType))
+  }
+
+  /** `DESCRIBE [TABLE] graft.…` — column names/types in read-back
+    * order plus the partition-information section, Spark-style. */
+  final case class GraftDescribeTableCommand(path: String) extends LeafCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("col_name", org.apache.spark.sql.types.StringType),
+      attr("data_type", org.apache.spark.sql.types.StringType),
+      attr("comment", org.apache.spark.sql.types.StringType, nullable = true))
+  }
+
   final case class GraftUpdateCommand(
       path: String,
       target: LogicalPlan,
@@ -202,13 +235,38 @@ object SqlMerge {
     def unregister(db: String, table: String): Unit = {
       reg.remove(norm(s"$db.$table")); ()
     }
+    private def warehouseRoot: String =
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .flatMap(s => s.conf.getOption("spark.graft.warehouse"))
+        .getOrElse("target/graft-state/warehouse")
     private[SqlMerge] def resolve(db: String, table: String): String =
-      Option(reg.get(norm(s"$db.$table"))).getOrElse {
-        val root = org.apache.spark.sql.SparkSession.getActiveSession
-          .flatMap(s => s.conf.getOption("spark.graft.warehouse"))
-          .getOrElse("target/graft-state/warehouse")
-        java.nio.file.Paths.get(root, db, table).toString
-      }
+      Option(reg.get(norm(s"$db.$table")))
+        .getOrElse(java.nio.file.Paths.get(warehouseRoot, db, table).toString)
+    private def subdirs(p: java.nio.file.Path): Seq[String] =
+      Option(p.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory).map(_.getName).toSeq
+    /** Database names visible under `graft`: explicit registrations ∪
+      * warehouse-root subdirectories (the `SHOW DATABASES IN catalog`
+      * enumeration `create_schema.py:428-433` verifies against). */
+    def databases(): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      (reg.keySet.asScala.toSeq.map(_.split("\\.", 2)(0)) ++
+        subdirs(java.nio.file.Paths.get(warehouseRoot))).distinct.sorted
+    }
+    /** Table names of `db`: registrations ∪ warehouse/db subdirs that
+      * hold a committed graft table. */
+    def tables(db: String): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val d = norm(db)
+      val fromReg = reg.asScala.collect {
+        case (k, path) if k.startsWith(d + ".") &&
+          graft.operators.TableMerge.exists(path) => k.split("\\.", 2)(1)
+      }.toSeq
+      val fromFs = subdirs(java.nio.file.Paths.get(warehouseRoot, db)).filter(t =>
+        graft.operators.TableMerge.exists(
+          java.nio.file.Paths.get(warehouseRoot, db, t).toString))
+      (fromReg ++ fromFs).distinct.sorted
+    }
   }
 
   /** `graft.`path`` (two-part path), `` `graft:path` `` (one-part), or
@@ -376,6 +434,21 @@ object SqlMerge {
     private val RestoreRe =
       """(?is)^\s*RESTORE\s+TABLE\s+(.+?)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+('?)([^\s';]+)\2\s*;?\s*$""".r
     private val HistoryRe = """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
+    // catalog introspection (the reference's schema-verify statements,
+    // `create_schema.py:428-441`): SHOW DATABASES/TABLES enumerate the
+    // graft catalog; DESCRIBE [TABLE] reports a graft table's schema.
+    // DescRe requires the identifier to START with `graft`, so plain
+    // `DESCRIBE sometable` falls through to the delegate untouched
+    // (and `DESCRIBE HISTORY` is claimed by HistoryRe first).
+    private val ShowDbRe =
+      """(?is)^\s*SHOW\s+(?:DATABASES|NAMESPACES)\s+(?:IN|FROM)\s+graft\s*;?\s*$""".r
+    private val ShowTablesRe =
+      """(?is)^\s*SHOW\s+TABLES\s+(?:IN|FROM)\s+graft\s*\.\s*([A-Za-z_]\w*)\s*;?\s*$""".r
+    private val DescRe =
+      """(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(graft\s*[.:].+?)\s*;?\s*$""".r
+    private val AnalyzeRe =
+      ("""(?is)^\s*ANALYZE\s+TABLE\s+(.+?)\s+COMPUTE\s+STATISTICS\s+""" +
+        """FOR\s+COLUMNS\s+([\w\s,`]+?)\s*;?\s*$""").r
 
     /** Live-table graft path of a maintenance target, None when the
       * identifier doesn't parse or isn't graft-addressed. */
@@ -396,6 +469,14 @@ object SqlMerge {
         maintPath(ident, "RESTORE TABLE").map(GraftRestoreCommand(_, version))
       case HistoryRe(ident) =>
         maintPath(ident, "DESCRIBE HISTORY").map(GraftHistoryCommand)
+      case AnalyzeRe(ident, cols) =>
+        maintPath(ident, "ANALYZE TABLE").map(p => GraftAnalyzeCommand(p,
+          cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty).toSeq))
+      case ShowDbRe() => Some(GraftShowDatabasesCommand())
+      case ShowTablesRe(db) => Some(GraftShowTablesCommand(db))
+      case DescRe(ident) =>
+        maintPath(ident, "DESCRIBE TABLE").map(GraftDescribeTableCommand)
       case OptimizeRe(ident, wc, wv, x, y) =>
         val where = Option(wc).map(c => (c, wv))
         val zo = Option(x).map(xc => (xc, y))
@@ -538,6 +619,34 @@ object SqlMerge {
       case cmd: GraftRestoreCommand =>
         GraftMaintenanceExec(cmd.output, _ => Seq(org.apache.spark.sql.Row(
           graft.operators.TableMerge.restore(cmd.path, cmd.version)))) :: Nil
+      case cmd: GraftAnalyzeCommand =>
+        GraftDdlExec(s =>
+          graft.operators.TableMerge.analyzeStats(s, cmd.path, cmd.cols)) :: Nil
+      case cmd: GraftShowDatabasesCommand =>
+        GraftMaintenanceExec(cmd.output, _ =>
+          GraftCatalog.databases().map(org.apache.spark.sql.Row(_))) :: Nil
+      case cmd: GraftShowTablesCommand =>
+        GraftMaintenanceExec(cmd.output, _ =>
+          GraftCatalog.tables(cmd.db).map(t =>
+            org.apache.spark.sql.Row(cmd.db, t))) :: Nil
+      case cmd: GraftDescribeTableCommand =>
+        GraftMaintenanceExec(cmd.output, s => {
+          import graft.operators.TableMerge
+          require(TableMerge.exists(cmd.path), s"no graft table at ${cmd.path}")
+          val schema = TableMerge.read(s, cmd.path).schema
+          val partCols = TableMerge.partitionColsOf(cmd.path)
+          val colRows = schema.fields.toSeq.map(f =>
+            org.apache.spark.sql.Row(f.name, f.dataType.simpleString, null))
+          val partRows =
+            if (partCols.isEmpty) Seq.empty
+            else org.apache.spark.sql.Row("# Partition Information", "", null) +:
+              partCols.map { c =>
+                val dt = schema.find(_.name.equalsIgnoreCase(c))
+                  .map(_.dataType.simpleString).getOrElse("string")
+                org.apache.spark.sql.Row(c, dt, null)
+              }
+          colRows ++ partRows
+        }) :: Nil
       case cmd: GraftHistoryCommand =>
         GraftMaintenanceExec(cmd.output, _ => {
           import graft.operators.TableMerge

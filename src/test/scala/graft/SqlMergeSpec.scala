@@ -373,6 +373,12 @@ class SqlMergeSpec extends AnyFunSuite {
       val got = spark.sql("SELECT id, v, part FROM graft.silver.k16docs ORDER BY id")
         .as[(Long, Long, String)].collect().toSeq
       assert(got == Seq((1L, 11L, "a"), (2L, 20L, "b")))
+      // CTAS through a NAME (k16's battery row seeds by cloneTable since
+      // r18, so the statement's name-addressed coverage is pinned here)
+      spark.sql("CREATE OR REPLACE TABLE graft.silver.k16ctas " +
+        "PARTITIONED BY (part) AS SELECT id, v, part FROM graft.silver.k16docs")
+      assert(spark.sql("SELECT sum(v) AS sv FROM graft.silver.k16ctas")
+        .head().getLong(0) == 31L)
       // explicit registration overrides the warehouse mapping
       val path = tmpTable("named")
       TableMerge.createOrReplace(
@@ -541,7 +547,10 @@ class SqlMergeSpec extends AnyFunSuite {
     assert(stats.values.forall(_.keySet == Set("x", "y")))
     // a narrow x slice: provably-missing files are dropped BEFORE read
     val kept = stats.count { case (_, cols) =>
-      val (lo, hi) = cols("x"); hi >= 0L && lo <= 7L
+      cols("x") match {
+        case TableMerge.NumRange(_, lo, hi) => hi >= 0L && lo <= 7L
+        case _ => true
+      }
     }
     assert(kept < 8, s"z-layout must let an x-slice skip files (kept=$kept)")
     val viaSkip = TableMerge.readSkipping(spark, path, "x", 0L, 7L)
@@ -595,18 +604,40 @@ class SqlMergeSpec extends AnyFunSuite {
     spark.sql(s"OPTIMIZE graft.`$path` ZORDER BY (x, y)")
     val statsB = TableMerge.fileStats(path).filter(_._1.startsWith("part=b/"))
     assert(statsB.nonEmpty)
-    // merge lands in partition a only: b's stats must carry verbatim,
-    // a's rewritten files must NOT inherit stale ranges
+    val statsABefore = TableMerge.fileStats(path).filter(_._1.startsWith("part=a/"))
+    // merge lands in partition a only: b's stats must carry verbatim;
+    // a's files are rewritten under fresh names — their old entries
+    // must vanish and FRESH ranges must be recorded for the new files
+    // (r18: every write path maintains the declared stat columns)
     TableMerge.upsert(spark, path,
       Seq((9999L, "a", 1L, 1L)).toDF("id", "part", "x", "y"),
       keys = Seq("part", "id"), partitionCols = Seq("part"))
     val after = TableMerge.fileStats(path)
     assert(after.filter(_._1.startsWith("part=b/")) == statsB,
       "untouched partition's stats must survive the merge")
-    assert(!after.keySet.exists(_.startsWith("part=a/")),
-      "rewritten partition must not keep stale ranges")
+    val afterA = after.filter(_._1.startsWith("part=a/"))
+    assert(afterA.keySet.intersect(statsABefore.keySet).isEmpty,
+      "rewritten partition must not keep stale ranges under old file names")
+    // fresh stats key exactly the current a-side files (skipping
+    // survives the merge instead of decaying to always-read)
+    val liveA = {
+      val live = java.nio.file.Paths.get(path,
+        TableMerge.liveVersion(path).get, "part=a")
+      Option(live.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(f => s"part=a/${f.getName}").toSet
+    }
+    assert(afterA.keySet == liveA,
+      s"post-merge files must carry fresh ranges: stats=${afterA.keySet} files=$liveA")
+    assert(afterA.values.forall(_.keySet == Set("x", "y")))
     assert(TableMerge.readSkipping(spark, path, "x", 0L, 3L).count() ==
       TableMerge.read(spark, path).filter(col("x").between(0, 3)).count())
+    // the k20 physical claim: a narrow scan of the POST-MERGE version
+    // still skips files (pre-r18 it decayed to full scans)
+    val total = filesScanned(TableMerge.read(spark, path))
+    val narrow = filesScanned(
+      TableMerge.read(spark, path).filter(col("x").between(0, 3)))
+    assert(narrow < total,
+      s"post-merge skipping must still prune ($narrow/$total files)")
   }
 
   test("ZORDER and readSkipping survive ALTER ADD COLUMNS (pre-evolution files)") {
@@ -668,20 +699,50 @@ class SqlMergeSpec extends AnyFunSuite {
     assert(viaSql == ((expect.size.toLong, expect.sum)))
   }
 
-  test("timestamp filters never prune by seconds-scale stats (scale mismatch guard)") {
+  test("timestamp stats prune in micros; legacy integral rows never match ts literals") {
     import spark.implicits._
     val path = tmpTable("tsguard")
-    // ts stats record cast(ts AS long) = epoch SECONDS; a pushed
-    // timestamp literal is MICROseconds — pruning must not compare them
+    // r18: ts stats record kind `t` = epoch MICROS — the same unit a
+    // pushed TimestampType literal carries — so a ts range filter
+    // prunes files, exactly
     val rows = (0L until 512L).map(i =>
       (i, new java.sql.Timestamp(1700000000000L + i * 60000L), i % 16L))
     TableMerge.createOrReplace(rows.toDF("id", "ts", "x").repartition(8), path)
     spark.sql(s"OPTIMIZE graft.`$path` ZORDER BY (ts, x)")
-    assert(TableMerge.fileStats(path).values.exists(_.contains("ts")))
+    assert(TableMerge.fileStats(path).values.exists(_.get("ts").exists {
+      case TableMerge.NumRange('t', _, _) => true
+      case _ => false
+    }), "ts stats must record as kind t (epoch micros)")
     val cut = new java.sql.Timestamp(1700000000000L + 256L * 60000L)
+    val df = TableMerge.read(spark, path).filter(col("ts") >= lit(cut))
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scanned = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.map(_.metrics("numFiles").value).sum
+    assert(df.count() == 256L)
+    assert(scanned < 8L, s"micros stats must prune a ts range scan ($scanned)")
+    // SCALE-MISMATCH GUARD: a pre-r18 sidecar recorded cast(ts AS long)
+    // = epoch SECONDS as a kind-less integral row; a micros-valued
+    // timestamp literal must never compare against it (1e6 scale apart
+    // — it would wrongly prune every file). Rewrite the live sidecar
+    // into the legacy 4-field format and assert nothing is pruned away.
+    val live = java.nio.file.Paths.get(path, TableMerge.liveVersion(path).get)
+    val legacy = Files.readString(live.resolve("_graft_stats.tsv")).linesIterator
+      .flatMap(_.split('\t') match {
+        case Array(rel, "ts", "t", lo, hi) =>
+          Some(s"$rel\tts\t${lo.toLong / 1000000L}\t${hi.toLong / 1000000L}")
+        case Array(rel, c, _, lo, hi) => Some(s"$rel\t$c\t$lo\t$hi")
+        case _ => None
+      }).mkString("\n")
+    Files.writeString(live.resolve("_graft_stats.tsv"), legacy)
     val n = TableMerge.read(spark, path).filter(col("ts") >= lit(cut)).count()
     assert(n == 256L,
-      s"timestamp-literal bounds must not narrow seconds-scale stats (got $n rows)")
+      s"timestamp-literal bounds must not narrow seconds-scale legacy stats (got $n rows)")
   }
 
   test("case-differing ZORDER BY identifiers still produce matching stats") {
@@ -706,6 +767,175 @@ class SqlMergeSpec extends AnyFunSuite {
     }.map(_.metrics("numFiles").value).sum
     assert(scanned < 8L, s"case-canonical stats must still skip files ($scanned)")
     assert(TableMerge.readSkipping(spark, path, "X", 0L, 3L).count() == df.count())
+  }
+
+  private def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.map(_.metrics("numFiles").value).sum
+  }
+
+  test("analyzeStats + string range filters prune files (UTF-8-binary bounds)") {
+    import spark.implicits._
+    val path = tmpTable("strstats")
+    // 8 range-clustered files over a string key: 'a000'…'h999'
+    val df = (0L until 4096L).map { i =>
+      (i, f"${('a' + i / 512).toChar}${i % 512}%03d", i % 7L)
+    }.toDF("id", "s", "x").repartitionByRange(8, col("s"))
+    TableMerge.createOrReplace(df, path)
+    TableMerge.analyzeStats(spark, path, Seq("s"))
+    assert(TableMerge.statColumnsOf(path) == Seq("s"))
+    val stats = TableMerge.fileStats(path)
+    assert(stats.size == 8 && stats.values.forall(_.get("s").exists(
+      _.isInstanceOf[TableMerge.StrRange])))
+    // equality and range predicates both prune; answers exact
+    val eq = TableMerge.read(spark, path).filter(col("s") === "c100")
+    assert(filesScanned(eq) < 8L, "string equality must skip files")
+    assert(eq.count() == 1L)
+    val range = TableMerge.read(spark, path)
+      .filter(col("s") >= "b" && col("s") < "d")
+    assert(filesScanned(range) < 8L, "string range must skip files")
+    assert(range.count() == 1024L)
+    // boundary correctness vs the unpruned algebra
+    assert(range.agg(sum("id")).as[Long].head() ==
+      (512L until 1536L).sum)
+  }
+
+  test("string stats truncate long values with a sound upper bound") {
+    import spark.implicits._
+    val path = tmpTable("strtrunc")
+    val pad = "z" * 100 // every value far past the 64-char cap
+    val df = (0L until 1024L).map { i =>
+      (i, f"${('a' + i / 256).toChar}$pad${i % 256}%03d")
+    }.toDF("id", "s").repartitionByRange(4, col("s"))
+    TableMerge.createOrReplace(df, path)
+    TableMerge.analyzeStats(spark, path, Seq("s"))
+    val stats = TableMerge.fileStats(path)
+    assert(stats.values.forall(_.get("s").exists {
+      case TableMerge.StrRange(lo, hi) => lo.length <= 64 && hi.length <= 65
+      case _ => false
+    }), "recorded bounds must be truncated")
+    // the truncated hi must still be >= every value in its file: a
+    // range that ends INSIDE a file's true span keeps the file
+    val q = TableMerge.read(spark, path).filter(col("s") >= s"b$pad" + "000")
+    assert(q.count() == 768L, "truncation must never lose rows")
+    assert(filesScanned(q) < 4L, "prefix-incremented bounds still prune")
+  }
+
+  test("analyzeStats + date range filters prune files in epoch days") {
+    import spark.implicits._
+    val path = tmpTable("datestats")
+    val df = (0L until 2048L).map(i => (i, java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i / 8))))
+      .toDF("id", "d").repartitionByRange(8, col("d"))
+    TableMerge.createOrReplace(df, path)
+    TableMerge.analyzeStats(spark, path, Seq("d"))
+    assert(TableMerge.fileStats(path).values.forall(_.get("d").exists {
+      case TableMerge.NumRange('d', _, _) => true
+      case _ => false
+    }))
+    val cut = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(192))
+    val q = TableMerge.read(spark, path).filter(col("d") >= lit(cut))
+    assert(filesScanned(q) < 8L, "date range must skip files")
+    assert(q.count() == 2048L - 192 * 8)
+  }
+
+  test("declared stats survive full-rewrite writes (unpartitioned upsert)") {
+    import spark.implicits._
+    val path = tmpTable("statfull")
+    TableMerge.createOrReplace(
+      (0L until 2048L).map(i => (i, i / 256L)).toDF("id", "x")
+        .repartitionByRange(8, col("x")), path)
+    TableMerge.analyzeStats(spark, path, Seq("x"))
+    // unpartitioned upsert = whole-snapshot rewrite through writeVersion:
+    // the declared column must be re-statted on the fresh files
+    TableMerge.upsert(spark, path, Seq((9999L, 1L)).toDF("id", "x"), Seq("id"))
+    assert(TableMerge.statColumnsOf(path) == Seq("x"),
+      "stat declaration must survive a full rewrite")
+    val stats = TableMerge.fileStats(path)
+    assert(stats.nonEmpty, "fresh files must carry fresh ranges")
+    val q = TableMerge.read(spark, path).filter(col("x") === 7L)
+    assert(q.count() == 256L)
+    assert(filesScanned(q) < filesScanned(TableMerge.read(spark, path)),
+      "post-rewrite skipping must still engage")
+  }
+
+  test("SQL ANALYZE TABLE declares stat columns and enables skipping") {
+    import spark.implicits._
+    val path = tmpTable("sqlanalyze")
+    TableMerge.createOrReplace(
+      (0L until 1024L).map(i => (i, i / 128L)).toDF("id", "x")
+        .repartitionByRange(8, col("x")), path)
+    spark.sql(s"ANALYZE TABLE graft.`$path` COMPUTE STATISTICS FOR COLUMNS id, x")
+    assert(TableMerge.statColumnsOf(path) == Seq("id", "x"))
+    val q = TableMerge.read(spark, path).filter(col("x") === 3L)
+    assert(q.count() == 128L)
+    assert(filesScanned(q) < 8L, "SQL-declared stats must prune")
+    // unsupported column type errors through the SQL surface too
+    val path2 = tmpTable("sqlanalyze2")
+    TableMerge.createOrReplace(Seq((1L, 2.5)).toDF("id", "f"), path2)
+    intercept[Exception](
+      spark.sql(s"ANALYZE TABLE graft.`$path2` COMPUTE STATISTICS FOR COLUMNS f")
+        .collect())
+  }
+
+  test("analyzeStats rejects partition columns, unknown and collated columns") {
+    import spark.implicits._
+    val path = tmpTable("statreject")
+    TableMerge.createOrReplace(
+      Seq((1L, "a", 2.5, "x")).toDF("id", "part", "f", "s"),
+      path, partitionCols = Seq("part"))
+    intercept[IllegalArgumentException](
+      TableMerge.analyzeStats(spark, path, Seq("part")))
+    intercept[IllegalArgumentException](
+      TableMerge.analyzeStats(spark, path, Seq("nope")))
+    intercept[IllegalArgumentException](
+      TableMerge.analyzeStats(spark, path, Seq("f"))) // double: unsupported
+    // non-default collation: ordering disagrees with UTF-8-binary
+    // ranges — conservatively unsupported
+    val path2 = tmpTable("statcollate")
+    TableMerge.createOrReplace(
+      Seq((1L, "A")).toDF("id", "s")
+        .select(col("id"), expr("collate(s, 'UTF8_LCASE')").as("s")), path2)
+    intercept[IllegalArgumentException](
+      TableMerge.analyzeStats(spark, path2, Seq("s")))
+  }
+
+  test("SHOW DATABASES / SHOW TABLES / DESCRIBE TABLE enumerate the catalog") {
+    import graft.plans.SqlMerge.GraftCatalog
+    val p1 = tmpTable("show1")
+    val p2 = tmpTable("show2")
+    GraftCatalog.register("specdb", "alpha", p1)
+    GraftCatalog.register("specdb", "beta", p2)
+    try {
+      spark.sql(
+        "CREATE TABLE graft.specdb.alpha (id BIGINT, part STRING) PARTITIONED BY (part)")
+      assert(spark.sql("SHOW DATABASES IN graft").collect()
+        .map(_.getString(0)).contains("specdb"))
+      // beta is registered but never created: SHOW TABLES omits it
+      assert(spark.sql("SHOW TABLES IN graft.specdb").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet == Set(("specdb", "alpha")))
+      val desc = spark.sql("DESCRIBE TABLE graft.specdb.alpha").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(desc == Seq(("id", "bigint"), ("part", "string"),
+        ("# Partition Information", ""), ("part", "string")),
+        s"DESCRIBE must report read-back order + partition section, got $desc")
+      // path-addressed DESCRIBE and the short DESC form work too
+      assert(spark.sql(s"DESC graft.`$p1`").count() == 4L)
+      // a non-graft DESCRIBE falls through to Spark's own resolution
+      intercept[Exception](spark.sql("DESCRIBE TABLE no_such_table_xyz").collect())
+      // DESCRIBE of a missing graft table errors loudly
+      intercept[Exception](spark.sql("DESCRIBE TABLE graft.specdb.beta").collect())
+    } finally {
+      GraftCatalog.unregister("specdb", "alpha")
+      GraftCatalog.unregister("specdb", "beta")
+    }
   }
 
   test("maintenance statements reject pinned-snapshot targets") {
