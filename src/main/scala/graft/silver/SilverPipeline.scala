@@ -100,16 +100,26 @@ object SilverPipeline {
              forceReprocess: Boolean = false): RunStats =
     runWith(spark, bronze, cfg, forceReprocess, pdfChunksOf(spark, _, hier))
 
+  /** Fan a frame out to the session's core count ONLY when it arrives
+    * with fewer partitions (the checkpointed CDC frame often does):
+    * when the scan already split wide enough — bronze at scale arrives
+    * in many files — the decode/chunk flatMap inherits that
+    * parallelism and NO exchange ships the payload through a shuffle.
+    * This matters most for [[pdfChunksOf]], where an unconditional
+    * repartition would move every PDF byte (the dominant I/O at 100 TB
+    * of PDFs); the further lever there is
+    * `spark.sql.files.maxPartitionBytes`, not a shuffle. */
+  private def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores)
+  }
+
   /** F19/F20 — flat sliding-window chunks over the pre-extracted text
     * column (the original chunk stage). */
-  private def textChunksOf(spark: SparkSession, src: DataFrame,
-                           chunkCfg: graft.chunk.Chunker.Config): DataFrame = {
+  private[graft] def textChunksOf(spark: SparkSession, src: DataFrame,
+                                  chunkCfg: graft.chunk.Chunker.Config): DataFrame = {
     import spark.implicits._
-    src
-      .select("resource_uid", "resource_id", "language", "text")
-      // chunking is CPU-bound; the checkpointed CDC frame may carry
-      // fewer partitions than cores — fan out before the flatMap
-      .repartition(spark.sparkContext.defaultParallelism)
+    fanOut(spark, src.select("resource_uid", "resource_id", "language", "text"))
       .as[(String, String, String, String)]
       .flatMap { case (uid, rid, lang, text) =>
         val (rows, _) = graft.chunk.Chunker.chunkDocumentRecord(
@@ -127,15 +137,15 @@ object SilverPipeline {
     * UNDECODABLE bytes degrade to single-page flat chunking over the
     * bronze fallback `text` — the reference's PyPDF2 parse-exception
     * fallthrough (`transformer.py:1921-2025`). mapPartitions-shaped
-    * typed flatMap: bytes decode where they live, no shuffle carries
-    * the binary column. */
-  private def pdfChunksOf(spark: SparkSession, src: DataFrame,
-                          hier: graft.chunk.HierarchicalChunker.Config): DataFrame = {
+    * typed flatMap: when the input arrives pre-split (≥ cores), bytes
+    * decode where they live and no shuffle carries the binary column;
+    * only an under-partitioned input pays a one-time fan-out exchange
+    * (see [[fanOut]]). */
+  private[graft] def pdfChunksOf(spark: SparkSession, src: DataFrame,
+                                 hier: graft.chunk.HierarchicalChunker.Config): DataFrame = {
     import spark.implicits._
     import graft.chunk.{HierarchicalChunker, TocExtractor}
-    src
-      .select("resource_uid", "resource_id", "language", "pdf", "text")
-      .repartition(spark.sparkContext.defaultParallelism)
+    fanOut(spark, src.select("resource_uid", "resource_id", "language", "pdf", "text"))
       .as[(String, String, String, Array[Byte], String)]
       .flatMap { case (uid, rid, lang, pdf, fallback) =>
         val asset = s"asset_$rid"

@@ -138,4 +138,37 @@ class SilverPipelineSpec extends AnyFunSuite {
     assert(r2.exists(_._4.contains("organisms")),
       "flat chunks must come from the bronze text column")
   }
+
+  test("pre-split input: no exchange ships the pdf bytes to the decode flatMap") {
+    import graft.multimodal.PdfCodec
+    val cores = spark.sparkContext.defaultParallelism
+    val body = "Sorting and searching explained with many words here. " * 3
+    val pdf = PdfCodec.encode((1 to 2).map(p => s"Page $p. $body"), Seq.empty)
+    val pre = SilverPipeline.normalize(
+      bronzeDf(Seq(doc1)).withColumn("pdf", lit(pdf)))
+      .repartition(cores + 4).localCheckpoint(true)
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      // sparkPlan, not executedPlan: AQE's wrapper hides children
+      // until execution, which would make every count read 0
+      df.queryExecution.sparkPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+    val hier = graft.chunk.HierarchicalChunker.Config()
+    // arrives with >= cores partitions: scan-split parallelism carries
+    // the binary column straight into the decode — zero exchanges
+    assert(exchanges(SilverPipeline.pdfChunksOf(spark, pre, hier)) == 0,
+      "pre-split input must reach the decode flatMap with no shuffle")
+    assert(exchanges(SilverPipeline.textChunksOf(spark, pre,
+      graft.chunk.Chunker.Config())) == 0)
+    // under-partitioned input pays the one-time fan-out (CPU-bound
+    // chunking would otherwise run on too few cores)
+    val narrow = pre.coalesce(1).localCheckpoint(true)
+    assert(exchanges(SilverPipeline.pdfChunksOf(spark, narrow, hier)) == 1)
+    // and the chunks themselves are identical either way
+    val a = SilverPipeline.pdfChunksOf(spark, pre, hier)
+      .select("chunk_text").collect().map(_.getString(0)).sorted.toSeq
+    val b = SilverPipeline.pdfChunksOf(spark, narrow, hier)
+      .select("chunk_text").collect().map(_.getString(0)).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
