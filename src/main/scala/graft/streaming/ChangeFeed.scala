@@ -43,8 +43,14 @@ import graft.operators.TableMerge
   * Scale/retention contract: a pair is only expandable while BOTH its
   * versions are retained — consumers must keep their lag inside the
   * table's retention window (Delta CDF has the identical constraint).
-  * The oldest retained version pairs against the empty base `""`
-  * (a bootstrap micro-batch classifying every row as an insert).
+  * A consumer that resumes AFTER retention expired its checkpointed
+  * base fails LOUDLY ([[diff]]'s not-retained require aborts the
+  * query; ChangeFeedSpec pins it) — never a silent skip, which would
+  * drop the missed deltas from every downstream mirror. Recovery is
+  * explicit: reset the checkpoint and re-bootstrap the mirror from the
+  * oldest retained version's empty-base pair. The oldest retained
+  * version pairs against the empty base `""` (a bootstrap micro-batch
+  * classifying every row as an insert).
   */
 object ChangeFeed {
 

@@ -114,6 +114,46 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(replayed == live, "replayed pair mutated the mirror")
   }
 
+  test("consumer lag past version retention fails loudly, not silently skipping") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cdf-retention")
+    val path = dir.resolve("t").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val keys = Seq("k")
+    def df(n: Long) = spark.range(n)
+      .select(col("id").as("k"), (col("id") * 2).as("v"))
+    TableMerge.createOrReplace(df(10), path)
+    def startQ() = ChangeFeed.readStream(spark, path).writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("base_version", "version").collect().foreach { r =>
+          ChangeFeed.diff(spark, path,
+            Option(r.getString(0)).filter(_.nonEmpty), r.getString(1), keys)
+            .count(): Unit
+        }
+      }.start()
+    // consume the bootstrap pair, checkpointing offset = v1
+    val q1 = startQ()
+    try q1.processAllAvailable() finally q1.stop()
+    // the table advances two commits while the consumer is DOWN, and
+    // retention expires everything but the live version — the
+    // checkpointed offset now names a vacuumed snapshot
+    TableMerge.upsert(spark, path, df(12), keys)
+    TableMerge.upsert(spark, path, df(14), keys)
+    assert(TableMerge.expireVersions(path, olderThanMs = 0L) >= 2)
+    // the resumed consumer's first pair diffs FROM the expired base:
+    // the contract is a loud failure (Delta CDF behaves the same when
+    // the start version is vacuumed), never a silent skip that would
+    // drop the missed deltas from the mirror
+    val q2 = startQ()
+    val e = intercept[Exception](q2.processAllAvailable())
+    q2.stop()
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("not retained"),
+      s"expected the loud not-retained failure, got: $msgs")
+  }
+
   test("a pair spanning ALTER ADD COLUMNS diffs with typed NULL pre-images") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-cdf-evolve")
