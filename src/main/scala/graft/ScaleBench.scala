@@ -299,6 +299,37 @@ object ScaleBench {
       val k = (name, f)
       if (!deepTimes.contains(k) || sec < deepTimes(k)) deepTimes(k) = sec
     }
+    // VERDICT r17 #3 — adjudicate sim_hnsw_maintain's ×32/×8: its ×32
+    // absolute is ~3 s, where per-JOB fixed cost (≈40 Spark jobs per
+    // cycle: checkpoints, broadcasts, the audit joins) is a large
+    // additive term with ±70% run-to-run swing. Two instruments: (a)
+    // ≥5-run min-of-run per factor (the battery's variance protocol);
+    // (b) an EMPTY-BATCH probe with the identical plan structure — its
+    // time IS the fixed cost, so (t - overhead) isolates the data term
+    // and the data-term ratio is the honest slope.
+    val MaintainReps = 5
+    for (_ <- 1 to math.max(0, MaintainReps - repeat); f <- Factors :+ DeepFactor) {
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      deepRunner("sim_hnsw_maintain", f)(spark, dirs(f))
+        .write.mode("overwrite").format("noop").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val k = ("sim_hnsw_maintain", f)
+      if (sec < deepTimes(k)) deepTimes(k) = sec
+    }
+    val maintainOverhead: Map[Int, Double] = (Factors :+ DeepFactor).map { f =>
+      var best = Double.MaxValue
+      for (_ <- 1 to MaintainReps) {
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        graft.queries.GraphAnnQueries.hnswMaintainOverhead(spark, dirs(f), tuned(f)._1)
+          .write.mode("overwrite").format("noop").save()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      f -> best
+    }.toMap
     // fixed-8-bit ×32 documentation points, single run — the point is the
     // order of magnitude (15-35× over linear), not a tight timing
     val fixed32 = FixedWidthDoc.map { name =>
@@ -436,11 +467,28 @@ object ScaleBench {
       s""""x$f":{"nlist":${c.nlist},"n_rows":${c.nRows},"probed_rows":${c.probedRows},""" +
         s""""max_list":${c.maxList},"tune_sec":${r3(tuneSec)},"write_sec":${r3(writeSec)}}"""
     }.mkString("{", ",", "}")
+    // the sim_hnsw_maintain adjudication block: min-of-5 totals, the
+    // empty-batch fixed-cost probe, and the overhead-adjusted data-term
+    // ratio (the number the ≤~1.5 target should be read against)
+    val maintainJson = {
+      val t8 = deepTimes(("sim_hnsw_maintain", 8))
+      val t32 = deepTimes(("sim_hnsw_maintain", DeepFactor))
+      val o8 = maintainOverhead(8)
+      val o32 = maintainOverhead(DeepFactor)
+      val d8 = math.max(t8 - o8, 1e-3)
+      val d32 = math.max(t32 - o32, 1e-3)
+      val oJson = (Factors :+ DeepFactor)
+        .map(f => s""""x$f":${r3(maintainOverhead(f))}""").mkString("{", ",", "}")
+      s"""{"reps":$MaintainReps,"overhead":$oJson,""" +
+        s""""data_x8":${r3(d8)},"data_x$DeepFactor":${r3(d32)},""" +
+        s""""data_ratio_x32_x8":${r3(d32 / d8)}}"""
+    }
     val line = s"""{"metric":"scale_slope","base":"$base","factors":[1,8,$DeepFactor],""" +
       s""""total_x1":${r3(t1Total)},"total_x8":${r3(t8Total)},""" +
       s""""total_ratio":${r3(t8Total / t1Total)},"queries":$perQuery,""" +
       s""""deep":$deepJson,"lsh_census":$lshJson,"ivf_census":$ivfJson,""" +
       s""""minhash_bands":$bands,"winnow_cap":$winnowJson,""" +
+      s""""hnsw_maintain_adjudication":$maintainJson,""" +
       s""""containment_cap":$containJson}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_scale.json"),

@@ -252,7 +252,21 @@ private[graft] object GraphAnnQueries {
     * + a shuffle of batch-adjacent edges; the corpus graph is read, not
     * re-paired; the full rebuild here is the AUDIT truth (sampled at
     * 100 TB, exactly like the recall audits). */
-  private[graft] def hnswMaintain(s: SparkSession, d: String, bits: Int): DataFrame = {
+  private[graft] def hnswMaintain(s: SparkSession, d: String, bits: Int): DataFrame =
+    hnswMaintainImpl(s, d, bits, emptyBatch = false)
+
+  /** Fixed-cost probe for the maintenance cycle (VERDICT r17 #3): the
+    * SAME plan/job/checkpoint structure as [[hnswMaintain]] with a
+    * ZERO-ROW batch — what remains is per-job fixed cost (job launch,
+    * localCheckpoint setup, empty shuffles, the memoized-artifact
+    * reads), the additive term a ×32/×8 wall-clock ratio must be
+    * adjusted by before reading it as a data-scaling slope. ScaleBench
+    * reports it beside the real cycle at each factor. */
+  private[graft] def hnswMaintainOverhead(s: SparkSession, d: String, bits: Int): DataFrame =
+    hnswMaintainImpl(s, d, bits, emptyBatch = true)
+
+  private def hnswMaintainImpl(s: SparkSession, d: String, bits: Int,
+                               emptyBatch: Boolean): DataFrame = {
     val emb = Tables.embeddings(s, d)
     // The corpus graph, its sig table, and the rebuilt-truth audit graph
     // are maintained ARTIFACTS (deterministic functions of (d, bits)) —
@@ -264,7 +278,9 @@ private[graft] object GraphAnnQueries {
     // and the rebuilt truth is a sampled audit, both amortized).
     val corpusSig = PipelineShared.memo(s, s"hnswm_corpus_sig|$d|$bits")(
       sigOf(emb.filter(col("vec_id") % 10 =!= 0), bits).localCheckpoint())
-    val batchSig = sigOf(emb.filter(col("vec_id") % 10 === 0), bits).localCheckpoint()
+    val batchFilter =
+      if (emptyBatch) lit(false) else col("vec_id") % 10 === 0
+    val batchSig = sigOf(emb.filter(batchFilter), bits).localCheckpoint()
     val allSig = corpusSig.unionByName(batchSig)
     val gc = PipelineShared.memo(s, s"hnswm_gc|$d|$bits")(
       prune2M(symmetrize(outEdges(corpusSig, corpusSig, bits))).localCheckpoint())
@@ -287,7 +303,10 @@ private[graft] object GraphAnnQueries {
       .unionByName(gc.join(broadcast(touched), Seq("src"), "left_anti")
         .select("src", "dst", "pair_e6"))
       .select("src", "dst").localCheckpoint()
-    val rebuilt = PipelineShared.memo(s, s"hnswm_rebuilt|$d|$bits")(
+    // distinct memo key for the empty-batch probe: its allSig (and so
+    // its rebuilt truth) differs from the real cycle's
+    val rebuiltKey = s"hnswm_rebuilt|$d|$bits" + (if (emptyBatch) "|empty" else "")
+    val rebuilt = PipelineShared.memo(s, rebuiltKey)(
       prune2M(symmetrize(outEdges(allSig, allSig, bits)))
         .select("src", "dst").localCheckpoint())
     val common = maintained.join(rebuilt, Seq("src", "dst"))
