@@ -427,37 +427,11 @@ object TableMerge {
           // the touched ones.
           val touched = src.select(partitionCols.map(col): _*).distinct()
             .localCheckpoint() // see replaceKeys: broadcast + link-planner reuse
-          val nTouched = touched.count()
-          if (nTouched > maxScopedPartitions) {
-            // near-full restatement: the scoped path's driver-side
-            // partition collect would hold nTouched rows — restate
-            // wholesale instead (same result, no collect)
-            writeVersion(mergeRows(target, src, keys), tablePath, partitionCols,
-              Parent(base), meta + (ScopeFallbackKey ->
-                s"touched=$nTouched>max=$maxScopedPartitions"))
-          } else {
           val targetTouched = target.join(broadcast(touched), partitionCols, "left_semi")
-          val merged = mergeRows(targetTouched, src, keys)
-            // cluster by the partition columns before the partitioned
-            // write: each output dir is then written by ONE task (≤ one
-            // file per dir per commit) instead of every shuffle task
-            // writing a sliver into every dir it holds — tasks×dirs
-            // small files is what made maintained-index reads and
-            // rewrites degrade with width (r17 probe: 1,953 files for a
-            // 64k-row table; subsequent scans pay per-file open cost)
-            .repartition(partitionCols.map(col): _*)
-          val version = newVersionDir(tablePath)
-          merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(version.toString)
-          writeSchemaSidecar(version, merged.schema, partitionCols)
-          writeTxnSidecar(version, meta)
-          // stat-scan the rewritten partitions BEFORE the untouched
-          // trees hard-link in (their rows carry over verbatim below)
-          val fresh = freshStatsFor(spark, liveDir, version, merged.schema, partitionCols)
-          val touchedDirs = touchedPartitionDirs(touched)
-          carryUntouchedPartitions(liveDir, version, partitionCols, touchedDirs)
-          carryStats(liveDir, version, touchedDirs, fresh)
-          commitVersion(tablePath, version, Parent(base))
-          }
+          commitScopedOrFallback(spark, tablePath, liveDir, base, touched,
+            merged = mergeRows(targetTouched, src, keys),
+            fallback = mergeRows(target, src, keys),
+            partitionCols = partitionCols, meta = meta)
         } else {
           writeVersion(mergeRows(target, src, keys), tablePath, partitionCols, Parent(base), meta)
         }
@@ -498,33 +472,13 @@ object TableMerge {
           val touched = drops.select(partitionCols.map(col): _*)
             .union(source.select(partitionCols.map(col): _*)).distinct()
             .localCheckpoint()
-          val nTouched = touched.count()
-          if (nTouched > maxScopedPartitions) {
-            // see upsert: past the threshold the driver-side partition
-            // collect is the liability — restate wholesale
-            writeVersion(
-              target.join(drops, groupKeys, "left_anti")
-                .unionByName(source, allowMissingColumns = true),
-              tablePath, partitionCols, Parent(base),
-              meta + (ScopeFallbackKey ->
-                s"touched=$nTouched>max=$maxScopedPartitions"))
-          } else {
           val targetTouched = target.join(broadcast(touched), partitionCols, "left_semi")
-          val merged = targetTouched.join(drops, groupKeys, "left_anti")
-            .unionByName(source, allowMissingColumns = true)
-            // one writer task per output dir — see the upsert branch
-            .repartition(partitionCols.map(col): _*)
-          val version = newVersionDir(tablePath)
-          merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(version.toString)
-          writeSchemaSidecar(version, merged.schema, partitionCols)
-          writeTxnSidecar(version, meta)
-          // see upsert: stat-scan before untouched trees link in
-          val fresh = freshStatsFor(spark, liveDir, version, merged.schema, partitionCols)
-          val touchedDirs = touchedPartitionDirs(touched)
-          carryUntouchedPartitions(liveDir, version, partitionCols, touchedDirs)
-          carryStats(liveDir, version, touchedDirs, fresh)
-          commitVersion(tablePath, version, Parent(base))
-          }
+          commitScopedOrFallback(spark, tablePath, liveDir, base, touched,
+            merged = targetTouched.join(drops, groupKeys, "left_anti")
+              .unionByName(source, allowMissingColumns = true),
+            fallback = target.join(drops, groupKeys, "left_anti")
+              .unionByName(source, allowMissingColumns = true),
+            partitionCols = partitionCols, meta = meta)
         } else {
           val remaining = target.join(drops, groupKeys, "left_anti")
           val merged = remaining.unionByName(source, allowMissingColumns = true)
@@ -532,6 +486,44 @@ object TableMerge {
         }
       }
     }
+
+  /** The shared partition-scoped commit of [[upsert]] and
+    * [[replaceKeys]]: guard the driver-side partition collect (past
+    * [[maxScopedPartitions]] touched partitions the merge restates
+    * wholesale via `fallback`, recording the decision in commit
+    * metadata — same result, no unbounded collect), write the touched
+    * partitions clustered one-writer-task-per-dir, stat-scan them
+    * BEFORE the untouched trees hard-link in, carry surviving stats,
+    * and CAS-commit against `base`. `merged` must already be
+    * restricted to the touched partitions. */
+  private def commitScopedOrFallback(spark: SparkSession, tablePath: String,
+      liveDir: Path, base: Option[String], touched: DataFrame,
+      merged: => DataFrame, fallback: => DataFrame,
+      partitionCols: Seq[String], meta: Map[String, String]): Unit = {
+    val nTouched = touched.count()
+    if (nTouched > maxScopedPartitions) {
+      writeVersion(fallback, tablePath, partitionCols, Parent(base),
+        meta + (ScopeFallbackKey -> s"touched=$nTouched>max=$maxScopedPartitions"))
+    } else {
+      // cluster by the partition columns before the partitioned write:
+      // each output dir is then written by ONE task (≤ one file per dir
+      // per commit) instead of every shuffle task writing a sliver into
+      // every dir it holds — tasks×dirs small files is what made
+      // maintained-index reads and rewrites degrade with width (r17
+      // probe: 1,953 files for a 64k-row table)
+      val m = merged.repartition(partitionCols.map(col): _*)
+      val version = newVersionDir(tablePath)
+      m.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
+        .parquet(version.toString)
+      writeSchemaSidecar(version, m.schema, partitionCols)
+      writeTxnSidecar(version, meta)
+      val fresh = freshStatsFor(spark, liveDir, version, m.schema, partitionCols)
+      val touchedDirs = touchedPartitionDirs(touched)
+      carryUntouchedPartitions(liveDir, version, partitionCols, touchedDirs)
+      carryStats(liveDir, version, touchedDirs, fresh)
+      commitVersion(tablePath, version, Parent(base))
+    }
+  }
 
   /** K2 — delete rows whose key appears in `deleteKeys`. */
   def delete(spark: SparkSession, tablePath: String, deleteKeys: DataFrame,
@@ -590,8 +582,20 @@ object TableMerge {
           if (overflowing.nonEmpty) {
             val version = newVersionDir(tablePath)
             Files.createDirectories(version)
+            // unit reads pin the sidecar DATA schema, like zorder's
+            // unitReader: a unit mixing pre- and post-ALTER files must
+            // rewrite with the evolved column (typed NULLs on old
+            // files), not whatever one footer's inference says — with
+            // inference, a first-footer pick predating the ALTER would
+            // silently DROP the evolved column's values from the unit
+            val unitReader = sidecarSchema(liveDir) match {
+              case Some(full) =>
+                spark.read.schema(org.apache.spark.sql.types.StructType(
+                  full.filterNot(f => partitionCols.contains(f.name))))
+              case None => spark.read.option("mergeSchema", "true")
+            }
             overflowing.foreach { rel =>
-              spark.read.parquet(liveDir.resolve(rel).toString)
+              unitReader.parquet(liveDir.resolve(rel).toString)
                 .coalesce(targetFiles)
                 .write.mode(SaveMode.Overwrite).parquet(version.resolve(rel).toString)
             }
@@ -868,7 +872,9 @@ object TableMerge {
     val p = live.resolve(StatsFile)
     if (!Files.exists(p)) Map.empty
     else Files.readString(p).linesIterator.flatMap { l =>
-      l.split('\t') match {
+      // limit -1: a string row whose min/max are EMPTY strings ends in
+      // trailing tab(s) that the default split would strip
+      l.split("\t", -1) match {
         case Array(rel, c, lo, hi) => // pre-r18 legacy row: integral long
           Some((rel, c, NumRange('i', lo.toLong, hi.toLong): ColRange))
         case Array(rel, c, "s", lo, hi) =>
@@ -913,9 +919,17 @@ object TableMerge {
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).exists(anyParquet)
       else f.getName.endsWith(".parquet")
+    // a TIMESTAMP_NTZ column's stats ride the NTZ→TIMESTAMP cast,
+    // which interprets the wall clock in the SESSION timezone — only
+    // under UTC do the recorded micros equal the wall-clock micros an
+    // NTZ literal carries. Any other session records no NTZ stats
+    // (conservative: those files always read).
+    val utcSession = spark.conf.get("spark.sql.session.timeZone", "") == "UTC"
     val typed: Seq[(String, Char)] = statCols.flatMap { c =>
       schema.find(f => f.name.equalsIgnoreCase(c) &&
           !partitionCols.exists(_.equalsIgnoreCase(c)))
+        .filter(f =>
+          f.dataType != org.apache.spark.sql.types.TimestampNTZType || utcSession)
         .flatMap(f => statKindOf(f.dataType).map(k => f.name -> k))
     }
     if (typed.isEmpty || !anyParquet(scanRoot.toFile)) Seq.empty
@@ -930,7 +944,15 @@ object TableMerge {
         Seq(min(c).as(s"__lo_$name"), max(c).as(s"__hi_$name"))
       }
       val rootAbs = scanRoot.toAbsolutePath.toString
-      val rows = spark.read.option("basePath", scanRoot.toString)
+      // read with the READ-BACK schema (data cols then partition cols),
+      // never footer inference: a stat column added by a metadata-only
+      // ALTER is absent from pre-evolution footers and must resolve as
+      // typed NULLs (recording no range), not fail the scan
+      val readSchema = org.apache.spark.sql.types.StructType(
+        schema.filterNot(f => partitionCols.exists(_.equalsIgnoreCase(f.name))) ++
+          partitionCols.flatMap(c => schema.find(_.name.equalsIgnoreCase(c))))
+      val rows = spark.read.schema(readSchema)
+        .option("basePath", scanRoot.toString)
         .parquet(scanRoot.toString)
         .groupBy(input_file_name().as("__f"))
         .agg(aggs.head, aggs.tail: _*)
@@ -1042,8 +1064,12 @@ object TableMerge {
         }
         val version = newVersionDir(tablePath)
         Files.createDirectories(version)
+        // legacy pointerless layout: liveDir == tablePath, which now
+        // contains the fresh staging dir itself — version dirs must
+        // never link (self-link would recurse unboundedly)
         Option(liveDir.toFile.listFiles()).getOrElse(Array.empty)
-          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith(".") &&
+            !f.getName.startsWith("v-"))
           .foreach(f => linkTree(f.toPath, version.resolve(f.getName)))
         Seq(SchemaFile, PartsFile).foreach { name =>
           val side = liveDir.resolve(name)
@@ -1167,8 +1193,11 @@ object TableMerge {
           "added columns must be nullable (existing rows have no value to backfill)")
         val version = newVersionDir(tablePath)
         Files.createDirectories(version)
+        // see analyzeStats: on a legacy pointerless layout liveDir is
+        // the table dir holding the fresh staging dir — never link it
         Option(liveDir.toFile.listFiles()).getOrElse(Array.empty)
-          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith(".") &&
+            !f.getName.startsWith("v-"))
           .foreach(f => linkTree(f.toPath, version.resolve(f.getName)))
         // added columns land at the end of the DATA columns; partition
         // columns keep the trailing position (the Hive/Spark read-back

@@ -239,9 +239,12 @@ object SqlMerge {
       org.apache.spark.sql.SparkSession.getActiveSession
         .flatMap(s => s.conf.getOption("spark.graft.warehouse"))
         .getOrElse("target/graft-state/warehouse")
+    // warehouse paths use the NORMALIZED name (like registrations):
+    // name resolution is case-insensitive throughout, so a case-
+    // differing spelling must land on (and list) the same directory
     private[SqlMerge] def resolve(db: String, table: String): String =
       Option(reg.get(norm(s"$db.$table")))
-        .getOrElse(java.nio.file.Paths.get(warehouseRoot, db, table).toString)
+        .getOrElse(java.nio.file.Paths.get(warehouseRoot, norm(db), norm(table)).toString)
     private def subdirs(p: java.nio.file.Path): Seq[String] =
       Option(p.toFile.listFiles()).getOrElse(Array.empty)
         .filter(_.isDirectory).map(_.getName).toSeq
@@ -262,9 +265,9 @@ object SqlMerge {
         case (k, path) if k.startsWith(d + ".") &&
           graft.operators.TableMerge.exists(path) => k.split("\\.", 2)(1)
       }.toSeq
-      val fromFs = subdirs(java.nio.file.Paths.get(warehouseRoot, db)).filter(t =>
+      val fromFs = subdirs(java.nio.file.Paths.get(warehouseRoot, d)).filter(t =>
         graft.operators.TableMerge.exists(
-          java.nio.file.Paths.get(warehouseRoot, db, t).toString))
+          java.nio.file.Paths.get(warehouseRoot, d, t).toString))
       (fromReg ++ fromFs).distinct.sorted
     }
   }

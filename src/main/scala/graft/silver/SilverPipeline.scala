@@ -108,7 +108,11 @@ object SilverPipeline {
     * This matters most for [[pdfChunksOf]], where an unconditional
     * repartition would move every PDF byte (the dominant I/O at 100 TB
     * of PDFs); the further lever there is
-    * `spark.sql.files.maxPartitionBytes`, not a shuffle. */
+    * `spark.sql.files.maxPartitionBytes`, not a shuffle. Tradeoff: an
+    * input that is wide but SKEWED (most rows in few partitions) keeps
+    * its skew — if a caller knows its frame is skewed, it should
+    * rebalance upstream where the payload columns aren't attached
+    * yet, which is cheaper than this stage ever could be. */
   private def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
     val cores = spark.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores)

@@ -45,6 +45,15 @@ object bridge {
     val root = new org.apache.hadoop.fs.Path(
       "file:" + new java.io.File(liveDir).getAbsolutePath)
     val livePrefix = new java.io.File(liveDir).getAbsolutePath
+    // pre-encode string bounds ONCE: the keep-test below runs per file
+    // per planned read, and re-encoding UTF8Strings there would undo
+    // the one-walk-per-column economy the bounds cache buys
+    val strFileBounds: Map[(String, String), (UTF8String, UTF8String)] =
+      stats.iterator.flatMap { case (rel, cols) =>
+        cols.iterator.collect { case (c, graft.operators.TableMerge.StrRange(lo, hi)) =>
+          (rel, c) -> ((UTF8String.fromString(lo), UTF8String.fromString(hi)))
+        }
+      }.toMap
 
     // A literal only narrows bounds when its TYPE matches the recorded
     // stat kind — the check is load-bearing, not cosmetic: stats are in
@@ -174,11 +183,10 @@ object bridge {
                     val (qLo, qHi) = numBounds.getOrElseUpdate((c, kind),
                       boundsOf(dataFilters, c, litFor(kind)))
                     fHi >= qLo && fLo <= qHi
-                  case (c, StrRange(fLoS, fHiS)) =>
+                  case (c, _: StrRange) =>
                     val (qLo, qHi) = strBounds.getOrElseUpdate(c,
                       strBoundsOf(dataFilters, c))
-                    val fLo = UTF8String.fromString(fLoS)
-                    val fHi = UTF8String.fromString(fHiS)
+                    val (fLo, fHi) = strFileBounds((rel, c))
                     qLo.forall(l => fHi.binaryCompare(l) >= 0) &&
                       qHi.forall(h => fLo.binaryCompare(h) <= 0)
                 }

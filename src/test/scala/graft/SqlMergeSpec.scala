@@ -866,6 +866,72 @@ class SqlMergeSpec extends AnyFunSuite {
       "post-rewrite skipping must still engage")
   }
 
+  test("compaction re-stats rewritten units; quiet units keep ranges verbatim") {
+    import spark.implicits._
+    val path = tmpTable("statcompact")
+    // partition a fragments over 6 writer tasks; b's single row lands
+    // in one file and stays under maxFiles
+    val rows = (0L until 1024L).map(i => (i, "a", i % 64L, i % 32L)) :+
+      ((10000L, "b", 1L, 1L))
+    TableMerge.createOrReplace(rows.toDF("id", "part", "x", "y").repartition(6),
+      path, partitionCols = Seq("part"))
+    spark.sql(s"OPTIMIZE graft.`$path` ZORDER BY (x, y)")
+    val statsB = TableMerge.fileStats(path).filter(_._1.startsWith("part=b/"))
+    assert(statsB.nonEmpty)
+    val n = TableMerge.compact(spark, path, Seq("part"), maxFiles = 4)
+    assert(n == 1, s"only the overflowing partition compacts, got $n")
+    val after = TableMerge.fileStats(path)
+    assert(after.filter(_._1.startsWith("part=b/")) == statsB,
+      "quiet unit's ranges must carry verbatim through compaction")
+    val afterA = after.filter(_._1.startsWith("part=a/"))
+    assert(afterA.nonEmpty,
+      "compacted files must carry FRESH ranges (pre-r18 they were stat-less)")
+    val liveA = {
+      val live = java.nio.file.Paths.get(path,
+        TableMerge.liveVersion(path).get, "part=a")
+      Option(live.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(f => s"part=a/${f.getName}").toSet
+    }
+    assert(afterA.keySet == liveA,
+      s"stats must key the compacted files exactly: ${afterA.keySet} vs $liveA")
+    assert(TableMerge.readSkipping(spark, path, "x", 0L, 3L).count() ==
+      TableMerge.read(spark, path).filter(col("x").between(0, 3)).count())
+  }
+
+  test("compaction and ANALYZE handle units whose files predate ALTER ADD COLUMNS") {
+    import spark.implicits._
+    val path = tmpTable("compactevolve")
+    // 6 pre-evolution files in one unit (fragmented write), then a
+    // metadata-only ALTER: the unit's FOOTERS lack `score`
+    TableMerge.createOrReplace(
+      (0L until 64L).map(i => (i, "a", i % 8L)).toDF("id", "part", "v")
+        .repartition(6),
+      path, partitionCols = Seq("part"))
+    spark.sql(s"ALTER TABLE graft.`$path` ADD COLUMNS (score BIGINT)")
+    // ANALYZE over the ALTER-added column must scan with the sidecar
+    // schema (typed NULLs on pre-evolution footers), not crash on an
+    // unresolved column; all-null files record no range
+    spark.sql(s"ANALYZE TABLE graft.`$path` COMPUTE STATISTICS FOR COLUMNS score, v")
+    assert(TableMerge.statColumnsOf(path) == Seq("score", "v"))
+    assert(TableMerge.fileStats(path).values.forall(!_.contains("score")),
+      "all-null evolved column must record no range")
+    // compact the pre-evolution unit: the rewrite reads with the
+    // sidecar schema, so the evolved column survives as typed NULLs
+    // and fresh stats record only the non-null column
+    assert(TableMerge.compact(spark, path, Seq("part"), maxFiles = 4) == 1)
+    val df = TableMerge.read(spark, path)
+    assert(df.columns.contains("score"))
+    assert(df.filter(col("score").isNotNull).count() == 0L)
+    assert(df.count() == 64L)
+    // and values written AFTER the evolution stat and prune normally
+    TableMerge.upsert(spark, path,
+      Seq((1000L, "a", 5L, 42L)).toDF("id", "part", "v", "score"),
+      keys = Seq("part", "id"), partitionCols = Seq("part"))
+    assert(TableMerge.read(spark, path).filter(col("score") === 42L).count() == 1L)
+    assert(TableMerge.fileStats(path).values.exists(_.contains("score")),
+      "post-evolution rewrite must record the evolved column's range")
+  }
+
   test("SQL ANALYZE TABLE declares stat columns and enables skipping") {
     import spark.implicits._
     val path = tmpTable("sqlanalyze")
