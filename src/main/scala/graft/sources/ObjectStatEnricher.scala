@@ -31,20 +31,37 @@ object ObjectStatEnricher {
       size_bytes: Option[Long],
       last_modified_ms: Option[Long])
 
-  private def md5Hex(md: MessageDigest, bytes: Array[Byte]): String = {
+  /** STREAMING digest: never loads the object into memory — assets can
+    * be multi-GB media files (readAllBytes would allocate the whole
+    * object per executor thread and throws outright past 2 GB). */
+  private def md5HexStreaming(md: MessageDigest, p: java.nio.file.Path): String = {
     md.reset()
-    md.digest(bytes).map("%02x".format(_)).mkString
+    val in = Files.newInputStream(p)
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) md.update(buf, 0, n)
+        n = in.read(buf)
+      }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
   }
 
   /** Stat a single candidate key against the store root; None if the
-    * object doesn't exist. */
+    * object doesn't exist — INCLUDING one deleted between the
+    * existence check and the read (the reference "logs and continues"
+    * with null stats; a raw NoSuchFileException would fail the whole
+    * Spark task instead). */
   private def statOne(rootDir: String, key: String, md: MessageDigest): Option[(String, Long, Long)] = {
     val p = Paths.get(rootDir, key)
     if (!Files.isRegularFile(p)) None
-    else Some((
-      md5Hex(md, Files.readAllBytes(p)),
-      Files.size(p),
-      Files.getLastModifiedTime(p).toMillis))
+    else
+      try Some((
+        md5HexStreaming(md, p),
+        Files.size(p),
+        Files.getLastModifiedTime(p).toMillis))
+      catch { case _: java.io.IOException => None }
   }
 
   /** Enrich asset refs with stats from the store at `rootDir`; unresolved

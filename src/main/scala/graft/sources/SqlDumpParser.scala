@@ -79,7 +79,23 @@ object SqlDumpParser {
     while (idx < text.length) {
       val ch = text.charAt(idx)
       if (inString) {
-        if (escape) { current.append(ch); escape = false }
+        if (escape) {
+          // MySQL escape sequences (mysqldump emits these for every
+          // newline/tab/CR/NUL/ctrl-Z in text columns): decode to the
+          // CHARACTER, not the letter — `\n` is a newline, never 'n'.
+          // Unknown escapes keep the escaped char literally (\' \" \\
+          // and MySQL's lenient default for everything else).
+          current.append(ch match {
+            case 'n' => '\n'
+            case 't' => '\t'
+            case 'r' => '\r'
+            case '0' => '\u0000'
+            case 'Z' => '\u001a'
+            case 'b' => '\b'
+            case other => other
+          })
+          escape = false
+        }
         else if (ch == '\\') escape = true
         else if (ch == '\'') {
           if (idx + 1 < text.length && text.charAt(idx + 1) == '\'') { current.append('\''); idx += 1 }

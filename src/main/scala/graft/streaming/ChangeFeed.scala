@@ -109,21 +109,27 @@ object ChangeFeed {
   }
 
   /** Apply one pair's diff to a downstream mirror table — the
-    * subscriber's MERGE: inserts/updates upsert the post-image,
-    * deletes drop the key. Idempotent: re-applying the same pair
-    * upserts identical rows and re-deletes absent keys. */
+    * subscriber's MERGE, as ONE copy-on-write commit: every changed
+    * key (insert/update/delete) drops from the mirror and the
+    * insert/update post-images re-insert — `replaceKeys` fuses both
+    * halves, so a concurrent mirror reader only ever sees states the
+    * SOURCE had (a separate upsert-then-delete pair exposed an
+    * intermediate snapshot with new post-images beside keys already
+    * deleted in the source — a state no source version ever held).
+    * Idempotent: re-applying the same pair drops and re-inserts
+    * identical rows. */
   def applyTo(spark: SparkSession, mirrorPath: String, feed: DataFrame,
               keys: Seq[String]): Unit = {
     val cols = feed.columns.filter(_.startsWith("post_")).map(c =>
       col(c).as(c.stripPrefix("post_"))).toSeq
     val upserts = feed.filter(col("op").isin("insert", "update"))
       .select(keys.map(col) ++ cols: _*)
-    val deletes = feed.filter(col("op") === "delete").select(keys.map(col): _*)
     if (!TableMerge.exists(mirrorPath))
       TableMerge.createOrReplace(upserts, mirrorPath)
     else {
-      TableMerge.upsert(spark, mirrorPath, upserts, keys)
-      TableMerge.delete(spark, mirrorPath, deletes, keys)
+      val changedKeys = feed.filter(col("op").isin("insert", "update", "delete"))
+        .select(keys.map(col): _*)
+      TableMerge.replaceKeys(spark, mirrorPath, upserts, changedKeys, keys)
     }
   }
 }

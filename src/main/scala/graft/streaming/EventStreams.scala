@@ -300,8 +300,13 @@ object EventStreams {
             Seq("centroid_id"), maxFiles = compactEvery / 2)
         if (!batch.isEmpty) {
           import graft.operators.TableMerge
-          val rows = batch.selectExpr("vec_id", "embedding",
-            s"graft_ivf_assign(embedding, $nlist) AS centroid_id")
+          // within-batch duplicates of a vec_id would insert wholesale
+          // (two rows, possibly in two centroid partitions) — dedup
+          // like every sibling index sink; latest-wins across batches
+          // is the replaceKeys below
+          val rows = batch.dropDuplicates("vec_id")
+            .selectExpr("vec_id", "embedding",
+              s"graft_ivf_assign(embedding, $nlist) AS centroid_id")
           if (!TableMerge.exists(tablePath))
             TableMerge.createOrReplace(rows, tablePath, Seq("centroid_id"))
           else {
@@ -343,9 +348,13 @@ object EventStreams {
     * touched = everything ⇒ prune2M(sym(outEdges(all, all))) — exactly
     * `edgesDf`. A later batch over an established corpus produces
     * byte-identical edges to the batch `hnswMaintain` audit query
-    * (GraphStreamSpec pins both). Per-batch cost is O(batch·probe
-    * buckets + state in touched srcs' buckets), independent of graph
-    * size. */
+    * (GraphStreamSpec pins both). Per-batch cost: one SCAN of the sig
+    * table (the probe's index side — lazy off parquet, never
+    * re-materialized; r18 removed the full-corpus localCheckpoints
+    * that made each batch O(graph) in executor storage) + shuffles and
+    * state REWRITES that track the batch and its touched buckets only;
+    * at 100 TB, band-bucketing the sig table adds partition pruning to
+    * the probe scan. */
   def graphIndexSink(vecs: DataFrame, tablePath: String, checkpointDir: String,
                      bits: Int = 8,
                      nBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
@@ -368,17 +377,26 @@ object EventStreams {
             TableMerge.replaceKeys(s, vecPath, rows,
               rows.select("vbucket", "vec_id"),
               Seq("vbucket", "vec_id"), Seq("vbucket"))
+          // the sig table reads LAZILY off the committed parquet (it is
+          // already stable storage — a localCheckpoint here would
+          // re-materialize the FULL corpus into executor block storage
+          // every micro-batch, an O(corpus) per-batch cost the sink's
+          // contract forbids); the probe's index side is one corpus
+          // SCAN, and the banded join shuffles only bucket-matched
+          // candidates (at 100 TB, band-bucket the sig table for
+          // partition pruning on top)
           val allSig = sigOf(
             TableMerge.read(s, vecPath).select("vec_id", "embedding"), bits)
-            .localCheckpoint()
           val batchSig = allSig
             .join(rows.select("vec_id"), Seq("vec_id"), "left_semi")
           val no = outEdges(batchSig, allSig, bits).localCheckpoint()
           val batchIds = rows.select("vec_id")
+          // lazy over the live edge snapshot: only the TOUCHED subset
+          // materializes below — checkpointing the whole table was the
+          // other O(graph) per-batch term
           val existing =
             if (TableMerge.exists(tablePath))
               TableMerge.read(s, tablePath).select("src", "dst", "pair_e6")
-                .localCheckpoint()
             else s.emptyDataset(org.apache.spark.sql.Encoders
               .product[(Long, Long, Long)]).toDF("src", "dst", "pair_e6")
           val staleSrcs = existing
@@ -393,7 +411,9 @@ object EventStreams {
           // keep a touched node's edges only where NEITHER endpoint is a
           // batch node: a re-embed stales every score involving it, both
           // the edges INTO it (dst anti-join) and its own old out-list
-          // (src anti-join) — its fresh list comes from `no` ∪ rev(`no`)
+          // (src anti-join) — its fresh list comes from `no` ∪ rev(`no`).
+          // CHECKPOINTED (it is O(touched state), small): the commit
+          // below replaces the snapshot this lineage reads
           val kept = existing
             .join(touched, Seq("src"), "left_semi")
             .join(batchIds.withColumnRenamed("vec_id", "dst"), Seq("dst"),
@@ -401,6 +421,7 @@ object EventStreams {
             .join(batchIds.withColumnRenamed("vec_id", "src"), Seq("src"),
               "left_anti")
             .select("src", "dst", "pair_e6")
+            .localCheckpoint()
           val rebuilt = prune2M(
             kept.unionByName(no)
               .unionByName(no.select(col("dst").as("src"),
@@ -448,29 +469,51 @@ object EventStreams {
     * produce IDENTICAL centroids. Completes the ANN lifecycle next to
     * [[vectorIndexSink]]: the index holds the vectors, this holds the
     * quantizer the index is bucketed by; when `sim_index_drift` says
-    * the lists have drifted, the freshest centroids are already here. */
+    * the lists have drifted, the freshest centroids are already here.
+    *
+    * The count-weighted running mean is NOT idempotent — a replayed
+    * batch would fold the same points in twice — so each commit rides
+    * the [[StreamLineage]] exactly-once protocol (batch tag + run
+    * nonce, the CmsStream discipline): a replay within the lineage is
+    * a no-op, a reset checkpoint over kept centroids fails loudly. */
+  private[graft] val KmeansBatchKey = "graft.kmeans.batch"
+  private[graft] val KmeansRunKey = "graft.kmeans.run"
+
   def kmeansUpdateSink(vecs: DataFrame, tablePath: String, checkpointDir: String,
-                       k: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+                       k: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    val runId = StreamLineage.runIdFor(checkpointDir)
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          import graft.operators.{MiniBatchKmeans, TableMerge}
-          val s = batch.sparkSession
-          import s.implicits._
-          val current: MiniBatchKmeans.Cents =
-            if (TableMerge.exists(tablePath))
-              TableMerge.read(s, tablePath)
-                .select("centroid_id", "cvec", "n")
-                .as[(Int, Seq[Long], Long)].collect().sortBy(_._1).toSeq
-            else MiniBatchKmeans.gridInit(k)
-          val next = MiniBatchKmeans.step(batch, current)
-          TableMerge.createOrReplace(
-            next.toDF("centroid_id", "cvec", "n"), tablePath)
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyKmeansBatch(batch, batchId, tablePath, k, runId)
       }
       .start()
+  }
+
+  /** The per-micro-batch apply, factored out so the replay protocol is
+    * testable without crashing a real query (the CmsStream shape). */
+  private[graft] def applyKmeansBatch(batch: DataFrame, batchId: Long,
+      tablePath: String, k: Int, runId: String): Unit = {
+    import graft.operators.{MiniBatchKmeans, TableMerge}
+    val (foreign, already) = StreamLineage.replayState(
+      tablePath, KmeansBatchKey, KmeansRunKey, batchId, runId)
+    StreamLineage.requireSameLineage("k-means centroid", tablePath, foreign, runId)
+    if (!batch.isEmpty && !already) {
+      val s = batch.sparkSession
+      import s.implicits._
+      val current: MiniBatchKmeans.Cents =
+        if (TableMerge.exists(tablePath))
+          TableMerge.read(s, tablePath)
+            .select("centroid_id", "cvec", "n")
+            .as[(Int, Seq[Long], Long)].collect().sortBy(_._1).toSeq
+        else MiniBatchKmeans.gridInit(k)
+      val next = MiniBatchKmeans.step(batch, current)
+      TableMerge.createOrReplace(
+        next.toDF("centroid_id", "cvec", "n"), tablePath,
+        meta = Map(KmeansBatchKey -> batchId.toString, KmeansRunKey -> runId))
+    }
+  }
 
   final case class Event(
       event_id: Long, ts: Timestamp, user_id: Long,
@@ -662,35 +705,47 @@ object EventStreams {
     * carry their own tags). */
   private[graft] val MatviewBatchKey = "graft.matview.batch"
   private[graft] val MatviewPreKey = "graft.matview.pre"
+  private[graft] val MatviewRunKey = "graft.matview.run"
 
   def matviewDeltaSink(facts: DataFrame, basePath: String, viewPath: String,
-                       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+                       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val runId = StreamLineage.runIdFor(checkpointDir)
     facts.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyMatviewBatch(batch, batchId, basePath, viewPath)
+        applyMatviewBatch(batch, batchId, basePath, viewPath, runId)
       }
       .start()
+  }
 
   /** The per-micro-batch apply of [[matviewDeltaSink]], factored out so
     * the replay protocol is testable without crashing a real query:
     * calling it twice with the same batchId — or after a simulated
     * partial failure (base committed, view not) — must yield the same
-    * view as one clean apply. */
+    * view as one clean apply. The batch-tag skip is scoped to ONE
+    * checkpoint lineage via `runId` ([[StreamLineage]]): a reset
+    * checkpoint over kept base/view tables restarts batchIds at 0, and
+    * an unscoped `>= batchId` would silently drop every new batch
+    * (and an unscoped base-tag lookup could replay an ancient
+    * lineage's recorded delta) — a foreign lineage fails loudly
+    * instead. */
   private[graft] def applyMatviewBatch(batch: DataFrame, batchId: Long,
-                                       basePath: String, viewPath: String): Unit = {
+                                       basePath: String, viewPath: String,
+                                       runId: String): Unit = {
         val alreadyApplied = {
-          import graft.operators.TableMerge
           // Scan ALL retained view commits, not just the live one
           // (ADVICE r13): an untagged commit between apply and replay —
           // a second writer, a manual repair — would otherwise hide the
           // applied batch's tag and the delta would be double-applied.
           // >= comparison: a later batch's tag also proves this one ran.
-          TableMerge.exists(viewPath) &&
-            TableMerge.versions(viewPath).exists(v =>
-              TableMerge.versionMeta(viewPath, v).get(MatviewBatchKey)
-                .exists(_.toLong >= batchId))
+          val (foreignView, already) = StreamLineage.replayState(
+            viewPath, MatviewBatchKey, MatviewRunKey, batchId, runId)
+          StreamLineage.requireSameLineage("matview", viewPath, foreignView, runId)
+          val (foreignBase, _) = StreamLineage.replayState(
+            basePath, MatviewBatchKey, MatviewRunKey, batchId, runId)
+          StreamLineage.requireSameLineage("matview base", basePath, foreignBase, runId)
+          already
         }
         if (!batch.isEmpty && !alreadyApplied) {
           import graft.operators.TableMerge
@@ -709,7 +764,8 @@ object EventStreams {
                 val pre =
                   if (TableMerge.exists(basePath)) TableMerge.versions(basePath).headOption
                   else None
-                val tag = Map(MatviewBatchKey -> bid) ++ pre.map(MatviewPreKey -> _)
+                val tag = Map(MatviewBatchKey -> bid, MatviewRunKey -> runId) ++
+                  pre.map(MatviewPreKey -> _)
                 if (pre.isDefined)
                   TableMerge.upsert(s, basePath, rows, Seq("event_id"), meta = tag)
                 else TableMerge.createOrReplace(rows, basePath, meta = tag)
@@ -738,7 +794,7 @@ object EventStreams {
             .select(col("user_id"),
               (col("d.d_n") + coalesce(col("c.n"), lit(0L))).as("n"),
               (col("d.d_sum") + coalesce(col("c.sum_value_e2"), lit(0L))).as("sum_value_e2"))
-          val viewTag = Map(MatviewBatchKey -> bid)
+          val viewTag = Map(MatviewBatchKey -> bid, MatviewRunKey -> runId)
           if (TableMerge.exists(viewPath))
             TableMerge.upsert(s, viewPath, updated, Seq("user_id"), meta = viewTag)
           else TableMerge.createOrReplace(updated, viewPath, meta = viewTag)
@@ -799,9 +855,15 @@ object EventStreams {
           import graft.operators.TableMerge
           val s = batch.sparkSession
           val rows = batch.select("key", "attr", "eff")
+          // valid_to types as eff's OWN type: closed rows set it to the
+          // effective date, and a hardcoded string here would silently
+          // widen a DATE/TIMESTAMP-typed feed's valid_to to STRING in
+          // the unionByName below (valid_from date, valid_to string —
+          // point-in-time range predicates then hit implicit casts)
+          val effType = rows.schema("eff").dataType
           def open(src: DataFrame, attr: org.apache.spark.sql.Column): DataFrame =
             src.select(col("key"), attr.as("attr"), col("eff").as("valid_from"),
-              lit(null).cast("string").as("valid_to"), lit(true).as("is_current"))
+              lit(null).cast(effType).as("valid_to"), lit(true).as("is_current"))
           if (!TableMerge.exists(dimPath)) TableMerge.createOrReplace(open(rows, col("attr")), dimPath)
           else {
             val current = TableMerge.read(s, dimPath).filter(col("is_current"))

@@ -24,9 +24,19 @@ import graft.operators.TableMerge
   * horizon is retained because a future, earlier first-view could make
   * it the step event. t2/t3 are DERIVED at read time from the retained
   * sets — deriving (not storing) them is what makes the fold
-  * order-independent. Retained-set size is bounded by a user's real
-  * activity inside a ~24/48 h horizon of their first view (the same
-  * per-user-behavior bound sessionization carries), not by the corpus.
+  * order-independent. Retained-set size: for a user WITH a view, it is
+  * bounded by their real activity inside a ~24/48 h horizon of the
+  * first view (the same per-user-behavior bound sessionization
+  * carries). A user who clicks/purchases but NEVER views keeps every
+  * candidate (t1 IS NULL admits all — any future earlier view could
+  * make them eligible), so the exact fold is unbounded for that class;
+  * a production deployment bounds it with a watermark contract (views
+  * arrive within L of their event time ⇒ candidates older than
+  * max-seen-event-time − L − 24h for a still-viewless user can never
+  * become step events and may drop), trading exactness on
+  * pathologically late views for bounded state — the same trade every
+  * watermarked streaming aggregate makes. The battery keeps the exact
+  * fold because its stream==batch equality proof needs it.
   *
   * RETENTION state per user: cohort_day = min active day (min-fold) +
   * the active-day set within [cohort_day, cohort_day+14] — at most 15

@@ -406,15 +406,16 @@ class EventStreamsSpec extends AnyFunSuite {
     def rows(t: (Long, Long, Long)*): org.apache.spark.sql.DataFrame =
       t.toDF("event_id", "user_id", "value_e2")
     // batch 0: clean apply
-    EventStreams.applyMatviewBatch(rows((1L, 1L, 100L), (2L, 2L, 10L)), 0L, base, view)
+    EventStreams.applyMatviewBatch(rows((1L, 1L, 100L), (2L, 2L, 10L)), 0L, base, view, "specrun")
     // batch 1 PARTIAL FAILURE: the base upsert committed (tagged with its
     // batchId + pre-version, exactly as the sink writes it) but the driver
     // died before the view upsert — reproduce that intermediate state by
     // hand, then deliver the foreachBatch replay.
     val pre = TableMerge.versions(base).head
     TableMerge.upsert(spark, base, rows((1L, 1L, 500L), (3L, 2L, 7L)), Seq("event_id"),
-      meta = Map(EventStreams.MatviewBatchKey -> "1", EventStreams.MatviewPreKey -> pre))
-    EventStreams.applyMatviewBatch(rows((1L, 1L, 500L), (3L, 2L, 7L)), 1L, base, view)
+      meta = Map(EventStreams.MatviewBatchKey -> "1", EventStreams.MatviewPreKey -> pre,
+        EventStreams.MatviewRunKey -> "specrun"))
+    EventStreams.applyMatviewBatch(rows((1L, 1L, 500L), (3L, 2L, 7L)), 1L, base, view, "specrun")
     def viewState(): Seq[(Long, Long, Long)] = TableMerge.read(spark, view)
       .select("user_id", "n", "sum_value_e2")
       .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
@@ -426,7 +427,7 @@ class EventStreamsSpec extends AnyFunSuite {
       s"partial-failure replay lost the batch: $afterReplay")
     // FULL replay of an applied batch (crash after view commit, before
     // checkpoint): view commit meta says batch 1 applied → no-op.
-    EventStreams.applyMatviewBatch(rows((1L, 1L, 500L), (3L, 2L, 7L)), 1L, base, view)
+    EventStreams.applyMatviewBatch(rows((1L, 1L, 500L), (3L, 2L, 7L)), 1L, base, view, "specrun")
     assert(viewState() == afterReplay, "full replay double-applied the delta")
   }
 
@@ -804,6 +805,50 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(streamed.exists { case (cid, v, _) =>
         v != MiniBatchKmeans.gridInit(4).find(_._1 == cid).get._2 })
     } finally q.stop()
+  }
+
+  test("k-means sink: replayed batch is a no-op; reset lineage fails loudly") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.applyKmeansBatch
+    val dir = java.nio.file.Files.createTempDirectory("graft-mbk-replay")
+    val table = dir.resolve("cents").toString
+    def vec(seed: Long): Seq[Double] =
+      Seq.tabulate(64)(i => (((seed * 13 + i * 7) % 17) - 8) / 9.0)
+    val b1 = (1L to 6L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    applyKmeansBatch(b1, 0L, table, 4, "runA")
+    val after1 = graft.operators.TableMerge.read(spark, table)
+      .select("centroid_id", "cvec", "n")
+      .as[(Int, Seq[Long], Long)].collect().sortBy(_._1).toSeq
+    // at-least-once replay of the SAME batch: the running-mean fold is
+    // not idempotent, so without the batch tag this would double-count
+    applyKmeansBatch(b1, 0L, table, 4, "runA")
+    val after2 = graft.operators.TableMerge.read(spark, table)
+      .select("centroid_id", "cvec", "n")
+      .as[(Int, Seq[Long], Long)].collect().sortBy(_._1).toSeq
+    assert(after2 == after1, "replayed batch must be a no-op")
+    assert(after2.map(_._3).sum == 6L, "counts must not double-count")
+    // reset checkpoint (new run id) over KEPT centroids: batchIds
+    // restart at 0 — must fail loudly, not silently skip/double-count
+    val e = intercept[IllegalArgumentException](
+      applyKmeansBatch(b1, 0L, table, 4, "runB"))
+    assert(e.getMessage.contains("runA"))
+  }
+
+  test("matview sink: reset lineage over kept base/view tables fails loudly") {
+    import spark.implicits._
+    def rows(t: (Long, Long, Long)*) =
+      t.toDF("event_id", "user_id", "value_e2")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-lineage")
+    val base = dir.resolve("base").toString
+    val view = dir.resolve("view").toString
+    EventStreams.applyMatviewBatch(rows((1L, 1L, 100L)), 0L, base, view, "runA")
+    EventStreams.applyMatviewBatch(rows((2L, 1L, 50L)), 1L, base, view, "runA")
+    // a reset checkpoint restarts batchIds at 0 under a fresh run id:
+    // pre-r18 the bare `>= batchId` skip silently dropped every new
+    // batch until it exceeded the old lineage's high-water mark
+    val e = intercept[IllegalArgumentException](
+      EventStreams.applyMatviewBatch(rows((3L, 2L, 7L)), 0L, base, view, "runB"))
+    assert(e.getMessage.contains("runA"))
   }
 
   test("vector-index sink: stream-maintained IVF layout equals from-scratch, moves cross partitions") {

@@ -40,6 +40,22 @@ class SqlDumpParserSpec extends AnyFunSuite {
       Vector(SqlLong(11), SqlString("Science"))))
   }
 
+  test("mysqldump character escapes decode to characters, not letters") {
+    // mysqldump escapes every newline/tab/CR in text columns as \n \t
+    // \r — the decoder must produce the control character, never drop
+    // the backslash and keep the letter ('line1nline2' corruption)
+    val d = """INSERT INTO `t` VALUES (1, 'line1\nline2'),
+              |(2, 'a\tb'), (3, 'cr\rlf\n'), (4, 'keep\\slash'),
+              |(5, 'lit\%pct\_us');""".stripMargin
+    val rows = SqlDumpParser.rows(d, "t")
+    assert(rows(0)(1) == SqlString("line1\nline2"))
+    assert(rows(1)(1) == SqlString("a\tb"))
+    assert(rows(2)(1) == SqlString("cr\rlf\n"))
+    assert(rows(3)(1) == SqlString("keep\\slash"))
+    // unknown escapes keep the char literally (MySQL's lenient rule)
+    assert(rows(4)(1) == SqlString("lit%pct_us"))
+  }
+
   test("unknown table yields no rows") {
     assert(SqlDumpParser.rows(dump, "nope").isEmpty)
   }

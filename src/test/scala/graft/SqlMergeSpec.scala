@@ -828,6 +828,48 @@ class SqlMergeSpec extends AnyFunSuite {
     assert(filesScanned(q) < 4L, "prefix-incremented bounds still prune")
   }
 
+  test("string stats survive adversarial content: tabs, newlines, astral chars") {
+    import spark.implicits._
+    val path = tmpTable("strevil")
+    // values that stress the TSV escaping (tab/newline/backslash), the
+    // UTF-8-vs-UTF-16 order divergence (astral plane U+10400 sorts
+    // AFTER U+FFFD in UTF-8 binary but its UTF-16 high surrogate D801
+    // sorts BEFORE), empty strings, and the 64-char truncation boundary
+    val evil = Seq(
+      "", "\t", "a\tb", "line1\nline2", "back\\slash", "\r\n",
+      "�-replacement", new String(Character.toChars(0x10400)) + "astral",
+      "z" * 63, "z" * 64, "z" * 65, "y" * 64 + "tail",
+      "normal middle value", "ZZZ", "aaa")
+    val df = evil.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s").repartitionByRange(4, col("s"))
+    TableMerge.createOrReplace(df, path)
+    TableMerge.analyzeStats(spark, path, Seq("s"))
+    val stats = TableMerge.fileStats(path)
+    assert(stats.nonEmpty)
+    // every recorded bound must round-trip the TSV escaping: re-read
+    // equals what a fresh scan of the same files would record
+    val again = {
+      TableMerge.analyzeStats(spark, path, Seq("s"))
+      TableMerge.fileStats(path)
+    }
+    assert(again == stats, "stats must round-trip the sidecar encoding")
+    // correctness under every predicate shape the visitor narrows —
+    // skipping must be invisible at any bound content
+    for (cut <- Seq("", "a", "￾", "z" * 64, "line1\n", "ZZZ")) {
+      def viaFull(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+        // bypass stats: read the live version dir directly
+        val live = java.nio.file.Paths.get(path, TableMerge.liveVersion(path).get)
+        spark.read.parquet(live.toString).filter(p(col("s"))).count()
+      }
+      assert(TableMerge.read(spark, path).filter(col("s") >= cut).count() ==
+        viaFull(_ >= cut), s"'>=' mismatch at cut=${cut.take(8)}")
+      assert(TableMerge.read(spark, path).filter(col("s") < cut).count() ==
+        viaFull(_ < cut), s"'<' mismatch at cut=${cut.take(8)}")
+      assert(TableMerge.read(spark, path).filter(col("s") === cut).count() ==
+        viaFull(_ === cut), s"'=' mismatch at cut=${cut.take(8)}")
+    }
+  }
+
   test("analyzeStats + date range filters prune files in epoch days") {
     import spark.implicits._
     val path = tmpTable("datestats")
