@@ -241,10 +241,28 @@ object SqlMerge {
         .getOrElse("target/graft-state/warehouse")
     // warehouse paths use the NORMALIZED name (like registrations):
     // name resolution is case-insensitive throughout, so a case-
-    // differing spelling must land on (and list) the same directory
-    private[SqlMerge] def resolve(db: String, table: String): String =
-      Option(reg.get(norm(s"$db.$table")))
-        .getOrElse(java.nio.file.Paths.get(warehouseRoot, norm(db), norm(table)).toString)
+    // differing spelling must land on (and list) the same directory.
+    // Pre-existing warehouses may hold MIXED-CASE subdirs created by
+    // earlier builds (or by hand): each path segment first matches an
+    // existing subdir case-insensitively, so enumeration (databases()/
+    // tables(), which list raw names) and resolution agree — a name
+    // SHOW surfaced always resolves to the directory it came from
+    // (ADVICE r18). New segments (CREATE of a fresh db/table) land at
+    // the normalized lower-case path.
+    private def matchSegment(parent: java.nio.file.Path, name: String): String =
+      Option(parent.toFile.listFiles()).getOrElse(Array.empty)
+        .collectFirst {
+          case f if f.isDirectory && f.getName.equalsIgnoreCase(name) => f.getName
+        }
+        .getOrElse(norm(name))
+    private[SqlMerge] def resolve(db: String, table: String): String = {
+      Option(reg.get(norm(s"$db.$table"))).getOrElse {
+        val root = java.nio.file.Paths.get(warehouseRoot)
+        val dbSeg = matchSegment(root, db)
+        val tblSeg = matchSegment(root.resolve(dbSeg), table)
+        root.resolve(dbSeg).resolve(tblSeg).toString
+      }
+    }
     private def subdirs(p: java.nio.file.Path): Seq[String] =
       Option(p.toFile.listFiles()).getOrElse(Array.empty)
         .filter(_.isDirectory).map(_.getName).toSeq

@@ -174,9 +174,16 @@ object CdcQueries {
     * commit fixture I/O, not query work). Keyed per sf dir: ScaleBench
     * drives the same process at several corpus dirs. */
   private val seedBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Collision-proof path key for a corpus dir: SHA-256 prefix, not
+    * String.hashCode — ScaleBench drives several corpus dirs in one
+    * process, and a 32-bit collision would clone the wrong corpus into
+    * k14/k16/k17 (ADVICE r18). */
+  private def dirKey(d: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
   private def ordersSeed(s: SparkSession, d: String): String =
     seedBuilt.computeIfAbsent(d, { _ =>
-      val path = statePath(s"seed_orders_e2_${Integer.toHexString(d.hashCode)}")
+      val path = statePath(s"seed_orders_e2_${dirKey(d)}")
       TableMerge.drop(path, ifExists = true)
       TableMerge.createOrReplace(
         Tables.orders(s, d).selectExpr("o_orderkey",
@@ -190,7 +197,7 @@ object CdcQueries {
     * from the evens snapshot); same memoize-once-clone-per-run trick. */
   private def ordersEvenSeed(s: SparkSession, d: String): String =
     seedBuilt.computeIfAbsent("even|" + d, { _ =>
-      val path = statePath(s"seed_orders_even_${Integer.toHexString(d.hashCode)}")
+      val path = statePath(s"seed_orders_even_${dirKey(d)}")
       TableMerge.drop(path, ifExists = true)
       TableMerge.createOrReplace(
         Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)

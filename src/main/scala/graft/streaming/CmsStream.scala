@@ -110,7 +110,17 @@ object CmsStream {
           // whichever publication survived).
           try java.nio.file.Files.move(tmp, nonce,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch { case _: java.io.IOException => () }
+          catch {
+            // raced loser (winner already published) is benign; but if
+            // the nonce STILL doesn't exist, both publication paths
+            // failed — rethrow the real cause instead of letting the
+            // unconditional read below mask it (ADVICE r18)
+            case e: java.io.IOException =>
+              if (!java.nio.file.Files.exists(nonce))
+                throw new IllegalStateException(
+                  s"cannot publish run nonce at $nonce (hard links " +
+                    "unsupported and the atomic-move fallback failed)", e)
+          }
       }
       finally java.nio.file.Files.deleteIfExists(tmp): Unit
     }

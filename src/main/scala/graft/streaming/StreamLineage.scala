@@ -41,7 +41,18 @@ private[graft] object StreamLineage {
         case _: UnsupportedOperationException =>
           try java.nio.file.Files.move(tmp, nonce,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch { case _: java.io.IOException => () }
+          catch {
+            // a raced loser's move fails AFTER the winner published —
+            // benign. But if the nonce STILL doesn't exist, both the
+            // link and the move failed (transient IO, perms): surface
+            // the real cause instead of the masking NoSuchFileException
+            // the unconditional read below would throw (ADVICE r18).
+            case e: java.io.IOException =>
+              if (!java.nio.file.Files.exists(nonce))
+                throw new IllegalStateException(
+                  s"cannot publish run nonce at $nonce (hard links " +
+                    "unsupported and the atomic-move fallback failed)", e)
+          }
       }
       finally java.nio.file.Files.deleteIfExists(tmp): Unit
     }
@@ -51,7 +62,13 @@ private[graft] object StreamLineage {
   /** Replay/lineage state of a tagged table: the distinct FOREIGN run
     * ids found on its commits (must be empty — see
     * [[requireSameLineage]]) and whether `batchId` is already applied
-    * in THIS run's lineage. */
+    * in THIS run's lineage. Commits with an EMPTY/missing run tag
+    * (written by pre-run-id code against the same, continuous
+    * checkpoint) are grandfathered as same-lineage — their batchIds
+    * join the skip set under the bare `>= batchId` rule, and only a
+    * DIFFERENT non-empty run id trips the foreign-lineage failure
+    * (ADVICE r18: resuming a legacy state table under its original
+    * checkpoint must not fail permanently when no reset occurred). */
   def replayState(tablePath: String, batchKey: String, runKey: String,
                   batchId: Long, runId: String): (Seq[String], Boolean) = {
     import graft.operators.TableMerge
@@ -62,8 +79,8 @@ private[graft] object StreamLineage {
           m.get(batchKey).map(b => (m.getOrElse(runKey, ""), b.toLong))
         }
       else Seq.empty
-    (tagged.collect { case (r, _) if r != runId => r }.distinct,
-      tagged.collect { case (r, b) if r == runId => b }.exists(_ >= batchId))
+    (tagged.collect { case (r, _) if r != runId && r.nonEmpty => r }.distinct,
+      tagged.collect { case (r, b) if r == runId || r.isEmpty => b }.exists(_ >= batchId))
   }
 
   /** Fail loudly when a sink's state table carries another lineage's
