@@ -86,6 +86,16 @@ object ScaleBench {
   /** The two width-lever pipelines also get the fixed-width ×32 point. */
   private val FixedWidthDoc = Seq("dedup_semantic_keep", "sim_embed_neardup")
 
+  /** One more doubling for the skew-capped families (VERDICT r18 #8):
+    * `dedup_winnow_capped` (×32/×8 = 3.59) and `sim_embed_neardup`
+    * (3.25 at census widths) sat near the linear boundary at ×32 — the
+    * ×64 point adjudicates whether the df-cap/census keeps them
+    * sub-linear per row or ×32 was the knee. Run at the ×64 census
+    * width (embed) / the battery cap (winnow), with the winnow df
+    * census re-priced at ×64. */
+  private val X64Factor = 64
+  private val X64Queries = Seq("dedup_winnow_capped", "sim_embed_neardup")
+
   /** The same corpus the near-dup pipelines build (base + injected
     * exact copies), fed to [[graft.operators.LshTuner]] for the census. */
   private def neardupCorpus(spark: org.apache.spark.sql.SparkSession,
@@ -185,7 +195,7 @@ object ScaleBench {
     // warm codegen/JIT the same way Bench does
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    val dirs: Map[Int, String] = (Factors :+ DeepFactor).map { f =>
+    val dirs: Map[Int, String] = (Factors :+ DeepFactor :+ X64Factor).map { f =>
       val dir = new java.io.File(s"target/graft-state/scale_x$f").getAbsolutePath
       val docs = spark.read.parquet(s"$base/documents.parquet")
       val embs = spark.read.parquet(s"$base/embeddings.parquet")
@@ -231,7 +241,8 @@ object ScaleBench {
     }
 
     // census-tuned widths per factor (tuning cost billed separately)
-    val tuned: Map[Int, (Int, Long, Long, Double)] = (Factors :+ DeepFactor).map { f =>
+    val tuned: Map[Int, (Int, Long, Long, Double)] =
+      (Factors :+ DeepFactor :+ X64Factor).map { f =>
       val t0 = System.nanoTime()
       val c = graft.operators.LshTuner.chooseBandBits(
         neardupCorpus(spark, dirs(f)), "embedding", bands = 2)
@@ -330,6 +341,56 @@ object ScaleBench {
       }
       f -> best
     }.toMap
+    // ×64 adjudication points for the skew-capped families (VERDICT r18
+    // #8): min-of-2, at the ×64 census width for the embed pipeline
+    val x64Times: Map[String, Double] = X64Queries.map { name =>
+      var best = Double.MaxValue
+      for (_ <- 1 to 2) {
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        val runner: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+          name match {
+            case "sim_embed_neardup" =>
+              (s, d) => graft.queries.EmbedNeardupQueries.embedNeardup(
+                s, d, 2, tuned(X64Factor)._1)
+            case other => SparkEntry.queries(other)
+          }
+        runner(spark, dirs(X64Factor)).write.mode("overwrite").format("noop").save()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      name -> best
+    }.toMap
+
+    // MANIFEST READ-PLANNING probe (VERDICT r18 #1): a table whose FILE
+    // COUNT grows ×32 while the read stays selective — with manifest
+    // planning (zero directory listing + per-version memoized ledger)
+    // the per-read planning cost must stay ~flat as files multiply; the
+    // first read of each version pays the one-time ledger parse. Timed:
+    // min-of-5 of a pushed-filter count() over f·64-file tables.
+    val manifestPlanning: Map[Int, (Long, Double, Double)] = Seq(1, 8, 32).map { f =>
+      val nFiles = f * 64
+      val path = new java.io.File(
+        s"target/graft-state/scale_manifest_x$f").getAbsolutePath
+      graft.operators.TableMerge.drop(path, ifExists = true)
+      graft.operators.TableMerge.createOrReplace(
+        spark.range(nFiles.toLong * 64)
+          .selectExpr("id", "id % 8 AS g", "id * 3 AS v")
+          .repartition(nFiles), path)
+      // first read pays the ledger parse (reported separately)
+      var first = 0.0
+      var best = Double.MaxValue
+      for (i <- 0 until 6) {
+        val t0 = System.nanoTime()
+        val n = graft.operators.TableMerge.read(spark, path)
+          .filter(col("id") === 7L).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(n == 1L, s"manifest probe wrong answer: $n")
+        if (i == 0) first = sec else best = math.min(best, sec)
+      }
+      f -> ((nFiles.toLong, first, best))
+    }.toMap
+
     // fixed-8-bit ×32 documentation points, single run — the point is the
     // order of magnitude (15-35× over linear), not a tight timing
     val fixed32 = FixedWidthDoc.map { name =>
@@ -372,7 +433,7 @@ object ScaleBench {
     // ~linear for the cap to be the claimed skew guard. Reported: the
     // candidate-pair sums Σ df·(df−1)/2 with and without the df ≤ 32 cap,
     // and the hottest print's df.
-    val winnowStats: Map[Int, (Long, Long, Long)] = Seq(8, DeepFactor).map { f =>
+    val winnowStats: Map[Int, (Long, Long, Long)] = Seq(8, DeepFactor, X64Factor).map { f =>
       val boiler = "all rights reserved contact the site administrator for removal details"
       val base = spark.read.parquet(s"${dirs(f)}/documents.parquet")
         .select(col("doc_id"),
@@ -452,9 +513,25 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     val t1Total = Queries.map(q => times((q, 1))).sum
     val t8Total = Queries.map(q => times((q, 8))).sum
-    val winnowJson = Seq(8, DeepFactor).map { f =>
+    val winnowJson = Seq(8, DeepFactor, X64Factor).map { f =>
       val (unc, cap, maxDf) = winnowStats(f)
       s""""x$f":{"cand_uncapped":$unc,"cand_capped":$cap,"max_df":$maxDf}"""
+    }.mkString("{", ",", "}")
+    // the ×64 doubling verdict for the two skew-capped families:
+    // ratio_x64_x32 against 2× more data — ≲2 = still linear per row
+    val x64Json = X64Queries.map { q =>
+      val t32 = deepTimes((q, DeepFactor))
+      val t64 = x64Times(q)
+      val bits =
+        if (q == "sim_embed_neardup") s""","band_bits_x64":${tuned(X64Factor)._1}"""
+        else ""
+      s""""$q":{"x32":${r3(t32)},"x64":${r3(t64)},""" +
+        s""""ratio_x64_x32":${r3(t64 / math.max(t32, 1e-9))}$bits}"""
+    }.mkString("{", ",", "}")
+    val manifestJson = Seq(1, 8, 32).map { f =>
+      val (nFiles, first, best) = manifestPlanning(f)
+      s""""x$f":{"n_files":$nFiles,"first_read_sec":${r3(first)},""" +
+        s""""warm_read_sec":${r3(best)}}"""
     }.mkString("{", ",", "}")
     val containJson = Seq(8, DeepFactor).map { f =>
       val (unc, c16, c32, c64, maxDf) = containStats(f)
@@ -489,6 +566,8 @@ object ScaleBench {
       s""""deep":$deepJson,"lsh_census":$lshJson,"ivf_census":$ivfJson,""" +
       s""""minhash_bands":$bands,"winnow_cap":$winnowJson,""" +
       s""""hnsw_maintain_adjudication":$maintainJson,""" +
+      s""""x64_adjudication":$x64Json,""" +
+      s""""manifest_planning":$manifestJson,""" +
       s""""containment_cap":$containJson}"""
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_scale.json"),

@@ -113,6 +113,16 @@ object SqlMerge {
       path: String,
       cols: Seq[org.apache.spark.sql.types.StructField]) extends LeafCommand
 
+  /** `ALTER TABLE … RENAME COLUMN a TO b` — metadata-only via column
+    * mapping ([[graft.operators.TableMerge.renameColumn]]). */
+  final case class GraftRenameColumnCommand(
+      path: String, from: String, to: String) extends LeafCommand
+
+  /** `ALTER TABLE … DROP COLUMN[S] …` — metadata-only via column
+    * mapping ([[graft.operators.TableMerge.dropColumns]]). */
+  final case class GraftDropColumnsCommand(
+      path: String, cols: Seq[String], ifExists: Boolean) extends LeafCommand
+
   final case class GraftDropTableCommand(
       path: String, ifExists: Boolean) extends LeafCommand
 
@@ -183,6 +193,14 @@ object SqlMerge {
     override val output: Seq[Attribute] = Seq(
       attr("namespace", org.apache.spark.sql.types.StringType),
       attr("tableName", org.apache.spark.sql.types.StringType))
+  }
+
+  /** `SHOW PARTITIONS graft.…` — one row per live partition directory
+    * (`col=val[/col2=val2]`), enumerated from the snapshot's file
+    * MANIFEST (zero directory listing), Spark-style output. */
+  final case class GraftShowPartitionsCommand(path: String) extends LeafCommand {
+    override val output: Seq[Attribute] =
+      Seq(attr("partition", org.apache.spark.sql.types.StringType))
   }
 
   /** `DESCRIBE [TABLE] graft.…` — column names/types in read-back
@@ -406,6 +424,39 @@ object SqlMerge {
         org.apache.spark.sql.types.StructField(qc.colName, qc.dataType, qc.nullable)
       }
       GraftAddColumnsCommand(path, cols)
+    case r: RenameColumn =>
+      r.table match {
+        case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+            if graftParts(t.multipartIdentifier).isDefined =>
+          val (path, v) = graftParts(t.multipartIdentifier).get
+          require(v.isEmpty,
+            s"ALTER TABLE cannot target the pinned snapshot $path@${v.getOrElse("")}")
+          val parts = r.column match {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName => u.name
+            case other => Seq(other.toString)
+          }
+          require(parts.length == 1,
+            "ALTER TABLE RENAME COLUMN on graft tables renames top-level columns only")
+          GraftRenameColumnCommand(path, parts.head, r.newName)
+        case _ => r
+      }
+    case d: DropColumns =>
+      d.table match {
+        case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+            if graftParts(t.multipartIdentifier).isDefined =>
+          val (path, v) = graftParts(t.multipartIdentifier).get
+          require(v.isEmpty,
+            s"ALTER TABLE cannot target the pinned snapshot $path@${v.getOrElse("")}")
+          val cols = d.columnsToDrop.map {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName =>
+              require(u.name.length == 1,
+                "ALTER TABLE DROP COLUMN on graft tables drops top-level columns only")
+              u.name.head
+            case other => other.toString
+          }
+          GraftDropColumnsCommand(path, cols, d.ifExists)
+        case _ => d
+      }
     case DropTable(t, ifExists, _) if ddlIdent(t).exists(p => graftParts(p).isDefined) =>
       val (path, v) = ddlIdent(t).flatMap(graftParts).get
       require(v.isEmpty, s"DROP TABLE cannot target the pinned snapshot $path@${v.getOrElse("")}")
@@ -465,6 +516,8 @@ object SqlMerge {
       """(?is)^\s*SHOW\s+(?:DATABASES|NAMESPACES)\s+(?:IN|FROM)\s+graft\s*;?\s*$""".r
     private val ShowTablesRe =
       """(?is)^\s*SHOW\s+TABLES\s+(?:IN|FROM)\s+graft\s*\.\s*([A-Za-z_]\w*)\s*;?\s*$""".r
+    private val ShowPartitionsRe =
+      """(?is)^\s*SHOW\s+PARTITIONS\s+(.+?)\s*;?\s*$""".r
     private val DescRe =
       """(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(graft\s*[.:].+?)\s*;?\s*$""".r
     private val AnalyzeRe =
@@ -496,6 +549,8 @@ object SqlMerge {
             .filter(_.nonEmpty).toSeq))
       case ShowDbRe() => Some(GraftShowDatabasesCommand())
       case ShowTablesRe(db) => Some(GraftShowTablesCommand(db))
+      case ShowPartitionsRe(ident) =>
+        maintPath(ident, "SHOW PARTITIONS").map(GraftShowPartitionsCommand)
       case DescRe(ident) =>
         maintPath(ident, "DESCRIBE TABLE").map(GraftDescribeTableCommand)
       case OptimizeRe(ident, wc, wv, x, y) =>
@@ -612,6 +667,12 @@ object SqlMerge {
         GraftDdlExec(s => SqlMerge.runCtas(s, cmd)) :: Nil
       case cmd: GraftAddColumnsCommand =>
         GraftDdlExec(s => graft.operators.TableMerge.addColumns(s, cmd.path, cmd.cols)) :: Nil
+      case cmd: GraftRenameColumnCommand =>
+        GraftDdlExec(s => graft.operators.TableMerge.renameColumn(
+          s, cmd.path, cmd.from, cmd.to)) :: Nil
+      case cmd: GraftDropColumnsCommand =>
+        GraftDdlExec(s => graft.operators.TableMerge.dropColumns(
+          s, cmd.path, cmd.cols, cmd.ifExists)) :: Nil
       case cmd: GraftDropTableCommand =>
         GraftDdlExec(_ => graft.operators.TableMerge.drop(cmd.path, cmd.ifExists)) :: Nil
       case cmd: GraftVacuumCommand =>
@@ -650,6 +711,35 @@ object SqlMerge {
         GraftMaintenanceExec(cmd.output, _ =>
           GraftCatalog.tables(cmd.db).map(t =>
             org.apache.spark.sql.Row(cmd.db, t))) :: Nil
+      case cmd: GraftShowPartitionsCommand =>
+        GraftMaintenanceExec(cmd.output, _ => {
+          import graft.operators.TableMerge
+          require(TableMerge.exists(cmd.path), s"no graft table at ${cmd.path}")
+          val partCols = TableMerge.partitionColsOf(cmd.path)
+          require(partCols.nonEmpty,
+            s"SHOW PARTITIONS: table ${cmd.path} is not partitioned")
+          // manifest = zero listing; pre-manifest tables fall back to
+          // one bounded walk of the live version's `col=val` dirs
+          val rels: Seq[String] = TableMerge.manifest(cmd.path) match {
+            case Some(entries) =>
+              entries.map { case (rel, _) =>
+                rel.split('/').dropRight(1).mkString("/")
+              }.distinct
+            case None =>
+              val live = java.nio.file.Paths.get(cmd.path,
+                TableMerge.liveVersion(cmd.path).getOrElse("."))
+              def walk(dir: java.io.File, depth: Int, prefix: String): Seq[String] = {
+                if (depth == partCols.length) return Seq(prefix)
+                Option(dir.listFiles()).getOrElse(Array.empty)
+                  .filter(f => f.isDirectory && f.getName.contains("="))
+                  .flatMap(d => walk(d, depth + 1,
+                    if (prefix.isEmpty) d.getName else s"$prefix/${d.getName}"))
+                  .toSeq
+              }
+              walk(live.toFile, 0, "")
+          }
+          rels.filter(_.nonEmpty).sorted.map(org.apache.spark.sql.Row(_))
+        }) :: Nil
       case cmd: GraftDescribeTableCommand =>
         GraftMaintenanceExec(cmd.output, s => {
           import graft.operators.TableMerge

@@ -745,6 +745,9 @@ object CdcQueries {
     s.sql("CREATE TABLE graft.k19db.t1 (id BIGINT, bal_e2 BIGINT, seg STRING) " +
       "PARTITIONED BY (seg)")
     s.sql("CREATE TABLE graft.k19db.t2 (k BIGINT, v STRING)")
+    // seed two partitions so SHOW PARTITIONS (r19) has live dirs to
+    // enumerate — from the manifest, zero directory listing
+    s.sql("INSERT INTO graft.k19db.t1 VALUES (1, 100, 'A'), (2, 200, 'B'), (3, 300, 'A')")
     val dbs = s.sql("SHOW DATABASES IN graft")
       .filter(col("namespace") === "k19db")
       .select(col("namespace").as("name"), lit("db").as("kind"),
@@ -755,7 +758,11 @@ object CdcQueries {
     val desc = s.sql("DESCRIBE TABLE graft.k19db.t1")
       .select(col("col_name").as("name"), lit("column").as("kind"),
         col("data_type").as("detail"))
-    dbs.unionByName(tbls).unionByName(desc).orderBy("kind", "name", "detail")
+    val parts = s.sql("SHOW PARTITIONS graft.k19db.t1")
+      .select(col("partition").as("name"), lit("partition").as("kind"),
+        lit("t1").as("detail"))
+    dbs.unionByName(tbls).unionByName(desc).unionByName(parts)
+      .orderBy("kind", "name", "detail")
   }
 
   /** K20 — FILE SKIPPING SURVIVES THE LIVE MERGE CYCLE (VERDICT r17
@@ -806,6 +813,87 @@ object CdcQueries {
       .orderBy("via", "event_type")
   }
 
+  /** K21 — MANIFEST-PLANNED reads through the live commit cycle
+    * (VERDICT r18 #1/#2): CTAS partitions events by type (commit writes
+    * the per-version file manifest), ANALYZE declares user_id stats
+    * (range + null-count rows), a day-2 merge restates a slice of one
+    * partition (the manifest maintains INCREMENTALLY — untouched
+    * partitions' rows carry verbatim, spec-pinned by ManifestSpec), and
+    * VACUUM expires the superseded snapshots. The final read plans from
+    * the manifest with ZERO directory listing (stray files are
+    * invisible — ManifestSpec's behavioral proof) and exercises the r19
+    * pruning shapes under the oracle hash: a partition IN-list, an
+    * IS NOT NULL probe, and a user_id IN membership filter whose set
+    * probe must not change the answer at any layout. The lifecycle
+    * integer (2 snapshots expired: CTAS and ANALYZE, superseded by the
+    * merge commit) pins the retention chain. */
+  private val k21ManifestRead: Q = (s, d) => {
+    val path = statePath("k21_manifest_read")
+    TableMerge.drop(path, ifExists = true)
+    Tables.events(s, d)
+      .selectExpr("event_id", "user_id", "event_type",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_e2")
+      .createOrReplaceTempView("k21_events")
+    s.sql(s"CREATE TABLE graft.`$path` PARTITIONED BY (event_type) " +
+      "AS SELECT * FROM k21_events")
+    s.sql(s"ANALYZE TABLE graft.`$path` COMPUTE STATISTICS FOR COLUMNS user_id")
+    // day-2 merge: restate clicks of users 5–10 at tripled value —
+    // only the click partition rewrites; its manifest/stat rows refresh
+    // (user ids stay single-digit so every sf has them: sf0.001 tops
+    // out at user_id 14)
+    val src = Tables.events(s, d)
+      .filter(col("event_type") === "click" && col("user_id").between(5L, 10L))
+      .selectExpr("event_id", "user_id", "event_type",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) * 3 AS value_e2")
+    TableMerge.upsert(s, path, src, keys = Seq("event_type", "event_id"),
+      partitionCols = Seq("event_type"))
+    val expired = s.sql(s"VACUUM graft.`$path` RETAIN 0 HOURS").head().getLong(0)
+    val ids = Seq(3L, 5L, 7L, 9L, 11L, 13L)
+    TableMerge.read(s, path)
+      .filter(col("event_type").isin("click", "view") &&
+        col("user_id").isNotNull && col("user_id").isin(ids: _*))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value_e2").as("sum_value_e2"),
+        sum("user_id").as("user_sum"))
+      .withColumn("n_expired", lit(expired))
+      .orderBy("event_type")
+  }
+
+  /** K22 — COLUMN MAPPING end-to-end under the oracle (VERDICT r18
+    * missing #3 / next-round #4, Delta column-mapping semantics): a
+    * partitioned orders snapshot is RENAMEd (price_e2→amount_e2) and
+    * has a column DROPped (legacy_flag) — both metadata-only commits,
+    * inode-pinned by ColumnMappingSpec — then absorbs a day-2 SQL
+    * INSERT typed against the POST-evolution logical schema, and the
+    * final read aggregates through the logical names. Pre-evolution
+    * rows must surface under the renamed column (they live in the old
+    * physical column inside untouched files), the dropped column must
+    * not leak, and the insert must land under the original physical
+    * name — any of those failing flips the hash. */
+  private val k22ColumnMapping: Q = (s, d) => {
+    val path = statePath("k22_column_mapping")
+    TableMerge.drop(path, ifExists = true)
+    val e2 = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    TableMerge.createOrReplace(
+      Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .selectExpr("o_orderkey", s"$e2 AS price_e2",
+          "CAST(o_orderkey % 7 AS BIGINT) AS legacy_flag", "o_orderstatus"),
+      path, partitionCols = Seq("o_orderstatus"))
+    s.sql(s"ALTER TABLE graft.`$path` RENAME COLUMN price_e2 TO amount_e2")
+    s.sql(s"ALTER TABLE graft.`$path` DROP COLUMN legacy_flag")
+    // day-2 insert against the evolved logical schema (positional:
+    // o_orderkey, amount_e2, o_orderstatus)
+    Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+      .selectExpr("o_orderkey", s"$e2 + 7 AS amount_e2", "o_orderstatus")
+      .createOrReplaceTempView("k22_day2")
+    s.sql(s"INSERT INTO graft.`$path` SELECT * FROM k22_day2")
+    TableMerge.read(s, path)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("amount_e2").as("sum_amount_e2"),
+        sum("o_orderkey").as("key_sum"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "i2_asset_cdc" -> i2AssetCdc,
     "k12_partition_overwrite" -> k12PartitionOverwrite,
@@ -826,6 +914,8 @@ object CdcQueries {
     "k18_zorder_read" -> k18ZorderRead,
     "k19_sql_show" -> k19SqlShow,
     "k20_stats_merge" -> k20StatsMerge,
+    "k21_manifest_read" -> k21ManifestRead,
+    "k22_column_mapping" -> k22ColumnMapping,
     "k3_partitioned_merge" -> k3PartitionedMerge,
     "k9_time_travel" -> k9TimeTravel,
     "k10_vacuum" -> k10Vacuum,
@@ -861,9 +951,51 @@ object CdcQueries {
         |  ('bal_e2', 'column', 'bigint'),
         |  ('seg', 'column', 'string'),
         |  ('# Partition Information', 'column', ''),
-        |  ('seg', 'column', 'string')
+        |  ('seg', 'column', 'string'),
+        |  ('seg=A', 'partition', 't1'),
+        |  ('seg=B', 'partition', 't1')
         |) AS t(name, kind, detail)
         |ORDER BY kind, name, detail""".stripMargin,
+    "k22_column_mapping" ->
+      // the evolution chain replayed relationally: evens carry the
+      // seed's price (renamed), odds carry the day-2 insert (+7); the
+      // dropped flag never appears
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 2 = 0
+        |      THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |      ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 7
+        |    END AS amount_e2,
+        |    o_orderstatus
+        |  FROM orders)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(amount_e2) AS BIGINT) AS sum_amount_e2,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM base GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "k21_manifest_read" ->
+      // merge algebra replayed relationally; the manifest/pruning layer
+      // is semantics-free, so the filtered aggregate must match at any
+      // physical layout. n_expired = 2 (CTAS + ANALYZE snapshots,
+      // superseded by the merge commit, expired by VACUUM RETAIN 0)
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_e2
+        |  FROM events),
+        |merged AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CASE WHEN event_type = 'click' AND user_id BETWEEN 5 AND 10
+        |      THEN value_e2 * 3 ELSE value_e2 END AS value_e2
+        |  FROM ev)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value_e2) AS BIGINT) AS sum_value_e2,
+        |  CAST(sum(user_id) AS BIGINT) AS user_sum,
+        |  CAST(2 AS BIGINT) AS n_expired
+        |FROM merged
+        |WHERE event_type IN ('click', 'view')
+        |  AND user_id IS NOT NULL
+        |  AND user_id IN (3, 5, 7, 9, 11, 13)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "k20_stats_merge" ->
       // the merge algebra replayed relationally, then the same filtered
       // aggregate through both skipping branches — identical at any
