@@ -363,11 +363,14 @@ object ScaleBench {
     }.toMap
 
     // MANIFEST READ-PLANNING probe (VERDICT r18 #1): a table whose FILE
-    // COUNT grows ×32 while the read stays selective — with manifest
-    // planning (zero directory listing + per-version memoized ledger)
-    // the per-read planning cost must stay ~flat as files multiply; the
-    // first read of each version pays the one-time ledger parse. Timed:
-    // min-of-5 of a pushed-filter count() over f·64-file tables.
+    // COUNT grows ×32 while the read stays selective — range-clustered
+    // files + declared id stats, so the pushed point filter prunes to
+    // ~1 file and the WARM read prices planning (manifest filtering +
+    // stats keep-test), not scan volume. With manifest planning (zero
+    // directory listing, per-version memoized ledger) the warm read
+    // must stay ~flat as files grow ×32; the FIRST read of each version
+    // pays the one-time ledger parse (reported separately — the honest
+    // O(files) term, paid once per process per version, not per read).
     val manifestPlanning: Map[Int, (Long, Double, Double)] = Seq(1, 8, 32).map { f =>
       val nFiles = f * 64
       val path = new java.io.File(
@@ -376,8 +379,8 @@ object ScaleBench {
       graft.operators.TableMerge.createOrReplace(
         spark.range(nFiles.toLong * 64)
           .selectExpr("id", "id % 8 AS g", "id * 3 AS v")
-          .repartition(nFiles), path)
-      // first read pays the ledger parse (reported separately)
+          .repartitionByRange(nFiles, col("id")), path)
+      graft.operators.TableMerge.analyzeStats(spark, path, Seq("id"))
       var first = 0.0
       var best = Double.MaxValue
       for (i <- 0 until 6) {

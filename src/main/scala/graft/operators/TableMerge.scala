@@ -307,25 +307,35 @@ object TableMerge {
 
   /** Logical view of a physical snapshot DataFrame: project through
     * the column map (dropped physical columns vanish; renamed ones
-    * surface under their logical name). Identity when unmapped. */
+    * surface under their logical name). Identity when unmapped.
+    * TOMBSTONE entries (empty logical name) mark RETIRED physical
+    * names — a dropped column's physical data still lives in carried
+    * files, so its name stays reserved forever (never re-assignable to
+    * a new logical column) but never projects. */
   private def applyColMap(df: DataFrame, dir: Path): DataFrame =
     colMapOf(dir) match {
-      case Some(m) => df.select(m.map { case (log, phys) => col(phys).as(log) }: _*)
+      case Some(m) => df.select(m.collect {
+        case (log, phys) if log.nonEmpty => col(phys).as(log) }: _*)
       case None => df
     }
 
   /** Rename a LOGICAL DataFrame into the table's PHYSICAL column
     * names, extending the mapping with fresh physical names for
-    * columns new to the table (schema evolution under mapping — a new
-    * logical name must not collide with a retired physical name).
-    * Returns the physical frame and the updated mapping in the frame's
-    * logical column order. */
-  private def toPhysical(df: DataFrame, mapping: Seq[(String, String)])
+    * columns new to the table (schema evolution under mapping).
+    * `reservedPhys` must include the base snapshot's PHYSICAL schema
+    * names: a DROPped column's physical name is gone from the mapping
+    * but still lives inside carried data files — a new logical column
+    * taking that name would RESURRECT the dropped values on every
+    * hard-linked file (r19 self-review). Returns the physical frame
+    * and the updated mapping in the frame's logical column order. */
+  private def toPhysical(df: DataFrame, mapping: Seq[(String, String)],
+                         reservedPhys: Iterable[String])
       : (DataFrame, Seq[(String, String)]) = {
     val used = scala.collection.mutable.Set[String]()
     mapping.foreach(e => used += e._2.toLowerCase(java.util.Locale.ROOT))
+    reservedPhys.foreach(n => used += n.toLowerCase(java.util.Locale.ROOT))
     val entries = df.columns.toSeq.map { c =>
-      mapping.find(_._1.equalsIgnoreCase(c)) match {
+      mapping.find(e => e._1.nonEmpty && e._1.equalsIgnoreCase(c)) match {
         case Some((_, phys)) => (c, phys)
         case None =>
           val phys =
@@ -335,7 +345,10 @@ object TableMerge {
           (c, phys)
       }
     }
-    (df.select(entries.map { case (log, phys) => col(log).as(phys) }: _*), entries)
+    // tombstones ride along so retirement survives every future commit
+    val tombstones = mapping.filter(_._1.isEmpty)
+    (df.select(entries.map { case (log, phys) => col(log).as(phys) }: _*),
+      entries ++ tombstones)
   }
 
   /** The live mapping, or None for identity tables. */
@@ -428,10 +441,16 @@ object TableMerge {
         }
         val current = colMapOf(liveDir)
           .getOrElse(df.columns.toSeq.map(c => (c, c)))
-        val newMap = current.filterNot { case (l, _) =>
-          cols.exists(_.equalsIgnoreCase(l))
+        // dropping RETIRES the physical name (tombstone, empty logical):
+        // the data still lives in hard-linked files, so the name can
+        // never be reassigned — a re-ADDed logical column of the same
+        // name maps to a fresh physical and reads as NULL everywhere
+        val newMap = current.map {
+          case (l, p) if l.nonEmpty && cols.exists(_.equalsIgnoreCase(l)) => ("", p)
+          case e => e
         }
-        require(newMap.nonEmpty, s"cannot drop every column of $tablePath")
+        require(newMap.exists(_._1.nonEmpty),
+          s"cannot drop every column of $tablePath")
         commitColMapChange(tablePath, liveDir, base, newMap)
       }
     }
@@ -567,24 +586,45 @@ object TableMerge {
   def partitionColsOf(tablePath: String): Seq[String] =
     resolveLive(tablePath) match {
       case None => Seq.empty
-      case Some(live) if Files.exists(live.resolve(PartsFile)) =>
-        Files.readString(live.resolve(PartsFile))
-          .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-      case Some(live) =>
-        val b = Seq.newBuilder[String]
-        var dir = live
-        var going = true
-        while (going) {
-          val sub = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
-            .filter(f => f.isDirectory && f.getName.contains("="))
-          if (sub.isEmpty) going = false
-          else {
-            b += sub.head.getName.split("=", 2)(0)
-            dir = sub.head.toPath
-          }
-        }
-        b.result()
+      case Some(live) => layoutPartColsOfDir(live)
     }
+
+  /** Partition-column chain of a snapshot dir: the persisted sidecar
+    * when present, else `col=val` directory-name inference (legacy
+    * pre-sidecar layouts). */
+  private def layoutPartColsOfDir(live: Path): Seq[String] =
+    if (Files.exists(live.resolve(PartsFile))) partColsOfDir(live)
+    else {
+      val b = Seq.newBuilder[String]
+      var dir = live
+      var going = true
+      while (going) {
+        val sub = Option(dir.toFile.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.contains("="))
+        if (sub.isEmpty) going = false
+        else {
+          b += sub.head.getName.split("=", 2)(0)
+          dir = sub.head.toPath
+        }
+      }
+      b.result()
+    }
+
+  /** The partition-SCOPED copy-on-write path is only sound when the
+    * BASE snapshot is laid out by exactly the same partition chain:
+    * hard-link carry moves `col=val` trees, so a base written flat (or
+    * partitioned differently — e.g. a prior delete() without
+    * partitionCols restated it unpartitioned) has files the carry
+    * would silently SKIP, losing their rows from the new version (r19
+    * self-review: pre-manifest this was a latent data-loss class; the
+    * manifest's ledger-vs-tree consistency made it loud). A layout
+    * mismatch takes the full-restatement path, which is also the
+    * correct semantics for a re-partitioning write. */
+  private def baseLayoutMatches(liveDir: Path, partitionCols: Seq[String]): Boolean = {
+    val base = layoutPartColsOfDir(liveDir)
+    base.length == partitionCols.length &&
+      base.zip(partitionCols).forall { case (a, b) => a.equalsIgnoreCase(b) }
+  }
 
   def read(spark: SparkSession, tablePath: String): DataFrame =
     resolveLive(tablePath) match {
@@ -678,13 +718,16 @@ object TableMerge {
     // and carries it; a full REPLACE (AnyParent) resets the mapping —
     // the replacing content defines fresh identity names, as Delta's
     // REPLACE TABLE does
-    val mapping = expect match {
-      case Parent(_) => resolveLive(tablePath).flatMap(colMapOf)
+    val live = expect match {
+      case Parent(_) => resolveLive(tablePath)
       case AnyParent => None
     }
+    val mapping = live.flatMap(colMapOf)
     val (physDf, newMap) = mapping match {
       case Some(m) =>
-        val (p, entries) = toPhysical(df, m); (p, Some(entries))
+        val reserved = live.flatMap(sidecarSchema).map(_.map(_.name): Seq[String])
+          .getOrElse(Seq.empty)
+        val (p, entries) = toPhysical(df, m, reserved); (p, Some(entries))
       case None => (df, None)
     }
     val version = newVersionDir(tablePath)
@@ -730,7 +773,9 @@ object TableMerge {
       } else conflictIfBaseMoved(tablePath, base) {
         // resolve the merge base ONCE; everything below reads this snapshot
         val (liveDir, target) = baseSnapshot(spark, tablePath, base)
-        val partitionScoped = partitionCols.nonEmpty && partitionCols.forall(keys.contains)
+        val partitionScoped = partitionCols.nonEmpty &&
+          partitionCols.forall(keys.contains) &&
+          baseLayoutMatches(liveDir, partitionCols)
         if (partitionScoped) {
           // Key implies partition ⇒ a matched target row always lives in a
           // partition the source also touches; hard-link untouched partition
@@ -769,7 +814,9 @@ object TableMerge {
       else conflictIfBaseMoved(tablePath, base) {
         val (liveDir, target) = baseSnapshot(spark, tablePath, base)
         val drops = dropGroups.select(groupKeys.map(col): _*).distinct()
-        val partitionScoped = partitionCols.nonEmpty && partitionCols.forall(groupKeys.contains)
+        val partitionScoped = partitionCols.nonEmpty &&
+          partitionCols.forall(groupKeys.contains) &&
+          baseLayoutMatches(liveDir, partitionCols)
         if (partitionScoped) {
           // Group key implies partition ⇒ a dropped row can only live in a
           // partition named by some dropGroups tuple; partitions touched by
@@ -817,10 +864,15 @@ object TableMerge {
       writeVersion(fallback, tablePath, partitionCols, Parent(base),
         meta + (ScopeFallbackKey -> s"touched=$nTouched>max=$maxScopedPartitions"))
     } else {
-      // mapped tables stage PHYSICAL rows (identity for unmapped ones)
+      // mapped tables stage PHYSICAL rows (identity for unmapped ones);
+      // the base sidecar's physical names are reserved so a merge-side
+      // new column can never collide with a retired (dropped) physical
+      // column still living in the carried files
       val (physDf, newMap) = colMapOf(liveDir) match {
         case Some(cm) =>
-          val (p, entries) = toPhysical(merged, cm); (p, Some(entries))
+          val reserved = sidecarSchema(liveDir).map(_.map(_.name): Seq[String])
+            .getOrElse(Seq.empty)
+          val (p, entries) = toPhysical(merged, cm, reserved); (p, Some(entries))
         case None => (merged, None)
       }
       // cluster by the partition columns before the partitioned write:

@@ -293,7 +293,9 @@ object SqlMerge {
         subdirs(java.nio.file.Paths.get(warehouseRoot))).distinct.sorted
     }
     /** Table names of `db`: registrations ∪ warehouse/db subdirs that
-      * hold a committed graft table. */
+      * hold a committed graft table. The db segment case-matches like
+      * [[resolve]] so a mixed-case name surfaced by databases() lists
+      * its own tables (ADVICE r18). */
     def tables(db: String): Seq[String] = {
       import scala.jdk.CollectionConverters._
       val d = norm(db)
@@ -301,9 +303,10 @@ object SqlMerge {
         case (k, path) if k.startsWith(d + ".") &&
           graft.operators.TableMerge.exists(path) => k.split("\\.", 2)(1)
       }.toSeq
-      val fromFs = subdirs(java.nio.file.Paths.get(warehouseRoot, d)).filter(t =>
+      val dbSeg = matchSegment(java.nio.file.Paths.get(warehouseRoot), db)
+      val fromFs = subdirs(java.nio.file.Paths.get(warehouseRoot, dbSeg)).filter(t =>
         graft.operators.TableMerge.exists(
-          java.nio.file.Paths.get(warehouseRoot, d, t).toString))
+          java.nio.file.Paths.get(warehouseRoot, dbSeg, t).toString))
       (fromReg ++ fromFs).distinct.sorted
     }
   }

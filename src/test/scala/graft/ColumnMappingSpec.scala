@@ -91,6 +91,36 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(df.agg(sum("keep")).as[Long].head() == (0L until 32L).map(_ * 2).sum)
   }
 
+  test("a merge-evolved column re-using a RETIRED name cannot resurrect dropped values") {
+    val path = tmpTable("resurrect")
+    TableMerge.createOrReplace(
+      (0L until 64L).map(i => (i, i * 2, i * 3, if (i % 2 == 0) "a" else "b"))
+        .toDF("id", "keep", "gone", "seg"), path, partitionCols = Seq("seg"))
+    TableMerge.dropColumns(spark, path, Seq("gone"))
+    // day-2 SCOPED merge whose source re-introduces the logical name
+    // `gone`: only partition a rewrites; partition b's files still hold
+    // the old physical `gone` column — the new logical column must map
+    // to a FRESH physical name, never the retired one (r19 self-review:
+    // the identity assignment would resurrect b's dropped values)
+    TableMerge.upsert(spark, path,
+      Seq((0L, 1L, 777L, "a")).toDF("id", "keep", "gone", "seg"),
+      keys = Seq("seg", "id"), partitionCols = Seq("seg"))
+    val df = TableMerge.read(spark, path)
+    assert(df.filter(col("id") === 0L).select("gone").as[Long].head() == 777L)
+    // every row of the UNTOUCHED partition must read gone as NULL
+    assert(df.filter(col("seg") === "b" && col("gone").isNotNull).count() == 0L,
+      "retired physical values must not resurrect through merge evolution")
+    assert(df.filter(col("gone").isNotNull).count() == 1L)
+    // and a SECOND scoped merge (after the sidecar schema was rewritten
+    // by the first) still cannot collide with the retirement
+    TableMerge.upsert(spark, path,
+      Seq((2L, 1L, 888L, "a")).toDF("id", "keep", "gone", "seg"),
+      keys = Seq("seg", "id"), partitionCols = Seq("seg"))
+    val df2 = TableMerge.read(spark, path)
+    assert(df2.filter(col("seg") === "b" && col("gone").isNotNull).count() == 0L)
+    assert(df2.filter(col("gone").isNotNull).count() == 2L)
+  }
+
   test("rename/drop reject partition columns and preserve time travel") {
     val path = tmpTable("guards")
     TableMerge.createOrReplace(

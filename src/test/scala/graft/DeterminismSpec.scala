@@ -41,9 +41,9 @@ class DeterminismSpec extends AnyFunSuite {
     // NullInputSpec) enumerate SparkEntry.all — pin its size so a
     // refactor that drops a tier from the concatenation fails HERE,
     // loudly, instead of quietly running fewer robustness tests.
-    // Update the number when a round adds entries (r18: 251).
-    assert(SparkEntry.all.size == 251,
-      s"registry has ${SparkEntry.all.size} entries, expected 251 — " +
+    // Update the number when a round adds entries (r19: 253).
+    assert(SparkEntry.all.size == 253,
+      s"registry has ${SparkEntry.all.size} entries, expected 253 — " +
         "if entries were added, bump this pin; if it SHRANK, a tier was lost")
   }
 

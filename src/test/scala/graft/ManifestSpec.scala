@@ -93,6 +93,33 @@ class ManifestSpec extends AnyFunSuite {
       (0L until 400L).map(i => if (i % 2 == 0 && i < 200) i * 10 else i).sum)
   }
 
+  test("a partition-scoped merge over a layout-mismatched base restates fully (no row loss)") {
+    val path = tmpTable("layout-switch")
+    // base laid out FLAT (a delete() without partitionCols restates
+    // unpartitioned — the real-world path that produced this)
+    TableMerge.createOrReplace(
+      (0L until 40L).map(i => (i, i % 4, i)).toDF("id", "g", "v"), path)
+    assert(TableMerge.partitionColsOf(path).isEmpty)
+    // a partition-scoped upsert touching ONE group: pre-r19 the scoped
+    // path hard-link-carried only col=val trees, silently dropping every
+    // flat-base row outside the touched groups
+    TableMerge.upsert(spark, path,
+      Seq((100L, 0L, 999L)).toDF("id", "g", "v"),
+      keys = Seq("g", "id"), partitionCols = Seq("g"))
+    val df = TableMerge.read(spark, path)
+    assert(df.count() == 41L, "layout-switch merge must keep every base row")
+    assert(df.filter(col("id") === 100L).count() == 1L)
+    // the restatement re-partitioned the table; manifest and tree agree
+    assert(TableMerge.partitionColsOf(path) == Seq("g"))
+    val mf = TableMerge.manifest(path).get
+    assert(mf.forall(_._1.startsWith("g=")))
+    // and a SECOND scoped merge (layouts now match) links quietly
+    TableMerge.upsert(spark, path,
+      Seq((101L, 1L, 888L)).toDF("id", "g", "v"),
+      keys = Seq("g", "id"), partitionCols = Seq("g"))
+    assert(TableMerge.read(spark, path).count() == 42L)
+  }
+
   test("a read planned over an expired snapshot fails with the documented error") {
     val path = tmpTable("vacuum-race")
     TableMerge.createOrReplace(
