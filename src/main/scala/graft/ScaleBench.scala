@@ -342,7 +342,15 @@ object ScaleBench {
       f -> best
     }.toMap
     // ×64 adjudication points for the skew-capped families (VERDICT r18
-    // #8): min-of-2, at the ×64 census width for the embed pipeline
+    // #8): min-of-2, at the ×64 census width for the embed pipeline.
+    // CLEAN SLATE first: by this point the deep tier's session-memoized
+    // artifacts hold checkpoint blocks that squeeze the probe's own
+    // materialization into eviction/spill — the contaminated ×64 winnow
+    // read measured 35.6 s where a fresh-JVM run takes ~15 s. A
+    // production job does not carry another job's cache; neither does
+    // this adjudication.
+    graft.queries.PipelineShared.clearMemo()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     val x64Times: Map[String, Double] = X64Queries.map { name =>
       var best = Double.MaxValue
       for (_ <- 1 to 2) {

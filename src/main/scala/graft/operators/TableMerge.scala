@@ -903,16 +903,23 @@ object TableMerge {
     }
   }
 
-  /** K2 — delete rows whose key appears in `deleteKeys`. */
+  /** K2 — delete rows whose key appears in `deleteKeys`. With no
+    * explicit `partitionCols` the restatement KEEPS the live layout —
+    * before r19 it silently flattened a partitioned table, which both
+    * surprised callers and set up the scoped-merge layout-mismatch
+    * hazard [[baseLayoutMatches]] now guards. */
   def delete(spark: SparkSession, tablePath: String, deleteKeys: DataFrame,
              keys: Seq[String], partitionCols: Seq[String] = Seq.empty): Unit =
     retryOnConflict(CommitRetries) {
       val base = currentVersionName(tablePath)
       if (base.nonEmpty || exists(tablePath)) conflictIfBaseMoved(tablePath, base) {
-        val (_, target) = baseSnapshot(spark, tablePath, base)
+        val (liveDir, target) = baseSnapshot(spark, tablePath, base)
+        val layout =
+          if (partitionCols.nonEmpty) partitionCols
+          else layoutPartColsOfDir(liveDir)
         val remaining = target.join(
           deleteKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
-        writeVersion(remaining, tablePath, partitionCols, Parent(base))
+        writeVersion(remaining, tablePath, layout, Parent(base))
       }
     }
 
