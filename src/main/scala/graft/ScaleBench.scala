@@ -351,23 +351,47 @@ object ScaleBench {
     // this adjudication.
     graft.queries.PipelineShared.clearMemo()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    // the WINNOW family adjudicates through the ISOLATED-JVM channel
+    // at BOTH factors: even after the purge, a harness that has run
+    // ~250 queries carries session state (old-gen pressure, listener
+    // backlog) that measured 27-36 s for the ×64 winnow read where a
+    // fresh JVM reads ~15 s — the engine's slope is the clean number,
+    // and comparing ×32 vs ×64 through the SAME channel is what makes
+    // the ratio meaningful. The embed pipeline needs the in-harness
+    // census width, and its in-harness ×64 is already clean (≈1.4×).
+    def isolatedSec(dir: String, name: String, reps: Int): Double = {
+      val javaBin = new java.io.File(new java.io.File(
+        System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+      val pb = new ProcessBuilder(javaBin, "-Xmx32g", "-cp",
+        System.getProperty("java.class.path"),
+        "graft.ScaleProbe", dir, name, reps.toString)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      p.waitFor()
+      """"sec":([0-9.]+)""".r.findFirstMatchIn(out)
+        .map(_.group(1).toDouble)
+        .getOrElse(throw new IllegalStateException(
+          s"ScaleProbe($name) produced no timing line:\n${out.takeRight(800)}"))
+    }
+    val winnowIso32 = isolatedSec(dirs(DeepFactor), "dedup_winnow_capped", 2)
     val x64Times: Map[String, Double] = X64Queries.map { name =>
-      var best = Double.MaxValue
-      for (_ <- 1 to 2) {
-        spark.catalog.clearCache()
-        System.gc()
-        val t0 = System.nanoTime()
-        val runner: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
-          name match {
-            case "sim_embed_neardup" =>
-              (s, d) => graft.queries.EmbedNeardupQueries.embedNeardup(
-                s, d, 2, tuned(X64Factor)._1)
-            case other => SparkEntry.queries(other)
+      name match {
+        case "dedup_winnow_capped" =>
+          name -> isolatedSec(dirs(X64Factor), name, 2)
+        case _ =>
+          var best = Double.MaxValue
+          for (_ <- 1 to 2) {
+            spark.catalog.clearCache()
+            System.gc()
+            val t0 = System.nanoTime()
+            graft.queries.EmbedNeardupQueries.embedNeardup(
+                spark, dirs(X64Factor), 2, tuned(X64Factor)._1)
+              .write.mode("overwrite").format("noop").save()
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
           }
-        runner(spark, dirs(X64Factor)).write.mode("overwrite").format("noop").save()
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          name -> best
       }
-      name -> best
     }.toMap
 
     // MANIFEST READ-PLANNING probe (VERDICT r18 #1): a table whose FILE
@@ -531,13 +555,20 @@ object ScaleBench {
     // the ×64 doubling verdict for the two skew-capped families:
     // ratio_x64_x32 against 2× more data — ≲2 = still linear per row
     val x64Json = X64Queries.map { q =>
-      val t32 = deepTimes((q, DeepFactor))
-      val t64 = x64Times(q)
+      // both factors through the SAME channel: isolated JVM for winnow,
+      // in-harness (census-width) for embed
+      val (t32, t64, channel) = q match {
+        case "dedup_winnow_capped" =>
+          (winnowIso32, x64Times(q), "isolated-jvm")
+        case _ =>
+          (deepTimes((q, DeepFactor)), x64Times(q), "in-harness")
+      }
       val bits =
         if (q == "sim_embed_neardup") s""","band_bits_x64":${tuned(X64Factor)._1}"""
         else ""
       s""""$q":{"x32":${r3(t32)},"x64":${r3(t64)},""" +
-        s""""ratio_x64_x32":${r3(t64 / math.max(t32, 1e-9))}$bits}"""
+        s""""ratio_x64_x32":${r3(t64 / math.max(t32, 1e-9))},""" +
+        s""""channel":"$channel"$bits}"""
     }.mkString("{", ",", "}")
     val manifestJson = Seq(1, 8, 32).map { f =>
       val (nFiles, first, best) = manifestPlanning(f)

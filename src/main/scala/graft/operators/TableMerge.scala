@@ -355,6 +355,10 @@ object TableMerge {
   private def liveColMap(tablePath: String): Option[Seq[(String, String)]] =
     resolveLive(tablePath).flatMap(colMapOf)
 
+  /** Whether the live snapshot reads through a column mapping
+    * (introspection surface — DESCRIBE DETAIL). */
+  def isColumnMapped(tablePath: String): Boolean = liveColMap(tablePath).isDefined
+
   /** Physical name a logical column maps to (itself when unmapped) —
     * what stat/zorder declarations and explicit skipping reads use to
     * key the physical-domain sidecars. */

@@ -203,6 +203,24 @@ object SqlMerge {
       Seq(attr("partition", org.apache.spark.sql.types.StringType))
   }
 
+  /** `DESCRIBE DETAIL graft.…` — the Delta `DESCRIBE DETAIL` analogue:
+    * one row of table-level facts, served from the MANIFEST (zero
+    * directory listing): live version, file count, total bytes,
+    * partition columns, retained version count, declared stat columns,
+    * and whether column mapping is active. */
+  final case class GraftDescribeDetailCommand(path: String) extends LeafCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("format", org.apache.spark.sql.types.StringType),
+      attr("location", org.apache.spark.sql.types.StringType),
+      attr("live_version", org.apache.spark.sql.types.StringType),
+      attr("num_files", org.apache.spark.sql.types.LongType),
+      attr("size_bytes", org.apache.spark.sql.types.LongType),
+      attr("partition_columns", org.apache.spark.sql.types.StringType),
+      attr("num_retained_versions", org.apache.spark.sql.types.LongType),
+      attr("stat_columns", org.apache.spark.sql.types.StringType),
+      attr("column_mapping", org.apache.spark.sql.types.BooleanType))
+  }
+
   /** `DESCRIBE [TABLE] graft.…` — column names/types in read-back
     * order plus the partition-information section, Spark-style. */
   final case class GraftDescribeTableCommand(path: String) extends LeafCommand {
@@ -521,6 +539,8 @@ object SqlMerge {
       """(?is)^\s*SHOW\s+TABLES\s+(?:IN|FROM)\s+graft\s*\.\s*([A-Za-z_]\w*)\s*;?\s*$""".r
     private val ShowPartitionsRe =
       """(?is)^\s*SHOW\s+PARTITIONS\s+(.+?)\s*;?\s*$""".r
+    private val DetailRe =
+      """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+(.+?)\s*;?\s*$""".r
     private val DescRe =
       """(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(graft\s*[.:].+?)\s*;?\s*$""".r
     private val AnalyzeRe =
@@ -554,6 +574,8 @@ object SqlMerge {
       case ShowTablesRe(db) => Some(GraftShowTablesCommand(db))
       case ShowPartitionsRe(ident) =>
         maintPath(ident, "SHOW PARTITIONS").map(GraftShowPartitionsCommand)
+      case DetailRe(ident) =>
+        maintPath(ident, "DESCRIBE DETAIL").map(GraftDescribeDetailCommand)
       case DescRe(ident) =>
         maintPath(ident, "DESCRIBE TABLE").map(GraftDescribeTableCommand)
       case OptimizeRe(ident, wc, wv, x, y) =>
@@ -714,6 +736,29 @@ object SqlMerge {
         GraftMaintenanceExec(cmd.output, _ =>
           GraftCatalog.tables(cmd.db).map(t =>
             org.apache.spark.sql.Row(cmd.db, t))) :: Nil
+      case cmd: GraftDescribeDetailCommand =>
+        GraftMaintenanceExec(cmd.output, _ => {
+          import graft.operators.TableMerge
+          require(TableMerge.exists(cmd.path), s"no graft table at ${cmd.path}")
+          val live = TableMerge.liveVersion(cmd.path)
+          val (nFiles, bytes) = TableMerge.manifest(cmd.path) match {
+            case Some(entries) => (entries.size.toLong, entries.map(_._2).sum)
+            case None => // pre-manifest table: one bounded walk
+              val dir = java.nio.file.Paths.get(cmd.path, live.getOrElse("."))
+              def walk(f: java.io.File): (Long, Long) =
+                if (f.isDirectory)
+                  Option(f.listFiles()).getOrElse(Array.empty).map(walk)
+                    .foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+                else if (f.getName.endsWith(".parquet")) (1L, f.length()) else (0L, 0L)
+              walk(dir.toFile)
+          }
+          Seq(org.apache.spark.sql.Row(
+            "graft-parquet", cmd.path, live.orNull, nFiles, bytes,
+            TableMerge.partitionColsOf(cmd.path).mkString(","),
+            TableMerge.versions(cmd.path).size.toLong,
+            TableMerge.statColumnsOf(cmd.path).mkString(","),
+            TableMerge.isColumnMapped(cmd.path)))
+        }) :: Nil
       case cmd: GraftShowPartitionsCommand =>
         GraftMaintenanceExec(cmd.output, _ => {
           import graft.operators.TableMerge

@@ -1057,4 +1057,32 @@ class SqlMergeSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       spark.sql(s"OPTIMIZE graft.`$path@$v1`"))
   }
+
+  test("DESCRIBE DETAIL reports manifest facts; SHOW PARTITIONS guards") {
+    import spark.implicits._
+    val path = tmpTable("detail")
+    TableMerge.createOrReplace(
+      (0L until 32L).map(i => (i, i, if (i % 2 == 0) "a" else "b"))
+        .toDF("id", "v", "seg"), path, partitionCols = Seq("seg"))
+    val row = spark.sql(s"DESCRIBE DETAIL graft.`$path`").head()
+    assert(row.getString(0) == "graft-parquet")
+    assert(row.getString(2) == TableMerge.liveVersion(path).get)
+    // facts come from the manifest, so they must agree with it exactly
+    val mf = TableMerge.manifest(path).get
+    assert(row.getLong(3) == mf.size.toLong)
+    assert(row.getLong(4) == mf.map(_._2).sum)
+    assert(row.getString(5) == "seg")
+    assert(row.getLong(6) == 1L)
+    assert(!row.getBoolean(8))
+    spark.sql(s"ALTER TABLE graft.`$path` RENAME COLUMN v TO w")
+    assert(spark.sql(s"DESCRIBE DETAIL graft.`$path`").head().getBoolean(8),
+      "column_mapping must flip once a rename lands")
+    // SHOW PARTITIONS: partitioned table enumerates; unpartitioned errors
+    assert(spark.sql(s"SHOW PARTITIONS graft.`$path`")
+      .as[String].collect().sorted.toSeq == Seq("seg=a", "seg=b"))
+    val flat = tmpTable("detail-flat")
+    TableMerge.createOrReplace((0L until 4L).map(i => (i, i)).toDF("id", "v"), flat)
+    val e = intercept[Exception](spark.sql(s"SHOW PARTITIONS graft.`$flat`").collect())
+    assert(e.getMessage.contains("not partitioned"))
+  }
 }
