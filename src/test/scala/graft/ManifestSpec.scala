@@ -120,6 +120,45 @@ class ManifestSpec extends AnyFunSuite {
     assert(TableMerge.read(spark, path).count() == 42L)
   }
 
+  test("scoped merges track ESCAPED partition dirs (values with : / %)") {
+    val path = tmpTable("escape")
+    // partition values Spark's writer path-escapes: ':' → %3A etc.
+    val df = Seq((1L, "a:b", 10L), (2L, "a:b", 20L), (3L, "plain", 30L),
+      (4L, "x/y", 40L)).toDF("id", "par", "v")
+    TableMerge.createOrReplace(df, path, partitionCols = Seq("par"))
+    // scoped upsert INTO the escaped partition: its base manifest rows
+    // must drop (files rewrote under new names) — pre-fix the raw
+    // touched string 'par=a:b' never matched the escaped rel prefix and
+    // stale rows survived, so the manifest listed vanished files
+    TableMerge.upsert(spark, path,
+      Seq((1L, "a:b", 111L)).toDF("id", "par", "v"),
+      keys = Seq("par", "id"), partitionCols = Seq("par"))
+    val read1 = TableMerge.read(spark, path)
+    assert(read1.count() == 4L)
+    assert(read1.filter(col("id") === 1L).select("v").as[Long].head() == 111L)
+    val mf = TableMerge.manifest(path).get.toMap
+    // manifest must equal the actual tree exactly
+    val live = java.nio.file.Paths.get(path, TableMerge.liveVersion(path).get)
+    def walk(dir: java.io.File, prefix: String): Set[String] =
+      Option(dir.listFiles()).getOrElse(Array.empty).flatMap { c =>
+        val rel = if (prefix.isEmpty) c.getName else s"$prefix/${c.getName}"
+        if (c.isDirectory) walk(c, rel)
+        else if (c.getName.endsWith(".parquet")) Set(rel) else Set.empty[String]
+      }.toSet
+    assert(mf.keySet == walk(live.toFile, ""),
+      "manifest must match the tree for escaped partition values")
+    // whole-partition DROP of the escaped partition: pre-fix the linked
+    // old tree resurrected the deleted rows
+    TableMerge.replaceKeys(spark, path,
+      Seq.empty[(Long, String, Long)].toDF("id", "par", "v"),
+      dropGroups = Seq(("a:b", 0L)).toDF("par", "id").select("par"),
+      groupKeys = Seq("par"), partitionCols = Seq("par"))
+    val read2 = TableMerge.read(spark, path)
+    assert(read2.filter(col("par") === "a:b").count() == 0L,
+      "dropped escaped partition must not resurrect")
+    assert(read2.count() == 2L)
+  }
+
   test("a read planned over an expired snapshot fails with the documented error") {
     val path = tmpTable("vacuum-race")
     TableMerge.createOrReplace(
