@@ -80,6 +80,34 @@ object Bench {
       }
       if (m < Double.MaxValue) isolated(name) = m
     }
+    // Fresh-JVM probe channel (VERDICT r19 #2): the top-10 slowest run
+    // once more through graft.ScaleProbe subprocesses — a fresh session
+    // in a fresh process carries none of this harness's state (memoized
+    // checkpoint blocks, listener backlog, old-gen pressure), which made
+    // three identical r19 battery runs swing 219-276 s. THIS map is the
+    // round-over-round regression gate; "queries" prices the
+    // interleaved-session experience, "isolated" the same-JVM re-run.
+    val probe = scala.collection.mutable.LinkedHashMap[String, Double]()
+    if (nameFilter.isEmpty) {
+      val cp0 = System.getProperty("java.class.path")
+      val cp =
+        if (cp0 != null && cp0.contains("classes")) cp0
+        else "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+      val javaBin = new java.io.File(new java.io.File(
+        System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+      selected.filter { case (n, _) => slowest.contains(n) }.foreach { case (name, _) =>
+        try {
+          val pb = new ProcessBuilder(javaBin, "-Xmx24g", "-cp", cp,
+            "graft.ScaleProbe", sfDir, name, "2")
+          pb.redirectErrorStream(true)
+          val p = pb.start()
+          val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+          p.waitFor()
+          """"sec":([0-9.]+)""".r.findFirstMatchIn(out)
+            .foreach(m => probe(name) = m.group(1).toDouble)
+        } catch { case _: Throwable => () } // probe is advisory, never fatal
+      }
+    }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -89,8 +117,9 @@ object Bench {
     val qs = results.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val iso = isolated.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    val prb = probe.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"errors":$es,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"probe":$prb,"errors":$es,"sf":"$sfDir"}"""
     // The driver captures only the last ~2000 chars of stdout (r4/r5 lost the
     // full line to truncation → parsed:null). Print a line guaranteed to fit:
     // rounded figures, slowest queries first, capped to a byte budget; the
@@ -100,7 +129,7 @@ object Bench {
     // + sbt's trailing "[success] …" both fit inside the driver's
     // last-2000-chars capture with slack (r13/r14 parsed:null: a 1700-char
     // line left no room for trailing output).
-    val budget = 700
+    val budget = 550 // shrunk to make room for the probe map (r20)
     val sorted = results.filter(_._2 >= 0).sortBy(-_._2)
     val kept = scala.collection.mutable.ArrayBuffer[String]()
     var used = 0
@@ -110,7 +139,8 @@ object Bench {
     }
     val omitted = sorted.length - kept.length
     val isoCompact = isolated.map { case (k, v) => s""""${esc(k)}":${r3(v)}""" }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${sorted.length},"omitted":$omitted,"queries":{${kept.mkString(",")}},"isolated":$isoCompact,"errors":$es,"sf":"$sfDir"}"""
+    val prbCompact = probe.map { case (k, v) => s""""${esc(k)}":${r3(v)}""" }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${sorted.length},"omitted":$omitted,"queries":{${kept.mkString(",")}},"isolated":$isoCompact,"probe":$prbCompact,"errors":$es,"sf":"$sfDir"}"""
     // Persist to the repo root regardless of the invoker's cwd (the
     // driver's per-round artifact keeps only the compact stdout line;
     // this file is the complete full-precision map the judge diffs) —

@@ -94,7 +94,11 @@ object ScaleBench {
     * width (embed) / the battery cap (winnow), with the winnow df
     * census re-priced at ×64. */
   private val X64Factor = 64
-  private val X64Queries = Seq("dedup_winnow_capped", "sim_embed_neardup")
+  /** r20 adds `dedup_containment_incr` (VERDICT r19 #7): ×32/×8 = 1.99
+    * made it the next-steepest capped family; both factors run through
+    * the isolated-JVM channel like winnow. */
+  private val X64Queries =
+    Seq("dedup_winnow_capped", "sim_embed_neardup", "dedup_containment_incr")
 
   /** The same corpus the near-dup pipelines build (base + injected
     * exact copies), fed to [[graft.operators.LshTuner]] for the census. */
@@ -375,9 +379,10 @@ object ScaleBench {
           s"ScaleProbe($name) produced no timing line:\n${out.takeRight(800)}"))
     }
     val winnowIso32 = isolatedSec(dirs(DeepFactor), "dedup_winnow_capped", 2)
+    val containIso32 = isolatedSec(dirs(DeepFactor), "dedup_containment_incr", 2)
     val x64Times: Map[String, Double] = X64Queries.map { name =>
       name match {
-        case "dedup_winnow_capped" =>
+        case "dedup_winnow_capped" | "dedup_containment_incr" =>
           name -> isolatedSec(dirs(X64Factor), name, 2)
         case _ =>
           var best = Double.MaxValue
@@ -403,7 +408,15 @@ object ScaleBench {
     // must stay ~flat as files grow ×32; the FIRST read of each version
     // pays the one-time ledger parse (reported separately — the honest
     // O(files) term, paid once per process per version, not per read).
-    val manifestPlanning: Map[Int, (Long, Double, Double)] = Seq(1, 8, 32).map { f =>
+    // r20 (VERDICT r19 #1): the probe now reaches ~10⁵ REAL files
+    // (×1536 = 98,304) — the 100 TB regime's file-count order — and
+    // reports the ledger's on-disk bytes (the quantity the driver-
+    // resident parse holds, modulo object overhead). The warm read
+    // additionally benefits from the r20 per-snapshot partition-
+    // grouping memo: grouping parses once per snapshot per process,
+    // PruneContext keep-tests remain the per-read O(files) term.
+    val manifestPlanning: Map[Int, (Long, Double, Double, Long)] =
+      Seq(1, 8, 32, 256, 1536).map { f =>
       val nFiles = f * 64
       val path = new java.io.File(
         s"target/graft-state/scale_manifest_x$f").getAbsolutePath
@@ -413,6 +426,11 @@ object ScaleBench {
           .selectExpr("id", "id % 8 AS g", "id * 3 AS v")
           .repartitionByRange(nFiles, col("id")), path)
       graft.operators.TableMerge.analyzeStats(spark, path, Seq("id"))
+      val live = new java.io.File(path,
+        graft.operators.TableMerge.liveVersion(path).get)
+      val ledgerBytes = Seq("_graft_manifest.tsv", "_graft_stats.tsv")
+        .map(n => new java.io.File(live, n))
+        .filter(_.exists).map(_.length).sum
       var first = 0.0
       var best = Double.MaxValue
       for (i <- 0 until 6) {
@@ -423,7 +441,7 @@ object ScaleBench {
         require(n == 1L, s"manifest probe wrong answer: $n")
         if (i == 0) first = sec else best = math.min(best, sec)
       }
-      f -> ((nFiles.toLong, first, best))
+      f -> ((nFiles.toLong, first, best, ledgerBytes))
     }.toMap
 
     // fixed-8-bit ×32 documentation points, single run — the point is the
@@ -502,7 +520,8 @@ object ScaleBench {
     // ~linear while the uncapped bound compounds. Reported at the same
     // factors as winnow_cap, with the capped volume at 16/32/64 so the
     // battery's cap choice is a measured pick, not a constant of faith.
-    val containStats: Map[Int, (Long, Long, Long, Long, Long)] = Seq(8, DeepFactor).map { f =>
+    val containStats: Map[Int, (Long, Long, Long, Long, Long)] =
+      Seq(8, DeepFactor, X64Factor).map { f =>
       val base = spark.read.parquet(s"${dirs(f)}/documents.parquet")
         .selectExpr("doc_id", "split(text, ' ') AS tokens")
       val corpus = base.unionByName(
@@ -560,6 +579,8 @@ object ScaleBench {
       val (t32, t64, channel) = q match {
         case "dedup_winnow_capped" =>
           (winnowIso32, x64Times(q), "isolated-jvm")
+        case "dedup_containment_incr" =>
+          (containIso32, x64Times(q), "isolated-jvm")
         case _ =>
           (deepTimes((q, DeepFactor)), x64Times(q), "in-harness")
       }
@@ -570,12 +591,12 @@ object ScaleBench {
         s""""ratio_x64_x32":${r3(t64 / math.max(t32, 1e-9))},""" +
         s""""channel":"$channel"$bits}"""
     }.mkString("{", ",", "}")
-    val manifestJson = Seq(1, 8, 32).map { f =>
-      val (nFiles, first, best) = manifestPlanning(f)
+    val manifestJson = Seq(1, 8, 32, 256, 1536).map { f =>
+      val (nFiles, first, best, ledgerBytes) = manifestPlanning(f)
       s""""x$f":{"n_files":$nFiles,"first_read_sec":${r3(first)},""" +
-        s""""warm_read_sec":${r3(best)}}"""
+        s""""warm_read_sec":${r3(best)},"ledger_bytes":$ledgerBytes}"""
     }.mkString("{", ",", "}")
-    val containJson = Seq(8, DeepFactor).map { f =>
+    val containJson = Seq(8, DeepFactor, X64Factor).map { f =>
       val (unc, c16, c32, c64, maxDf) = containStats(f)
       s""""x$f":{"cand_uncapped":$unc,"cand_cap16":$c16,"cand_cap32":$c32,""" +
         s""""cand_cap64":$c64,"max_df":$maxDf}"""

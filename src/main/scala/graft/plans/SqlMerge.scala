@@ -285,12 +285,18 @@ object SqlMerge {
     // SHOW surfaced always resolves to the directory it came from
     // (ADVICE r18). New segments (CREATE of a fresh db/table) land at
     // the normalized lower-case path.
-    private def matchSegment(parent: java.nio.file.Path, name: String): String =
-      Option(parent.toFile.listFiles()).getOrElse(Array.empty)
-        .collectFirst {
-          case f if f.isDirectory && f.getName.equalsIgnoreCase(name) => f.getName
-        }
+    // exact-case match wins outright; among case-insensitive matches
+    // the lexicographically-first subdir is the DETERMINISTIC winner
+    // (ADVICE r19: collectFirst took the filesystem's arbitrary listing
+    // order, so two subdirs differing only by case could bind either
+    // way across calls)
+    private def matchSegment(parent: java.nio.file.Path, name: String): String = {
+      val dirs = Option(parent.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory).map(_.getName)
+      dirs.find(_ == name)
+        .orElse(dirs.filter(_.equalsIgnoreCase(name)).sorted.headOption)
         .getOrElse(norm(name))
+    }
     private[SqlMerge] def resolve(db: String, table: String): String = {
       Option(reg.get(norm(s"$db.$table"))).getOrElse {
         val root = java.nio.file.Paths.get(warehouseRoot)

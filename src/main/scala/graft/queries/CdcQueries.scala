@@ -365,7 +365,12 @@ object CdcQueries {
       .agg(count(lit(1)).as("n"),
         sum(expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")).as("sum_bal_e2"))
       .withColumn("snapshot", lit(label))
+    // the SAME retained snapshot through the SQL literal (`@v-…` pins
+    // a version — the SELECT-level time-travel surface, r20/VERDICT
+    // r19 #5): both addressing paths must agree under one oracle hash
+    val pastSql = s.sql(s"SELECT * FROM graft.`$path@$v1Name`")
     snap(TableMerge.readVersion(s, path, v1Name), "past")
+      .unionByName(snap(pastSql, "past_sql"))
       .unionByName(snap(TableMerge.read(s, path), "live"))
       .select("snapshot", "c_mktsegment", "n", "sum_bal_e2")
       .orderBy("snapshot", "c_mktsegment")
@@ -1048,6 +1053,12 @@ object CdcQueries {
         |  UNION ALL SELECT * FROM src),
         |agg AS (
         |  SELECT 'past' AS snapshot, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sum_bal_e2
+        |  FROM v1 GROUP BY c_mktsegment
+        |  UNION ALL
+        |  SELECT 'past_sql' AS snapshot, c_mktsegment,
         |    CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
         |      AS sum_bal_e2

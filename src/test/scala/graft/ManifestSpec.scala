@@ -266,6 +266,138 @@ class ManifestSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("scoped merges track TIMESTAMP partition dirs (writer rendering, not toString)") {
+    val path = tmpTable("ts-part")
+    // midnight timestamps: java.sql.Timestamp.toString renders
+    // '2024-03-01 00:00:00.0' while Spark's writer names the dir
+    // 'ts=2024-03-01 00%3A00%3A00' — the r19 ADVICE desync class
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-03-02 00:00:00")
+    val df = Seq((1L, t0, 10L), (2L, t0, 20L), (3L, t1, 30L)).toDF("id", "ts", "v")
+    TableMerge.createOrReplace(df, path, partitionCols = Seq("ts"))
+    TableMerge.upsert(spark, path,
+      Seq((1L, t0, 111L)).toDF("id", "ts", "v"),
+      keys = Seq("ts", "id"), partitionCols = Seq("ts"))
+    val read1 = TableMerge.read(spark, path)
+    assert(read1.count() == 3L)
+    assert(read1.filter(col("id") === 1L).select("v").as[Long].head() == 111L)
+    // the manifest must equal the actual tree: stale rows for the
+    // rewritten t0 files would reference vanished paths
+    val live = Paths.get(path, TableMerge.liveVersion(path).get)
+    def walk(dir: java.io.File, prefix: String): Set[String] =
+      Option(dir.listFiles()).getOrElse(Array.empty).flatMap { c =>
+        val rel = if (prefix.isEmpty) c.getName else s"$prefix/${c.getName}"
+        if (c.isDirectory) walk(c, rel)
+        else if (c.getName.endsWith(".parquet")) Set(rel) else Set.empty[String]
+      }.toSet
+    assert(TableMerge.manifest(path).get.toMap.keySet == walk(live.toFile, ""),
+      "manifest must match the tree for timestamp partition values")
+    // whole-partition DROP of t0 must not resurrect the linked old tree
+    TableMerge.replaceKeys(spark, path,
+      Seq.empty[(Long, java.sql.Timestamp, Long)].toDF("id", "ts", "v"),
+      dropGroups = Seq(Tuple1(t0)).toDF("ts"),
+      groupKeys = Seq("ts"), partitionCols = Seq("ts"))
+    val read2 = TableMerge.read(spark, path)
+    assert(read2.filter(col("ts") === t0).count() == 0L,
+      "dropped timestamp partition must not resurrect")
+    assert(read2.count() == 1L)
+    // and the writer's null/empty rule is pinned at the unit level too
+    import org.apache.spark.sql.graft.bridge
+    assert(bridge.partitionPathSegment("p", "") == "p=__HIVE_DEFAULT_PARTITION__")
+    assert(bridge.partitionPathSegment("p", null) == "p=__HIVE_DEFAULT_PARTITION__")
+    assert(bridge.partitionPathSegment("p", "a:b") == "p=a%3Ab")
+  }
+
+  test("partition grouping parses once per snapshot per process") {
+    val path = tmpTable("groupmemo")
+    TableMerge.createOrReplace(
+      (0L until 100L).map(i => (i, i % 5L, i)).toDF("id", "g", "v"),
+      path, partitionCols = Seq("g"))
+    val live = Paths.get(path, TableMerge.liveVersion(path).get).toString
+    TableMerge.read(spark, path).count()
+    val builds = org.apache.spark.sql.graft.bridge.manifestGroupingBuildsFor(live)
+    assert(builds >= 1L)
+    (1 to 3).foreach(_ => TableMerge.read(spark, path).count())
+    assert(org.apache.spark.sql.graft.bridge.manifestGroupingBuildsFor(live) == builds,
+      "repeat reads of the same snapshot must not re-group the manifest")
+    // a new commit is a NEW snapshot dir — it pays its own single build
+    TableMerge.upsert(spark, path,
+      Seq((0L, 0L, 999L)).toDF("id", "g", "v"),
+      keys = Seq("g", "id"), partitionCols = Seq("g"))
+    val live2 = Paths.get(path, TableMerge.liveVersion(path).get).toString
+    assert(live2 != live)
+    TableMerge.read(spark, path).count()
+    TableMerge.read(spark, path).count()
+    assert(org.apache.spark.sql.graft.bridge.manifestGroupingBuildsFor(live2) == 1L,
+      "a new snapshot pays exactly one grouping build")
+  }
+
+  test("a malformed manifest row fails OPEN (skipped), not the whole table") {
+    val path = tmpTable("malformed")
+    TableMerge.createOrReplace(
+      (0L until 60L).map(i => (i, i % 3L, i)).toDF("id", "g", "v"),
+      path, partitionCols = Seq("g"))
+    // a stray ROOT-LEVEL row in a partitioned manifest (depth 0 vs 1):
+    // the blind staged-tree backfill of a hand-touched layout can
+    // produce this; pre-r20 the require made EVERY read throw, forever
+    val live = Paths.get(path, TableMerge.liveVersion(path).get)
+    val mf = live.resolve("_graft_manifest.tsv")
+    Files.writeString(mf,
+      Files.readString(mf) + "stray-at-root.parquet\t123\n")
+    val df = TableMerge.read(spark, path)
+    assert(df.count() == 60L, "well-formed rows must keep reading")
+    assert(df.agg(sum("v")).as[Long].head() == (0L until 60L).sum)
+  }
+
+  test("legacy (pre-manifest) reads get the same VACUUM contract") {
+    val path = tmpTable("legacy-vacuum")
+    TableMerge.createOrReplace(
+      (0L until 64L).map(i => (i, i)).toDF("id", "v"), path)
+    TableMerge.analyzeStats(spark, path, Seq("id"))
+    // strip the manifest: the snapshot now looks like a pre-r19 commit
+    // (sidecar schema + stats ledger, no manifest) and must route
+    // through the legacy directory-walking stats-pruned read
+    val live = Paths.get(path, TableMerge.liveVersion(path).get)
+    Files.delete(live.resolve("_graft_manifest.tsv"))
+    val planned = TableMerge.read(spark, path)
+    assert(scanIndexClass(planned) != "ManifestFileIndex",
+      "manifest-less snapshot must take the legacy read path")
+    // concurrent writer commits v2, retention expires the planned v1
+    TableMerge.createOrReplace(
+      (0L until 32L).map(i => (i, -i)).toDF("id", "v"), path)
+    assert(TableMerge.expireVersions(path, 0L) >= 1) // create + analyze commits
+    val e = intercept[SnapshotExpiredException] { planned.count() }
+    assert(e.getMessage.contains("expired") && e.getMessage.contains("retention"),
+      s"documented remedy expected on the LEGACY path too, got: ${e.getMessage}")
+    assert(TableMerge.read(spark, path).count() == 32L)
+  }
+
+  test("scoped merges recompute stats for TOUCHED files only, carrying the rest verbatim") {
+    val path = tmpTable("stats-scope")
+    val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "even" else "odd", i))
+      .toDF("id", "par", "v")
+    TableMerge.createOrReplace(df, path, partitionCols = Seq("par"))
+    TableMerge.analyzeStats(spark, path, Seq("id", "v"))
+    def statsLines(): Map[String, Set[String]] = {
+      val live = Paths.get(path, TableMerge.liveVersion(path).get)
+      Files.readString(live.resolve("_graft_stats.tsv")).linesIterator.toSeq
+        .groupBy(l => if (l.startsWith("par=odd/")) "odd" else "even")
+        .view.mapValues(_.toSet).toMap
+    }
+    val before = statsLines()
+    assert(before("odd").nonEmpty && before("even").nonEmpty)
+    TableMerge.upsert(spark, path,
+      Seq((0L, "even", 12345L)).toDF("id", "par", "v"),
+      keys = Seq("par", "id"), partitionCols = Seq("par"))
+    val after = statsLines()
+    assert(after("odd") == before("odd"),
+      "untouched partitions' stats rows must carry VERBATIM (no recompute)")
+    assert(after("even") != before("even"),
+      "touched partitions' stats rows must be freshly recorded")
+    // and the fresh rows reflect the new data (12345 is the new max of v)
+    assert(after("even").exists(l => l.contains("\tv\t") && l.endsWith("\t12345")))
+  }
+
   test("zero-row tables and metadata-only commits keep manifest-planned reads") {
     val path = tmpTable("zero")
     spark.sql(s"CREATE TABLE graft.`$path` (id BIGINT, seg STRING) PARTITIONED BY (seg)")
