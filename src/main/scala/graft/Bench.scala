@@ -87,6 +87,11 @@ object Bench {
     // three identical r19 battery runs swing 219-276 s. THIS map is the
     // round-over-round regression gate; "queries" prices the
     // interleaved-session experience, "isolated" the same-JVM re-run.
+    // the parent session stops FIRST: a live 32-core session (parked
+    // executor threads, resident heap) contends with the probe
+    // subprocesses — the r20 ScaleBench probes read 22-37 s in-flight
+    // where the same probe on a quiet machine reads 5-9 s
+    spark.stop()
     val probe = scala.collection.mutable.LinkedHashMap[String, Double]()
     if (nameFilter.isEmpty) {
       val cp0 = System.getProperty("java.class.path")
@@ -156,9 +161,8 @@ object Bench {
         catch { case _: Throwable => () } // bench result > bookkeeping
       }
     }
-    // Stop Spark BEFORE printing so no further framework output can push
-    // the JSON line out of the driver's tail capture.
-    spark.stop()
+    // (Spark already stopped before the probe phase — nothing can push
+    // the JSON line out of the driver's tail capture here.)
     println(line)
     if (results.isEmpty || errors.nonEmpty) sys.exit(1)
   }

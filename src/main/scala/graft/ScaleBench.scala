@@ -355,49 +355,33 @@ object ScaleBench {
     // this adjudication.
     graft.queries.PipelineShared.clearMemo()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-    // the WINNOW family adjudicates through the ISOLATED-JVM channel
-    // at BOTH factors: even after the purge, a harness that has run
+    // the WINNOW and CONTAINMENT families adjudicate through the
+    // ISOLATED-JVM channel at BOTH factors: a harness that has run
     // ~250 queries carries session state (old-gen pressure, listener
     // backlog) that measured 27-36 s for the ×64 winnow read where a
     // fresh JVM reads ~15 s — the engine's slope is the clean number,
     // and comparing ×32 vs ×64 through the SAME channel is what makes
-    // the ratio meaningful. The embed pipeline needs the in-harness
-    // census width, and its in-harness ×64 is already clean (≈1.4×).
-    def isolatedSec(dir: String, name: String, reps: Int): Double = {
-      val javaBin = new java.io.File(new java.io.File(
-        System.getProperty("java.home"), "bin"), "java").getAbsolutePath
-      val pb = new ProcessBuilder(javaBin, "-Xmx32g", "-cp",
-        System.getProperty("java.class.path"),
-        "graft.ScaleProbe", dir, name, reps.toString)
-      pb.redirectErrorStream(true)
-      val p = pb.start()
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-      p.waitFor()
-      """"sec":([0-9.]+)""".r.findFirstMatchIn(out)
-        .map(_.group(1).toDouble)
-        .getOrElse(throw new IllegalStateException(
-          s"ScaleProbe($name) produced no timing line:\n${out.takeRight(800)}"))
-    }
-    val winnowIso32 = isolatedSec(dirs(DeepFactor), "dedup_winnow_capped", 2)
-    val containIso32 = isolatedSec(dirs(DeepFactor), "dedup_containment_incr", 2)
-    val x64Times: Map[String, Double] = X64Queries.map { name =>
-      name match {
-        case "dedup_winnow_capped" | "dedup_containment_incr" =>
-          name -> isolatedSec(dirs(X64Factor), name, 2)
-        case _ =>
-          var best = Double.MaxValue
-          for (_ <- 1 to 2) {
-            spark.catalog.clearCache()
-            System.gc()
-            val t0 = System.nanoTime()
-            graft.queries.EmbedNeardupQueries.embedNeardup(
-                spark, dirs(X64Factor), 2, tuned(X64Factor)._1)
-              .write.mode("overwrite").format("noop").save()
-            best = math.min(best, (System.nanoTime() - t0) / 1e9)
-          }
-          name -> best
+    // the ratio meaningful. r20: the probes run AFTER spark.stop() —
+    // the r20 in-flight probes read 22-37 s where the same probe on a
+    // quiet machine reads 5-9 s, because the parent's live 48 GB
+    // session (executor threads parked, heap resident, OS page cache
+    // squeezed) contends with the subprocess; deferring them to the
+    // spark-free tail of the run removes that contention from the
+    // measurement. The embed pipeline needs the in-harness census
+    // width, and its in-harness ×64 is already clean (≈1.4×).
+    val embedX64: Double = {
+      var best = Double.MaxValue
+      for (_ <- 1 to 2) {
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        graft.queries.EmbedNeardupQueries.embedNeardup(
+            spark, dirs(X64Factor), 2, tuned(X64Factor)._1)
+          .write.mode("overwrite").format("noop").save()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
       }
-    }.toMap
+      best
+    }
 
     // MANIFEST READ-PLANNING probe (VERDICT r18 #1): a table whose FILE
     // COUNT grows ×32 while the read stays selective — range-clustered
@@ -540,6 +524,34 @@ object ScaleBench {
       f -> ((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4)))
     }.toMap
 
+    // ---- spark-free tail: every in-harness measurement is done; stop
+    // the session so the isolated-JVM probes run against a quiet
+    // machine (see the channel note above), then assemble the JSON.
+    spark.stop()
+    System.gc()
+    def isolatedSec(dir: String, name: String, reps: Int): Double = {
+      val javaBin = new java.io.File(new java.io.File(
+        System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+      val pb = new ProcessBuilder(javaBin, "-Xmx32g", "-cp",
+        System.getProperty("java.class.path"),
+        "graft.ScaleProbe", dir, name, reps.toString)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      p.waitFor()
+      """"sec":([0-9.]+)""".r.findFirstMatchIn(out)
+        .map(_.group(1).toDouble)
+        .getOrElse(throw new IllegalStateException(
+          s"ScaleProbe($name) produced no timing line:\n${out.takeRight(800)}"))
+    }
+    val winnowIso32 = isolatedSec(dirs(DeepFactor), "dedup_winnow_capped", 2)
+    val containIso32 = isolatedSec(dirs(DeepFactor), "dedup_containment_incr", 2)
+    val x64Times: Map[String, Double] = Map(
+      "dedup_winnow_capped" -> isolatedSec(dirs(X64Factor), "dedup_winnow_capped", 2),
+      "sim_embed_neardup" -> embedX64,
+      "dedup_containment_incr" ->
+        isolatedSec(dirs(X64Factor), "dedup_containment_incr", 2))
+
     def r3(v: Double): String = f"$v%.3f"
     val perQuery = Queries.map { q =>
       val t1 = times((q, 1)); val t8 = times((q, 8))
@@ -635,6 +647,5 @@ object ScaleBench {
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_scale.json"),
       (line + "\n").getBytes("UTF-8"))
-    spark.stop()
   }
 }

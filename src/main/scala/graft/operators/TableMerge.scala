@@ -1177,16 +1177,18 @@ object TableMerge {
           // hard-link through unchanged, so their ranges stay valid)
           val rewritten = units.map { case (rel, _) =>
             if (rel.isEmpty) "" else rel + "/" }.toSet
-          val oldStats = {
+          locally {
             val p = liveDir.resolve(StatsFile)
-            if (!Files.exists(p)) Seq.empty
-            else Files.readString(p).linesIterator.filter { l =>
-              val rel = l.takeWhile(_ != '\t')
-              !rewritten.exists(pre => pre.isEmpty || rel.startsWith(pre))
-            }.toSeq
+            def emit(old: Iterator[String]): Unit =
+              writeLines(version.resolve(StatsFile), old ++ statRows.iterator)
+            if (!Files.exists(p)) emit(Iterator.empty)
+            else withLedgerLines(p) { lines =>
+              emit(lines.filter { l =>
+                val rel = l.takeWhile(_ != '\t')
+                !rewritten.exists(pre => pre.isEmpty || rel.startsWith(pre))
+              })
+            }
           }
-          writeLines(version.resolve(StatsFile),
-            oldStats.iterator ++ statRows.iterator)
           // re-clustering rewrites files, not schema: carry sidecars over
           Seq(SchemaFile, PartsFile, ColMapFile).foreach { name =>
             val side = liveDir.resolve(name)
