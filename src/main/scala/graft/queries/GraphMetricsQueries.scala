@@ -97,9 +97,8 @@ private[queries] object GraphMetricsQueries {
     * table, and the final pick is one window over cluster-sized
     * groups — all three tiers already priced in BENCH_scale. */
   private val dedupCanonical: Q = (s, d) => {
-    val comps = graft.operators.DedupClusters.connectedComponents(
-      DedupQueries.jaccardPairs(s, d).select("id_a", "id_b"), "id_a", "id_b")
-    val ranks = GraphAnnQueries.pagerankRanks(s, d)
+    val comps = DedupQueries.jaccardComponentsCkpt(s, d)
+    val ranks = GraphAnnQueries.pagerankRanksCkpt(s, d)
     val members = comps
       .join(ranks.withColumnRenamed("vec_id", "emb_id"),
         comps("id") % 100000L === col("emb_id"), "left")

@@ -358,58 +358,65 @@ private[graft] object VectorQueries {
     * the final overlap join moves ≤ 3k rows. */
   private val simRecallAtK: Q = (s, d) => {
     val k = RecallK
+    // ONE fused scan (r20, guide §1.2 "remove passes"): every method
+    // branch below decides from per-row (cos_e6, centroid_id, adc_e4)
+    // only — the 8-branch union used to re-scan the embeddings parquet
+    // 7× (7 Scan nodes in plans/r20/_before/sim_recall_at_k.txt), each
+    // pass re-evaluating the cosine / IVF-assign / 256-term PQ-distance
+    // expression trees. The identical expressions now evaluate once per
+    // row in a single whole-stage-codegen pass; branches are top-ks
+    // over the checkpointed 4-column frame (vec_id, cos_e6,
+    // centroid_id, adc_e4 — ~32 B/row, never the 64-float embedding).
+    // Values are bit-identical (same expression text, same per-row
+    // evaluation), so every method's top-k — and the oracle hash — is
+    // unchanged; 8.5 s → see OPTIMIZATION_r20.md.
     val cosE6 =
       "CAST(floor(graft_cosine(embedding, array_repeat(CAST(0.1 AS DOUBLE), 64)) " +
         "* 1000000) AS BIGINT) AS cos_e6"
-    def cosTopk(df: DataFrame): DataFrame = df
-      .selectExpr("vec_id", cosE6)
+    val emb = Tables.embeddings(s, d)
+    val base = emb
+      .selectExpr(Seq("vec_id", cosE6,
+        "graft_ivf_assign(embedding, 16) AS centroid_id") ++ pqDistCols: _*)
+      .selectExpr(Seq("vec_id", "cos_e6", "centroid_id") ++ pqCodeCols: _*)
+      .selectExpr("vec_id", "cos_e6", "centroid_id",
+        s"CAST(floor(($pqAdcExpr) * 10000) AS BIGINT) AS adc_e4")
+      .localCheckpoint()
+    def cosTopkOf(df: DataFrame): DataFrame = df
       .orderBy(col("cos_e6").desc, col("vec_id").asc)
       .limit(k).select("vec_id")
-    val emb = Tables.embeddings(s, d)
-    val gt = cosTopk(emb)
-    val assigned = emb.selectExpr("vec_id", "embedding",
-      "graft_ivf_assign(embedding, 16) AS centroid_id")
+    val gt = cosTopkOf(base)
     def ivf(nprobe: Int): DataFrame =
-      cosTopk(assigned.filter(col("centroid_id").isin(ivfProbeList(nprobe): _*))
-        .select("vec_id", "embedding"))
-    val pq = emb
-      .selectExpr("vec_id" +: pqDistCols: _*)
-      .selectExpr("vec_id" +: pqCodeCols: _*)
-      .selectExpr("vec_id", s"CAST(floor(($pqAdcExpr) * 10000) AS BIGINT) AS adc_e4")
+      cosTopkOf(base.filter(col("centroid_id").isin(ivfProbeList(nprobe): _*)))
+    val pq = base
       .orderBy(col("adc_e4"), col("vec_id"))
       .limit(k).select("vec_id")
     // the composed production query: probe 4 lists, ADC-score only them
-    val ivfpq = assigned.filter(col("centroid_id").isin(ivfProbeList(4): _*))
-      .selectExpr("vec_id" +: pqDistCols: _*)
-      .selectExpr("vec_id" +: pqCodeCols: _*)
-      .selectExpr("vec_id", s"CAST(floor(($pqAdcExpr) * 10000) AS BIGINT) AS adc_e4")
+    val probed4 = base.filter(col("centroid_id").isin(ivfProbeList(4): _*))
+    val ivfpq = probed4
       .orderBy(col("adc_e4"), col("vec_id"))
       .limit(k).select("vec_id")
     // two-stage refine: the same probed-list ADC ordering keeps 50
     // candidates instead of 20, and exact cosine re-ranks that
     // shortlist — the recall delta vs ivfpq_nprobe4 is what the
     // full-vector refine reads buy back from the 2-bit codes
-    val shortlist50 = assigned.filter(col("centroid_id").isin(ivfProbeList(4): _*))
-      .selectExpr("vec_id" +: pqDistCols: _*)
-      .selectExpr("vec_id" +: pqCodeCols: _*)
-      .selectExpr("vec_id", s"CAST(floor(($pqAdcExpr) * 10000) AS BIGINT) AS adc_e4")
+    val shortlist50 = probed4
       .orderBy(col("adc_e4"), col("vec_id"))
-      .limit(50).select("vec_id")
-    val rerank = cosTopk(emb.join(broadcast(shortlist50), Seq("vec_id")))
+      .limit(50)
+    val rerank = cosTopkOf(shortlist50)
     // graph navigation at equal output budget: top-20 of the bounded
     // beam walk's visited set (GraphAnnQueries) — prices HNSW-style
     // recall against the IVF/PQ family in the same audit; the edge and
     // score tables build ONCE and feed both the flat-beam row and the
     // hierarchical-descent row, so the two graph rows differ only in
     // how they enter the graph
-    val gEdges = GraphAnnQueries.edgesCkpt(s, d)
-    val gScored = GraphAnnQueries.scoredCkpt(s, d)
     val hnsw = GraphAnnQueries.walkCkpt(s, d, 8, GraphAnnQueries.Beam)
       .orderBy(col("cos_e6").desc, col("vec_id").asc)
       .limit(k).select("vec_id")
     // two-level descent at the same output budget: what the 1/256-scan
-    // hierarchy gives up (or keeps) vs the N/16 entry scan
-    val hier = GraphAnnQueries.hierWalks(s, d, gEdges, gScored)._2
+    // hierarchy gives up (or keeps) vs the N/16 entry scan (memoized
+    // walk pair — shared with sim_hnsw_hier instead of re-running both
+    // layers' per-hop checkpoint jobs per invocation, r20)
+    val hier = GraphAnnQueries.hierWalksCkpt(s, d, 8)._2
       .orderBy(col("cos_e6").desc, col("vec_id").asc)
       .limit(k).select("vec_id")
     // trained-OPQ ADC at the same output budget: what the learned
