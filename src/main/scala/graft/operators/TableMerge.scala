@@ -1034,11 +1034,13 @@ object TableMerge {
                   full.filterNot(f => partitionCols.contains(f.name))))
               case None => spark.read.option("mergeSchema", "true")
             }
-            overflowing.foreach { rel =>
-              unitReader.parquet(liveDir.resolve(rel).toString)
+            // disjoint unit subtrees — same driver-pool overlap as the
+            // zorder rewrite (guide §2.6); identical per-unit output
+            graft.Par.inParallel(overflowing.map { rel =>
+              () => unitReader.parquet(liveDir.resolve(rel).toString)
                 .coalesce(targetFiles)
                 .write.mode(SaveMode.Overwrite).parquet(version.resolve(rel).toString)
-            }
+            }): Unit
             // compaction rewrites files, not schema: carry the sidecars
             // over; rewritten units get FRESH stats (their files carry
             // new names), untouched partitions keep theirs verbatim
@@ -1148,13 +1150,22 @@ object TableMerge {
             .flatMap(_.find(_.name.equalsIgnoreCase(c)).map(_.name)).getOrElse(c)
           val xName = canon(xCol)
           val yName = canon(yCol)
-          units.foreach { case (rel, nFiles) =>
-            val src = if (rel.isEmpty) liveDir else liveDir.resolve(rel)
-            val dest = if (rel.isEmpty) version else version.resolve(rel)
-            Layout.zOrdered(unitReader.parquet(src.toString), xCol, yCol,
-                math.max(1, nFiles), bits)
-              .write.mode(SaveMode.Overwrite).parquet(dest.toString)
-          }
+          // units are disjoint subtrees (one dest dir each): rewrite
+          // them from a small driver pool so the per-unit Spark jobs
+          // overlap instead of serializing — one straggling unit no
+          // longer holds every other unit's idle executors (guide
+          // §2.6; at scale a partition-scoped OPTIMIZE rewrites many
+          // day-partitions the same way). Identical per-unit plans and
+          // bytes; only the job schedule changes (r20).
+          graft.Par.inParallel(units.map { case (rel, nFiles) =>
+            () => {
+              val src = if (rel.isEmpty) liveDir else liveDir.resolve(rel)
+              val dest = if (rel.isEmpty) version else version.resolve(rel)
+              Layout.zOrdered(unitReader.parquet(src.toString), xCol, yCol,
+                  math.max(1, nFiles), bits)
+                .write.mode(SaveMode.Overwrite).parquet(dest.toString)
+            }
+          }): Unit
           // ZORDER BY also DECLARES its columns as the table's stat
           // columns: every subsequent write path (merge, insert,
           // compaction) re-records per-file ranges for them, so file

@@ -215,12 +215,17 @@ private[graft] object GraphAnnQueries {
     * rows, so the sweep is 3 cheap walks, not 3 index builds. */
   private val simHnswEfSweep: Q = (s, d) => {
     val k = 10
-    val edges = edgesCkpt(s, d)
     val scored = scoredCkpt(s, d)
     val gt = scored.orderBy(col("cos_e6").desc, col("vec_id").asc)
       .limit(k).select("vec_id")
-    val perBeam = Seq(4, 8, 16).map { beam =>
-      val v = walkDf(edges, scored, beam).localCheckpoint()
+    // the three walks are independent bounded chains over ONE fixed
+    // graph: run them concurrently (guide §2.6) and serve each from
+    // the per-beam walk memo — beam 8 IS the default served walk
+    // (`walkCkpt`), so the sweep shares it with sim_hnsw_topk /
+    // sim_recall_at_k instead of re-walking it (r20)
+    val walks = PipelineShared.inParallel(Seq(4, 8, 16).map(beam =>
+      () => walkCkpt(s, d, 8, beam)))
+    val perBeam = Seq(4, 8, 16).zip(walks).map { case (beam, v) =>
       val nv = v.agg(count(lit(1)).as("n_visited"))
       v.orderBy(col("cos_e6").desc, col("vec_id").asc).limit(k)
         .select("vec_id")
@@ -282,9 +287,18 @@ private[graft] object GraphAnnQueries {
       if (emptyBatch) lit(false) else col("vec_id") % 10 === 0
     val batchSig = sigOf(emb.filter(batchFilter), bits).localCheckpoint()
     val allSig = corpusSig.unionByName(batchSig)
-    val gc = PipelineShared.memo(s, s"hnswm_gc|$d|$bits")(
-      prune2M(symmetrize(outEdges(corpusSig, corpusSig, bits))).localCheckpoint())
-    val no = outEdges(batchSig, allSig, bits).localCheckpoint()
+    // the corpus graph, the batch's out-edges, and the rebuilt audit
+    // truth are three independent eager builds — overlap them on the
+    // driver pool (guide §2.6); same frames, concurrent job schedule.
+    // rebuiltKey is computed up front so the thunk only builds (r20).
+    val rebuiltKey = s"hnswm_rebuilt|$d|$bits" + (if (emptyBatch) "|empty" else "")
+    val Seq(gc, no, rebuilt) = PipelineShared.inParallel(Seq(
+      () => PipelineShared.memo(s, s"hnswm_gc|$d|$bits")(
+        prune2M(symmetrize(outEdges(corpusSig, corpusSig, bits))).localCheckpoint()),
+      () => outEdges(batchSig, allSig, bits).localCheckpoint(),
+      () => PipelineShared.memo(s, rebuiltKey)(
+        prune2M(symmetrize(outEdges(allSig, allSig, bits)))
+          .select("src", "dst").localCheckpoint())))
     // The 2M shrink re-runs ONLY over touched nodes (batch srcs + the
     // corpus nodes their edges reverse into): an untouched src gains no
     // candidate rows, and its gc rows are already the top-2M of
@@ -303,12 +317,6 @@ private[graft] object GraphAnnQueries {
       .unionByName(gc.join(broadcast(touched), Seq("src"), "left_anti")
         .select("src", "dst", "pair_e6"))
       .select("src", "dst").localCheckpoint()
-    // distinct memo key for the empty-batch probe: its allSig (and so
-    // its rebuilt truth) differs from the real cycle's
-    val rebuiltKey = s"hnswm_rebuilt|$d|$bits" + (if (emptyBatch) "|empty" else "")
-    val rebuilt = PipelineShared.memo(s, rebuiltKey)(
-      prune2M(symmetrize(outEdges(allSig, allSig, bits)))
-        .select("src", "dst").localCheckpoint())
     val common = maintained.join(rebuilt, Seq("src", "dst"))
       .agg(count(lit(1)).as("n_common"))
     gc.agg(count(lit(1)).as("n_corpus_edges"))
@@ -463,13 +471,22 @@ private[graft] object GraphAnnQueries {
     * drift audit plays for the IVF layout). */
   private val simHnswOrderAudit: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val a = sigOf(emb.filter(col("vec_id") % 2 === 0)).localCheckpoint()
-    val b = sigOf(emb.filter(col("vec_id") % 2 =!= 0)).localCheckpoint()
-    val gab = maintainedEdges(a, b).select("src", "dst").localCheckpoint()
-    val gba = maintainedEdges(b, a).select("src", "dst").localCheckpoint()
-    val all = a.unionByName(b).localCheckpoint()
-    val rebuilt = prune2M(symmetrize(outEdges(all, all)))
-      .select("src", "dst").localCheckpoint()
+    // the two sig halves build concurrently, then the three graph
+    // builds (B-over-A, A-over-B, order-free rebuild) — mutually
+    // independent eager checkpoint chains — overlap on the driver
+    // pool instead of serializing (guide §2.6); frames are identical
+    // to the sequential build, only the job schedule changes (r20)
+    val Seq(a, b) = PipelineShared.inParallel(Seq(
+      () => sigOf(emb.filter(col("vec_id") % 2 === 0)).localCheckpoint(),
+      () => sigOf(emb.filter(col("vec_id") % 2 =!= 0)).localCheckpoint()))
+    val Seq(gab, gba, rebuilt) = PipelineShared.inParallel(Seq(
+      () => maintainedEdges(a, b).select("src", "dst").localCheckpoint(),
+      () => maintainedEdges(b, a).select("src", "dst").localCheckpoint(),
+      () => {
+        val all = a.unionByName(b).localCheckpoint()
+        prune2M(symmetrize(outEdges(all, all)))
+          .select("src", "dst").localCheckpoint()
+      }))
     def n(df: DataFrame, name: String) = df.agg(count(lit(1)).as(name))
     gab.agg(count(lit(1)).as("n_ab"))
       .crossJoin(broadcast(n(gba, "n_ba")))

@@ -45,6 +45,10 @@ private[graft] object PipelineShared {
     }
   }
 
+  /** Overlap independent eager builds on the driver pool — see
+    * [[graft.Par.inParallel]] (guide §2.6). */
+  def inParallel[T](thunks: Seq[() => T]): Seq[T] = graft.Par.inParallel(thunks)
+
   /** Portable rolling char-fold fingerprint of a string expression
     * (F11-lite): fold `acc*31 + ascii(char) mod P` seeded with 7, over
     * the char array from `split(x, '')`. The char-array form is O(n) —

@@ -47,14 +47,22 @@ private[graft] object SimHashQueries {
   /** 32-bit signatures over the near-dup fixture (documents + first-
     * token-dropped copies of doc_id%20==0) — shared by the pair
     * pipeline and its recall audit. */
-  private def simhash32Sigs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .selectExpr("doc_id", "split(text, ' ') AS tokens")
-    val dups = docs.filter(col("doc_id") % 20 === 0)
-      .selectExpr("doc_id + 100000 AS doc_id", "slice(tokens, 2, size(tokens) - 1) AS tokens")
-    docs.union(dups).filter(size(col("tokens")) >= 3)
-      .selectExpr("doc_id", "graft_simhash(graft_word_fps(tokens), 32) AS sig")
-  }
+  private def simhash32Sigs(s: SparkSession, d: String): DataFrame =
+    // memoized CHECKPOINTED build (r20): the signature table is the
+    // PERSISTED artifact of this tier (4 bytes/doc — the thing a
+    // production pipeline stores and maintains incrementally); the
+    // pair / multiprobe / recall entries share one tokenize+fold pass,
+    // and each plan's 3-5 references to `sigs` read the materialized
+    // 2-column frame instead of re-running the word-fp folds per leg
+    PipelineShared.memo(s, s"simhash32_sigs|$d") {
+      val docs = Tables.documents(s, d)
+        .selectExpr("doc_id", "split(text, ' ') AS tokens")
+      val dups = docs.filter(col("doc_id") % 20 === 0)
+        .selectExpr("doc_id + 100000 AS doc_id", "slice(tokens, 2, size(tokens) - 1) AS tokens")
+      docs.union(dups).filter(size(col("tokens")) >= 3)
+        .selectExpr("doc_id", "graft_simhash(graft_word_fps(tokens), 32) AS sig")
+        .localCheckpoint()
+    }
 
   /** The bit-sampling candidate join + popcount confirm over 32-bit
     * signatures — the found-pair half shared by `dedup_simhash_pairs`

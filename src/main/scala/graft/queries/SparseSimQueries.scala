@@ -197,9 +197,15 @@ private[queries] object SparseSimQueries {
     val cand = bPrefix
       .join(cPost.select(col("doc_id").as("cid"), col("sh")), Seq("sh"))
       .select("bid", "cid").distinct()
+    // side-filter each posting leg before its join (guide §2.3 —
+    // shuffle fewer bytes): cand.bid holds only batch ids and cand.cid
+    // only corpus ids, so corpus rows on the bid leg (and batch rows on
+    // the cid leg) could never match — dropping them up front halves
+    // what the two equi-joins move without changing a single pair (r20)
     val dots = cand
-      .join(post.select(col("doc_id").as("bid"), col("sh"), col("w").as("wb")), Seq("bid"))
-      .join(post.select(col("doc_id").as("cid"), col("sh"), col("w").as("wc")),
+      .join(post.filter(col("side") === "b")
+        .select(col("doc_id").as("bid"), col("sh"), col("w").as("wb")), Seq("bid"))
+      .join(cPost.select(col("doc_id").as("cid"), col("sh"), col("w").as("wc")),
         Seq("cid", "sh"))
       .groupBy("bid", "cid").agg(sum(col("wb") * col("wc")).as("dot"))
     val sim = dots
