@@ -97,8 +97,15 @@ private[queries] object LmQueries {
     * unigram count — the distinction matters at document ends). First
     * tokens score their unigram MLE. */
   /** Per-doc KN scores (doc_id, n_tokens, nll_e4), shared by the
-    * scoring entry and the percentile bucketing entry. */
-  private def knPerDoc(s: SparkSession, d: String): DataFrame = {
+    * scoring entry and the percentile bucketing entry — memoized +
+    * checkpointed (r20): a CCNet-style pipeline scores the corpus once
+    * and persists the per-doc perplexities; the bucketing entry reads
+    * that table instead of re-training the counts chain. */
+  private def knPerDoc(s: SparkSession, d: String): DataFrame =
+    graft.queries.PipelineShared.memo(s, s"kn_perdoc|$d")(
+      knPerDocBuild(s, d).localCheckpoint())
+
+  private def knPerDocBuild(s: SparkSession, d: String): DataFrame = {
     val pos = positions(s, d).drop("prev2")
     val uni = pos.groupBy("tok").agg(count(lit(1)).as("cu"))
     val tot = uni.agg(sum("cu").as("nt"))

@@ -299,9 +299,22 @@ private[graft] object VectorIndexQueries {
     * N·k-row shuffle dominated retrain cost at derived widths.) */
   private def assignTo(s: SparkSession, eqDf: DataFrame,
                        cents: Seq[(Int, Seq[Long])]): DataFrame =
+    assignThrough(eqDf, cents, Seq.empty)
+
+  /** [[assignTo]] carrying extra input columns through the argmin
+    * projection (r20): the Lloyd sum pass and the retrain re-assignment
+    * used to join the assignment frame BACK to its own input on vec_id
+    * just to re-attach the vector the projection dropped — one
+    * self-join (an AQE shuffle/broadcast stage) per iteration for rows
+    * the scan already held. Same rows, same values; the join merely
+    * disappears. */
+  private def assignThrough(eqDf: DataFrame,
+                            cents: Seq[(Int, Seq[Long])],
+                            carry: Seq[String]): DataFrame =
     eqDf.withColumn("__cv", typedLit(cents.sortBy(_._1).map(_._2)))
-      .selectExpr("vec_id", "graft_argmin_sq(eq, __cv) AS __am")
-      .selectExpr("vec_id", "__am.centroid_id AS centroid_id", "__am.dist AS dist")
+      .selectExpr(Seq("vec_id", "graft_argmin_sq(eq, __cv) AS __am") ++ carry: _*)
+      .selectExpr(Seq("vec_id", "__am.centroid_id AS centroid_id",
+        "__am.dist AS dist") ++ carry: _*)
 
   /** Lloyd's iterations in e6 integer space (grid init, floor(sum/n)
     * update, empty-cluster carry) — shared by the training benchmark
@@ -310,7 +323,7 @@ private[graft] object VectorIndexQueries {
                          iters: Int): Seq[(Int, Seq[Long])] = {
     var cents: Seq[(Int, Seq[Long])] = (0 until k).map(j => j -> gridCentroidE6(j))
     for (_ <- 1 to iters) {
-      val comps = assignTo(s, eqDf, cents).join(eqDf, "vec_id")
+      val comps = assignThrough(eqDf, cents, Seq("eq"))
         .select(col("centroid_id"), posexplode(col("eq")).as(Seq("pos", "v")))
         .groupBy("centroid_id", "pos")
         .agg(sum("v").as("sv"), count(lit(1)).as("n"))
@@ -392,12 +405,13 @@ private[graft] object VectorIndexQueries {
     val probes: Seq[Int] =
       if (!retrained) IvfTuner.probeList(k, Nprobe) // grid quantizer stays; nothing touched
       else {
-        val eq = live.selectExpr("vec_id",
+        // embedding rides the checkpointed train frame so the re-assign
+        // below needs no join back to the live table (r20)
+        val eq = live.selectExpr("vec_id", "embedding",
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS eq")
           .localCheckpoint()
         val cents = lloydTrain(s, eq, k, KmeansIters)
-        val newAssign = assignTo(s, eq, cents)
-          .join(live.select("vec_id", "embedding"), "vec_id")
+        val newAssign = assignThrough(eq, cents, Seq("embedding"))
           .select(col("vec_id"), col("embedding"), col("centroid_id").cast("long").as("centroid_id"))
         val dropGroups = live.select(col("live_c").cast("long").as("centroid_id"), col("vec_id"))
           .union(newAssign.select("centroid_id", "vec_id"))
