@@ -245,6 +245,10 @@ private[graft] object BpeQueries {
     val docs = Tables.documents(s, d).select("doc_id", "source", "text")
     val corpus = docs.union(docs.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 300000).as("doc_id"), col("source"), col("text")))
+    // checkpoint: the funnel frame (union + sha2 + digest window) feeds
+    // the rate census AND the kept set — without it the subtree
+    // replicates through both consumers (12 scans in the before-plan;
+    // the e2e_curation_funnel_v2 fix, r20). Same rows, same hash.
     val flagged = corpus
       .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
       .withColumn("digest", sha2(col("text"), 256))
@@ -252,6 +256,7 @@ private[graft] object BpeQueries {
       .withColumn("keeper_id",
         min(when(col("q"), col("doc_id"))).over(Window.partitionBy("digest")))
       .withColumn("u", col("q") && col("doc_id") === col("keeper_id"))
+      .localCheckpoint()
     val rates = flagged.filter(col("u"))
       .groupBy("source").agg(count(lit(1)).as("n"))
       .withColumn("srt", floor(sqrt(col("n")) * 1000000).cast("long"))

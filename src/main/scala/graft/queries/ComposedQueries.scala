@@ -257,6 +257,13 @@ private[queries] object ComposedQueries {
         .select((col("doc_id") + 400000).as("doc_id"), col("source"),
           expr("concat_ws(' ', slice(split(text, ' '), 2, size(split(text, ' ')) - 1))")
             .as("text")))
+    // materialize the two tier frames each downstream stage re-reads:
+    // without the checkpoints the flagged subtree (3-way union + sha2 +
+    // digest window) replicates MULTIPLICATIVELY through the band
+    // self-join and the two shingle-set fetch joins — the before-plan
+    // (plans/r20/_before/e2e_curation_funnel_v2.txt) scanned
+    // documents.parquet 90×; after, each tier computes once (r20,
+    // guide §7.2 duplicated-subtree check). Same rows, same hash.
     val flagged = corpus
       .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
       .withColumn("digest", sha2(col("text"), 256))
@@ -264,10 +271,12 @@ private[queries] object ComposedQueries {
       .withColumn("keeper_id",
         min(when(col("q"), col("doc_id"))).over(Window.partitionBy("digest")))
       .withColumn("u", col("q") && col("doc_id") === col("keeper_id"))
+      .localCheckpoint()
     val shingled = flagged.filter(col("u"))
       .selectExpr("doc_id", "split(text, ' ') AS tokens")
       .filter(size(col("tokens")) >= 3)
       .selectExpr("doc_id", "graft_shingle_set(graft_word_fps(tokens)) AS shset")
+      .localCheckpoint()
     val sigs = shingled.selectExpr("doc_id", s"graft_minhash(shset, '$spec') AS sig")
       .selectExpr("doc_id",
         s"(sig[0] * 31 + sig[1]) % $P AS band_0",

@@ -74,7 +74,18 @@ private[queries] object DedupQueries {
     * the identical candidate set. Scale shape: the band value is the
     * shuffle key (never all-pairs), shingle sets are fetched AFTER the
     * pair distinct. */
-  private def minhashFoundPairs(s: SparkSession, d: String): DataFrame = {
+  private def minhashFoundPairs(s: SparkSession, d: String): DataFrame =
+    // memoized (r20): the confirmed-pair table is consumed by BOTH
+    // `dedup_minhash_pairs` and `dedup_minhash_recall` — one banded
+    // pipeline per session, exactly the persisted-pair-table shape the
+    // incremental entries already model. The shingle frame checkpoint
+    // also stops the corpus subtree replicating through the band
+    // self-join + two set-fetch joins (the before-plan scanned
+    // documents.parquet 32× in the recall audit).
+    PipelineShared.memo(s, s"minhash_found_pairs|$d")(
+      minhashFoundPairsBuild(s, d).localCheckpoint())
+
+  private def minhashFoundPairsBuild(s: SparkSession, d: String): DataFrame = {
     // shingling + 4-perm signatures run as fused native kernels
     // (bitwise == the HOF folds, TextSketchSpec → DuckDB oracle keeps
     // its list_min/list_transform form unchanged)
@@ -86,6 +97,7 @@ private[queries] object DedupQueries {
     val corpus = docs.union(dups).filter(size(col("tokens")) >= 3)
     val shingled = corpus.selectExpr("doc_id",
       "graft_shingle_set(graft_word_fps(tokens)) AS shset")
+      .localCheckpoint()
     val sigs = shingled.selectExpr("doc_id", s"graft_minhash(shset, '$spec') AS sig")
       .selectExpr("doc_id",
         "sig[0] AS minh1", "sig[1] AS minh2", "sig[2] AS minh3", "sig[3] AS minh4")

