@@ -138,13 +138,23 @@ object TocExtractor {
     graft.multimodal.PdfCodec.decode(bytes) match {
       case None =>
         TocResult("flat", 0.0, Vector.empty, 0, structureValid = false)
-      case Some(doc) =>
-        extract(
-          doc.pages.zipWithIndex.map { case (t, i) => (i + 1) -> t }.toMap,
-          doc.totalPages,
-          doc.outline.map { case (lv, t, p) => OutlineEntry(lv, t, p) },
-          cfg)
+      case Some(doc) => extractFromDoc(doc, cfg)
     }
+
+  /** The cascade over an ALREADY-decoded document — for callers that
+    * hold the decode result for their own use (mm_pdf_outline reads
+    * the page texts for its fingerprint column): decoding is the
+    * expensive half of the byte path (xref walk + FlateDecode of every
+    * content stream), and running it once per row instead of twice is
+    * free (r20). Identical result to [[extractFromPdf]] on the same
+    * bytes by construction. */
+  def extractFromDoc(doc: graft.multimodal.PdfCodec.PdfDoc,
+                     cfg: Config = Config()): TocResult =
+    extract(
+      doc.pages.zipWithIndex.map { case (t, i) => (i + 1) -> t }.toMap,
+      doc.totalPages,
+      doc.outline.map { case (lv, t, p) => OutlineEntry(lv, t, p) },
+      cfg)
 
   /** Method 1 — a provided outline: top-level entries with pages become
     * chapters, deeper entries sections of the current chapter. */

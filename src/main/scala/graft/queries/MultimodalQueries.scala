@@ -495,7 +495,10 @@ private[graft] object MultimodalQueries {
           val doc = graft.multimodal.PdfCodec.decode(pdf)
             .getOrElse(throw new IllegalStateException(
               s"self-encoded PDF undecodable for doc $id"))
-          val r = TocExtractor.extractFromPdf(pdf)
+          // one decode per row: the fingerprint column reads `doc` and
+          // the cascade runs over the SAME decode result instead of
+          // re-inflating the bytes a second time (r20)
+          val r = TocExtractor.extractFromDoc(doc)
           val textFp = doc.pages.map(p => graft.expressions.TextSketch
             .tokenFp(org.apache.spark.unsafe.types.UTF8String.fromString(p))).sum
           (id, r.method, math.round(r.confidence * 10000),

@@ -127,6 +127,10 @@ class HierarchySpec extends AnyFunSuite {
     assert(r.toc(0).pageEnd == 39 && r.toc(1).pageEnd == 80)
     assert(r.toc(0).sections.map(_.sectionNumber) == Vector("1.1"))
     assert(r.structureValid)
+    // the pre-decoded entry (r20: mm_pdf_outline decodes once and runs
+    // the cascade over the SAME decode result) is byte-path-identical
+    val viaDoc = TocExtractor.extractFromDoc(PdfCodec.decode(pdf).get)
+    assert(viaDoc == r)
   }
 
   test("F22 real PDF bytes without an outline: contents-page parse at 0.85") {
